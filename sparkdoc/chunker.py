@@ -1,0 +1,255 @@
+"""Structure-preserving chunking with token budgets and a re-split cascade.
+
+Semantics modeled on the reference's HybridChunker usage
+(core/extractors/document_chunker.py:50-154,201-334) and ChunkRecord metadata
+(core/extractors/document_processor.py:375-458):
+
+  * heading-trail contextualization: every chunk's enriched text is prefixed
+    with the active heading trail; heading level = count of leading '#'
+  * merge peers: consecutive content spans under an unchanged trail are
+    greedily merged while enriched size stays <= max_tokens
+  * tables are atomic: never split across chunks, emitted whole even if over
+    budget (document_chunker.py — tables/lists unsplit)
+  * oversize re-split cascade: sentence-boundary split → greedy word packing
+    → binary char split (document_chunker.py:201-334); sub-chunks after the
+    first carry resplit_of = first sub-chunk's id and inherit pages/headings
+  * metadata per chunk: pages, doc_item_refs (#/spans/<offset>), headings,
+    token_count, blake2b-8 text_hash, char_length, batch_index (greedy
+    order-preserving bin packing <= max_batch_tokens,
+    dense/orchestrator.py:241-264)
+  * furniture and page_break spans are excluded from chunk text; page_break
+    advances the page counter; pictures contribute refs, not text
+
+The whole thing is a pure per-document Python function wrapped in
+mapInPandas — documents arrive one row per doc, so chunking adds NO shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+from sparkdoc.schemas import CHUNKS
+
+DEFAULT_MAX_TOKENS = 512
+DEFAULT_MAX_BATCH_TOKENS = 3072
+
+#: BPE-ish tokenizer: word runs + single non-space punctuation
+TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+#: sentence-boundary split (reference document_chunker.py:201-240)
+SENTENCE_RE = re.compile(r"(?<=[.!?])\s+|\n\n|\n")
+_HASH_PREFIX_RE = re.compile(r"^#+\s*")
+
+CONTENT_KINDS = {"text", "list", "caption", "table"}
+
+
+def count_tokens(text: str) -> int:
+    return len(TOKEN_RE.findall(text))
+
+
+def text_hash8(text: str) -> str:
+    return hashlib.blake2b(text.encode("utf-8"), digest_size=8).hexdigest()
+
+
+def heading_level(text: str) -> int:
+    m = re.match(r"^(#+)", text)
+    return len(m.group(1)) if m else 1
+
+
+def strip_heading(text: str) -> str:
+    return _HASH_PREFIX_RE.sub("", text).strip()
+
+
+def _split_sentences_fit(text: str, budget: int) -> list[str]:
+    """Sentence split → greedy pack → word pack → binary char split."""
+    sentences = [s for s in SENTENCE_RE.split(text) if s and s.strip()]
+    pieces: list[str] = []
+    for s in sentences:
+        if count_tokens(s) <= budget:
+            pieces.append(s)
+        else:
+            pieces.extend(_split_words_fit(s, budget))
+    # greedy pack pieces into segments <= budget
+    segments: list[str] = []
+    cur: list[str] = []
+    cur_tok = 0
+    for p in pieces:
+        t = count_tokens(p)
+        if cur and cur_tok + t > budget:
+            segments.append(" ".join(cur))
+            cur, cur_tok = [], 0
+        cur.append(p)
+        cur_tok += t
+    if cur:
+        segments.append(" ".join(cur))
+    return segments
+
+
+def _split_words_fit(text: str, budget: int) -> list[str]:
+    words = text.split()
+    out: list[str] = []
+    cur: list[str] = []
+    cur_tok = 0
+    for w in words:
+        t = count_tokens(w)
+        if t > budget:  # monster token: binary char split
+            if cur:
+                out.append(" ".join(cur))
+                cur, cur_tok = [], 0
+            out.extend(_char_split(w, budget))
+            continue
+        if cur and cur_tok + t > budget:
+            out.append(" ".join(cur))
+            cur, cur_tok = [], 0
+        cur.append(w)
+        cur_tok += t
+    if cur:
+        out.append(" ".join(cur))
+    return out
+
+
+def _char_split(word: str, budget: int) -> list[str]:
+    """Binary-search the largest prefix fitting the budget; repeat
+    (reference document_chunker.py:301-334)."""
+    out = []
+    rest = word
+    while rest:
+        if count_tokens(rest) <= budget:
+            out.append(rest)
+            break
+        lo, hi = 1, len(rest)
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if count_tokens(rest[:mid]) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        out.append(rest[:lo])
+        rest = rest[lo:]
+    return out
+
+
+def chunk_spans(
+    spans: list[dict],
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    max_batch_tokens: int = DEFAULT_MAX_BATCH_TOKENS,
+) -> list[dict]:
+    """Ordered spans of ONE document → chunk dicts (CHUNKS schema minus doc_id)."""
+    chunks: list[dict] = []
+    trail: list[tuple[int, str]] = []  # (level, stripped heading)
+    page = 1
+    acc: list[dict] = []  # pending content units {text, tokens, ref, page}
+    acc_refs: list[tuple[str, int]] = []  # picture refs pending (ref, page)
+
+    def trail_texts() -> list[str]:
+        return [h for _, h in trail]
+
+    def trail_tokens() -> int:
+        return count_tokens("\n".join(trail_texts())) if trail else 0
+
+    def emit(units: list[dict], extra_refs: list[tuple[str, int]], resplit_of=None):
+        heads = trail_texts()
+        body = "\n".join(u["text"] for u in units)
+        enriched = ("\n".join(heads) + "\n" + body) if heads else body
+        pages = sorted({u["page"] for u in units} | {p for _, p in extra_refs})
+        refs = [u["ref"] for u in units] + [r for r, _ in extra_refs]
+        chunks.append(
+            {
+                "chunk_id": len(chunks),
+                "text": enriched,
+                "token_count": count_tokens(enriched),
+                "page_numbers": pages,
+                "doc_item_refs": refs,
+                "headings": heads,
+                "text_hash": text_hash8(enriched),
+                "char_length": len(enriched),
+                "resplit_of": resplit_of,
+            }
+        )
+
+    def flush():
+        nonlocal acc, acc_refs
+        if acc:
+            emit(acc, acc_refs)
+            acc, acc_refs = [], []
+
+    for s in sorted(spans, key=lambda x: x["offset"]):
+        kind = s["kind"]
+        if kind == "page_break":
+            page += 1
+            continue
+        if kind == "furniture":
+            continue
+        if kind == "picture":
+            acc_refs.append((f"#/spans/{s['offset']}", page))
+            continue
+        if kind == "heading":
+            flush()
+            lvl = heading_level(s["text"])
+            while trail and trail[-1][0] >= lvl:
+                trail.pop()
+            trail.append((lvl, strip_heading(s["text"])))
+            continue
+        if kind not in CONTENT_KINDS:
+            continue
+        tokens = count_tokens(s["text"])
+        unit = {"text": s["text"], "tokens": tokens, "ref": f"#/spans/{s['offset']}", "page": page}
+        budget = max(max_tokens - trail_tokens(), 8)
+        if kind == "table":
+            # atomic: flush, emit whole even if over budget
+            flush()
+            emit([unit], [])
+            continue
+        if tokens > budget:
+            # oversize single span: re-split cascade; sub-chunks inherit
+            # trail/pages; subsequent ones point at the first via resplit_of
+            flush()
+            segs = _split_sentences_fit(s["text"], budget)
+            parent_id = len(chunks)
+            for j, seg in enumerate(segs):
+                emit(
+                    [{"text": seg, "tokens": count_tokens(seg), "ref": unit["ref"], "page": page}],
+                    [],
+                    resplit_of=None if j == 0 else parent_id,
+                )
+            continue
+        acc_tok = sum(u["tokens"] for u in acc)
+        if acc and acc_tok + tokens > budget:
+            flush()
+        acc.append(unit)
+    flush()
+
+    # greedy order-preserving batch packing (dense/orchestrator.py:241-264)
+    batch, bt = 0, 0
+    for c in chunks:
+        t = c["token_count"]
+        if bt > 0 and bt + t > max_batch_tokens:
+            batch += 1
+            bt = 0
+        c["batch_index"] = batch
+        bt += t
+    return chunks
+
+
+def chunk_documents(
+    documents: DataFrame,
+    max_tokens: int = DEFAULT_MAX_TOKENS,
+    max_batch_tokens: int = DEFAULT_MAX_BATCH_TOKENS,
+) -> DataFrame:
+    """documents(doc_id, spans) → chunks table. No shuffle (mapInPandas)."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                for c in chunk_spans(list(spans), max_tokens, max_batch_tokens):
+                    c["doc_id"] = doc_id
+                    rows.append(c)
+            if rows:
+                yield pd.DataFrame(rows)[[f.name for f in CHUNKS.fields]]
+
+    return documents.mapInPandas(gen, schema=CHUNKS)

@@ -1,0 +1,110 @@
+"""Sanitization + boilerplate/furniture classification — pure Spark exprs.
+
+Everything here stays inside whole-stage codegen (no Python). The
+sequence-dependent parts of extraction (XY-cut order, repeated-text furniture,
+offset assignment) live in spans.py's per-document applyInPandas.
+
+Spec (shared with the single-node golden implementation in golden.py — the
+two implementations are independent on purpose; drift fails the golden tests):
+
+  sanitize   strip C0 control chars except \\t \\n \\r
+             (reference: core/utils/doclang_sanitizer.py:22-71)
+  drop       tag == 'nav'  OR  link-density > 0.5 (n_links*2 > n_chars>0)
+             (north rule: Boilerpipe/Readability-style shallow features)
+  drop       non-picture nodes whose sanitized text is blank
+  drop       BOTTOMLEFT nodes with unknown page height
+             (reference: document_processor.py:87-94)
+  kind       h1..h6→heading  li→list  table→table  img→picture
+             figcaption→caption  header|footer→furniture  else text
+  media_ref  pictures get '#/pictures/<node_id>', else ''
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: C0 controls except tab/newline/carriage-return
+CONTROL_CHAR_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+#: DocLang-style markup (CDATA unwrap + tag strip) — reference
+#: doclang_format.py:58-71
+_CDATA_RE = r"<!\[CDATA\[(.*?)\]\]>"
+_TAG_RE = r"<[^>]+>"
+
+
+def sanitize_text(col: Column) -> Column:
+    """Strip C0 control chars except tab/newline/CR."""
+    return F.regexp_replace(col, CONTROL_CHAR_RE, "")
+
+
+def strip_markup(col: Column) -> Column:
+    """Unwrap CDATA then drop all XML/HTML tags (markup-blind sizing).
+
+    Reference: strip_doclang_markup, doclang_format.py:58-71.
+    """
+    return F.regexp_replace(F.regexp_replace(col, _CDATA_RE, "$1"), _TAG_RE, "")
+
+
+def content_chars(col: Column) -> Column:
+    """Markup-invariant character count (reference doclang_format.py:74-86)."""
+    return F.length(strip_markup(col))
+
+
+def squash_anchor(col: Column) -> Column:
+    """Lowercase [a-z0-9]-only projection for OCR-tolerant matching.
+
+    Reference: _squash_anchor, dense/orchestrator.py:121-124.
+    """
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def is_boilerplate(tag: Column, n_chars: Column, n_links: Column) -> Column:
+    """Link-density boilerplate predicate (drop)."""
+    return (tag == "nav") | ((n_links > 0) & (n_links * 2 > n_chars))
+
+
+KIND_BY_TAG = {
+    "h1": "heading",
+    "h2": "heading",
+    "h3": "heading",
+    "h4": "heading",
+    "h5": "heading",
+    "h6": "heading",
+    "li": "list",
+    "table": "table",
+    "img": "picture",
+    "figcaption": "caption",
+    "header": "furniture",
+    "footer": "furniture",
+}
+
+
+def kind_for_tag(tag: Column) -> Column:
+    expr = None
+    for t, k in KIND_BY_TAG.items():
+        expr = F.when(tag == t, k) if expr is None else expr.when(tag == t, k)
+    return expr.otherwise("text")
+
+
+def classify_raw_nodes(raw: DataFrame) -> DataFrame:
+    """Sanitize + filter + classify the flattened node table (exprs only).
+
+    Output keeps layout columns for the reading-order stage; ``kind`` and
+    ``media_ref`` are final span fields.
+    """
+    df = raw.withColumn("text", sanitize_text(F.col("text")))
+    df = df.filter(~is_boilerplate(F.col("tag"), F.col("n_chars"), F.col("n_links")))
+    df = df.filter((F.col("tag") == "img") | (F.length(F.trim(F.col("text"))) > 0))
+    df = df.filter(
+        ~((F.col("coord_origin") == "BOTTOMLEFT") & F.col("page_height").isNull())
+    )
+    df = df.withColumn("kind", kind_for_tag(F.col("tag")))
+    df = df.withColumn(
+        "media_ref",
+        F.when(
+            F.col("kind") == "picture",
+            F.concat(F.lit("#/pictures/"), F.col("node_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return df

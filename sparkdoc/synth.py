@@ -1,0 +1,200 @@
+"""Seeded deterministic synthetic interleaved-document corpus.
+
+Generates the FIXTURES.md F2 ``raw_nodes`` table (flattened DOM/layout node
+rows) from which the extraction pipeline produces the F1 ``documents`` spans
+table. All randomness derives from ``(seed, doc_index)`` so generation is
+deterministic regardless of partitioning — the same doc index yields the same
+nodes whether generated on the driver (tests) or on 1000 executors (bench).
+
+Nasty cases baked in (FIXTURES.md F1/F2 requirements):
+  * interleaving: text/heading runs broken by pictures, captions, tables
+  * furniture: page header/footer repeated per page (tag header/footer)
+  * boilerplate: nav blocks / link-farms with high link density
+  * C0 control chars (NUL, BEL) inside text — sanitizer must strip
+  * accents / unicode (NFKD normalizer fodder)
+  * BOTTOMLEFT coordinate origins, some with unknown page height (dropped)
+  * two-column pages (XY-cut reading order must recover column order)
+  * node emission order shuffled (reading order must NOT come from node_id)
+  * long-tail skew: ~2% of docs are 20-60 pages (vs 1-4 median) and doc_id
+    carries a zipf-skewed domain prefix for salting tests
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparkdoc.schemas import RAW_NODES
+
+# zipf-ish domain skew: first domain dominates (north-rule salting fodder)
+DOMAINS = ["acme", "globex", "initech", "umbrella", "hooli", "wonka", "stark", "wayne"]
+DOMAIN_WEIGHTS = [40, 20, 12, 9, 7, 5, 4, 3]
+
+_WORDS = (
+    "the quick brown fox jumps over lazy dog lorem ipsum dolor sit amet "
+    "consectetur adipiscing elit sed do eiusmod tempor incididunt labore "
+    "dolore magna aliqua revenue contract clause party obligation liability "
+    "termination notice payment invoice delivery schedule warranty material "
+    "électroménager propriétaire café naïve résumé zürich münchen "
+    "analysis model data pipeline system process result table figure"
+).split()
+
+_PAGE_W, _PAGE_H = 612, 792
+_MARGIN = 36
+
+
+def _pick_domain(rng: random.Random) -> str:
+    return rng.choices(DOMAINS, weights=DOMAIN_WEIGHTS, k=1)[0]
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(n)]
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def _paragraph(rng: random.Random, lo: int = 2, hi: int = 5) -> str:
+    return " ".join(_sentence(rng, rng.randint(6, 18)) for _ in range(rng.randint(lo, hi)))
+
+
+def doc_meta(doc_index: int, seed: int) -> dict:
+    """Deterministic per-document shape parameters."""
+    rng = random.Random(f"sparkdoc:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    heavy = rng.random() < 0.02
+    n_pages = rng.randint(20, 60) if heavy else rng.randint(1, 4)
+    return {
+        "doc_id": f"{domain}-{doc_index:08d}",
+        "rng": rng,
+        "n_pages": n_pages,
+        "two_col": rng.random() < 0.30,
+        "bottomleft": rng.random() < 0.25,
+        "unknown_height": rng.random() < 0.05,  # BOTTOMLEFT + unknown H ⇒ dropped nodes
+    }
+
+
+def synth_doc_nodes(doc_index: int, seed: int) -> list[dict]:
+    """All raw_nodes rows for one document, in SHUFFLED emission order."""
+    m = doc_meta(doc_index, seed)
+    rng: random.Random = m["rng"]
+    doc_id = m["doc_id"]
+    page_h = None if (m["bottomleft"] and m["unknown_height"]) else _PAGE_H
+    nodes: list[dict] = []
+    nid = 0
+
+    def emit(tag, text, page, x, y, w, h, n_links=0, parent=0):
+        nonlocal nid
+        nid += 1
+        # layout y is authored TOPLEFT; convert to BOTTOMLEFT storage if asked:
+        # stored bbox [l, t, r, b]; BOTTOMLEFT measures y up from page bottom
+        # so t_stored = H - y (top edge) and b_stored = H - (y + h).
+        if m["bottomleft"]:
+            hh = page_h if page_h is not None else _PAGE_H
+            bbox = [x, hh - y, x + w, hh - (y + h)]
+        else:
+            bbox = [x, y, x + w, y + h]
+        nodes.append(
+            {
+                "doc_id": doc_id,
+                "node_id": nid,
+                "parent_id": parent,
+                "tag": tag,
+                "text": text,
+                "n_chars": len(text),
+                "n_links": n_links,
+                "page_no": page,
+                "bbox": bbox,
+                "coord_origin": "BOTTOMLEFT" if m["bottomleft"] else "TOPLEFT",
+                "page_width": _PAGE_W,
+                "page_height": page_h,
+            }
+        )
+
+    sec = 0
+    for page in range(1, m["n_pages"] + 1):
+        # furniture: repeated header/footer (reference analog: furniture
+        # exclusion, orchestrator.py:127-144)
+        emit("header", f"{doc_id} — CONFIDENTIAL", page, _MARGIN, 10, _PAGE_W - 2 * _MARGIN, 14)
+        emit("footer", f"Page {page}", page, _MARGIN, _PAGE_H - 24, _PAGE_W - 2 * _MARGIN, 14)
+        # occasional nav link-farm (boilerplate: link density ≈ 1 ⇒ dropped)
+        if rng.random() < 0.4:
+            links = " ".join(f"[{rng.choice(_WORDS)}]" for _ in range(8))
+            emit("nav", links, page, _MARGIN, 28, _PAGE_W - 2 * _MARGIN, 12, n_links=len(links))
+
+        two_col = m["two_col"] and page % 2 == 0
+        col_w = (_PAGE_W - 2 * _MARGIN - 24) // 2 if two_col else _PAGE_W - 2 * _MARGIN
+        cols = [(_MARGIN, 60), (_MARGIN + col_w + 24, 60)] if two_col else [(_MARGIN, 60)]
+        ci = 0
+        x, y = cols[0]
+        n_blocks = rng.randint(4, 10)
+        for _ in range(n_blocks):
+            if y > _PAGE_H - 120:
+                ci += 1
+                if ci >= len(cols):
+                    break
+                x, y = cols[ci]
+            r = rng.random()
+            if r < 0.18:
+                sec += 1
+                lvl = rng.randint(1, 3)
+                title = f"{'#' * lvl} §{sec} " + _sentence(rng, rng.randint(2, 5)).rstrip(".")
+                emit(f"h{lvl}", title, page, x, y, col_w, 18)
+                y += 26
+            elif r < 0.60:
+                txt = _paragraph(rng)
+                if rng.random() < 0.06:  # C0 control chars → sanitizer fodder
+                    txt = txt[: len(txt) // 2] + "\x00\x07" + txt[len(txt) // 2 :]
+                if rng.random() < 0.03:  # oversized section → chunk re-split fodder
+                    txt = _paragraph(rng, 30, 45)
+                h = 14 * (1 + len(txt) // 80)
+                emit("p", txt, page, x, y, col_w, h)
+                y += h + 8
+            elif r < 0.72:
+                for _ in range(rng.randint(2, 4)):
+                    item = "• " + _sentence(rng, rng.randint(4, 9))
+                    emit("li", item, page, x, y, col_w, 13)
+                    y += 15
+                y += 6
+            elif r < 0.84:
+                rows = rng.randint(2, 4)
+                cells = [
+                    " | ".join(rng.choice(_WORDS) for _ in range(3)) for _ in range(rows)
+                ]
+                emit("table", "\n".join(cells), page, x, y, col_w, 16 * rows)
+                y += 16 * rows + 8
+            else:
+                emit("img", "", page, x, y, min(col_w, 180), 120)
+                y += 126
+                if rng.random() < 0.6:
+                    emit("figcaption", "Figure: " + _sentence(rng, rng.randint(3, 7)), page, x, y, col_w, 12)
+                    y += 18
+
+    rng.shuffle(nodes)  # reading order must be recovered by XY-cut, not node_id
+    return nodes
+
+
+def synth_corpus(n_docs: int, seed: int = 42) -> list[dict]:
+    """Driver-side generation (tests / goldens). Rows across all docs."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        out.extend(synth_doc_nodes(i, seed))
+    return out
+
+
+def raw_nodes_df(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Distributed generation: spark.range → mapInPandas, deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                rows.extend(synth_doc_nodes(int(i), seed))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    parts = partitions or max(8, n_docs // 256)
+    rng_df = spark.range(0, n_docs, 1, parts)
+    return rng_df.mapInPandas(gen, schema=RAW_NODES)
