@@ -197,7 +197,7 @@ def chunk_spans(
             continue
         tokens = count_tokens(s["text"])
         unit = {"text": s["text"], "tokens": tokens, "ref": f"#/spans/{s['offset']}", "page": page}
-        budget = max(max_tokens - trail_tokens(), 8)
+        budget = max_tokens - trail_tokens()
         if kind == "table":
             # atomic: flush, emit whole even if over budget
             flush()
@@ -205,9 +205,10 @@ def chunk_spans(
             continue
         if tokens > budget:
             # oversize single span: re-split cascade; sub-chunks inherit
-            # trail/pages; subsequent ones point at the first via resplit_of
+            # trail/pages; subsequent ones point at the first via resplit_of.
+            # Floor of 8 keeps splitting feasible under a monster trail.
             flush()
-            segs = _split_sentences_fit(s["text"], budget)
+            segs = _split_sentences_fit(s["text"], max(budget, 8))
             parent_id = len(chunks)
             for j, seg in enumerate(segs):
                 emit(

@@ -1,0 +1,206 @@
+"""Entity identity, dedup, alias containment, cardinality bounds.
+
+Relational re-expression of the reference's dict-based dedup machinery:
+  skeleton cross-batch dedup   dense/orchestrator.py:367-427
+  node id registry             node_id_registry.py:58-157
+  content-hash node dedup      graph_cleaner.py:273-412
+  containment alias proposal   alias_reconciler.py:59-84
+  sibling co-occurrence veto   dense/orchestrator.py:542-569
+  cardinality bounds (top-k)   graph_converter.py:91-120,360-429
+
+Everything here is joins/groupBys/windows — Catalyst territory. The only
+Python is the vectorized blake2b/normalizer pandas UDFs from identity.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sparkdoc.identity import (
+    canonicalize_identity,
+    content_hash,
+    digit_signature_udf,
+    node_id as _node_id,
+)
+
+
+@pandas_udf("string")
+def _node_id_from_json(node_class: pd.Series, ids_json: pd.Series) -> pd.Series:
+    out = []
+    for c, j in zip(node_class, ids_json):
+        out.append(None if c is None else _node_id(c, json.loads(j) if j else {}))
+    return pd.Series(out)
+
+
+@pandas_udf("string")
+def _content_hash_from_json(attrs_json: pd.Series) -> pd.Series:
+    return attrs_json.map(lambda j: content_hash(json.loads(j)) if j else content_hash({}))
+
+
+@pandas_udf("string")
+def _canon_name(values: pd.Series) -> pd.Series:
+    return values.map(lambda v: canonicalize_identity(v or ""))
+
+
+def with_node_ids(entities: DataFrame) -> DataFrame:
+    """Add deterministic node_id = Class_blake2b16(canonical ids + class).
+
+    Cross-class fingerprint collisions are impossible by construction (class
+    is mixed into the hash — node_id_registry.py:120-157's collision check is
+    therefore a no-op here, kept as an assertion helper below).
+    """
+    return entities.withColumn(
+        "node_id", _node_id_from_json(F.col("class"), F.to_json(F.col("ids")))
+    )
+
+
+def assert_no_cross_class_collisions(nodes: DataFrame) -> int:
+    """node_id_registry.py:120-157 analog: same fingerprint, two classes."""
+    fp = F.substring_index(F.col("node_id"), "_", -1)
+    bad = (
+        nodes.groupBy(fp.alias("fp"))
+        .agg(F.countDistinct("class").alias("n_classes"))
+        .filter(F.col("n_classes") > 1)
+        .count()
+    )
+    return int(bad)
+
+
+def dedup_entities(entities_with_ids: DataFrame) -> DataFrame:
+    """Skeleton cross-batch dedup (orchestrator.py:367-427): group by
+    (doc_id, path, node_id); keep the first emission's fields (ordered by
+    earliest chunk), union chunk sets."""
+    first_key = F.struct(
+        F.coalesce(F.array_min("chunk_ids"), F.lit(2**31 - 1)).alias("first_chunk"),
+        F.col("ids").cast("string").alias("tie"),
+    )
+    df = entities_with_ids.withColumn("_order", first_key)
+    return (
+        df.groupBy("doc_id", "path", "class", "node_id")
+        .agg(
+            F.min_by("ids", F.col("_order")).alias("ids"),
+            F.min_by("fields", F.col("_order")).alias("fields"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunk_ids")))).alias(
+                "chunk_ids"
+            ),
+        )
+    )
+
+
+def content_hash_dedup(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """graph_cleaner.py:273-412: group nodes by content hash of non-meta
+    attrs; canonical survivor = min(node_id); redirect edges to survivors."""
+    hashed = nodes.withColumn("_chash", _content_hash_from_json(F.to_json(F.col("attrs"))))
+    w = Window.partitionBy("_chash")
+    canon = hashed.withColumn("_canon", F.min("node_id").over(w))
+    mapping = canon.select(F.col("node_id").alias("_from"), F.col("_canon").alias("_to")).filter(
+        F.col("_from") != F.col("_to")
+    )
+    survivors = canon.filter(F.col("node_id") == F.col("_canon")).drop("_chash", "_canon")
+    # redirect both endpoints via broadcast-able mapping (dup sets are small)
+    e = (
+        edges.join(F.broadcast(mapping).withColumnRenamed("_from", "src_from"), edges.src == F.col("src_from"), "left")
+        .withColumn("src", F.coalesce(F.col("_to"), F.col("src")))
+        .drop("src_from", "_to")
+        .join(F.broadcast(mapping).withColumnRenamed("_from", "dst_from"), F.col("dst") == F.col("dst_from"), "left")
+        .withColumn("dst", F.coalesce(F.col("_to"), F.col("dst")))
+        .drop("dst_from", "_to")
+    )
+    return survivors, e
+
+
+def containment_alias_groups(
+    nodes: DataFrame,
+    name_col: str = "label",
+    min_base_len: int = 4,
+    scope_cols: tuple[str, ...] = ("node_class",),
+) -> DataFrame:
+    """alias_reconciler.py:59-84: propose (base ⊂ superset) merge pairs.
+
+    Guards: equal digit signatures; base canonical length >= min_base_len;
+    base != superset; UNIQUE base per superset (ambiguous supersets vetoed).
+    Scoped per class (and any extra scope cols) — the self-join keys on the
+    scope so Catalyst shuffles once per side; the containment predicate runs
+    post-join JVM-side (`contains`).
+    """
+    canon = nodes.withColumn("_canon", _canon_name(F.col(name_col))).withColumn(
+        "_sig", digit_signature_udf(F.col(name_col))
+    )
+    base = canon.select(
+        *scope_cols,
+        F.col("node_id").alias("base_id"),
+        F.col("_canon").alias("base_canon"),
+        F.col("_sig").alias("base_sig"),
+    ).filter(F.length("base_canon") >= min_base_len)
+    sup = canon.select(
+        *[F.col(c).alias(f"_s_{c}") for c in scope_cols],
+        F.col("node_id").alias("superset_id"),
+        F.col("_canon").alias("superset_canon"),
+        F.col("_sig").alias("superset_sig"),
+    )
+    cond = (
+        (base["base_canon"] != sup["superset_canon"])
+        & sup["superset_canon"].contains(base["base_canon"])
+        & (base["base_sig"] == sup["superset_sig"])
+    )
+    for c in scope_cols:
+        cond = cond & (base[c] == sup[f"_s_{c}"])
+    pairs = base.join(sup, cond, "inner").select(
+        *scope_cols, "base_id", "base_canon", "superset_id", "superset_canon"
+    )
+    uniq = Window.partitionBy("superset_id")
+    return (
+        pairs.withColumn("_n", F.count("*").over(uniq))
+        .filter(F.col("_n") == 1)
+        .drop("_n")
+    )
+
+
+def co_occurrence_veto(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """dense/orchestrator.py:542-569: drop merge pairs whose two nodes
+    co-occur in the same first-emission chunk (they are siblings, not
+    aliases). Requires nodes to carry chunk_ids array."""
+    ch = nodes.select("node_id", "chunk_ids")
+    joined = (
+        pairs.join(ch.withColumnRenamed("node_id", "base_id").withColumnRenamed("chunk_ids", "_base_chunks"), "base_id")
+        .join(ch.withColumnRenamed("node_id", "superset_id").withColumnRenamed("chunk_ids", "_sup_chunks"), "superset_id")
+    )
+    return joined.filter(
+        ~F.arrays_overlap(F.col("_base_chunks"), F.col("_sup_chunks"))
+    ).drop("_base_chunks", "_sup_chunks")
+
+
+def enforce_cardinality_bounds(
+    nodes: DataFrame, bounds: dict[str, int], class_col: str = "node_class"
+) -> tuple[DataFrame, DataFrame]:
+    """graph_converter.py:360-429: per class over its max-instances bound,
+    rank by (filled-attr richness desc, provenance chunk-weight desc,
+    node_id asc) and demote the rest. Classic top-k window.
+
+    Returns (kept, demoted-with-rank audit).
+    """
+    if not bounds:
+        return nodes, nodes.limit(0).withColumn("_rank", F.lit(0))
+    bounds_df = F.broadcast(
+        nodes.sparkSession.createDataFrame(
+            [(k, v) for k, v in bounds.items()], f"{class_col} string, _bound int"
+        )
+    )
+    richness = F.size(F.filter(F.map_values("attrs"), lambda v: (v.isNotNull()) & (v != "")))
+    weight = F.coalesce(F.size("chunk_ids"), F.lit(0)) if "chunk_ids" in nodes.columns else F.lit(0)
+    w = Window.partitionBy(class_col).orderBy(
+        richness.desc(), weight.desc(), F.col("node_id").asc()
+    )
+    ranked = nodes.join(bounds_df, class_col, "left").withColumn("_rank", F.row_number().over(w))
+    kept = ranked.filter(F.col("_bound").isNull() | (F.col("_rank") <= F.col("_bound"))).drop(
+        "_bound", "_rank"
+    )
+    demoted = ranked.filter(F.col("_bound").isNotNull() & (F.col("_rank") > F.col("_bound"))).drop(
+        "_bound"
+    )
+    return kept, demoted

@@ -1,0 +1,164 @@
+"""Graph assembly, cleaning, and stats — nodes/edges DataFrames.
+
+Relational re-expression of the reference's networkx passes:
+  phantom-node removal           graph_cleaner.py:189-271
+  self/orphan/duplicate edges    graph_cleaner.py:81-109,319-364
+  keyword-list cap (5)           graph_cleaner.py:93-109
+  validation                     graph_cleaner.py:415-474
+  stats                          stats_calculator.py:10-71
+  entity explode → nodes/edges   graph_converter.py:496-818
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkdoc.dedup import with_node_ids
+
+KEYWORD_CAP = 5  # graph_cleaner.py:93-109
+META_PREFIX = "__"
+
+
+def entities_to_nodes(entities: DataFrame) -> DataFrame:
+    """F4 entity rows → NODES-shaped table. The nodes pass: duplicate
+    instances enrich the first (first non-empty wins) — expressed as
+    map-concat fold with earliest-chunk precedence (graph_converter.py:
+    496-689 analog, already folded by dedup_entities upstream)."""
+    df = entities if "node_id" in entities.columns else with_node_ids(entities)
+    label = F.coalesce(
+        F.element_at(F.col("ids"), "name"),
+        F.element_at(F.col("ids"), "title"),
+        F.element_at(F.map_values("ids"), 1),
+        F.col("node_id"),
+    )
+    return df.select(
+        "node_id",
+        "doc_id",
+        F.col("class").alias("node_class"),
+        label.alias("label"),
+        F.map_concat(F.col("ids"), F.coalesce(F.col("fields"), F.create_map())).alias("attrs"),
+        F.lit(None).cast("string").alias("provenance"),
+        F.col("chunk_ids"),
+    )
+
+
+def is_meaningful(col) -> F.Column:
+    """graph_cleaner.py:37-78: None/''/empty-collection not meaningful;
+    '0'/'false' ARE meaningful."""
+    return col.isNotNull() & (col != "")
+
+
+def remove_phantom_nodes(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Drop nodes with no meaningful non-meta attr; audit each dropped
+    (source,label,target) relationship (graph_cleaner.py:189-271).
+
+    Returns (nodes, edges, dropped_rels_audit).
+    """
+    meaningful = F.exists(
+        F.map_entries("attrs"),
+        lambda e: (~e["key"].startswith(META_PREFIX)) & is_meaningful(e["value"]),
+    )
+    flagged = nodes.withColumn("_keep", meaningful)
+    phantoms = flagged.filter(~F.col("_keep")).select("node_id")
+    audit = (
+        edges.join(phantoms.withColumnRenamed("node_id", "src"), "src", "left_semi")
+        .unionByName(edges.join(phantoms.withColumnRenamed("node_id", "dst"), "dst", "left_semi"))
+        .dropDuplicates(["src", "dst", "label"])
+    )
+    kept = flagged.filter(F.col("_keep")).drop("_keep")
+    e = (
+        edges.join(phantoms.withColumnRenamed("node_id", "src"), "src", "left_anti")
+        .join(phantoms.withColumnRenamed("node_id", "dst"), "dst", "left_anti")
+    )
+    return kept, e, audit
+
+
+def clean_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Self-loop drop, endpoint-exists semi-joins, (src,dst,label) distinct
+    (graph_cleaner.py:81-109,319-364)."""
+    ids = nodes.select("node_id")
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
+        .join(ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
+        .dropDuplicates(["src", "dst", "label"])
+    )
+
+
+def cap_keywords(nodes: DataFrame, list_attr: str = "keywords", sep: str = "|") -> DataFrame:
+    """Truncate a '|'-packed list attribute to KEYWORD_CAP entries."""
+    kw = F.element_at(F.col("attrs"), list_attr)
+    capped = F.array_join(F.slice(F.split(kw, "\\|"), 1, KEYWORD_CAP), sep)
+    return nodes.withColumn(
+        "attrs",
+        F.when(
+            kw.isNotNull(),
+            F.map_concat(
+                F.map_filter(F.col("attrs"), lambda k, v: k != list_attr),
+                F.create_map(F.lit(list_attr), capped),
+            ),
+        ).otherwise(F.col("attrs")),
+    )
+
+
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """reverse_edges option: add reverse_<label> mirror edges
+    (graph_converter.py:257-266)."""
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.concat(F.lit("reverse_"), F.col("label")).alias("label"),
+        "props",
+    )
+    return edges.unionByName(rev)
+
+
+def validate_graph(nodes: DataFrame, edges: DataFrame) -> dict:
+    """graph_cleaner.py:415-474: endpoints exist, no empty nodes, non-empty
+    graph. Returns violation counts (all zero = valid)."""
+    ids = nodes.select("node_id")
+    dangling = (
+        edges.join(ids.withColumnRenamed("node_id", "src"), "src", "left_anti").count()
+        + edges.join(ids.withColumnRenamed("node_id", "dst"), "dst", "left_anti").count()
+    )
+    empty_nodes = nodes.filter(F.size(F.map_keys("attrs")) == 0).count()
+    n_nodes = nodes.count()
+    return {
+        "dangling_edges": int(dangling),
+        "empty_nodes": int(empty_nodes),
+        "n_nodes": int(n_nodes),
+        "is_valid": dangling == 0 and empty_nodes == 0 and n_nodes > 0,
+    }
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """stats_calculator.py:10-71: per-class node counts, per-label edge
+    counts, average degree — one row per metric (metric, key, value)."""
+    node_types = (
+        nodes.groupBy("node_class")
+        .count()
+        .select(F.lit("nodes_per_class").alias("metric"), F.col("node_class").alias("key"), F.col("count").cast("double").alias("value"))
+    )
+    edge_types = (
+        edges.groupBy("label")
+        .count()
+        .select(F.lit("edges_per_label").alias("metric"), F.col("label").alias("key"), F.col("count").cast("double").alias("value"))
+    )
+    degrees = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionAll(edges.select(F.col("dst").alias("node_id")))
+        .groupBy("node_id")
+        .count()
+    )
+    avg_deg = degrees.agg(F.avg("count").alias("value")).select(
+        F.lit("avg_degree").alias("metric"), F.lit("").alias("key"), "value"
+    )
+    totals = nodes.agg(F.count("*").cast("double").alias("value")).select(
+        F.lit("n_nodes").alias("metric"), F.lit("").alias("key"), "value"
+    ).unionByName(
+        edges.agg(F.count("*").cast("double").alias("value")).select(
+            F.lit("n_edges").alias("metric"), F.lit("").alias("key"), "value"
+        )
+    )
+    return totals.unionByName(node_types).unionByName(edge_types).unionByName(avg_deg)
