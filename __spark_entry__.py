@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship composite over sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+training-data ops); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI-SQL twins. Column names/aliases match
+the Spark side exactly; float-bearing outputs use integer-cents arithmetic or
+int/int division (bit-exact across engines); md5-keyed hashing keeps MinHash
+reproducible in both engines. Non-SQL-expressible ops (span extraction,
+chunking, simhash, LSH-ANN) have no oracle → driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +15,622 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SYNTH_DOCS = 200  # deterministic synthetic interleaved corpus size for rows-only ops
+SYNTH_SEED = 42
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: training-data enrichment over sf0.001 documents — quality
+    features + language ID + exact-dup fingerprint + MinHash signature."""
+    from sparkdoc.dedup_text import minhash_signature
+    from sparkdoc.textops import detect_language, doc_fingerprint, quality_filter, token_count
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    out = quality_filter(docs)
+    out = out.withColumn("lang_pred", detect_language(F.col("text")))
+    out = out.withColumn("fp", doc_fingerprint(F.col("text")))
+    out = out.withColumn("n_tokens", token_count(F.col("text")))
+    out = out.withColumn(
+        "minhash", F.md5(F.concat_ws("|", minhash_signature(F.col("text"), k=8)))
+    )
+    return out.select(
+        "doc_id", "n_words", "n_tokens", "lang_pred", "quality_keep", "fp", "minhash"
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog (agg pushdown; exact integer-cents arithmetic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c, scale: F.round(F.col(c) * scale).cast("long")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice", 100)).alias("sum_base_price_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+            ).alias("sum_disc_price_e4"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q3_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: 3-way join + top-10 (broadcast dims, deterministic tie-break)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+            ).alias("revenue_e4")
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-way join, group by nation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+            ).alias("revenue_e4")
+        )
+        .orderBy(F.col("revenue_e4").desc(), F.col("n_name").asc())
+    )
+
+
+def _top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-2 customers per nation by order revenue."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+    return (
+        rev.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("n_name", "c_custkey", "revenue_cents", "rnk")
+    )
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap via lag window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", flag)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def _events_latest_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest dedup: last event per (user_id, event_type)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round(F.col("value") * 10000).cast("long").alias("value_e4"))
+    )
+
+
+def _doc_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.clean import content_chars, sanitize_text, squash_anchor
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length(sanitize_text(F.col("text"))).alias("clean_len"),
+        content_chars(F.col("text")).alias("content_len"),
+        F.length(squash_anchor(F.col("text"))).alias("squash_len"),
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.textops import token_count, word_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_words"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def _doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.textops import detect_language
+
+    return _docs(spark, sf_dir).select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
+
+
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.textops import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "stop_fraction",
+        "distinct_word_fraction",
+        "ends_with_punct",
+        "quality_keep",
+    )
+
+
+def _doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.textops import doc_fingerprint
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("fp", doc_fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.dedup_text import minhash_signature
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat_ws("|", minhash_signature(F.col("text"), k=16, n=3))).alias("sig_hash"),
+    )
+
+
+def _doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard among the first 40 docs — top 20 most similar."""
+    from sparkdoc.dedup_text import ngram_jaccard
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    ids = docs.select(F.col("doc_id").alias("a"))
+    pairs = ids.crossJoin(docs.select(F.col("doc_id").alias("b"))).filter(F.col("a") < F.col("b"))
+    j = ngram_jaccard(pairs, docs, text_col="text", id_col="doc_id", n=3)
+    return j.orderBy(F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc()).limit(20).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span segmentation of flat text: 24-word windows → ordered (kind, text,
+    offset) spans — the SQL-expressible slice of the span pipeline."""
+    from sparkdoc.textops import words
+
+    W = 24
+    docs = _docs(spark, sf_dir)
+    w = words(F.col("text"))
+    segs = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(w) - 1) / W).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("offset"),
+            F.concat_ws(" ", F.slice(w, i * W + 1, W)).alias("seg_text"),
+        ),
+    )
+    out = docs.filter(F.size(w) > 0).select("doc_id", F.explode(segs).alias("s"))
+    return out.select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.lit("text").alias("kind"),
+        F.col("s.seg_text").alias("seg_text"),
+    )
+
+
+def _emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.similarity import _as_double, norm
+
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.round(norm(_as_double(F.col("embedding"))), 6).alias("l2_norm")
+    )
+
+
+def _emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+def _emb_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority label among 5 NN — the eval-style similarity rollup."""
+    from sparkdoc.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    knn = brute_force_topk(emb, queries_df, k=5)
+    lbl = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    return (
+        knn.join(F.broadcast(lbl), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("votes"))
+    )
+
+
+# --- rows-only (non-SQL-expressible) ops over the synthetic interleaved corpus
+
+
+def _synth_raw(spark: SparkSession):
+    from sparkdoc.synth import raw_nodes_df
+
+    return raw_nodes_df(spark, SYNTH_DOCS, SYNTH_SEED, partitions=16)
+
+
+def _extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule flagship: interleaved raw nodes → ordered spans."""
+    from sparkdoc.spans import explode_spans, extract_documents
+
+    return explode_spans(extract_documents(_synth_raw(spark)))
+
+
+def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.spans import extract_documents
+
+    return chunk_documents(extract_documents(_synth_raw(spark)))
+
+
+def _ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end provenance: extract → chunk → heading entities → anchor
+    scan → ledger."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.dedup import with_node_ids
+    from sparkdoc.provenance import build_ledger
+    from sparkdoc.spans import explode_spans, extract_documents
+
+    docs = extract_documents(_synth_raw(spark))
+    chunks = chunk_documents(docs)
+    spans = explode_spans(docs)
+    entities = (
+        spans.filter(F.col("kind") == "heading")
+        .select(
+            "doc_id",
+            F.lit("sections[]").alias("path"),
+            F.lit("Section").alias("class"),
+            F.create_map(F.lit("name"), F.regexp_replace(F.col("text"), "^#+\\s*", "")).alias("ids"),
+            F.create_map().cast("map<string,string>").alias("fields"),
+            F.array().cast("array<int>").alias("chunk_ids"),
+        )
+    )
+    return build_ledger(with_node_ids(entities), chunks)
+
+
+def _doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.dedup_text import simhash64, simhash_near_dups
+
+    docs = simhash64(_docs(spark, sf_dir))
+    return simhash_near_dups(docs, max_hamming=16)
+
+
+def _emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries_df, k=5, n_bits=4)
+
+
+def _doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.textops import rolling_fingerprints
+
+    return rolling_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", F.size("fingerprints").alias("n_fp")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational operator coverage (joins/aggs/windows/top-k)
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_unshipped": _q3_unshipped,
+        "q5_local_supplier": _q5_local_supplier,
+        "top_customer_per_nation": _top_customer_per_nation,
+        "events_sessionize": _events_sessionize,
+        "events_latest_per_type": _events_latest_per_type,
+        # text / cleaning operators (SURVEY §2.2)
+        "doc_sanitize": _doc_sanitize,
+        "doc_tokens": _doc_tokens,
+        "doc_lang": _doc_lang,
+        "doc_quality": _doc_quality,
+        "doc_segments": _doc_segments,
+        # dedup family
+        "doc_exact_dups": _doc_exact_dups,
+        "doc_minhash": _doc_minhash,
+        "doc_jaccard_pairs": _doc_jaccard_pairs,
+        "doc_simhash_pairs": _doc_simhash_pairs,
+        "doc_rolling_fp": _doc_rolling_fp,
+        # similarity search
+        "emb_norms": _emb_norms,
+        "emb_knn": _emb_knn,
+        "emb_label_knn": _emb_label_knn,
+        "emb_lsh_knn": _emb_lsh_knn,
+        # span pipeline (north rule; golden-tested, rows-only here)
+        "extract_spans": _extract_spans,
+        "chunk_documents": _chunk_docs,
+        "provenance_ledger": _ledger,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    q = {}
+    q["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+    q["q3_unshipped"] = """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > TIMESTAMP '1995-03-15'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_e4 DESC, o_orderkey ASC
+        LIMIT 10
+    """
+    q["q5_local_supplier"] = """
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue_e4 DESC, n_name ASC
+    """
+    q["top_customer_per_nation"] = """
+        WITH rev AS (
+            SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT n_name, c_custkey, revenue_cents, rnk FROM (
+            SELECT n_name, c_custkey, revenue_cents,
+                   row_number() OVER (PARTITION BY n_name ORDER BY revenue_cents DESC, c_custkey ASC) AS rnk
+            FROM rev JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rnk <= 2
+    """
+    q["events_sessionize"] = """
+        SELECT user_id,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ) GROUP BY user_id
+    """
+    q["events_latest_per_type"] = """
+        SELECT user_id, event_type, event_id,
+               CAST(round(value * 10000) AS BIGINT) AS value_e4
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """
+    q["doc_sanitize"] = r"""
+        SELECT doc_id,
+               length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS clean_len,
+               length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS content_len,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS squash_len
+        FROM documents
+    """
+    q["doc_tokens"] = f"""
+        SELECT doc_id,
+               len({_WORDS_SQL}) AS n_words,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens
+        FROM documents
+    """
+    en = "['the','and','of','to','in','is','that','it','was','for','with','as','on']"
+    fr = "['le','la','les','de','des','et','un','une','est','que','dans','pour','du']"
+    de = "['der','die','das','und','ist','von','mit','den','nicht','ein','eine','zu','für']"
+    es = "['el','la','los','las','de','y','que','en','un','una','es','por','con']"
+    q["doc_lang"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   len(list_filter({_WORDS_SQL}, w -> list_contains({en}, w))) AS en_h,
+                   len(list_filter({_WORDS_SQL}, w -> list_contains({fr}, w))) AS fr_h,
+                   len(list_filter({_WORDS_SQL}, w -> list_contains({de}, w))) AS de_h,
+                   len(list_filter({_WORDS_SQL}, w -> list_contains({es}, w))) AS es_h
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN en_h > 0 AND en_h >= fr_h AND en_h >= de_h AND en_h >= es_h THEN 'en'
+                 WHEN fr_h > 0 AND fr_h > en_h AND fr_h >= de_h AND fr_h >= es_h THEN 'fr'
+                 WHEN de_h > 0 AND de_h > en_h AND de_h > fr_h AND de_h >= es_h THEN 'de'
+                 WHEN es_h > 0 AND es_h > en_h AND es_h > fr_h AND es_h > de_h THEN 'es'
+                 ELSE 'und'
+               END AS lang_pred
+        FROM h
+    """
+    q["doc_quality"] = f"""
+        WITH w AS (
+            SELECT doc_id, text, {_WORDS_SQL} AS ws,
+                   length(text) AS nc,
+                   length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum
+            FROM documents
+        )
+        SELECT doc_id,
+               len(ws) AS n_words,
+               CASE WHEN len(ws) > 0 THEN CAST(list_reduce(list_transform(ws, x -> CAST(length(x) AS BIGINT)), (a,b) -> a + b) AS BIGINT) / len(ws) ELSE 0.0 END AS mean_word_len,
+               CASE WHEN nc > 0 THEN (nc - alnum) / nc ELSE 0.0 END AS symbol_ratio,
+               CASE WHEN len(ws) > 0 THEN len(list_filter(ws, x -> list_contains({en}, x))) / len(ws) ELSE 0.0 END AS stop_fraction,
+               CASE WHEN len(ws) > 0 THEN len(list_distinct(ws)) / len(ws) ELSE 0.0 END AS distinct_word_fraction,
+               CASE WHEN regexp_matches(text, '[.!?]\\s*$') THEN 1 ELSE 0 END AS ends_with_punct,
+               CASE WHEN len(ws) >= 10
+                     AND (CASE WHEN nc > 0 THEN (nc - alnum) / nc ELSE 0.0 END) <= 0.6
+                     AND (CASE WHEN len(ws) > 0 THEN len(list_distinct(ws)) / len(ws) ELSE 0.0 END) >= 0.2
+                    THEN 1 ELSE 0 END AS quality_keep
+        FROM w
+    """
+    q["doc_exact_dups"] = """
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+               count(*) AS n_docs,
+               min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY 1
+    """
+    _sh = (
+        f"list_distinct(CASE WHEN len({_WORDS_SQL}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({_WORDS_SQL}) - 2), "
+        f"i -> {_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i+1] || ' ' || {_WORDS_SQL}[i+2]) "
+        f"ELSE [] END)"
+    )
+    q["doc_minhash"] = f"""
+        WITH s AS (SELECT doc_id, {_sh} AS sh FROM documents)
+        SELECT doc_id,
+               md5(list_aggregate(
+                 list_transform(generate_series(0, 15),
+                   i -> CASE WHEN len(sh) > 0
+                             THEN list_min(list_transform(sh, x -> md5(concat(i, ':', x))))
+                             ELSE '' END),
+                 'string_agg', '|')) AS sig_hash
+        FROM s
+    """
+    q["doc_jaccard_pairs"] = f"""
+        WITH s AS (SELECT doc_id, {_sh} AS sh FROM documents WHERE doc_id < 40)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               round(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+                 THEN len(list_intersect(a.sh, b.sh)) /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 ELSE 0.0 END, 6) AS jaccard_r
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        ORDER BY CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+                 THEN len(list_intersect(a.sh, b.sh)) /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 ELSE 0.0 END DESC, a.doc_id ASC, b.doc_id ASC
+        LIMIT 20
+    """
+    q["doc_segments"] = f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)
+        SELECT doc_id,
+               CAST(i AS INT) AS offset,
+               'text' AS kind,
+               array_to_string(ws[(i*24+1):(i*24+24)], ' ') AS seg_text
+        FROM w, LATERAL unnest(generate_series(0, CAST(floor((len(ws)-1)/24) AS BIGINT))) AS t(i)
+        WHERE len(ws) > 0
+    """
+    q["emb_norms"] = """
+        SELECT vec_id,
+               round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)), 6) AS l2_norm
+        FROM embeddings
+    """
+    _cos = (
+        "list_reduce(list_transform(list_zip(qa.e, ca.e), p -> p[1] * p[2]), (x,y) -> x + y) / "
+        "(sqrt(list_reduce(list_transform(qa.e, x -> x*x), (x,y) -> x + y)) * "
+        " sqrt(list_reduce(list_transform(ca.e, x -> x*x), (x,y) -> x + y)))"
+    )
+    q["emb_knn"] = f"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        qa AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id % 100 = 0),
+        ca AS (SELECT vec_id AS neighbor_id, e FROM e),
+        scored AS (
+            SELECT query_id, neighbor_id, {_cos} AS cos
+            FROM qa, ca WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+    q["emb_label_knn"] = f"""
+        WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        qa AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id % 100 = 0),
+        ca AS (SELECT vec_id AS neighbor_id, label, e FROM e),
+        knn AS (
+            SELECT query_id, neighbor_id, label FROM (
+                SELECT query_id, neighbor_id, ca.label,
+                       row_number() OVER (PARTITION BY query_id ORDER BY {_cos} DESC, neighbor_id ASC) AS rank
+                FROM qa, ca WHERE query_id <> neighbor_id
+            ) WHERE rank <= 5
+        )
+        SELECT query_id, label AS n_label, count(*) AS votes
+        FROM knn GROUP BY query_id, label
+    """
+    return q

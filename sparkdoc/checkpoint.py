@@ -1,0 +1,154 @@
+"""Per-partition checkpoint commits + resume (north-rule requirement).
+
+Strategy (Iceberg-snapshot analog on plain parquet): the corpus is split into
+B deterministic buckets by ``pmod(hash(doc_id), B)``. The job processes
+buckets in groups; each group's output lands under ``out/bucket=<b>/`` and a
+manifest row (job_id, bucket, n_docs, n_spans, n_chunks, wall_ms, commit_seq)
+is appended ATOMICALLY AFTER the data (temp-dir rename — the parquet fallback
+for an Iceberg snapshot commit). On restart, completed buckets are read from
+the manifest and anti-joined away, so a killed job resumes without
+recomputing finished work.
+
+Reference analog: the per-run metadata.json / trace ledger and
+dropped-chunk/retention accounting (pipeline/orchestrator.py:133-232,
+dense/orchestrator.py:2010-2070) — here promoted to a real commit log.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkdoc.schemas import METRICS
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "doc_id") -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    path = manifest_path(out_dir)
+    try:
+        rows = spark.read.schema(METRICS).parquet(path).select("bucket").distinct().collect()
+    except Exception:
+        return set()
+    return {r["bucket"] for r in rows}
+
+
+def commit_bucket_group(
+    spark: SparkSession,
+    out_dir: str,
+    job_id: str,
+    metrics_rows: list[dict],
+) -> None:
+    """Append manifest rows atomically (write to temp dir, then rename files
+    into the manifest dir — rename is atomic on a POSIX/HDFS-like FS)."""
+    path = manifest_path(out_dir)
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(out_dir, f"_manifest_tmp_{uuid.uuid4().hex}")
+    df = spark.createDataFrame(
+        [
+            (
+                job_id,
+                int(m["bucket"]),
+                int(m["n_docs"]),
+                int(m["n_spans"]),
+                int(m.get("n_chunks", 0)),
+                int(m["wall_ms"]),
+                int(m["commit_seq"]),
+            )
+            for m in metrics_rows
+        ],
+        METRICS,
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for name in os.listdir(tmp):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(tmp, name), os.path.join(path, f"{uuid.uuid4().hex}.parquet"))
+    # best-effort temp cleanup
+    for name in os.listdir(tmp):
+        os.remove(os.path.join(tmp, name))
+    os.rmdir(tmp)
+
+
+def run_resumable(
+    spark: SparkSession,
+    raw_nodes: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    group_size: int = 4,
+    job_id: str | None = None,
+    chunk: bool = True,
+) -> dict:
+    """Extract (+ chunk) with per-bucket-group commits; resumes automatically.
+
+    Returns a summary dict with buckets processed/skipped and totals.
+    """
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.spans import extract_documents
+
+    job_id = job_id or uuid.uuid4().hex[:12]
+    done = completed_buckets(spark, out_dir)
+    bucketed = with_bucket(raw_nodes, n_buckets)
+    todo = [b for b in range(n_buckets) if b not in done]
+    seq = len(done)
+    totals = {"docs": 0, "spans": 0, "chunks": 0}
+    for gi in range(0, len(todo), group_size):
+        group = todo[gi : gi + group_size]
+        t0 = time.monotonic()
+        part = bucketed.filter(F.col("bucket").isin(group))
+        docs = extract_documents(part.drop("bucket")).persist()
+        docs_b = with_bucket(docs, n_buckets)
+        docs_b.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
+            os.path.join(out_dir, "documents")
+        )
+        per_bucket = {
+            r["bucket"]: r
+            for r in docs_b.groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans"))
+            .collect()
+        }
+        n_chunks_by_bucket: dict[int, int] = {}
+        if chunk:
+            ch = with_bucket(chunk_documents(docs), n_buckets)
+            ch.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
+                os.path.join(out_dir, "chunks")
+            )
+            n_chunks_by_bucket = {
+                r["bucket"]: r["n"]
+                for r in ch.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            }
+        docs.unpersist()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        rows = []
+        for b in group:
+            stat = per_bucket.get(b)
+            rows.append(
+                {
+                    "bucket": b,
+                    "n_docs": stat["n_docs"] if stat else 0,
+                    "n_spans": stat["n_spans"] if stat else 0,
+                    "n_chunks": n_chunks_by_bucket.get(b, 0),
+                    "wall_ms": wall_ms,
+                    "commit_seq": seq,
+                }
+            )
+            totals["docs"] += rows[-1]["n_docs"]
+            totals["spans"] += rows[-1]["n_spans"]
+            totals["chunks"] += rows[-1]["n_chunks"]
+        commit_bucket_group(spark, out_dir, job_id, rows)
+        seq += 1
+    return {
+        "job_id": job_id,
+        "buckets_skipped": sorted(done),
+        "buckets_processed": todo,
+        **totals,
+    }

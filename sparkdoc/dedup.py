@@ -29,22 +29,37 @@ from sparkdoc.identity import (
 )
 
 
-@pandas_udf("string")
-def _node_id_from_json(node_class: pd.Series, ids_json: pd.Series) -> pd.Series:
-    out = []
-    for c, j in zip(node_class, ids_json):
-        out.append(None if c is None else _node_id(c, json.loads(j) if j else {}))
-    return pd.Series(out)
+from functools import lru_cache
 
 
-@pandas_udf("string")
-def _content_hash_from_json(attrs_json: pd.Series) -> pd.Series:
-    return attrs_json.map(lambda j: content_hash(json.loads(j)) if j else content_hash({}))
+@lru_cache(maxsize=None)
+def _node_id_from_json():
+    @pandas_udf("string")
+    def _udf(node_class: pd.Series, ids_json: pd.Series) -> pd.Series:
+        out = []
+        for c, j in zip(node_class, ids_json):
+            out.append(None if c is None else _node_id(c, json.loads(j) if j else {}))
+        return pd.Series(out)
+
+    return _udf
 
 
-@pandas_udf("string")
-def _canon_name(values: pd.Series) -> pd.Series:
-    return values.map(lambda v: canonicalize_identity(v or ""))
+@lru_cache(maxsize=None)
+def _content_hash_from_json():
+    @pandas_udf("string")
+    def _udf(attrs_json: pd.Series) -> pd.Series:
+        return attrs_json.map(lambda j: content_hash(json.loads(j)) if j else content_hash({}))
+
+    return _udf
+
+
+@lru_cache(maxsize=None)
+def _canon_name():
+    @pandas_udf("string")
+    def _udf(values: pd.Series) -> pd.Series:
+        return values.map(lambda v: canonicalize_identity(v or ""))
+
+    return _udf
 
 
 def with_node_ids(entities: DataFrame) -> DataFrame:
@@ -55,7 +70,7 @@ def with_node_ids(entities: DataFrame) -> DataFrame:
     therefore a no-op here, kept as an assertion helper below).
     """
     return entities.withColumn(
-        "node_id", _node_id_from_json(F.col("class"), F.to_json(F.col("ids")))
+        "node_id", _node_id_from_json()(F.col("class"), F.to_json(F.col("ids")))
     )
 
 
@@ -95,7 +110,7 @@ def dedup_entities(entities_with_ids: DataFrame) -> DataFrame:
 def content_hash_dedup(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """graph_cleaner.py:273-412: group nodes by content hash of non-meta
     attrs; canonical survivor = min(node_id); redirect edges to survivors."""
-    hashed = nodes.withColumn("_chash", _content_hash_from_json(F.to_json(F.col("attrs"))))
+    hashed = nodes.withColumn("_chash", _content_hash_from_json()(F.to_json(F.col("attrs"))))
     w = Window.partitionBy("_chash")
     canon = hashed.withColumn("_canon", F.min("node_id").over(w))
     mapping = canon.select(F.col("node_id").alias("_from"), F.col("_canon").alias("_to")).filter(
@@ -128,8 +143,8 @@ def containment_alias_groups(
     scope so Catalyst shuffles once per side; the containment predicate runs
     post-join JVM-side (`contains`).
     """
-    canon = nodes.withColumn("_canon", _canon_name(F.col(name_col))).withColumn(
-        "_sig", digit_signature_udf(F.col(name_col))
+    canon = nodes.withColumn("_canon", _canon_name()(F.col(name_col))).withColumn(
+        "_sig", digit_signature_udf()(F.col(name_col))
     )
     base = canon.select(
         *scope_cols,

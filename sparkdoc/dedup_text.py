@@ -1,0 +1,222 @@
+"""Document deduplication at corpus scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Design notes for 100 TB:
+  * exact dedup is a hash-groupBy on a normalized md5 — one shuffle on a
+    16-byte key, map-side partial agg free via Catalyst
+  * MinHash signatures are computed WITHOUT Python: shingle → md5 per seed →
+    array_min, all JVM exprs; LSH banding turns the O(n²) pair search into a
+    self-equi-join on (band, signature) — shuffle on band keys, AQE splits
+    hot bands; candidate pairs then verify exact Jaccard on the (small)
+    candidate set only
+  * SimHash is a 64-bit vectorized pandas UDF (bit-parallel in numpy);
+    near-dup = hamming distance via xor + bit_count, a JVM expr
+  * md5-based hashing keeps the whole MinHash path reproducible in ANSI SQL
+    (the DuckDB oracle runs the identical algorithm)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkdoc.textops import doc_fingerprint, words
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates (normalized md5): (fingerprint, n_docs,
+    keep_id = min id, doc_ids)."""
+    return (
+        df.withColumn("fp", doc_fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep min-id representative per fingerprint. Window-free: groupBy +
+    semi-join back (two narrow shuffles, no sort)."""
+    keep = (
+        df.withColumn("fp", doc_fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# --- shingles / MinHash / LSH -----------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (lowercased alnum words)."""
+    w = words(col)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.array())
+    )
+
+
+def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
+    """k-permutation MinHash over md5-keyed shingles, pure JVM exprs.
+
+    Hash family h_i(s) = md5(i || ':' || s); min is lexicographic over hex —
+    reproducible in any engine with md5.
+    """
+    sh = shingles(col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.when(
+            F.size(sh) > 0,
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """array<struct<band, key>>: md5 over each band's slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows))).alias("key"),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band key.
+
+    Returns distinct (a, b) with a < b. The expensive O(n²) comparison never
+    happens — the self-join keys on (band, key), and duplicate-pair explosion
+    across bands collapses with dropDuplicates before verification.
+    """
+    rows = k // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(lsh_bands(minhash_signature(F.col(text_col), k, n), bands, rows)).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = sig.withColumnRenamed("_id", "a")
+    b = sig.withColumnRenamed("_id", "b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join texts, set overlap."""
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    joined = df_pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "a", "b", F.when(union > 0, inter / union).otherwise(0.0).alias("jaccard")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates → exact Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, n)
+    return ngram_jaccard(cands, df, text_col, id_col, n).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word features (vectorized numpy pandas UDF)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(s: pd.Series) -> pd.Series:
+        import re
+
+        wre = re.compile(r"[a-z0-9]+")
+
+        def sh(text: str) -> int:
+            ws = wre.findall((text or "").lower())
+            if not ws:
+                return 0
+            hs = np.frombuffer(
+                b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in ws),
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            v = bits.sum(axis=0) * 2 - len(ws)
+            out = np.uint64(0)
+            for i in range(64):
+                if v[i] > 0:
+                    out |= np.uint64(1) << np.uint64(i)
+            return int(out.astype(np.int64))
+
+        return s.map(sh)
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top prefix_bits (docs differing
+    in ≤ max_hamming bits usually share a 16-bit block under 4-block split),
+    then exact hamming via xor+bit_count (JVM expr). df must carry 'simhash'."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("simhash"), i * prefix_bits).bitwiseAND(
+                    F.lit((1 << prefix_bits) - 1)
+                ).alias("key"),
+            )
+            for i in range(64 // prefix_bits)
+        ]
+    )
+    keyed = df.select(F.col(id_col).alias("_id"), F.col("simhash"), F.explode(blocks).alias("b")).select(
+        "_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key")
+    )
+    a = keyed.select(F.col("_id").alias("a"), F.col("simhash").alias("ha"), "blk", "key")
+    b = keyed.select(F.col("_id").alias("b"), F.col("simhash").alias("hb"), "blk", "key")
+    pairs = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -123,50 +123,62 @@ def content_hash(attrs: dict, meta_prefix: str = "__") -> str:
 
 
 # --- vectorized pandas UDF wrappers (Arrow path; no per-row Python UDFs) -----
+# Lazy factories: pandas_udf() needs an active SparkSession in PySpark 4, so
+# decoration happens on first use, not at import.
+
+from functools import lru_cache
 
 
-@pandas_udf("string")
-def normalize_entity_name_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: normalize_entity_name(v) if v is not None else None)
+def _series_udf(fn):
+    @pandas_udf("string")
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: fn(v) if v is not None else None)
+
+    return _udf
 
 
-@pandas_udf("string")
-def canonicalize_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: canonicalize_identity(v) if v is not None else None)
+@lru_cache(maxsize=None)
+def normalize_entity_name_udf():
+    return _series_udf(normalize_entity_name)
 
 
-@pandas_udf("string")
-def fold_text_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: fold_text(v) if v is not None else None)
+@lru_cache(maxsize=None)
+def canonicalize_udf():
+    return _series_udf(canonicalize_identity)
 
 
-@pandas_udf("string")
-def phrase_key_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: phrase_key(v) if v is not None else None)
+@lru_cache(maxsize=None)
+def fold_text_udf():
+    return _series_udf(fold_text)
 
 
-@pandas_udf("string")
-def digit_signature_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: digit_signature(v) if v is not None else None)
+@lru_cache(maxsize=None)
+def phrase_key_udf():
+    return _series_udf(phrase_key)
 
 
-@pandas_udf("string")
-def blake2b8_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: blake2b_hex(v, 8) if v is not None else None)
+@lru_cache(maxsize=None)
+def digit_signature_udf():
+    return _series_udf(digit_signature)
 
 
-@pandas_udf("string")
-def blake2b16_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda v: blake2b_hex(v, 16) if v is not None else None)
+@lru_cache(maxsize=None)
+def blake2b8_udf():
+    return _series_udf(lambda v: blake2b_hex(v, 8))
 
 
-@pandas_udf("string")
-def node_id_udf(node_class: pd.Series, ids_json: pd.Series) -> pd.Series:
-    """node_id from (class, JSON-encoded id map) columns."""
-    out = []
-    for c, j in zip(node_class, ids_json):
-        if c is None:
-            out.append(None)
-        else:
-            out.append(node_id(c, json.loads(j) if j else {}))
-    return pd.Series(out)
+@lru_cache(maxsize=None)
+def blake2b16_udf():
+    return _series_udf(lambda v: blake2b_hex(v, 16))
+
+
+@lru_cache(maxsize=None)
+def node_id_udf():
+    @pandas_udf("string")
+    def _udf(node_class: pd.Series, ids_json: pd.Series) -> pd.Series:
+        out = []
+        for c, j in zip(node_class, ids_json):
+            out.append(None if c is None else node_id(c, json.loads(j) if j else {}))
+        return pd.Series(out)
+
+    return _udf

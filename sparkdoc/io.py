@@ -1,0 +1,147 @@
+"""Sources/sinks: parquet tables + CSV/JSON/Cypher graph exporters.
+
+Reference export shapes reproduced:
+  CSV   nodes.csv/edges.csv, Neo4j-compatible, provenance as JSON string,
+        non-numeric quoting           (core/exporters/csv_exporter.py:26-111)
+  JSON  {"nodes","edges","metadata"}  (core/exporters/json_exporter.py:14-108)
+  Cypher cypher-shell script: per-label uniqueness constraints, MERGE
+        idempotent style, type-preserving literals
+                                      (core/exporters/cypher_exporter.py:57-315)
+
+All exporters are DataFrame writers (distributed); Cypher statement text is
+built with concat exprs (JVM-side), written via write.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+# --- CSV (csv_exporter.py:26-111) --------------------------------------------
+
+
+def export_csv(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """nodes.csv / edges.csv, Neo4j-admin-compatible headers."""
+    n = nodes.select(
+        F.col("node_id").alias("id:ID"),
+        F.col("node_class").alias(":LABEL"),
+        F.col("label").alias("label"),
+        F.to_json("attrs").alias("attrs"),
+        F.coalesce("provenance", F.lit("")).alias("provenance"),
+    )
+    e = edges.select(
+        F.col("src").alias(":START_ID"),
+        F.col("dst").alias(":END_ID"),
+        F.col("label").alias(":TYPE"),
+        F.to_json(F.coalesce("props", F.create_map())).alias("props"),
+    )
+    opts = {"header": "true", "quoteAll": "true", "escape": '"'}
+    n.write.mode("overwrite").options(**opts).csv(f"{out_dir}/nodes.csv")
+    e.write.mode("overwrite").options(**opts).csv(f"{out_dir}/edges.csv")
+
+
+# --- JSON (json_exporter.py:14-108) ------------------------------------------
+
+
+def export_json(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """Canonical node/edge JSON-lines (distributed analog of the single-file
+    {"nodes","edges"} artifact; per-doc single-file collection is a driver
+    concern at small scale)."""
+    nodes.select(
+        F.col("node_id").alias("id"),
+        F.col("node_class").alias("type"),
+        "label",
+        "attrs",
+        "provenance",
+    ).write.mode("overwrite").json(f"{out_dir}/nodes.json")
+    edges.select(
+        F.col("src").alias("source"), F.col("dst").alias("target"), "label", "props"
+    ).write.mode("overwrite").json(f"{out_dir}/edges.json")
+
+
+def graph_to_dict(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Driver-side canonical {"nodes","edges","metadata"} (small graphs only;
+    json_exporter.graph_to_dict analog)."""
+    n = [r.asDict(recursive=True) for r in nodes.collect()]
+    e = [r.asDict(recursive=True) for r in edges.collect()]
+    return {
+        "nodes": n,
+        "edges": e,
+        "metadata": {"node_count": len(n), "edge_count": len(e)},
+    }
+
+
+def load_graph_from_json(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Inverse of export_json (core/importers/graph_json.py analog)."""
+    nodes = spark.read.json(f"{out_dir}/nodes.json").select(
+        F.col("id").alias("node_id"),
+        F.col("type").alias("node_class"),
+        "label",
+        "attrs",
+        "provenance",
+    )
+    edges = spark.read.json(f"{out_dir}/edges.json").select(
+        F.col("source").alias("src"), F.col("target").alias("dst"), "label", "props"
+    )
+    return nodes, edges
+
+
+# --- Cypher (cypher_exporter.py:57-315) ---------------------------------------
+
+
+def _cy_quote(col):
+    return F.concat(
+        F.lit("'"),
+        F.replace(F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit("'"), F.lit("\\'")),
+        F.lit("'"),
+    )
+
+
+def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str, merge: bool = True) -> None:
+    """One cypher-shell script: uniqueness constraints per label, then
+    MERGE-idempotent node/edge statements (CREATE style when merge=False)."""
+    verb = "MERGE" if merge else "CREATE"
+    labels = [r["node_class"] for r in nodes.select("node_class").distinct().collect()]
+    constraints = [
+        f"CREATE CONSTRAINT IF NOT EXISTS FOR (n:{l}) REQUIRE n.id IS UNIQUE;" for l in sorted(labels)
+    ]
+    props = F.concat(
+        F.lit("{id: "),
+        _cy_quote(F.col("node_id")),
+        F.lit(", label: "),
+        _cy_quote(F.col("label")),
+        F.lit("}"),
+    )
+    node_stmts = nodes.select(
+        F.concat(F.lit(f"{verb} (n:"), F.col("node_class"), F.lit(" "), props, F.lit(");")).alias(
+            "stmt"
+        )
+    )
+    edge_stmts = edges.select(
+        F.concat(
+            F.lit("MATCH (a {id: "),
+            _cy_quote(F.col("src")),
+            F.lit("}), (b {id: "),
+            _cy_quote(F.col("dst")),
+            F.lit(f"}}) {verb} (a)-[:"),
+            F.regexp_replace(F.upper("label"), "[^A-Z0-9_]", "_"),
+            F.lit("]->(b);"),
+        ).alias("stmt")
+    )
+    spark = nodes.sparkSession
+    header = spark.createDataFrame([(s,) for s in constraints], "stmt string")
+    header.unionByName(node_stmts).unionByName(edge_stmts).coalesce(1).write.mode(
+        "overwrite"
+    ).text(out_path)

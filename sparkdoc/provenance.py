@@ -1,0 +1,136 @@
+"""Provenance: verbatim anchor scan + ledger assembly.
+
+The reference's anchor scan (core/provenance/anchor_scan.py:38-110) is a
+string-containment theta join of node id values against chunk texts within a
+document. Spark-first expression: equi-join on doc_id (co-partitioned), then
+a JVM-side `locate()` containment predicate — no Python in the hot path.
+
+Guards reproduced:
+  * value length >= 3                          (anchor_scan.py:68-72)
+  * pure-numeric values need >= 4 digits       (anchor_scan.py:68-72)
+  * > 6 matching chunks ⇒ non-distinctive drop (anchor_scan.py:35,94-96)
+  * XML-escape retry on no-match               (anchor_scan.py:98-110)
+  * first occurrence span [start, end) per chunk
+  * anchors capped at 8 per node               (provenance/identity.py:20-25)
+
+Ledger shape: (doc_id, identity_key, path, ids, anchors) — FIXTURES.md F5;
+anchor kinds observed|verbatim|derived|reconciled with strength ordering in
+schemas.ANCHOR_KIND_STRENGTH (provenance/models.py:22-27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ANCHOR_MIN_LEN = 3
+ANCHOR_MIN_DIGITS = 4
+MAX_VERBATIM_CHUNKS = 6
+MAX_ANCHORS = 8
+
+
+def _xml_escape(col):
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return out
+
+
+def anchor_scan(entities: DataFrame, chunks: DataFrame) -> DataFrame:
+    """For every (node, id value), verbatim anchors into chunk texts.
+
+    entities: (doc_id, node_id, ids map<string,string>, ...)
+    chunks:   (doc_id, chunk_id, text, ...)
+    returns:  (doc_id, node_id, field, value, chunk_id, start, end)
+    """
+    values = (
+        entities.select("doc_id", "node_id", F.explode("ids").alias("field", "value"))
+        .filter(F.length("value") >= ANCHOR_MIN_LEN)
+        .filter(
+            ~(F.col("value").rlike("^[0-9]+$") & (F.length("value") < ANCHOR_MIN_DIGITS))
+        )
+        .withColumn("_lv", F.lower("value"))
+        .withColumn("_le", F.lower(_xml_escape(F.col("value"))))
+    )
+    ch = chunks.select("doc_id", "chunk_id", F.lower("text").alias("_lt"))
+    j = values.join(ch, "doc_id")  # per-doc theta join; AQE splits skew
+    pos_raw = F.expr("locate(_lv, _lt)")
+    pos_esc = F.expr("locate(_le, _lt)")
+    j = j.withColumn(
+        "_hit",
+        F.when(pos_raw > 0, F.struct(pos_raw.alias("pos"), F.length("value").alias("len")))
+        .when(pos_esc > 0, F.struct(pos_esc.alias("pos"), F.length(_xml_escape(F.col("value"))).alias("len"))),
+    ).filter(F.col("_hit").isNotNull())
+    # distinctiveness: a value matching > MAX_VERBATIM_CHUNKS chunks anchors nothing
+    w = Window.partitionBy("doc_id", "node_id", "field")
+    j = j.withColumn("_n", F.count("*").over(w)).filter(F.col("_n") <= MAX_VERBATIM_CHUNKS)
+    return j.select(
+        "doc_id",
+        "node_id",
+        "field",
+        "value",
+        "chunk_id",
+        (F.col("_hit.pos") - 1).alias("start"),
+        (F.col("_hit.pos") - 1 + F.col("_hit.len")).alias("end"),
+    )
+
+
+def build_ledger(entities: DataFrame, chunks: DataFrame) -> DataFrame:
+    """LEDGER-schema table: verbatim anchors from the scan; nodes with no
+    verbatim hit fall back to 'observed' anchors at their first-emission
+    chunks (binder ladder rungs 1+3, binder.py:172-356)."""
+    scans = anchor_scan(entities, chunks)
+    verb = scans.groupBy("doc_id", "node_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("chunk_id").cast("int").alias("chunk_id"),
+                        F.lit("verbatim").alias("kind"),
+                        F.array(F.col("start").cast("int"), F.col("end").cast("int")).alias("span"),
+                    )
+                )
+            ),
+            1,
+            MAX_ANCHORS,
+        ).alias("_verbatim")
+    )
+    base = entities.select("doc_id", "node_id", "path", "ids", "chunk_ids")
+    out = base.join(verb, ["doc_id", "node_id"], "left")
+    observed = F.slice(
+        F.transform(
+            F.coalesce(F.col("chunk_ids"), F.array()),
+            lambda c: F.struct(
+                c.cast("int").alias("chunk_id"),
+                F.lit("observed").alias("kind"),
+                F.array(F.lit(0), F.lit(0)).alias("span"),
+            ),
+        ),
+        1,
+        MAX_ANCHORS,
+    )
+    return out.select(
+        "doc_id",
+        F.col("node_id").alias("identity_key"),
+        "path",
+        "ids",
+        F.coalesce(F.col("_verbatim"), observed).alias("anchors"),
+    )
+
+
+def coverage_stats(chunks: DataFrame, ledger: DataFrame) -> DataFrame:
+    """Covered-chunk accounting (dense/orchestrator.py:1472-1480,2010-2070):
+    per doc — total chunks, chunks referenced by any anchor, retention."""
+    total = chunks.groupBy("doc_id").agg(F.countDistinct("chunk_id").alias("n_chunks"))
+    covered = (
+        ledger.select("doc_id", F.explode("anchors").alias("a"))
+        .select("doc_id", F.col("a.chunk_id").alias("chunk_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("chunk_id").alias("n_covered"))
+    )
+    return total.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+        (F.coalesce("n_covered", F.lit(0)) / F.col("n_chunks")).alias("coverage"),
+    )

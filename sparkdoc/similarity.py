@@ -1,0 +1,121 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Scale picture: brute force is a broadcast nested-loop of Q query vectors
+against N corpus vectors — linear in N, embarrassingly parallel, the right
+baseline when Q is small (broadcast the queries, never shuffle the corpus).
+The ANN path buckets vectors by random-hyperplane sign bits (public SimHash-
+for-vectors), turning the search into an equi-join on bucket id: corpus is
+hashed once, each query probes only its bucket (and optional multi-probe
+neighbors). Everything is JVM exprs (zip_with/aggregate) — no Python in the
+similarity kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. queries is small → broadcast; ranking is
+    a per-query window top-k."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def hyperplane_bucket(vec: Column, n_bits: int = 8, dim: int = 64, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of dot(vec, h_i).
+
+    Hyperplanes are a deterministic ±1 pattern keyed by (seed, bit, dim index)
+    via a cheap integer mix — reproducible in SQL (no RNG state).
+    """
+
+    def plane_component(bit: int, j: Column) -> Column:
+        h = F.hash(F.lit(seed), F.lit(bit), j)
+        return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    bits = []
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    for b in range(n_bits):
+        proj = F.aggregate(
+            F.zip_with(vec, idx, lambda x, j: x * plane_component(b, j)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: equi-join on hyperplane bucket, exact cosine within bucket.
+
+    At 100 TB the corpus hash+bucket is computed once and written bucketed;
+    queries probe single buckets — shuffle volume ∝ bucket size, not corpus.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), n_bits))
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("bucket", hyperplane_bucket(F.col("qv"), n_bits))
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,150 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All hot-path operators are pure Spark exprs (whole-stage codegen); the only
+pandas UDF is the rolling-hash fingerprint (sequential per string). Every
+expr here has an exact ANSI-SQL twin used by the DuckDB oracle — keep the
+two in sync (see __spark_entry__.py oracle_sql)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- tokenization -------------------------------------------------------------
+
+#: BPE-ish token pattern: alnum runs OR single non-alnum-non-space marks
+TOKEN_PATTERN = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+def words(col: Column) -> Column:
+    """Lowercased alphanumeric word array."""
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda w: w != "")
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count (words + punctuation marks)."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0))
+
+
+# --- language ID (n-gram/stopword heuristic) -----------------------------------
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "dans", "pour", "du"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu", "für"],
+    "es": ["el", "la", "los", "las", "de", "y", "que", "en", "un", "una", "es", "por", "con"],
+}
+LANG_ORDER = ("en", "fr", "de", "es")  # deterministic tie-break precedence
+
+
+def lang_hits(col: Column, lang: str) -> Column:
+    wl = STOPWORDS[lang]
+    return F.size(F.filter(words(col), lambda w: w.isin(*wl)))
+
+
+def detect_language(col: Column) -> Column:
+    """argmax over stopword hits with fixed precedence; 'und' when no hits."""
+    hits = {lang: lang_hits(col, lang) for lang in LANG_ORDER}
+    best = None
+    for lang in LANG_ORDER:
+        cond = hits[lang] > 0
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            # strict > for later-precedence langs, >= for earlier
+            if LANG_ORDER.index(other) < LANG_ORDER.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            else:
+                cond = cond & (hits[lang] >= hits[other])
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("und")
+
+
+# --- quality scoring ------------------------------------------------------------
+
+EN_STOP_FRACTION_FLOOR = 0.01
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shallow quality features (Gopher/C4-style public heuristics):
+    word count, mean word length, punctuation-terminated, stopword fraction,
+    symbol ratio, repetition (distinct-word fraction)."""
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    alnum_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", ""))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS["en"])))
+    distinct_frac = F.when(n_words > 0, F.size(F.array_distinct(w)) / n_words).otherwise(0.0)
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars_obs", n_chars)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_words > 0, F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)) / n_words).otherwise(0.0),
+        )
+        .withColumn("symbol_ratio", F.when(n_chars > 0, (n_chars - alnum_chars) / n_chars).otherwise(0.0))
+        .withColumn("stop_fraction", F.when(n_words > 0, stop_hits / n_words).otherwise(0.0))
+        .withColumn("distinct_word_fraction", distinct_frac)
+        .withColumn(
+            "ends_with_punct", F.when(F.regexp_like(t, F.lit("[.!?]\\s*$")), 1).otherwise(0)
+        )
+    )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", min_words: int = 10, max_symbol_ratio: float = 0.6) -> DataFrame:
+    """C4-style keep/drop flag over the features."""
+    feats = quality_features(df, text_col)
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("distinct_word_fraction") >= 0.2)
+    )
+    return feats.withColumn("quality_keep", keep.cast("int"))
+
+
+# --- fingerprinting ---------------------------------------------------------------
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """md5 of whitespace-normalized lowercase text — the cheap exact-dup key."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), "\\s+", " ")))
+
+
+def rolling_fingerprints(df: DataFrame, text_col: str = "text", window: int = 16, mod_bits: int = 61) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint set per doc (pandas UDF —
+    sequential per string, Arrow-batched; scale path for fuzzy containment).
+    Emits min-sampled polynomial hashes of char windows."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    MOD = (1 << mod_bits) - 1
+    BASE = 257
+
+    @pandas_udf("array<long>")
+    def _fp(s: pd.Series) -> pd.Series:
+        def fps(text: str) -> list[int]:
+            if not text or len(text) < window:
+                return []
+            data = text.lower().encode("utf-8", "ignore")
+            if len(data) < window:
+                return []
+            poww = pow(BASE, window - 1, MOD)
+            h = 0
+            out = set()
+            for i, b in enumerate(data):
+                if i >= window:
+                    h = (h - data[i - window] * poww) % MOD
+                h = (h * BASE + b) % MOD
+                if i >= window - 1 and h % 8 == 0:  # 1/8 min-sampling
+                    out.add(h)
+            return sorted(out)[:128]
+
+        return s.map(fps)
+
+    return df.withColumn("fingerprints", _fp(F.col(text_col)))

@@ -1,0 +1,156 @@
+"""Dedup + graph operator tests (F4 fixture cases, one Spark session)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdoc.dedup import (
+    assert_no_cross_class_collisions,
+    co_occurrence_veto,
+    containment_alias_groups,
+    content_hash_dedup,
+    dedup_entities,
+    enforce_cardinality_bounds,
+    with_node_ids,
+)
+from sparkdoc.graph import (
+    clean_edges,
+    entities_to_nodes,
+    graph_stats,
+    remove_phantom_nodes,
+    reverse_edges,
+    validate_graph,
+)
+from sparkdoc.schemas import ENTITIES
+
+
+@pytest.fixture(scope="module")
+def entities(spark):
+    rows = [
+        # accent/case variants → same id (must fold to one row)
+        ("d1", "categories[]", "Category", {"name": "Électroménager"}, {"note": "a"}, [1]),
+        ("d1", "categories[]", "Category", {"name": "électroménager"}, {"note": "b"}, [3]),
+        # separator variants → same id
+        ("d1", "roles[]", "Role", {"name": "PROPRIETAIRE_NON_OCCUPANT"}, {}, [2]),
+        ("d1", "roles[]", "Role", {"name": "Propriétaire non occupant"}, {"x": "1"}, [5]),
+        # digit distinction → two ids
+        ("d1", "clauses[]", "Clause", {"name": "Article 5"}, {}, [4]),
+        ("d1", "clauses[]", "Clause", {"name": "Article 6"}, {}, [4]),
+        # containment alias pair (short label ⊂ full title, same digit sig)
+        ("d1", "sections[]", "Section", {"name": "Annex 2"}, {}, [6]),
+        ("d1", "sections[]", "Section", {"name": "Annex 2 Technical Standards"}, {}, [7]),
+        # tier trap must NOT merge: CONFORT ⊂ CONFORT PLUS but co-occur in chunk 8
+        ("d1", "tiers[]", "Tier", {"name": "CONFORT"}, {}, [8]),
+        ("d1", "tiers[]", "Tier", {"name": "CONFORT PLUS"}, {}, [8]),
+    ]
+    return spark.createDataFrame(rows, ENTITIES)
+
+
+def test_with_node_ids_variants_converge(entities):
+    df = with_node_ids(entities)
+    cats = df.filter(F.col("class") == "Category").select("node_id").distinct().count()
+    roles = df.filter(F.col("class") == "Role").select("node_id").distinct().count()
+    clauses = df.filter(F.col("class") == "Clause").select("node_id").distinct().count()
+    assert cats == 1 and roles == 1 and clauses == 2
+    assert assert_no_cross_class_collisions(df) == 0
+
+
+def test_dedup_entities_first_wins_union_chunks(entities):
+    dd = dedup_entities(with_node_ids(entities))
+    cat = dd.filter(F.col("class") == "Category").collect()
+    assert len(cat) == 1
+    # earliest chunk (1) wins the fields; chunk sets union
+    assert cat[0]["fields"] == {"note": "a"}
+    assert cat[0]["chunk_ids"] == [1, 3]
+
+
+def test_containment_alias_and_veto(entities):
+    nodes = entities_to_nodes(dedup_entities(with_node_ids(entities)))
+    pairs = containment_alias_groups(nodes, name_col="label")
+    got = {(r["base_canon"], r["superset_canon"]) for r in pairs.collect()}
+    # Annex 2 ⊂ Annex 2 Technical Standards proposed; CONFORT ⊂ CONFORT PLUS also proposed
+    assert ("annex2", "annex2technicalstandards") in got
+    vetoed = co_occurrence_veto(pairs, nodes)
+    kept = {(r["base_canon"], r["superset_canon"]) for r in vetoed.collect()}
+    assert ("annex2", "annex2technicalstandards") in kept
+    assert ("confort", "confortplus") not in kept  # same-chunk veto
+
+
+def test_content_hash_dedup_redirects_edges(spark):
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [
+            ("A_1", "d1", "A", "x", {"k": "v"}, None),
+            ("A_2", "d1", "A", "x", {"k": "v"}, None),  # same content → folds into A_1
+            ("B_1", "d1", "B", "y", {"k": "w"}, None),
+        ],
+        NODES,
+    )
+    edges = spark.createDataFrame([("B_1", "A_2", "refs", None)], EDGES)
+    survivors, redirected = content_hash_dedup(nodes, edges)
+    assert {r["node_id"] for r in survivors.collect()} == {"A_1", "B_1"}
+    assert redirected.collect()[0]["dst"] == "A_1"
+
+
+def test_cardinality_bounds_topk(spark):
+    from sparkdoc.schemas import NODES
+
+    rows = [
+        (f"C_{i}", "d1", "C", f"n{i}", {"a": "x"} if i < 2 else {"a": "x", "b": "y"}, None)
+        for i in range(5)
+    ]
+    nodes = spark.createDataFrame(rows, NODES)
+    kept, demoted = enforce_cardinality_bounds(nodes, {"C": 2})
+    assert kept.count() == 2
+    assert demoted.count() == 3
+    # richest (2 attrs) survive
+    for r in kept.collect():
+        assert len(r["attrs"]) == 2
+
+
+def test_graph_cleaning_pipeline(spark):
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [
+            ("N1", "d1", "T", "n1", {"a": "1"}, None),
+            ("N2", "d1", "T", "n2", {"a": ""}, None),  # phantom: no meaningful attr
+            ("N3", "d1", "T", "n3", {"a": "3"}, None),
+        ],
+        NODES,
+    )
+    edges = spark.createDataFrame(
+        [
+            ("N1", "N1", "self", None),  # self-loop
+            ("N1", "N3", "ok", None),
+            ("N1", "N3", "ok", None),  # duplicate
+            ("N1", "N2", "to_phantom", None),
+            ("N1", "NX", "dangling", None),
+        ],
+        EDGES,
+    )
+    n2, e2, audit = remove_phantom_nodes(nodes, edges)
+    assert {r["node_id"] for r in n2.collect()} == {"N1", "N3"}
+    assert audit.count() == 1  # the dropped to_phantom rel
+    cleaned = clean_edges(n2, e2)
+    assert cleaned.count() == 1
+    assert validate_graph(n2, cleaned)["is_valid"]
+
+
+def test_reverse_edges_and_stats(spark):
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [("N1", "d1", "T", "n1", {"a": "1"}, None), ("N2", "d1", "U", "n2", {"a": "2"}, None)],
+        NODES,
+    )
+    edges = spark.createDataFrame([("N1", "N2", "likes", None)], EDGES)
+    rev = reverse_edges(edges)
+    assert rev.count() == 2
+    assert {r["label"] for r in rev.collect()} == {"likes", "reverse_likes"}
+    stats = {(r["metric"], r["key"]): r["value"] for r in graph_stats(nodes, edges).collect()}
+    assert stats[("n_nodes", "")] == 2.0
+    assert stats[("nodes_per_class", "T")] == 1.0
+    assert stats[("avg_degree", "")] == 1.0
