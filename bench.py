@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+Headline set:
+  extract        synth interleaved corpus → ordered spans (the north-rule job)
+  chunk          extract + structure-preserving chunking
+  q1/q3/q5       relational coverage on the TPC-H-ish tables
+  minhash_lsh    MinHash signatures + LSH candidate pairs over documents
+  knn            brute-force cosine top-k over embeddings
+  quality_lang   quality features + language ID over documents
+
+Also reports extracted docs/sec for the extract stage (BASELINE.md metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+SEED = 42
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.dedup_text import minhash_lsh_candidates
+    from sparkdoc.session import get_spark
+    from sparkdoc.spans import extract_documents
+    from sparkdoc.synth import raw_nodes_df
+    from sparkdoc.textops import detect_language, quality_filter
+
+    spark = get_spark("sparkdoc-bench")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # warm the JVM/python workers so per-query numbers measure the queries
+    spark.range(1000).select(F.sum("id")).collect()
+
+    raw = raw_nodes_df(spark, BENCH_DOCS, SEED).persist()
+    raw.count()  # materialize generation outside the extract timing
+    docs = extract_documents(raw)
+    n_spans = timed("extract", lambda: docs.select(F.sum(F.size("spans"))).collect()[0][0])
+    extras["extract_docs_per_sec"] = round(BENCH_DOCS / timings["extract"], 1)
+    extras["extract_n_spans"] = int(n_spans)
+
+    timed("chunk", lambda: chunk_documents(extract_documents(raw)).count())
+    raw.unpersist()
+
+    timed("q1", lambda: entrymod._q1_pricing_summary(spark, sf_dir).collect())
+    timed("q3", lambda: entrymod._q3_unshipped(spark, sf_dir).collect())
+    timed("q5", lambda: entrymod._q5_local_supplier(spark, sf_dir).collect())
+
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "minhash_lsh",
+        lambda: minhash_lsh_candidates(documents, k=16, bands=4).count(),
+    )
+    timed(
+        "quality_lang",
+        lambda: quality_filter(documents)
+        .withColumn("lang_pred", detect_language(F.col("text")))
+        .select(F.sum("quality_keep"), F.count_distinct("lang_pred"))
+        .collect(),
+    )
+    timed("knn", lambda: entrymod._emb_knn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB over the same parquet, compare
+row count, column names, and sorted values (exact for ints/strings, 1e-9 rel
+tol for floats).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in idx))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t)), [cols[i] for i in idx]
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from sparkdoc.session import get_spark
+
+    spark = get_spark("oracle-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            if len(srows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = res.columns
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        s_sorted, s_cols = canon(srows, scols)
+        o_sorted, o_cols = canon(orows, ocols)
+        if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+            failures.append((name, f"columns differ: {s_cols} vs {o_cols}"))
+            print(f"FAIL {name}: columns {s_cols} vs {o_cols}")
+            continue
+        if len(s_sorted) != len(o_sorted):
+            failures.append((name, f"row count {len(s_sorted)} vs {len(o_sorted)}"))
+            print(f"FAIL {name}: rows {len(s_sorted)} vs {len(o_sorted)}")
+            continue
+        bad = None
+        for i, (sr, orow) in enumerate(zip(s_sorted, o_sorted)):
+            if len(sr) != len(orow) or not all(values_equal(x, y) for x, y in zip(sr, orow)):
+                bad = (i, sr, orow)
+                break
+        if bad:
+            failures.append((name, f"value mismatch at sorted row {bad[0]}"))
+            print(f"FAIL {name}: row {bad[0]}\n  spark: {bad[1]}\n  duck : {bad[2]}")
+        else:
+            print(f"PASS {name}: {len(s_sorted)} rows")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for n, msg in failures:
+            print(f"  {n}: {msg[:200]}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

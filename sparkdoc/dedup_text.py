@@ -17,8 +17,13 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from sparkdoc.textops import doc_fingerprint, words
 
@@ -160,12 +165,6 @@ def near_dup_pairs(
 
 def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash over word features (vectorized numpy pandas UDF)."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     @pandas_udf("long")
     def _simhash(s: pd.Series) -> pd.Series:
         import re

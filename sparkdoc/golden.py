@@ -95,8 +95,11 @@ def extract_spans_golden(doc_nodes: list[dict]) -> list[dict]:
 
 
 def extract_corpus_golden(nodes: list[dict]) -> dict[str, list[dict]]:
-    """All docs: doc_id → ordered spans."""
+    """All docs: doc_id → ordered spans. Documents whose nodes are all
+    dropped (e.g. only un-normalizable geometry) are OMITTED — the pipeline
+    emits no row for them; they show up in metrics, not in the spans table."""
     by_doc: dict[str, list[dict]] = {}
     for n in nodes:
         by_doc.setdefault(n["doc_id"], []).append(n)
-    return {d: extract_spans_golden(rows) for d, rows in by_doc.items()}
+    out = {d: extract_spans_golden(rows) for d, rows in by_doc.items()}
+    return {d: spans for d, spans in out.items() if spans}

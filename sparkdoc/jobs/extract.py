@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: the resumable extraction job.
+
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/extract.py \
+        --input synth:100000 --out /data/out --buckets 64 --group-size 8
+
+``--input`` is either a parquet path of raw_nodes (FIXTURES.md F2 schema) or
+``synth:<n_docs>`` for the seeded generator. The job commits per-bucket-group
+manifests (lineage + metrics) and resumes from them — kill it mid-run and
+rerun the same command to continue.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="raw_nodes parquet path or synth:<n_docs>")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--group-size", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--no-chunk", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from sparkdoc.checkpoint import run_resumable
+    from sparkdoc.session import get_spark
+    from sparkdoc.synth import raw_nodes_df
+
+    spark = get_spark("sparkdoc-extract", master=args.master)
+    if args.input.startswith("synth:"):
+        raw = raw_nodes_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+    else:
+        raw = spark.read.parquet(args.input)
+
+    summary = run_resumable(
+        spark,
+        raw,
+        args.out,
+        n_buckets=args.buckets,
+        group_size=args.group_size,
+        chunk=not args.no_chunk,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Serialization views over spans/chunks + chunk-owner correlation.
+
+Reference semantics reproduced:
+  per-page serialization      document_processor.py:481-499
+  batch markdown format       contracts/dense/prompts.py:12-17
+  markdown-ish span rendering document_processor.py:478-479 (export analog)
+  chunk-owner map             dense/orchestrator.py:709-754
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _page_no_col() -> F.Column:
+    """Page number per span row = 1 + page_breaks seen before it (window
+    cumulative sum over span order)."""
+    w = Window.partitionBy("doc_id").orderBy("offset").rowsBetween(Window.unboundedPreceding, 0)
+    return (F.lit(1) + F.sum(F.when(F.col("kind") == "page_break", 1).otherwise(0)).over(w)).cast("int")
+
+
+def render_span_md(kind, text, media_ref) -> F.Column:
+    """Markdown-ish rendering per span kind."""
+    return (
+        F.when(kind == "heading", text)
+        .when(kind == "list", text)
+        .when(kind == "table", text)
+        .when(kind == "picture", F.concat(F.lit("!["), media_ref, F.lit("]")))
+        .when(kind == "caption", F.concat(F.lit("*"), text, F.lit("*")))
+        .otherwise(text)
+    )
+
+
+def page_markdowns(span_rows: DataFrame) -> DataFrame:
+    """(doc_id, page_no, markdown): one serialized string per page, span
+    order preserved; furniture/page_break excluded
+    (document_processor.py:481-499)."""
+    df = span_rows.withColumn("page_no", _page_no_col())
+    content = df.filter(~F.col("kind").isin("page_break", "furniture"))
+    rendered = content.withColumn(
+        "md", render_span_md(F.col("kind"), F.col("text"), F.col("media_ref"))
+    )
+    return (
+        rendered.groupBy("doc_id", "page_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "md"))), lambda s: s["md"]
+                ),
+                "\n\n",
+            ).alias("markdown")
+        )
+    )
+
+
+def document_markdown(span_rows: DataFrame) -> DataFrame:
+    """(doc_id, markdown): full-document serialization, reading order."""
+    content = span_rows.filter(~F.col("kind").isin("page_break", "furniture"))
+    rendered = content.withColumn(
+        "md", render_span_md(F.col("kind"), F.col("text"), F.col("media_ref"))
+    )
+    return rendered.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("offset", "md"))), lambda s: s["md"]),
+            "\n\n",
+        ).alias("markdown")
+    )
+
+
+def batch_markdown(chunks: DataFrame) -> DataFrame:
+    """(doc_id, batch_index, batch_md): '--- CHUNK N ---' concatenation with
+    1-based ids, order-preserving (dense/prompts.py:12-17)."""
+    return (
+        chunks.groupBy("doc_id", "batch_index")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "text"))),
+                    lambda s: F.concat(
+                        F.lit("--- CHUNK "),
+                        (s["chunk_id"] + 1).cast("string"),
+                        F.lit(" ---\n"),
+                        s["text"],
+                    ),
+                ),
+                "\n\n",
+            ).alias("batch_md")
+        )
+    )
+
+
+def chunk_owner_map(
+    chunks: DataFrame,
+    parents: DataFrame,
+    head_chars: int = 300,
+    carry_rows: int = 12,
+) -> DataFrame:
+    """dense/orchestrator.py:709-754 analog: per chunk, the unique parent
+    entity named in it.
+
+    Ladder: unique parent named in the head `head_chars` folded chars
+    (strong) → unique parent named anywhere (weak) → carry last strong
+    owner forward ≤ `carry_rows` chunks (forward-fill window).
+
+    parents: (doc_id, node_id, label). Returns (doc_id, chunk_id, owner_id,
+    owner_kind ∈ {head, body, carried}).
+    """
+    ch = chunks.select(
+        "doc_id", "chunk_id", F.lower(F.col("text")).alias("_lt"),
+        F.lower(F.substring(F.col("text"), 1, head_chars)).alias("_head"),
+    )
+    p = parents.select("doc_id", F.col("node_id").alias("owner_id"), F.lower("label").alias("_lp"))
+    j = ch.join(p, "doc_id")
+    hits = j.select(
+        "doc_id", "chunk_id", "owner_id",
+        F.when(F.expr("locate(_lp, _head)") > 0, F.lit(2))
+        .when(F.expr("locate(_lp, _lt)") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("strength"),
+    ).filter(F.col("strength") > 0)
+    per_chunk = hits.groupBy("doc_id", "chunk_id", "strength").agg(
+        F.count("*").alias("_n"), F.first("owner_id").alias("_any"), F.min("owner_id").alias("_min")
+    )
+    # unique head owner wins; else unique body owner; ambiguity (n>1) → none
+    best = (
+        per_chunk.withColumn(
+            "_rank", F.row_number().over(Window.partitionBy("doc_id", "chunk_id").orderBy(F.col("strength").desc()))
+        )
+        .filter((F.col("_rank") == 1) & (F.col("_n") == 1))
+        .select(
+            "doc_id", "chunk_id", F.col("_min").alias("owner_id"),
+            F.when(F.col("strength") == 2, "head").otherwise("body").alias("owner_kind"),
+        )
+    )
+    allc = chunks.select("doc_id", "chunk_id").join(best, ["doc_id", "chunk_id"], "left")
+    # carry HEAD owners forward up to carry_rows chunks
+    wcarry = (
+        Window.partitionBy("doc_id").orderBy("chunk_id").rowsBetween(-carry_rows, 0)
+    )
+    head_only = F.when(F.col("owner_kind") == "head", F.col("owner_id"))
+    carried = F.last(head_only, ignorenulls=True).over(wcarry)
+    return allc.select(
+        "doc_id",
+        "chunk_id",
+        F.coalesce(F.col("owner_id"), carried).alias("owner_id"),
+        F.coalesce(F.col("owner_kind"), F.when(carried.isNotNull(), "carried")).alias("owner_kind"),
+    )

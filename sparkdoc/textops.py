@@ -8,8 +8,10 @@ two in sync (see __spark_entry__.py oracle_sql)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # --- tokenization -------------------------------------------------------------
 
@@ -120,9 +122,6 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text", window: int = 16
     """Winnowing-style rolling-hash fingerprint set per doc (pandas UDF —
     sequential per string, Arrow-batched; scale path for fuzzy containment).
     Emits min-sampled polynomial hashes of char windows."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     MOD = (1 << mod_bits) - 1
     BASE = 257
 

@@ -1,0 +1,92 @@
+"""Checkpoint/resume + exporter tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_run_resumable_and_resume(spark, tmp_path):
+    from sparkdoc.checkpoint import completed_buckets, run_resumable
+    from sparkdoc.synth import raw_nodes_df
+
+    from sparkdoc.golden import extract_corpus_golden
+    from sparkdoc.synth import synth_corpus
+
+    n_expected = len(extract_corpus_golden(synth_corpus(24, 5)))
+
+    out = str(tmp_path / "out")
+    raw = raw_nodes_df(spark, 24, 5, partitions=4)
+    s1 = run_resumable(spark, raw, out, n_buckets=4, group_size=2)
+    assert sorted(s1["buckets_processed"]) == [0, 1, 2, 3]
+    assert s1["docs"] == n_expected
+    assert s1["spans"] > 0 and s1["chunks"] > 0
+    assert completed_buckets(spark, out) == {0, 1, 2, 3}
+    # all docs present exactly once
+    docs = spark.read.parquet(os.path.join(out, "documents"))
+    assert docs.select("doc_id").distinct().count() == n_expected
+    assert docs.count() == n_expected
+    # resume: nothing left to do
+    s2 = run_resumable(spark, raw, out, n_buckets=4, group_size=2)
+    assert s2["buckets_processed"] == []
+    assert sorted(s2["buckets_skipped"]) == [0, 1, 2, 3]
+    # partial kill simulation: drop manifest rows → those buckets recompute
+    man = os.path.join(out, "_manifest")
+    files = sorted(os.listdir(man))
+    assert files
+    # wipe the whole manifest, keep data: job must redo all buckets idempotently
+    for f in files:
+        os.remove(os.path.join(man, f))
+    s3 = run_resumable(spark, raw, out, n_buckets=4, group_size=2)
+    assert sorted(s3["buckets_processed"]) == [0, 1, 2, 3]
+    docs2 = spark.read.parquet(os.path.join(out, "documents"))
+    assert docs2.count() == n_expected  # dynamic partition overwrite → no duplicates
+
+
+@pytest.fixture(scope="module")
+def small_graph(spark):
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [
+            ("P_1", "d1", "Person", "Ada", {"name": "Ada"}, '{"k":"v"}'),
+            ("C_1", "d1", "Company", "ACME's \"Inc\"", {"name": "ACME"}, None),
+        ],
+        NODES,
+    )
+    edges = spark.createDataFrame([("P_1", "C_1", "works at", {"since": "2020"})], EDGES)
+    return nodes, edges
+
+
+def test_export_csv_and_json_roundtrip(spark, small_graph, tmp_path):
+    from sparkdoc.io import export_csv, export_json, graph_to_dict, load_graph_from_json
+
+    nodes, edges = small_graph
+    out = str(tmp_path / "g")
+    export_csv(nodes, edges, out)
+    n = spark.read.option("header", True).option("escape", '"').csv(f"{out}/nodes.csv")
+    assert n.count() == 2
+    assert set(n.columns) == {"id:ID", ":LABEL", "label", "attrs", "provenance"}
+    export_json(nodes, edges, out)
+    n2, e2 = load_graph_from_json(spark, out)
+    assert n2.count() == 2 and e2.count() == 1
+    d = graph_to_dict(nodes, edges)
+    assert d["metadata"] == {"node_count": 2, "edge_count": 1}
+    json.dumps(d)  # serializable
+
+
+def test_export_cypher(spark, small_graph, tmp_path):
+    from sparkdoc.io import export_cypher
+
+    nodes, edges = small_graph
+    out = str(tmp_path / "cy")
+    export_cypher(nodes, edges, out)
+    lines = [r["value"] for r in spark.read.text(out).collect()]
+    text = "\n".join(lines)
+    assert "CREATE CONSTRAINT IF NOT EXISTS FOR (n:Person)" in text
+    assert "MERGE (n:Person {id: 'P_1'" in text
+    assert "WORKS_AT" in text
+    assert "ACME\\'s" in text  # quote escaping

@@ -1,0 +1,115 @@
+"""Text analytics + dedup + similarity sanity tests (small, one session).
+
+Exactness vs the DuckDB oracle is checked by scripts/check_oracle.py and the
+driver gate; these tests pin the algorithmic semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog. It was fast."),
+        (2, "The quick brown fox jumps over the lazy dog. It was fast."),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog. it was FAST."),  # case-only dup
+        (4, "Le chat est dans la maison et le jardin pour les amis."),
+        (5, "a b a b a b a b a b a b a b a b a b a b"),  # repetitive
+        (6, "completely different content about spark clusters and shuffles here."),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup_normalized(docs):
+    from sparkdoc.dedup_text import drop_exact_dups, exact_dup_groups
+
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 2, 3]  # lowercase+ws normalization folds all three
+    kept = drop_exact_dups(docs)
+    assert kept.count() == 4
+    assert kept.filter(F.col("doc_id").isin(2, 3)).count() == 0
+
+
+def test_minhash_identical_for_dups(docs):
+    from sparkdoc.dedup_text import minhash_signature
+
+    sigs = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in docs.select("doc_id", minhash_signature(F.col("text"), k=8).alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert sigs[1] != sigs[6]
+    assert len(sigs[1]) == 8
+
+
+def test_lsh_finds_dup_pair(docs):
+    from sparkdoc.dedup_text import near_dup_pairs
+
+    pairs = near_dup_pairs(docs, threshold=0.8).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    for r in pairs:
+        assert r["jaccard"] == 1.0
+
+
+def test_simhash_near_and_far(docs):
+    from sparkdoc.dedup_text import simhash64, simhash_near_dups
+
+    hashed = simhash64(docs)
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dups(hashed, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0 and pairs.get((1, 3)) == 0
+    assert (1, 6) not in pairs
+
+
+def test_language_id(docs):
+    from sparkdoc.textops import detect_language
+
+    langs = {r["doc_id"]: r["l"] for r in docs.select("doc_id", detect_language(F.col("text")).alias("l")).collect()}
+    assert langs[1] == "en"
+    assert langs[4] == "fr"
+    assert langs[5] == "und"
+
+
+def test_quality_filter(docs):
+    from sparkdoc.textops import quality_filter
+
+    q = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert q[1]["quality_keep"] == 1
+    assert q[5]["quality_keep"] == 0  # repetitive: distinct fraction 0.1
+    assert q[1]["ends_with_punct"] == 1
+
+
+def test_rolling_fingerprints_overlap(docs):
+    from sparkdoc.textops import rolling_fingerprints
+
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in rolling_fingerprints(docs).collect()}
+    assert fps[1] == fps[2]
+    assert not (fps[1] & fps[6])
+
+
+def test_brute_force_topk_selfsim(spark):
+    from sparkdoc.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    res = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    ranked = [r["neighbor_id"] for r in res.orderBy("rank").collect()]
+    assert ranked == [1, 2, 3]
+
+
+def test_lsh_topk_same_bucket_recovers_near(spark):
+    from sparkdoc.similarity import lsh_topk
+
+    rows = [(i, [float(i == j) + 0.01 * j for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    res = lsh_topk(emb, emb.filter(F.col("vec_id") < 2), k=3, n_bits=2)
+    assert res.count() > 0
+    assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
