@@ -359,6 +359,95 @@ def _ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_ledger(with_node_ids(entities), chunks)
 
 
+def _doc_fold_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode fold + phrase-key normalizers (identity layer, SURVEY §2.2)."""
+    from sparkdoc.identity import fold_text_udf, phrase_key_udf
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        fold_text_udf()(F.col("text")).alias("folded"),
+        phrase_key_udf()(F.col("text")).alias("pkey"),
+    )
+
+
+def _doc_digit_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit-signature projection over event props (alias guard input)."""
+    from sparkdoc.identity import digit_signature_udf
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id", digit_signature_udf()(F.col("props")).alias("digit_sig"))
+
+
+def _page_markdowns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.serialize import page_markdowns
+    from sparkdoc.spans import explode_spans, extract_documents
+
+    return page_markdowns(explode_spans(extract_documents(_synth_raw(spark))))
+
+
+def _chunk_owner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chunk-owner correlation over the synth corpus."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.serialize import chunk_owner_map
+    from sparkdoc.spans import explode_spans, extract_documents
+
+    docs = extract_documents(_synth_raw(spark))
+    chunks = chunk_documents(docs)
+    parents = (
+        explode_spans(docs)
+        .filter(F.col("kind") == "heading")
+        .select(
+            "doc_id",
+            F.concat(F.lit("H_"), F.col("offset").cast("string")).alias("node_id"),
+            F.regexp_replace(F.col("text"), "^#+\\s*", "").alias("label"),
+        )
+    )
+    return chunk_owner_map(chunks, parents).filter(F.col("owner_id").isNotNull())
+
+
+def _graph_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entities → node ids → dedup → nodes/edges → clean → per-class stats."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.dedup import dedup_entities, with_node_ids
+    from sparkdoc.graph import clean_edges, entities_to_nodes, graph_stats
+    from sparkdoc.spans import explode_spans, extract_documents
+
+    docs = extract_documents(_synth_raw(spark))
+    spans = explode_spans(docs)
+    chunks = chunk_documents(docs)
+    sections = spans.filter(F.col("kind") == "heading").select(
+        "doc_id",
+        F.lit("sections[]").alias("path"),
+        F.lit("Section").alias("class"),
+        F.create_map(F.lit("name"), F.regexp_replace(F.col("text"), "^#+\\s*", "")).alias("ids"),
+        F.create_map().cast("map<string,string>").alias("fields"),
+        F.array(F.col("offset")).cast("array<int>").alias("chunk_ids"),
+    )
+    doc_entities = chunks.groupBy("doc_id").agg(F.count("*").alias("n")).select(
+        "doc_id",
+        F.lit("docs[]").alias("path"),
+        F.lit("Document").alias("class"),
+        F.create_map(F.lit("name"), F.col("doc_id")).alias("ids"),
+        F.create_map(F.lit("n_chunks"), F.col("n").cast("string")).alias("fields"),
+        F.array().cast("array<int>").alias("chunk_ids"),
+    )
+    entities = sections.unionByName(doc_entities)
+    nodes = entities_to_nodes(dedup_entities(with_node_ids(entities)))
+    edges = (
+        nodes.filter(F.col("node_class") == "Section")
+        .select(F.col("node_id").alias("src"), "doc_id")
+        .join(
+            nodes.filter(F.col("node_class") == "Document").select(
+                F.col("node_id").alias("dst"), "doc_id"
+            ),
+            "doc_id",
+        )
+        .select("src", "dst", F.lit("in_document").alias("label"), F.lit(None).cast("map<string,string>").alias("props"))
+    )
+    return graph_stats(nodes, clean_edges(nodes, edges))
+
+
 def _doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.dedup_text import simhash64, simhash_near_dups
 
@@ -408,10 +497,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": _emb_knn,
         "emb_label_knn": _emb_label_knn,
         "emb_lsh_knn": _emb_lsh_knn,
+        # identity normalizers
+        "doc_fold_phrase": _doc_fold_phrase,
+        "doc_digit_sig": _doc_digit_sig,
         # span pipeline (north rule; golden-tested, rows-only here)
         "extract_spans": _extract_spans,
         "chunk_documents": _chunk_docs,
         "provenance_ledger": _ledger,
+        "page_markdowns": _page_markdowns_q,
+        "chunk_owner": _chunk_owner_q,
+        "graph_pipeline": _graph_pipeline_q,
     }
 
 

@@ -6,14 +6,13 @@ cascade of real Spark joins — each rung computes ONLY for rows the previous
 rungs left unresolved, and every rung is uniqueness-guarded (ambiguity ⇒
 fall through):
 
-  R1 exact    equi-join on (doc_id, parent_path, canonical parent key)
+  R1 exact     equi-join on (doc_id, parent_path, canonical parent key)
   R2 singleton unique single parent instance on that path in the doc
-  R3 contain  unique fuzzy containment (child key ⊂ parent canonical label)
-  R4 co-chunk unique parent sharing a first-emission chunk
-  R5 owner    chunk-owner of the child's first chunk (serialize.chunk_owner_map)
-  R6 adjacent nearest PRECEDING parent by emission order (sort-based as-of
-              join analog via max_by window)
-  R7 bucket   synthesized placeholder parent per (doc_id, parent_path)
+  R3 contain   unique fuzzy containment (child key ⊂ parent canonical label)
+  R4 co-chunk  unique parent sharing a first-emission chunk
+  R5 adjacent  nearest PRECEDING parent by emission order (sort-based as-of
+               join analog via forward-fill window)
+  R6 bucket    synthesized placeholder parent per (doc_id, parent_path)
 
 children: (doc_id, child_id, parent_path, parent_key, chunk_ids, emission)
 parents:  (doc_id, node_id, path, label, chunk_ids, emission)
@@ -28,103 +27,118 @@ from pyspark.sql import functions as F
 from sparkdoc.dedup import _canon_name
 
 
-def _unresolved(df: DataFrame) -> DataFrame:
-    return df.filter(F.col("parent_id").isNull())
-
-
-def _apply(df: DataFrame, rung: DataFrame, name: str) -> DataFrame:
-    """Left-join a rung's (doc_id, child_id, _pid) and fill unresolved."""
+def _pick(df: DataFrame, rung: DataFrame, name: str) -> DataFrame:
+    """Fill unresolved rows from a rung's (doc_id, child_id, _pid)."""
     out = df.join(rung, ["doc_id", "child_id"], "left")
+    keep = [x for x in df.columns if x not in ("parent_id", "resolved_by")]
     return out.select(
-        *[c for c in df.columns if c not in ("parent_id", "resolved_by")],
+        *keep,
         F.coalesce(F.col("parent_id"), F.col("_pid")).alias("parent_id"),
-        F.coalesce(
-            F.col("resolved_by"), F.when(F.col("_pid").isNotNull(), name)
-        ).alias("resolved_by"),
+        F.coalesce(F.col("resolved_by"), F.when(F.col("_pid").isNotNull(), name)).alias(
+            "resolved_by"
+        ),
     )
 
 
 def resolve_parents(children: DataFrame, parents: DataFrame) -> DataFrame:
     p = parents.select(
-        "doc_id",
-        F.col("node_id").alias("_p_node"),
-        F.col("path").alias("_p_path"),
-        _canon_name()(F.col("label")).alias("_p_canon"),
-        F.col("chunk_ids").alias("_p_chunks"),
-        F.col("emission").alias("_p_emission"),
+        F.col("doc_id").alias("p_doc"),
+        F.col("node_id").alias("p_node"),
+        F.col("path").alias("p_path"),
+        _canon_name()(F.col("label")).alias("p_canon"),
+        F.col("chunk_ids").alias("p_chunks"),
+        F.col("emission").alias("p_emission"),
     )
-    c = children.withColumn("_c_canon", _canon_name()(F.col("parent_key"))).withColumn(
-        "parent_id", F.lit(None).cast("string")
-    ).withColumn("resolved_by", F.lit(None).cast("string"))
+    c = (
+        children.withColumn("_c_canon", _canon_name()(F.col("parent_key")))
+        .withColumn("parent_id", F.lit(None).cast("string"))
+        .withColumn("resolved_by", F.lit(None).cast("string"))
+    )
+
+    def unresolved_view():
+        return c.filter(F.col("parent_id").isNull()).select(
+            F.col("doc_id").alias("c_doc"),
+            "child_id",
+            F.col("parent_path").alias("c_path"),
+            F.col("_c_canon").alias("c_canon"),
+            F.col("chunk_ids").alias("c_chunks"),
+            F.col("emission").alias("c_emission"),
+        )
+
+    def uniq_rung(joined: DataFrame) -> DataFrame:
+        return (
+            joined.groupBy(F.col("c_doc").alias("doc_id"), "child_id")
+            .agg(F.min("p_node").alias("_pid"), F.countDistinct("p_node").alias("_n"))
+            .filter(F.col("_n") == 1)
+            .drop("_n")
+        )
 
     # R1 exact canonical key
-    r1 = (
-        _unresolved(c)
-        .join(
+    u = unresolved_view()
+    r1 = uniq_rung(
+        u.join(
             p,
-            (F.col("doc_id") == p["doc_id"])
-            & (F.col("parent_path") == p["_p_path"])
-            & (F.col("_c_canon") == p["_p_canon"])
-            & (F.length("_c_canon") > 0),
+            (u["c_doc"] == p["p_doc"])
+            & (u["c_path"] == p["p_path"])
+            & (u["c_canon"] == p["p_canon"])
+            & (F.length(u["c_canon"]) > 0),
         )
-        .groupBy(c["doc_id"].alias("doc_id"), "child_id")
-        .agg(F.min("_p_node").alias("_pid"), F.count("*").alias("_n"))
-        .filter(F.col("_n") == 1)
-        .drop("_n")
     )
-    c = _apply(c, r1, "exact")
+    c = _pick(c, r1, "exact")
 
     # R2 unique singleton parent on path
     singles = (
-        p.groupBy("doc_id", "_p_path")
-        .agg(F.min("_p_node").alias("_pid"), F.count("*").alias("_n"))
+        p.groupBy("p_doc", "p_path")
+        .agg(F.min("p_node").alias("_pid"), F.count("*").alias("_n"))
         .filter(F.col("_n") == 1)
-        .drop("_n")
-        .withColumnRenamed("_p_path", "parent_path")
+        .select(
+            F.col("p_doc").alias("doc_id"), F.col("p_path").alias("parent_path"), "_pid"
+        )
     )
-    r2 = _unresolved(c).join(singles, ["doc_id", "parent_path"]).select("doc_id", "child_id", "_pid")
-    c = _apply(c, r2, "singleton")
+    r2 = (
+        c.filter(F.col("parent_id").isNull())
+        .select("doc_id", "child_id", "parent_path")
+        .join(singles, ["doc_id", "parent_path"])
+        .select("doc_id", "child_id", "_pid")
+    )
+    c = _pick(c, r2, "singleton")
 
     # R3 unique fuzzy containment (child key ⊂ parent canon, len >= 4)
-    r3 = (
-        _unresolved(c)
-        .filter(F.length("_c_canon") >= 4)
-        .join(
+    u = unresolved_view().filter(F.length("c_canon") >= 4)
+    r3 = uniq_rung(
+        u.join(
             p,
-            (F.col("doc_id") == p["doc_id"])
-            & (F.col("parent_path") == p["_p_path"])
-            & p["_p_canon"].contains(F.col("_c_canon")),
+            (u["c_doc"] == p["p_doc"])
+            & (u["c_path"] == p["p_path"])
+            & p["p_canon"].contains(u["c_canon"])
+            & (u["c_canon"] != p["p_canon"]),
         )
-        .groupBy(c["doc_id"].alias("doc_id"), "child_id")
-        .agg(F.min("_p_node").alias("_pid"), F.countDistinct("_p_node").alias("_n"))
-        .filter(F.col("_n") == 1)
-        .drop("_n")
     )
-    c = _apply(c, r3, "containment")
+    c = _pick(c, r3, "containment")
 
     # R4 unique co-located parent (shared chunk)
-    r4 = (
-        _unresolved(c)
-        .join(
+    u = unresolved_view()
+    r4 = uniq_rung(
+        u.join(
             p,
-            (F.col("doc_id") == p["doc_id"])
-            & (F.col("parent_path") == p["_p_path"])
-            & F.arrays_overlap(F.col("chunk_ids"), p["_p_chunks"]),
+            (u["c_doc"] == p["p_doc"])
+            & (u["c_path"] == p["p_path"])
+            & F.arrays_overlap(u["c_chunks"], p["p_chunks"]),
         )
-        .groupBy(c["doc_id"].alias("doc_id"), "child_id")
-        .agg(F.min("_p_node").alias("_pid"), F.countDistinct("_p_node").alias("_n"))
-        .filter(F.col("_n") == 1)
-        .drop("_n")
     )
-    c = _apply(c, r4, "co_chunk")
+    c = _pick(c, r4, "co_chunk")
 
-    # R6 nearest preceding parent by emission (as-of join analog):
-    # union child/parent events, forward-fill last parent emission per doc+path
+    # R5 nearest preceding parent by emission (as-of join analog): union
+    # parent/child events, forward-fill last parent per (doc, path). Parents
+    # sort before children at equal emission.
     ev_p = p.select(
-        "doc_id", F.col("_p_path").alias("parent_path"), F.col("_p_emission").alias("emission"),
-        F.col("_p_node").alias("_pid"), F.lit(None).cast(children.schema["child_id"].dataType).alias("child_id"),
+        F.col("p_doc").alias("doc_id"),
+        F.col("p_path").alias("parent_path"),
+        F.col("p_emission").alias("emission"),
+        F.col("p_node").alias("_pid"),
+        F.lit(None).cast(children.schema["child_id"].dataType).alias("child_id"),
     )
-    ev_c = _unresolved(c).select(
+    ev_c = c.filter(F.col("parent_id").isNull()).select(
         "doc_id", "parent_path", "emission", F.lit(None).cast("string").alias("_pid"), "child_id"
     )
     w = (
@@ -132,17 +146,18 @@ def resolve_parents(children: DataFrame, parents: DataFrame) -> DataFrame:
         .orderBy("emission", F.col("_pid").isNull().cast("int"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    r6 = (
+    r5 = (
         ev_p.unionByName(ev_c)
         .withColumn("_last_p", F.last("_pid", ignorenulls=True).over(w))
         .filter(F.col("child_id").isNotNull() & F.col("_last_p").isNotNull())
         .select("doc_id", "child_id", F.col("_last_p").alias("_pid"))
     )
-    c = _apply(c, r6, "adjacent")
+    c = _pick(c, r5, "adjacent")
 
-    # R7 synthesized bucket parent
+    # R6 synthesized bucket parent
+    keep = [x for x in c.columns if x not in ("parent_id", "resolved_by")]
     c = c.select(
-        *[x for x in c.columns if x not in ("parent_id", "resolved_by")],
+        *keep,
         F.coalesce(
             F.col("parent_id"),
             F.concat(F.lit("BUCKET_"), F.col("doc_id"), F.lit("_"), F.col("parent_path")),

@@ -1,0 +1,165 @@
+"""Merge, serialization views, chunk-owner map, parent ladder tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdoc.merge import (
+    deep_merge_dicts,
+    enforce_closed_catalogs,
+    merge_descriptions,
+    merge_graphs,
+    truncate_at_sentence_boundary,
+)
+
+
+# --- pure python -----------------------------------------------------------
+
+
+def test_truncate_sentence_boundary():
+    t = "One. Two is longer. Three closes."
+    assert truncate_at_sentence_boundary(t, 100) == t
+    assert truncate_at_sentence_boundary(t, 10) == "One."
+    assert truncate_at_sentence_boundary("no boundary here at all", 10) == "no boundar"
+
+
+def test_merge_descriptions_dedup():
+    out = merge_descriptions(["Alpha beta. Gamma delta.", "gamma delta. Epsilon zeta."])
+    assert out == "Alpha beta. Gamma delta. Epsilon zeta."
+
+
+def test_deep_merge_first_wins_and_lists():
+    base = {"a": "x", "nested": {"k": "1"}, "tags": ["p"], "description": "First part."}
+    extra = {"a": "y", "b": "new", "nested": {"k": "2", "m": "3"}, "tags": ["p", "q"], "description": "Second part."}
+    out = deep_merge_dicts(base, extra)
+    assert out["a"] == "x"  # scalar first wins
+    assert out["b"] == "new"
+    assert out["nested"] == {"k": "1", "m": "3"}
+    assert out["tags"] == ["p", "q"]
+    assert out["description"] == "First part. Second part."
+
+
+def test_deep_merge_skips_empty():
+    assert deep_merge_dicts({"a": "x"}, {"a": "", "b": None}) == {"a": "x"}
+
+
+# --- spark ------------------------------------------------------------------
+
+
+def test_merge_graphs_input_order_and_conflicts(spark):
+    from sparkdoc.schemas import EDGES, NODES
+
+    g1n = spark.createDataFrame([("N1", "d1", "T", "n1", {"a": "1"}, None)], NODES)
+    g1e = spark.createDataFrame([("N1", "N2", "l", None)], EDGES)
+    g2n = spark.createDataFrame(
+        [("N1", "d2", "T", "n1b", {"a": "2", "b": "9"}, None), ("N2", "d2", "T", "n2", {"c": "3"}, None)],
+        NODES,
+    )
+    g2e = spark.createDataFrame([("N1", "N2", "l", None)], EDGES)
+    nodes, edges, conflicts = merge_graphs([(g1n, g1e), (g2n, g2e)])
+    got = {r["node_id"]: r["attrs"] for r in nodes.collect()}
+    assert got["N1"] == {"a": "1", "b": "9"}  # input order wins on a; b filled from 2nd
+    assert got["N2"] == {"c": "3"}
+    assert edges.count() == 1  # dedup
+    cf = conflicts.collect()
+    assert len(cf) == 1 and cf[0]["attr"] == "a" and cf[0]["n_variants"] == 2
+
+
+def test_closed_catalog_guard(spark):
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [
+            ("K_1", "d1", "Kind", "catalog-only", {"name": "catalog-only"}, None),
+            ("K_2", "d1", "Kind", "rich", {"name": "rich", "desc": "has content"}, None),
+            ("X_1", "d1", "X", "x", {"name": "x"}, None),
+        ],
+        NODES,
+    )
+    edges = spark.createDataFrame([("X_1", "K_1", "of_kind", None), ("X_1", "K_2", "of_kind", None)], EDGES)
+    _, kept = enforce_closed_catalogs(nodes, edges, ["Kind"])
+    assert {r["dst"] for r in kept.collect()} == {"K_2"}
+
+
+def test_page_and_document_markdown(spark):
+    from sparkdoc.serialize import document_markdown, page_markdowns
+
+    rows = [
+        ("d1", "heading", "# Title", "", 0),
+        ("d1", "text", "para one.", "", 1),
+        ("d1", "page_break", "", "", 2),
+        ("d1", "furniture", "PAGE 2", "", 3),
+        ("d1", "text", "para two.", "", 4),
+        ("d1", "picture", "", "#/pictures/9", 5),
+    ]
+    spans = spark.createDataFrame(rows, "doc_id string, kind string, text string, media_ref string, offset int")
+    pages = {r["page_no"]: r["markdown"] for r in page_markdowns(spans).collect()}
+    assert pages[1] == "# Title\n\npara one."
+    assert pages[2] == "para two.\n\n![#/pictures/9]"
+    doc = document_markdown(spans).collect()[0]["markdown"]
+    assert doc == "# Title\n\npara one.\n\npara two.\n\n![#/pictures/9]"
+
+
+def test_batch_markdown(spark):
+    from sparkdoc.serialize import batch_markdown
+
+    rows = [("d1", 0, 0, "first"), ("d1", 1, 0, "second"), ("d1", 2, 1, "third")]
+    chunks = spark.createDataFrame(rows, "doc_id string, chunk_id int, batch_index int, text string")
+    out = {r["batch_index"]: r["batch_md"] for r in batch_markdown(chunks).collect()}
+    assert out[0] == "--- CHUNK 1 ---\nfirst\n\n--- CHUNK 2 ---\nsecond"
+    assert out[1] == "--- CHUNK 3 ---\nthird"
+
+
+def test_chunk_owner_map_ladder(spark):
+    from sparkdoc.serialize import chunk_owner_map
+
+    chunks = spark.createDataFrame(
+        [
+            ("d1", 0, "Contract with ACME Corp begins here."),  # head hit
+            ("d1", 1, "no names at all"),  # carried from 0
+            ("d1", 2, ("x" * 350) + " mentions Bolt Inc later"),  # body hit only
+            ("d1", 3, "ACME Corp and Bolt Inc together"),  # ambiguous → carried
+        ],
+        "doc_id string, chunk_id int, text string",
+    )
+    parents = spark.createDataFrame(
+        [("d1", "P_acme", "ACME Corp"), ("d1", "P_bolt", "Bolt Inc")],
+        "doc_id string, node_id string, label string",
+    )
+    got = {r["chunk_id"]: (r["owner_id"], r["owner_kind"]) for r in chunk_owner_map(chunks, parents).collect()}
+    assert got[0] == ("P_acme", "head")
+    assert got[1] == ("P_acme", "carried")
+    assert got[2] == ("P_bolt", "body")
+    assert got[3] == ("P_acme", "carried")  # ambiguity vetoed, head carry wins
+
+
+def test_parent_ladder_rungs(spark):
+    from sparkdoc.resolve import resolve_parents
+
+    parents = spark.createDataFrame(
+        [
+            ("d1", "P_a", "orgs[]", "ACME Corporation", [0], 0),
+            ("d1", "P_b", "orgs[]", "Bolt Inc", [2], 5),
+            ("d1", "P_solo", "departments[]", "R&D", [1], 1),
+        ],
+        "doc_id string, node_id string, path string, label string, chunk_ids array<int>, emission int",
+    )
+    children = spark.createDataFrame(
+        [
+            ("d1", 1, "orgs[]", "Bolt Inc", [9], 9),        # exact
+            ("d1", 2, "departments[]", "", [9], 9),          # singleton
+            ("d1", 3, "orgs[]", "ACME Corporation Holdings", [9], 2),  # none: key superset, falls to adjacent
+            ("d1", 4, "orgs[]", "", [2], 9),                 # co-chunk with P_b
+            ("d1", 5, "orgs[]", "", [9], 7),                 # adjacent: nearest preceding = P_b (emission 5)
+            ("d1", 6, "missing[]", "", [9], 9),              # bucket
+        ],
+        "doc_id string, child_id int, parent_path string, parent_key string, chunk_ids array<int>, emission int",
+    )
+    got = {r["child_id"]: (r["parent_id"], r["resolved_by"]) for r in resolve_parents(children, parents).collect()}
+    assert got[1] == ("P_b", "exact")
+    assert got[2] == ("P_solo", "singleton")
+    assert got[4] == ("P_b", "co_chunk")
+    assert got[5] == ("P_b", "adjacent")
+    assert got[6] == ("BUCKET_d1_missing[]", "bucket")
+    assert got[3][1] in ("adjacent", "containment")
