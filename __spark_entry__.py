@@ -691,6 +691,19 @@ def oracle_sql() -> dict[str, str]:
         FROM w, LATERAL unnest(generate_series(0, CAST(floor((len(ws)-1)/24) AS BIGINT))) AS t(i)
         WHERE len(ws) > 0
     """
+    q["doc_fold_phrase"] = """
+        SELECT doc_id,
+               trim(regexp_replace(lower(strip_accents(text)), '\\s+', ' ', 'g')) AS folded,
+               CASE WHEN len(regexp_extract_all(lower(strip_accents(text)), '[a-z0-9]+')) > 0
+                    THEN '_' || array_to_string(regexp_extract_all(lower(strip_accents(text)), '[a-z0-9]+'), '_') || '_'
+                    ELSE '' END AS pkey
+        FROM documents WHERE doc_id < 100
+    """
+    q["doc_digit_sig"] = """
+        SELECT event_id,
+               array_to_string(regexp_extract_all(coalesce(props, ''), '[0-9]+'), '-') AS digit_sig
+        FROM events
+    """
     q["emb_norms"] = """
         SELECT vec_id,
                round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)), 6) AS l2_norm
