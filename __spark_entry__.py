@@ -41,18 +41,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: training-data enrichment over sf0.001 documents — quality
     features + language ID + exact-dup fingerprint + MinHash signature."""
-    from sparkdoc.dedup_text import minhash_signature
-    from sparkdoc.textops import detect_language, doc_fingerprint, quality_filter, token_count
+    from sparkdoc.dedup_text import with_minhash
+    from sparkdoc.textops import doc_fingerprint, quality_filter, token_count, with_language
 
     sf_dir = "/root/testdata/sf0.001"
     docs = _docs(spark, sf_dir)
     out = quality_filter(docs)
-    out = out.withColumn("lang_pred", detect_language(F.col("text")))
+    out = with_language(out)
     out = out.withColumn("fp", doc_fingerprint(F.col("text")))
     out = out.withColumn("n_tokens", token_count(F.col("text")))
-    out = out.withColumn(
-        "minhash", F.md5(F.concat_ws("|", minhash_signature(F.col("text"), k=8)))
-    )
+    out = with_minhash(out, k=8, out="_mh")
+    out = out.withColumn("minhash", F.md5(F.concat_ws("|", F.col("_mh")))).drop("_mh")
     return out.select(
         "doc_id", "n_words", "n_tokens", "lang_pred", "quality_keep", "fp", "minhash"
     )
@@ -203,9 +202,9 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkdoc.textops import detect_language
+    from sparkdoc.textops import with_language
 
-    return _docs(spark, sf_dir).select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
+    return with_language(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
 def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,11 +234,10 @@ def _doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkdoc.dedup_text import minhash_signature
+    from sparkdoc.dedup_text import with_minhash
 
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.md5(F.concat_ws("|", minhash_signature(F.col("text"), k=16, n=3))).alias("sig_hash"),
+    return with_minhash(_docs(spark, sf_dir), k=16, n=3, out="_mh").select(
+        "doc_id", F.md5(F.concat_ws("|", F.col("_mh"))).alias("sig_hash")
     )
 
 
@@ -262,8 +260,8 @@ def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.textops import words
 
     W = 24
-    docs = _docs(spark, sf_dir)
-    w = words(F.col("text"))
+    docs = _docs(spark, sf_dir).withColumn("_w", words(F.col("text")))
+    w = F.col("_w")
     segs = F.transform(
         F.sequence(F.lit(0), F.floor((F.size(w) - 1) / W).cast("int")),
         lambda i: F.struct(

@@ -39,7 +39,7 @@ def main() -> None:
     from sparkdoc.session import get_spark
     from sparkdoc.spans import extract_documents
     from sparkdoc.synth import raw_nodes_df
-    from sparkdoc.textops import detect_language, quality_filter
+    from sparkdoc.textops import quality_filter, with_language
 
     spark = get_spark("sparkdoc-bench")
     timings: dict[str, float] = {}
@@ -68,15 +68,20 @@ def main() -> None:
     timed("q3", lambda: entrymod._q3_unshipped(spark, sf_dir).collect())
     timed("q5", lambda: entrymod._q5_local_supplier(spark, sf_dir).collect())
 
-    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # small single-file parquet → 1 scan partition; repartition before the
+    # CPU-heavy signature exprs (on a real corpus many files give natural
+    # scan parallelism)
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    documents.count()
     timed(
         "minhash_lsh",
         lambda: minhash_lsh_candidates(documents, k=16, bands=4).count(),
     )
     timed(
         "quality_lang",
-        lambda: quality_filter(documents)
-        .withColumn("lang_pred", detect_language(F.col("text")))
+        lambda: with_language(quality_filter(documents))
         .select(F.sum("quality_keep"), F.count_distinct("lang_pred"))
         .collect(),
     )

@@ -219,3 +219,96 @@ def enforce_cardinality_bounds(
         "_bound"
     )
     return kept, demoted
+
+
+def rekey_graph(nodes: DataFrame, edges: DataFrame, id_fields_map: dict[str, list[str]]) -> tuple[DataFrame, DataFrame]:
+    """merge/identity.py:151-248 analog: recompute node ids from exported
+    attrs via the SAME fingerprint implementation (the registry-parity pin,
+    merge/identity.py:1-8); fold nodes that collapse to one id; remap edges.
+
+    id_fields_map: class → list of identity attr names.
+    """
+    import json as _json
+
+    @pandas_udf("string")
+    def _rekey(node_class: pd.Series, attrs_json: pd.Series) -> pd.Series:
+        out = []
+        for c, j in zip(node_class, attrs_json):
+            attrs = _json.loads(j) if j else {}
+            fields = id_fields_map.get(c, [])
+            ids = {k: attrs.get(k) for k in fields if attrs.get(k) not in (None, "")}
+            out.append(_node_id(c, ids) if ids else None)
+        return pd.Series(out)
+
+    rekeyed = nodes.withColumn(
+        "_new_id",
+        F.coalesce(_rekey(F.col("node_class"), F.to_json(F.col("attrs"))), F.col("node_id")),
+    )
+    mapping = rekeyed.select(F.col("node_id").alias("_from"), F.col("_new_id").alias("_to")).filter(
+        F.col("_from") != F.col("_to")
+    )
+    w_first = Window.partitionBy("_new_id").orderBy("node_id")
+    folded = (
+        rekeyed.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "node_id")
+        .withColumnRenamed("_new_id", "node_id")
+    )
+    cols = ["node_id"] + [c for c in nodes.columns if c != "node_id"]
+    folded = folded.select(*cols)
+    e = (
+        edges.join(F.broadcast(mapping).withColumnRenamed("_from", "src"), "src", "left")
+        .withColumn("src", F.coalesce(F.col("_to"), F.col("src")))
+        .drop("_to")
+        .join(F.broadcast(mapping).withColumnRenamed("_from", "dst"), "dst", "left")
+        .withColumn("dst", F.coalesce(F.col("_to"), F.col("dst")))
+        .drop("_to")
+        .dropDuplicates(["src", "dst", "label"])
+    )
+    return folded, e
+
+
+def apply_alias_merges(nodes: DataFrame, edges: DataFrame, pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """alias_reconciler.py:236-396 analog: merge base → superset (richest
+    survives = superset by construction of the containment proposal); absorb
+    attrs first-non-empty, redirect edges, record merged_aliases audit.
+
+    pairs: (base_id, superset_id) — post-veto.
+    Returns (nodes, edges, merged_aliases audit rows).
+    """
+    mapping = pairs.select(F.col("base_id").alias("_from"), F.col("superset_id").alias("_to"))
+    audit = mapping.select(F.col("_from").alias("merged_node"), F.col("_to").alias("into_node"))
+    # absorb base attrs into superset where superset lacks the key
+    base_attrs = nodes.join(mapping, nodes["node_id"] == mapping["_from"]).select(
+        F.col("_to").alias("node_id"), F.explode("attrs").alias("k", "v")
+    )
+    sup_attrs = nodes.join(mapping.select("_to").distinct(), nodes["node_id"] == F.col("_to")).select(
+        "node_id", F.explode("attrs").alias("k", "v")
+    )
+    combined = sup_attrs.withColumn("_pri", F.lit(0)).unionByName(
+        base_attrs.withColumn("_pri", F.lit(1))
+    )
+    merged_attrs = (
+        combined.filter(F.col("v").isNotNull() & (F.col("v") != ""))
+        .groupBy("node_id", "k")
+        .agg(F.min_by("v", F.col("_pri")).alias("v"))
+        .groupBy("node_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("_merged_attrs"))
+    )
+    survivors = (
+        nodes.join(mapping.select(F.col("_from").alias("node_id")), "node_id", "left_anti")
+        .join(merged_attrs, "node_id", "left")
+        .withColumn("attrs", F.coalesce(F.col("_merged_attrs"), F.col("attrs")))
+        .drop("_merged_attrs")
+    )
+    e = (
+        edges.join(F.broadcast(mapping).withColumnRenamed("_from", "src"), "src", "left")
+        .withColumn("src", F.coalesce(F.col("_to"), F.col("src")))
+        .drop("_to")
+        .join(F.broadcast(mapping).withColumnRenamed("_from", "dst"), "dst", "left")
+        .withColumn("dst", F.coalesce(F.col("_to"), F.col("dst")))
+        .drop("_to")
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst", "label"])
+    )
+    return survivors, e, audit

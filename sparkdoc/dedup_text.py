@@ -59,9 +59,16 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # --- shingles / MinHash / LSH -----------------------------------------------------
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (lowercased alnum words)."""
-    w = words(col)
+def shingles_of(words_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED word-array column.
+
+    PERFORMANCE CONTRACT: pass a bound column (withColumn'd), never the raw
+    `words(text)` expression — interpreted higher-order lambdas re-evaluate
+    captured subexpressions per element, turning O(words) into O(words²)
+    string splits. CollapseProject will not inline a multi-referenced alias,
+    so the two-step withColumn pipeline keeps it linear.
+    """
+    w = words_col
     return F.array_distinct(
         F.when(
             F.size(w) >= n,
@@ -71,17 +78,28 @@ def shingles(col: Column, n: int = 3) -> Column:
                     " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
                 ),
             ),
-        ).otherwise(F.array())
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 
-def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles") -> DataFrame:
+    """Add a distinct word-n-gram shingle column (linear-time pipeline)."""
+    tmp = f"_{out}_words"
+    return (
+        df.withColumn(tmp, words(F.col(text_col)))
+        .withColumn(out, shingles_of(F.col(tmp), n))
+        .drop(tmp)
+    )
+
+
+def minhash_of(shingles_col: Column, k: int = 16) -> Column:
     """k-permutation MinHash over md5-keyed shingles, pure JVM exprs.
 
     Hash family h_i(s) = md5(i || ':' || s); min is lexicographic over hex —
-    reproducible in any engine with md5.
+    reproducible in any engine with md5. Pass a MATERIALIZED shingle column
+    (see shingles_of performance contract).
     """
-    sh = shingles(col, n)
+    sh = shingles_col
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.when(
@@ -91,6 +109,14 @@ def minhash_signature(col: Column, k: int = 16, n: int = 3) -> Column:
             ),
         ).otherwise(F.lit("")),
     )
+
+
+def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16, n: int = 3, out: str = "minhash") -> DataFrame:
+    """documents → + minhash signature column (words → shingles → signature,
+    each stage a bound column so every step stays linear)."""
+    tmp = f"_{out}_sh"
+    df = with_shingles(df, text_col, n, out=tmp)
+    return df.withColumn(out, minhash_of(F.col(tmp), k)).drop(tmp)
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -119,10 +145,11 @@ def minhash_lsh_candidates(
     across bands collapses with dropDuplicates before verification.
     """
     rows = k // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(lsh_bands(minhash_signature(F.col(text_col), k, n), bands, rows)).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sig = (
+        with_minhash(df.select(F.col(id_col).alias("_id"), text_col), text_col, k, n, out="_sig")
+        .select("_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bk"))
+        .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
     a = sig.withColumnRenamed("_id", "a")
     b = sig.withColumnRenamed("_id", "b")
     return (
@@ -135,7 +162,7 @@ def minhash_lsh_candidates(
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: join texts, set overlap."""
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    sh = with_shingles(docs.select(id_col, text_col), text_col, n, out="sh").select(id_col, "sh")
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     joined = df_pairs.join(a, "a").join(b, "b")

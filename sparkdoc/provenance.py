@@ -134,3 +134,31 @@ def coverage_stats(chunks: DataFrame, ledger: DataFrame) -> DataFrame:
         F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
         (F.coalesce("n_covered", F.lit(0)) / F.col("n_chunks")).alias("coverage"),
     )
+
+
+def merge_ledgers(ledgers: list[DataFrame]) -> DataFrame:
+    """Compact-view merge (provenance/identity.py:172-284 analog): union N
+    ledgers, group by identity, union anchor sets with strength-max per
+    (chunk_id, span) and the caps from MAX_ANCHORS."""
+    from sparkdoc.schemas import ANCHOR_KIND_STRENGTH
+
+    strength = F.create_map(
+        *[F.lit(x) for kv in ANCHOR_KIND_STRENGTH.items() for x in kv]
+    )
+    all_l = ledgers[0]
+    for l in ledgers[1:]:
+        all_l = all_l.unionByName(l)
+    exploded = all_l.select(
+        "doc_id", "identity_key", "path", "ids", F.explode("anchors").alias("a")
+    )
+    best = (
+        exploded.withColumn("_s", strength[F.col("a.kind")])
+        .groupBy("doc_id", "identity_key", "path", F.col("a.chunk_id").alias("chunk_id"), F.col("a.span").alias("span"))
+        .agg(F.max_by(F.col("a.kind"), F.col("_s")).alias("kind"), F.first("ids").alias("ids"))
+    )
+    return best.groupBy("doc_id", "identity_key", "path").agg(
+        F.first("ids").alias("ids"),
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("chunk_id", "kind", "span"))), 1, MAX_ANCHORS
+        ).alias("anchors"),
+    )

@@ -49,9 +49,22 @@ def lang_hits(col: Column, lang: str) -> Column:
     return F.size(F.filter(words(col), lambda w: w.isin(*wl)))
 
 
-def detect_language(col: Column) -> Column:
-    """argmax over stopword hits with fixed precedence; 'und' when no hits."""
-    hits = {lang: lang_hits(col, lang) for lang in LANG_ORDER}
+def _lang_hits_of(words_col: Column, lang: str) -> Column:
+    wl = STOPWORDS[lang]
+    return F.size(F.filter(words_col, lambda w: w.isin(*wl)))
+
+
+def with_language(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Language-ID as a column pipeline: the word array is materialized ONCE
+    (see dedup_text.shingles_of performance contract), then each language's
+    stopword hits scan the bound array."""
+    df = df.withColumn("_lid_words", words(F.col(text_col)))
+    return df.withColumn(out, detect_language_of(F.col("_lid_words"))).drop("_lid_words")
+
+
+def detect_language_of(words_col: Column) -> Column:
+    """argmax over stopword hits (fixed precedence) from a word-array column."""
+    hits = {lang: _lang_hits_of(words_col, lang) for lang in LANG_ORDER}
     best = None
     for lang in LANG_ORDER:
         cond = hits[lang] > 0
@@ -67,6 +80,12 @@ def detect_language(col: Column) -> Column:
     return best.otherwise("und")
 
 
+def detect_language(col: Column) -> Column:
+    """Column-style wrapper (re-derives the word array per language — prefer
+    with_language for hot paths)."""
+    return detect_language_of(words(col))
+
+
 # --- quality scoring ------------------------------------------------------------
 
 EN_STOP_FRACTION_FLOOR = 0.01
@@ -77,7 +96,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     word count, mean word length, punctuation-terminated, stopword fraction,
     symbol ratio, repetition (distinct-word fraction)."""
     t = F.col(text_col)
-    w = words(t)
+    df = df.withColumn("_qf_words", words(t))  # materialized once (linear)
+    w = F.col("_qf_words")
     n_words = F.size(w)
     n_chars = F.length(t)
     alnum_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", ""))
@@ -96,6 +116,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "ends_with_punct", F.when(F.regexp_like(t, F.lit("[.!?]\\s*$")), 1).otherwise(0)
         )
+        .drop("_qf_words")
     )
 
 

@@ -34,11 +34,11 @@ def test_exact_dedup_normalized(docs):
 
 
 def test_minhash_identical_for_dups(docs):
-    from sparkdoc.dedup_text import minhash_signature
+    from sparkdoc.dedup_text import with_minhash
 
     sigs = {
         r["doc_id"]: tuple(r["sig"])
-        for r in docs.select("doc_id", minhash_signature(F.col("text"), k=8).alias("sig")).collect()
+        for r in with_minhash(docs, k=8, out="sig").select("doc_id", "sig").collect()
     }
     assert sigs[1] == sigs[2] == sigs[3]
     assert sigs[1] != sigs[6]
