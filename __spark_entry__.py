@@ -377,6 +377,13 @@ def _doc_digit_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", digit_signature_udf()(F.col("props")).alias("digit_sig"))
 
 
+def _doc_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document plan choice (direct vs dense cost model, SURVEY §4)."""
+    from sparkdoc.contracts import with_contract
+
+    return with_contract(_docs(spark, sf_dir)).select("doc_id", "contract", "est_tokens")
+
+
 def _page_markdowns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.serialize import page_markdowns
     from sparkdoc.spans import explode_spans, extract_documents
@@ -495,9 +502,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": _emb_knn,
         "emb_label_knn": _emb_label_knn,
         "emb_lsh_knn": _emb_lsh_knn,
-        # identity normalizers
+        # identity normalizers + plan choice
         "doc_fold_phrase": _doc_fold_phrase,
         "doc_digit_sig": _doc_digit_sig,
+        "doc_contract": _doc_contract,
         # span pipeline (north rule; golden-tested, rows-only here)
         "extract_spans": _extract_spans,
         "chunk_documents": _chunk_docs,
@@ -701,6 +709,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id,
                array_to_string(regexp_extract_all(coalesce(props, ''), '[0-9]+'), '-') AS digit_sig
         FROM events
+    """
+    q["doc_contract"] = r"""
+        WITH c AS (
+            SELECT doc_id,
+                   length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS cc
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN (CAST(ceil(cc / 4) AS BIGINT) + 8192 <= 128000) AND cc <= 32768
+                    THEN 'direct' ELSE 'dense' END AS contract,
+               CAST(ceil(cc / 4) AS BIGINT) AS est_tokens
+        FROM c
     """
     q["emb_norms"] = """
         SELECT vec_id,
