@@ -234,9 +234,9 @@ def _doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkdoc.dedup_text import with_minhash
+    from sparkdoc.dedup_text import minhash_agg
 
-    return with_minhash(_docs(spark, sf_dir), k=16, n=3, out="_mh").select(
+    return minhash_agg(_docs(spark, sf_dir), k=16, n=3, out="_mh").select(
         "doc_id", F.md5(F.concat_ws("|", F.col("_mh"))).alias("sig_hash")
     )
 

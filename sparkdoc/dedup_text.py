@@ -92,31 +92,42 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3, out: str = 
     )
 
 
-def minhash_of(shingles_col: Column, k: int = 16) -> Column:
-    """k-permutation MinHash over md5-keyed shingles, pure JVM exprs.
+def minhash_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+    out: str = "minhash",
+) -> DataFrame:
+    """(id, minhash array<string>) via explode → codegen md5 → min aggs.
 
     Hash family h_i(s) = md5(i || ':' || s); min is lexicographic over hex —
-    reproducible in any engine with md5. Pass a MATERIALIZED shingle column
-    (see shingles_of performance contract).
+    reproducible in any engine with md5 (the DuckDB oracle runs the same
+    algorithm). Docs with no shingles get '' at every position.
+
+    Scale shape: nested-lambda `transform(transform(...))` evaluates
+    INTERPRETED (~1 µs/element — measured 30 s for 5 000 docs × k=16);
+    exploding shingles to rows turns the k hashes into whole-stage-codegen
+    projections and the per-doc minima into a map-side-combined hash agg.
+    One narrow shuffle on id_col carrying k×32-byte partial minima per doc.
     """
-    sh = shingles_col
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.when(
-            F.size(sh) > 0,
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-            ),
-        ).otherwise(F.lit("")),
-    )
+    sh = with_shingles(df.select(id_col, text_col), text_col, n, out="_sh")
+    ex = sh.select(id_col, F.explode_outer("_sh").alias("_s"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(f"_h{i}")
+        for i in range(k)
+    ]
+    agg = ex.groupBy(id_col).agg(*mins)
+    sig = F.array(*[F.coalesce(F.col(f"_h{i}"), F.lit("")) for i in range(k)])
+    return agg.select(id_col, sig.alias(out))
 
 
-def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16, n: int = 3, out: str = "minhash") -> DataFrame:
-    """documents → + minhash signature column (words → shingles → signature,
-    each stage a bound column so every step stays linear)."""
-    tmp = f"_{out}_sh"
-    df = with_shingles(df, text_col, n, out=tmp)
-    return df.withColumn(out, minhash_of(F.col(tmp), k)).drop(tmp)
+def with_minhash(df: DataFrame, text_col: str = "text", k: int = 16, n: int = 3, out: str = "minhash", id_col: str = "doc_id") -> DataFrame:
+    """documents → + minhash signature column (join of minhash_agg — keeps
+    the column API; prefer minhash_agg directly when only (id, sig) is
+    needed)."""
+    return df.join(minhash_agg(df, id_col, text_col, k, n, out), id_col, "left")
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -146,7 +157,7 @@ def minhash_lsh_candidates(
     """
     rows = k // bands
     sig = (
-        with_minhash(df.select(F.col(id_col).alias("_id"), text_col), text_col, k, n, out="_sig")
+        minhash_agg(df.select(F.col(id_col).alias("_id"), text_col), "_id", text_col, k, n, out="_sig")
         .select("_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bk"))
         .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
