@@ -254,3 +254,64 @@ def chunk_documents(
                 yield pd.DataFrame(rows)[[f.name for f in CHUNKS.fields]]
 
     return documents.mapInPandas(gen, schema=CHUNKS)
+
+
+def extract_and_chunk(raw_nodes, max_tokens: int = DEFAULT_MAX_TOKENS, max_batch_tokens: int = DEFAULT_MAX_BATCH_TOKENS):
+    """Fused raw_nodes → chunks: one shuffle, ONE python stage.
+
+    Identical semantics to chunk_documents(extract_documents(raw)) — pinned
+    by a parity test — but assembles spans and chunks in the same
+    mapInPandas pass, halving Arrow JVM↔Python hops. This is the production
+    job shape for chunk-only consumers; keep the two-stage path when the
+    spans table itself is a required output.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sparkdoc.clean import classify_raw_nodes
+    from sparkdoc.layout import normalize_bbox
+    from sparkdoc.spans import _assemble_doc
+
+    def _chunk_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        kind = pdf["kind"].to_numpy()
+        text = pdf["text"].to_numpy()
+        media = pdf["media_ref"].to_numpy()
+        page = pdf["page_no"].to_numpy()
+        bbox = pdf["bbox"].to_numpy()
+        change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(ids)]))
+        rows: list[dict] = []
+        for s, e in zip(starts, ends):
+            spans = _assemble_doc(kind[s:e], text[s:e], media[s:e], page[s:e], bbox[s:e])
+            for c in chunk_spans(spans, max_tokens, max_batch_tokens):
+                c["doc_id"] = ids[s]
+                rows.append(c)
+        cols = [f.name for f in CHUNKS.fields]
+        return pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+    def _stream(batches):
+        pending = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            first_of_last = int((ids == ids[-1]).argmax())
+            work = pdf.iloc[:first_of_last]
+            pending = pdf.iloc[first_of_last:]
+            if len(work):
+                yield _chunk_batch(work)
+        if pending is not None and len(pending):
+            yield _chunk_batch(pending)
+
+    df = classify_raw_nodes(raw_nodes)
+    df = df.withColumn(
+        "bbox", normalize_bbox(F.col("bbox"), F.col("coord_origin"), F.col("page_height"))
+    )
+    sel = df.select("doc_id", "node_id", "kind", "text", "media_ref", "page_no", "bbox")
+    part = sel.repartition("doc_id").sortWithinPartitions("doc_id", "node_id")
+    return part.mapInPandas(_stream, schema=CHUNKS)

@@ -182,3 +182,21 @@ def test_spark_parity(spark):
         got[(r["doc_id"], r["chunk_id"])] = (r["text_hash"], r["batch_index"], tuple(r["page_numbers"]))
     assert got == expected
     assert len(got) > 0
+
+
+def test_fused_extract_and_chunk_parity(spark):
+    """extract_and_chunk == chunk_documents(extract_documents(...)) exactly."""
+    from sparkdoc.chunker import chunk_documents, extract_and_chunk
+    from sparkdoc.spans import extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    raw = raw_nodes_df(spark, 20, 11, partitions=4)
+    two_stage = {
+        (r["doc_id"], r["chunk_id"]): (r["text_hash"], r["batch_index"])
+        for r in chunk_documents(extract_documents(raw)).collect()
+    }
+    fused = {
+        (r["doc_id"], r["chunk_id"]): (r["text_hash"], r["batch_index"])
+        for r in extract_and_chunk(raw).collect()
+    }
+    assert fused == two_stage and len(fused) > 0
