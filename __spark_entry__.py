@@ -453,6 +453,27 @@ def _graph_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_stats(nodes, clean_edges(nodes, edges))
 
 
+def _extraction_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full deterministic document→graph conversion driver (extractor.py):
+    extract → chunk → skeleton+coverage → salvage → graph + alias merge."""
+    from sparkdoc.extractor import convert_document_graph
+    from sparkdoc.synth import raw_nodes_df
+
+    out = convert_document_graph(raw_nodes_df(spark, 64, SYNTH_SEED, partitions=8))
+    return out["nodes"].select("node_id", "doc_id", "node_class", "label")
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: picture spans → binary media table → decode-stub
+    features (hash, dims, embedding)."""
+    from sparkdoc.multimodal import image_features, synth_media_df
+    from sparkdoc.spans import extract_documents
+
+    docs = extract_documents(_synth_raw(spark))
+    feats = image_features(synth_media_df(spark, docs))
+    return feats.select("media_ref", "doc_id", "sha256", "n_bytes", "width", "height")
+
+
 def _doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.dedup_text import simhash64, simhash_near_dups
 
@@ -513,6 +534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_markdowns": _page_markdowns_q,
         "chunk_owner": _chunk_owner_q,
         "graph_pipeline": _graph_pipeline_q,
+        "extraction_graph": _extraction_graph,
+        "media_features": _media_features,
     }
 
 

@@ -55,8 +55,22 @@ def _sentence(rng: random.Random, n: int) -> str:
     return " ".join(ws) + "."
 
 
+def _entity_sentence(rng: random.Random) -> str:
+    """Extractable entities (codes/emails/amounts) for the deterministic
+    extraction shell + anchor-scan fodder."""
+    kind = rng.random()
+    if kind < 0.4:
+        return f"Contract {rng.choice(['CT', 'INV', 'PO'])}-{rng.randint(1000, 99999)} applies."
+    if kind < 0.7:
+        return f"Contact {rng.choice(_WORDS[:20])}@example.com for details."
+    return f"A fee of {rng.randint(10, 9000)}.{rng.randint(0, 99):02d} {rng.choice(['USD', 'EUR', 'GBP'])} is due."
+
+
 def _paragraph(rng: random.Random, lo: int = 2, hi: int = 5) -> str:
-    return " ".join(_sentence(rng, rng.randint(6, 18)) for _ in range(rng.randint(lo, hi)))
+    sentences = [_sentence(rng, rng.randint(6, 18)) for _ in range(rng.randint(lo, hi))]
+    if rng.random() < 0.25:
+        sentences.insert(rng.randrange(len(sentences) + 1), _entity_sentence(rng))
+    return " ".join(sentences)
 
 
 def doc_meta(doc_index: int, seed: int) -> dict:
