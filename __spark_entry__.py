@@ -178,6 +178,41 @@ def _events_latest_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame analytic: carry last non-null 'click' value ≤12 rows forward per
+    user (the chunk-owner carry window shape, SURVEY §2.9)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-12, 0)
+    click_val = F.when(F.col("event_type") == "click", F.round(F.col("value") * 10000).cast("long"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(click_val, ignorenulls=True).over(w).alias("last_click_e4"),
+    )
+
+
+def _events_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops per user: distinct event types in first vs second half by
+    event_id; intersection/union/except sizes (SURVEY §2.9 set ops)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(F.col("event_id") % 2 == 0, F.col("event_type"))))
+        ).alias("first_types"),
+        F.array_sort(
+            F.array_distinct(F.collect_list(F.when(F.col("event_id") % 2 == 1, F.col("event_type"))))
+        ).alias("second_types"),
+    )
+    return agg.select(
+        "user_id",
+        F.size(F.array_intersect("first_types", "second_types")).alias("n_common"),
+        F.size(F.array_union("first_types", "second_types")).alias("n_union"),
+        F.size(F.array_except("first_types", "second_types")).alias("n_only_first"),
+    )
+
+
 def _doc_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.clean import content_chars, sanitize_text, squash_anchor
 
@@ -506,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customer_per_nation": _top_customer_per_nation,
         "events_sessionize": _events_sessionize,
         "events_latest_per_type": _events_latest_per_type,
+        "events_carry_forward": _events_carry_forward,
+        "events_type_sets": _events_type_sets,
         # text / cleaning operators (SURVEY §2.2)
         "doc_sanitize": _doc_sanitize,
         "doc_tokens": _doc_tokens,
@@ -616,6 +653,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
             FROM events
         ) WHERE rn = 1
+    """
+    q["events_carry_forward"] = """
+        SELECT user_id, event_id,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN CAST(round(value * 10000) AS BIGINT) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS last_click_e4
+        FROM events
+    """
+    q["events_type_sets"] = """
+        WITH agg AS (
+            SELECT user_id,
+                   list_sort(list_distinct(list_filter(
+                       list(CASE WHEN event_id % 2 = 0 THEN event_type END), x -> x IS NOT NULL))) AS first_types,
+                   list_sort(list_distinct(list_filter(
+                       list(CASE WHEN event_id % 2 = 1 THEN event_type END), x -> x IS NOT NULL))) AS second_types
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               len(list_intersect(first_types, second_types)) AS n_common,
+               len(first_types) + len(second_types) - len(list_intersect(first_types, second_types)) AS n_union,
+               len(list_filter(first_types, x -> NOT list_contains(second_types, x))) AS n_only_first
+        FROM agg
     """
     q["doc_sanitize"] = r"""
         SELECT doc_id,
