@@ -498,6 +498,23 @@ def _extraction_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["nodes"].select("node_id", "doc_id", "node_class", "label")
 
 
+def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-domain rollup: two-phase salted aggregation over the
+    zipf-skewed domain key (north rule: explicit salting)."""
+    from sparkdoc.skew import domain_stats
+    from sparkdoc.spans import extract_documents
+
+    return domain_stats(extract_documents(_synth_raw(spark)))
+
+
+def _doclang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocLang-style serialization with byte-exact 512-grid geometry."""
+    from sparkdoc.serialize import doclang_documents
+    from sparkdoc.spans import extract_span_rows_geo
+
+    return doclang_documents(extract_span_rows_geo(_synth_raw(spark)))
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: picture spans → binary media table → decode-stub
     features (hash, dims, embedding)."""
@@ -573,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pipeline": _graph_pipeline_q,
         "extraction_graph": _extraction_graph,
         "media_features": _media_features,
+        "domain_stats_salted": _domain_stats,
+        "doclang_serialize": _doclang_docs,
     }
 
 

@@ -146,3 +146,46 @@ def chunk_owner_map(
         F.coalesce(F.col("owner_id"), carried).alias("owner_id"),
         F.coalesce(F.col("owner_kind"), F.when(carried.isNotNull(), "carried")).alias("owner_kind"),
     )
+
+
+def doclang_documents(geo_rows: DataFrame) -> DataFrame:
+    """(doc_id, dclg) DocLang-style XML serialization with 512-grid
+    locations — byte-exact quantization per provenance/models.py:72-94
+    (layout.quantize_bbox_512). Input: spans.extract_span_rows_geo output.
+
+    Tag shape: <kind loc="l,t,r,b" page="n">text</kind> with <page_break/>
+    between pages (reference doclang_format.py:32-40,108-119 analog)."""
+    from sparkdoc.layout import quantize_bbox_512
+
+    q = geo_rows.withColumn(
+        "qbox", quantize_bbox_512(F.col("bbox"), F.col("page_width"), F.col("page_height"))
+    )
+    rendered = q.select(
+        "doc_id",
+        "offset",
+        "page_no",
+        F.concat(
+            F.lit("<"), F.col("kind"),
+            F.lit(' loc="'), F.array_join(F.col("qbox"), ","), F.lit('"'),
+            F.lit(' page="'), F.col("page_no").cast("string"), F.lit('"'),
+            F.when(F.col("media_ref") != "", F.concat(F.lit(' ref="'), F.col("media_ref"), F.lit('"'))).otherwise(F.lit("")),
+            F.lit(">"),
+            F.col("text"),
+            F.lit("</"), F.col("kind"), F.lit(">"),
+        ).alias("tag"),
+    )
+    per_doc = rendered.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("offset", "page_no", "tag"))).alias("tags")
+    )
+    # insert <page_break/> between page transitions using the offset gaps
+    body = F.array_join(
+        F.transform(
+            F.col("tags"),
+            lambda t, i: F.when(
+                (i > 0) & (t["page_no"] != F.element_at(F.col("tags"), i)["page_no"]),
+                F.concat(F.lit("<page_break/>\n"), t["tag"]),
+            ).otherwise(t["tag"]),
+        ),
+        "\n",
+    )
+    return per_doc.select("doc_id", F.concat(F.lit("<doc>\n"), body, F.lit("\n</doc>")).alias("dclg"))

@@ -140,3 +140,96 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.explode("spans").alias("s")
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+
+GEO_SPAN_ROWS_SCHEMA = (
+    "doc_id string, offset int, kind string, text string, media_ref string, "
+    "page_no int, bbox array<int>, page_width int, page_height int"
+)
+
+
+def extract_span_rows_geo(raw_nodes: DataFrame) -> DataFrame:
+    """Exploded ordered span rows WITH geometry (for the DocLang-style
+    serialization view; the nested DOCUMENTS table stays the golden shape).
+    Same single-shuffle streaming assembly; offsets match extract_documents
+    byte-exact (page_breaks are skipped here but consume an offset, exactly
+    as in assemble)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["doc_id"].to_numpy()
+            change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(ids)]))
+            cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+            rows = []
+            for s, e in zip(starts, ends):
+                # repeated-text furniture rule: identical to _assemble_doc
+                pages_by_text: dict[str, set] = {}
+                for i in range(s, e):
+                    if cols["kind"][i] == "text":
+                        pages_by_text.setdefault(cols["text"][i], set()).add(int(cols["page_no"][i]))
+                repeated = {
+                    t for t, ps in pages_by_text.items() if len(ps) >= REPEAT_FURNITURE_PAGES
+                }
+                by_page: dict[int, list[int]] = {}
+                for i in range(s, e):
+                    by_page.setdefault(int(cols["page_no"][i]), []).append(i)
+                offset = 0
+                for pi, page in enumerate(sorted(by_page)):
+                    if pi > 0:
+                        offset += 1  # page_break consumes an offset
+                    idx = by_page[page]
+                    order = xy_cut_order([tuple(cols["bbox"][i]) for i in idx])
+                    for j in order:
+                        i = idx[j]
+                        k = cols["kind"][i]
+                        if k == "text" and cols["text"][i] in repeated:
+                            k = "furniture"
+                        rows.append(
+                            {
+                                "doc_id": ids[s],
+                                "offset": offset,
+                                "kind": k,
+                                "text": cols["text"][i],
+                                "media_ref": cols["media_ref"][i],
+                                "page_no": page,
+                                "bbox": list(cols["bbox"][i]),
+                                "page_width": int(cols["page_width"][i]),
+                                "page_height": int(cols["page_height"][i]) if cols["page_height"][i] is not None else 0,
+                            }
+                        )
+                        offset += 1
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            first_of_last = int((ids == ids[-1]).argmax())
+            work = pdf.iloc[:first_of_last]
+            pending = pdf.iloc[first_of_last:]
+            if len(work):
+                out = emit(work)
+                if len(out):
+                    yield out
+        if pending is not None and len(pending):
+            out = emit(pending)
+            if len(out):
+                yield out
+
+    df = classify_raw_nodes(raw_nodes)
+    df = df.withColumn(
+        "bbox",
+        normalize_bbox(F.col("bbox"), F.col("coord_origin"), F.col("page_height")),
+    )
+    sel = df.select(
+        "doc_id", "node_id", "kind", "text", "media_ref", "page_no", "bbox",
+        "page_width", "page_height",
+    )
+    part = sel.repartition("doc_id").sortWithinPartitions("doc_id", "node_id")
+    return part.mapInPandas(gen, schema=GEO_SPAN_ROWS_SCHEMA)

