@@ -541,6 +541,14 @@ def _emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=5, n_bits=4)
 
 
+def _emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=3)
+
+
 def _doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.textops import rolling_fingerprints
 
@@ -577,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn": _emb_knn,
         "emb_label_knn": _emb_label_knn,
         "emb_lsh_knn": _emb_lsh_knn,
+        "emb_ivf_knn": _emb_ivf_knn,
         # identity normalizers + plan choice
         "doc_fold_phrase": _doc_fold_phrase,
         "doc_digit_sig": _doc_digit_sig,

@@ -119,3 +119,73 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivf_assign(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 11) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic pseudo-random centroids (hash-mixed
+    unit vectors — public IVF-flat shape without a training pass), corpus
+    assigned to argmax-dot cell.
+
+    Returns (centroids(cell, cvec), assigned(corpus + cell)). At 100 TB the
+    assignment is computed once and the corpus written bucketed by cell;
+    queries probe 1..nprobe cells — scan volume ∝ cell size.
+    """
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+
+    def centroid(cell: int) -> list[float]:
+        import hashlib as _h
+        import numpy as _np
+
+        raw = _h.blake2b(f"ivf:{seed}:{cell}".encode(), digest_size=dim * 2).digest()
+        v = _np.frombuffer(raw, dtype=_np.uint16).astype(_np.float64) - 32767.5
+        n = float(_np.sqrt((v * v).sum())) or 1.0
+        return [float(x / n) for x in v]
+
+    spark = corpus.sparkSession
+    centroids = F.broadcast(
+        spark.createDataFrame(
+            [(c, centroid(c)) for c in range(n_cells)], "cell int, cvec array<double>"
+        )
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    scored = c.crossJoin(centroids).select(
+        id_col, "cell", dot(F.col("v"), F.col("cvec")).alias("score"), "v"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).select(id_col, "cell", "v")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign corpus to cells once; each query probes its nprobe
+    nearest cells; exact cosine within the probed cells."""
+    centroids, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    qs = q.crossJoin(centroids).select(
+        "query_id", "qv", "cell", dot(F.col("qv"), F.col("cvec")).alias("score")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell").asc())
+    probes = qs.withColumn("_rn", F.row_number().over(wq)).filter(F.col("_rn") <= nprobe).select(
+        "query_id", "qv", "cell"
+    )
+    cand = probes.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), "cell", F.col("v").alias("cv")), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

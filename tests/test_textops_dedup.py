@@ -113,3 +113,16 @@ def test_lsh_topk_same_bucket_recovers_near(spark):
     res = lsh_topk(emb, emb.filter(F.col("vec_id") < 2), k=3, n_bits=2)
     assert res.count() > 0
     assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_ivf_topk(spark):
+    from sparkdoc.similarity import ivf_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(16)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, n_cells=8, nprobe=3)
+    got = res.groupBy("query_id").count().collect()
+    assert len(got) == 3
+    for r in got:
+        assert 1 <= r["count"] <= 5
+    assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
