@@ -137,8 +137,13 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec
         import hashlib as _h
         import numpy as _np
 
-        raw = _h.blake2b(f"ivf:{seed}:{cell}".encode(), digest_size=dim * 2).digest()
-        v = _np.frombuffer(raw, dtype=_np.uint16).astype(_np.float64) - 32767.5
+        need = dim * 2
+        raw = b""
+        i = 0
+        while len(raw) < need:  # blake2b digest caps at 64 bytes — chunk it
+            raw += _h.blake2b(f"ivf:{seed}:{cell}:{i}".encode(), digest_size=64).digest()
+            i += 1
+        v = _np.frombuffer(raw[:need], dtype=_np.uint16).astype(_np.float64) - 32767.5
         n = float(_np.sqrt((v * v).sum())) or 1.0
         return [float(x / n) for x in v]
 
