@@ -88,8 +88,6 @@ def detect_language(col: Column) -> Column:
 
 # --- quality scoring ------------------------------------------------------------
 
-EN_STOP_FRACTION_FLOOR = 0.01
-
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Shallow quality features (Gopher/C4-style public heuristics):

@@ -154,3 +154,53 @@ def test_reverse_edges_and_stats(spark):
     assert stats[("n_nodes", "")] == 2.0
     assert stats[("nodes_per_class", "T")] == 1.0
     assert stats[("avg_degree", "")] == 1.0
+
+
+def test_cap_keywords(spark):
+    from sparkdoc.graph import cap_keywords
+    from sparkdoc.schemas import NODES
+
+    nodes = spark.createDataFrame(
+        [
+            ("N1", "d1", "T", "n1", {"keywords": "a|b|c|d|e|f|g", "x": "1"}, None),
+            ("N2", "d1", "T", "n2", {"x": "2"}, None),
+        ],
+        NODES,
+    )
+    got = {r["node_id"]: r["attrs"] for r in cap_keywords(nodes).collect()}
+    assert got["N1"]["keywords"] == "a|b|c|d|e"  # capped at 5
+    assert got["N1"]["x"] == "1"
+    assert got["N2"] == {"x": "2"}  # untouched
+
+
+def test_merge_graphs_richest_precedence(spark):
+    from sparkdoc.merge import merge_graphs
+    from sparkdoc.schemas import EDGES, NODES
+
+    poor = spark.createDataFrame([("N1", "d1", "T", "n1", {"a": "first"}, None)], NODES)
+    rich = spark.createDataFrame(
+        [("N1", "d2", "T", "n1r", {"a": "rich", "b": "2", "c": "3"}, None)], NODES
+    )
+    e = spark.createDataFrame([], EDGES)
+    nodes, _, _ = merge_graphs([(poor, e), (rich, e)], precedence="richest")
+    got = nodes.collect()[0]["attrs"]
+    assert got["a"] == "rich"  # richest input wins the conflicting attr
+    assert got["b"] == "2" and got["c"] == "3"
+
+
+def test_empty_identity_nodes(spark):
+    from sparkdoc.dedup import with_node_ids
+    from sparkdoc.rootid import empty_identity_nodes
+    from sparkdoc.schemas import ENTITIES
+
+    ents = with_node_ids(
+        spark.createDataFrame(
+            [
+                ("d1", "p[]", "P", {"name": ""}, {}, [0]),
+                ("d1", "p[]", "P", {"name": "real"}, {}, [0]),
+            ],
+            ENTITIES,
+        )
+    )
+    flagged = empty_identity_nodes(ents).collect()
+    assert len(flagged) == 1 and flagged[0]["class"] == "P"
