@@ -70,7 +70,7 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
             F.sum(cents("l_extendedprice", 100)).alias("sum_base_price_cents"),
             F.sum(
                 F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
@@ -360,11 +360,25 @@ def _extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_spans(extract_documents(_synth_raw(spark)))
 
 
+def _scalarize(df: DataFrame) -> DataFrame:
+    """Project array/map/struct columns through to_json so the driver's
+    sort-by-all-columns canonicalizer (pandas) sees only scalars. The nested
+    tables remain the real API; this only adapts the gate's output shape."""
+    cols = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t in ("array", "map", "struct"):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.chunker import chunk_documents
     from sparkdoc.spans import extract_documents
 
-    return chunk_documents(extract_documents(_synth_raw(spark)))
+    return _scalarize(chunk_documents(extract_documents(_synth_raw(spark))))
 
 
 def _ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +403,7 @@ def _ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array().cast("array<int>").alias("chunk_ids"),
         )
     )
-    return build_ledger(with_node_ids(entities), chunks)
+    return _scalarize(build_ledger(with_node_ids(entities), chunks))
 
 
 def _doc_fold_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,9 +629,9 @@ def oracle_sql() -> dict[str, str]:
     q = {}
     q["q1_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -626,7 +640,7 @@ def oracle_sql() -> dict[str, str]:
     """
     q["q3_unshipped"] = """
         SELECT o_orderkey, o_orderdate, o_orderpriority,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -639,7 +653,7 @@ def oracle_sql() -> dict[str, str]:
     """
     q["q5_local_supplier"] = """
         SELECT n_name,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS revenue_e4
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -652,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
     """
     q["top_customer_per_nation"] = """
         WITH rev AS (
-            SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+            SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
             FROM orders GROUP BY o_custkey
         )
         SELECT n_name, c_custkey, revenue_cents, rnk FROM (
