@@ -544,7 +544,10 @@ def _doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.dedup_text import simhash64, simhash_near_dups
 
     docs = simhash64(_docs(spark, sf_dir))
-    return simhash_near_dups(docs, max_hamming=16)
+    # pigeonhole blocking is recall-complete for the advertised radius
+    # (max_hamming+1 blocks); radius 6 ≈ 90% bit agreement, a meaningful
+    # near-dup bar (the old 4-block split only guaranteed radius 3)
+    return simhash_near_dups(docs, max_hamming=6)
 
 
 def _emb_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,7 +563,20 @@ def _emb_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=3)
+    return ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=3, dim=64)
+
+
+def _emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the LSH and IVF paths vs exact brute
+    force, per method (mean over queries)."""
+    from sparkdoc.similarity import ann_recall, brute_force_topk, ivf_topk, lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries_df, k=5)
+    lsh = lsh_topk(emb, queries_df, k=5, n_bits=4)
+    ivf = ivf_topk(emb, queries_df, k=5, n_cells=16, nprobe=3, dim=64)
+    return ann_recall(exact, {"lsh": lsh, "ivf": ivf})
 
 
 def _doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_knn": _emb_label_knn,
         "emb_lsh_knn": _emb_lsh_knn,
         "emb_ivf_knn": _emb_ivf_knn,
+        "emb_ann_recall": _emb_ann_recall,
         # identity normalizers + plan choice
         "doc_fold_phrase": _doc_fold_phrase,
         "doc_digit_sig": _doc_digit_sig,
@@ -852,13 +869,16 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)), 6) AS l2_norm
         FROM embeddings
     """
-    _cos = (
-        "list_reduce(list_transform(list_zip(qa.e, ca.e), p -> p[1] * p[2]), (x,y) -> x + y) / "
-        "(sqrt(list_reduce(list_transform(qa.e, x -> x*x), (x,y) -> x + y)) * "
-        " sqrt(list_reduce(list_transform(ca.e, x -> x*x), (x,y) -> x + y)))"
+    # pre-normalized cosine (matches similarity._with_unit): divide each
+    # element by the row norm FIRST, then a single sequential-fold dot —
+    # identical op order in both engines keeps round(cos, 6) bit-exact
+    _cos = "list_reduce(list_transform(list_zip(qa.e, ca.e), p -> p[1] * p[2]), (x,y) -> x + y)"
+    _unit_e = (
+        "list_transform(e0, x -> x / sqrt(list_reduce(list_transform(e0, y -> y*y), (a,b) -> a + b)))"
     )
     q["emb_knn"] = f"""
-        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        WITH e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
+        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw),
         qa AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id % 100 = 0),
         ca AS (SELECT vec_id AS neighbor_id, e FROM e),
         scored AS (
@@ -871,7 +891,8 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
     q["emb_label_knn"] = f"""
-        WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        WITH e_raw AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
+        e AS (SELECT vec_id, label, {_unit_e} AS e FROM e_raw),
         qa AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id % 100 = 0),
         ca AS (SELECT vec_id AS neighbor_id, label, e FROM e),
         knn AS (

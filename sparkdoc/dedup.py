@@ -126,6 +126,10 @@ def content_hash_dedup(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, D
         .withColumn("dst", F.coalesce(F.col("_to"), F.col("dst")))
         .drop("dst_from", "_to")
     )
+    # like the reference (graph_cleaner.py:406,411) and apply_alias_merges:
+    # redirection can collapse an edge onto itself or onto a duplicate —
+    # drop self-loops and dedupe on (src, dst, label)
+    e = e.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst", "label"])
     return survivors, e
 
 

@@ -230,19 +230,34 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
     return df.withColumn(out_col, _simhash(F.col(text_col)))
 
 
-def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top prefix_bits (docs differing
-    in ≤ max_hamming bits usually share a 16-bit block under 4-block split),
-    then exact hamming via xor+bit_count (JVM expr). df must carry 'simhash'."""
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash, recall-COMPLETE for the given radius:
+    classic pigeonhole blocking splits the 64-bit hash into max_hamming+1
+    blocks, so any pair within hamming ≤ max_hamming must agree on at least
+    one whole block (≤ max_hamming differing bits cannot touch all
+    max_hamming+1 blocks). Candidates come from a self-equi-join on
+    (block index, block key); exact hamming via xor+bit_count (JVM expr)
+    verifies. df must carry 'simhash'. max_hamming is clamped to [0, 63]."""
+    max_hamming = max(0, min(int(max_hamming), 63))
+    n_blocks = max_hamming + 1
+    # Variable-width blocks covering all 64 bits: floor widths + remainder
+    # spread over the first blocks (e.g. 64/4 → 16,16,16,16; 64/5 → 13,13,13,13,12).
+    base, rem = divmod(64, n_blocks)
+    specs = []
+    offset = 0
+    for i in range(n_blocks):
+        width = base + (1 if i < rem else 0)
+        specs.append((i, offset, width))
+        offset += width
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("simhash"), i * prefix_bits).bitwiseAND(
-                    F.lit((1 << prefix_bits) - 1)
+                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                    F.lit((1 << width) - 1)
                 ).alias("key"),
             )
-            for i in range(64 // prefix_bits)
+            for i, off, width in specs
         ]
     )
     keyed = df.select(F.col(id_col).alias("_id"), F.col("simhash"), F.explode(blocks).alias("b")).select(

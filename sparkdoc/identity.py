@@ -26,40 +26,65 @@ import unicodedata
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-ARTICLES = {"the", "a", "an", "le", "la", "les", "un", "une", "los", "las", "el", "der", "die", "das"}
-
 _SPLIT_RE = re.compile(r"[\s_\-]+")
 _NON_ALNUM_RE = re.compile(r"[^a-z0-9]")
 _WS_RE = re.compile(r"\s+")
 _DIGITS_RE = re.compile(r"\d+")
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
-#: field names treated as name-ish for canonicalization
-NAMEISH_FIELDS = {"name", "title", "label", "full_name", "display_name"}
+#: identity fields that use name-style normalization
+#: (entity_name_normalizer.py:55 — exactly {name, title, nom})
+NAMEISH_FIELDS = frozenset({"name", "title", "nom"})
+
+#: English-only leading articles, trailing-space form, first match breaks
+#: (entity_name_normalizer.py:27-33)
+_ARTICLE_PREFIXES = ("The ", "the ", "A ", "a ", "An ", "an ")
+_BARE_ARTICLES = ("The", "the", "A", "a", "An", "an")
 
 
 def _strip_accents(s: str) -> str:
     return "".join(c for c in unicodedata.normalize("NFKD", s) if not unicodedata.combining(c))
 
 
-def normalize_entity_name(name: str) -> str:
-    """NFKD → strip accents → drop leading article → split [\\s_-]+ →
-    drop 's → UPPER_SNAKE."""
-    s = _strip_accents(name or "")
-    words = [w for w in _SPLIT_RE.split(s.strip()) if w]
-    if words and words[0].lower() in ARTICLES:
-        words = words[1:]
-    words = [w[:-2] if w.lower().endswith("'s") else w for w in words]
-    return "_".join(w.upper() for w in words)
+def normalize_entity_name(name) -> str:
+    """Byte-parity with reference entity_name_normalizer.py:16-51: NFKD +
+    strip combining marks, drop ONE leading English article, split on
+    [\\s_-]+, drop 's/’s possessives, join('_').upper()."""
+    if not name or not isinstance(name, str):
+        return ""
+    trimmed = _strip_accents(name).strip()
+    if not trimmed:
+        return ""
+    for prefix in _ARTICLE_PREFIXES:
+        if trimmed.startswith(prefix):
+            trimmed = trimmed[len(prefix):].strip()
+            break
+    if trimmed in _BARE_ARTICLES:
+        return ""
+    words = []
+    for word in _SPLIT_RE.split(trimmed):
+        if not word:
+            continue
+        if word.endswith("'s") or (len(word) >= 2 and word[-2:] == "’s"):
+            word = word[:-2]
+        if word:
+            words.append(word)
+    return "_".join(words).upper() if words else ""
 
 
-def canonicalize_identity(value: str, field: str = "") -> str:
-    """Name-ish fields → normalize_entity_name; others → NFKD casefold
-    [^a-z0-9]-strip."""
-    if field.lower() in NAMEISH_FIELDS or field.lower().endswith("_name"):
+def canonicalize_identity(value, field: str = "") -> str:
+    """Byte-parity with canonicalize_identity_for_dedup
+    (entity_name_normalizer.py:58-80): name/title/nom → UPPER_SNAKE name
+    normalization; other fields → NFKD casefold [^a-z0-9]-strip."""
+    if value is None:
+        return ""
+    if field in NAMEISH_FIELDS and isinstance(value, str):
         return normalize_entity_name(value)
-    s = _strip_accents(value or "").casefold()
-    return _NON_ALNUM_RE.sub("", s)
+    text = str(value).strip()
+    if not text:
+        return ""
+    lower = unicodedata.normalize("NFKD", text).casefold()
+    return _NON_ALNUM_RE.sub("", lower)
 
 
 def fold_text(text: str) -> str:
@@ -82,30 +107,41 @@ def blake2b_hex(text: str, digest_size: int = 16) -> str:
     return hashlib.blake2b((text or "").encode("utf-8"), digest_size=digest_size).hexdigest()
 
 
-_ISO_T_RE = re.compile(r"^(\d{4}-\d{2}-\d{2})T(\d{2}:\d{2})")
+#: exported-ISO-datetime rewrite (core/merge/identity.py:34-47): the registry
+#: canonicalizes str(datetime) ('... 12:00:00'), exports carry isoformat 'T'
+_ISO_DATETIME = re.compile(
+    r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?"
+)
 
 
-def _canon_id_value(v) -> object:
-    """Canonicalize one identity value for fingerprinting: lists → sorted
-    canonical tuples; ISO 'T' temporal normalization (identity.py:100-120);
-    strings canonicalized for dedup."""
-    if isinstance(v, (list, tuple, set)):
-        return sorted(str(_canon_id_value(x)) for x in v)
-    s = str(v)
-    s = _ISO_T_RE.sub(r"\1 \2", s)
-    return canonicalize_identity(s)
+def _normalize_temporal(value):
+    if isinstance(value, str) and _ISO_DATETIME.fullmatch(value):
+        return value.replace("T", " ", 1)
+    return value
 
 
 def node_fingerprint(node_class: str, id_fields: dict) -> str:
-    """blake2b-16 of sorted-keys JSON of canonicalized id fields + class
-    (node_id_registry.py:58-157)."""
-    payload = {k: _canon_id_value(v) for k, v in sorted(id_fields.items()) if v not in (None, "")}
-    payload["__class__"] = node_class
-    blob = json.dumps(payload, sort_keys=True, ensure_ascii=False, separators=(",", ":"))
-    return blake2b_hex(blob, 16)
+    """Byte-parity with NodeIDRegistry._generate_fingerprint
+    (node_id_registry.py:58-112) / recompute_node_id (merge/identity.py:86-148):
+    every present id field is included (empties canonicalize to ''), list
+    values become sorted deduped canonical tuples, default json.dumps
+    (ensure_ascii, ', '/': ' separators, sort_keys, default=str), and the
+    fingerprint is the first 16 hex chars of a default-size blake2b."""
+    data: dict = {}
+    for k, v in id_fields.items():
+        if isinstance(v, (list, tuple, set)):
+            canon = {canonicalize_identity(_normalize_temporal(x), k) for x in v}
+            data[k] = tuple(sorted(canon))
+        else:
+            data[k] = canonicalize_identity(_normalize_temporal(v), k)
+    data["__class__"] = node_class
+    blob = json.dumps(data, sort_keys=True, default=str)
+    return hashlib.blake2b(blob.encode()).hexdigest()[:16]
 
 
 def node_id(node_class: str, id_fields: dict) -> str:
+    """Class_<16hex> — identical to reference node ids, so rekey/merge of
+    reference-produced graph exports collapses onto the same nodes."""
     return f"{node_class}_{node_fingerprint(node_class, id_fields)}"
 
 

@@ -40,20 +40,19 @@ def normalize_bbox_py(bbox, coord_origin, page_height):
 
 
 def quantize_512(coord: Column, dim: Column) -> Column:
-    """clamp(round(512*coord/dim), 0, 511) — byte-exact .dclg parity rule."""
-    q = F.round(F.lit(512.0) * coord.cast("double") / dim.cast("double")).cast("int")
+    """clamp(bround(512*coord/dim), 0, 511) — byte-exact .dclg parity rule.
+    bround = ROUND_HALF_EVEN, matching the reference's Python round()
+    (provenance/models.py:84-86)."""
+    q = F.bround(F.lit(512.0) * coord.cast("double") / dim.cast("double")).cast("int")
     return F.least(F.greatest(q, F.lit(0)), F.lit(511))
 
 
 def quantize_512_py(coord: float, dim: float) -> int:
-    """Python twin. Uses round-half-away-from-zero to match Spark's
-    ROUND_HALF_UP (python round() is banker's rounding — NOT equivalent)."""
-    import math
-
+    """Python twin: builtin round() (half-to-even), exactly the reference's
+    dclg_location_from_bbox inner _quant."""
     if dim <= 0:
         return 0
-    v = 512.0 * float(coord) / float(dim)
-    q = math.floor(v + 0.5)  # half-up for non-negative coords
+    q = round(512.0 * float(coord) / float(dim))
     return max(0, min(511, q))
 
 

@@ -106,18 +106,23 @@ def merge_graphs(
     winner = exploded.withColumn("_ord", order).groupBy("node_id", "k").agg(
         F.min_by("v", F.col("_ord")).alias("v"),
         F.countDistinct("v").alias("_nvals"),
-        F.first("node_class").alias("node_class"),
     )
     conflicts = winner.filter(F.col("_nvals") > 1).select(
         "node_id", F.col("k").alias("attr"), F.col("_nvals").alias("n_variants")
     )
-    folded = winner.groupBy("node_id", "node_class").agg(
+    folded = winner.groupBy("node_id").agg(
         F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("attrs")
     )
+    # node set = every distinct node_id (first occurrence wins for label/class/
+    # provenance); the attr fold is LEFT-joined so a node whose attrs are all
+    # empty still survives with an empty map — the reference merger keeps such
+    # nodes, and dropping them here left dangling edges (validate_graph red).
     label_pick = all_nodes.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("node_id").orderBy("_src"))
-    ).filter(F.col("_rn") == 1).select("node_id", "label", "doc_id", "provenance")
-    nodes = folded.join(label_pick, "node_id")
+    ).filter(F.col("_rn") == 1).select("node_id", "node_class", "label", "doc_id", "provenance")
+    nodes = label_pick.join(folded, "node_id", "left").withColumn(
+        "attrs", F.coalesce(F.col("attrs"), F.create_map().cast("map<string,string>"))
+    )
     nodes = nodes.select("node_id", "doc_id", "node_class", "label", "attrs", "provenance")
 
     all_edges = inputs[0][1]

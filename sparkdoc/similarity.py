@@ -34,6 +34,21 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _with_unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Pre-normalize: out = vec / ||vec|| computed ONCE per row.
+
+    The norm is materialized as a bound column BEFORE the transform — HOF
+    lambdas evaluate interpreted and re-evaluate multi-referenced
+    subexpressions per element, so norm() inside the lambda would be O(d²)
+    per row (and norm() inside a join projection re-runs per candidate PAIR,
+    the round-1 perf bug). After this, every pair costs a single dot."""
+    return (
+        df.withColumn("_n", norm(_as_double(F.col(vec_col))))
+        .withColumn(out, F.transform(_as_double(F.col(vec_col)), lambda x: x / F.col("_n")))
+        .drop("_n")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -42,17 +57,16 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query. queries is small → broadcast; ranking is
-    a per-query window top-k."""
+    a per-query window top-k. Both sides are unit-normalized once up front so
+    the per-pair work is a single dot product."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-        )
+        _with_unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    c = _with_unit(corpus, vec_col, "cv").select(F.col(id_col).alias("neighbor_id"), "cv")
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -60,6 +74,35 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def ann_recall(exact: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
+    """recall@k of each ANN method vs the exact top-k: |ANN ∩ exact| / |exact|
+    per query, averaged per method. Inputs are (query_id, neighbor_id, rank)
+    top-k tables. Grades ANN *quality*, not just shape."""
+    parts = []
+    denom = exact.groupBy("query_id").agg(F.count("*").alias("_k"))
+    for name, df in approx.items():
+        hits = (
+            exact.select("query_id", "neighbor_id")
+            .join(df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("_hits"))
+        )
+        per_q = denom.join(hits, "query_id", "left").select(
+            "query_id",
+            (F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_k")).alias("recall"),
+        )
+        parts.append(
+            per_q.agg(
+                F.count("*").alias("n_queries"),
+                F.round(F.avg("recall"), 6).alias("mean_recall_at_k"),
+            ).select(F.lit(name).alias("method"), "n_queries", "mean_recall_at_k")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def hyperplane_bucket(vec: Column, n_bits: int = 8, dim: int = 64, seed: int = 7) -> Column:
@@ -101,17 +144,20 @@ def lsh_topk(
     At 100 TB the corpus hash+bucket is computed once and written bucketed;
     queries probe single buckets — shuffle volume ∝ bucket size, not corpus.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("cv"), n_bits))
+    c = (
+        _with_unit(corpus, vec_col, "cv")
+        .select(F.col(id_col).alias("neighbor_id"), "cv")
+        .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_bits))
+    )
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        _with_unit(queries, vec_col, "qv")
+        .select(F.col(id_col).alias("query_id"), "qv")
         .withColumn("bucket", hyperplane_bucket(F.col("qv"), n_bits))
     )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -121,7 +167,14 @@ def lsh_topk(
     )
 
 
-def ivf_assign(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 11) -> tuple[DataFrame, DataFrame]:
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic pseudo-random centroids (hash-mixed
     unit vectors — public IVF-flat shape without a training pass), corpus
     assigned to argmax-dot cell.
@@ -129,9 +182,13 @@ def ivf_assign(corpus: DataFrame, n_cells: int = 16, id_col: str = "vec_id", vec
     Returns (centroids(cell, cvec), assigned(corpus + cell)). At 100 TB the
     assignment is computed once and the corpus written bucketed by cell;
     queries probe 1..nprobe cells — scan volume ∝ cell size.
+
+    Pass ``dim`` (the caller knows its embedding width) — inferring it runs a
+    Spark job mid-plan-build, a driver action the 100 TB path must not pay.
     """
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"])
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
 
     def centroid(cell: int) -> list[float]:
         import hashlib as _h
@@ -172,11 +229,14 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN: assign corpus to cells once; each query probes its nprobe
-    nearest cells; exact cosine within the probed cells."""
-    centroids, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    nearest cells; exact cosine (dot of pre-normalized units) within the
+    probed cells."""
+    corpus_u = _with_unit(corpus, vec_col, "_uv")
+    centroids, assigned = ivf_assign(corpus_u, n_cells, id_col, "_uv", dim=dim)
+    q = _with_unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
     qs = q.crossJoin(centroids).select(
         "query_id", "qv", "cell", dot(F.col("qv"), F.col("cvec")).alias("score")
     )
@@ -187,7 +247,7 @@ def ivf_topk(
     cand = probes.join(
         assigned.select(F.col(id_col).alias("neighbor_id"), "cell", F.col("v").alias("cv")), "cell"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    scored = cand.select("query_id", "neighbor_id", dot(F.col("qv"), F.col("cv")).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -4,9 +4,12 @@ The reference is strictly batch (SURVEY §2.10) and the north rule needs only
 resumable batch — but a 100 TB corpus arrives incrementally, so we provide a
 file-source streaming job: new raw_nodes parquet files land in a directory,
 ``Trigger.AvailableNow`` drains whatever is present, foreachBatch runs the
-SAME extract(+chunk) pipeline and appends to the output tables, and the
-streaming checkpoint gives exactly-once file-level processing across
-restarts (complementing checkpoint.py's bucket manifest for batch).
+SAME extract(+chunk) pipeline and writes each batch to a ``batch_id=N``
+subdirectory with overwrite, so a replayed batch (foreachBatch is
+at-least-once: a crash between the write and the checkpoint commit re-runs
+the batch on restart) overwrites its own partition instead of appending
+duplicates — end-to-end effectively-once at the file level
+(complementing checkpoint.py's bucket manifest for batch).
 
 No watermarks/event-time: documents carry no event time (SURVEY §2.10).
 """
@@ -41,11 +44,16 @@ def stream_extract(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent sink: each batch owns its batch_id=N directory and
+        # OVERWRITES it, so a post-write/pre-commit crash that replays the
+        # batch cannot duplicate rows. Readers scan documents/batch_id=*/.
         docs = extract_documents(batch_df).persist()
-        docs.write.mode("append").parquet(os.path.join(out_dir, "documents"))
+        docs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents", f"batch_id={batch_id}")
+        )
         if chunk:
-            chunk_documents(docs).write.mode("append").parquet(
-                os.path.join(out_dir, "chunks")
+            chunk_documents(docs).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "chunks", f"batch_id={batch_id}")
             )
         docs.unpersist()
 

@@ -204,3 +204,30 @@ def test_empty_identity_nodes(spark):
     )
     flagged = empty_identity_nodes(ents).collect()
     assert len(flagged) == 1 and flagged[0]["class"] == "P"
+
+
+def test_content_hash_dedup_cleans_collapsed_edges(spark):
+    """Redirection collapsing an edge onto itself (self-loop) or onto a
+    duplicate must drop/dedupe it (graph_cleaner.py:406,411 parity)."""
+    from sparkdoc.dedup import content_hash_dedup
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [
+            ("A_1", "d1", "A", "x", {"k": "v"}, None),
+            ("A_2", "d1", "A", "x", {"k": "v"}, None),  # folds into A_1
+            ("B_1", "d1", "B", "y", {"k": "w"}, None),
+        ],
+        NODES,
+    )
+    edges = spark.createDataFrame(
+        [
+            ("A_1", "A_2", "same", None),   # becomes A_1→A_1 self-loop → dropped
+            ("B_1", "A_1", "refs", None),
+            ("B_1", "A_2", "refs", None),   # becomes duplicate of the row above
+        ],
+        EDGES,
+    )
+    _, redirected = content_hash_dedup(nodes, edges)
+    got = [(r["src"], r["dst"], r["label"]) for r in redirected.collect()]
+    assert got == [("B_1", "A_1", "refs")]

@@ -12,8 +12,10 @@ def test_quantize_512_py_spec():
     assert quantize_512_py(612, 612) == 511  # clamped
     assert quantize_512_py(306, 612) == 256
     assert quantize_512_py(-5, 612) == 0
-    # half-up, not banker's: 0.5 rounds up
-    assert quantize_512_py(612 * 2.5 / 512, 612) == 3 or True  # documented below
+    # half-to-even (the reference's Python round()): exact .5 values round to
+    # the even neighbour — 2.5→2, 3.5→4
+    assert quantize_512_py(612 * 2.5 / 512, 612) == round(2.5) == 2
+    assert quantize_512_py(612 * 3.5 / 512, 612) == round(3.5) == 4
 
 
 def test_quantize_spark_python_parity(spark):

@@ -29,9 +29,13 @@ def test_normalize_separator_variants_converge():
     assert a == b == c
 
 
-def test_normalize_drops_leading_article():
+def test_normalize_drops_leading_english_article_only():
+    # reference strips exactly one leading English article (The/A/An),
+    # entity_name_normalizer.py:27-33 — multilingual articles are kept
     assert normalize_entity_name("The Quick Fox") == "QUICK_FOX"
-    assert normalize_entity_name("le café") == "CAFE"
+    assert normalize_entity_name("an Apple") == "APPLE"
+    assert normalize_entity_name("le café") == "LE_CAFE"
+    assert normalize_entity_name("The") == ""
 
 
 def test_normalize_drops_possessive():
@@ -68,7 +72,7 @@ def test_fingerprint_stable_and_class_scoped():
     fp2 = node_fingerprint("Person", {"name": "ada-lovelace"})
     assert fp1 == fp2
     assert node_fingerprint("Company", {"name": "Ada Lovelace"}) != fp1
-    assert len(fp1) == 32  # blake2b digest_size=16 hex
+    assert len(fp1) == 16  # hexdigest()[:16] of default blake2b (node_id_registry.py:110)
 
 
 def test_fingerprint_list_values_order_insensitive():
@@ -78,10 +82,27 @@ def test_fingerprint_list_values_order_insensitive():
 
 
 def test_fingerprint_iso_temporal_normalization():
-    # ISO 'T' → space before hashing (merge/identity.py:100-120)
-    a = node_fingerprint("Event", {"at": "2024-01-02T03:04"})
-    b = node_fingerprint("Event", {"at": "2024-01-02 03:04"})
+    # exported isoformat 'T' → str(datetime) space form (merge/identity.py:34-47);
+    # the rewrite requires a full ISO datetime (with seconds)
+    a = node_fingerprint("Event", {"at": "2024-01-02T03:04:05"})
+    b = node_fingerprint("Event", {"at": "2024-01-02 03:04:05"})
     assert a == b
+
+
+def test_fingerprint_reference_byte_parity():
+    # recompute_node_id replica: default json.dumps + blake2b hexdigest()[:16]
+    import hashlib, json
+
+    blob = json.dumps({"__class__": "Person", "name": "ADA_LOVELACE"}, sort_keys=True, default=str)
+    expected = hashlib.blake2b(blob.encode()).hexdigest()[:16]
+    assert node_id("Person", {"name": "Ada Lovelace"}) == f"Person_{expected}"
+
+
+def test_fingerprint_list_values_deduped():
+    # list values are SET-deduped before sorting (node_id_registry.py:93-97)
+    assert node_fingerprint("Tag", {"names": ["a", "a", "b"]}) == node_fingerprint(
+        "Tag", {"names": ["b", "a"]}
+    )
 
 
 def test_content_hash_skips_meta_and_empty():
@@ -91,5 +112,10 @@ def test_content_hash_skips_meta_and_empty():
     assert content_hash({"x": "1"}) != content_hash({"x": "2"})
 
 
-def test_empty_id_fields_excluded():
-    assert node_fingerprint("P", {"name": "x", "code": ""}) == node_fingerprint("P", {"name": "x"})
+def test_empty_id_fields_included():
+    # the reference includes every declared id field, empties canonicalizing
+    # to "" (node_id_registry.py:86-99) — presence IS identity-bearing
+    assert node_fingerprint("P", {"name": "x", "code": ""}) != node_fingerprint("P", {"name": "x"})
+    assert node_fingerprint("P", {"name": "x", "code": None}) == node_fingerprint(
+        "P", {"name": "x", "code": ""}
+    )

@@ -163,3 +163,21 @@ def test_parent_ladder_rungs(spark):
     assert got[5] == ("P_b", "adjacent")
     assert got[6] == ("BUCKET_d1_missing[]", "bucket")
     assert got[3][1] in ("adjacent", "containment")
+
+
+def test_merge_graphs_keeps_attrless_nodes(spark):
+    """A node whose attrs are all empty must survive the merge (the reference
+    merger keeps it); its edges must not dangle."""
+    from sparkdoc.schemas import EDGES, NODES
+
+    g1n = spark.createDataFrame(
+        [("N1", "d1", "T", "n1", {"a": "1"}, None), ("N2", "d1", "T", "n2", {}, None)], NODES
+    )
+    g1e = spark.createDataFrame([("N1", "N2", "l", None)], EDGES)
+    g2n = spark.createDataFrame([("N3", "d2", "T", "n3", {"x": ""}, None)], NODES)
+    g2e = spark.createDataFrame([("N3", "N2", "l", None)], EDGES)
+    nodes, edges, _ = merge_graphs([(g1n, g1e), (g2n, g2e)])
+    got = {r["node_id"]: r["attrs"] for r in nodes.collect()}
+    assert set(got) == {"N1", "N2", "N3"}
+    assert got["N2"] == {} and got["N3"] == {}
+    assert edges.count() == 2

@@ -126,3 +126,36 @@ def test_ivf_topk(spark):
     for r in got:
         assert 1 <= r["count"] <= 5
     assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_simhash_blocking_recall_complete(spark):
+    """Pigeonhole property: EVERY pair within hamming <= max_hamming is found
+    (blocks = max_hamming+1). Seeded corpus of bit-flipped variants."""
+    import random
+
+    from sparkdoc.dedup_text import simhash_near_dups
+
+    rng = random.Random(42)
+    base = rng.getrandbits(63)
+    rows, truth = [], set()
+    rows.append((0, base))
+    for i in range(1, 40):
+        flips = rng.randint(0, 8)
+        h = base
+        for _ in range(flips):
+            h ^= 1 << rng.randrange(64)
+        rows.append((i, h))
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    hs = dict(rows)
+    for a in hs:
+        for b in hs:
+            if a < b and ham(hs[a], hs[b]) <= 6:
+                truth.add((a, b))
+    df = spark.createDataFrame([(i, h - (1 << 64) if h >= (1 << 63) else h) for i, h in rows], "doc_id long, simhash long")
+    got = {(r["a"], r["b"]) for r in simhash_near_dups(df, max_hamming=6).collect()}
+    assert truth <= got
+    # and nothing beyond the radius sneaks through the verify filter
+    for a, b in got:
+        assert ham(hs[a] & ((1 << 64) - 1), hs[b] & ((1 << 64) - 1)) <= 6
