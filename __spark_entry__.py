@@ -503,13 +503,62 @@ def _graph_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extraction_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full deterministic document→graph conversion driver (extractor.py):
-    extract → chunk → skeleton+coverage → salvage → graph + alias merge."""
+    """Full catalog-driven document→graph conversion driver (extractor.py):
+    extract → chunk → skeleton+coverage → FILL → salvage ladder → graph with
+    resolve-ladder parent edges + reference-field edges + alias merge."""
     from sparkdoc.extractor import convert_document_graph
     from sparkdoc.synth import raw_nodes_df
 
     out = convert_document_graph(raw_nodes_df(spark, 64, SYNTH_SEED, partitions=8))
     return out["nodes"].select("node_id", "doc_id", "node_class", "label")
+
+
+def _fill_phase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase 2 (dense fill): projected per-path schemas over scoped context,
+    one filled object per descriptor, ids sanitize-restored (fill.py)."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.extractor import coverage_pass, demo_catalog, skeleton_phase
+    from sparkdoc.fill import fill_phase
+    from sparkdoc.spans import extract_documents
+
+    cat = demo_catalog()
+    chunks = chunk_documents(extract_documents(_synth_raw(spark))).localCheckpoint()
+    filled = fill_phase(chunks, coverage_pass(chunks, skeleton_phase(chunks, cat), cat), cat)
+    return _scalarize(filled)
+
+
+def _doc_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salvage fixer ladder with a DuckDB-expressible truth table: synthetic
+    Fee instances carrying (bad enum | valid enum | missing enum) × (blank |
+    present) identity — the ladder's outcome (fixed enum value, validity,
+    rounds used) is deterministic, so the oracle can assert it exactly."""
+    from sparkdoc.extractor import demo_catalog
+    from sparkdoc.salvage import salvage_entities
+
+    docs = _docs(spark, sf_dir)
+    ents = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("fees[]").alias("path"),
+        F.lit("Fee").alias("class"),
+        F.create_map(
+            F.lit("amount"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.col("doc_id").cast("string")),
+        ).alias("ids"),
+        F.when(F.col("doc_id") % 3 == 0, F.create_map(F.lit("currency"), F.lit("JPY")))
+        .when(F.col("doc_id") % 3 == 1, F.create_map(F.lit("currency"), F.lit("USD")))
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("fields"),
+        F.array().cast("array<int>").alias("chunk_ids"),
+        F.concat(F.lit("Fee_"), F.col("doc_id").cast("string")).alias("node_id"),
+        F.lit(0).alias("fill_batch"),
+    )
+    out = salvage_entities(ents, demo_catalog())
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at("fields", "currency").alias("currency_out"),
+        F.col("valid").cast("long").alias("valid"),
+        F.col("salvage_passes").cast("long").alias("salvage_passes"),
+    )
 
 
 def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_owner": _chunk_owner_q,
         "graph_pipeline": _graph_pipeline_q,
         "extraction_graph": _extraction_graph,
+        "fill_phase": _fill_phase_q,
+        "doc_salvage": _doc_salvage,
         "media_features": _media_features,
         "domain_stats_salted": _domain_stats,
         "doclang_serialize": _doclang_docs,
@@ -863,6 +914,15 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'direct' ELSE 'dense' END AS contract,
                CAST(ceil(cc / 4) AS BIGINT) AS est_tokens
         FROM c
+    """
+    q["doc_salvage"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 1 THEN 'USD' ELSE 'OTHER' END AS currency_out,
+               CASE WHEN doc_id % 7 = 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS valid,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(2 AS BIGINT)
+                    WHEN doc_id % 3 = 2 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS salvage_passes
+        FROM documents
     """
     q["emb_norms"] = """
         SELECT vec_id,

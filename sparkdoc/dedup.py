@@ -44,6 +44,16 @@ def _node_id_from_json():
     return _udf
 
 
+def node_id_expr(node_class, ids_map):
+    """Column expression: deterministic registry node id from a class column
+    and an ids map column (Class_<16hex>). The registry guarantee — same
+    class + canonical ids ⇒ same id — is what lets reference-field edges be
+    computed WITHOUT joining against discovery output."""
+    from pyspark.sql import functions as F
+
+    return _node_id_from_json()(node_class, F.to_json(ids_map))
+
+
 @lru_cache(maxsize=None)
 def _content_hash_from_json():
     @pandas_udf("string")

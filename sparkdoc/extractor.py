@@ -1,28 +1,34 @@
-"""Deterministic extraction shell — the dense two-phase machinery with a
-regex entity extractor standing in for the LLM.
+"""Deterministic extraction shell — the dense two-phase machinery, driven by
+a NodeCatalog compiled from a declarative template, with regex extractors
+standing in for the LLM.
 
 The reference's dense contract (SURVEY §2.8 / §3.2) is deterministic
 orchestration AROUND model calls: batching, normalization, skeleton dedup,
-coverage pass with growth caps, validation salvage, quality gates. This
-module reproduces that machinery with a deterministic extractor so the whole
-document→graph path runs (and is graded) end-to-end without inference:
+coverage pass with growth caps, the per-path FILL phase, validation salvage,
+quality gates. This module reproduces that machinery end-to-end:
 
-  skeleton phase        regex entity extraction over batch-packed chunks
+  catalog compilation   template → NodeSpecs + projected fill schemas
+                        (contracts/dense/catalog.py:114-260, 326-358)
+  skeleton phase        per-path identity discovery over chunks
                         (dense/orchestrator.py:2410-2507 analog)
   normalization         id canonicalization + mislabeled-root strip
   skeleton dedup        dedup.dedup_entities (orchestrator.py:367-427)
   coverage pass         re-examine zero-yield chunks holding >= 10% of
-                        tokens, looser patterns, 2x per-path growth cap
-                        (orchestrator.py:2509-2647)
-  validation salvage    vectorized validate/coerce → (valid, errors), never
-                        exceptions (llm_backend.py:224-855 analog)
-  conversion driver     convert_document_graph: the full raw_nodes → graph +
-                        ledger + stats DAG (graph_converter.py:202-358 +
-                        pipeline/stages.py analog)
+                        tokens, second-chance patterns, 2x per-path growth
+                        cap (orchestrator.py:2509-2647)
+  fill phase            bottom-up path order, projected per-path schemas,
+                        scoped context, one-filled-object-per-descriptor
+                        (orchestrator.py:2776-2879 — see sparkdoc/fill.py)
+  validation salvage    the typed fixer ladder: never raises, <=3 mutation
+                        rounds (llm_backend.py:224-855 — see
+                        sparkdoc/salvage.py)
+  conversion driver     convert_document_graph: raw_nodes → graph + parent
+                        edges (resolve ladder) + reference-field edges
+                        (node-id registry resolution) + ledger + stats
+                        (graph_converter.py:202-358 + pipeline/stages.py)
 
-Everything is exprs + the existing operators; a real LLM backend would slot
-in by replacing `_extract_batch_entities` with an inference stage of the
-same signature.
+A real LLM backend slots in by replacing the discovery regexes and the fill
+rules with inference of the same signatures (SURVEY §2.11 extension surface).
 """
 
 from __future__ import annotations
@@ -30,65 +36,94 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparkdoc.catalog import DEMO_TEMPLATE, NodeCatalog, build_node_catalog
+
 COVERAGE_TOKEN_SHARE = 0.10  # orchestrator.py:74-90
 COVERAGE_GROWTH_CAP = 2  # per-path growth cap (missed paths exempt)
 
-#: deterministic "model": entity patterns over chunk text
-ENTITY_PATTERNS = {
-    "Code": r"\b[A-Z]{2,5}-[0-9]{3,8}\b",
-    "Email": r"\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b",
-    "Amount": r"\b[0-9]{1,9}(?:\.[0-9]{2})? (?:USD|EUR|GBP)\b",
-}
-#: looser second-chance patterns for the coverage pass
-COVERAGE_PATTERNS = {
-    "Term": r"\b[A-Z][a-z]{3,}(?: [A-Z][a-z]{3,}){1,3}\b",
-}
+
+def demo_catalog() -> NodeCatalog:
+    return build_node_catalog(DEMO_TEMPLATE)
 
 
-def _extract_batch_entities(chunks: DataFrame, patterns: dict[str, str]) -> DataFrame:
-    """Per chunk, pull every pattern match → entity rows
-    (doc_id, path, class, ids, fields, chunk_ids). Pure exprs."""
+def discover_entities(chunks: DataFrame, catalog: NodeCatalog, coverage: bool = False) -> DataFrame:
+    """Per-path identity discovery: each NodeSpec's regex over chunk text →
+    entity rows (doc_id, path, class, ids, fields, chunk_ids). Pure exprs —
+    the distributed analog of one skeleton LLM call per chunk batch. In
+    coverage mode, specs use their looser ``coverage_discover`` pattern
+    (falling back to ``discover``); discovery-less specs are skipped."""
     parts = []
-    for cls, pat in patterns.items():
+    for spec in catalog.nodes:
+        pat = (spec.coverage_discover or spec.discover) if coverage else spec.discover
+        if not pat or not spec.id_fields:
+            continue
+        primary = spec.id_fields[0]
         hits = chunks.select(
             "doc_id",
             "chunk_id",
-            F.explode(F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))).alias(
-                "value"
-            ),
-        )
+            F.explode(
+                F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(pat), 1))
+            ).alias("value"),
+        ).filter(F.col("value") != "")
         parts.append(
             hits.select(
                 "doc_id",
-                F.lit(f"{cls.lower()}s[]").alias("path"),
-                F.lit(cls).alias("class"),
-                F.create_map(F.lit("name"), F.col("value")).alias("ids"),
+                F.lit(spec.path).alias("path"),
+                F.lit(spec.node_type).alias("class"),
+                F.create_map(F.lit(primary), F.col("value")).alias("ids"),
                 F.create_map().cast("map<string,string>").alias("fields"),
                 F.array(F.col("chunk_id")).alias("chunk_ids"),
             )
         )
+    if not parts:
+        return chunks.sparkSession.createDataFrame([], _entities_schema())
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
 
 
-def skeleton_phase(chunks: DataFrame) -> DataFrame:
-    """Phase 1: extract + normalize + cross-batch dedup."""
+def _entities_schema():
+    from sparkdoc.schemas import ENTITIES
+
+    return ENTITIES
+
+
+def root_entities(chunks: DataFrame, catalog: NodeCatalog) -> DataFrame:
+    """One root instance per document (path "", ids from doc_id) — the
+    skeleton always contains the root (orchestrator's merged_skeleton root
+    handle). chunk_ids=[] → document scope; the fill context falls back to
+    the global head."""
+    root = catalog.spec_by_path()[""]
+    primary = root.id_fields[0] if root.id_fields else "name"
+    return chunks.select("doc_id").distinct().select(
+        "doc_id",
+        F.lit("").alias("path"),
+        F.lit(root.node_type).alias("class"),
+        F.create_map(F.lit(primary), F.col("doc_id")).alias("ids"),
+        F.create_map().cast("map<string,string>").alias("fields"),
+        F.array().cast("array<int>").alias("chunk_ids"),
+    )
+
+
+def skeleton_phase(chunks: DataFrame, catalog: NodeCatalog | None = None) -> DataFrame:
+    """Phase 1: catalog discovery + root + normalize + cross-batch dedup."""
     from sparkdoc.dedup import dedup_entities, with_node_ids
     from sparkdoc.rootid import strip_mislabeled_root_ids
 
-    raw = _extract_batch_entities(chunks, ENTITY_PATTERNS)
+    catalog = catalog or demo_catalog()
+    raw = discover_entities(chunks, catalog).unionByName(root_entities(chunks, catalog))
     normalized = strip_mislabeled_root_ids(raw)
     normalized = normalized.filter(F.size(F.map_keys("ids")) > 0)
     return dedup_entities(with_node_ids(normalized))
 
 
-def coverage_pass(chunks: DataFrame, skeleton: DataFrame) -> DataFrame:
+def coverage_pass(chunks: DataFrame, skeleton: DataFrame, catalog: NodeCatalog | None = None) -> DataFrame:
     """Re-examine zero-yield chunks iff they hold >= 10% of the document's
     tokens; cap per-path growth at 2x pre-count (missed paths exempt)."""
     from sparkdoc.dedup import dedup_entities, with_node_ids
 
+    catalog = catalog or demo_catalog()
     covered = skeleton.select("doc_id", F.explode("chunk_ids").alias("chunk_id")).distinct()
     doc_tokens = chunks.groupBy("doc_id").agg(F.sum("token_count").alias("_doc_tokens"))
     uncovered = (
@@ -101,8 +136,8 @@ def coverage_pass(chunks: DataFrame, skeleton: DataFrame) -> DataFrame:
         .filter(F.col("_unc") >= COVERAGE_TOKEN_SHARE * F.col("_tot"))
         .select("doc_id")
     )
-    second = _extract_batch_entities(
-        uncovered.join(share, "doc_id", "left_semi"), COVERAGE_PATTERNS
+    second = discover_entities(
+        uncovered.join(share, "doc_id", "left_semi"), catalog, coverage=True
     )
     extra = dedup_entities(with_node_ids(second))
     # growth cap: at most 2x the skeleton's per-(doc,path) count; paths the
@@ -115,80 +150,56 @@ def coverage_pass(chunks: DataFrame, skeleton: DataFrame) -> DataFrame:
         .filter(F.col("_pre").isNull() | (F.col("_rn") <= COVERAGE_GROWTH_CAP * F.col("_pre")))
         .drop("_pre", "_rn")
     )
+    # coverage re-discovery can re-find a skeleton entity from a different
+    # chunk — keep the skeleton's copy (left_anti on node_id within doc/path)
+    capped = capped.join(
+        skeleton.select("doc_id", "path", "node_id"), ["doc_id", "path", "node_id"], "left_anti"
+    )
     return skeleton.unionByName(capped)
 
 
-def validate_salvage(entities: DataFrame, required_id: str = "name", max_len: int = 300) -> DataFrame:
-    """Vectorized validate/coerce: never raises — returns rows + (valid,
-    errors array). Rules (llm_backend.py:224-855 analogs): required id
-    present and non-empty; over-long values truncated (error recorded);
-    whitespace collapsed."""
-    idv = F.element_at(F.col("ids"), required_id)
-    too_long = F.length(idv) > max_len
-    cleaned = F.map_from_entries(
-        F.transform(
-            F.map_entries("ids"),
-            lambda e: F.struct(
-                e["key"].alias("key"),
-                F.substring(F.regexp_replace(e["value"], "\\s+", " "), 1, max_len).alias("value"),
-            ),
-        )
-    )
-    errors = F.array_compact(
-        F.array(
-            F.when(idv.isNull() | (idv == ""), F.lit(f"missing_required:{required_id}")),
-            F.when(too_long, F.lit("truncated_identity")),
-        )
-    )
-    # errors must inspect the ORIGINAL values; clean ids afterwards
-    return (
-        entities.withColumn("errors", errors)
-        .withColumn("ids", cleaned)
-        .withColumn(
-            "valid",
-            (F.size(F.filter(F.col("errors"), lambda e: e.startswith("missing"))) == 0).cast("int"),
-        )
-    )
-
-
-def convert_document_graph(raw_nodes: DataFrame) -> dict[str, DataFrame]:
+def convert_document_graph(
+    raw_nodes: DataFrame,
+    template: dict | None = None,
+    fill_cap: int = 8,
+) -> dict[str, DataFrame]:
     """The full pipeline driver (reference pipeline/orchestrator.py:62-77 +
     graph_converter.py:202-358 analog): raw interleaved nodes → spans →
-    chunks → two-phase entities → validated graph + provenance ledger +
-    coverage stats. Returns all tables."""
+    chunks → skeleton + coverage + FILL → salvage ladder → graph with
+    catalog-driven parent edges (resolve ladder) and reference-field edges
+    (node-id registry resolution) + provenance ledger + coverage stats."""
     from sparkdoc.chunker import chunk_documents
-    from sparkdoc.dedup import containment_alias_groups, co_occurrence_veto, apply_alias_merges
+    from sparkdoc.dedup import apply_alias_merges, co_occurrence_veto, containment_alias_groups
+    from sparkdoc.fill import fill_phase
     from sparkdoc.graph import clean_edges, entities_to_nodes
     from sparkdoc.provenance import build_ledger, coverage_stats
+    from sparkdoc.salvage import salvage_entities
     from sparkdoc.spans import extract_documents
 
-    # persist the fan-out points: chunks/entities/nodes are each consumed by
-    # several downstream tables — without caching, every action re-runs the
-    # whole python pipeline (measured: minutes instead of seconds)
+    catalog = build_node_catalog(template or DEMO_TEMPLATE)
+    # Cut lineage at the fan-out points (localCheckpoint, not just persist):
+    # chunks/entities/nodes are each REFERENCED by several downstream plans,
+    # and every reference re-embeds the full upstream logical plan (the
+    # extract→chunk→fill→salvage mapInPandas chains). Self-joins and the
+    # 6-rung resolve ladder then blow Catalyst analysis up exponentially —
+    # measured: minutes-to-hang without the cut, seconds with it. persist()
+    # caches data but does NOT truncate the logical plan.
     docs = extract_documents(raw_nodes)
-    chunks = chunk_documents(docs).persist()
-    skeleton = skeleton_phase(chunks).persist()
-    full = coverage_pass(chunks, skeleton)
-    validated = validate_salvage(full).persist()
-    good = validated.filter(F.col("valid") == 1).drop("valid", "errors")
-    nodes = entities_to_nodes(good)
-    # doc-membership edges + alias pass
-    doc_nodes = nodes.select("doc_id", F.col("node_id").alias("dst")).distinct()
-    edges = (
-        nodes.select("doc_id", F.col("node_id").alias("src"))
-        .join(
-            nodes.groupBy("doc_id").agg(F.min("node_id").alias("dst")), "doc_id"
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", F.lit("co_document").alias("label"), F.lit(None).cast("map<string,string>").alias("props"))
-    )
+    chunks = chunk_documents(docs).localCheckpoint()
+    skeleton = skeleton_phase(chunks, catalog).persist()
+    full = coverage_pass(chunks, skeleton, catalog)
+    filled = fill_phase(chunks, full, catalog, fill_cap=fill_cap)
+    validated = salvage_entities(filled, catalog).localCheckpoint()
+    good = validated.filter(F.col("valid") == 1).drop("valid", "errors", "salvage_passes")
+    nodes = entities_to_nodes(good.drop("fill_batch")).persist()
+    edges = build_catalog_edges(nodes, good, catalog)
     pairs = co_occurrence_veto(
         containment_alias_groups(nodes, name_col="label"), nodes
     ).select("base_id", "superset_id")
     nodes2, edges2, alias_audit = apply_alias_merges(nodes, edges, pairs)
     nodes2 = nodes2.persist()
     edges_clean = clean_edges(nodes2, edges2)
-    ledger = build_ledger(good, chunks)
+    ledger = build_ledger(good.drop("fill_batch"), chunks)
     return {
         "documents": docs,
         "chunks": chunks,
@@ -200,3 +211,96 @@ def convert_document_graph(raw_nodes: DataFrame) -> dict[str, DataFrame]:
         "ledger": ledger,
         "coverage": coverage_stats(chunks, ledger),
     }
+
+
+def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCatalog) -> DataFrame:
+    """Graph edges from the catalog:
+
+    * parent edges — for every spec with a parent path, children resolve
+      their parent through the 7-rung ladder (resolve.resolve_parents); edge
+      src=parent, dst=child, label=the template field name (the reference's
+      edge_label walk, graph_converter.py:690-818).
+    * reference edges — a filled reference field resolves to the TARGET's
+      deterministic node id (the registry guarantee: same class + ids ⇒ same
+      id), so the edge is computed without any join against discovery output;
+      clean_edges later drops edges whose target was never instantiated.
+    """
+    from sparkdoc.dedup import node_id_expr
+    from sparkdoc.resolve import resolve_parents
+
+    by_path = catalog.spec_by_path()
+    edge_parts: list[DataFrame] = []
+
+    base = nodes.select(
+        "node_id", "doc_id", "label", "chunk_ids",
+        F.coalesce(F.array_min("chunk_ids"), F.lit(0)).alias("emission"),
+    )
+    ent_path = entities.select("node_id", "path").dropDuplicates(["node_id"])
+    # localCheckpoint truncates the logical plan here: the resolve ladder
+    # references its inputs across 6 rungs, and each reference re-embeds the
+    # full upstream plan (extract→chunk→fill→salvage mapInPandas chains) —
+    # measured to explode Catalyst analysis beyond minutes; with the cut it
+    # plans in seconds. The node table is already materialized-size anyway.
+    base = base.join(ent_path, "node_id").localCheckpoint()
+
+    for spec in catalog.nodes:
+        if not spec.path or spec.kind != "entity":
+            continue
+        parents = base.filter(F.col("path") == spec.parent_path).select(
+            "doc_id", "node_id", "path", "label", "chunk_ids", "emission"
+        )
+        children = base.filter(F.col("path") == spec.path).select(
+            "doc_id",
+            F.col("node_id").alias("child_id"),
+            F.lit(spec.parent_path).alias("parent_path"),
+            F.col("label").alias("parent_key"),
+            "chunk_ids",
+            "emission",
+        )
+        resolved = resolve_parents(children, parents)
+        edge_parts.append(
+            resolved.filter(F.col("parent_id").isNotNull()).select(
+                F.col("parent_id").alias("src"),
+                F.col("child_id").alias("dst"),
+                F.lit(spec.field_name or "has").alias("label"),
+                F.map_from_arrays(
+                    F.array(F.lit("resolved_by")), F.array(F.col("resolved_by"))
+                ).alias("props"),
+            )
+        )
+
+    # reference-field edges via registry-deterministic target ids
+    for spec in catalog.nodes:
+        for fname, id_fields in spec.reference_fields:
+            if not id_fields:
+                continue
+            target_class = _reference_target_class(catalog, id_fields)
+            if not target_class:
+                continue
+            refs = entities.filter(
+                (F.col("path") == spec.path)
+                & F.element_at(F.col("fields"), fname).isNotNull()
+            ).select(
+                F.col("node_id").alias("src"),
+                node_id_expr(
+                    F.lit(target_class),
+                    F.create_map(F.lit(id_fields[0]), F.element_at(F.col("fields"), fname)),
+                ).alias("dst"),
+                F.lit(fname).alias("label"),
+                F.lit(None).cast("map<string,string>").alias("props"),
+            )
+            edge_parts.append(refs)
+
+    if not edge_parts:
+        return nodes.sparkSession.createDataFrame([], "src string, dst string, label string, props map<string,string>")
+    out = edge_parts[0]
+    for p in edge_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _reference_target_class(catalog: NodeCatalog, id_fields: tuple[str, ...]) -> str:
+    for n in catalog.nodes:
+        if n.id_fields == id_fields and n.path:
+            return n.node_type
+    return ""
