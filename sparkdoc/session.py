@@ -37,10 +37,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        # Arrow for all pandas UDF traffic; modest batch size because single
-        # documents can be 100x median (FIXTURES F1 skew requirement).
+        # Arrow for all pandas UDF traffic. 16k rows/batch ≈ 400 median docs
+        # (or ~27 worst-case 60-page docs) per Python call — raw-node rows are
+        # ~1 KB so a batch stays ~16 MB; the old 2048 made extract pay per-batch
+        # Arrow overhead ~8x more often for no memory benefit.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         # Keep scan partitions reasonable for wide parquet at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -35,8 +35,13 @@ from sparkdoc.schemas import DOCUMENTS
 REPEAT_FURNITURE_PAGES = 3
 
 
-def _assemble_doc(kind, text, media_ref, page_no, bbox) -> list[dict]:
-    """Column arrays of ONE document (already node_id-sorted) → span dicts."""
+def _assemble_doc_flat(kind, text, media_ref, page_no, bbox, ok: list, ot: list, om: list) -> int:
+    """Column arrays of ONE document (already node_id-sorted) → spans appended
+    to the FLAT output lists (kind/text/media). Returns the span count; the
+    offset of each span is its index within the document (page_breaks consume
+    one), so callers materialize offsets as an arange — no per-span dicts.
+    This columnar form is what lets the Arrow stage below skip the
+    python-object → Arrow conversion that dominated round-1 extract cost."""
     # repeated-text furniture: same text on >= REPEAT_FURNITURE_PAGES pages
     pages_by_text: dict[str, set] = {}
     for k, t, pg in zip(kind, text, page_no):
@@ -52,12 +57,12 @@ def _assemble_doc(kind, text, media_ref, page_no, bbox) -> list[dict]:
     for i, pg in enumerate(page_no):
         by_page.setdefault(pg, []).append(i)
 
-    spans: list[dict] = []
-    offset = 0
+    n0 = len(ok)
     for pi, page in enumerate(sorted(by_page)):
         if pi > 0:
-            spans.append({"kind": "page_break", "text": "", "media_ref": "", "offset": offset})
-            offset += 1
+            ok.append("page_break")
+            ot.append("")
+            om.append("")
         idx = by_page[page]
         boxes = [tuple(bbox[i]) for i in idx]
         for j in xy_cut_order(boxes):
@@ -65,9 +70,22 @@ def _assemble_doc(kind, text, media_ref, page_no, bbox) -> list[dict]:
             k = kind[i]
             if k == "text" and text[i] in repeated:
                 k = "furniture"
-            spans.append({"kind": k, "text": text[i], "media_ref": media_ref[i], "offset": offset})
-            offset += 1
-    return spans
+            ok.append(k)
+            ot.append(text[i])
+            om.append(media_ref[i])
+    return len(ok) - n0
+
+
+def _assemble_doc(kind, text, media_ref, page_no, bbox) -> list[dict]:
+    """Dict-span view of the flat core (chunker fused path, tests)."""
+    ok: list = []
+    ot: list = []
+    om: list = []
+    _assemble_doc_flat(kind, text, media_ref, page_no, bbox, ok, ot, om)
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(zip(ok, ot, om))
+    ]
 
 
 def assemble_spans(nodes: Iterable[dict]) -> list[dict]:
@@ -82,57 +100,83 @@ def assemble_spans(nodes: Iterable[dict]) -> list[dict]:
     )
 
 
-def _assemble_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    ids = pdf["doc_id"].to_numpy()
-    kind = pdf["kind"].to_numpy()
-    text = pdf["text"].to_numpy()
-    media = pdf["media_ref"].to_numpy()
-    page = pdf["page_no"].to_numpy()
-    bbox = pdf["bbox"].to_numpy()
-    change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+_SPAN_PA_FIELDS = ("kind", "text", "media_ref", "offset")
+_IN_COLS = ("doc_id", "kind", "text", "media_ref", "page_no", "bbox")
+
+
+def _emit_arrow(ids, kind, text, media, page, bbox):
+    """Assemble every whole document in the buffered columns into ONE Arrow
+    RecordBatch, built directly from flat columnar lists (no span dicts, no
+    pandas object→Arrow conversion)."""
+    import pyarrow as pa
+
+    a = np.asarray(ids, dtype=object)
+    change = np.flatnonzero(a[1:] != a[:-1]) + 1
     starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(ids)]))
-    out_ids = []
-    out_spans = []
+    ends = np.concatenate((change, [len(a)]))
+    out_ids: list = []
+    counts: list[int] = []
+    ok: list = []
+    ot: list = []
+    om: list = []
     for s, e in zip(starts, ends):
         out_ids.append(ids[s])
-        out_spans.append(
-            _assemble_doc(kind[s:e], text[s:e], media[s:e], page[s:e], bbox[s:e])
+        counts.append(
+            _assemble_doc_flat(kind[s:e], text[s:e], media[s:e], page[s:e], bbox[s:e], ok, ot, om)
         )
-    return pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+    offsets = np.concatenate([np.arange(c, dtype=np.int32) for c in counts]) if counts else np.array([], np.int32)
+    list_offsets = np.concatenate(([0], np.cumsum(counts, dtype=np.int64))).astype(np.int32)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(ok, pa.string()),
+            pa.array(ot, pa.string()),
+            pa.array(om, pa.string()),
+            pa.array(offsets, pa.int32()),
+        ],
+        names=list(_SPAN_PA_FIELDS),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+    return pa.RecordBatch.from_arrays([pa.array(out_ids, pa.string()), spans], ["doc_id", "spans"])
 
 
-def _assemble_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Streaming per-partition assembly. Rows arrive sorted by
-    (doc_id, node_id); only the trailing (possibly batch-split) document is
-    buffered across Arrow batches — O(one doc) memory."""
-    pending: pd.DataFrame | None = None
-    for pdf in batches:
-        if pending is not None and len(pending):
-            pdf = pd.concat([pending, pdf], ignore_index=True)
-        if not len(pdf):
+def _assemble_stream_arrow(batches):
+    """Streaming per-partition assembly over raw Arrow batches. Rows arrive
+    sorted by (doc_id, node_id); only the trailing (possibly batch-split)
+    document's columns are buffered across batches — O(one doc) memory.
+    Input and output never touch pandas: column values are plain Python
+    lists (fast C to_pylist) and the output batch is built columnar."""
+    pend: tuple[list, ...] | None = None
+    for rb in batches:
+        cols = tuple(rb.column(name).to_pylist() for name in _IN_COLS)
+        if pend is not None and pend[0]:
+            cols = tuple(p + c for p, c in zip(pend, cols))
+        ids = cols[0]
+        if not ids:
             continue
-        ids = pdf["doc_id"].to_numpy()
-        first_of_last = int((ids == ids[-1]).argmax())
-        work = pdf.iloc[:first_of_last]
-        pending = pdf.iloc[first_of_last:]
-        if len(work):
-            yield _assemble_batch(work)
-    if pending is not None and len(pending):
-        yield _assemble_batch(pending)
+        last = ids[-1]
+        cut = len(ids)
+        while cut > 0 and ids[cut - 1] == last:
+            cut -= 1
+        pend = tuple(c[cut:] for c in cols)
+        if cut:
+            yield _emit_arrow(*(c[:cut] for c in cols))
+    if pend is not None and pend[0]:
+        yield _emit_arrow(*pend)
 
 
 def extract_documents(raw_nodes: DataFrame) -> DataFrame:
     """raw_nodes → documents(doc_id, spans). One shuffle (repartition by
-    doc_id); assembly is batch-streamed, never per-group."""
+    doc_id); assembly is batch-streamed (never per-group) and Arrow-native
+    end to end (mapInArrow — round 1's list-of-dicts per span + pandas
+    conversion made 32 cores slower than one golden process)."""
     df = classify_raw_nodes(raw_nodes)
     df = df.withColumn(
         "bbox",
         normalize_bbox(F.col("bbox"), F.col("coord_origin"), F.col("page_height")),
     )
     sel = df.select("doc_id", "node_id", "kind", "text", "media_ref", "page_no", "bbox")
-    part = sel.repartition("doc_id").sortWithinPartitions("doc_id", "node_id")
-    return part.mapInPandas(_assemble_stream, schema=DOCUMENTS)
+    part = sel.repartition("doc_id").sortWithinPartitions("doc_id", "node_id").drop("node_id")
+    return part.mapInArrow(_assemble_stream_arrow, schema=DOCUMENTS)
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
