@@ -527,6 +527,70 @@ def _fill_phase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scalarize(filled)
 
 
+def _one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page extraction strategy (one_to_one.py:27-219 analog): one model
+    per page over the synth corpus."""
+    from sparkdoc.extractor import one_to_one_extract
+    from sparkdoc.spans import explode_spans, extract_documents
+
+    spans = explode_spans(extract_documents(_synth_raw(spark)))
+    return _scalarize(one_to_one_extract(spans))
+
+
+def _doc_format_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract + llm_input_format auto-resolution branch (many_to_one.py:
+    274-313): direct→doclang-geo, dense→doclang."""
+    from sparkdoc.contracts import with_resolved_format
+
+    return with_resolved_format(_docs(spark, sf_dir)).select(
+        "doc_id", "contract", "llm_format"
+    )
+
+
+def _graph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-complete 3-way graph merge (merge.merge_graphs_policy) with a
+    DuckDB-checkable outcome: input-order keep-first fold + per-node conflict
+    count, over synthetic per-document node tables."""
+    from sparkdoc.merge import merge_graphs_policy
+    from sparkdoc.schemas import EDGES
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    empty_edges = spark.createDataFrame([], EDGES)
+
+    def mk(attrs, where=None):
+        d = docs if where is None else docs.filter(where)
+        return d.select(
+            F.concat(F.lit("N"), F.col("doc_id").cast("string")).alias("node_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("T").alias("node_class"),
+            F.concat(F.lit("n"), F.col("doc_id").cast("string")).alias("label"),
+            attrs.alias("attrs"),
+            F.lit(None).cast("string").alias("provenance"),
+        )
+
+    g1 = mk(F.create_map(F.lit("a"), F.concat(F.lit("a"), (F.col("doc_id") % 3).cast("string"))))
+    g2 = mk(
+        F.create_map(
+            F.lit("a"), F.lit("z"),
+            F.lit("b"), F.concat(F.lit("b"), (F.col("doc_id") % 2).cast("string")),
+        )
+    )
+    g3 = mk(F.create_map(F.lit("c"), F.lit("c")), where=F.col("doc_id") % 2 == 1)
+    out = merge_graphs_policy([(g1, empty_edges), (g2, empty_edges), (g3, empty_edges)])
+    nconf = out["conflicts"].groupBy("node_id").agg(F.count("*").alias("n_conflicts"))
+    return (
+        out["nodes"]
+        .join(nconf, "node_id", "left")
+        .select(
+            "node_id",
+            F.element_at("attrs", "a").alias("a"),
+            F.element_at("attrs", "b").alias("b"),
+            F.element_at("attrs", "c").alias("c"),
+            F.coalesce("n_conflicts", F.lit(0)).cast("long").alias("n_conflicts"),
+        )
+    )
+
+
 def _doc_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salvage fixer ladder with a DuckDB-expressible truth table: synthetic
     Fee instances carrying (bad enum | valid enum | missing enum) × (blank |
@@ -680,6 +744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_graph": _extraction_graph,
         "fill_phase": _fill_phase_q,
         "doc_salvage": _doc_salvage,
+        "graph_merge": _graph_merge,
+        "one_to_one_extract": _one_to_one,
+        "doc_format_resolution": _doc_format_resolution,
         "media_features": _media_features,
         "domain_stats_salted": _domain_stats,
         "doclang_serialize": _doclang_docs,
@@ -914,6 +981,27 @@ def oracle_sql() -> dict[str, str]:
                     THEN 'direct' ELSE 'dense' END AS contract,
                CAST(ceil(cc / 4) AS BIGINT) AS est_tokens
         FROM c
+    """
+    q["doc_format_resolution"] = r"""
+        WITH c AS (
+            SELECT doc_id,
+                   length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS cc
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN (CAST(ceil(cc / 4) AS BIGINT) + 8192 <= 128000) AND cc <= 32768
+                    THEN 'direct' ELSE 'dense' END AS contract,
+               CASE WHEN (CAST(ceil(cc / 4) AS BIGINT) + 8192 <= 128000) AND cc <= 32768
+                    THEN 'doclang-geo' ELSE 'doclang' END AS llm_format
+        FROM c
+    """
+    q["graph_merge"] = """
+        SELECT 'N' || CAST(doc_id AS VARCHAR) AS node_id,
+               'a' || CAST(doc_id % 3 AS VARCHAR) AS a,
+               'b' || CAST(doc_id % 2 AS VARCHAR) AS b,
+               CASE WHEN doc_id % 2 = 1 THEN 'c' END AS c,
+               CAST(1 AS BIGINT) AS n_conflicts
+        FROM documents
     """
     q["doc_salvage"] = """
         SELECT doc_id,

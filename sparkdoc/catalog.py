@@ -261,10 +261,11 @@ DEMO_TEMPLATE: dict = {
     "id_fields": ["name"],
     "description": "A synthetic interleaved report document; one per doc_id.",
     "fields": {
-        # chunk text carries headings stripped of '#' markers (chunker trail)
+        # chunk text strips '#' heading markers (chunker trail) but page/doc
+        # markdown keeps them - the pattern tolerates both forms
         "title": {
             "type": "string",
-            "rule": {"kind": "context", "pattern": r"(?m)^(§\d+[^\n]*)"},
+            "rule": {"kind": "context", "pattern": r"(?m)^#{0,3}\s*(§\d+[^\n]*)"},
         },
     },
     "children": {
@@ -292,7 +293,7 @@ DEMO_TEMPLATE: dict = {
                 "class": "Section",
                 "id_fields": ["name"],
                 "description": "A numbered document section (§N heading).",
-                "discover": r"(?m)^(§\d+[^\n]*)",
+                "discover": r"(?m)^#{0,3}\s*(§\d+[^\n]*)",
                 "fields": {
                     "number": {
                         "type": "int",

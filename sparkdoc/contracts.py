@@ -46,6 +46,30 @@ def with_contract(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
     )
 
 
+def resolve_llm_format(contract: Column, text_input: Column | bool = False) -> Column:
+    """llm_input_format='auto' resolution once the contract is known
+    (many_to_one.py:274-313, 2026-07-06 benchmark pairing): direct →
+    'doclang-geo' (geometry recovers footer identifiers and table matrices
+    in one-call extraction), dense → 'doclang' (structure without geometry
+    keeps chunk batches content-dense); raw-text inputs have no document to
+    serialize → 'markdown'."""
+    ti = F.lit(text_input) if isinstance(text_input, bool) else text_input
+    return (
+        F.when(ti, F.lit("markdown"))
+        .when(contract == "direct", F.lit("doclang-geo"))
+        .otherwise(F.lit("doclang"))
+    )
+
+
+def with_resolved_format(df: DataFrame, text_col: str = "text", text_input: bool = False, **kw) -> DataFrame:
+    """with_contract + the format auto-resolution branch column; each
+    (contract, llm_format) pair then runs as its own filtered sub-DAG against
+    the matching serializer (serialize.doclang_documents for -geo,
+    serialize.document_markdown for markdown, batch_markdown for dense)."""
+    out = with_contract(df, text_col, **kw)
+    return out.withColumn("llm_format", resolve_llm_format(F.col("contract"), text_input))
+
+
 def preflight_filter(df: DataFrame, text_col: str = "text", context_tokens: int = DEFAULT_CONTEXT_TOKENS) -> DataFrame:
     """Admission control: refuse docs that cannot fit the context at all
     (llm_backend.py:1209-1239) — filtered out BEFORE any expensive stage."""

@@ -205,27 +205,76 @@ def co_occurrence_veto(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def enforce_cardinality_bounds(
-    nodes: DataFrame, bounds: dict[str, int], class_col: str = "node_class"
+    nodes: DataFrame,
+    bounds: dict[str, int],
+    class_col: str = "node_class",
+    edges: DataFrame | None = None,
+    root_classes: tuple[str, ...] = (),
+    id_fields_map: dict[str, list[str]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """graph_converter.py:360-429: per class over its max-instances bound,
-    rank by (filled-attr richness desc, provenance chunk-weight desc,
-    node_id asc) and demote the rest. Classic top-k window.
+    rank best-first by (filled-attr richness desc, provenance chunk-weight
+    desc, in-degree from non-root nodes desc, canonical identity asc,
+    node_id asc) and demote the rest. Filled-first is deliberate and
+    load-bearing (the reference's note: chunk-count-first buries true
+    instances under alias-merged junk). Classic top-k window.
 
     Returns (kept, demoted-with-rank audit).
     """
     if not bounds:
         return nodes, nodes.limit(0).withColumn("_rank", F.lit(0))
+    spark = nodes.sparkSession
     bounds_df = F.broadcast(
-        nodes.sparkSession.createDataFrame(
+        spark.createDataFrame(
             [(k, v) for k, v in bounds.items()], f"{class_col} string, _bound int"
         )
     )
     richness = F.size(F.filter(F.map_values("attrs"), lambda v: (v.isNotNull()) & (v != "")))
     weight = F.coalesce(F.size("chunk_ids"), F.lit(0)) if "chunk_ids" in nodes.columns else F.lit(0)
+
+    work = nodes
+    if edges is not None:
+        # external in-degree: edges whose SOURCE is not a root-class node
+        src_cls = nodes.select(F.col("node_id").alias("src"), F.col(class_col).alias("_sc"))
+        ext = (
+            edges.join(src_cls, "src")
+            .filter(~F.col("_sc").isin(list(root_classes)) if root_classes else F.lit(True))
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.count("*").alias("_ext_in"))
+        )
+        work = work.join(ext, "node_id", "left")
+    else:
+        work = work.withColumn("_ext_in", F.lit(0))
+    ext_in = F.coalesce(F.col("_ext_in"), F.lit(0))
+
+    if id_fields_map:
+        from sparkdoc.provenance import _canon_id_text_udf
+
+        idf = F.create_map(
+            *[
+                x
+                for cls, fields in sorted(id_fields_map.items())
+                for x in (F.lit(cls), F.array(*[F.lit(f) for f in fields]))
+            ]
+        )
+        id_attrs = F.map_filter(
+            F.col("attrs"),
+            lambda k, v: F.coalesce(
+                F.array_contains(F.element_at(idf, F.col(class_col)), k), F.lit(False)
+            ),
+        )
+        work = work.withColumn("_canon_id", _canon_id_text_udf()(F.to_json(id_attrs)))
+    else:
+        work = work.withColumn("_canon_id", F.lit(""))
+
     w = Window.partitionBy(class_col).orderBy(
-        richness.desc(), weight.desc(), F.col("node_id").asc()
+        richness.desc(), weight.desc(), ext_in.desc(), F.col("_canon_id").asc(), F.col("node_id").asc()
     )
-    ranked = nodes.join(bounds_df, class_col, "left").withColumn("_rank", F.row_number().over(w))
+    ranked = (
+        work.join(bounds_df, class_col, "left")
+        .withColumn("_rank", F.row_number().over(w))
+        .drop("_ext_in", "_canon_id")
+    )
     kept = ranked.filter(F.col("_bound").isNull() | (F.col("_rank") <= F.col("_bound"))).drop(
         "_bound", "_rank"
     )

@@ -213,6 +213,41 @@ def convert_document_graph(
     }
 
 
+def one_to_one_extract(spans: DataFrame, template: dict | None = None, fill_cap: int = 8) -> DataFrame:
+    """One-to-one (per-page) strategy (strategies/one_to_one.py:27-219):
+    one extracted model per PAGE instead of per document. Each page's
+    markdown becomes a single-chunk pseudo-document; the same catalog
+    skeleton + fill + salvage machinery runs over it, and results carry
+    (doc_id, page_no) back out. No coverage pass — the page IS the context,
+    exactly as the reference's page-level extraction sees everything at once.
+
+    spans: exploded span rows (doc_id, kind, text, media_ref, offset).
+    """
+    from sparkdoc.fill import fill_phase
+    from sparkdoc.salvage import salvage_entities
+    from sparkdoc.serialize import page_markdowns
+    from sparkdoc.textops import token_count
+
+    catalog = build_node_catalog(template or DEMO_TEMPLATE)
+    pages = page_markdowns(spans)
+    chunks = pages.select(
+        F.concat_ws("\x1f", F.col("doc_id"), F.col("page_no").cast("string")).alias("doc_id"),
+        F.lit(0).alias("chunk_id"),
+        F.col("markdown").alias("text"),
+        token_count(F.col("markdown")).alias("token_count"),
+    ).localCheckpoint()
+    sk = skeleton_phase(chunks, catalog)
+    filled = fill_phase(chunks, sk, catalog, fill_cap=fill_cap)
+    good = salvage_entities(filled, catalog).filter(F.col("valid") == 1).drop(
+        "valid", "errors", "salvage_passes"
+    )
+    parts = F.split(F.col("doc_id"), "\x1f")
+    return (
+        good.withColumn("page_no", parts.getItem(1).cast("int"))
+        .withColumn("doc_id", parts.getItem(0))
+    )
+
+
 def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCatalog) -> DataFrame:
     """Graph edges from the catalog:
 

@@ -1,15 +1,26 @@
-"""Merging: description merge, deep model merge, multi-graph union-fold.
+"""Merging: description merge, deep model merge, multi-graph union-fold with
+the full policy surface.
 
 Reference semantics reproduced:
   sentence-dedup description merge   core/utils/description_merger.py:20-105
-  deep dict merge (first-wins)       core/utils/dict_merger.py:17-321
-  multi-graph merge (union-fold)     core/merge/merger.py:242-289,
-                                     node_folder.py, policy.py:40-48
+  deep dict merge + entity lists     core/utils/dict_merger.py:17-321
+  multi-graph merge (union-fold)     core/merge/merger.py:242-289,601-716
+  merge policy                       core/merge/policy.py:40-48 —
+                                     precedence input-order/richest;
+                                     conflicts keep-first/keep-all/variants
+  skolemized root collisions         merger.py:358-463
+  template-schema-hash gate          merger.py:291-330
+  conflict variants                  merger.py:83-120,703-716
+  ledger sidecar merge               provenance_merge.py (via merge_ledgers)
+  merge report                       merger.py:947-971
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
+
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve against module globals
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,38 +53,458 @@ def merge_descriptions(parts: list[str], max_length: int = 1000) -> str:
     return truncate_at_sentence_boundary(" ".join(out), max_length)
 
 
-def deep_merge_dicts(base: dict, extra: dict, description_fields: tuple[str, ...] = ("description", "summary", "notes")) -> dict:
-    """Recursive first-wins merge (dict_merger.py:17-321 core rules):
-    skip empty incoming values; dicts recurse; lists union by content identity
-    (dedup via canonical repr, order-preserving); description fields merge by
-    sentence dedup; scalars keep base."""
+_MERGE_SIMILARITY_THRESHOLD = 0.5  # dict_merger.py Jaccard fallback bar
+
+
+def _entity_hash(entity: dict, identity_fields: list[str] | None) -> str:
+    """Content hash for entity-list dedup (dict_merger.py:222-238): declared
+    identity fields when any is non-empty, else all stable fields."""
+    import hashlib
     import json
 
-    out = dict(base)
-    for k, v in extra.items():
+    if identity_fields:
+        identity = {f: entity.get(f) for f in identity_fields}
+        if any(v not in (None, "") for v in identity.values()):
+            blob = json.dumps(identity, sort_keys=True, default=str)
+            return hashlib.blake2b(blob.encode()).hexdigest()[:16]
+    stable = {k: v for k, v in entity.items() if k not in {"id", "__class__"} and v is not None}
+    blob = json.dumps(stable, sort_keys=True, default=str)
+    return hashlib.blake2b(blob.encode()).hexdigest()[:16]
+
+
+def _child_fingerprints(entity: dict) -> set[str]:
+    """Hashes of child list items + key scalars (dict_merger.py:171-187)."""
+    import hashlib
+    import json
+
+    fps: set[str] = set()
+    for k, v in entity.items():
+        if k in ("id", "__class__"):
+            continue
+        if isinstance(v, list) and v and isinstance(v[0], dict):
+            for item in v:
+                blob = json.dumps(item, sort_keys=True, default=str)
+                fps.add(hashlib.blake2b(blob.encode(), digest_size=8).hexdigest())
+        elif v is not None and not isinstance(v, (dict, list)):
+            fps.add(f"{k}:{v!s}")
+    return fps
+
+
+def _jaccard(a: set[str], b: set[str]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def _merge_entity_lists(
+    target_list: list[dict],
+    source_list: list[dict],
+    list_path: str,
+    identity_fields_map: dict[str, list[str]] | None,
+    similarity_fallback: bool,
+    description_fields: tuple[str, ...],
+) -> list[dict]:
+    """dict_merger.py:197-321: merge entity-dict lists by id, then by
+    path-scoped identity hash, then (optionally) by child-overlap Jaccard >=
+    0.5; unmatched instances append."""
+    identity_fields = (identity_fields_map or {}).get(list_path)
+    merged: list[dict] = []
+    id_map: dict[str, dict] = {}
+    seen_hashes: dict[str, dict] = {}
+    for entity in target_list:
+        eid = entity.get("id")
+        if eid:
+            id_map[eid] = entity
+        else:
+            seen_hashes[_entity_hash(entity, identity_fields)] = entity
+        merged.append(entity)
+    for src in source_list:
+        sid = src.get("id")
+        if sid and sid in id_map:
+            _deep_merge_into(id_map[sid], src, list_path, identity_fields_map, similarity_fallback, description_fields)
+            continue
+        if sid:
+            merged.append(src)
+            id_map[sid] = src
+            continue
+        h = _entity_hash(src, identity_fields)
+        if h in seen_hashes:
+            _deep_merge_into(seen_hashes[h], src, list_path, identity_fields_map, similarity_fallback, description_fields)
+            continue
+        if similarity_fallback:
+            src_fp = _child_fingerprints(src)
+            best, best_score = None, 0.0
+            for existing in merged:
+                if existing.get("id") and existing["id"] != src.get("id"):
+                    continue
+                score = _jaccard(src_fp, _child_fingerprints(existing))
+                if score > best_score:
+                    best, best_score = existing, score
+            if best is not None and best_score >= _MERGE_SIMILARITY_THRESHOLD:
+                _deep_merge_into(best, src, list_path, identity_fields_map, similarity_fallback, description_fields)
+                continue
+        merged.append(src)
+        seen_hashes[h] = src
+    return merged
+
+
+def _deep_merge_into(
+    target: dict,
+    source: dict,
+    parent_path: str,
+    identity_fields_map: dict[str, list[str]] | None,
+    similarity_fallback: bool,
+    description_fields: tuple[str, ...],
+) -> dict:
+    """In-place recursive merge (the reference mutates its target)."""
+    import json
+
+    import copy
+
+    for k, v in source.items():
         if v in (None, "", [], {}):
             continue
-        cur = out.get(k)
-        if cur in (None, "", [], {}):
-            out[k] = v
+        child_path = f"{parent_path}.{k}" if parent_path else k
+        cur = target.get(k)
+        if cur in (None, "", [], {}) or k not in target:
+            target[k] = copy.deepcopy(v)
         elif isinstance(cur, dict) and isinstance(v, dict):
-            out[k] = deep_merge_dicts(cur, v, description_fields)
+            _deep_merge_into(cur, v, child_path, identity_fields_map, similarity_fallback, description_fields)
         elif isinstance(cur, list) and isinstance(v, list):
-            seen = {json.dumps(x, sort_keys=True, default=str) for x in cur}
-            merged = list(cur)
-            for x in v:
-                key = json.dumps(x, sort_keys=True, default=str)
-                if key not in seen:
-                    seen.add(key)
-                    merged.append(x)
-            out[k] = merged
+            if cur and isinstance(cur[0], dict):
+                target[k] = _merge_entity_lists(
+                    cur, v, child_path, identity_fields_map, similarity_fallback, description_fields
+                )
+            else:
+                seen = {json.dumps(x, sort_keys=True, default=str) for x in cur}
+                for x in v:
+                    key = json.dumps(x, sort_keys=True, default=str)
+                    if key not in seen:
+                        seen.add(key)
+                        cur.append(x)
         elif k in description_fields and isinstance(cur, str) and isinstance(v, str):
-            out[k] = merge_descriptions([cur, v])
+            target[k] = merge_descriptions([cur, v])
         # else scalar conflict: first wins
-    return out
+    return target
+
+
+def deep_merge_dicts(
+    base: dict,
+    extra: dict,
+    description_fields: tuple[str, ...] = ("description", "summary", "notes"),
+    identity_fields_map: dict[str, list[str]] | None = None,
+    merge_similarity_fallback: bool = False,
+) -> dict:
+    """Recursive first-wins merge (dict_merger.py:17-321): skip empty incoming
+    values; dicts recurse; entity-dict lists merge by path-scoped identity
+    hash (``identity_fields_map``, e.g. {"studies": ["name"]}) with an
+    optional child-overlap Jaccard >= 0.5 fallback; simple lists union by
+    content; description fields merge by sentence dedup; scalars keep base.
+    Returns a NEW dict (inputs untouched)."""
+    import copy
+
+    out = copy.deepcopy(base)
+    return _deep_merge_into(
+        out, extra, "", identity_fields_map, merge_similarity_fallback, description_fields
+    )
 
 
 # --- multi-graph merge (relational union-fold) -----------------------------------
+
+VARIANT_TYPE = "ConflictVariant"  # merger.py:83-120
+HAS_CONFLICT_VARIANT = "HAS_CONFLICT_VARIANT"
+
+
+@dataclass
+class MergePolicy:
+    """Deterministic knobs of a graph merge (policy.py:40-48).
+
+    precedence: 'input_order' (argv order, first graph is base) or 'richest'
+        (per duplicate group: attr richness desc, input index asc).
+    conflicts: 'keep_first' records the conflict; 'keep_all' additionally
+        stores suppressed values in a ``__conflicts__`` node attribute;
+        'variants' additionally reifies each source's suppressed values as a
+        ConflictVariant sub-node linked by HAS_CONFLICT_VARIANT.
+    combine_fields: text attrs merged with sentence-level dedup, never
+        first-wins.
+    strict_template_check: refuse inputs whose template schema hashes differ.
+    """
+
+    precedence: str = "input_order"
+    conflicts: str = "keep_first"
+    combine_fields: tuple[str, ...] = ("description", "summary")
+    description_max_length: int = 4096
+    strict_template_check: bool = True
+
+
+class TemplateMismatchError(ValueError):
+    """Inputs were extracted with different template schemas (merger.py:291-330)."""
+
+
+def _skolemize_root_collisions(
+    tagged_nodes: list[DataFrame], tagged_edges: list[DataFrame]
+) -> tuple[list[DataFrame], list[DataFrame], DataFrame]:
+    """merger.py:358-463: a root node id colliding across inputs that
+    provably carry DISTINCT documents (doc_id differs), where the shared
+    identity value is document-derived (label == the node's doc_id — the
+    filename-stem analog), splits: later occurrences rename to
+    ``<id>__doc_<hash8>`` and gain a content-bearing ``skolem_document_id``
+    attr so content-hash dedup cannot re-fuse them. Content-derived
+    identities are never touched. Returns (nodes, edges, skolemized audit)."""
+    spark = tagged_nodes[0].sparkSession
+    roots = []
+    for n, e in zip(tagged_nodes, tagged_edges):
+        r = n.join(e.select(F.col("dst").alias("node_id")).distinct(), "node_id", "left_anti")
+        roots.append(r.select("node_id", "_src", "doc_id", "label"))
+    all_roots = roots[0]
+    for r in roots[1:]:
+        all_roots = all_roots.unionByName(r)
+    w = Window.partitionBy("node_id").orderBy("_src")
+    flagged = (
+        all_roots.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_first_doc", F.first("doc_id").over(w))
+        .filter(
+            (F.col("_rn") > 1)
+            & (F.col("doc_id") != F.col("_first_doc"))
+            & (F.col("label") == F.col("doc_id"))  # stem-derived identity only
+        )
+        .select(
+            "_src",
+            F.col("node_id").alias("_old"),
+            F.concat(
+                F.col("node_id"), F.lit("__doc_"), F.substring(F.md5(F.col("doc_id")), 1, 8)
+            ).alias("_new"),
+            F.col("doc_id").alias("_skolem_doc"),
+        )
+    ).localCheckpoint()
+    out_nodes, out_edges = [], []
+    for i, (n, e) in enumerate(zip(tagged_nodes, tagged_edges)):
+        ren = flagged.filter(F.col("_src") == i).drop("_src")
+        n2 = (
+            n.join(ren, n["node_id"] == ren["_old"], "left")
+            .withColumn("node_id", F.coalesce(F.col("_new"), F.col("node_id")))
+            .withColumn(
+                "attrs",
+                F.when(
+                    F.col("_new").isNotNull(),
+                    F.map_concat(
+                        F.col("attrs"),
+                        F.create_map(F.lit("skolem_document_id"), F.col("_skolem_doc")),
+                    ),
+                ).otherwise(F.col("attrs")),
+            )
+            .drop("_old", "_new", "_skolem_doc")
+        )
+        e2 = (
+            e.join(ren.select(F.col("_old").alias("_so"), F.col("_new").alias("_sn")), e["src"] == F.col("_so"), "left")
+            .withColumn("src", F.coalesce(F.col("_sn"), F.col("src")))
+            .drop("_so", "_sn")
+            .join(ren.select(F.col("_old").alias("_do"), F.col("_new").alias("_dn")), F.col("dst") == F.col("_do"), "left")
+            .withColumn("dst", F.coalesce(F.col("_dn"), F.col("dst")))
+            .drop("_do", "_dn")
+        )
+        out_nodes.append(n2)
+        out_edges.append(e2)
+    audit = flagged.select(
+        F.col("_old").alias("original_id"),
+        F.col("_new").alias("skolemized_id"),
+        F.col("_skolem_doc").alias("document_id"),
+        F.col("_src").alias("input_index"),
+    )
+    return out_nodes, out_edges, audit
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _merge_descriptions_udf(max_length: int = 4096):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(parts: pd.Series) -> pd.Series:
+        return parts.map(
+            lambda vs: merge_descriptions(list(vs) if vs is not None else [], max_length)
+        )
+
+    return _udf
+
+
+def merge_graphs_policy(
+    inputs: list[tuple[DataFrame, DataFrame]],
+    policy: MergePolicy | None = None,
+    schema_hashes: list[str] | None = None,
+    ledgers: list[DataFrame] | None = None,
+) -> dict:
+    """Full-policy N-way merge (merger.py:242-289 relational re-expression).
+
+    Returns {"nodes", "edges", "conflicts", "skolemized", "ledger",
+    "report"}: conflicts has one row per (node_id, attr, suppressed value,
+    source); under keep_all suppressed values also land in a __conflicts__
+    JSON attr; under variants each conflicting source contributes a
+    ConflictVariant sub-node. ``ledgers`` merge via merge_ledgers (the
+    provenance sidecar). ``report`` is a small driver-side dict.
+    """
+    policy = policy or MergePolicy()
+    # template-schema-hash gate (merger.py:291-330)
+    warnings: list[str] = []
+    if schema_hashes:
+        distinct = {h for h in schema_hashes if h}
+        if len(distinct) > 1:
+            if policy.strict_template_check:
+                raise TemplateMismatchError(
+                    f"Inputs were extracted with different template schemas: "
+                    f"{sorted(h[:12] for h in distinct)}; refusing to merge "
+                    "(strict_template_check=False to override)."
+                )
+            warnings.append(
+                "Template schemas differ across inputs; merging anyway — "
+                "same-named classes merge by node ID."
+            )
+
+    tagged_n = [n.withColumn("_src", F.lit(i)) for i, (n, _) in enumerate(inputs)]
+    tagged_e = [e.withColumn("_src", F.lit(i)) for i, (_, e) in enumerate(inputs)]
+    tagged_n, tagged_e, skolemized = _skolemize_root_collisions(tagged_n, tagged_e)
+
+    all_nodes = tagged_n[0]
+    for t in tagged_n[1:]:
+        all_nodes = all_nodes.unionByName(t)
+    all_nodes = all_nodes.localCheckpoint()  # referenced by several folds below
+
+    exploded = all_nodes.select(
+        "node_id", "_src", F.explode_outer("attrs").alias("k", "v")
+    ).filter(F.col("v").isNotNull() & (F.col("v") != ""))
+    richness = F.count("*").over(Window.partitionBy("node_id", "_src"))
+    if policy.precedence == "richest":
+        order = F.struct((-richness).alias("r"), F.col("_src").alias("s"))
+    else:
+        order = F.struct(F.col("_src").alias("s"), F.lit(0).alias("r"))
+    ranked = exploded.withColumn("_ord", order)
+    winner = ranked.groupBy("node_id", "k").agg(
+        F.min_by("v", F.col("_ord")).alias("v"),
+        F.countDistinct("v").alias("_nvals"),
+        # combine-fields values in precedence order (sentence-dedup merge)
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("_ord"), F.col("v").alias("v")))),
+            lambda s: s["v"],
+        ).alias("_all_vals"),
+    )
+    combine = list(policy.combine_fields)
+    if combine:
+        winner = winner.withColumn(
+            "v",
+            F.when(
+                F.col("k").isin(combine),
+                _merge_descriptions_udf(policy.description_max_length)(
+                    F.array_distinct(F.col("_all_vals"))
+                ),
+            ).otherwise(F.col("v")),
+        )
+    # suppressed values: every distinct non-winner (node_id, k, v, src)
+    suppressed = (
+        ranked.join(winner.select("node_id", "k", F.col("v").alias("_win")), ["node_id", "k"])
+        .filter((F.col("v") != F.col("_win")) & ~F.col("k").isin(combine))
+        .select("node_id", F.col("k").alias("attr"), F.col("v").alias("suppressed_value"), "_src")
+        .dropDuplicates(["node_id", "attr", "suppressed_value", "_src"])
+    )
+    conflicts = suppressed.select(
+        "node_id", "attr", "suppressed_value", F.col("_src").alias("input_index")
+    )
+    folded = winner.groupBy("node_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("attrs")
+    )
+    label_pick = all_nodes.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("node_id").orderBy("_src"))
+    ).filter(F.col("_rn") == 1).select("node_id", "node_class", "label", "doc_id", "provenance")
+    nodes = label_pick.join(folded, "node_id", "left").withColumn(
+        "attrs", F.coalesce(F.col("attrs"), F.create_map().cast("map<string,string>"))
+    )
+
+    if policy.conflicts == "keep_all":
+        packed = suppressed.groupBy("node_id").agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("attr"), F.col("suppressed_value").alias("value"), F.col("_src").alias("source")
+                        )
+                    )
+                )
+            ).alias("_conf")
+        )
+        nodes = nodes.join(packed, "node_id", "left").withColumn(
+            "attrs",
+            F.when(
+                F.col("_conf").isNotNull(),
+                F.map_concat(F.col("attrs"), F.create_map(F.lit("__conflicts__"), F.col("_conf"))),
+            ).otherwise(F.col("attrs")),
+        ).drop("_conf")
+
+    variant_nodes = None
+    variant_edges = None
+    if policy.conflicts == "variants":
+        # one variant per (base node, conflicting source): the source's
+        # dropped values, graph-queryable (merger.py:703-716); a variant
+        # never spawns variants of its own (base class gate below)
+        vsrc = suppressed.join(
+            nodes.select("node_id", F.col("node_class").alias("_bc"), "doc_id"), "node_id"
+        ).filter(F.col("_bc") != VARIANT_TYPE)
+        variant_nodes = (
+            vsrc.groupBy("node_id", "_src", "_bc", "doc_id")
+            .agg(F.map_from_entries(F.collect_list(F.struct(F.col("attr"), F.col("suppressed_value")))).alias("attrs"))
+            .select(
+                F.concat(F.col("node_id"), F.lit("__variant_"), F.col("_src")).alias("node_id"),
+                "doc_id",
+                F.lit(VARIANT_TYPE).alias("node_class"),
+                F.concat(F.lit("variant of "), F.col("node_id")).alias("label"),
+                F.map_concat(
+                    F.col("attrs"), F.create_map(F.lit("variant_source"), F.col("_src").cast("string"))
+                ).alias("attrs"),
+                F.lit(None).cast("string").alias("provenance"),
+                F.col("node_id").alias("_base"),
+            )
+        )
+        variant_edges = variant_nodes.select(
+            F.col("_base").alias("src"),
+            F.col("node_id").alias("dst"),
+            F.lit(HAS_CONFLICT_VARIANT).alias("label"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+        )
+        variant_nodes = variant_nodes.drop("_base")
+        nodes = nodes.unionByName(variant_nodes)
+
+    all_edges = tagged_e[0].drop("_src")
+    for t in tagged_e[1:]:
+        all_edges = all_edges.unionByName(t.drop("_src"))
+    edges = all_edges.dropDuplicates(["src", "dst", "label"])
+    if variant_edges is not None:
+        edges = edges.unionByName(variant_edges)
+
+    merged_ledger = merge_ledgers_sidecar(ledgers) if ledgers else None
+
+    report = {
+        "n_inputs": len(inputs),
+        "precedence": policy.precedence,
+        "conflicts_policy": policy.conflicts,
+        "warnings": warnings,
+        "schema_hashes": sorted({h for h in (schema_hashes or []) if h}),
+    }
+    return {
+        "nodes": nodes.select("node_id", "doc_id", "node_class", "label", "attrs", "provenance"),
+        "edges": edges,
+        "conflicts": conflicts,
+        "skolemized": skolemized,
+        "ledger": merged_ledger,
+        "report": report,
+    }
+
+
+def merge_ledgers_sidecar(ledgers: list[DataFrame]) -> DataFrame:
+    from sparkdoc.provenance import merge_ledgers
+
+    return merge_ledgers(ledgers)
 
 
 def merge_graphs(

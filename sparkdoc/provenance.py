@@ -20,6 +20,8 @@ schemas.ANCHOR_KIND_STRENGTH (provenance/models.py:22-27).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve against module globals
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -134,6 +136,158 @@ def coverage_stats(chunks: DataFrame, ledger: DataFrame) -> DataFrame:
         F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
         (F.coalesce("n_covered", F.lit(0)) / F.col("n_chunks")).alias("coverage"),
     )
+
+
+# --- binder ladder: graph nodes × existing ledger ---------------------------
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _canon_id_text_udf():
+    """canonical_id_text (provenance/identity.py:63-66): canonicalized id
+    values, sorted by field, space-joined — the fuzzy-containment key."""
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    from sparkdoc.identity import canonicalize_identity
+
+    @pandas_udf("string")
+    def _udf(ids_json: pd.Series) -> pd.Series:
+        def canon(j):
+            ids = json.loads(j) if j else {}
+            parts = [
+                canonicalize_identity(v, k) for k, v in sorted(ids.items()) if v is not None
+            ]
+            return " ".join(p for p in parts if p)
+
+        return ids_json.map(canon)
+
+    return _udf
+
+
+def bind_provenance(
+    nodes: DataFrame,
+    ledger: DataFrame,
+    chunks: DataFrame | None = None,
+    node_level: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The binder ladder (core/provenance/binder.py:172-356): annotate graph
+    nodes with a compact provenance view from an EXISTING ledger. Every node
+    gets exactly one of a resolved view or {"status": "unresolved"} — never a
+    wrong attribution and never silence.
+
+    Rungs, in order:
+      1. exact      — ledger entry with the node's identity key (node ids are
+                      registry-deterministic, so the key IS the node_id)
+      2. fuzzy      — UNIQUE canonical-containment match within the same
+                      catalog path (binder.py:154-170): skeleton-vs-fill id
+                      drift ("Article 5" vs "article 5 termination") still
+                      binds; ambiguous (>1 candidate) never binds
+      3. verbatim   — the node's final id values located verbatim in chunk
+                      texts (anchor_scan), when ``chunks`` is given
+      4. fallback   — ``node_level=False`` (direct-contract ledgers) falls
+                      back to document scope; node-level ledgers mark
+                      unresolved
+
+    nodes: (doc_id, node_id, path, ids, ...). Returns (nodes with a
+    ``provenance`` JSON column, bind_stats one-row rollup).
+    """
+    n = nodes.withColumn("_ct", _canon_id_text_udf()(F.to_json("ids")))
+    led = ledger.select(
+        F.col("doc_id").alias("_l_doc"),
+        F.col("identity_key").alias("_l_key"),
+        F.col("path").alias("_l_path"),
+        F.col("ids").alias("_l_ids"),
+        F.col("anchors").alias("_l_anchors"),
+    ).withColumn("_lt", _canon_id_text_udf()(F.to_json("_l_ids")))
+
+    # rung 1: exact identity key
+    exact = (
+        n.join(led, (n["doc_id"] == led["_l_doc"]) & (n["node_id"] == led["_l_key"]))
+        .select("doc_id", "node_id", F.col("_l_anchors").alias("_anchors"))
+        .withColumn("_bind", F.lit("observed"))
+        .dropDuplicates(["doc_id", "node_id"])
+    )
+    n2 = n.join(exact.select("doc_id", "node_id"), ["doc_id", "node_id"], "left_anti")
+
+    # rung 2: unique same-path canonical containment (len >= 3)
+    cand = (
+        n2.filter(F.length("_ct") >= 3)
+        .join(
+            led,
+            (n2["doc_id"] == led["_l_doc"])
+            & (n2["path"] == led["_l_path"])
+            & (F.length("_lt") > 0)
+            & (F.col("_ct").contains(F.col("_lt")) | F.col("_lt").contains(F.col("_ct"))),
+        )
+    )
+    uniq = Window.partitionBy("doc_id", "node_id")
+    fuzzy = (
+        cand.withColumn("_n", F.count("*").over(uniq))
+        .filter(F.col("_n") == 1)
+        .select("doc_id", "node_id", F.col("_l_anchors").alias("_anchors"))
+        .withColumn("_bind", F.lit("fuzzy"))
+    )
+    n3 = n2.join(fuzzy.select("doc_id", "node_id"), ["doc_id", "node_id"], "left_anti")
+
+    # rung 3: verbatim locate of the node's final id values
+    if chunks is not None:
+        scans = anchor_scan(n3.select("doc_id", "node_id", "ids"), chunks)
+        verb = (
+            scans.groupBy("doc_id", "node_id")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("chunk_id").cast("int").alias("chunk_id"),
+                                F.lit("verbatim").alias("kind"),
+                                F.array(
+                                    F.col("start").cast("int"), F.col("end").cast("int")
+                                ).alias("span"),
+                            )
+                        )
+                    ),
+                    1,
+                    MAX_ANCHORS,
+                ).alias("_anchors")
+            )
+            .withColumn("_bind", F.lit("verbatim"))
+        )
+    else:
+        verb = exact.limit(0)
+
+    resolved = exact.unionByName(fuzzy).unionByName(verb)
+    bound = nodes.join(resolved, ["doc_id", "node_id"], "left").withColumn(
+        "provenance",
+        F.when(
+            F.col("_bind").isNotNull(),
+            F.to_json(F.struct(F.col("_bind").alias("kind"), F.col("_anchors").alias("anchors"))),
+        ).otherwise(
+            F.to_json(
+                F.struct(
+                    F.lit("document" if not node_level else "unresolved").alias(
+                        "scope" if not node_level else "status"
+                    )
+                )
+            )
+        ),
+    ).drop("_bind", "_anchors")
+
+    stats = bound.select(
+        F.get_json_object("provenance", "$.kind").alias("_k"),
+        F.get_json_object("provenance", "$.status").alias("_s"),
+    ).agg(
+        F.count("*").alias("nodes_seen"),
+        F.sum(F.when(F.col("_k") == "verbatim", 1).otherwise(0)).alias("bound_verbatim"),
+        F.sum(F.when(F.col("_k").isin("observed", "fuzzy"), 1).otherwise(0)).alias("bound_observed"),
+        F.sum(F.when(F.col("_k") == "fuzzy", 1).otherwise(0)).alias("bound_fuzzy"),
+        F.sum(F.when(F.col("_k").isNull() & F.col("_s").isNull(), 1).otherwise(0)).alias("bound_document"),
+        F.sum(F.when(F.col("_s") == "unresolved", 1).otherwise(0)).alias("unresolved"),
+    )
+    return bound, stats
 
 
 def merge_ledgers(ledgers: list[DataFrame]) -> DataFrame:

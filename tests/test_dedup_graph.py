@@ -231,3 +231,44 @@ def test_content_hash_dedup_cleans_collapsed_edges(spark):
     _, redirected = content_hash_dedup(nodes, edges)
     got = [(r["src"], r["dst"], r["label"]) for r in redirected.collect()]
     assert got == [("B_1", "A_1", "refs")]
+
+
+def test_cardinality_full_rank_key(spark):
+    """Rank key completion (graph_converter.py:360-420): richness desc, chunk
+    weight desc, EXTERNAL in-degree desc (non-root sources only), canonical
+    identity asc as the stable tiebreak."""
+    from sparkdoc.dedup import enforce_cardinality_bounds
+    from sparkdoc.schemas import EDGES
+
+    rows = [
+        # equal richness + weight: ext_in then canonical identity decide
+        ("K_1", "d1", "K", "zeta", {"name": "zeta"}, None, [0]),
+        ("K_2", "d1", "K", "alpha", {"name": "alpha"}, None, [0]),
+        ("K_3", "d1", "K", "beta", {"name": "beta"}, None, [0]),
+        ("R_1", "d1", "Root", "root", {"name": "root"}, None, [0]),
+        ("X_1", "d1", "X", "x", {"name": "x"}, None, [0]),
+    ]
+    nodes = spark.createDataFrame(
+        rows,
+        "node_id string, doc_id string, node_class string, label string, "
+        "attrs map<string,string>, provenance string, chunk_ids array<int>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("R_1", "K_2", "has", None),  # root source — does NOT count
+            ("X_1", "K_1", "refs", None),  # non-root source — counts for K_1
+        ],
+        EDGES,
+    )
+    kept, demoted = enforce_cardinality_bounds(
+        nodes,
+        {"K": 2},
+        edges=edges,
+        root_classes=("Root",),
+        id_fields_map={"K": ["name"]},
+    )
+    kept_ids = {r["node_id"] for r in kept.collect() if r["node_class"] == "K"}
+    # K_1 wins on ext_in=1; K_2 vs K_3 tie on ext_in=0 → canonical identity
+    # 'alpha' < 'beta' keeps K_2; K_3 demoted
+    assert kept_ids == {"K_1", "K_2"}
+    assert [r["node_id"] for r in demoted.collect()] == ["K_3"]

@@ -119,3 +119,38 @@ def test_convert_document_graph_end_to_end(spark):
     assert verb.count() > 0
     cov = out["coverage"].agg(F.avg("coverage")).collect()[0][0]
     assert 0 < cov <= 1
+
+
+def test_one_to_one_strategy(spark):
+    """Per-page extraction: entities carry (doc_id, page_no); a contract code
+    on page N is discovered from page N's markdown only."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.extractor import one_to_one_extract
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    spans = explode_spans(extract_documents(raw_nodes_df(spark, 24, 42, partitions=4)))
+    out = one_to_one_extract(spans).persist()
+    assert out.filter(F.col("page_no").isNull()).count() == 0
+    assert "\x1f" not in out.select("doc_id").first()["doc_id"]
+    # one Report root per page
+    roots = out.filter(F.col("path") == "").groupBy("doc_id", "page_no").count()
+    assert roots.filter(F.col("count") != 1).count() == 0
+    classes = {r["class"] for r in out.select("class").distinct().collect()}
+    assert "Section" in classes
+
+
+def test_format_auto_resolution(spark):
+    from pyspark.sql import functions as F
+
+    from sparkdoc.contracts import with_resolved_format
+
+    docs = spark.createDataFrame(
+        [(1, "short doc"), (2, "x" * 40000)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["contract"], r["llm_format"]) for r in with_resolved_format(docs).collect()}
+    assert got[1] == ("direct", "doclang-geo")
+    assert got[2] == ("dense", "doclang")
+    raw = with_resolved_format(docs, text_input=True).collect()
+    assert all(r["llm_format"] == "markdown" for r in raw)

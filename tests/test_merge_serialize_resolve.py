@@ -181,3 +181,133 @@ def test_merge_graphs_keeps_attrless_nodes(spark):
     assert set(got) == {"N1", "N2", "N3"}
     assert got["N2"] == {} and got["N3"] == {}
     assert edges.count() == 2
+
+
+# --- merge policy surface (merger.py:242-716 analogs) -----------------------
+
+
+def _mk_inputs(spark):
+    from sparkdoc.schemas import EDGES, NODES
+
+    g1n = spark.createDataFrame(
+        [("R", "d1", "T", "r", {"a": "1", "description": "Alpha fact. Shared fact."}, None),
+         ("C", "d1", "T", "c", {"x": "1"}, None)],
+        NODES,
+    )
+    g1e = spark.createDataFrame([("R", "C", "has", None)], EDGES)
+    g2n = spark.createDataFrame(
+        [("R", "d2", "T", "r", {"a": "2", "b": "9", "description": "Shared fact. Beta fact."}, None),
+         ("C", "d2", "T", "c", {"x": "2"}, None)],
+        NODES,
+    )
+    g2e = spark.createDataFrame([("R", "C", "has", None)], EDGES)
+    return [(g1n, g1e), (g2n, g2e)]
+
+
+def test_merge_policy_keep_all_packs_conflicts(spark):
+    from sparkdoc.merge import MergePolicy, merge_graphs_policy
+
+    out = merge_graphs_policy(_mk_inputs(spark), MergePolicy(conflicts="keep_all"))
+    rows = {r["node_id"]: r["attrs"] for r in out["nodes"].collect()}
+    c = rows["C"]
+    assert c["x"] == "1" and "__conflicts__" in c and '"2"' in c["__conflicts__"]
+    assert out["conflicts"].filter("node_id='C' and attr='x'").count() == 1
+
+
+def test_merge_policy_variants_reified(spark):
+    from sparkdoc.merge import HAS_CONFLICT_VARIANT, VARIANT_TYPE, MergePolicy, merge_graphs_policy
+
+    out = merge_graphs_policy(_mk_inputs(spark), MergePolicy(conflicts="variants"))
+    variants = out["nodes"].filter(f"node_class='{VARIANT_TYPE}'").collect()
+    assert variants and any(v["attrs"].get("x") == "2" for v in variants)
+    ve = out["edges"].filter(f"label='{HAS_CONFLICT_VARIANT}'").collect()
+    assert ve and all(e["src"] in ("C", "R") for e in ve)
+    # canonical node identical to keep_first
+    c = {r["node_id"]: r["attrs"] for r in out["nodes"].collect()}["C"]
+    assert c["x"] == "1" and "__conflicts__" not in c
+
+
+def test_merge_policy_combine_fields_sentence_dedup(spark):
+    from sparkdoc.merge import MergePolicy, merge_graphs_policy
+
+    out = merge_graphs_policy(_mk_inputs(spark), MergePolicy())
+    r = {x["node_id"]: x["attrs"] for x in out["nodes"].collect()}["R"]
+    assert r["description"].count("Shared fact.") == 1
+    assert "Alpha fact." in r["description"] and "Beta fact." in r["description"]
+
+
+def test_merge_policy_skolemizes_stem_root_collisions(spark):
+    """Same root id, distinct documents, identity value == doc_id (the
+    filename-stem analog) → the later occurrence splits and its edges follow;
+    content-derived identities (label != doc_id) are never touched."""
+    from sparkdoc.merge import merge_graphs_policy
+    from sparkdoc.schemas import EDGES, NODES
+
+    g1n = spark.createDataFrame([("Root_1", "d1", "T", "d1", {"a": "1"}, None),
+                                 ("K_1", "d1", "T", "kid", {"k": "1"}, None)], NODES)
+    g1e = spark.createDataFrame([("Root_1", "K_1", "has", None)], EDGES)
+    g2n = spark.createDataFrame([("Root_1", "d2", "T", "d2", {"a": "2"}, None),
+                                 ("K_2", "d2", "T", "kid2", {"k": "2"}, None)], NODES)
+    g2e = spark.createDataFrame([("Root_1", "K_2", "has", None)], EDGES)
+    out = merge_graphs_policy([(g1n, g1e), (g2n, g2e)])
+    ids = {r["node_id"] for r in out["nodes"].collect()}
+    sk = [i for i in ids if i.startswith("Root_1__doc_")]
+    assert "Root_1" in ids and len(sk) == 1
+    attrs = {r["node_id"]: r["attrs"] for r in out["nodes"].collect()}
+    assert attrs[sk[0]]["skolem_document_id"] == "d2"
+    # skolemized root keeps its own child edge
+    assert {(r["src"], r["dst"]) for r in out["edges"].collect()} == {
+        ("Root_1", "K_1"), (sk[0], "K_2")
+    }
+    assert out["skolemized"].count() == 1
+
+
+def test_merge_policy_schema_hash_gate(spark):
+    import pytest as _pytest
+
+    from sparkdoc.merge import MergePolicy, TemplateMismatchError, merge_graphs_policy
+
+    with _pytest.raises(TemplateMismatchError):
+        merge_graphs_policy(_mk_inputs(spark), schema_hashes=["h1", "h2"])
+    out = merge_graphs_policy(
+        _mk_inputs(spark),
+        MergePolicy(strict_template_check=False),
+        schema_hashes=["h1", "h2"],
+    )
+    assert out["report"]["warnings"]
+
+
+def test_merge_policy_ledger_sidecar(spark):
+    from sparkdoc.merge import merge_graphs_policy
+    from sparkdoc.schemas import LEDGER
+
+    l1 = spark.createDataFrame(
+        [("d1", "K", "p[]", {"name": "x"}, [(0, "observed", [0, 0])])], LEDGER
+    )
+    l2 = spark.createDataFrame(
+        [("d1", "K", "p[]", {"name": "x"}, [(0, "verbatim", [0, 0])])], LEDGER
+    )
+    out = merge_graphs_policy(_mk_inputs(spark), ledgers=[l1, l2])
+    row = out["ledger"].collect()[0]
+    # strength-max: verbatim beats observed for the same (chunk, span)
+    assert [a["kind"] for a in row["anchors"]] == ["verbatim"]
+
+
+def test_deep_merge_entity_lists_identity_and_jaccard():
+    from sparkdoc.merge import deep_merge_dicts
+
+    base = {"studies": [{"name": "S1", "n": 5}, {"name": "S2"}]}
+    extra = {"studies": [{"name": "S1", "site": "Paris"}, {"name": "S3"}]}
+    out = deep_merge_dicts(base, extra, identity_fields_map={"studies": ["name"]})
+    byname = {s["name"]: s for s in out["studies"]}
+    assert set(byname) == {"S1", "S2", "S3"}
+    assert byname["S1"] == {"name": "S1", "n": 5, "site": "Paris"}  # folded, first wins
+
+    # Jaccard >= 0.5 child-overlap fallback when no id/hash match
+    a = {"items": [{"rows": [{"sku": "A"}, {"sku": "B"}], "note": "x"}]}
+    b = {"items": [{"rows": [{"sku": "A"}, {"sku": "B"}], "extra": "y"}]}
+    merged = deep_merge_dicts(a, b, merge_similarity_fallback=True)
+    assert len(merged["items"]) == 1 and merged["items"][0]["extra"] == "y"
+    # without the fallback the near-dup instance appends instead
+    plain = deep_merge_dicts(a, b)
+    assert len(plain["items"]) == 2

@@ -102,3 +102,72 @@ def test_coverage_stats(entities_df, chunks_df):
     assert cov["n_chunks"] == 11
     assert 0 < cov["n_covered"] <= 11
     assert cov["coverage"] == cov["n_covered"] / cov["n_chunks"]
+
+
+# --- binder ladder (binder.py:172-356 analog) --------------------------------
+
+
+def test_bind_provenance_rungs(spark):
+    """exact → fuzzy (unique same-path containment) → verbatim → unresolved."""
+    import json
+
+    from sparkdoc.provenance import bind_provenance
+    from sparkdoc.schemas import LEDGER
+
+    ledger = spark.createDataFrame(
+        [
+            # exact: identity_key == the node's id
+            ("d1", "N_exact", "p[]", {"name": "Alpha"}, [(0, "observed", [0, 0])]),
+            # fuzzy target: canonical containment of 'article 5'
+            ("d1", "K_led1", "p[]", {"name": "Article 5 Termination"}, [(1, "observed", [0, 0])]),
+            # ambiguous pair for 'beta'
+            ("d1", "K_a", "q[]", {"name": "Beta One"}, [(2, "observed", [0, 0])]),
+            ("d1", "K_b", "q[]", {"name": "Beta Two"}, [(3, "observed", [0, 0])]),
+        ],
+        LEDGER,
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("d1", "N_exact", "p[]", {"name": "Alpha"}),
+            ("d1", "N_fuzzy", "p[]", {"name": "Article 5"}),
+            ("d1", "N_ambig", "q[]", {"name": "Beta"}),
+            ("d1", "N_verb", "r[]", {"code": "CT-123456"}),
+            ("d1", "N_lost", "r[]", {"code": "ZZZZZ"}),
+        ],
+        "doc_id string, node_id string, path string, ids map<string,string>",
+    )
+    chunks = spark.createDataFrame(
+        [("d1", 7, "the contract ct-123456 applies here")],
+        "doc_id string, chunk_id int, text string",
+    )
+    bound, stats = bind_provenance(nodes, ledger, chunks)
+    got = {r["node_id"]: json.loads(r["provenance"]) for r in bound.collect()}
+    assert got["N_exact"]["kind"] == "observed"
+    assert got["N_fuzzy"]["kind"] == "fuzzy"
+    assert got["N_fuzzy"]["anchors"][0]["chunk_id"] == 1
+    assert got["N_verb"]["kind"] == "verbatim"
+    assert got["N_verb"]["anchors"][0]["chunk_id"] == 7
+    # ambiguous containment (2 same-path candidates) never binds fuzzily
+    assert got["N_ambig"].get("status") == "unresolved"
+    assert got["N_lost"].get("status") == "unresolved"
+    s = stats.collect()[0]
+    assert s["nodes_seen"] == 5 and s["bound_verbatim"] == 1
+    assert s["bound_fuzzy"] == 1 and s["unresolved"] == 2
+
+
+def test_bind_provenance_document_fallback(spark):
+    """Direct-contract (not node-level) ledgers fall back to document scope."""
+    import json
+
+    from sparkdoc.provenance import bind_provenance
+    from sparkdoc.schemas import LEDGER
+
+    ledger = spark.createDataFrame([], LEDGER)
+    nodes = spark.createDataFrame(
+        [("d1", "N_1", "p[]", {"name": "Gamma"})],
+        "doc_id string, node_id string, path string, ids map<string,string>",
+    )
+    bound, stats = bind_provenance(nodes, ledger, chunks=None, node_level=False)
+    got = json.loads(bound.collect()[0]["provenance"])
+    assert got == {"scope": "document"}
+    assert stats.collect()[0]["bound_document"] == 1
