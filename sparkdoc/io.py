@@ -145,3 +145,33 @@ def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str, merge: bool
     header.unionByName(node_stmts).unionByName(edge_stmts).coalesce(1).write.mode(
         "overwrite"
     ).text(out_path)
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, key: str = "doc_id", buckets: int = 32, sort: bool = True
+) -> str:
+    """Hash-bucketed managed table — the Iceberg ``bucket(N, doc_id)``
+    distribution-mode analog on plain parquet (SURVEY §7: the reference runs
+    on an Iceberg table of 10^12 docs; the sandbox has no Iceberg runtime, so
+    the bucketed-write claim is demonstrated with Spark's native bucketing,
+    which has the same co-location contract).
+
+    Two tables bucketed by the same key with the same bucket count join and
+    aggregate WITHOUT a shuffle — verified by the bucketed-join plan test
+    (no Exchange on either side). At 100 TB this is what turns every
+    doc_id-keyed stage after ingest into a scan-local operation.
+    """
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a crashed previous run can leave the managed location behind with no
+    # catalog entry — Spark then refuses the name (LOCATION_ALREADY_EXISTS)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if warehouse:
+        shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
+    writer = df.write.format("parquet").mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(name)
+    return name

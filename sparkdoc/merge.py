@@ -563,23 +563,68 @@ def merge_graphs(
     return nodes, edges, conflicts
 
 
-def enforce_closed_catalogs(nodes: DataFrame, edges: DataFrame, catalog_classes: list[str]) -> tuple[DataFrame, DataFrame]:
-    """graph_converter.py:431-494 analog: for catalog classes, drop reference
-    edges pointing at catalog members that exist ONLY as catalog targets
-    (every in-edge marked) — here simplified to: drop edges whose dst node of
-    a catalog class has no meaningful attrs beyond its identity.
+CLOSED_CATALOG_MARK = "_closed_catalog"
 
-    Guard: if ALL members of the class would drop, keep everything."""
-    cat = nodes.filter(F.col("node_class").isin(catalog_classes))
-    rich = F.size(F.filter(F.map_values("attrs"), lambda v: v.isNotNull() & (v != "")))
-    flagged = cat.withColumn("_catalog_only", (rich <= 1).cast("int"))
+
+def enforce_closed_catalogs(
+    nodes: DataFrame, edges: DataFrame, catalog_classes: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """graph_converter.py:431-494: drop reference edges to targets
+    instantiated ONLY by closed-catalog reference fields, removing targets
+    that end up fully disconnected.
+
+    Marker semantics are label-scoped: an edge counts as marked only when
+    ``props['_closed_catalog'] == label`` (a stale marker left by attr-merge
+    of a re-added edge pair must not count). A target with any unmarked
+    in-edge keeps everything. Guard: when EVERY member of a target class is
+    closed-catalog-only, the canonical catalog was not extracted at all —
+    skip the class instead of wiping it. The transient marker is stripped
+    from surviving edges either way.
+
+    ``catalog_classes`` (optional) additionally restricts enforcement to the
+    named classes. Returns (nodes, edges)."""
+    marked = F.element_at(F.coalesce(F.col("props"), F.create_map()), CLOSED_CATALOG_MARK) == F.col("label")
+    per_dst = edges.groupBy(F.col("dst").alias("node_id")).agg(
+        F.count("*").alias("_in_total"),
+        F.sum(F.when(marked, 1).otherwise(0)).alias("_in_marked"),
+    )
+    flagged = (
+        nodes.join(per_dst, "node_id", "left")
+        .withColumn(
+            "_catalog_only",
+            (
+                F.coalesce(F.col("_in_total"), F.lit(0)) > 0
+            ) & (F.col("_in_total") == F.col("_in_marked")),
+        )
+    )
+    if catalog_classes:
+        flagged = flagged.withColumn(
+            "_catalog_only", F.col("_catalog_only") & F.col("node_class").isin(catalog_classes)
+        )
     guard = flagged.groupBy("node_class").agg(
-        (F.sum("_catalog_only") == F.count("*")).alias("_all_catalog")
+        (F.sum(F.col("_catalog_only").cast("int")) >= F.count("*")).alias("_all_catalog")
     )
-    droppable = (
+    droppable_nodes = (
         flagged.join(guard, "node_class")
-        .filter((F.col("_catalog_only") == 1) & ~F.col("_all_catalog"))
-        .select(F.col("node_id").alias("dst"))
+        .filter(F.col("_catalog_only") & ~F.col("_all_catalog"))
+        .select("node_id")
+    ).localCheckpoint()
+    # drop ALL in-edges of droppable targets (each is marked by construction)
+    kept_edges = edges.join(
+        droppable_nodes.withColumnRenamed("node_id", "dst"), "dst", "left_anti"
     )
-    kept_edges = edges.join(droppable, "dst", "left_anti")
-    return nodes, kept_edges
+    # a dropped target with no remaining edges disappears entirely
+    still_connected = kept_edges.select(F.col("src").alias("node_id")).unionByName(
+        kept_edges.select(F.col("dst").alias("node_id"))
+    ).distinct()
+    removed = droppable_nodes.join(still_connected, "node_id", "left_anti")
+    kept_nodes = nodes.join(removed, "node_id", "left_anti")
+    # strip the transient marker from surviving edges
+    kept_edges = kept_edges.withColumn(
+        "props",
+        F.when(
+            F.col("props").isNotNull(),
+            F.map_filter(F.col("props"), lambda k, v: k != CLOSED_CATALOG_MARK),
+        ).otherwise(F.col("props")),
+    )
+    return kept_nodes, kept_edges

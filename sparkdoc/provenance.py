@@ -38,12 +38,27 @@ def _xml_escape(col):
     return out
 
 
+#: skew guard: distinct values scanned per document (deterministic prefix by
+#: value order); a degenerate doc with 10^4 ids x 10^4 chunks would otherwise
+#: build a 10^8-row theta intermediate
+MAX_SCAN_VALUES_PER_DOC = 10_000
+
+
 def anchor_scan(entities: DataFrame, chunks: DataFrame) -> DataFrame:
     """For every (node, id value), verbatim anchors into chunk texts.
 
     entities: (doc_id, node_id, ids map<string,string>, ...)
     chunks:   (doc_id, chunk_id, text, ...)
     returns:  (doc_id, node_id, field, value, chunk_id, start, end)
+
+    Scale shape: the containment theta join runs over DISTINCT (doc, value)
+    pairs only — repeated ids across nodes scan once and the per-doc
+    intermediate is bounded by distinct values x chunks, further capped at
+    MAX_SCAN_VALUES_PER_DOC values per doc (deterministic prefix; the
+    reference's scan is naturally bounded by real extraction output, this
+    guards the pathological corpus). Hits re-join to (node, field) rows on an
+    equi key afterwards. The distinctiveness cap (> MAX_VERBATIM_CHUNKS
+    chunks ⇒ anchors nothing) applies per (node, field) exactly as before.
     """
     values = (
         entities.select("doc_id", "node_id", F.explode("ids").alias("field", "value"))
@@ -52,21 +67,32 @@ def anchor_scan(entities: DataFrame, chunks: DataFrame) -> DataFrame:
             ~(F.col("value").rlike("^[0-9]+$") & (F.length("value") < ANCHOR_MIN_DIGITS))
         )
         .withColumn("_lv", F.lower("value"))
-        .withColumn("_le", F.lower(_xml_escape(F.col("value"))))
+    )
+    # phase 1: scan DISTINCT values per doc (skew guard: capped, deterministic)
+    wv = Window.partitionBy("doc_id").orderBy("_lv")
+    dv = (
+        values.select("doc_id", "_lv").distinct()
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= MAX_SCAN_VALUES_PER_DOC)
+        .drop("_rn")
+        .withColumn("_le", F.lower(_xml_escape(F.col("_lv"))))
     )
     ch = chunks.select("doc_id", "chunk_id", F.lower("text").alias("_lt"))
-    j = values.join(ch, "doc_id")  # per-doc theta join; AQE splits skew
+    j = dv.join(ch, "doc_id")  # per-doc theta join on distinct values; AQE splits skew
     pos_raw = F.expr("locate(_lv, _lt)")
     pos_esc = F.expr("locate(_le, _lt)")
     j = j.withColumn(
         "_hit",
-        F.when(pos_raw > 0, F.struct(pos_raw.alias("pos"), F.length("value").alias("len")))
-        .when(pos_esc > 0, F.struct(pos_esc.alias("pos"), F.length(_xml_escape(F.col("value"))).alias("len"))),
+        F.when(pos_raw > 0, F.struct(pos_raw.alias("pos"), F.length("_lv").alias("len")))
+        .when(pos_esc > 0, F.struct(pos_esc.alias("pos"), F.length("_le").alias("len"))),
     ).filter(F.col("_hit").isNotNull())
+    hits = j.select("doc_id", "_lv", "chunk_id", "_hit")
+    # phase 2: hits fan back out to (node, field) rows via an equi join
+    j2 = values.join(hits, ["doc_id", "_lv"])
     # distinctiveness: a value matching > MAX_VERBATIM_CHUNKS chunks anchors nothing
     w = Window.partitionBy("doc_id", "node_id", "field")
-    j = j.withColumn("_n", F.count("*").over(w)).filter(F.col("_n") <= MAX_VERBATIM_CHUNKS)
-    return j.select(
+    j2 = j2.withColumn("_n", F.count("*").over(w)).filter(F.col("_n") <= MAX_VERBATIM_CHUNKS)
+    return j2.select(
         "doc_id",
         "node_id",
         "field",

@@ -46,6 +46,12 @@ def get_spark(
         # Keep scan partitions reasonable for wide parquet at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # bucketed-table warehouse (io.write_bucketed_table — the Iceberg
+        # hash-distribution-mode analog); kept out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/sparkdoc-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

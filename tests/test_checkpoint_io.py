@@ -90,3 +90,34 @@ def test_export_cypher(spark, small_graph, tmp_path):
     assert "MERGE (n:Person {id: 'P_1'" in text
     assert "WORKS_AT" in text
     assert "ACME\\'s" in text  # quote escaping
+
+
+def test_bucketed_write_joins_without_shuffle(spark):
+    """The Iceberg-distribution-mode claim, demonstrated: two tables bucketed
+    by doc_id (same bucket count) join with NO Exchange in the plan."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.io import write_bucketed_table
+
+    docs = spark.range(0, 500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"), F.col("id").alias("x")
+    )
+    chunks = spark.range(0, 2000).select(
+        F.concat(F.lit("d"), (F.col("id") % 500)).alias("doc_id"), F.col("id").alias("c")
+    )
+    write_bucketed_table(docs, "t_docs_b", buckets=8)
+    write_bucketed_table(chunks, "t_chunks_b", buckets=8)
+    a = spark.table("t_docs_b")
+    b = spark.table("t_chunks_b")
+    # force the non-broadcast strategy (tiny test tables would broadcast):
+    # bucketing must make the SortMergeJoin shuffle-free on BOTH sides
+    joined = a.hint("merge").join(b, "doc_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert joined.count() == 2000
+    # and a doc_id aggregation over a bucketed table needs no shuffle either
+    agg = b.groupBy("doc_id").agg(F.count("*").alias("n"))
+    aplan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in aplan, aplan
+    assert agg.count() == 500

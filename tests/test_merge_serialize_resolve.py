@@ -66,20 +66,45 @@ def test_merge_graphs_input_order_and_conflicts(spark):
     assert len(cf) == 1 and cf[0]["attr"] == "a" and cf[0]["n_variants"] == 2
 
 
-def test_closed_catalog_guard(spark):
+def test_closed_catalog_label_scoped_marks(spark):
+    """graph_converter.py:431-494: a target whose EVERY in-edge carries a
+    label-matching _closed_catalog marker drops its reference edges (and
+    itself when disconnected); any unmarked in-edge keeps everything; a
+    stale marker not matching the surviving label does not count; the
+    class-wipe guard skips classes with no independently anchored member;
+    the transient marker is stripped from survivors."""
     from sparkdoc.schemas import EDGES, NODES
 
     nodes = spark.createDataFrame(
         [
-            ("K_1", "d1", "Kind", "catalog-only", {"name": "catalog-only"}, None),
-            ("K_2", "d1", "Kind", "rich", {"name": "rich", "desc": "has content"}, None),
+            ("K_1", "d1", "Kind", "k1", {"name": "k1"}, None),      # catalog-only → dropped
+            ("K_2", "d1", "Kind", "k2", {"name": "k2"}, None),      # independently anchored
+            ("K_3", "d1", "Kind", "k3", {"name": "k3"}, None),      # stale marker → kept
+            ("W_1", "d1", "Wiped", "w1", {"name": "w1"}, None),     # guard: whole class catalog-only
             ("X_1", "d1", "X", "x", {"name": "x"}, None),
         ],
         NODES,
     )
-    edges = spark.createDataFrame([("X_1", "K_1", "of_kind", None), ("X_1", "K_2", "of_kind", None)], EDGES)
-    _, kept = enforce_closed_catalogs(nodes, edges, ["Kind"])
-    assert {r["dst"] for r in kept.collect()} == {"K_2"}
+    edges = spark.createDataFrame(
+        [
+            ("X_1", "K_1", "of_kind", {"_closed_catalog": "of_kind"}),   # marked, label matches
+            ("X_1", "K_2", "of_kind", {"_closed_catalog": "of_kind"}),
+            ("X_1", "K_2", "mentions", None),                            # unmarked → K_2 anchored
+            ("X_1", "K_3", "of_kind", {"_closed_catalog": "other"}),     # stale → unmarked
+            ("X_1", "W_1", "of_w", {"_closed_catalog": "of_w"}),         # only member of Wiped
+        ],
+        EDGES,
+    )
+    kept_nodes, kept_edges = enforce_closed_catalogs(nodes, edges)
+    ids = {r["node_id"] for r in kept_nodes.collect()}
+    assert "K_1" not in ids  # dropped with its only (marked) edge
+    assert {"K_2", "K_3", "W_1", "X_1"} <= ids
+    got = {(r["src"], r["dst"], r["label"]) for r in kept_edges.collect()}
+    assert ("X_1", "K_1", "of_kind") not in got
+    assert ("X_1", "K_2", "of_kind") in got and ("X_1", "W_1", "of_w") in got
+    # transient marker stripped from survivors
+    for r in kept_edges.collect():
+        assert not (r["props"] or {}).get("_closed_catalog")
 
 
 def test_page_and_document_markdown(spark):
