@@ -700,6 +700,72 @@ def _doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_root_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-identity repair (root_identity.py:67-110): echo-clear + stem
+    fallback over a deterministic truth table — doc_id%3 selects (class-name
+    echo | empty | real code), so the oracle asserts the repaired identity
+    exactly."""
+    from sparkdoc.catalog import build_node_catalog
+    from sparkdoc.rootid import repair_root_identity
+
+    tmpl = {"class": "Report", "id_fields": ["reference_code"], "fields": {}, "children": {}}
+    docs = _docs(spark, sf_dir)
+    roots = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("").alias("path"),
+        F.lit("Report").alias("class"),
+        F.create_map(
+            F.lit("reference_code"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Report"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(""))
+            .otherwise(F.concat(F.lit("CODE-"), F.col("doc_id").cast("string"))),
+        ).alias("ids"),
+    )
+    out = repair_root_identity(roots, build_node_catalog(tmpl))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at("ids", "reference_code").alias("ref_out"),
+    )
+
+
+def _events_batch_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch handle resolution (dense/orchestrator.py:285-360): events
+    become emission rows (batches of 10 per user; handle = position+1;
+    parent_handle = -1 at batch heads, a local back-reference elsewhere,
+    null every third) — both the local rung and the negative already-found
+    window are exercised, and the whole ladder is SQL-expressible."""
+    from pyspark.sql import Window
+
+    from sparkdoc.resolve import resolve_batch_handles
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w) - 1
+    pos = rn % 10
+    em = ev.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("_eid"),
+        F.floor(rn / 10).cast("int").alias("batch_index"),
+        pos.cast("int").alias("emission"),
+        (pos + 1).cast("int").alias("handle"),
+        F.when(pos == 0, F.lit(-1))
+        .when(pos % 3 == 0, F.lit(None))
+        .otherwise(pos)
+        .cast("int")
+        .alias("parent_handle"),
+        F.col("event_type").alias("path"),
+        F.create_map(F.lit("eid"), F.col("event_id").cast("string")).alias("ids"),
+    )
+    out = resolve_batch_handles(em)
+    return out.select(
+        F.col("doc_id").cast("long").alias("user_id"),
+        F.col("_eid").alias("event_id"),
+        F.col("parent_source"),
+        F.element_at("parent_ids", "eid").alias("parent_eid"),
+        F.col("parent_path"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -744,6 +810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_graph": _extraction_graph,
         "fill_phase": _fill_phase_q,
         "doc_salvage": _doc_salvage,
+        "doc_root_repair": _doc_root_repair,
+        "events_batch_handles": _events_batch_handles,
         "graph_merge": _graph_merge,
         "one_to_one_extract": _one_to_one,
         "doc_format_resolution": _doc_format_resolution,
@@ -1011,6 +1079,64 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 3 = 2 THEN CAST(1 AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END AS salvage_passes
         FROM documents
+    """
+    q["doc_root_repair"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN doc_id % 3 = 2 THEN 'CODE-' || CAST(doc_id AS VARCHAR)
+                    ELSE CAST(doc_id AS VARCHAR) END AS ref_out
+        FROM documents
+    """
+    # the negative-handle ladder re-expressed in pure SQL: same emission
+    # synthesis (batches of 10), same local-first precedence, same window-50
+    # already-found lookup (target g = batch_start + parent_handle)
+    q["events_batch_handles"] = """
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+            FROM events
+        ), em AS (
+            SELECT user_id, event_id, event_type AS path,
+                   CAST(rn // 10 AS INT) AS batch_index,
+                   CAST(rn % 10 AS INT) AS emission,
+                   CAST(rn % 10 + 1 AS INT) AS handle,
+                   CASE WHEN rn % 10 = 0 THEN -1
+                        WHEN (rn % 10) % 3 = 0 THEN NULL
+                        ELSE CAST(rn % 10 AS INT) END AS parent_handle
+            FROM ordered
+        ), gg AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY batch_index, emission) AS g
+            FROM em
+        ), bs AS (
+            SELECT *, min(g) OVER (PARTITION BY user_id, batch_index) AS batch_start FROM gg
+        ), local_t AS (
+            SELECT user_id AS l_user, batch_index AS l_batch, handle AS l_handle,
+                   g AS l_g, event_id AS l_eid, path AS l_path
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, batch_index, handle ORDER BY emission) AS hrn
+                FROM bs
+            ) WHERE hrn = 1
+        ), with_local AS (
+            SELECT b.*, l.l_eid, l.l_path
+            FROM bs b LEFT JOIN local_t l
+              ON b.user_id = l.l_user AND b.batch_index = l.l_batch
+             AND b.parent_handle = l.l_handle AND b.g <> l.l_g
+        ), with_tg AS (
+            SELECT *, CASE WHEN parent_handle < 0 AND -parent_handle <= 50
+                            AND batch_start + parent_handle >= 1
+                           THEN batch_start + parent_handle END AS tg
+            FROM with_local
+        ), joined AS (
+            SELECT w.*, p.event_id AS a_eid, p.path AS a_path
+            FROM with_tg w LEFT JOIN gg p ON w.user_id = p.user_id AND w.tg = p.g
+        )
+        SELECT user_id, event_id,
+               CASE WHEN l_eid IS NOT NULL THEN 'local'
+                    WHEN a_eid IS NOT NULL THEN 'already_found' END AS parent_source,
+               CASE WHEN l_eid IS NOT NULL THEN CAST(l_eid AS VARCHAR)
+                    WHEN a_eid IS NOT NULL THEN CAST(a_eid AS VARCHAR) END AS parent_eid,
+               COALESCE(l_path, a_path) AS parent_path
+        FROM joined
     """
     q["emb_norms"] = """
         SELECT vec_id,

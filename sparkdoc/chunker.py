@@ -136,8 +136,14 @@ def chunk_spans(
     spans: list[dict],
     max_tokens: int = DEFAULT_MAX_TOKENS,
     max_batch_tokens: int = DEFAULT_MAX_BATCH_TOKENS,
+    serializer=None,
 ) -> list[dict]:
-    """Ordered spans of ONE document → chunk dicts (CHUNKS schema minus doc_id)."""
+    """Ordered spans of ONE document → chunk dicts (CHUNKS schema minus doc_id).
+
+    ``serializer`` is the user serializer_provider slot (reference
+    document_chunker.py:64,113-120 / SURVEY §2.11): fn(span dict) → str,
+    overriding how a content span renders to chunk text (e.g. a custom table
+    serialization); None keeps the span text verbatim."""
     chunks: list[dict] = []
     trail: list[tuple[int, str]] = []  # (level, stripped heading)
     page = 1
@@ -195,8 +201,14 @@ def chunk_spans(
             continue
         if kind not in CONTENT_KINDS:
             continue
-        tokens = count_tokens(s["text"])
-        unit = {"text": s["text"], "tokens": tokens, "ref": f"#/spans/{s['offset']}", "page": page}
+        rendered = s["text"]
+        if serializer is not None:
+            try:
+                rendered = serializer(s) or s["text"]
+            except Exception:
+                rendered = s["text"]  # the slot must never break chunking
+        tokens = count_tokens(rendered)
+        unit = {"text": rendered, "tokens": tokens, "ref": f"#/spans/{s['offset']}", "page": page}
         budget = max_tokens - trail_tokens()
         if kind == "table":
             # atomic: flush, emit whole even if over budget
@@ -208,7 +220,7 @@ def chunk_spans(
             # trail/pages; subsequent ones point at the first via resplit_of.
             # Floor of 8 keeps splitting feasible under a monster trail.
             flush()
-            segs = _split_sentences_fit(s["text"], max(budget, 8))
+            segs = _split_sentences_fit(rendered, max(budget, 8))
             parent_id = len(chunks)
             for j, seg in enumerate(segs):
                 emit(
@@ -239,6 +251,7 @@ def chunk_documents(
     documents: DataFrame,
     max_tokens: int = DEFAULT_MAX_TOKENS,
     max_batch_tokens: int = DEFAULT_MAX_BATCH_TOKENS,
+    serializer=None,
 ) -> DataFrame:
     """documents(doc_id, spans) → chunks table. No shuffle (mapInPandas)."""
     import pandas as pd
@@ -247,7 +260,7 @@ def chunk_documents(
         for pdf in batches:
             rows: list[dict] = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                for c in chunk_spans(list(spans), max_tokens, max_batch_tokens):
+                for c in chunk_spans(list(spans), max_tokens, max_batch_tokens, serializer):
                     c["doc_id"] = doc_id
                     rows.append(c)
             if rows:

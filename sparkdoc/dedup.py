@@ -375,3 +375,40 @@ def apply_alias_merges(nodes: DataFrame, edges: DataFrame, pairs: DataFrame) -> 
         .dropDuplicates(["src", "dst", "label"])
     )
     return survivors, e, audit
+
+
+RECONCILE_MAX_INSTANCES_PER_CALL = 100  # dense/orchestrator.py:99
+
+
+def assign_reconcile_batches(
+    entities: DataFrame, max_per_call: int = RECONCILE_MAX_INSTANCES_PER_CALL
+) -> DataFrame:
+    """Skeleton-reconciliation call batching (dense/orchestrator.py:1775-1790).
+
+    Reconciliation only ever merges within a path, and a single over-long id
+    list silently yields nothing — so: one combined scope while the document's
+    total instance count is <= 100; past that, one scope PER PATH, and a large
+    path splits into sub-batches of 100 (in per-path instance order). Alias
+    proposals must then be scoped by the batch key (pass ``reconcile_batch``
+    as an extra scope col to containment_alias_groups), exactly as the
+    reference proposes candidates per call subset.
+
+    Adds ``reconcile_batch`` (null = excluded: the root path, or a path with
+    fewer than 2 instances — nothing to reconcile there).
+    """
+    order = Window.partitionBy("doc_id", "path").orderBy(
+        F.coalesce(F.array_min("chunk_ids"), F.lit(2**31 - 1)), "node_id"
+    )
+    base = entities.withColumn("_rank", F.row_number().over(order))
+    counts = F.count("*").over(Window.partitionBy("doc_id", "path"))
+    base = base.withColumn("_n_path", counts)
+    eligible = (F.col("path") != "") & (F.col("_n_path") >= 2)
+    total = F.sum(F.when(eligible, 1).otherwise(0)).over(Window.partitionBy("doc_id"))
+    batch = F.when(~eligible, F.lit(None).cast("string")).when(
+        total <= max_per_call, F.lit("__combined__")
+    ).otherwise(
+        F.concat_ws(
+            "#", F.col("path"), F.floor((F.col("_rank") - 1) / max_per_call).cast("string")
+        )
+    )
+    return base.withColumn("reconcile_batch", batch).drop("_rank", "_n_path")

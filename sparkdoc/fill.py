@@ -53,11 +53,16 @@ GLOBAL_HEAD_CHARS = 2000
 # --------------------------------------------------------------------------
 
 
-def extract_fields(spec: NodeSpec, ids: dict, context: str, catalog: NodeCatalog) -> dict:
+def extract_fields(
+    spec: NodeSpec, ids: dict, context: str, catalog: NodeCatalog, extensions=None
+) -> dict:
     """Deterministic fill of one descriptor: apply each projected-schema
     field's rule; reference fields fill id-only via the target class's
     discover pattern (first match in scoped context). Missing → absent key
-    (the pad semantics: an empty object, ids restored by the caller)."""
+    (the pad semantics: an empty object, ids restored by the caller).
+    Rule-less fields (FieldSpec.rule_kind '') consult the user extension
+    registry (SURVEY §2.11 — extension.Extensions.field_extractors, the
+    custom-model-backend slot)."""
     schema = build_projected_fill_schema(catalog, spec)
     props = schema["properties"]
     primary = ids.get(spec.id_fields[0], "") if spec.id_fields else ""
@@ -66,6 +71,13 @@ def extract_fields(spec: NodeSpec, ids: dict, context: str, catalog: NodeCatalog
         if f.name not in props:
             continue
         value = None
+        if f.rule_kind == "" and extensions is not None:
+            fn = extensions.field_extractors.get((spec.node_type, f.name))
+            if fn is not None:
+                try:
+                    value = fn(dict(ids), context or "")
+                except Exception:
+                    value = None  # user extractors must never kill the job
         if f.rule_kind == "id":
             m = re.search(f.pattern, ids.get(f.id_field, "") or "")
             if m:
@@ -207,6 +219,7 @@ def fill_phase(
     skeleton: DataFrame,
     catalog: NodeCatalog,
     fill_cap: int = DEFAULT_FILL_CAP,
+    extensions=None,
 ) -> DataFrame:
     """Run Phase 2: returns the skeleton entities with their ``fields`` map
     filled from the projected schemas. Exactly one output row per descriptor
@@ -232,7 +245,11 @@ def fill_phase(
             for doc_id, path, cls, ids, fields, chunk_ids, node_id, fill_batch, context in it:
                 spec = by_path.get(path)
                 ids = dict(ids or {})
-                filled = extract_fields(spec, ids, context or "", catalog) if spec else {}
+                filled = (
+                    extract_fields(spec, ids, context or "", catalog, extensions)
+                    if spec
+                    else {}
+                )
                 base = dict(fields or {})
                 base.update(filled)
                 cids = [] if chunk_ids is None else list(chunk_ids)

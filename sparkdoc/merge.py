@@ -37,9 +37,18 @@ def truncate_at_sentence_boundary(text: str, max_length: int) -> str:
     return head[: best + 1] if best > 0 else head
 
 
-def merge_descriptions(parts: list[str], max_length: int = 1000) -> str:
+def merge_descriptions(parts: list[str], max_length: int = 1000, summarizer=None) -> str:
     """Sentence-split dedup merge, order-preserving, boundary-truncated
-    (description_merger.py:45-105)."""
+    (description_merger.py:45-105). ``summarizer`` is the user callable slot
+    (description_merger.py:49-67 / SURVEY §2.11): when given, it replaces the
+    deterministic merge; a summarizer failure falls back deterministically."""
+    if summarizer is not None:
+        try:
+            out = summarizer([p for p in parts if p], max_length)
+            if isinstance(out, str) and out:
+                return truncate_at_sentence_boundary(out, max_length)
+        except Exception:
+            pass  # the slot must never break a merge
     seen: set[str] = set()
     out: list[str] = []
     for part in parts:

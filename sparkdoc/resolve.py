@@ -165,3 +165,95 @@ def resolve_parents(children: DataFrame, parents: DataFrame) -> DataFrame:
         F.coalesce(F.col("resolved_by"), F.lit("bucket")).alias("resolved_by"),
     )
     return c.drop("_c_canon")
+
+
+# --------------------------------------------------------------------------
+# Batch-handle resolution (dense/orchestrator.py:285-360 + 189-208): a batch's
+# nodes reference parents by integer handle — positive = a node of the SAME
+# batch ("i"), negative = an already-extracted entity advertised in the
+# sliding ALREADY-FOUND window (-1 = the most recent entity before this
+# batch; window depth 50, orchestrator.py:69-72). Handles in the current
+# batch always win (the key spaces are disjoint); an unknown handle yields
+# parent=None.
+# --------------------------------------------------------------------------
+
+ALREADY_FOUND_WINDOW = 50  # orchestrator.py:72
+
+
+def resolve_batch_handles(emissions: DataFrame, window: int = ALREADY_FOUND_WINDOW) -> DataFrame:
+    """Resolve per-batch parent handles into (path, ids) references.
+
+    emissions: (doc_id, batch_index:int, emission:int, handle:int?,
+    parent_handle:int?, path:string, ids:map<string,string>) — one row per
+    accepted node, `emission` ordering rows within a batch, `handle` the
+    node's batch-local "i" (first occurrence of a duplicate handle wins),
+    `parent_handle` the "p" reference (positive = local, negative = k-th most
+    recent entity of PRIOR batches, k <= window).
+
+    Returns the input + parent_path/parent_ids/parent_source, where
+    parent_source ∈ ('local', 'already_found', null) — the bind_stats
+    ``parents_from_already_found`` counter is a groupBy away.
+    """
+    w_doc = Window.partitionBy("doc_id").orderBy("batch_index", "emission")
+    base = emissions.withColumn("_g", F.row_number().over(w_doc))
+    w_batch = Window.partitionBy("doc_id", "batch_index")
+    base = base.withColumn("_batch_start", F.min("_g").over(w_batch))
+
+    # batch-local targets: first row per (doc, batch, handle), never self
+    w_h = Window.partitionBy("doc_id", "batch_index", "handle").orderBy("emission")
+    local_t = (
+        base.filter(F.col("handle").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_h))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("doc_id").alias("l_doc"),
+            F.col("batch_index").alias("l_batch"),
+            F.col("handle").alias("l_handle"),
+            F.col("_g").alias("l_g"),
+            F.col("path").alias("l_path"),
+            F.col("ids").alias("l_ids"),
+        )
+    )
+    out = base.join(
+        local_t,
+        (F.col("doc_id") == F.col("l_doc"))
+        & (F.col("batch_index") == F.col("l_batch"))
+        & (F.col("parent_handle") == F.col("l_handle"))
+        & (F.col("_g") != F.col("l_g")),
+        "left",
+    ).drop("l_doc", "l_batch", "l_handle", "l_g")
+
+    # already-found targets: parent_handle = -k → the k-th most recent entity
+    # before this batch's start, k <= window (sliding handle map,
+    # orchestrator.py:189-208)
+    k = -F.col("parent_handle")
+    target_g = F.col("_batch_start") - 1 - k + 1
+    out = out.withColumn(
+        "_tg",
+        F.when(
+            (F.col("parent_handle") < 0) & (k <= window) & (target_g >= 1), target_g
+        ),
+    )
+    prior = base.select(
+        F.col("doc_id").alias("p_doc"),
+        F.col("_g").alias("p_g"),
+        F.col("path").alias("a_path"),
+        F.col("ids").alias("a_ids"),
+    )
+    out = out.join(
+        prior,
+        (F.col("doc_id") == F.col("p_doc")) & (F.col("_tg") == F.col("p_g")),
+        "left",
+    ).drop("p_doc", "p_g", "_tg")
+
+    return (
+        out.withColumn(
+            "parent_source",
+            F.when(F.col("l_path").isNotNull(), "local").when(
+                F.col("a_path").isNotNull(), "already_found"
+            ),
+        )
+        .withColumn("parent_path", F.coalesce(F.col("l_path"), F.col("a_path")))
+        .withColumn("parent_ids", F.coalesce(F.col("l_ids"), F.col("a_ids")))
+        .drop("l_path", "l_ids", "a_path", "a_ids", "_g", "_batch_start")
+    )

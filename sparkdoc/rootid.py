@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -147,3 +148,169 @@ def root_identity_excerpts(
         FURNITURE_BUDGET_CHARS,
     )
     return agg.select("doc_id", head.alias("head_excerpt"), tail.alias("tail_excerpt"), furniture.alias("furniture_excerpt"))
+
+
+# --------------------------------------------------------------------------
+# Root-identity resolution micro-pass + repair (the reference's two root-only
+# identity rescues, in pipeline order: resolve from excerpts, then repair).
+# --------------------------------------------------------------------------
+
+ROOT_ID_MAX_VALUE_CHARS = 80  # orchestrator.py:114 / root_identity.py:39
+#: default deterministic proposer: a reference-code shape (letters+digits with
+#: a separator) — the stand-in for the micro-pass LLM call (SURVEY §2.11 slot)
+DEFAULT_ROOT_ID_PATTERN = r"\b([A-Z]{2,}[-_/][A-Z0-9][A-Z0-9-]{2,})\b"
+
+
+def _squash(col):
+    """Lowercased [a-z0-9]-only projection (orchestrator._squash_anchor)."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def resolve_root_identity(
+    entities: DataFrame,
+    excerpts: DataFrame,
+    catalog,
+    patterns: dict[str, str] | None = None,
+    proposals: DataFrame | None = None,
+    extensions=None,
+) -> DataFrame:
+    """Fill all-empty root identities from head/tail/furniture excerpts
+    (orchestrator.py:1867-1952).
+
+    Runs only for roots whose declared id fields are ALL empty after fill.
+    Proposed values come from ``proposals`` (doc_id, field, value), from a
+    registered ``extensions.root_id_proposer`` callable (the LLM micro-pass
+    slot, SURVEY §2.11), or, by default, from per-field regexes over the
+    excerpt.
+    A value is accepted only when non-empty, <= 80 chars, and verbatim-anchored
+    in the excerpt (squash containment) — fail-empty, never fail-wrong; a
+    refused value leaves the field empty for the stem fallback
+    (repair_root_identity).
+    """
+    spec = catalog.spec_by_path().get("")
+    if spec is None or not spec.id_fields:
+        return entities
+    roots = entities.filter(F.col("path") == "")
+    others = entities.filter(F.col("path") != "")
+
+    excerpt = F.concat_ws(
+        "\n[...]\n",
+        F.coalesce(F.col("head_excerpt"), F.lit("")),
+        F.coalesce(F.col("furniture_excerpt"), F.lit("")),
+        F.coalesce(F.col("tail_excerpt"), F.lit("")),
+    )
+    ex = excerpts.select("doc_id", excerpt.alias("_excerpt"))
+
+    all_empty = F.lit(True)
+    for fld in spec.id_fields:
+        v = F.element_at(F.col("ids"), fld)
+        all_empty = all_empty & (v.isNull() | (F.trim(v) == ""))
+
+    j = roots.join(ex, "doc_id", "left").withColumn("_resolve", all_empty)
+
+    if proposals is not None:
+        # pivot the proposal rows into one map per doc (the UDF slot output)
+        pmap = proposals.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("field"), F.col("value")))
+            ).alias("_props")
+        )
+        j = j.join(pmap, "doc_id", "left")
+        def _proposed(fld):
+            return F.element_at(F.col("_props"), fld)
+    elif extensions is not None and extensions.root_id_proposer is not None:
+        from pyspark.sql.types import StringType
+
+        proposer = extensions.root_id_proposer
+
+        def _proposed(fld):
+            @F.pandas_udf(StringType())
+            def _p(excerpt: pd.Series) -> pd.Series:
+                out = []
+                for e in excerpt:
+                    try:
+                        out.append(proposer(e or "", fld))
+                    except Exception:
+                        out.append(None)  # the slot must never break the pass
+                return pd.Series(out, dtype=object)
+
+            return _p(F.col("_excerpt"))
+    else:
+        pats = patterns or {}
+
+        def _proposed(fld):
+            return F.regexp_extract(
+                F.coalesce(F.col("_excerpt"), F.lit("")),
+                pats.get(fld, DEFAULT_ROOT_ID_PATTERN),
+                1,
+            )
+
+    def _drop_key(m, fld):
+        return F.map_filter(m, lambda k, _v: k != F.lit(fld))
+
+    new_ids = F.col("ids")
+    for fld in spec.id_fields:
+        raw = F.trim(F.coalesce(_proposed(fld), F.lit("")))
+        ok = (
+            (F.length(raw) > 0)
+            & (F.length(raw) <= ROOT_ID_MAX_VALUE_CHARS)
+            & (F.length(_squash(raw)) > 0)
+            & F.coalesce(_squash(F.col("_excerpt")).contains(_squash(raw)), F.lit(False))
+        )
+        new_ids = F.when(
+            F.col("_resolve") & ok,
+            F.map_concat(_drop_key(new_ids, fld), F.create_map(F.lit(fld), raw)),
+        ).otherwise(new_ids)
+
+    resolved = j.withColumn("ids", new_ids).drop("_excerpt", "_resolve", "_props")
+    keep = entities.columns
+    return resolved.select(*keep).unionByName(others.select(*keep))
+
+
+def repair_root_identity(entities: DataFrame, catalog, stem_col: str = "doc_id") -> DataFrame:
+    """Root-only identity repair (core/utils/root_identity.py:67-110):
+
+    1. clear id values that echo the template class name (schema echo, never
+       document data);
+    2. when EVERY declared root id field is then empty, set the FIRST id field
+       to the source stem (<= 80 chars) — the root is a singleton, so a
+       synthetic identity is safe for the root ONLY; a partially-filled
+       identity is document data and is never touched.
+    """
+    spec = catalog.spec_by_path().get("")
+    if spec is None or not spec.id_fields:
+        return entities
+    id_fields = list(spec.id_fields)
+    roots = entities.filter(F.col("path") == "")
+    others = entities.filter(F.col("path") != "")
+
+    cls_canon = _squash(F.col("class"))
+    cleared = F.map_from_entries(
+        F.filter(
+            F.transform(
+                F.map_entries("ids"),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    F.when(_squash(e["value"]) == cls_canon, F.lit(None).cast("string"))
+                    .otherwise(e["value"])
+                    .alias("value"),
+                ),
+            ),
+            lambda s: s["value"].isNotNull() & (F.trim(s["value"]) != ""),
+        )
+    )
+    roots = roots.withColumn("ids", cleared)
+
+    all_empty = F.lit(True)
+    for fld in id_fields:
+        v = F.element_at(F.col("ids"), fld)
+        all_empty = all_empty & (v.isNull() | (F.trim(v) == ""))
+    stem = F.trim(F.col(stem_col).cast("string"))
+    fallback = all_empty & (F.length(stem) > 0) & (F.length(stem) <= ROOT_ID_MAX_VALUE_CHARS)
+    roots = roots.withColumn(
+        "ids",
+        F.when(fallback, F.map_concat(F.col("ids"), F.create_map(F.lit(id_fields[0]), stem)))
+        .otherwise(F.col("ids")),
+    )
+    keep = entities.columns
+    return roots.select(*keep).unionByName(others.select(*keep))

@@ -512,7 +512,9 @@ def entity_schema_for_spec(catalog, spec) -> dict:
     }
 
 
-def salvage_entities(entities: DataFrame, catalog, max_id_len: int = 300) -> DataFrame:
+def salvage_entities(
+    entities: DataFrame, catalog, max_id_len: int = 300, extensions=None
+) -> DataFrame:
     """Vectorized ladder over entity rows: data = {**ids, **fields} validates
     against the path's schema; repaired values flow back to ``fields`` (ids
     are identity — a repaired/defaulted id would mint a phantom, so a bad id
@@ -520,7 +522,10 @@ def salvage_entities(entities: DataFrame, catalog, max_id_len: int = 300) -> Dat
 
     Whitespace in id values is collapsed and over-long ids truncated with an
     audit error (the round-1 validate_salvage rules, kept — they mirror the
-    reference's normalize-before-validate)."""
+    reference's normalize-before-validate). A registered per-class template
+    validator (SURVEY §2.11 slot, extension.Extensions.validators) runs after
+    the ladder; its errors are terminal (valid=0) like the reference's
+    generated-template validators raising in model_validate."""
     by_path = catalog.spec_by_path()
     schemas = {p: entity_schema_for_spec(catalog, s) for p, s in by_path.items()}
     template_name = by_path.get("").node_type if "" in by_path else ""
@@ -556,6 +561,12 @@ def salvage_entities(entities: DataFrame, catalog, max_id_len: int = 300) -> Dat
                 # ladder (which never fills identity fields — the drop guard
                 # owns them) marks the row invalid
                 id_ok = bool(spec is None or all(ids.get(f) for f in spec.id_fields))
+                user_errs: list[str] = []
+                if extensions is not None and extensions.validators.get(cls):
+                    from sparkdoc.extension import run_validators
+
+                    user_errs = run_validators([{**repaired, **ids}], cls, extensions)[0]
+                    errs.extend(user_errs)
                 for e in terminal:
                     errs.append(f"{e['type']}@{'.'.join(str(x) for x in e['loc'])}")
                 if not id_ok:
@@ -573,7 +584,7 @@ def salvage_entities(entities: DataFrame, catalog, max_id_len: int = 300) -> Dat
                         doc_id, path, cls, ids, new_fields,
                         cids, node_id,
                         int(fill_batch) if fill_batch is not None else -1,
-                        int(id_ok and not terminal), errs, passes,
+                        int(id_ok and not terminal and not user_errs), errs, passes,
                     )
                 )
             yield pd.DataFrame(rows, columns=[*cols, "valid", "errors", "salvage_passes"])

@@ -1,0 +1,401 @@
+"""Round-2 parity additions: root-identity resolve/repair micro-passes,
+cross-batch negative-handle resolution, reconciliation call batching, and the
+§2.11 extension registry slots.
+
+Reference cases mirrored:
+  repair_root_identity         core/utils/root_identity.py:67-110
+  _resolve_root_identity       dense/orchestrator.py:1867-1952
+  negative handles             tests/unit/.../test_orchestrator.py:2878-3057
+  reconciliation batching      dense/orchestrator.py:1775-1790
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdoc.catalog import build_node_catalog
+
+TEMPLATE = {
+    "class": "Report",
+    "id_fields": ["reference_code"],
+    "fields": {},
+    "children": {},
+}
+
+
+def _entities(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, path string, class string, ids map<string,string>"
+    )
+
+
+# --------------------------------------------------------------------------
+# repair_root_identity
+# --------------------------------------------------------------------------
+
+
+class TestRepairRootIdentity:
+    def test_echo_cleared_then_stem_fallback(self, spark):
+        from sparkdoc.rootid import repair_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = _entities(spark, [("doc-7", "", "Report", {"reference_code": "Report"})])
+        out = repair_root_identity(ents, cat).collect()[0]
+        # the echo is schema noise; after clearing, the stem fallback fires
+        assert out["ids"]["reference_code"] == "doc-7"
+
+    def test_partial_identity_never_touched(self, spark):
+        from sparkdoc.rootid import repair_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = _entities(spark, [("doc-7", "", "Report", {"reference_code": "REF-1"})])
+        out = repair_root_identity(ents, cat).collect()[0]
+        assert out["ids"]["reference_code"] == "REF-1"
+
+    def test_non_root_rows_pass_through(self, spark):
+        from sparkdoc.rootid import repair_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = _entities(spark, [("d", "sections[]", "Section", {"name": "Section"})])
+        out = repair_root_identity(ents, cat).collect()[0]
+        # even a class-name echo survives on a NON-root row (root-only repair)
+        assert out["ids"]["name"] == "Section"
+
+    def test_overlong_stem_refused(self, spark):
+        from sparkdoc.rootid import repair_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        long_doc = "x" * 100
+        ents = _entities(spark, [(long_doc, "", "Report", {})])
+        out = repair_root_identity(ents, cat).collect()[0]
+        assert "reference_code" not in out["ids"]
+
+
+# --------------------------------------------------------------------------
+# resolve_root_identity
+# --------------------------------------------------------------------------
+
+
+def _excerpts(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, head_excerpt string, tail_excerpt string, furniture_excerpt string",
+    )
+
+
+class TestResolveRootIdentity:
+    def test_anchored_code_accepted_from_furniture(self, spark):
+        from sparkdoc.rootid import resolve_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = _entities(spark, [("d1", "", "Report", {})])
+        ex = _excerpts(spark, [("d1", "Welcome to the annual report.", "", "POL-2024A page 3")])
+        out = resolve_root_identity(ents, ex, cat).collect()[0]
+        assert out["ids"]["reference_code"] == "POL-2024A"
+
+    def test_filled_identity_not_overwritten(self, spark):
+        from sparkdoc.rootid import resolve_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = _entities(spark, [("d1", "", "Report", {"reference_code": "KEEP-ME1"})])
+        ex = _excerpts(spark, [("d1", "REF-9999 header", "", "")])
+        out = resolve_root_identity(ents, ex, cat).collect()[0]
+        assert out["ids"]["reference_code"] == "KEEP-ME1"
+
+    def test_unanchored_proposal_refused(self, spark):
+        from sparkdoc.rootid import resolve_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = _entities(spark, [("d1", "", "Report", {})])
+        ex = _excerpts(spark, [("d1", "no codes here", "", "")])
+        props = spark.createDataFrame(
+            [("d1", "reference_code", "HALLUCINATED-1")], "doc_id string, field string, value string"
+        )
+        out = resolve_root_identity(ents, ex, cat, proposals=props).collect()[0]
+        assert "reference_code" not in out["ids"]
+
+    def test_anchored_proposal_accepted(self, spark):
+        from sparkdoc.rootid import resolve_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = _entities(spark, [("d1", "", "Report", {})])
+        # anchor tolerates spacing/punctuation differences (squash containment)
+        ex = _excerpts(spark, [("d1", "Ref: pol 2024 a", "", "")])
+        props = spark.createDataFrame(
+            [("d1", "reference_code", "POL-2024A")], "doc_id string, field string, value string"
+        )
+        out = resolve_root_identity(ents, ex, cat, proposals=props).collect()[0]
+        assert out["ids"]["reference_code"] == "POL-2024A"
+
+    def test_overlong_value_refused(self, spark):
+        from sparkdoc.rootid import resolve_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        long_code = "AB-" + "X" * 90
+        ents = _entities(spark, [("d1", "", "Report", {})])
+        ex = _excerpts(spark, [("d1", f"code {long_code} here", "", "")])
+        props = spark.createDataFrame(
+            [("d1", "reference_code", long_code)], "doc_id string, field string, value string"
+        )
+        out = resolve_root_identity(ents, ex, cat, proposals=props).collect()[0]
+        assert "reference_code" not in out["ids"]
+
+    def test_proposer_extension_slot(self, spark):
+        from sparkdoc.extension import Extensions
+        from sparkdoc.rootid import resolve_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = _entities(spark, [("d1", "", "Report", {})])
+        ex = _excerpts(spark, [("d1", "header REF-777 text", "", "")])
+        def take_ref(excerpt: str, field: str):
+            import re
+
+            m = re.search(r"\b(REF-\d+)\b", excerpt or "")
+            return m.group(1) if m else None
+
+        exts = Extensions(root_id_proposer=take_ref)
+        out = resolve_root_identity(ents, ex, cat, extensions=exts).collect()[0]
+        assert out["ids"]["reference_code"] == "REF-777"
+
+
+# --------------------------------------------------------------------------
+# resolve_batch_handles (negative-handle window)
+# --------------------------------------------------------------------------
+
+
+def _emissions(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, batch_index int, emission int, handle int, "
+        "parent_handle int, path string, ids map<string,string>",
+    )
+
+
+class TestBatchHandles:
+    def test_local_positive_handle(self, spark):
+        from sparkdoc.resolve import resolve_batch_handles
+
+        df = _emissions(
+            spark,
+            [
+                ("d", 0, 0, 1, None, "sections[]", {"name": "S1"}),
+                ("d", 0, 1, 2, 1, "sections[].contracts[]", {"code": "CT-1"}),
+            ],
+        )
+        out = {r["ids"]["code"]: r for r in resolve_batch_handles(df).collect() if "code" in r["ids"]}
+        r = out["CT-1"]
+        assert r["parent_source"] == "local"
+        assert r["parent_path"] == "sections[]"
+        assert r["parent_ids"]["name"] == "S1"
+
+    def test_negative_handle_resolves_against_prior_batch(self, spark):
+        # mirror test_orchestrator.py:2921 — batch 1 parents onto batch 0's
+        # most recent entity via -1
+        from sparkdoc.resolve import resolve_batch_handles
+
+        df = _emissions(
+            spark,
+            [
+                ("d", 0, 0, 1, None, "sections[]", {"name": "S1"}),
+                ("d", 0, 1, 2, None, "sections[]", {"name": "S2"}),
+                ("d", 1, 0, 1, -1, "sections[].contracts[]", {"code": "CT-9"}),
+                ("d", 1, 1, 2, -2, "sections[].contracts[]", {"code": "CT-8"}),
+            ],
+        )
+        rows = {r["ids"].get("code"): r for r in resolve_batch_handles(df).collect()}
+        assert rows["CT-9"]["parent_ids"]["name"] == "S2"  # -1 = most recent
+        assert rows["CT-8"]["parent_ids"]["name"] == "S1"  # -2 = next
+        assert rows["CT-9"]["parent_source"] == "already_found"
+
+    def test_unknown_negative_handle_yields_no_parent(self, spark):
+        # mirror test_orchestrator.py:2913
+        from sparkdoc.resolve import resolve_batch_handles
+
+        df = _emissions(
+            spark,
+            [("d", 0, 0, 1, -5, "sections[]", {"name": "S1"})],  # nothing before batch 0
+        )
+        r = resolve_batch_handles(df).collect()[0]
+        assert r["parent_path"] is None and r["parent_source"] is None
+
+    def test_window_depth_enforced(self, spark):
+        from sparkdoc.resolve import resolve_batch_handles
+
+        prior = [("d", 0, i, i + 1, None, "sections[]", {"name": f"S{i}"}) for i in range(60)]
+        child_in = ("d", 1, 0, 1, -50, "c[]", {"code": "IN"})  # 50th most recent: inside
+        child_out = ("d", 1, 1, 2, -51, "c[]", {"code": "OUT"})  # beyond the window
+        rows = {
+            r["ids"].get("code"): r
+            for r in resolve_batch_handles(_emissions(spark, [*prior, child_in, child_out])).collect()
+        }
+        assert rows["IN"]["parent_ids"]["name"] == "S10"  # 60 prior, -50 → index 10
+        assert rows["OUT"]["parent_path"] is None
+
+    def test_local_handle_wins_over_window(self, spark):
+        # "handles in the current response always win" — a batch-local node
+        # declaring the same (negative) handle shadows the advertised map
+        from sparkdoc.resolve import resolve_batch_handles
+
+        df = _emissions(
+            spark,
+            [
+                ("d", 0, 0, 1, None, "sections[]", {"name": "OLD"}),
+                ("d", 1, 0, -1, None, "sections[]", {"name": "LOCAL"}),
+                ("d", 1, 1, 2, -1, "c[]", {"code": "CT-1"}),
+            ],
+        )
+        rows = {r["ids"].get("code"): r for r in resolve_batch_handles(df).collect()}
+        assert rows["CT-1"]["parent_ids"]["name"] == "LOCAL"
+        assert rows["CT-1"]["parent_source"] == "local"
+
+
+# --------------------------------------------------------------------------
+# reconciliation batching
+# --------------------------------------------------------------------------
+
+
+class TestReconcileBatches:
+    def _ents(self, spark, n_per_path: dict[str, int]):
+        rows = []
+        for path, n in n_per_path.items():
+            for i in range(n):
+                rows.append(("d", path, "C", {"name": f"{path}-{i:03d}"}, [i], f"n{path}{i:03d}"))
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, path string, class string, ids map<string,string>, "
+            "chunk_ids array<int>, node_id string",
+        )
+
+    def test_small_doc_single_combined_scope(self, spark):
+        from sparkdoc.dedup import assign_reconcile_batches
+
+        out = assign_reconcile_batches(self._ents(spark, {"a[]": 3, "b[]": 4}))
+        got = {r["reconcile_batch"] for r in out.collect()}
+        assert got == {"__combined__"}
+
+    def test_large_doc_splits_per_path(self, spark):
+        from sparkdoc.dedup import assign_reconcile_batches
+
+        out = assign_reconcile_batches(self._ents(spark, {"a[]": 150, "b[]": 30})).collect()
+        a = {r["reconcile_batch"] for r in out if r["path"] == "a[]"}
+        b = {r["reconcile_batch"] for r in out if r["path"] == "b[]"}
+        assert a == {"a[]#0", "a[]#1"} and b == {"b[]#0"}
+
+    def test_singletons_and_root_excluded(self, spark):
+        from sparkdoc.dedup import assign_reconcile_batches
+
+        ents = self._ents(spark, {"a[]": 1, "": 1, "b[]": 2})
+        out = assign_reconcile_batches(ents).collect()
+        excl = [r for r in out if r["path"] in ("a[]", "")]
+        assert all(r["reconcile_batch"] is None for r in excl)
+
+    def test_batch_scoped_alias_proposals(self, spark):
+        # pairs are only proposed within one call scope, as in the reference
+        from sparkdoc.dedup import containment_alias_groups
+
+        nodes = spark.createDataFrame(
+            [
+                ("n1", "C", "ACME", "b0"),
+                ("n2", "C", "ACME Corporation", "b0"),
+                ("n3", "C", "ACME Corporation Worldwide", "b1"),
+            ],
+            "node_id string, node_class string, label string, reconcile_batch string",
+        )
+        pairs = containment_alias_groups(
+            nodes, scope_cols=("node_class", "reconcile_batch")
+        ).collect()
+        got = {(p["base_id"], p["superset_id"]) for p in pairs}
+        assert ("n1", "n2") in got
+        assert all(s != "n3" for _, s in got)  # cross-batch never proposed
+
+
+# --------------------------------------------------------------------------
+# extension registry slots
+# --------------------------------------------------------------------------
+
+
+def _upper_field(ids: dict, context: str):
+    return (ids.get("name") or "").upper()
+
+
+def _shout_summary(parts, max_length):
+    return "SUMMARY: " + " | ".join(parts)
+
+
+def _table_serializer(span: dict):
+    return f"[TABLE {span['text']}]" if span["kind"] == "table" else span["text"]
+
+
+class TestExtensionSlots:
+    def test_field_extractor_fills_rule_less_field(self):
+        from sparkdoc.extension import Extensions
+        from sparkdoc.fill import extract_fields
+
+        template = {
+            "class": "Report",
+            "id_fields": ["name"],
+            "fields": {"shout": {"type": "string"}},  # no rule → §2.11 slot
+            "children": {},
+        }
+        cat = build_node_catalog(template)
+        exts = Extensions()
+        exts.register_field_extractor("Report", "shout", _upper_field)
+        out = extract_fields(cat.spec_by_path()[""], {"name": "acme"}, "ctx", cat, exts)
+        assert out["shout"] == "ACME"
+
+    def test_alias_confirm_vetoes(self, spark):
+        from sparkdoc.dedup import containment_alias_groups
+        from sparkdoc.extension import confirm_alias_pairs
+
+        nodes = spark.createDataFrame(
+            [("n1", "C", "CONFORT"), ("n2", "C", "CONFORT PLUS")],
+            "node_id string, node_class string, label string",
+        )
+        pairs = containment_alias_groups(nodes)
+        assert pairs.count() == 1
+
+        def veto_all(base: str, sup: str) -> bool:
+            return False
+
+        assert confirm_alias_pairs(pairs, veto_all).count() == 0
+
+    def test_description_summarizer_slot(self):
+        from sparkdoc.merge import merge_descriptions
+
+        out = merge_descriptions(["First.", "Second."], 1000, summarizer=_shout_summary)
+        assert out.startswith("SUMMARY: First.")
+
+    def test_chunk_serializer_slot(self):
+        from sparkdoc.chunker import chunk_spans
+
+        spans = [
+            {"kind": "text", "text": "Intro paragraph.", "media_ref": None, "offset": 0},
+            {"kind": "table", "text": "a|b", "media_ref": None, "offset": 1},
+        ]
+        chunks = chunk_spans(spans, serializer=_table_serializer)
+        assert any("[TABLE a|b]" in c["text"] for c in chunks)
+
+    def test_template_validator_gates_validity(self, spark):
+        from sparkdoc.extension import Extensions
+        from sparkdoc.salvage import salvage_entities
+
+        template = {"class": "Report", "id_fields": ["name"], "fields": {}, "children": {}}
+        cat = build_node_catalog(template)
+        def require_digit(entity: dict):
+            name = entity.get("name") or ""
+            return [] if any(ch.isdigit() for ch in name) else ["name_needs_digit"]
+
+        exts = Extensions()
+        exts.register_validator("Report", require_digit)
+        ents = spark.createDataFrame(
+            [
+                ("d", "", "Report", {"name": "Plan 9"}, {}, [0], "n1", -1),
+                ("d", "", "Report", {"name": "NoDigits"}, {}, [0], "n2", -1),
+            ],
+            "doc_id string, path string, class string, ids map<string,string>, "
+            "fields map<string,string>, chunk_ids array<int>, node_id string, fill_batch int",
+        )
+        out = {r["node_id"]: r for r in salvage_entities(ents, cat, extensions=exts).collect()}
+        assert out["n1"]["valid"] == 1
+        assert out["n2"]["valid"] == 0 and "name_needs_digit" in out["n2"]["errors"]
