@@ -69,6 +69,9 @@ class NodeSpec:
     kind: str = "entity"  # entity | component
     parent_path: str = ""
     field_name: str = ""
+    #: explicit edge label from field metadata (graph_converter._get_edge_label,
+    #: graph_converter.py:717,753); empty = the field name labels the edge
+    edge_label: str = ""
     is_list: bool = False
     description: str = ""
     discover: str = ""  # skeleton regex; group 1 (or 0) = primary id value
@@ -151,13 +154,21 @@ def build_node_catalog(template: dict, include_references: bool = False) -> Node
             is_component = bool(child_model.get("component"))
             if not is_component:
                 node_path = f"{path}[]" if is_list else path
-                nodes.append(_make_spec(node_path, child_model, parent_entity_path, fname, is_list))
+                nodes.append(
+                    _make_spec(
+                        node_path, child_model, parent_entity_path, fname, is_list,
+                        edge_label=str(child.get("edge_label") or ""),
+                    )
+                )
                 walk(node_path, child_model, node_path, False, ancestry)
             else:
                 comp_path = f"{path}[]" if is_list else path
                 walk(comp_path, child_model, parent_entity_path, False, ancestry)
 
-    def _make_spec(path: str, model: dict, parent_path: str, field_name: str, is_list: bool) -> NodeSpec:
+    def _make_spec(
+        path: str, model: dict, parent_path: str, field_name: str, is_list: bool,
+        edge_label: str = "",
+    ) -> NodeSpec:
         fields = list(_field_specs(model))
         refs: list[tuple[str, tuple[str, ...]]] = []
         for fname, child in (model.get("children") or {}).items():
@@ -173,6 +184,7 @@ def build_node_catalog(template: dict, include_references: bool = False) -> Node
             kind="component" if model.get("component") else "entity",
             parent_path=parent_path,
             field_name=field_name,
+            edge_label=edge_label,
             is_list=is_list,
             description=model.get("description", ""),
             discover=model.get("discover", ""),

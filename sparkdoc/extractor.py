@@ -191,6 +191,11 @@ def convert_document_graph(
     filled = fill_phase(chunks, full, catalog, fill_cap=fill_cap)
     validated = salvage_entities(filled, catalog).localCheckpoint()
     good = validated.filter(F.col("valid") == 1).drop("valid", "errors", "salvage_passes")
+    # root-only identity repair (echo clear + stem fallback) — the strategy
+    # step, reference strategies/many_to_one.py:28 via utils/root_identity.py
+    from sparkdoc.rootid import repair_root_identity
+
+    good = repair_root_identity(good, catalog)
     nodes = entities_to_nodes(good.drop("fill_batch")).persist()
     edges = build_catalog_edges(nodes, good, catalog)
     pairs = co_occurrence_veto(
@@ -253,8 +258,11 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
 
     * parent edges — for every spec with a parent path, children resolve
       their parent through the 7-rung ladder (resolve.resolve_parents); edge
-      src=parent, dst=child, label=the template field name (the reference's
-      edge_label walk, graph_converter.py:690-818).
+      src=parent, dst=child, label = explicit edge_label metadata else the
+      template field name (the reference's edge_label walk,
+      graph_converter.py:690-818; component subtrees are attributed to the
+      nearest entity ancestor by the catalog walk itself — a spec's
+      parent_path passes through component levels unchanged).
     * reference edges — a filled reference field resolves to the TARGET's
       deterministic node id (the registry guarantee: same class + ids ⇒ same
       id), so the edge is computed without any join against discovery output;
@@ -297,7 +305,7 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
             resolved.filter(F.col("parent_id").isNotNull()).select(
                 F.col("parent_id").alias("src"),
                 F.col("child_id").alias("dst"),
-                F.lit(spec.field_name or "has").alias("label"),
+                F.lit(spec.edge_label or spec.field_name or "has").alias("label"),
                 F.map_from_arrays(
                     F.array(F.lit("resolved_by")), F.array(F.col("resolved_by"))
                 ).alias("props"),

@@ -399,3 +399,94 @@ class TestExtensionSlots:
         out = {r["node_id"]: r for r in salvage_entities(ents, cat, extensions=exts).collect()}
         assert out["n1"]["valid"] == 1
         assert out["n2"]["valid"] == 0 and "name_needs_digit" in out["n2"]["errors"]
+
+
+class TestEdgeLabelMetadata:
+    def test_explicit_edge_label_carried_on_spec(self):
+        # graph_converter._get_edge_label (graph_converter.py:717,753):
+        # explicit field metadata overrides the field name as edge label
+        template = {
+            "class": "Report",
+            "id_fields": ["name"],
+            "fields": {},
+            "children": {
+                "sections": {
+                    "list": True,
+                    "edge_label": "HAS_SECTION",
+                    "model": {"class": "Section", "id_fields": ["name"], "fields": {}, "children": {}},
+                },
+                "contacts": {
+                    "list": True,
+                    "model": {"class": "Contact", "id_fields": ["email"], "fields": {}, "children": {}},
+                },
+            },
+        }
+        cat = build_node_catalog(template)
+        by = cat.spec_by_path()
+        assert by["sections[]"].edge_label == "HAS_SECTION"
+        assert by["contacts[]"].edge_label == ""  # falls back to field name
+
+
+class TestBatchHandlesDifferential:
+    def test_random_corpus_matches_python_model(self, spark):
+        """Seeded random emissions vs a direct transcription of the
+        reference's two-pass resolution (_skeleton_ledger_key +
+        _reference_handle_prompt window semantics)."""
+        import random
+
+        from sparkdoc.resolve import ALREADY_FOUND_WINDOW, resolve_batch_handles
+
+        rng = random.Random(7)
+        rows = []
+        for doc in ("dA", "dB", "dC"):
+            n_batches = rng.randint(1, 5)
+            for b in range(n_batches):
+                n = rng.randint(1, 12)
+                for e in range(n):
+                    handle = rng.choice([None, e + 1, e + 1, rng.randint(-3, 15)])
+                    p = rng.choice([None, None, rng.randint(-60, 14)])
+                    rows.append((doc, b, e, handle, p, f"p{rng.randint(0,2)}",
+                                 {"k": f"{doc}-{b}-{e}"}))
+
+        # python model (reference semantics)
+        expected = {}
+        by_doc: dict[str, list] = {}
+        for doc in sorted({r[0] for r in rows}):
+            doc_rows = sorted([r for r in rows if r[0] == doc], key=lambda r: (r[1], r[2]))
+            entries: list[tuple[str, dict]] = []
+            for b in sorted({r[1] for r in doc_rows}):
+                batch = [r for r in doc_rows if r[1] == b]
+                by_handle = {}
+                for r in batch:
+                    if r[3] is not None and r[3] not in by_handle:
+                        by_handle[r[3]] = r
+                window = entries[-ALREADY_FOUND_WINDOW:]
+                known = {-(pos + 1): ent for pos, ent in enumerate(reversed(window))}
+                for r in batch:
+                    p = r[4]
+                    parent = None
+                    src = None
+                    if p is not None and p in by_handle and by_handle[p] is not r:
+                        t = by_handle[p]
+                        parent, src = (t[5], t[6]["k"]), "local"
+                    elif p is not None and p in known:
+                        parent, src = known[p], "already_found"
+                    expected[(r[0], r[6]["k"])] = (parent, src)
+                entries.extend((r[5], r[6]["k"]) for r in batch)
+            by_doc[doc] = entries
+
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, batch_index int, emission int, handle int, "
+            "parent_handle int, path string, ids map<string,string>",
+        )
+        got = resolve_batch_handles(df).collect()
+        assert len(got) == len(rows)
+        for r in got:
+            key = (r["doc_id"], r["ids"]["k"])
+            exp_parent, exp_src = expected[key]
+            got_parent = (
+                (r["parent_path"], r["parent_ids"]["k"]) if r["parent_path"] is not None else None
+            )
+            assert got_parent == exp_parent, (key, got_parent, exp_parent)
+            assert r["parent_source"] == exp_src, (key, r["parent_source"], exp_src)
