@@ -653,6 +653,14 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_ref", "doc_id", "sha256", "n_bytes", "width", "height")
 
 
+def _doc_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash signature — md5 word-hash family, so the
+    DuckDB twin reproduces it bit-for-bit (oracle-exact fingerprints)."""
+    from sparkdoc.dedup_text import simhash64
+
+    return simhash64(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
 def _doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.dedup_text import simhash64, simhash_near_dups
 
@@ -788,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": _doc_minhash,
         "doc_jaccard_pairs": _doc_jaccard_pairs,
         "doc_simhash_pairs": _doc_simhash_pairs,
+        "doc_simhash_sig": _doc_simhash_sig,
         "doc_rolling_fp": _doc_rolling_fp,
         # similarity search
         "emb_norms": _emb_norms,
@@ -1079,6 +1088,28 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 3 = 2 THEN CAST(1 AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END AS salvage_passes
         FROM documents
+    """
+    q["doc_simhash_sig"] = """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM words
+        ), bits AS (
+            SELECT doc_id, b AS bit,
+                   sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h, (SELECT unnest(generate_series(0, 63)) AS b)
+            GROUP BY doc_id, b
+        ), sim AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN CAST(1::UBIGINT << bit AS HUGEINT) ELSE 0 END) AS u
+            FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.u - CASE WHEN s.u >= 9223372036854775808
+                                        THEN 18446744073709551616 ELSE 0 END, 0) AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
     """
     q["doc_root_repair"] = """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -202,7 +202,12 @@ def near_dup_pairs(
 
 
 def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash over word features (vectorized numpy pandas UDF)."""
+    """64-bit SimHash over word features (vectorized numpy pandas UDF).
+
+    Word hash = first 8 bytes of md5, big-endian — the same portable md5
+    family as MinHash, so the signature has an exact DuckDB twin
+    (('0x' || substr(md5(w),1,16))::UBIGINT) and the driver gate can verify
+    it value-for-value. Repeated words keep their weight (classic SimHash)."""
     @pandas_udf("long")
     def _simhash(s: pd.Series) -> pd.Series:
         import re
@@ -214,9 +219,9 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
             if not ws:
                 return 0
             hs = np.frombuffer(
-                b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in ws),
-                dtype=np.uint64,
-            )
+                b"".join(hashlib.md5(w.encode()).digest()[:8] for w in ws),
+                dtype=np.dtype(">u8"),
+            ).astype(np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
             v = bits.sum(axis=0) * 2 - len(ws)
             out = np.uint64(0)
