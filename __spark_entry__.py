@@ -634,6 +634,30 @@ def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(extract_documents(_synth_raw(spark)))
 
 
+def _source_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the documents table keyed by
+    ``source`` — oracle-exact: the salt split + re-combine must equal a plain
+    GROUP BY (the correctness contract of skew.salted_agg)."""
+    from sparkdoc.skew import salted_agg
+
+    docs = _docs(spark, sf_dir)
+    out = salted_agg(
+        docs,
+        ["source"],
+        {
+            "n_docs": ("count", "doc_id"),
+            "total_chars": ("sum", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+        },
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    )
+
+
 def _doclang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DocLang-style serialization with byte-exact 512-grid geometry."""
     from sparkdoc.serialize import doclang_documents
@@ -826,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_format_resolution": _doc_format_resolution,
         "media_features": _media_features,
         "domain_stats_salted": _domain_stats,
+        "source_stats_salted": _source_stats_salted,
         "doclang_serialize": _doclang_docs,
     }
 
@@ -1088,6 +1113,13 @@ def oracle_sql() -> dict[str, str]:
                     WHEN doc_id % 3 = 2 THEN CAST(1 AS BIGINT)
                     ELSE CAST(0 AS BIGINT) END AS salvage_passes
         FROM documents
+    """
+    q["source_stats_salted"] = """
+        SELECT source,
+               count(doc_id) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY source
     """
     q["doc_simhash_sig"] = """
         WITH words AS (

@@ -64,3 +64,69 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+):
+    """Stateful streaming exact-dedup: emit each content fingerprint the
+    FIRST time it is ever seen across the whole stream (within-batch dups
+    collapse to the min doc_id; later batches never re-emit a seen key).
+
+    The custom stateful operator path (applyInPandasWithState): state =
+    one running count per md5(text) fingerprint, persisted in the streaming
+    checkpoint, so a restarted query continues deduping against everything
+    already ingested. At 100 TB the state is one small row per distinct
+    fingerprint, hash-partitioned by key across executors — configure the
+    RocksDB state store provider
+    (spark.sql.streaming.stateStore.providerClass) so state spills off-heap
+    instead of living in executor memory.
+
+    Output rows: (fp, doc_id, n_dups_batch). Returns the StreamingQuery
+    (AvailableNow — drains the backlog and terminates).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    docs = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 64)
+        .parquet(in_dir)
+    )
+    keyed = docs.withColumn("fp", F.md5(F.col(text_col))).groupBy("fp")
+
+    def first_seen(key, pdfs, state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        best = None
+        n = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            m = pdf["doc_id"].min()
+            best = m if best is None or m < best else best
+        if seen == 0 and n > 0:
+            yield pd.DataFrame(
+                [(key[0], best, n)], columns=["fp", "doc_id", "n_dups_batch"]
+            )
+        state.update((seen + n,))
+
+    dedup = keyed.applyInPandasWithState(
+        first_seen,
+        outputStructType="fp string, doc_id string, n_dups_batch long",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        dedup.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "unique"))
+        .option("checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -33,3 +33,33 @@ def test_stream_extract_available_now(spark, tmp_path):
     q3.awaitTermination(120)
     n2 = spark.read.parquet(os.path.join(out_dir, "documents")).count()
     assert n1 < n2 <= n1 + 6
+
+
+def test_stream_dedup_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: first-seen emission survives restarts
+    (state lives in the checkpoint, later batches never re-emit a key)."""
+    from sparkdoc.streaming import stream_dedup_first_seen
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "dedup_out")
+    spark.createDataFrame(
+        [("a1", "alpha text"), ("a2", "alpha text"), ("b1", "beta text")],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(in_dir)
+
+    q = stream_dedup_first_seen(spark, in_dir, out_dir)
+    q.awaitTermination(180)
+    out1 = {r["fp"]: r for r in spark.read.parquet(out_dir + "/unique").collect()}
+    assert len(out1) == 2  # alpha collapsed within-batch, beta unique
+    alpha = [r for r in out1.values() if r["doc_id"] == "a1"]
+    assert alpha and alpha[0]["n_dups_batch"] == 2  # min doc_id wins
+
+    # batch 2: a replay of alpha + a new gamma → only gamma emits
+    spark.createDataFrame(
+        [("a3", "alpha text"), ("c1", "gamma text")], "doc_id string, text string"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_dedup_first_seen(spark, in_dir, out_dir)
+    q2.awaitTermination(180)
+    out2 = spark.read.parquet(out_dir + "/unique").collect()
+    assert len(out2) == 3
+    assert {r["doc_id"] for r in out2} == {"a1", "b1", "c1"}
