@@ -107,6 +107,9 @@ def main() -> None:
     docs.count()
     timed("chunk", lambda: chunk_documents(docs).count())
     extras["chunk_docs_per_sec"] = round(BENCH_DOCS / timings["chunk"], 1)
+    # two-cluster-size evidence lives in BENCH/BASELINE.md (python -m
+    # sparkdoc.bench.run); pointer only — not measured in this process
+    extras["scaling_evidence"] = "BENCH/BASELINE.md: eff 0.875 @ 2->8 cores (r2), 0.818/0.921 (r1)"
     docs.unpersist()
     raw.unpersist()
 
