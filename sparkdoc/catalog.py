@@ -81,6 +81,11 @@ class NodeSpec:
     fields: tuple[FieldSpec, ...] = ()
     #: child field names that are id-only references (field -> target id fields)
     reference_fields: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    #: reference fields declared as a CLOSED catalog (template metadata
+    #: ``closed_catalog: True`` — graph_converter.py:842-852): their edges get
+    #: the transient _closed_catalog marker and enforce_closed_catalogs drops
+    #: targets that exist only through them
+    closed_catalog_fields: tuple[str, ...] = ()
 
 
 @dataclass
@@ -171,10 +176,13 @@ def build_node_catalog(template: dict, include_references: bool = False) -> Node
     ) -> NodeSpec:
         fields = list(_field_specs(model))
         refs: list[tuple[str, tuple[str, ...]]] = []
+        closed: list[str] = []
         for fname, child in (model.get("children") or {}).items():
             child_model = child.get("model") or {}
             if child.get("reference"):
                 refs.append((fname, tuple(child_model.get("id_fields") or ())))
+                if child.get("closed_catalog"):
+                    closed.append(fname)
             elif child_model.get("component"):
                 fields.extend(_field_specs(child_model, prefix=f"{fname}."))
         return NodeSpec(
@@ -191,6 +199,7 @@ def build_node_catalog(template: dict, include_references: bool = False) -> Node
             coverage_discover=model.get("coverage_discover", ""),
             fields=tuple(fields),
             reference_fields=tuple(refs),
+            closed_catalog_fields=tuple(closed),
         )
 
     walk("", template, "", True, ())
@@ -297,6 +306,10 @@ DEMO_TEMPLATE: dict = {
         "reporter": {
             "list": False,
             "reference": True,
+            # closed catalog: a reporter must be an independently anchored
+            # Contact; a contact that exists ONLY through this reference is
+            # dropped by enforce_closed_catalogs (hallucination guard)
+            "closed_catalog": True,
             "model": {"class": "Contact", "id_fields": ["email"]},
         },
         "sections": {

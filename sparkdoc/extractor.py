@@ -52,17 +52,22 @@ def discover_entities(chunks: DataFrame, catalog: NodeCatalog, coverage: bool = 
     the distributed analog of one skeleton LLM call per chunk batch. In
     coverage mode, specs use their looser ``coverage_discover`` pattern
     (falling back to ``discover``); discovery-less specs are skipped."""
+    import re as _re
+
     parts = []
     for spec in catalog.nodes:
         pat = (spec.coverage_discover or spec.discover) if coverage else spec.discover
         if not pat or not spec.id_fields:
             continue
         primary = spec.id_fields[0]
+        # the documented contract is "group 1 (or 0)": patterns without a
+        # capture group extract the whole match instead of crashing the scan
+        group_idx = 1 if _re.compile(pat).groups >= 1 else 0
         hits = chunks.select(
             "doc_id",
             "chunk_id",
             F.explode(
-                F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(pat), 1))
+                F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(group_idx)))
             ).alias("value"),
         ).filter(F.col("value") != "")
         parts.append(
@@ -204,6 +209,12 @@ def convert_document_graph(
     nodes2, edges2, alias_audit = apply_alias_merges(nodes, edges, pairs)
     nodes2 = nodes2.persist()
     edges_clean = clean_edges(nodes2, edges2)
+    # template-declared closed catalogs (graph_converter.py:311-314): drop
+    # reference edges whose target exists only through marked edges
+    if any(s.closed_catalog_fields for s in catalog.nodes):
+        from sparkdoc.merge import enforce_closed_catalogs
+
+        nodes2, edges_clean = enforce_closed_catalogs(nodes2, edges_clean)
     ledger = build_ledger(good.drop("fill_batch"), chunks)
     return {
         "documents": docs,
@@ -246,10 +257,26 @@ def one_to_one_extract(spans: DataFrame, template: dict | None = None, fill_cap:
     good = salvage_entities(filled, catalog).filter(F.col("valid") == 1).drop(
         "valid", "errors", "salvage_passes"
     )
+    from sparkdoc.dedup import node_id_expr
+
     parts = F.split(F.col("doc_id"), "\x1f")
+    # the pseudo doc_id leaks into the ROOT's primary id (root_entities keys
+    # the root on doc_id) — scrub the suffix from every id value and recompute
+    # the registry node_id so exported identities carry no \x1f artifacts
+    clean_ids = F.map_from_entries(
+        F.transform(
+            F.map_entries("ids"),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                F.split(e["value"], "\x1f").getItem(0).alias("value"),
+            ),
+        )
+    )
     return (
         good.withColumn("page_no", parts.getItem(1).cast("int"))
         .withColumn("doc_id", parts.getItem(0))
+        .withColumn("ids", clean_ids)
+        .withColumn("node_id", node_id_expr(F.col("class"), F.col("ids")))
     )
 
 
@@ -320,6 +347,13 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
             target_class = _reference_target_class(catalog, id_fields)
             if not target_class:
                 continue
+            # closed-catalog reference fields stamp the transient marker the
+            # enforcement pass keys on (graph_converter.py:842-852)
+            props = (
+                F.create_map(F.lit("_closed_catalog"), F.lit(fname))
+                if fname in spec.closed_catalog_fields
+                else F.lit(None).cast("map<string,string>")
+            )
             refs = entities.filter(
                 (F.col("path") == spec.path)
                 & F.element_at(F.col("fields"), fname).isNotNull()
@@ -330,7 +364,7 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
                     F.create_map(F.lit(id_fields[0]), F.element_at(F.col("fields"), fname)),
                 ).alias("dst"),
                 F.lit(fname).alias("label"),
-                F.lit(None).cast("map<string,string>").alias("props"),
+                props.alias("props"),
             )
             edge_parts.append(refs)
 

@@ -53,8 +53,26 @@ GLOBAL_HEAD_CHARS = 2000
 # --------------------------------------------------------------------------
 
 
+def prepare_fill(catalog: NodeCatalog) -> dict:
+    """Per-path precomputation for the fill hot loop: projected-schema
+    property set + reference-field discover patterns. Rebuilding these per
+    descriptor row is O(rows x catalog) pure-Python overhead inside
+    mapInPandas — compute once on the driver (the catalog is tiny) and close
+    over the result."""
+    prepared = {}
+    for spec in catalog.nodes:
+        props = set(build_projected_fill_schema(catalog, spec)["properties"])
+        refs = [
+            (fname, dict(_reference_targets(catalog, spec)).get(fname, ""))
+            for fname, _ids in spec.reference_fields
+        ]
+        prepared[spec.path] = (props, refs)
+    return prepared
+
+
 def extract_fields(
-    spec: NodeSpec, ids: dict, context: str, catalog: NodeCatalog, extensions=None
+    spec: NodeSpec, ids: dict, context: str, catalog: NodeCatalog, extensions=None,
+    prepared: dict | None = None,
 ) -> dict:
     """Deterministic fill of one descriptor: apply each projected-schema
     field's rule; reference fields fill id-only via the target class's
@@ -63,8 +81,14 @@ def extract_fields(
     Rule-less fields (FieldSpec.rule_kind '') consult the user extension
     registry (SURVEY §2.11 — extension.Extensions.field_extractors, the
     custom-model-backend slot)."""
-    schema = build_projected_fill_schema(catalog, spec)
-    props = schema["properties"]
+    if prepared is not None and spec.path in prepared:
+        props, ref_rules = prepared[spec.path]
+    else:
+        props = set(build_projected_fill_schema(catalog, spec)["properties"])
+        ref_rules = [
+            (fname, dict(_reference_targets(catalog, spec)).get(fname, ""))
+            for fname, _ids in spec.reference_fields
+        ]
     primary = ids.get(spec.id_fields[0], "") if spec.id_fields else ""
     out: dict = {}
     for f in spec.fields:
@@ -97,14 +121,8 @@ def extract_fields(
             except ValueError:
                 pass
         out[f.name] = str(value).strip()
-    for fname, id_fields in spec.reference_fields:
-        target = next(
-            (c for c in _reference_targets(catalog, spec) if c[0] == fname), None
-        )
-        if target is None or not context:
-            continue
-        _, discover = target
-        if not discover:
+    for fname, discover in ref_rules:
+        if not discover or not context:
             continue
         m = re.search(discover, context)
         if m:
@@ -228,6 +246,7 @@ def fill_phase(
     pass through with fill_batch = -1 (no fill job, like the reference's
     skipped paths)."""
     by_path = catalog.spec_by_path()
+    prepared = prepare_fill(catalog)
     desc = assign_fill_batches(skeleton, catalog, fill_cap)
     ctx = scoped_context(desc, chunks)
     jobs = desc.join(ctx, ["doc_id", "node_id", "path"], "left")
@@ -246,7 +265,7 @@ def fill_phase(
                 spec = by_path.get(path)
                 ids = dict(ids or {})
                 filled = (
-                    extract_fields(spec, ids, context or "", catalog, extensions)
+                    extract_fields(spec, ids, context or "", catalog, extensions, prepared)
                     if spec
                     else {}
                 )

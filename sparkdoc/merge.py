@@ -346,6 +346,7 @@ def merge_graphs_policy(
     policy: MergePolicy | None = None,
     schema_hashes: list[str] | None = None,
     ledgers: list[DataFrame] | None = None,
+    skolemize: bool = True,
 ) -> dict:
     """Full-policy N-way merge (merger.py:242-289 relational re-expression).
 
@@ -375,7 +376,12 @@ def merge_graphs_policy(
 
     tagged_n = [n.withColumn("_src", F.lit(i)) for i, (n, _) in enumerate(inputs)]
     tagged_e = [e.withColumn("_src", F.lit(i)) for i, (_, e) in enumerate(inputs)]
-    tagged_n, tagged_e, skolemized = _skolemize_root_collisions(tagged_n, tagged_e)
+    if skolemize:
+        tagged_n, tagged_e, skolemized = _skolemize_root_collisions(tagged_n, tagged_e)
+    else:
+        skolemized = inputs[0][0].sparkSession.createDataFrame(
+            [], "node_id string, new_id string, input_index int"
+        )
 
     all_nodes = tagged_n[0]
     for t in tagged_n[1:]:
@@ -393,7 +399,6 @@ def merge_graphs_policy(
     ranked = exploded.withColumn("_ord", order)
     winner = ranked.groupBy("node_id", "k").agg(
         F.min_by("v", F.col("_ord")).alias("v"),
-        F.countDistinct("v").alias("_nvals"),
         # combine-fields values in precedence order (sentence-dedup merge)
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("_ord"), F.col("v").alias("v")))),
@@ -520,56 +525,22 @@ def merge_graphs(
     inputs: list[tuple[DataFrame, DataFrame]],
     precedence: str = "input_order",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """N-way graph merge: unionByName + fold by node_id.
+    """N-way graph merge: unionByName + fold by node_id (back-compat shape).
 
-    precedence: 'input_order' (earlier input wins per attr) or 'richest'
-    (most filled attrs wins per node, policy.py:19-23). Edges union-distinct.
-    Returns (nodes, edges, conflicts) where conflicts records attr-level
-    disagreements (merger report analog, merger.py:947-971).
+    Thin wrapper over merge_graphs_policy (same fold, no skolemization, no
+    conflict reification) projecting the legacy (nodes, edges, conflicts)
+    tuple; conflicts keep the historical (node_id, attr, n_variants) shape
+    (n_variants = distinct suppressed values + the winner).
     """
-    tagged = []
-    for i, (n, _) in enumerate(inputs):
-        tagged.append(n.withColumn("_src", F.lit(i)))
-    all_nodes = tagged[0]
-    for t in tagged[1:]:
-        all_nodes = all_nodes.unionByName(t)
-
-    exploded = all_nodes.select(
-        "node_id", "node_class", "label", "_src",
-        F.explode_outer("attrs").alias("k", "v"),
-    ).filter(F.col("v").isNotNull() & (F.col("v") != ""))
-    richness = F.count("*").over(Window.partitionBy("node_id", "_src"))
-    if precedence == "richest":
-        order = F.struct((-richness).alias("r"), F.col("_src").alias("s"))
-    else:
-        order = F.struct(F.col("_src").alias("s"), F.lit(0).alias("r"))
-    winner = exploded.withColumn("_ord", order).groupBy("node_id", "k").agg(
-        F.min_by("v", F.col("_ord")).alias("v"),
-        F.countDistinct("v").alias("_nvals"),
+    out = merge_graphs_policy(
+        inputs, MergePolicy(precedence=precedence, conflicts="keep_first"), skolemize=False
     )
-    conflicts = winner.filter(F.col("_nvals") > 1).select(
-        "node_id", F.col("k").alias("attr"), F.col("_nvals").alias("n_variants")
+    conflicts = (
+        out["conflicts"]
+        .groupBy("node_id", "attr")
+        .agg((F.countDistinct("suppressed_value") + 1).alias("n_variants"))
     )
-    folded = winner.groupBy("node_id").agg(
-        F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("attrs")
-    )
-    # node set = every distinct node_id (first occurrence wins for label/class/
-    # provenance); the attr fold is LEFT-joined so a node whose attrs are all
-    # empty still survives with an empty map — the reference merger keeps such
-    # nodes, and dropping them here left dangling edges (validate_graph red).
-    label_pick = all_nodes.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("node_id").orderBy("_src"))
-    ).filter(F.col("_rn") == 1).select("node_id", "node_class", "label", "doc_id", "provenance")
-    nodes = label_pick.join(folded, "node_id", "left").withColumn(
-        "attrs", F.coalesce(F.col("attrs"), F.create_map().cast("map<string,string>"))
-    )
-    nodes = nodes.select("node_id", "doc_id", "node_class", "label", "attrs", "provenance")
-
-    all_edges = inputs[0][1]
-    for _, e in inputs[1:]:
-        all_edges = all_edges.unionByName(e)
-    edges = all_edges.dropDuplicates(["src", "dst", "label"])
-    return nodes, edges, conflicts
+    return out["nodes"], out["edges"], conflicts
 
 
 CLOSED_CATALOG_MARK = "_closed_catalog"

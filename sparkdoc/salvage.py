@@ -501,6 +501,13 @@ def entity_schema_for_spec(catalog, spec) -> dict:
 
     schema = build_projected_fill_schema(catalog, spec)
     props = dict(schema["properties"])
+    # reference projections are filled as the bare target-id STRING
+    # (fill.extract_fields) — validating them as typed models would make the
+    # ladder rewrite the string into a dict and break the registry edge
+    # derivation downstream (build_catalog_edges keys on the raw id value)
+    for fname, _ids in spec.reference_fields:
+        if props.get(fname, {}).get("type") == "reference":
+            props[fname] = {"type": "string"}
     for f in spec.id_fields:
         props.setdefault(f, {"type": "string"})
     required = sorted(set(schema.get("required") or []) | set(spec.id_fields))

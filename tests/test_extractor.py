@@ -113,6 +113,15 @@ def test_convert_document_graph_end_to_end(spark):
     # catalog-driven parent edges exist for both nesting levels
     labels = {r["label"] for r in out["edges"].select("label").distinct().collect()}
     assert "sections" in labels and "contracts" in labels
+    # reference-field edges MATERIALIZE: a filled reporter field resolves to
+    # the real Contact node id (regression: salvage used to rewrite the bare
+    # id string into a JSON object, so every reference edge dangled)
+    rep = out["edges"].filter(F.col("label") == "reporter")
+    assert rep.count() > 0
+    dangling = rep.join(
+        out["nodes"].select(F.col("node_id").alias("dst")), "dst", "left_anti"
+    )
+    assert dangling.count() == 0
     # ledger covers the extracted entities with verbatim anchors
     ledger = out["ledger"]
     verb = ledger.select(F.explode("anchors").alias("a")).filter(F.col("a.kind") == "verbatim")

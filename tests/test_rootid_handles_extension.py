@@ -490,3 +490,86 @@ class TestBatchHandlesDifferential:
             )
             assert got_parent == exp_parent, (key, got_parent, exp_parent)
             assert r["parent_source"] == exp_src, (key, r["parent_source"], exp_src)
+
+
+class TestReviewFixes:
+    """Regression tests for the round-2 review findings."""
+
+    def test_salvage_keeps_reference_field_strings(self, spark):
+        # a filled reference field is the bare target-id string; the ladder
+        # must NOT rewrite it into a typed model dict (build_catalog_edges
+        # keys the edge dst on the raw value)
+        from sparkdoc.extractor import demo_catalog
+        from sparkdoc.salvage import salvage_entities
+
+        ents = spark.createDataFrame(
+            [("d", "", "Report", {"name": "d"}, {"reporter": "alice@acme.com"}, [0], "n1", -1)],
+            "doc_id string, path string, class string, ids map<string,string>, "
+            "fields map<string,string>, chunk_ids array<int>, node_id string, fill_batch int",
+        )
+        out = salvage_entities(ents, demo_catalog()).collect()[0]
+        assert out["fields"]["reporter"] == "alice@acme.com"
+        assert out["valid"] == 1 and out["salvage_passes"] == 0
+
+    def test_discover_pattern_without_capture_group(self, spark):
+        from sparkdoc.catalog import build_node_catalog
+        from sparkdoc.extractor import discover_entities
+
+        template = {
+            "class": "R", "id_fields": ["name"], "fields": {},
+            "children": {
+                "codes": {"list": True, "model": {
+                    "class": "Code", "id_fields": ["code"],
+                    "discover": r"\bCT-\d{4}\b",  # no parens: group 0 contract
+                    "fields": {},
+                }},
+            },
+        }
+        chunks = spark.createDataFrame(
+            [("d", 0, "see CT-1234 here", 4)],
+            "doc_id string, chunk_id int, text string, token_count int",
+        )
+        rows = discover_entities(chunks, build_node_catalog(template)).collect()
+        assert rows and rows[0]["ids"]["code"] == "CT-1234"
+
+    def test_one_to_one_ids_carry_no_separator(self, spark):
+        from sparkdoc.extractor import one_to_one_extract
+        from sparkdoc.spans import explode_spans, extract_documents
+        from sparkdoc.synth import raw_nodes_df
+
+        spans = explode_spans(extract_documents(raw_nodes_df(spark, 4, 11, partitions=1)))
+        out = one_to_one_extract(spans).collect()
+        assert out
+        for r in out:
+            assert "\x1f" not in r["doc_id"]
+            for v in r["ids"].values():
+                assert "\x1f" not in v
+
+    def test_closed_catalog_field_compiled_and_marked(self):
+        from sparkdoc.catalog import DEMO_TEMPLATE, build_node_catalog
+
+        cat = build_node_catalog(DEMO_TEMPLATE)
+        root = cat.spec_by_path()[""]
+        assert root.closed_catalog_fields == ("reporter",)
+
+    def test_merge_graphs_legacy_shape_via_policy(self, spark):
+        from sparkdoc.merge import merge_graphs
+
+        def g(rows):
+            n = spark.createDataFrame(
+                rows,
+                "node_id string, doc_id string, node_class string, label string, "
+                "attrs map<string,string>, provenance string",
+            )
+            e = spark.createDataFrame(
+                [], "src string, dst string, label string, props map<string,string>"
+            )
+            return n, e
+
+        a = g([("n1", "d", "C", "x", {"k": "v1"}, None)])
+        b = g([("n1", "d", "C", "x", {"k": "v2"}, None)])
+        nodes, edges, conflicts = merge_graphs([a, b])
+        row = nodes.collect()[0]
+        assert row["attrs"]["k"] == "v1"  # input order wins
+        c = conflicts.collect()[0]
+        assert (c["node_id"], c["attr"], c["n_variants"]) == ("n1", "k", 2)
