@@ -1143,6 +1143,36 @@ def oracle_sql() -> dict[str, str]:
                                         THEN 18446744073709551616 ELSE 0 END, 0) AS BIGINT) AS simhash
         FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
     """
+    # Brute-force O(n^2) twin of the blocked self-join: pigeonhole blocking
+    # with max_hamming+1 blocks is recall-COMPLETE for radius 6, so the
+    # candidate-generation path must equal the exhaustive pair scan exactly.
+    q["doc_simhash_pairs"] = """
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> w <> '')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM words
+        ), bits AS (
+            SELECT doc_id, b AS bit,
+                   sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM h, (SELECT unnest(generate_series(0, 63)) AS b)
+            GROUP BY doc_id, b
+        ), sim AS (
+            SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN CAST(1::UBIGINT << bit AS HUGEINT) ELSE 0 END) AS u
+            FROM bits GROUP BY doc_id
+        ), sig AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.u - CASE WHEN s.u >= 9223372036854775808
+                                            THEN 18446744073709551616 ELSE 0 END, 0) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+    """
     q["doc_root_repair"] = """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CASE WHEN doc_id % 3 = 2 THEN 'CODE-' || CAST(doc_id AS VARCHAR)
