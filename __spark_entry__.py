@@ -1257,6 +1257,35 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 5
     """
+    # LSH-bucketed ANN twin: the md5-keyed ±1 hyperplanes (similarity.md5_planes)
+    # are rebuilt in pure SQL, so bucket assignment — and therefore the probe
+    # join and per-bucket exact top-k — must match Spark bit-for-bit.
+    q["emb_lsh_knn"] = f"""
+        WITH e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
+        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw),
+        planes AS (
+            SELECT b, list_transform(generate_series(0, 63), j ->
+                CASE WHEN ('0x' || substr(md5('7:' || b || ':' || j), 1, 2))::UBIGINT % 2 = 0
+                     THEN 1.0 ELSE -1.0 END) AS p
+            FROM (SELECT unnest(generate_series(0, 3)) AS b)
+        ),
+        bucketed AS (
+            SELECT vec_id, any_value(e) AS e,
+                   CAST(sum(CASE WHEN list_reduce(list_transform(list_zip(e, p), pr -> pr[1] * pr[2]), (x, y) -> x + y) >= 0
+                            THEN 1 << b ELSE 0 END) AS INT) AS bucket
+            FROM e, planes GROUP BY vec_id
+        ),
+        qa AS (SELECT vec_id AS query_id, e, bucket FROM bucketed WHERE vec_id % 100 = 0),
+        ca AS (SELECT vec_id AS neighbor_id, e, bucket FROM bucketed),
+        scored AS (
+            SELECT query_id, neighbor_id, {_cos} AS cos
+            FROM qa JOIN ca ON qa.bucket = ca.bucket AND query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
     q["emb_label_knn"] = f"""
         WITH e_raw AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
         e AS (SELECT vec_id, label, {_unit_e} AS e FROM e_raw),

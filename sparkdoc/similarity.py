@@ -105,22 +105,38 @@ def ann_recall(exact: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+def md5_planes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component (b, j) is the parity of the
+    first md5 byte of ``"{seed}:{b}:{j}"``. md5 exists in every engine, so an
+    oracle can rebuild the identical planes in pure SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{b}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
 def hyperplane_bucket(vec: Column, n_bits: int = 8, dim: int = 64, seed: int = 7) -> Column:
     """Random-hyperplane LSH bucket id: sign bits of dot(vec, h_i).
 
-    Hyperplanes are a deterministic ±1 pattern keyed by (seed, bit, dim index)
-    via a cheap integer mix — reproducible in SQL (no RNG state).
+    The ±1 planes are computed ONCE at plan-build time (md5_planes) and
+    embedded as array literals — zero per-row hashing, and engine-independent
+    so the DuckDB twin reproduces the same buckets (emb_lsh_knn is
+    oracle-exact). ``dim`` must be ≥ the vector width; each plane is sliced
+    to the vector's length.
     """
-
-    def plane_component(bit: int, j: Column) -> Column:
-        h = F.hash(F.lit(seed), F.lit(bit), j)
-        return F.when(F.pmod(h, F.lit(2)) == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-
+    planes = md5_planes(n_bits, dim, seed)
     bits = []
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
     for b in range(n_bits):
+        plane = F.slice(F.array(*[F.lit(p) for p in planes[b]]), F.lit(1), F.size(vec))
         proj = F.aggregate(
-            F.zip_with(vec, idx, lambda x, j: x * plane_component(b, j)),
+            F.zip_with(vec, plane, lambda x, p: x * p),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
