@@ -1286,6 +1286,57 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 5
     """
+    # IVF ANN twin: centroids are an md5-chunked uint16-LE stream (rebuilt
+    # here via hex decode), argmax-cell assignment, nprobe=3 probe join,
+    # exact cosine within probed cells — every fold is a sequential
+    # list_reduce matching Spark's aggregate order, so scores (and therefore
+    # ranks) are bit-identical.
+    q["emb_ivf_knn"] = f"""
+        WITH e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
+        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw),
+        cent AS (
+            SELECT cell,
+                   (SELECT string_agg(md5('ivf:11:' || cell || ':' || i), '' ORDER BY i)
+                    FROM (SELECT unnest(generate_series(0, 7)) AS i)) AS hx
+            FROM (SELECT unnest(generate_series(0, 15)) AS cell)
+        ),
+        craw AS (
+            SELECT cell, list_transform(generate_series(0, 63), j ->
+                CAST(('0x' || substr(hx, j*4 + 3, 2) || substr(hx, j*4 + 1, 2))::UBIGINT AS DOUBLE) - 32767.5) AS v
+            FROM cent
+        ),
+        cnorm AS (
+            SELECT cell, list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b))) AS cvec
+            FROM craw
+        ),
+        assigned AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT e.vec_id, e.e, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_reduce(list_transform(list_zip(e.e, c.cvec), pr -> pr[1] * pr[2]), (x,y) -> x+y) DESC,
+                           c.cell ASC) AS rn
+                FROM e, cnorm c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT query_id, e, cell FROM (
+                SELECT q.vec_id AS query_id, q.e, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                           list_reduce(list_transform(list_zip(q.e, c.cvec), pr -> pr[1] * pr[2]), (x,y) -> x+y) DESC,
+                           c.cell ASC) AS rn
+                FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, cnorm c
+            ) WHERE rn <= 3
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_reduce(list_transform(list_zip(p.e, a.e), pr -> pr[1] * pr[2]), (x,y) -> x+y) AS cos
+            FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
     q["emb_label_knn"] = f"""
         WITH e_raw AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
         e AS (SELECT vec_id, label, {_unit_e} AS e FROM e_raw),

@@ -207,18 +207,25 @@ def ivf_assign(
         dim = int(first["d"])
 
     def centroid(cell: int) -> list[float]:
+        # md5-chunked pseudo-random uint16-LE stream, normalized with a
+        # SEQUENTIAL left fold — both reproducible in pure SQL (hex decode +
+        # list_reduce), so the DuckDB twin rebuilds identical centroids and
+        # emb_ivf_knn is oracle-exact bit-for-bit.
         import hashlib as _h
-        import numpy as _np
+        import math as _m
 
         need = dim * 2
         raw = b""
         i = 0
-        while len(raw) < need:  # blake2b digest caps at 64 bytes — chunk it
-            raw += _h.blake2b(f"ivf:{seed}:{cell}:{i}".encode(), digest_size=64).digest()
+        while len(raw) < need:  # md5 digest is 16 bytes — chunk it
+            raw += _h.md5(f"ivf:{seed}:{cell}:{i}".encode()).digest()
             i += 1
-        v = _np.frombuffer(raw[:need], dtype=_np.uint16).astype(_np.float64) - 32767.5
-        n = float(_np.sqrt((v * v).sum())) or 1.0
-        return [float(x / n) for x in v]
+        v = [float(int.from_bytes(raw[2 * j : 2 * j + 2], "little")) - 32767.5 for j in range(dim)]
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        n = _m.sqrt(acc) or 1.0
+        return [x / n for x in v]
 
     spark = corpus.sparkSession
     centroids = F.broadcast(
