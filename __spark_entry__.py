@@ -725,10 +725,21 @@ def _emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints. Oracle-exact: the polynomial
+    window hash (base 257 mod 2^61-1) is position-local under the Rabin-Karp
+    identity, so the DuckDB twin hashes each 16-byte window directly and must
+    reproduce the sampled set — min/max pin the actual hash values, not just
+    the count. (Corpus is ASCII, so SQL code points == utf-8 bytes.)"""
     from sparkdoc.textops import rolling_fingerprints
 
     return rolling_fingerprints(_docs(spark, sf_dir)).select(
-        "doc_id", F.size("fingerprints").alias("n_fp")
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.element_at("fingerprints", 1).alias("fp_min"),
+        F.when(
+            F.size("fingerprints") > 0,
+            F.element_at("fingerprints", F.size("fingerprints")),
+        ).alias("fp_max"),
     )
 
 
@@ -1142,6 +1153,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(s.u - CASE WHEN s.u >= 9223372036854775808
                                         THEN 18446744073709551616 ELSE 0 END, 0) AS BIGINT) AS simhash
         FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+    """
+    # Winnowing twin: each 16-byte window hashed directly (Rabin-Karp
+    # identity == the streaming recurrence, exact under mod 2^61-1);
+    # 1/8 min-sampling, distinct, sorted, cap 128. list_reduce's first-element
+    # seed equals Python's h=0 fold since (0*257+b) = b.
+    q["doc_rolling_fp"] = """
+        WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        hs AS (
+            SELECT doc_id,
+                CASE WHEN length(s) < 16 THEN [] ELSE
+                    list_transform(generate_series(1, length(s) - 15), i ->
+                        list_reduce(
+                            list_transform(generate_series(i, i + 15),
+                                           j -> CAST(ascii(substr(s, j, 1)) AS HUGEINT)),
+                            (acc, b) -> (acc * 257 + b) % 2305843009213693951))
+                END AS hl
+            FROM t
+        ),
+        fp AS (
+            SELECT doc_id,
+                   list_slice(list_sort(list_distinct(list_filter(hl, h -> h % 8 = 0))), 1, 128) AS f
+            FROM hs
+        )
+        SELECT doc_id, CAST(len(f) AS INT) AS n_fp,
+               CAST(f[1] AS BIGINT) AS fp_min,
+               CAST(f[len(f)] AS BIGINT) AS fp_max
+        FROM fp
     """
     # Brute-force O(n^2) twin of the blocked self-join: pigeonhole blocking
     # with max_hamming+1 blocks is recall-COMPLETE for radius 6, so the
