@@ -1295,13 +1295,18 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 5
     """
-    # LSH-bucketed ANN twin: the md5-keyed ±1 hyperplanes (similarity.md5_planes)
-    # are rebuilt in pure SQL, so bucket assignment — and therefore the probe
-    # join and per-bucket exact top-k — must match Spark bit-for-bit.
-    q["emb_lsh_knn"] = f"""
-        WITH e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
-        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw),
-        planes AS (
+    # Shared CTE bodies for the ANN twins (LSH planes / IVF centroids are
+    # md5-derived, so pure SQL rebuilds them bit-for-bit; every fold is a
+    # sequential list_reduce matching Spark's aggregate order).
+    _e_cte = f"""e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
+        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw)"""
+    def _dot2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}.e, {b}.e), "
+            "pr -> pr[1] * pr[2]), (x, y) -> x + y)"
+        )
+
+    _lsh_cte = f"""planes AS (
             SELECT b, list_transform(generate_series(0, 63), j ->
                 CASE WHEN ('0x' || substr(md5('7:' || b || ':' || j), 1, 2))::UBIGINT % 2 = 0
                      THEN 1.0 ELSE -1.0 END) AS p
@@ -1313,26 +1318,23 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 << b ELSE 0 END) AS INT) AS bucket
             FROM e, planes GROUP BY vec_id
         ),
-        qa AS (SELECT vec_id AS query_id, e, bucket FROM bucketed WHERE vec_id % 100 = 0),
-        ca AS (SELECT vec_id AS neighbor_id, e, bucket FROM bucketed),
-        scored AS (
-            SELECT query_id, neighbor_id, {_cos} AS cos
-            FROM qa JOIN ca ON qa.bucket = ca.bucket AND query_id <> neighbor_id
-        )
-        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-            FROM scored
-        ) WHERE rank <= 5
-    """
-    # IVF ANN twin: centroids are an md5-chunked uint16-LE stream (rebuilt
-    # here via hex decode), argmax-cell assignment, nprobe=3 probe join,
-    # exact cosine within probed cells — every fold is a sequential
-    # list_reduce matching Spark's aggregate order, so scores (and therefore
-    # ranks) are bit-identical.
-    q["emb_ivf_knn"] = f"""
-        WITH e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
-        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw),
-        cent AS (
+        lq AS (SELECT vec_id AS query_id, e, bucket FROM bucketed WHERE vec_id % 100 = 0),
+        lc AS (SELECT vec_id AS neighbor_id, e, bucket FROM bucketed),
+        lsh_scored AS (
+            SELECT query_id, neighbor_id, {_dot2('lq', 'lc')} AS cos
+            FROM lq JOIN lc ON lq.bucket = lc.bucket AND query_id <> neighbor_id
+        ),
+        lsh AS (
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM lsh_scored
+            ) WHERE rank <= 5
+        )"""
+
+    # IVF twin: centroids are an md5-chunked uint16-LE stream (rebuilt via
+    # hex decode), argmax-cell assignment, nprobe=3 probe join, exact cosine
+    # within probed cells — scores (and therefore ranks) are bit-identical.
+    _ivf_cte = f"""cent AS (
             SELECT cell,
                    (SELECT string_agg(md5('ivf:11:' || cell || ':' || i), '' ORDER BY i)
                     FROM (SELECT unnest(generate_series(0, 7)) AS i)) AS hx
@@ -1365,15 +1367,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, cnorm c
             ) WHERE rn <= 3
         ),
-        scored AS (
-            SELECT p.query_id, a.vec_id AS neighbor_id,
-                   list_reduce(list_transform(list_zip(p.e, a.e), pr -> pr[1] * pr[2]), (x,y) -> x+y) AS cos
+        ivf_scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, {_dot2('p', 'a')} AS cos
             FROM probes p JOIN assigned a ON p.cell = a.cell AND p.query_id <> a.vec_id
+        ),
+        ivf AS (
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM ivf_scored
+            ) WHERE rank <= 5
+        )"""
+
+    _exact_cte = f"""xq AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id % 100 = 0),
+        xc AS (SELECT vec_id AS neighbor_id, e FROM e),
+        x_scored AS (
+            SELECT query_id, neighbor_id, {_dot2('xq', 'xc')} AS cos
+            FROM xq, xc WHERE query_id <> neighbor_id
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM x_scored
+            ) WHERE rank <= 5
+        )"""
+
+    q["emb_lsh_knn"] = f"WITH {_e_cte}, {_lsh_cte} SELECT query_id, neighbor_id, rank, cos FROM lsh"
+    q["emb_ivf_knn"] = f"WITH {_e_cte}, {_ivf_cte} SELECT query_id, neighbor_id, rank, cos FROM ivf"
+    # The recall rollup itself is oracle-exact: both ANN twins and the exact
+    # top-k are deterministic, so |ANN ∩ exact| / k per query is too.
+    q["emb_ann_recall"] = f"""
+        WITH {_e_cte}, {_lsh_cte}, {_ivf_cte}, {_exact_cte},
+        denom AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id),
+        lsh_hits AS (
+            SELECT x.query_id, count(*) AS hits FROM exact x
+            JOIN lsh l ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+            GROUP BY x.query_id
+        ),
+        ivf_hits AS (
+            SELECT x.query_id, count(*) AS hits FROM exact x
+            JOIN ivf v ON x.query_id = v.query_id AND x.neighbor_id = v.neighbor_id
+            GROUP BY x.query_id
         )
-        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-            FROM scored
-        ) WHERE rank <= 5
+        SELECT 'lsh' AS method, count(*) AS n_queries,
+               round(avg(CAST(coalesce(h.hits, 0) AS DOUBLE) / d.k), 6) AS mean_recall_at_k
+        FROM denom d LEFT JOIN lsh_hits h ON d.query_id = h.query_id
+        UNION ALL
+        SELECT 'ivf' AS method, count(*) AS n_queries,
+               round(avg(CAST(coalesce(h.hits, 0) AS DOUBLE) / d.k), 6) AS mean_recall_at_k
+        FROM denom d LEFT JOIN ivf_hits h ON d.query_id = h.query_id
     """
     q["emb_label_knn"] = f"""
         WITH e_raw AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
