@@ -743,6 +743,90 @@ def _doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_chunk_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_owner_map semantics over engine-reproducible derived inputs:
+    chunks = fixed 120-char windows of documents.text, parents = words
+    1/5/9 of each doc. The head/body/carry ladder (unique-head → unique-body
+    → forward-carry ≤12) is pure windowed SQL, so the DuckDB twin must
+    reproduce owner assignment exactly (oracle-exact twin of the rows-only
+    synth-corpus `chunk_owner` entry)."""
+    from sparkdoc.serialize import chunk_owner_map
+
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
+                " i -> substring(text, (i-1)*120 + 1, 120))"
+            )
+        ).alias("chunk_id", "text"),
+    )
+    w = F.split(F.col("text"), " ")
+    parents = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("P1").alias("node_id"), F.element_at(w, 1).alias("label")),
+                    F.struct(F.lit("P5").alias("node_id"), F.element_at(w, 5).alias("label")),
+                    F.struct(F.lit("P9").alias("node_id"), F.element_at(w, 9).alias("label")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.node_id").alias("node_id"), F.col("p.label").alias("label"))
+        .filter(F.length("label") > 0)
+    )
+    return chunk_owner_map(chunks, parents, head_chars=40)
+
+
+def _doc_page_markdowns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """page_markdowns serializer semantics over engine-reproducible derived
+    spans: each word of documents.text becomes a span whose kind is keyed by
+    md5(doc_id:offset) % 10 (page_breaks included), pictures get a synthetic
+    media_ref. The window page-numbering, furniture exclusion, per-kind
+    markdown rendering, and offset-ordered join are pure SQL — the DuckDB
+    twin must rebuild every page string byte-for-byte (oracle-exact twin of
+    the rows-only synth-corpus `page_markdowns` entry)."""
+    from sparkdoc.serialize import page_markdowns
+
+    docs = _docs(spark, sf_dir)
+    kinds = F.array(
+        *[
+            F.lit(k)
+            for k in [
+                "text", "text", "text", "heading", "list",
+                "table", "caption", "picture", "page_break", "furniture",
+            ]
+        ]
+    )
+    spans = (
+        docs.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("offset", "word"))
+        .filter(F.length("word") > 0)
+        .withColumn(
+            "_k",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("offset").cast("string"))),
+                    1, 2,
+                ),
+                16, 10,
+            ).cast("int") % 10,
+        )
+        .select(
+            "doc_id",
+            F.element_at(kinds, F.col("_k") + 1).alias("kind"),
+            F.col("word").alias("text"),
+            F.when(
+                F.element_at(kinds, F.col("_k") + 1) == "picture",
+                F.concat(F.lit("m"), F.col("offset").cast("string")),
+            ).alias("media_ref"),
+            F.col("offset").cast("int").alias("offset"),
+        )
+    )
+    return page_markdowns(spans)
+
+
 def _doc_root_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Root-identity repair (root_identity.py:67-110): echo-clear + stem
     fallback over a deterministic truth table — doc_id%3 selects (class-name
@@ -833,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_simhash_sig": _doc_simhash_sig,
         "doc_rolling_fp": _doc_rolling_fp,
+        "doc_chunk_owner": _doc_chunk_owner,
+        "doc_page_markdowns": _doc_page_markdowns,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1153,6 +1239,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(s.u - CASE WHEN s.u >= 9223372036854775808
                                         THEN 18446744073709551616 ELSE 0 END, 0) AS BIGINT) AS simhash
         FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+    """
+    # chunk-owner ladder twin over derived inputs (120-char chunk windows,
+    # word-1/5/9 parents): unique-head → unique-body → forward-carry ≤12.
+    q["doc_chunk_owner"] = """
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        chunks AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+                   substr(text, CAST((i-1)*120 + 1 AS BIGINT), 120) AS ctext
+            FROM docs, LATERAL (SELECT unnest(generate_series(
+                1, greatest(CAST(ceil(length(text)/120.0) AS BIGINT), 1))) AS i)
+        ),
+        parents AS (
+            SELECT doc_id, node_id, label FROM (
+                SELECT doc_id, 'P1' AS node_id, split_part(text, ' ', 1) AS label FROM docs
+                UNION ALL SELECT doc_id, 'P5', split_part(text, ' ', 5) FROM docs
+                UNION ALL SELECT doc_id, 'P9', split_part(text, ' ', 9) FROM docs
+            ) WHERE label IS NOT NULL AND length(label) > 0
+        ),
+        ch AS (SELECT doc_id, chunk_id, lower(ctext) AS lt, lower(substr(ctext, 1, 40)) AS head FROM chunks),
+        hits AS (
+            SELECT doc_id, chunk_id, owner_id, strength FROM (
+                SELECT c.doc_id, c.chunk_id, p.node_id AS owner_id,
+                       CASE WHEN strpos(c.head, lower(p.label)) > 0 THEN 2
+                            WHEN strpos(c.lt, lower(p.label)) > 0 THEN 1
+                            ELSE 0 END AS strength
+                FROM ch c JOIN parents p ON c.doc_id = p.doc_id
+            ) WHERE strength > 0
+        ),
+        per_chunk AS (
+            SELECT doc_id, chunk_id, strength, count(*) AS n, min(owner_id) AS mn
+            FROM hits GROUP BY doc_id, chunk_id, strength
+        ),
+        best AS (
+            SELECT doc_id, chunk_id, mn AS owner_id,
+                   CASE WHEN strength = 2 THEN 'head' ELSE 'body' END AS owner_kind
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_id ORDER BY strength DESC) AS rk
+                  FROM per_chunk)
+            WHERE rk = 1 AND n = 1
+        ),
+        allc AS (
+            SELECT c.doc_id, c.chunk_id, b.owner_id, b.owner_kind
+            FROM chunks c LEFT JOIN best b ON c.doc_id = b.doc_id AND c.chunk_id = b.chunk_id
+        ),
+        fin AS (
+            SELECT doc_id, chunk_id, owner_id, owner_kind,
+                   last_value(CASE WHEN owner_kind = 'head' THEN owner_id END IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY chunk_id
+                             ROWS BETWEEN 12 PRECEDING AND CURRENT ROW) AS carried
+            FROM allc
+        )
+        SELECT doc_id, chunk_id,
+               coalesce(owner_id, carried) AS owner_id,
+               coalesce(owner_kind, CASE WHEN carried IS NOT NULL THEN 'carried' END) AS owner_kind
+        FROM fin
+    """
+    # page-markdown serializer twin over md5-keyed derived spans: window
+    # page numbering (cumulative page_breaks incl. current row), furniture/
+    # page_break exclusion, per-kind rendering, offset-ordered '\n\n' join.
+    q["doc_page_markdowns"] = """
+        WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        words AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS off, list_extract(ws, i) AS w
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+        ),
+        spans AS (
+            SELECT doc_id, off, w,
+                   ['text','text','text','heading','list','table','caption','picture','page_break','furniture']
+                       [CAST(('0x' || substr(md5(doc_id || ':' || off), 1, 2))::UBIGINT % 10 AS INT) + 1] AS kind
+            FROM words WHERE length(w) > 0
+        ),
+        paged AS (
+            SELECT doc_id, off, w, kind,
+                   1 + CAST(sum(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY doc_id ORDER BY off
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS page_no
+            FROM spans
+        ),
+        content AS (
+            SELECT doc_id, page_no, off,
+                   CASE kind WHEN 'picture' THEN '![' || 'm' || off || ']'
+                             WHEN 'caption' THEN '*' || w || '*'
+                             ELSE w END AS md
+            FROM paged WHERE kind NOT IN ('page_break', 'furniture')
+        )
+        SELECT doc_id, page_no, string_agg(md, chr(10) || chr(10) ORDER BY off) AS markdown
+        FROM content GROUP BY doc_id, page_no
     """
     # Winnowing twin: each 16-byte window hashed directly (Rabin-Karp
     # identity == the streaming recurrence, exact under mod 2^61-1);
