@@ -724,6 +724,15 @@ def _emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, {"lsh": lsh, "ivf": ivf})
 
 
+def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
+    exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
+    the md5-keyed band buckets and the dot folds are rebuilt in SQL."""
+    from sparkdoc.similarity import embedding_near_dups
+
+    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4, n_bits=4, bands=4)
+
+
 def _doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints. Oracle-exact: the polynomial
     window hash (base 257 mod 2^61-1) is position-local under the Rabin-Karp
@@ -919,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fp": _doc_rolling_fp,
         "doc_chunk_owner": _doc_chunk_owner,
         "doc_page_markdowns": _doc_page_markdowns,
+        "emb_near_dups": _emb_near_dups,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1563,6 +1573,34 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         )"""
 
+    # Embedding-cosine near-dup twin: banded sign-buckets (seeds 7+band),
+    # DISTINCT candidate pairs across bands, exact cosine verify at 0.4
+    # (filter on the unrounded fold, round after — matching Spark).
+    q["emb_near_dups"] = f"""
+        WITH {_e_cte},
+        bplanes AS (
+            SELECT band, b, list_transform(generate_series(0, 63), j ->
+                CASE WHEN ('0x' || substr(md5((7 + band) || ':' || b || ':' || j), 1, 2))::UBIGINT % 2 = 0
+                     THEN 1.0 ELSE -1.0 END) AS p
+            FROM (SELECT unnest(generate_series(0, 3)) AS band),
+                 (SELECT unnest(generate_series(0, 3)) AS b)
+        ),
+        bkeyed AS (
+            SELECT vec_id, band,
+                   CAST(sum(CASE WHEN list_reduce(list_transform(list_zip(e, p), pr -> pr[1] * pr[2]), (x, y) -> x + y) >= 0
+                            THEN 1 << b ELSE 0 END) AS INT) AS key
+            FROM e, bplanes GROUP BY vec_id, band, e
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+            FROM bkeyed x JOIN bkeyed y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+        ),
+        nd_scored AS (
+            SELECT c.a, c.b, {_dot2('ea', 'eb')} AS cos
+            FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+        )
+        SELECT a, b, round(cos, 6) AS cos FROM nd_scored WHERE cos >= 0.4
+    """
     q["emb_lsh_knn"] = f"WITH {_e_cte}, {_lsh_cte} SELECT query_id, neighbor_id, rank, cos FROM lsh"
     q["emb_ivf_knn"] = f"WITH {_e_cte}, {_ivf_cte} SELECT query_id, neighbor_id, rank, cos FROM ivf"
     # The recall rollup itself is oracle-exact: both ANN twins and the exact

@@ -277,3 +277,48 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 4,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded hyperplane LSH
+    self-join (the minhash-LSH band shape over sign bits) + exact cosine
+    verify at ``threshold``.
+
+    Each vector is hashed ONCE into ``bands`` independent sign-buckets
+    (md5 planes, seeds 7+band); candidates agree on (band, key); the verify
+    is a single dot of pre-normalized units. 100-TB shape: corpus bucketed
+    once and self-equi-joined on (band, key) — never all-pairs; recall rises
+    with bands (1-(1-p^n_bits)^bands), precision is exact (threshold filter
+    on the true cosine). Deterministic end-to-end → DuckDB-twinnable.
+    """
+    c = _with_unit(corpus, vec_col, "v").select(F.col(id_col).alias("_id"), "v")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                hyperplane_bucket(F.col("v"), n_bits, dim, seed=7 + k).alias("key"),
+            )
+            for k in range(bands)
+        ]
+    )
+    keyed = c.select("_id", "v", F.explode(buckets).alias("bk")).select(
+        "_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = keyed.select(F.col("_id").alias("a"), F.col("v").alias("va"), "band", "key")
+    b = keyed.select(F.col("_id").alias("b"), F.col("v").alias("vb"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", dot(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )

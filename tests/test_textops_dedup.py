@@ -159,3 +159,32 @@ def test_simhash_blocking_recall_complete(spark):
     # and nothing beyond the radius sneaks through the verify filter
     for a, b in got:
         assert ham(hs[a] & ((1 << 64) - 1), hs[b] & ((1 << 64) - 1)) <= 6
+
+
+def test_embedding_near_dups_precision_and_subset(spark):
+    """Every emitted pair truly has cos >= threshold (precision is exact),
+    and the banded-LSH candidates are a subset of the exhaustive pair set;
+    planted near-identical vectors land in the same bucket in every band and
+    so are always recovered."""
+    import math
+    import random
+
+    from sparkdoc.similarity import embedding_near_dups
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, base), (1, [x + 1e-6 for x in base])]  # planted near-dup
+    for i in range(2, 30):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dups(df, threshold=0.9, n_bits=4, bands=4, dim=16).collect()
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = {i: unit(v) for i, v in rows}
+    for r in got:
+        true_cos = sum(x * y for x, y in zip(vecs[r["a"]], vecs[r["b"]]))
+        assert true_cos >= 0.9 - 1e-9
+    assert (0, 1) in {(r["a"], r["b"]) for r in got}
