@@ -724,6 +724,74 @@ def _emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, {"lsh": lsh, "ivf": ivf})
 
 
+def _doc_resolve_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.4 parent-resolution ladder (resolve.resolve_parents, all six
+    rungs) over engine-reproducible derived inputs: parents/children built
+    from words of documents.text so that different docs exercise different
+    rungs (exact, singleton, containment, co-chunk, adjacent, bucket). The
+    whole cascade is uniqueness-guarded joins + one forward-fill window —
+    the DuckDB twin mirrors it rung for rung, including rung attribution
+    (`resolved_by`). Canonicalization on this ASCII corpus is
+    lower+strip-non-alnum, identical in both engines."""
+    from sparkdoc.resolve import resolve_parents
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+
+    def wd(i):
+        return F.element_at(w, i)
+
+    def pstruct(node, path, label, chunk, emission):
+        return F.struct(
+            F.lit(node).alias("node_id"),
+            F.lit(path).alias("path"),
+            label.alias("label"),
+            F.array(F.lit(chunk)).alias("chunk_ids"),
+            F.lit(emission).alias("emission"),
+        )
+
+    parents = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    pstruct("P1", "secs[]", wd(1), 0, 0),
+                    pstruct("P5", "secs[]", wd(5), 1, 4),
+                    pstruct("P9", "secs[]", wd(9), 2, 8),
+                    pstruct("T1", "tabs[]", wd(3), 0, 2),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.*")
+        .filter(F.length("label") > 0)
+    )
+
+    def cstruct(child, path, key, chunk, emission):
+        return F.struct(
+            F.lit(child).alias("child_id"),
+            F.lit(path).alias("parent_path"),
+            key.alias("parent_key"),
+            F.array(F.lit(chunk)).alias("chunk_ids"),
+            F.lit(emission).alias("emission"),
+        )
+
+    children = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                cstruct("C1", "secs[]", wd(1), 5, 1),
+                cstruct("C2", "tabs[]", wd(2), 7, 3),
+                cstruct("C3", "secs[]", F.substring(wd(9), 1, 4), 8, 5),
+                cstruct("C4", "secs[]", F.lit("zzzz"), 2, 6),
+                cstruct("C5", "secs[]", F.lit("qqqq"), 9, 6),
+                cstruct("C6", "none[]", wd(1), 0, 0),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.*")
+    out = resolve_parents(children, parents)
+    return out.select("doc_id", "child_id", "parent_id", "resolved_by")
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -929,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_owner": _doc_chunk_owner,
         "doc_page_markdowns": _doc_page_markdowns,
         "emb_near_dups": _emb_near_dups,
+        "doc_resolve_parents": _doc_resolve_parents,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1249,6 +1318,86 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(s.u - CASE WHEN s.u >= 9223372036854775808
                                         THEN 18446744073709551616 ELSE 0 END, 0) AS BIGINT) AS simhash
         FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+    """
+    # parent-resolution ladder twin: rung-for-rung SQL mirror of the
+    # uniqueness-guarded join cascade + forward-fill as-of rung, including
+    # resolved_by attribution. Singleton chunk arrays become scalar equality.
+    q["doc_resolve_parents"] = """
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        parents0 AS (
+            SELECT doc_id, node_id, path, label, chunk, emission FROM (
+                SELECT doc_id, 'P1' AS node_id, 'secs[]' AS path, split_part(text,' ',1) AS label, 0 AS chunk, 0 AS emission FROM docs
+                UNION ALL SELECT doc_id, 'P5', 'secs[]', split_part(text,' ',5), 1, 4 FROM docs
+                UNION ALL SELECT doc_id, 'P9', 'secs[]', split_part(text,' ',9), 2, 8 FROM docs
+                UNION ALL SELECT doc_id, 'T1', 'tabs[]', split_part(text,' ',3), 0, 2 FROM docs
+            ) WHERE label IS NOT NULL AND length(label) > 0
+        ),
+        p AS (SELECT doc_id, node_id, path, regexp_replace(lower(label), '[^a-z0-9]', '', 'g') AS canon, chunk, emission FROM parents0),
+        children0 AS (
+            SELECT doc_id, child_id, parent_path, key, chunk, emission FROM (
+                SELECT doc_id, 'C1' AS child_id, 'secs[]' AS parent_path, split_part(text,' ',1) AS key, 5 AS chunk, 1 AS emission FROM docs
+                UNION ALL SELECT doc_id, 'C2', 'tabs[]', split_part(text,' ',2), 7, 3 FROM docs
+                UNION ALL SELECT doc_id, 'C3', 'secs[]', substr(split_part(text,' ',9), 1, 4), 8, 5 FROM docs
+                UNION ALL SELECT doc_id, 'C4', 'secs[]', 'zzzz', 2, 6 FROM docs
+                UNION ALL SELECT doc_id, 'C5', 'secs[]', 'qqqq', 9, 6 FROM docs
+                UNION ALL SELECT doc_id, 'C6', 'none[]', split_part(text,' ',1), 0, 0 FROM docs
+            )
+        ),
+        c0 AS (SELECT doc_id, child_id, parent_path, regexp_replace(lower(key), '[^a-z0-9]', '', 'g') AS canon, chunk, emission FROM children0),
+        r1 AS (
+            SELECT c.doc_id, c.child_id, min(p.node_id) AS pid
+            FROM c0 c JOIN p ON c.doc_id = p.doc_id AND c.parent_path = p.path
+                 AND c.canon = p.canon AND length(c.canon) > 0
+            GROUP BY c.doc_id, c.child_id HAVING count(DISTINCT p.node_id) = 1
+        ),
+        s1 AS (SELECT c.*, r1.pid AS pid1 FROM c0 c LEFT JOIN r1 ON c.doc_id = r1.doc_id AND c.child_id = r1.child_id),
+        singles AS (
+            SELECT doc_id, path, min(node_id) AS pid FROM p GROUP BY doc_id, path HAVING count(*) = 1
+        ),
+        s2 AS (
+            SELECT s1.*, CASE WHEN s1.pid1 IS NULL THEN sg.pid END AS pid2
+            FROM s1 LEFT JOIN singles sg ON s1.doc_id = sg.doc_id AND s1.parent_path = sg.path
+        ),
+        r3 AS (
+            SELECT c.doc_id, c.child_id, min(p.node_id) AS pid
+            FROM s2 c JOIN p ON c.doc_id = p.doc_id AND c.parent_path = p.path
+                 AND strpos(p.canon, c.canon) > 0 AND c.canon <> p.canon
+            WHERE c.pid1 IS NULL AND c.pid2 IS NULL AND length(c.canon) >= 4
+            GROUP BY c.doc_id, c.child_id HAVING count(DISTINCT p.node_id) = 1
+        ),
+        s3 AS (SELECT s2.*, r3.pid AS pid3 FROM s2 LEFT JOIN r3 ON s2.doc_id = r3.doc_id AND s2.child_id = r3.child_id),
+        r4 AS (
+            SELECT c.doc_id, c.child_id, min(p.node_id) AS pid
+            FROM s3 c JOIN p ON c.doc_id = p.doc_id AND c.parent_path = p.path AND c.chunk = p.chunk
+            WHERE c.pid1 IS NULL AND c.pid2 IS NULL AND c.pid3 IS NULL
+            GROUP BY c.doc_id, c.child_id HAVING count(DISTINCT p.node_id) = 1
+        ),
+        s4 AS (SELECT s3.*, r4.pid AS pid4 FROM s3 LEFT JOIN r4 ON s3.doc_id = r4.doc_id AND s3.child_id = r4.child_id),
+        ev AS (
+            SELECT doc_id, path AS parent_path, emission, node_id AS pid, NULL AS child_id, 0 AS flag FROM p
+            UNION ALL
+            SELECT doc_id, parent_path, emission, NULL, child_id, 1 FROM s4
+            WHERE pid1 IS NULL AND pid2 IS NULL AND pid3 IS NULL AND pid4 IS NULL
+        ),
+        filled AS (
+            SELECT doc_id, child_id,
+                   last_value(pid IGNORE NULLS) OVER (
+                       PARTITION BY doc_id, parent_path ORDER BY emission, flag
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastp
+            FROM ev
+        ),
+        r5 AS (SELECT doc_id, child_id, lastp AS pid FROM filled WHERE child_id IS NOT NULL AND lastp IS NOT NULL),
+        s5 AS (SELECT s4.*, r5.pid AS pid5 FROM s4 LEFT JOIN r5 ON s4.doc_id = r5.doc_id AND s4.child_id = r5.child_id)
+        SELECT doc_id, child_id,
+               coalesce(pid1, pid2, pid3, pid4, pid5,
+                        'BUCKET_' || doc_id || '_' || parent_path) AS parent_id,
+               CASE WHEN pid1 IS NOT NULL THEN 'exact'
+                    WHEN pid2 IS NOT NULL THEN 'singleton'
+                    WHEN pid3 IS NOT NULL THEN 'containment'
+                    WHEN pid4 IS NOT NULL THEN 'co_chunk'
+                    WHEN pid5 IS NOT NULL THEN 'adjacent'
+                    ELSE 'bucket' END AS resolved_by
+        FROM s5
     """
     # chunk-owner ladder twin over derived inputs (120-char chunk windows,
     # word-1/5/9 parents): unique-head → unique-body → forward-carry ≤12.
