@@ -792,6 +792,46 @@ def _doc_resolve_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "child_id", "parent_id", "resolved_by")
 
 
+def _doc_anchor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim anchor scan (provenance.anchor_scan) over derived inputs:
+    chunks = 120-char windows of documents.text, entity id values = words
+    1/5 (node N1) and 2 (node N2). Every guard — min length 3, numeric≥4
+    digits, escape retry, >6-chunk distinctiveness drop, first-occurrence
+    span — is JVM SQL, so the DuckDB twin reproduces hits and [start,end)
+    byte offsets exactly."""
+    from sparkdoc.provenance import anchor_scan
+
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
+                " i -> substring(text, (i-1)*120 + 1, 120))"
+            )
+        ).alias("chunk_id", "text"),
+    )
+    w = F.split(F.col("text"), " ")
+    entities = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("N1").alias("node_id"),
+                    F.create_map(
+                        F.lit("code"), F.element_at(w, 1), F.lit("name"), F.element_at(w, 5)
+                    ).alias("ids"),
+                ),
+                F.struct(
+                    F.lit("N2").alias("node_id"),
+                    F.create_map(F.lit("code"), F.element_at(w, 2)).alias("ids"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.*")
+    return anchor_scan(entities, chunks)
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -998,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_page_markdowns": _doc_page_markdowns,
         "emb_near_dups": _emb_near_dups,
         "doc_resolve_parents": _doc_resolve_parents,
+        "doc_anchor_scan": _doc_anchor_scan,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1318,6 +1359,50 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(s.u - CASE WHEN s.u >= 9223372036854775808
                                         THEN 18446744073709551616 ELSE 0 END, 0) AS BIGINT) AS simhash
         FROM documents d LEFT JOIN sim s ON d.doc_id = s.doc_id
+    """
+    # anchor-scan twin: distinct-value containment join, escape retry,
+    # numeric/length guards, >6-chunk distinctiveness drop, [start,end).
+    q["doc_anchor_scan"] = """
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        chunks AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+                   lower(substr(text, CAST((i-1)*120 + 1 AS BIGINT), 120)) AS lt
+            FROM docs, LATERAL (SELECT unnest(generate_series(
+                1, greatest(CAST(ceil(length(text)/120.0) AS BIGINT), 1))) AS i)
+        ),
+        vals AS (
+            SELECT doc_id, node_id, field, value, lower(value) AS lv FROM (
+                SELECT doc_id, 'N1' AS node_id, 'code' AS field, split_part(text, ' ', 1) AS value FROM docs
+                UNION ALL SELECT doc_id, 'N1', 'name', split_part(text, ' ', 5) FROM docs
+                UNION ALL SELECT doc_id, 'N2', 'code', split_part(text, ' ', 2) FROM docs
+            )
+            WHERE value IS NOT NULL AND length(value) >= 3
+              AND NOT (regexp_matches(value, '^[0-9]+$') AND length(value) < 4)
+        ),
+        dv AS (
+            SELECT DISTINCT doc_id, lv,
+                   lower(replace(replace(replace(lv, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')) AS le
+            FROM vals
+        ),
+        hits AS (
+            SELECT doc_id, lv, chunk_id,
+                   CASE WHEN pos_raw > 0 THEN pos_raw ELSE pos_esc END AS pos,
+                   CASE WHEN pos_raw > 0 THEN length(lv) ELSE length(le) END AS len
+            FROM (
+                SELECT d.doc_id, d.lv, d.le, c.chunk_id,
+                       strpos(c.lt, d.lv) AS pos_raw, strpos(c.lt, d.le) AS pos_esc
+                FROM dv d JOIN chunks c ON d.doc_id = c.doc_id
+            ) WHERE pos_raw > 0 OR pos_esc > 0
+        ),
+        fanned AS (
+            SELECT v.doc_id, v.node_id, v.field, v.value, h.chunk_id,
+                   CAST(h.pos - 1 AS INT) AS start,
+                   CAST(h.pos - 1 + h.len AS INT) AS "end",
+                   count(*) OVER (PARTITION BY v.doc_id, v.node_id, v.field) AS n
+            FROM vals v JOIN hits h ON v.doc_id = h.doc_id AND v.lv = h.lv
+        )
+        SELECT doc_id, node_id, field, value, chunk_id, start, "end"
+        FROM fanned WHERE n <= 6
     """
     # parent-resolution ladder twin: rung-for-rung SQL mirror of the
     # uniqueness-guarded join cascade + forward-fill as-of rung, including
