@@ -832,6 +832,61 @@ def _doc_anchor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_scan(entities, chunks)
 
 
+def _doc_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance ledger (provenance.build_ledger) over the same derived
+    inputs as doc_anchor_scan, anchors exploded with their in-list index:
+    verbatim anchors sorted (chunk_id, span) capped at MAX_ANCHORS=8, nodes
+    with no verbatim hit fall back to 'observed' at their declared chunks —
+    the DuckDB twin reproduces membership, order, and spans exactly."""
+    from sparkdoc.provenance import build_ledger
+
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
+                " i -> substring(text, (i-1)*120 + 1, 120))"
+            )
+        ).alias("chunk_id", "text"),
+    )
+    w = F.split(F.col("text"), " ")
+    entities = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("N1").alias("node_id"),
+                    F.lit("a[]").alias("path"),
+                    F.create_map(
+                        F.lit("code"), F.element_at(w, 1), F.lit("name"), F.element_at(w, 5)
+                    ).alias("ids"),
+                    F.array(F.lit(0)).alias("chunk_ids"),
+                ),
+                F.struct(
+                    F.lit("N2").alias("node_id"),
+                    F.lit("b[]").alias("path"),
+                    F.create_map(F.lit("code"), F.element_at(w, 2)).alias("ids"),
+                    F.array(F.lit(1)).alias("chunk_ids"),
+                ),
+            )
+        ).alias("ent"),
+    ).select("doc_id", "ent.*")
+    led = build_ledger(entities, chunks)
+    return led.select(
+        "doc_id", "identity_key", "path", F.posexplode("anchors").alias("idx", "a")
+    ).select(
+        "doc_id",
+        "identity_key",
+        "path",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("a.chunk_id").alias("chunk_id"),
+        F.col("a.kind").alias("kind"),
+        F.element_at("a.span", 1).alias("s"),
+        F.element_at("a.span", 2).alias("e"),
+    )
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1039,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dups": _emb_near_dups,
         "doc_resolve_parents": _doc_resolve_parents,
         "doc_anchor_scan": _doc_anchor_scan,
+        "doc_ledger": _doc_ledger,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1362,8 +1418,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # anchor-scan twin: distinct-value containment join, escape retry,
     # numeric/length guards, >6-chunk distinctiveness drop, [start,end).
-    q["doc_anchor_scan"] = """
-        WITH docs AS (SELECT doc_id, text FROM documents),
+    # Shared between doc_anchor_scan and doc_ledger.
+    _anchor_cte = """docs AS (SELECT doc_id, text FROM documents),
         chunks AS (
             SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
                    lower(substr(text, CAST((i-1)*120 + 1 AS BIGINT), 120)) AS lt
@@ -1400,9 +1456,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h.pos - 1 + h.len AS INT) AS "end",
                    count(*) OVER (PARTITION BY v.doc_id, v.node_id, v.field) AS n
             FROM vals v JOIN hits h ON v.doc_id = h.doc_id AND v.lv = h.lv
+        ),
+        anchor_rows AS (
+            SELECT doc_id, node_id, field, value, chunk_id, start, "end"
+            FROM fanned WHERE n <= 6
+        )"""
+    q["doc_anchor_scan"] = f"""
+        WITH {_anchor_cte}
+        SELECT doc_id, node_id, field, value, chunk_id, start, "end" FROM anchor_rows
+    """
+    # ledger twin: verbatim anchors sorted (chunk_id, span) capped at 8,
+    # observed fallback at declared chunk_ids for nodes with no verbatim hit;
+    # idx pins anchor order inside the capped list.
+    q["doc_ledger"] = f"""
+        WITH {_anchor_cte},
+        nodes AS (
+            SELECT doc_id, 'N1' AS node_id, 'a[]' AS path, 0 AS chunk0 FROM docs
+            UNION ALL SELECT doc_id, 'N2', 'b[]', 1 FROM docs
+        ),
+        verb AS (
+            SELECT doc_id, node_id, CAST(rn - 1 AS INT) AS idx, chunk_id,
+                   'verbatim' AS kind, start AS s, "end" AS e
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, node_id ORDER BY chunk_id, start, "end") AS rn
+                FROM anchor_rows
+            ) WHERE rn <= 8
+        ),
+        obs AS (
+            SELECT n.doc_id, n.node_id, 0 AS idx, n.chunk0 AS chunk_id,
+                   'observed' AS kind, 0 AS s, 0 AS e
+            FROM nodes n
+            WHERE NOT EXISTS (
+                SELECT 1 FROM verb v WHERE v.doc_id = n.doc_id AND v.node_id = n.node_id
+            )
         )
-        SELECT doc_id, node_id, field, value, chunk_id, start, "end"
-        FROM fanned WHERE n <= 6
+        SELECT n.doc_id, n.node_id AS identity_key, n.path, a.idx, a.chunk_id, a.kind, a.s, a.e
+        FROM nodes n JOIN (
+            SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
+            UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
+        ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
     """
     # parent-resolution ladder twin: rung-for-rung SQL mirror of the
     # uniqueness-guarded join cascade + forward-fill as-of rung, including
