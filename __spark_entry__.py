@@ -887,6 +887,48 @@ def _doc_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_alias_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 alias reconciliation over derived nodes: containment alias
+    groups (canonical containment + equal digit signatures + min base len 4
+    + unique-base-per-superset) then the co-occurrence veto (shared
+    first-emission chunk ⇒ siblings, not aliases). Per-doc scoped via
+    scope_cols — every guard is SQL-mirrorable, so the DuckDB twin must
+    reproduce surviving pairs exactly."""
+    from sparkdoc.dedup import co_occurrence_veto, containment_alias_groups
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+
+    def wd(i):
+        return F.element_at(w, i)
+
+    def nstruct(nid, label, chunk):
+        return F.struct(
+            F.lit(nid).alias("nid"), label.alias("label"), F.array(F.lit(chunk)).alias("chunk_ids")
+        )
+
+    nodes = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                nstruct("A1", wd(1), 0),
+                nstruct("A2", F.concat_ws(" ", wd(1), wd(2)), 1),
+                nstruct("B1", wd(3), 2),
+                nstruct("B2", F.concat_ws(" ", wd(3), wd(4)), 2),
+            )
+        ).alias("n"),
+    ).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_"), F.col("n.nid")).alias("node_id"),
+        "doc_id",
+        F.lit("T").alias("node_class"),
+        F.col("n.label").alias("label"),
+        F.col("n.chunk_ids").alias("chunk_ids"),
+    )
+    pairs = containment_alias_groups(nodes, scope_cols=("node_class", "doc_id"))
+    kept = co_occurrence_veto(pairs, nodes)
+    return kept.select("doc_id", "base_id", "base_canon", "superset_id", "superset_canon")
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1095,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_resolve_parents": _doc_resolve_parents,
         "doc_anchor_scan": _doc_anchor_scan,
         "doc_ledger": _doc_ledger,
+        "doc_alias_pairs": _doc_alias_pairs,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1496,6 +1539,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # alias-reconciliation twin: canonical containment + digit-signature
+    # guard + unique-base-per-superset window + co-occurrence chunk veto.
+    q["doc_alias_pairs"] = """
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        n0 AS (
+            SELECT CAST(doc_id AS VARCHAR) || '_' || nid AS node_id, doc_id, label, chunk FROM (
+                SELECT doc_id, 'A1' AS nid, split_part(text, ' ', 1) AS label, 0 AS chunk FROM docs
+                UNION ALL SELECT doc_id, 'A2',
+                    concat_ws(' ', split_part(text, ' ', 1), split_part(text, ' ', 2)), 1 FROM docs
+                UNION ALL SELECT doc_id, 'B1', split_part(text, ' ', 3), 2 FROM docs
+                UNION ALL SELECT doc_id, 'B2',
+                    concat_ws(' ', split_part(text, ' ', 3), split_part(text, ' ', 4)), 2 FROM docs
+            )
+        ),
+        canon AS (
+            SELECT *, regexp_replace(lower(coalesce(label, '')), '[^a-z0-9]', '', 'g') AS c,
+                   coalesce(array_to_string(regexp_extract_all(coalesce(label, ''), '[0-9]+'), '-'), '') AS sig
+            FROM n0
+        ),
+        pairs AS (
+            SELECT b.doc_id, b.node_id AS base_id, b.c AS base_canon,
+                   s.node_id AS superset_id, s.c AS superset_canon,
+                   b.chunk AS bchunk, s.chunk AS schunk
+            FROM canon b JOIN canon s ON b.doc_id = s.doc_id
+                 AND b.c <> s.c AND strpos(s.c, b.c) > 0 AND b.sig = s.sig
+            WHERE length(b.c) >= 4
+        ),
+        uniq AS (
+            SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY superset_id) AS n FROM pairs)
+            WHERE n = 1
+        )
+        SELECT doc_id, base_id, base_canon, superset_id, superset_canon
+        FROM uniq WHERE bchunk <> schunk
     """
     # parent-resolution ladder twin: rung-for-rung SQL mirror of the
     # uniqueness-guarded join cascade + forward-fill as-of rung, including
