@@ -929,6 +929,58 @@ def _doc_alias_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "base_id", "base_canon", "superset_id", "superset_canon")
 
 
+def _doc_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-bound demotion audit (dedup.enforce_cardinality_bounds)
+    over derived nodes: the FULL rank key — filled-attr richness desc,
+    chunk-weight desc, external in-degree desc (root-class sources excluded),
+    canonical identity asc, node_id asc — drives a global top-600 per class;
+    the DuckDB twin reproduces every demoted row's rank exactly."""
+    from sparkdoc.dedup import enforce_cardinality_bounds
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+
+    def wd(i):
+        return F.element_at(w, i)
+
+    def node(nid, cls, attrs, chunks):
+        return F.struct(
+            F.lit(nid).alias("nid"), F.lit(cls).alias("cls"),
+            attrs.alias("attrs"), chunks.alias("chunk_ids"),
+        )
+
+    nodes = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                node("X1", "X", F.create_map(F.lit("a"), wd(1), F.lit("b"), wd(2)), F.array(F.lit(0))),
+                node("X2", "X", F.create_map(F.lit("a"), wd(2), F.lit("b"), F.lit("")), F.array(F.lit(0), F.lit(1))),
+                node("X3", "X", F.create_map(F.lit("a"), wd(3)), F.array().cast("array<int>")),
+                node("Y4", "Y", F.create_map(F.lit("a"), wd(4)), F.array(F.lit(0))),
+            )
+        ).alias("n"),
+    ).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_"), F.col("n.nid")).alias("node_id"),
+        F.col("n.cls").alias("node_class"),
+        F.col("n.attrs").alias("attrs"),
+        F.col("n.chunk_ids").alias("chunk_ids"),
+    )
+    d = F.col("doc_id").cast("string")
+    edges = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.concat(d, F.lit("_Y4")).alias("src"), F.concat(d, F.lit("_X3")).alias("dst")),
+                F.struct(F.concat(d, F.lit("_X1")).alias("src"), F.concat(d, F.lit("_X2")).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    kept, demoted = enforce_cardinality_bounds(
+        nodes, {"X": 600}, edges=edges, root_classes=("X",),
+        id_fields_map={"X": ["a"], "Y": ["a"]},
+    )
+    return demoted.select("node_id", "node_class", F.col("_rank").cast("int").alias("rank"))
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1138,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_anchor_scan": _doc_anchor_scan,
         "doc_ledger": _doc_ledger,
         "doc_alias_pairs": _doc_alias_pairs,
+        "doc_cardinality": _doc_cardinality,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1539,6 +1592,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # cardinality rank-key twin: per-class global top-k window over
+    # (richness desc, weight desc, external in-degree desc, canonical id asc,
+    # node_id asc); Y-sourced edges count, X-sourced are root-excluded.
+    q["doc_cardinality"] = """
+        WITH docs AS (
+            SELECT doc_id,
+                   split_part(text, ' ', 1) AS w1, split_part(text, ' ', 2) AS w2,
+                   split_part(text, ' ', 3) AS w3, split_part(text, ' ', 4) AS w4
+            FROM documents
+        ),
+        xnodes AS (
+            SELECT CAST(doc_id AS VARCHAR) || '_X1' AS node_id,
+                   (CASE WHEN w1 <> '' THEN 1 ELSE 0 END) + (CASE WHEN w2 <> '' THEN 1 ELSE 0 END) AS rich,
+                   1 AS wt, 0 AS ext, regexp_replace(lower(w1), '[^a-z0-9]', '', 'g') AS canon
+            FROM docs
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) || '_X2',
+                   CASE WHEN w2 <> '' THEN 1 ELSE 0 END,
+                   2, 0, regexp_replace(lower(w2), '[^a-z0-9]', '', 'g')
+            FROM docs
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) || '_X3',
+                   CASE WHEN w3 <> '' THEN 1 ELSE 0 END,
+                   0, 1, regexp_replace(lower(w3), '[^a-z0-9]', '', 'g')
+            FROM docs
+        ),
+        ranked AS (
+            SELECT node_id, 'X' AS node_class,
+                   row_number() OVER (ORDER BY rich DESC, wt DESC, ext DESC, canon ASC, node_id ASC) AS rank
+            FROM xnodes
+        )
+        SELECT node_id, node_class, CAST(rank AS INT) AS rank FROM ranked WHERE rank > 600
     """
     # alias-reconciliation twin: canonical containment + digit-signature
     # guard + unique-base-per-superset window + co-occurrence chunk veto.
