@@ -981,6 +981,49 @@ def _doc_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demoted.select("node_id", "node_class", F.col("_rank").cast("int").alias("rank"))
 
 
+def _doc_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes pass + edge cleaning + stats (§2.7) over derived inputs with
+    deliberately dirty edges: per doc a duplicate edge, a self-loop, and a
+    dangling endpoint — clean_edges must drop all three, and graph_stats'
+    (metric, key, value) rollup is then pure count arithmetic the DuckDB
+    twin reproduces from the same derivation."""
+    from sparkdoc.graph import clean_edges, entities_to_nodes, graph_stats
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+
+    def ent(nid, cls, where=None):
+        frame = docs if where is None else docs.filter(where)
+        return frame.select(
+            F.concat(F.lit(nid + "_"), F.col("doc_id").cast("string")).alias("node_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("secs[]").alias("path"),
+            F.lit(cls).alias("class"),
+            F.create_map(F.lit("name"), F.concat(F.lit(nid), F.col("doc_id").cast("string"))).alias("ids"),
+            F.create_map().cast("map<string,string>").alias("fields"),
+            F.array().cast("array<int>").alias("chunk_ids"),
+        )
+
+    entities = (
+        ent("S", "Section")
+        .unionByName(ent("D", "Document"))
+        .unionByName(ent("E", "Extra", where=F.col("doc_id") % 2 == 0))
+    )
+    nodes = entities_to_nodes(entities)
+    edges = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.concat(F.lit("S_"), d).alias("src"), F.concat(F.lit("D_"), d).alias("dst"), F.lit("in_document").alias("label")),
+                F.struct(F.concat(F.lit("S_"), d).alias("src"), F.concat(F.lit("D_"), d).alias("dst"), F.lit("in_document").alias("label")),
+                F.struct(F.concat(F.lit("D_"), d).alias("src"), F.concat(F.lit("D_"), d).alias("dst"), F.lit("self").alias("label")),
+                F.struct(F.concat(F.lit("S_"), d).alias("src"), F.concat(F.lit("ghost_"), d).alias("dst"), F.lit("ref").alias("label")),
+                F.struct(F.concat(F.lit("E_"), d).alias("src"), F.concat(F.lit("D_"), d).alias("dst"), F.lit("in_document").alias("label")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.label")
+    return graph_stats(nodes, clean_edges(nodes, edges))
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1191,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ledger": _doc_ledger,
         "doc_alias_pairs": _doc_alias_pairs,
         "doc_cardinality": _doc_cardinality,
+        "doc_graph_stats": _doc_graph_stats,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1592,6 +1636,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # graph-stats twin: after clean_edges drops the per-doc duplicate,
+    # self-loop, and dangling edges, every metric is count arithmetic over
+    # the documents table (ne = even docs carry the Extra node + edge).
+    q["doc_graph_stats"] = """
+        WITH d AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ne
+            FROM documents
+        )
+        SELECT 'n_nodes' AS metric, '' AS key, CAST(2*n + ne AS DOUBLE) AS value FROM d
+        UNION ALL SELECT 'n_edges', '', CAST(n + ne AS DOUBLE) FROM d
+        UNION ALL SELECT 'nodes_per_class', 'Section', CAST(n AS DOUBLE) FROM d
+        UNION ALL SELECT 'nodes_per_class', 'Document', CAST(n AS DOUBLE) FROM d
+        UNION ALL SELECT 'nodes_per_class', 'Extra', CAST(ne AS DOUBLE) FROM d
+        UNION ALL SELECT 'edges_per_label', 'in_document', CAST(n + ne AS DOUBLE) FROM d
+        UNION ALL SELECT 'avg_degree', '', CAST(2*(n + ne) AS DOUBLE) / CAST(2*n + ne AS DOUBLE) FROM d
     """
     # cardinality rank-key twin: per-class global top-k window over
     # (richness desc, weight desc, external in-degree desc, canonical id asc,
