@@ -1024,6 +1024,46 @@ def _doc_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_stats(nodes, clean_edges(nodes, edges))
 
 
+def _doc_merge_ledgers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact-view ledger merge (provenance.merge_ledgers): two synthetic
+    per-doc ledgers with overlapping (chunk, span) anchors of different
+    kinds — strength-max must pick verbatim over observed over derived,
+    then sort (chunk_id, kind, span) and cap at 8; anchors exploded with
+    their in-list index for the DuckDB twin."""
+    from sparkdoc.provenance import merge_ledgers
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("string").alias("doc_id"))
+
+    def anchor(c, k, s, e):
+        return F.struct(
+            F.lit(c).cast("int").alias("chunk_id"),
+            F.lit(k).alias("kind"),
+            F.array(F.lit(s), F.lit(e)).cast("array<int>").alias("span"),
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.lit("K").alias("identity_key"),
+        F.lit("p").alias("path"),
+        F.create_map(F.lit("code"), F.lit("x")).alias("ids"),
+    )
+    l1 = base.withColumn("anchors", F.array(anchor(0, "observed", 0, 0), anchor(1, "verbatim", 2, 5)))
+    l2 = base.withColumn(
+        "anchors",
+        F.array(anchor(0, "verbatim", 0, 0), anchor(1, "observed", 0, 0), anchor(2, "derived", 1, 3)),
+    )
+    merged = merge_ledgers([l1, l2])
+    return merged.select(
+        "doc_id", "identity_key", "path", F.posexplode("anchors").alias("idx", "a")
+    ).select(
+        "doc_id", "identity_key", "path",
+        F.col("idx").cast("int").alias("idx"),
+        "a.chunk_id", "a.kind",
+        F.element_at("a.span", 1).alias("s"),
+        F.element_at("a.span", 2).alias("e"),
+    )
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1235,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_alias_pairs": _doc_alias_pairs,
         "doc_cardinality": _doc_cardinality,
         "doc_graph_stats": _doc_graph_stats,
+        "doc_merge_ledgers": _doc_merge_ledgers,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1636,6 +1677,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # ledger-merge twin: strength-max per (chunk, span) with the pinned
+    # kind strengths (verbatim 3 > observed 2 > reconciled 1 > derived 0),
+    # (chunk_id, kind, span) sort, cap 8, idx pins order.
+    q["doc_merge_ledgers"] = """
+        WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+        anchors AS (
+            SELECT doc_id, 'K' AS identity_key, 'p' AS path, chunk_id, kind, s, e, st FROM (
+                SELECT doc_id, 0 AS chunk_id, 'observed' AS kind, 0 AS s, 0 AS e, 2 AS st FROM docs
+                UNION ALL SELECT doc_id, 1, 'verbatim', 2, 5, 3 FROM docs
+                UNION ALL SELECT doc_id, 0, 'verbatim', 0, 0, 3 FROM docs
+                UNION ALL SELECT doc_id, 1, 'observed', 0, 0, 2 FROM docs
+                UNION ALL SELECT doc_id, 2, 'derived', 1, 3, 0 FROM docs
+            )
+        ),
+        best AS (
+            SELECT doc_id, identity_key, path, chunk_id, s, e, max_by(kind, st) AS kind
+            FROM anchors GROUP BY doc_id, identity_key, path, chunk_id, s, e
+        ),
+        ordered AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id, identity_key, path ORDER BY chunk_id, kind, s, e) AS rn
+            FROM best
+        )
+        SELECT doc_id, identity_key, path, CAST(rn - 1 AS INT) AS idx,
+               CAST(chunk_id AS INT) AS chunk_id, kind, CAST(s AS INT) AS s, CAST(e AS INT) AS e
+        FROM ordered WHERE rn <= 8
     """
     # graph-stats twin: after clean_edges drops the per-doc duplicate,
     # self-loop, and dangling edges, every metric is count arithmetic over
