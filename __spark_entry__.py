@@ -1064,6 +1064,51 @@ def _doc_merge_ledgers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_dedup_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skeleton cross-batch dedup (dedup.dedup_entities) over three derived
+    instances of the same node per doc: earliest-first-chunk emission wins
+    ids/fields (min_by on the (first_chunk, ids) order struct), chunk sets
+    union sorted-distinct. The DuckDB twin mirrors the min_by and the set
+    union exactly."""
+    from sparkdoc.dedup import dedup_entities
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+
+    def inst(word_i, chunks):
+        return F.struct(
+            F.create_map(F.lit("name"), F.lit("nm")).alias("ids"),
+            F.create_map(F.lit("v"), F.element_at(w, word_i)).alias("fields"),
+            chunks.alias("chunk_ids"),
+        )
+
+    entities = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                inst(1, F.array(F.lit(3))),
+                inst(2, F.array(F.lit(1), F.lit(3))),
+                inst(3, F.array().cast("array<int>")),
+            )
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.lit("p[]").alias("path"),
+        F.lit("C").alias("class"),
+        F.concat(F.lit("N_"), F.col("doc_id").cast("string")).alias("node_id"),
+        F.col("i.ids").alias("ids"),
+        F.col("i.fields").alias("fields"),
+        F.col("i.chunk_ids").alias("chunk_ids"),
+    )
+    out = dedup_entities(entities)
+    return out.select(
+        "doc_id", "path", F.col("class"), "node_id",
+        F.element_at("ids", "name").alias("name_id"),
+        F.element_at("fields", "v").alias("v_field"),
+        F.array_join(F.col("chunk_ids"), ",").alias("chunks_str"),
+    )
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1276,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cardinality": _doc_cardinality,
         "doc_graph_stats": _doc_graph_stats,
         "doc_merge_ledgers": _doc_merge_ledgers,
+        "doc_dedup_entities": _doc_dedup_entities,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1677,6 +1723,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # skeleton-dedup twin: min_by on first-chunk emission order picks the
+    # winning fields; chunk sets union sorted-distinct.
+    q["doc_dedup_entities"] = """
+        WITH docs AS (
+            SELECT doc_id, split_part(text, ' ', 1) AS w1,
+                   split_part(text, ' ', 2) AS w2, split_part(text, ' ', 3) AS w3
+            FROM documents
+        ),
+        inst AS (
+            SELECT doc_id, 3 AS fc, w1 AS v, [3] AS chunks FROM docs
+            UNION ALL SELECT doc_id, 1, w2, [1, 3] FROM docs
+            UNION ALL SELECT doc_id, 2147483647, w3, CAST([] AS INT[]) FROM docs
+        ),
+        win AS (
+            SELECT doc_id, min_by(v, fc) AS v,
+                   array_to_string(list_sort(list_distinct(flatten(list(chunks)))), ',') AS chunks_str
+            FROM inst GROUP BY doc_id
+        )
+        SELECT doc_id, 'p[]' AS path, 'C' AS class,
+               'N_' || doc_id AS node_id, 'nm' AS name_id, v AS v_field, chunks_str
+        FROM win
     """
     # ledger-merge twin: strength-max per (chunk, span) with the pinned
     # kind strengths (verbatim 3 > observed 2 > reconciled 1 > derived 0),
