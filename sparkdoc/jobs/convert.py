@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: documents → extraction graph (the reference's
+``docling-graph convert`` command, cli/commands/convert.py:192, re-expressed
+as a cluster job).
+
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/convert.py \
+        --input synth:1000 --out /data/graph --export csv,json,cypher
+
+``--input`` is a parquet path of raw_nodes (FIXTURES.md F2 schema) or
+``synth:<n_docs>``. Writes nodes/edges/ledger/coverage/invalid_entities as
+parquet under ``--out``, optional CSV/JSON/Cypher exports, and a
+``manifest.json`` carrying the template schema hash (the merge job's
+strict-template gate, merger.py:291-330). Prints ONE JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def template_schema_hash(template: dict) -> str:
+    """Stable hash of the template's structural schema (merger.py:291-330
+    analog): canonical JSON, first 16 hex of blake2b."""
+    blob = json.dumps(template, sort_keys=True, default=str)
+    return hashlib.blake2b(blob.encode()).hexdigest()[:16]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="raw_nodes parquet path or synth:<n_docs>")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--fill-cap", type=int, default=8)
+    ap.add_argument("--template", help="template JSON file (default: demo template)")
+    ap.add_argument(
+        "--export", default="", help="comma list of extra export formats: csv,json,cypher"
+    )
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from sparkdoc.catalog import DEMO_TEMPLATE
+    from sparkdoc.extractor import convert_document_graph
+    from sparkdoc.graph import validate_graph
+    from sparkdoc.session import get_spark
+
+    spark = get_spark("sparkdoc-convert", shuffle_partitions=args.shuffle_partitions)
+
+    template = DEMO_TEMPLATE
+    if args.template:
+        with open(args.template) as f:
+            template = json.load(f)
+
+    if args.input.startswith("synth:"):
+        from sparkdoc.synth import raw_nodes_df
+
+        raw = raw_nodes_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+    else:
+        raw = spark.read.parquet(args.input)
+
+    out = convert_document_graph(raw, template=template, fill_cap=args.fill_cap)
+
+    counts: dict[str, int] = {}
+    for name in ("nodes", "edges", "ledger", "coverage", "invalid_entities", "alias_audit"):
+        df = out[name]
+        # ledger/coverage carry nested columns — parquet handles them natively
+        df.write.mode("overwrite").parquet(os.path.join(args.out, name))
+        counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+
+    validation = validate_graph(out["nodes"], out["edges"])
+    mean_cov = out["coverage"].agg(F.avg("coverage").alias("c")).first()["c"]
+
+    exports = [x for x in args.export.split(",") if x]
+    for fmt in exports:
+        if fmt == "csv":
+            from sparkdoc.io import export_csv
+
+            export_csv(out["nodes"], out["edges"], os.path.join(args.out, "export_csv"))
+        elif fmt == "json":
+            from sparkdoc.io import export_json
+
+            export_json(out["nodes"], out["edges"], os.path.join(args.out, "export_json"))
+        elif fmt == "cypher":
+            from sparkdoc.io import export_cypher
+
+            export_cypher(out["nodes"], out["edges"], os.path.join(args.out, "graph.cypher"))
+
+    manifest = {
+        "template_schema_hash": template_schema_hash(template),
+        "fill_cap": args.fill_cap,
+        "input": args.input,
+        "counts": counts,
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+
+    print(
+        json.dumps(
+            {
+                "job": "convert",
+                "counts": counts,
+                "validation": validation,
+                "mean_coverage": round(mean_cov, 6) if mean_cov is not None else None,
+                "exports": exports,
+                "template_schema_hash": manifest["template_schema_hash"],
+            },
+            sort_keys=True,
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: N-way graph merge (the reference's
+``docling-graph merge`` command, cli/commands/merge.py:27, as a cluster job).
+
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/merge.py \
+        --inputs /data/g1,/data/g2 --out /data/merged \
+        --precedence richest --conflicts keep_all
+
+Each input dir is a convert.py output (nodes/ edges/ parquet, optional
+ledger/, manifest.json with the template schema hash). The strict template
+gate refuses inputs extracted under different template schemas unless
+``--no-strict`` (merger.py:291-330). Prints ONE JSON merge report line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inputs", required=True, help="comma list of convert.py output dirs")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--precedence", choices=["input_order", "richest"], default="input_order")
+    ap.add_argument("--conflicts", choices=["keep_first", "keep_all", "variants"], default="keep_first")
+    ap.add_argument("--no-strict", action="store_true", help="skip the template-schema-hash gate")
+    ap.add_argument("--no-skolemize", action="store_true")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    args = ap.parse_args()
+
+    from sparkdoc.merge import MergePolicy, merge_graphs_policy
+    from sparkdoc.session import get_spark
+
+    spark = get_spark("sparkdoc-merge", shuffle_partitions=args.shuffle_partitions)
+
+    dirs = [d for d in args.inputs.split(",") if d]
+    inputs, ledgers, hashes = [], [], []
+    for d in dirs:
+        nodes = spark.read.parquet(os.path.join(d, "nodes"))
+        edges = spark.read.parquet(os.path.join(d, "edges"))
+        inputs.append((nodes, edges))
+        ledger_path = os.path.join(d, "ledger")
+        ledgers.append(spark.read.parquet(ledger_path) if os.path.isdir(ledger_path) else None)
+        mpath = os.path.join(d, "manifest.json")
+        if os.path.isfile(mpath):
+            with open(mpath) as f:
+                hashes.append(json.load(f).get("template_schema_hash", ""))
+        else:
+            hashes.append("")
+
+    policy = MergePolicy(
+        precedence=args.precedence,
+        conflicts=args.conflicts,
+        strict_template_check=not args.no_strict,
+    )
+    use_ledgers = [l for l in ledgers if l is not None]
+    out = merge_graphs_policy(
+        inputs,
+        policy=policy,
+        schema_hashes=[h for h in hashes if h] or None,
+        ledgers=use_ledgers if len(use_ledgers) == len(inputs) else None,
+        skolemize=not args.no_skolemize,
+    )
+
+    counts: dict[str, int] = {}
+    for name in ("nodes", "edges", "conflicts", "skolemized", "ledger"):
+        df = out.get(name)
+        if df is None:
+            continue
+        df.write.mode("overwrite").parquet(os.path.join(args.out, name))
+        counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
+
+    report = dict(out.get("report") or {})
+    report.update(
+        {
+            "job": "merge",
+            "inputs": dirs,
+            "precedence": args.precedence,
+            "conflicts_policy": args.conflicts,
+            "counts": counts,
+        }
+    )
+    with open(os.path.join(args.out, "merge_report.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True, default=str)
+    print(json.dumps(report, sort_keys=True, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
