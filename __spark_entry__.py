@@ -1109,6 +1109,55 @@ def _doc_dedup_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_doclang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocLang XML serialization + 512-grid quantization
+    (serialize.doclang_documents / layout.quantize_bbox_512) over derived
+    geo spans: every word of documents.text gets an md5-keyed bbox on a
+    612x792 page, page breaks every 20 words. Quantization is
+    clamp(bround(512*c/dim), 0, 511); with 612/792 dims the rational grid
+    never lands on exact .5, so round-half-even == SQL round and the DuckDB
+    twin must rebuild every dclg string byte-for-byte."""
+    from sparkdoc.serialize import doclang_documents
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("offset", "word")
+    ).filter(F.length("word") > 0)
+
+    def h(salt):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":" + salt + ":"),
+                        F.col("offset").cast("string"),
+                    )
+                ),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int")
+
+    kinds = F.array(*[F.lit(k) for k in ["text", "heading", "table", "picture", "caption"]])
+    l = (h("l") % 400).cast("double")
+    t = (h("t") % 600).cast("double")
+    geo = words.select(
+        "doc_id",
+        F.col("offset").cast("int").alias("offset"),
+        (F.lit(1) + F.floor(F.col("offset") / 20)).cast("int").alias("page_no"),
+        F.element_at(kinds, (h("k") % 5) + 1).alias("kind"),
+        F.col("word").alias("text"),
+        F.when(
+            F.element_at(kinds, (h("k") % 5) + 1) == "picture",
+            F.concat(F.lit("m"), F.col("offset").cast("string")),
+        ).otherwise(F.lit("")).alias("media_ref"),
+        F.array(l, t, l + 50 + (h("r") % 100).cast("double"), t + 10 + (h("b") % 20).cast("double")).alias("bbox"),
+        F.lit(612.0).alias("page_width"),
+        F.lit(792.0).alias("page_height"),
+    )
+    return doclang_documents(geo)
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1322,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_graph_stats": _doc_graph_stats,
         "doc_merge_ledgers": _doc_merge_ledgers,
         "doc_dedup_entities": _doc_dedup_entities,
+        "doc_doclang": _doc_doclang,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1723,6 +1773,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # DocLang twin: md5-keyed geo spans → 512-grid quantization (round ==
+    # bround here: 612/792 rational grid never hits exact .5) → XML tags →
+    # page_break insertion at page transitions → byte-exact dclg strings.
+    q["doc_doclang"] = """
+        WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        words AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS off, list_extract(ws, i) AS w
+            FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+        ),
+        geo AS (
+            SELECT doc_id, off, w,
+                   1 + off // 20 AS page_no,
+                   ['text','heading','table','picture','caption']
+                       [CAST(('0x' || substr(md5(doc_id || ':k:' || off), 1, 4))::UBIGINT % 5 AS INT) + 1] AS kind,
+                   CAST(('0x' || substr(md5(doc_id || ':l:' || off), 1, 4))::UBIGINT % 400 AS DOUBLE) AS l,
+                   CAST(('0x' || substr(md5(doc_id || ':t:' || off), 1, 4))::UBIGINT % 600 AS DOUBLE) AS t,
+                   CAST(('0x' || substr(md5(doc_id || ':r:' || off), 1, 4))::UBIGINT % 100 AS DOUBLE) AS dr,
+                   CAST(('0x' || substr(md5(doc_id || ':b:' || off), 1, 4))::UBIGINT % 20 AS DOUBLE) AS db
+            FROM words WHERE length(w) > 0
+        ),
+        quant AS (
+            SELECT doc_id, off, w, page_no, kind,
+                   least(greatest(CAST(round(512 * l / 612) AS INT), 0), 511) AS ql,
+                   least(greatest(CAST(round(512 * t / 792) AS INT), 0), 511) AS qt,
+                   least(greatest(CAST(round(512 * (l + 50 + dr) / 612) AS INT), 0), 511) AS qr,
+                   least(greatest(CAST(round(512 * (t + 10 + db) / 792) AS INT), 0), 511) AS qb
+            FROM geo
+        ),
+        tags AS (
+            SELECT doc_id, off, page_no,
+                   '<' || kind || ' loc="' || least(ql, qr) || ',' || least(qt, qb) || ','
+                       || greatest(ql, qr) || ',' || greatest(qt, qb) || '"'
+                       || ' page="' || page_no || '"'
+                       || CASE WHEN kind = 'picture' THEN ' ref="m' || off || '"' ELSE '' END
+                       || '>' || w || '</' || kind || '>' AS tag
+            FROM quant
+        ),
+        seq AS (
+            SELECT doc_id, off, tag,
+                   CASE WHEN lag(page_no) OVER (PARTITION BY doc_id ORDER BY off) IS NOT NULL
+                             AND page_no <> lag(page_no) OVER (PARTITION BY doc_id ORDER BY off)
+                        THEN '<page_break/>' || chr(10) || tag ELSE tag END AS tag2
+            FROM tags
+        )
+        SELECT doc_id,
+               '<doc>' || chr(10) || string_agg(tag2, chr(10) ORDER BY off) || chr(10) || '</doc>' AS dclg
+        FROM seq GROUP BY doc_id
     """
     # skeleton-dedup twin: min_by on first-chunk emission order picks the
     # winning fields; chunk sets union sorted-distinct.
