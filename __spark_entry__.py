@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve against module globals
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1158,6 +1159,62 @@ def _doc_doclang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doclang_documents(geo)
 
 
+def _doc_deep_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep model merge (merge.deep_merge_dicts, dict_merger.py semantics)
+    as a DuckDB-checkable truth table: per doc, a base/extra model pair built
+    from words 1-3 exercises first-wins scalars, empty-incoming skip,
+    path-scoped identity-hash entity-list merge (w2==w3 collapses the list),
+    and sentence-dedup description merge. Runs vectorized in one pandas UDF;
+    outcomes are deterministic so the oracle states them exactly."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from sparkdoc.merge import deep_merge_dicts
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+
+    import json as _json
+
+    @pandas_udf("string")
+    def _dm(w1: pd.Series, w2: pd.Series, w3: pd.Series) -> pd.Series:
+        out = []
+        for a, b, c in zip(w1, w2, w3):
+            base = {"name": a, "items": [{"id": b, "val": "x"}], "description": "A. B."}
+            extra = {
+                "name": "",
+                "items": [{"id": b, "extra": "y"}, {"id": c, "val": "z"}],
+                "description": "B. C.",
+            }
+            m = deep_merge_dicts(base, extra, identity_fields_map={"items": ["id"]})
+            first = m["items"][0]
+            out.append(
+                _json.dumps(
+                    {
+                        "name_out": m.get("name"),
+                        "n_items": len(m["items"]),
+                        "w2_val": first.get("val"),
+                        "w2_extra": first.get("extra"),
+                        "desc_out": m.get("description"),
+                    }
+                )
+            )
+        return pd.Series(out)
+
+    schema = "name_out string, n_items int, w2_val string, w2_extra string, desc_out string"
+    return docs.select(
+        "doc_id",
+        F.from_json(
+            _dm(
+                F.coalesce(F.element_at(w, 1), F.lit("")),
+                F.coalesce(F.element_at(w, 2), F.lit("")),
+                F.coalesce(F.element_at(w, 3), F.lit("")),
+            ),
+            schema,
+        ).alias("m"),
+    ).select("doc_id", "m.*")
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1372,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_merge_ledgers": _doc_merge_ledgers,
         "doc_dedup_entities": _doc_dedup_entities,
         "doc_doclang": _doc_doclang,
+        "doc_deep_merge": _doc_deep_merge,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1773,6 +1831,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # deep-merge truth table: first-wins name, id-hash entity-list merge
+    # (w2==w3 collapses to one item), first-wins within the merged item,
+    # sentence-dedup description.
+    q["doc_deep_merge"] = """
+        SELECT doc_id,
+               split_part(text, ' ', 1) AS name_out,
+               CASE WHEN split_part(text, ' ', 3) = split_part(text, ' ', 2)
+                    THEN 1 ELSE 2 END AS n_items,
+               'x' AS w2_val,
+               'y' AS w2_extra,
+               'A. B. C.' AS desc_out
+        FROM documents
     """
     # DocLang twin: md5-keyed geo spans → 512-grid quantization (round ==
     # bround here: 612/792 rational grid never hits exact .5) → XML tags →
