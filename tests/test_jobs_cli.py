@@ -10,15 +10,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args):
+def _run(args, expect_ok=True):
     out = subprocess.run(
         [sys.executable, *args], cwd=REPO, capture_output=True, text=True, timeout=420
     )
-    assert out.returncode == 0, out.stderr[-2000:]
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    if expect_ok:
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    return out
 
 
-def test_convert_then_merge_cli(tmp_path):
+def test_convert_merge_and_template_gate(tmp_path):
     g1, g2, gm = str(tmp_path / "g1"), str(tmp_path / "g2"), str(tmp_path / "gm")
     r1 = _run(["sparkdoc/jobs/convert.py", "--input", "synth:12", "--out", g1,
                "--export", "csv"])
@@ -37,21 +39,12 @@ def test_convert_then_merge_cli(tmp_path):
     assert rm["schema_hashes"] == [r1["template_schema_hash"]]
     assert os.path.isfile(os.path.join(gm, "merge_report.json"))
 
-
-def test_merge_cli_template_gate(tmp_path):
-    """Mismatched template schema hashes must refuse under strict (default)."""
-    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
-    _run(["sparkdoc/jobs/convert.py", "--input", "synth:6", "--out", g1])
-    _run(["sparkdoc/jobs/convert.py", "--input", "synth:6", "--out", g2])
-    # forge a different schema hash in g2's manifest
+    # strict template gate: forge a mismatched schema hash → refusal
     mpath = os.path.join(g2, "manifest.json")
     m = json.load(open(mpath))
     m["template_schema_hash"] = "deadbeefdeadbeef"
     json.dump(m, open(mpath, "w"))
-    out = subprocess.run(
-        [sys.executable, "sparkdoc/jobs/merge.py", "--inputs", f"{g1},{g2}",
-         "--out", str(tmp_path / "gm")],
-        cwd=REPO, capture_output=True, text=True, timeout=420,
-    )
+    out = _run(["sparkdoc/jobs/merge.py", "--inputs", f"{g1},{g2}",
+                "--out", str(tmp_path / "gm2")], expect_ok=False)
     assert out.returncode != 0
     assert "TemplateMismatch" in out.stderr or "different template schemas" in out.stderr
