@@ -1215,6 +1215,66 @@ def _doc_deep_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "m.*")
 
 
+def _doc_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash node dedup (dedup.content_hash_dedup) — GLOBAL: every
+    node whose attrs are {v: <word>} folds into the min-node_id survivor of
+    that word ACROSS documents; redirected edges drop self-loops and dedupe
+    on (src, dst, label). The DuckDB twin mirrors the grouping by attr
+    equality (hash-free; identical JSON == same hash, collisions aside),
+    the min-id survivor choice, and the redirect/cleanup — the ADVICE-fix
+    semantics proven oracle-exactly."""
+    from sparkdoc.dedup import content_hash_dedup
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    d = F.col("doc_id").cast("string")
+
+    def node(nid, val):
+        return F.struct(
+            F.concat(d, F.lit("_" + nid)).alias("node_id"),
+            F.create_map(F.lit("v"), val).alias("attrs"),
+        )
+
+    nodes = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                node("N1", F.element_at(w, 1)),
+                node("N2", F.element_at(w, 2)),
+                node("N3", F.element_at(w, 1)),
+            )
+        ).alias("n"),
+    ).select(F.col("n.node_id").alias("node_id"), F.col("n.attrs").alias("attrs"), "doc_id")
+
+    def edge(src, dst, label):
+        return F.struct(
+            F.concat(d, F.lit("_" + src)).alias("src"),
+            F.concat(d, F.lit("_" + dst)).alias("dst"),
+            F.lit(label).alias("label"),
+        )
+
+    edges = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                edge("N3", "N2", "a"),
+                edge("N1", "N3", "a"),
+                edge("N2", "N1", "r"),
+                edge("N2", "N3", "r"),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.src", "e.dst", "e.label")
+    survivors, clean = content_hash_dedup(nodes.drop("doc_id"), edges.drop("doc_id"))
+    out_nodes = survivors.select(
+        F.lit("node").alias("kind"), F.col("node_id").alias("a"),
+        F.lit(None).cast("string").alias("b"), F.lit(None).cast("string").alias("label"),
+    )
+    out_edges = clean.select(
+        F.lit("edge").alias("kind"), F.col("src").alias("a"), F.col("dst").alias("b"), "label"
+    )
+    return out_nodes.unionByName(out_edges)
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1430,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_entities": _doc_dedup_entities,
         "doc_doclang": _doc_doclang,
         "doc_deep_merge": _doc_deep_merge,
+        "doc_content_dedup": _doc_content_dedup,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1831,6 +1892,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # content-hash dedup mirror (GLOBAL): group by attr value, min-id
+    # survivor, redirect both edge endpoints, drop self-loops, distinct
+    # (src, dst, label).
+    q["doc_content_dedup"] = """
+        WITH docs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc,
+                   split_part(text, ' ', 1) AS w1, split_part(text, ' ', 2) AS w2
+            FROM documents
+        ),
+        nodes0 AS (
+            SELECT doc || '_N1' AS node_id, w1 AS val FROM docs
+            UNION ALL SELECT doc || '_N2', w2 FROM docs
+            UNION ALL SELECT doc || '_N3', w1 FROM docs
+        ),
+        canon AS (
+            SELECT node_id, val, min(node_id) OVER (PARTITION BY val) AS cid FROM nodes0
+        ),
+        mapping AS (SELECT node_id AS f, cid AS t FROM canon WHERE node_id <> cid),
+        edges0 AS (
+            SELECT doc || '_N3' AS src, doc || '_N2' AS dst, 'a' AS label FROM docs
+            UNION ALL SELECT doc || '_N1', doc || '_N3', 'a' FROM docs
+            UNION ALL SELECT doc || '_N2', doc || '_N1', 'r' FROM docs
+            UNION ALL SELECT doc || '_N2', doc || '_N3', 'r' FROM docs
+        ),
+        red AS (
+            SELECT coalesce(ms.t, e.src) AS src, coalesce(md.t, e.dst) AS dst, e.label
+            FROM edges0 e
+            LEFT JOIN mapping ms ON e.src = ms.f
+            LEFT JOIN mapping md ON e.dst = md.f
+        ),
+        clean AS (SELECT DISTINCT src, dst, label FROM red WHERE src <> dst)
+        SELECT 'node' AS kind, node_id AS a, CAST(NULL AS VARCHAR) AS b,
+               CAST(NULL AS VARCHAR) AS label
+        FROM canon WHERE node_id = cid
+        UNION ALL SELECT 'edge', src, dst, label FROM clean
     """
     # deep-merge truth table: first-wins name, id-hash entity-list merge
     # (w2==w3 collapses to one item), first-wins within the merged item,
