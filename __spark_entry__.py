@@ -1275,6 +1275,70 @@ def _doc_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_nodes.unionByName(out_edges)
 
 
+def _doc_bind_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binder ladder (provenance.bind_provenance, binder.py:172-356 analog)
+    over derived inputs: per doc a ledger entry {K1, p[], code=w1} and four
+    nodes — A binds exact (identity key), B binds via the unique same-path
+    canonical-containment fuzzy rung (ids drift w1→w1+'x'), C binds verbatim
+    (its value w2 located in the 120-char chunk windows, distinctiveness ≤6),
+    D stays unresolved. The DuckDB twin reproduces each node's bind kind
+    through the same guard cascade."""
+    from sparkdoc.provenance import bind_provenance
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    d = F.col("doc_id").cast("string")
+    chunks = docs.select(
+        d.alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
+                " i -> substring(text, (i-1)*120 + 1, 120))"
+            )
+        ).alias("chunk_id", "text"),
+    )
+    ledger = docs.select(
+        d.alias("doc_id"),
+        F.lit("K1").alias("identity_key"),
+        F.lit("p[]").alias("path"),
+        F.create_map(F.lit("code"), F.element_at(w, 1)).alias("ids"),
+        F.array(
+            F.struct(
+                F.lit(0).cast("int").alias("chunk_id"),
+                F.lit("observed").alias("kind"),
+                F.array(F.lit(0), F.lit(0)).cast("array<int>").alias("span"),
+            )
+        ).alias("anchors"),
+    )
+
+    def node(nid, path, val):
+        return F.struct(
+            F.lit(nid).alias("node_id"),
+            F.lit(path).alias("path"),
+            F.create_map(F.lit("code"), val).alias("ids"),
+        )
+
+    nodes = docs.select(
+        d.alias("doc_id"),
+        F.explode(
+            F.array(
+                node("K1", "p[]", F.element_at(w, 1)),
+                node("B", "p[]", F.concat(F.element_at(w, 1), F.lit("x"))),
+                node("C", "q[]", F.element_at(w, 2)),
+                node("D", "q[]", F.lit("zzqq")),
+            )
+        ).alias("n"),
+    ).select("doc_id", "n.node_id", "n.path", "n.ids")
+    bound, _stats = bind_provenance(nodes, ledger, chunks=chunks)
+    return bound.select(
+        "doc_id",
+        "node_id",
+        F.coalesce(F.get_json_object("provenance", "$.kind"), F.lit("unresolved")).alias(
+            "kind_out"
+        ),
+    )
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1491,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_doclang": _doc_doclang,
         "doc_deep_merge": _doc_deep_merge,
         "doc_content_dedup": _doc_content_dedup,
+        "doc_bind_kinds": _doc_bind_kinds,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1892,6 +1957,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # binder-ladder twin: exact key → unique same-path canonical containment
+    # (fuzzy) → verbatim locate with anchor guards → unresolved; per-node
+    # bind-kind attribution mirrored through the same guard cascade.
+    q["doc_bind_kinds"] = """
+        WITH docs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc, text,
+                   split_part(text, ' ', 1) AS w1, split_part(text, ' ', 2) AS w2
+            FROM documents
+        ),
+        wins AS (
+            SELECT doc, lower(substr(text, CAST((i-1)*120 + 1 AS BIGINT), 120)) AS wlt
+            FROM docs, LATERAL (SELECT unnest(generate_series(
+                1, greatest(CAST(ceil(length(text)/120.0) AS BIGINT), 1))) AS i)
+        ),
+        base AS (
+            SELECT d.doc, d.w1, d.w2,
+                   regexp_replace(lower(d.w1), '[^a-z0-9]', '', 'g') AS c1,
+                   (SELECT count(*) FROM wins w WHERE w.doc = d.doc
+                        AND strpos(w.wlt, lower(d.w1 || 'x')) > 0) AS bhits,
+                   (SELECT count(*) FROM wins w WHERE w.doc = d.doc
+                        AND strpos(w.wlt, lower(d.w2)) > 0) AS chits,
+                   (SELECT count(*) FROM wins w WHERE w.doc = d.doc
+                        AND strpos(w.wlt, 'zzqq') > 0) AS dhits
+            FROM docs d
+        )
+        SELECT doc AS doc_id, 'K1' AS node_id, 'observed' AS kind_out FROM base
+        UNION ALL
+        SELECT doc, 'B',
+               CASE WHEN length(c1) >= 2 THEN 'fuzzy'
+                    WHEN length(w1 || 'x') >= 3
+                         AND NOT (regexp_matches(w1 || 'x', '^[0-9]+$') AND length(w1 || 'x') < 4)
+                         AND bhits BETWEEN 1 AND 6 THEN 'verbatim'
+                    ELSE 'unresolved' END FROM base
+        UNION ALL
+        SELECT doc, 'C',
+               CASE WHEN length(w2) >= 3
+                         AND NOT (regexp_matches(w2, '^[0-9]+$') AND length(w2) < 4)
+                         AND chits BETWEEN 1 AND 6 THEN 'verbatim'
+                    ELSE 'unresolved' END FROM base
+        UNION ALL
+        SELECT doc, 'D',
+               CASE WHEN dhits BETWEEN 1 AND 6 THEN 'verbatim' ELSE 'unresolved' END FROM base
     """
     # content-hash dedup mirror (GLOBAL): group by attr value, min-id
     # survivor, redirect both edge endpoints, drop self-loops, distinct
