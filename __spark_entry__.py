@@ -1339,6 +1339,26 @@ def _doc_bind_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_name_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-name normalization (identity.normalize_entity_name,
+    entity_name_normalizer.py:16-51 parity): per doc, name 1 = "w1's w2-w3"
+    exercises possessive drop + [\\s_-] split + '_'.join.upper(); name 2 =
+    "the w2" exercises leading-article strip and the bare-article empty
+    result. The DuckDB twin states both outcomes exactly."""
+    from sparkdoc.identity import normalize_entity_name_udf
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    udf = normalize_entity_name_udf()
+    n1 = F.concat(F.element_at(w, 1), F.lit("'s "), F.element_at(w, 2), F.lit("-"), F.element_at(w, 3))
+    n2 = F.concat(F.lit("the "), F.element_at(w, 2))
+    return docs.select(
+        "doc_id",
+        udf(n1).alias("norm_possessive"),
+        udf(n2).alias("norm_article"),
+    )
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1556,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_deep_merge": _doc_deep_merge,
         "doc_content_dedup": _doc_content_dedup,
         "doc_bind_kinds": _doc_bind_kinds,
+        "doc_name_norm": _doc_name_norm,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1957,6 +1978,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # name-normalization twin: possessive drop + split-join-upper, and
+    # leading-article strip with the bare-article empty result.
+    q["doc_name_norm"] = """
+        SELECT doc_id,
+               upper(split_part(text, ' ', 1)) || '_' ||
+               upper(split_part(text, ' ', 2)) || '_' ||
+               upper(split_part(text, ' ', 3)) AS norm_possessive,
+               CASE WHEN split_part(text, ' ', 2) IN ('The', 'the', 'A', 'a', 'An', 'an')
+                    THEN '' ELSE upper(split_part(text, ' ', 2)) END AS norm_article
+        FROM documents
     """
     # binder-ladder twin: exact key → unique same-path canonical containment
     # (fuzzy) → verbatim locate with anchor guards → unresolved; per-node
