@@ -1359,6 +1359,61 @@ def _doc_name_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_graph_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phantom-node removal + keyword cap (graph.remove_phantom_nodes /
+    cap_keywords): per doc, P2 carries only meta/empty attrs (phantom —
+    dropped, its edge audited), P3 carries a 7-entry keywords list (capped
+    to 5). The DuckDB twin states kept nodes, surviving edges, the audit
+    rows, and the capped keyword string exactly."""
+    from sparkdoc.graph import cap_keywords, remove_phantom_nodes
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    d = F.col("doc_id").cast("string")
+    kw7 = F.concat_ws("|", *[F.element_at(w, i) for i in range(1, 8)])
+
+    def node(nid, attrs):
+        return F.struct(F.concat(d, F.lit("_" + nid)).alias("node_id"), attrs.alias("attrs"))
+
+    nodes = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                node("P1", F.create_map(F.lit("a"), F.element_at(w, 1), F.lit("__meta"), F.lit("x"))),
+                node("P2", F.create_map(F.lit("a"), F.lit(""), F.lit("__m"), F.lit("z"))),
+                node("P3", F.create_map(F.lit("keywords"), kw7)),
+            )
+        ).alias("n"),
+    ).select("doc_id", "n.node_id", "n.attrs")
+
+    def edge(src, dst, label):
+        return F.struct(
+            F.concat(d, F.lit("_" + src)).alias("src"),
+            F.concat(d, F.lit("_" + dst)).alias("dst"),
+            F.lit(label).alias("label"),
+        )
+
+    edges = docs.select(
+        F.explode(F.array(edge("P1", "P2", "r"), edge("P1", "P3", "s"))).alias("e")
+    ).select("e.src", "e.dst", "e.label")
+    kept, e, audit = remove_phantom_nodes(nodes, edges)
+    kept = cap_keywords(kept)
+    out_nodes = kept.select(
+        "doc_id", F.lit("node").alias("kind"), F.col("node_id").alias("a"),
+        F.lit(None).cast("string").alias("b"), F.lit(None).cast("string").alias("label"),
+        F.element_at("attrs", "keywords").alias("kw"),
+    )
+
+    def edge_rows(df, kind):
+        return df.select(
+            F.split(F.col("src"), "_").getItem(0).cast("long").alias("doc_id"),
+            F.lit(kind).alias("kind"), F.col("src").alias("a"), F.col("dst").alias("b"),
+            "label", F.lit(None).cast("string").alias("kw"),
+        )
+
+    return out_nodes.unionByName(edge_rows(e, "edge")).unionByName(edge_rows(audit, "audit"))
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1577,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_content_dedup": _doc_content_dedup,
         "doc_bind_kinds": _doc_bind_kinds,
         "doc_name_norm": _doc_name_norm,
+        "doc_graph_hygiene": _doc_graph_hygiene,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -1978,6 +2034,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # graph-hygiene twin: phantom drop (no meaningful non-meta attr), edge
+    # pruning + audit, keywords capped at 5 of 7.
+    q["doc_graph_hygiene"] = """
+        WITH docs AS (
+            SELECT doc_id, CAST(doc_id AS VARCHAR) AS doc,
+                   split_part(text, ' ', 1) AS w1,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 5), '|') AS kw5
+            FROM documents
+        )
+        SELECT doc_id, 'node' AS kind, doc || '_P1' AS a,
+               CAST(NULL AS VARCHAR) AS b, CAST(NULL AS VARCHAR) AS label,
+               CAST(NULL AS VARCHAR) AS kw FROM docs
+        UNION ALL
+        SELECT doc_id, 'node', doc || '_P3', NULL, NULL, kw5 FROM docs
+        UNION ALL
+        SELECT doc_id, 'edge', doc || '_P1', doc || '_P3', 's', NULL FROM docs
+        UNION ALL
+        SELECT doc_id, 'audit', doc || '_P1', doc || '_P2', 'r', NULL FROM docs
     """
     # name-normalization twin: possessive drop + split-join-upper, and
     # leading-article strip with the bare-article empty result.
