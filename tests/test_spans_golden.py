@@ -88,3 +88,27 @@ def test_golden_matches_committed_fixture(golden):
     assert set(fixture) == set(golden)
     for doc_id, spans in fixture.items():
         assert golden[doc_id] == spans, doc_id
+
+
+def test_spark_matches_committed_fixture_seed7(spark):
+    """Second-seed end-to-end golden gate: the SPARK pipeline must reproduce
+    the checked-in seed-7 fixture exactly (independent corpus shape draw —
+    different furniture/boilerplate/BOTTOMLEFT mix than seed 42)."""
+    import gzip
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_spans_seed7_n48.json.gz")
+    with gzip.open(path, "rt") as f:
+        fixture = json.load(f)
+    raw = raw_nodes_df(spark, N_DOCS, 7, partitions=8)
+    got = {
+        r["doc_id"]: [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "offset": s["offset"]}
+            for s in r["spans"]
+        ]
+        for r in extract_documents(raw).collect()
+    }
+    assert set(got) == set(fixture)
+    for doc_id, spans in fixture.items():
+        assert got[doc_id] == spans, doc_id
