@@ -1414,6 +1414,44 @@ def _doc_graph_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_nodes.unionByName(edge_rows(e, "edge")).unionByName(edge_rows(audit, "audit"))
 
 
+def _doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covered-chunk accounting (provenance.coverage_stats): 120-char chunk
+    windows vs a derived ledger anchoring chunks 0 and 1 (with a duplicate
+    anchor on chunk 0 that must NOT double-count) — n_chunks, distinct
+    n_covered, and the retention ratio are pure arithmetic the DuckDB twin
+    restates."""
+    from sparkdoc.provenance import coverage_stats
+
+    docs = _docs(spark, sf_dir)
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
+                " i -> substring(text, (i-1)*120 + 1, 120))"
+            )
+        ).alias("chunk_id", "text"),
+    )
+
+    def anchor(c, k, s, e):
+        return F.struct(
+            F.lit(c).cast("int").alias("chunk_id"),
+            F.lit(k).alias("kind"),
+            F.array(F.lit(s), F.lit(e)).cast("array<int>").alias("span"),
+        )
+
+    ledger = docs.select(
+        "doc_id",
+        F.lit("K1").alias("identity_key"),
+        F.lit("p[]").alias("path"),
+        F.create_map(F.lit("code"), F.lit("x")).alias("ids"),
+        F.array(
+            anchor(0, "observed", 0, 0), anchor(0, "verbatim", 3, 9), anchor(1, "observed", 0, 0)
+        ).alias("anchors"),
+    )
+    return coverage_stats(chunks, ledger)
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1633,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bind_kinds": _doc_bind_kinds,
         "doc_name_norm": _doc_name_norm,
         "doc_graph_hygiene": _doc_graph_hygiene,
+        "doc_coverage": _doc_coverage,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -2034,6 +2073,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM verb
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
+    """
+    # coverage twin: distinct covered chunks (duplicate anchors collapse),
+    # retention = covered / total windows.
+    q["doc_coverage"] = """
+        SELECT doc_id,
+               CAST(greatest(CAST(ceil(length(text)/120.0) AS BIGINT), 1) AS BIGINT) AS n_chunks,
+               CAST(2 AS BIGINT) AS n_covered,
+               2.0 / greatest(CAST(ceil(length(text)/120.0) AS BIGINT), 1) AS coverage
+        FROM documents
     """
     # graph-hygiene twin: phantom drop (no meaningful non-meta attr), edge
     # pruning + audit, keywords capped at 5 of 7.
