@@ -1472,7 +1472,7 @@ def _doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprints(_docs(spark, sf_dir)).select(
         "doc_id",
         F.size("fingerprints").alias("n_fp"),
-        F.element_at("fingerprints", 1).alias("fp_min"),
+        F.try_element_at("fingerprints", F.lit(1)).alias("fp_min"),
         F.when(
             F.size("fingerprints") > 0,
             F.element_at("fingerprints", F.size("fingerprints")),
