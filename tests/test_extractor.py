@@ -163,3 +163,29 @@ def test_format_auto_resolution(spark):
     assert got[2] == ("dense", "doclang")
     raw = with_resolved_format(docs, text_input=True).collect()
     assert all(r["llm_format"] == "markdown" for r in raw)
+
+
+def test_graph_matches_committed_fixture(spark):
+    """Whole-pipeline pin (FIXTURES.md F5 golden_graph): convert_document_graph
+    on the seeded corpus must reproduce the checked-in node/edge sets exactly
+    — verified insensitive to partition count; regenerate deliberately if the
+    pipeline spec changes."""
+    import gzip
+    import json
+    import os
+
+    from sparkdoc.extractor import convert_document_graph
+    from sparkdoc.synth import raw_nodes_df
+
+    out = convert_document_graph(raw_nodes_df(spark, 32, 42, partitions=4))
+    nodes = sorted(
+        (r["node_id"], r["doc_id"], r["node_class"], r["label"],
+         json.dumps(dict(r["attrs"] or {}), sort_keys=True))
+        for r in out["nodes"].collect()
+    )
+    edges = sorted((r["src"], r["dst"], r["label"]) for r in out["edges"].collect())
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_graph_seed42_n32.json.gz")
+    with gzip.open(path, "rt") as f:
+        fix = json.load(f)
+    assert nodes == [tuple(x) for x in fix["nodes"]]
+    assert edges == [tuple(x) for x in fix["edges"]]
