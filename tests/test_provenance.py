@@ -171,3 +171,47 @@ def test_bind_provenance_document_fallback(spark):
     got = json.loads(bound.collect()[0]["provenance"])
     assert got == {"scope": "document"}
     assert stats.collect()[0]["bound_document"] == 1
+
+
+def test_ledger_matches_committed_fixture(spark):
+    """FIXTURES.md F5 golden_ledger pin: the end-to-end ledger (extract →
+    chunk → heading entities → anchor scan → build_ledger) over the seeded
+    corpus must reproduce the checked-in rows exactly (partition-insensitive;
+    regenerate deliberately on spec change)."""
+    import gzip
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.dedup import with_node_ids
+    from sparkdoc.provenance import build_ledger
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    docs = extract_documents(raw_nodes_df(spark, 32, 42, partitions=4))
+    chunks = chunk_documents(docs)
+    spans = explode_spans(docs)
+    entities = (
+        spans.filter(F.col("kind") == "heading")
+        .select(
+            "doc_id",
+            F.lit("sections[]").alias("path"),
+            F.lit("Section").alias("class"),
+            F.create_map(F.lit("name"), F.regexp_replace(F.col("text"), "^#+\\s*", "")).alias("ids"),
+            F.create_map().cast("map<string,string>").alias("fields"),
+            F.array().cast("array<int>").alias("chunk_ids"),
+        )
+    )
+    led = build_ledger(with_node_ids(entities), chunks)
+    got = sorted(
+        (r["doc_id"], r["identity_key"], r["path"],
+         json.dumps(dict(r["ids"] or {}), sort_keys=True),
+         json.dumps([[a["chunk_id"], a["kind"], list(a["span"])] for a in r["anchors"]]))
+        for r in led.collect()
+    )
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_ledger_seed42_n32.json.gz")
+    with gzip.open(path, "rt") as f:
+        fix = json.load(f)
+    assert got == [tuple(x) for x in fix]
