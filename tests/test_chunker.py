@@ -200,3 +200,29 @@ def test_fused_extract_and_chunk_parity(spark):
         for r in extract_and_chunk(raw).collect()
     }
     assert fused == two_stage and len(fused) > 0
+
+
+def test_chunks_match_committed_fixture(spark):
+    """FIXTURES.md F3 pin: chunk_documents over the seeded corpus must
+    reproduce the checked-in chunk rows exactly (all metadata columns;
+    partition-insensitive; regenerate deliberately on spec change)."""
+    import gzip
+    import json
+    import os
+
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.spans import extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    ch = chunk_documents(extract_documents(raw_nodes_df(spark, 32, 42, partitions=4)))
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["batch_index"], r["text"], r["token_count"],
+         json.dumps(list(r["page_numbers"])), json.dumps(list(r["doc_item_refs"])),
+         json.dumps(list(r["headings"])), r["text_hash"], r["char_length"],
+         r["resplit_of"] if r["resplit_of"] is not None else -1)
+        for r in ch.collect()
+    )
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "golden_chunks_seed42_n32.json.gz")
+    with gzip.open(path, "rt") as f:
+        fix = json.load(f)
+    assert got == [tuple(x) for x in fix]
