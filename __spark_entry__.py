@@ -1452,6 +1452,46 @@ def _doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_stats(chunks, ledger)
 
 
+def _extract_spans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-rule invariant, oracle-checked by the driver gate: the Spark
+    extraction pipeline's span sequences (kind, text, media_ref, order) over
+    a 24-doc seeded corpus, text md5-compressed — the oracle is a VALUES
+    table generated at oracle_sql() build time by the INDEPENDENT pure-Python
+    golden extractor (sparkdoc/golden.py), so span-sequence equality is
+    recorded in CORRECTNESS_r{N}.json itself, not only in pytest."""
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    spans = explode_spans(extract_documents(raw_nodes_df(spark, 24, SYNTH_SEED, partitions=8)))
+    return spans.select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
+def _chunks_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunker drift pin in the driver gate: chunk_documents over the seeded
+    corpus vs the checked-in golden_chunks fixture (tests/fixtures/), text
+    md5-compressed, all metadata columns. Regenerate the fixture deliberately
+    if the chunking spec changes."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.spans import extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    ch = chunk_documents(extract_documents(raw_nodes_df(spark, 32, SYNTH_SEED, partitions=8)))
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "batch_index",
+        F.md5(F.col("text")).alias("text_md5"),
+        "token_count",
+        F.array_join(F.transform("page_numbers", lambda x: x.cast("string")), ",").alias("pages"),
+        F.md5(F.concat_ws("\x1f", "headings")).alias("headings_md5"),
+        "text_hash",
+        "char_length",
+        F.coalesce(F.col("resplit_of"), F.lit(-1)).alias("resplit_of"),
+    )
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1672,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_name_norm": _doc_name_norm,
         "doc_graph_hygiene": _doc_graph_hygiene,
         "doc_coverage": _doc_coverage,
+        "extract_spans_pinned": _extract_spans_pinned,
+        "chunks_pinned": _chunks_pinned,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -2074,6 +2116,47 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id, node_id, idx, chunk_id, kind, s, e FROM obs
         ) a ON n.doc_id = a.doc_id AND n.node_id = a.node_id
     """
+    # north-rule pin: the golden extractor (pure Python, independent of the
+    # Spark pipeline) generates the expected span rows as a VALUES literal.
+    import hashlib as _hl
+
+    from sparkdoc.golden import extract_corpus_golden as _gold
+    from sparkdoc.synth import synth_corpus as _synthc
+
+    _rows = []
+    for _did, _spans in _gold(_synthc(24, SYNTH_SEED)).items():
+        for _s in _spans:
+            _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+            _d = _did.replace("'", "''")
+            _mr = _s["media_ref"].replace("'", "''")
+            _rows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["extract_spans_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_rows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # chunker drift pin: committed golden_chunks fixture → VALUES literal.
+    import gzip as _gz
+    import json as _js
+    import os as _os
+
+    _fx = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        "tests", "fixtures", "golden_chunks_seed42_n32.json.gz")
+    with _gz.open(_fx, "rt") as _f:
+        _chunk_rows = []
+        for _r in _js.load(_f):
+            (_cd, _cid, _bi, _tx, _tc, _pg, _refs, _hd, _th, _cl, _ro) = _r
+            _tmd5 = _hl.md5(_tx.encode("utf-8")).hexdigest()
+            _pages = ",".join(str(x) for x in _js.loads(_pg))
+            _hmd5 = _hl.md5("\x1f".join(_js.loads(_hd)).encode("utf-8")).hexdigest()
+            _chunk_rows.append(
+                f"('{_cd}', {_cid}, {_bi}, '{_tmd5}', {_tc}, '{_pages}', '{_hmd5}', '{_th}', {_cl}, {_ro})"
+            )
+    q["chunks_pinned"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_chunk_rows)
+        + ") AS t(doc_id, chunk_id, batch_index, text_md5, token_count, pages, headings_md5, text_hash, char_length, resplit_of)"
+    )
     # coverage twin: distinct covered chunks (duplicate anchors collapse),
     # retention = covered / total windows.
     q["doc_coverage"] = """
