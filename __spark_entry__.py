@@ -1492,6 +1492,92 @@ def _chunks_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole extraction-graph pipeline pin in the driver gate: nodes+edges of
+    convert_document_graph over the seeded corpus vs the committed
+    golden_graph fixture (attrs canonicalized as sorted k=v join, md5)."""
+    from sparkdoc.extractor import convert_document_graph
+    from sparkdoc.synth import raw_nodes_df
+
+    out = convert_document_graph(raw_nodes_df(spark, 32, SYNTH_SEED, partitions=4))
+    attrs_md5 = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("attrs")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            "|",
+        )
+    )
+    nodes = out["nodes"].select(
+        F.lit("node").alias("kind"),
+        F.col("node_id").alias("a"),
+        F.col("doc_id").alias("b"),
+        F.col("node_class").alias("c"),
+        F.col("label").alias("d"),
+        attrs_md5.alias("payload_md5"),
+    )
+    edges = out["edges"].select(
+        F.lit("edge").alias("kind"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("label").alias("c"),
+        F.lit("").alias("d"),
+        F.lit("").alias("payload_md5"),
+    )
+    return nodes.unionByName(edges)
+
+
+def _ledger_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end provenance ledger pin in the driver gate: extract → chunk
+    → heading entities → anchor scan → build_ledger over the seeded corpus
+    vs the committed golden_ledger fixture (ids/anchors canonicalized, md5)."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.dedup import with_node_ids
+    from sparkdoc.provenance import build_ledger
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    docs = extract_documents(raw_nodes_df(spark, 32, SYNTH_SEED, partitions=4))
+    chunks = chunk_documents(docs)
+    spans = explode_spans(docs)
+    entities = spans.filter(F.col("kind") == "heading").select(
+        "doc_id",
+        F.lit("sections[]").alias("path"),
+        F.lit("Section").alias("class"),
+        F.create_map(F.lit("name"), F.regexp_replace(F.col("text"), "^#+\\s*", "")).alias("ids"),
+        F.create_map().cast("map<string,string>").alias("fields"),
+        F.array().cast("array<int>").alias("chunk_ids"),
+    )
+    led = build_ledger(with_node_ids(entities), chunks)
+    ids_md5 = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("ids")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            "|",
+        )
+    )
+    anchors_enc = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("anchors"),
+                lambda a: F.concat(
+                    a["chunk_id"].cast("string"), F.lit(":"), a["kind"], F.lit(":"),
+                    F.element_at(a["span"], 1).cast("string"), F.lit("-"),
+                    F.element_at(a["span"], 2).cast("string"),
+                ),
+            ),
+            "|",
+        )
+    )
+    return led.select(
+        "doc_id", "identity_key", "path",
+        ids_md5.alias("ids_md5"), anchors_enc.alias("anchors_md5"),
+    )
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1714,6 +1800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_coverage": _doc_coverage,
         "extract_spans_pinned": _extract_spans_pinned,
         "chunks_pinned": _chunks_pinned,
+        "graph_pinned": _graph_pinned,
+        "ledger_pinned": _ledger_pinned,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -2156,6 +2244,48 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (VALUES "
         + ", ".join(_chunk_rows)
         + ") AS t(doc_id, chunk_id, batch_index, text_md5, token_count, pages, headings_md5, text_hash, char_length, resplit_of)"
+    )
+    # graph pipeline pin: committed golden_graph fixture → VALUES literal
+    # (attrs canonicalized as sorted k=v '|'-join, md5).
+    _gfx = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "fixtures", "golden_graph_seed42_n32.json.gz")
+    with _gz.open(_gfx, "rt") as _f:
+        _gdata = _js.load(_f)
+    _grows = []
+    for _nid, _gdoc, _cls, _lbl, _attrs_json in _gdata["nodes"]:
+        _attrs = _js.loads(_attrs_json)
+        _amd5 = _hl.md5(
+            "|".join(f"{k}={v}" for k, v in sorted(_attrs.items())).encode("utf-8")
+        ).hexdigest()
+        _lbl_esc = _lbl.replace("'", "''")
+        _grows.append(f"('node', '{_nid}', '{_gdoc}', '{_cls}', '{_lbl_esc}', '{_amd5}')")
+    for _src, _dst, _elbl in _gdata["edges"]:
+        _grows.append(f"('edge', '{_src}', '{_dst}', '{_elbl}', '', '')")
+    q["graph_pinned"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_grows)
+        + ") AS t(kind, a, b, c, d, payload_md5)"
+    )
+    # ledger pipeline pin: committed golden_ledger fixture → VALUES literal.
+    _lfx = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "fixtures", "golden_ledger_seed42_n32.json.gz")
+    with _gz.open(_lfx, "rt") as _f:
+        _ldata = _js.load(_f)
+    _lrows = []
+    for _ldoc, _lkey, _lpath, _lids_json, _lanch_json in _ldata:
+        _lids = _js.loads(_lids_json)
+        _imd5 = _hl.md5(
+            "|".join(f"{k}={v}" for k, v in sorted(_lids.items())).encode("utf-8")
+        ).hexdigest()
+        _anch = _js.loads(_lanch_json)
+        _amd5 = _hl.md5(
+            "|".join(f"{c}:{k}:{sp[0]}-{sp[1]}" for c, k, sp in _anch).encode("utf-8")
+        ).hexdigest()
+        _lrows.append(f"('{_ldoc}', '{_lkey}', '{_lpath}', '{_imd5}', '{_amd5}')")
+    q["ledger_pinned"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_lrows)
+        + ") AS t(doc_id, identity_key, path, ids_md5, anchors_md5)"
     )
     # coverage twin: distinct covered chunks (duplicate anchors collapse),
     # retention = covered / total windows.
