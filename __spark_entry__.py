@@ -1578,6 +1578,57 @@ def _ledger_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _map_enc(col: str):
+    """Canonical map encoding shared with the fixture generators: sorted
+    'k=v' entries '|'-joined."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(col)), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+        ),
+        "|",
+    )
+
+
+def _fill_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense FILL phase pin in the driver gate: skeleton+coverage+fill over
+    the seeded corpus vs the committed golden_fill fixture (canonical k=v
+    encodings)."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.extractor import coverage_pass, demo_catalog, skeleton_phase
+    from sparkdoc.fill import fill_phase
+    from sparkdoc.spans import extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    cat = demo_catalog()
+    chunks = chunk_documents(
+        extract_documents(raw_nodes_df(spark, 64, SYNTH_SEED, partitions=8))
+    ).localCheckpoint()
+    filled = fill_phase(chunks, coverage_pass(chunks, skeleton_phase(chunks, cat), cat), cat)
+    return filled.select(
+        "doc_id", "path", F.col("class"), F.coalesce("node_id", F.lit("")).alias("node_id"),
+        F.coalesce("fill_batch", F.lit(0)).cast("int").alias("fill_batch"),
+        _map_enc("ids").alias("ids_enc"), _map_enc("fields").alias("fields_enc"),
+        F.array_join(F.transform("chunk_ids", lambda x: x.cast("string")), ",").alias("chunks_enc"),
+    )
+
+
+def _one_to_one_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one (per-page) strategy pin vs the committed fixture."""
+    from sparkdoc.extractor import one_to_one_extract
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    spans = explode_spans(extract_documents(raw_nodes_df(spark, 64, SYNTH_SEED, partitions=8)))
+    out = one_to_one_extract(spans)
+    return out.select(
+        "doc_id", "path", F.col("class"), F.coalesce("node_id", F.lit("")).alias("node_id"),
+        F.coalesce("fill_batch", F.lit(0)).cast("int").alias("fill_batch"),
+        F.coalesce("page_no", F.lit(0)).cast("int").alias("page_no"),
+        _map_enc("ids").alias("ids_enc"), _map_enc("fields").alias("fields_enc"),
+        F.array_join(F.transform("chunk_ids", lambda x: x.cast("string")), ",").alias("chunks_enc"),
+    )
+
+
 def _emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH self-join +
     exact cosine verify ≥ 0.4 (similarity.embedding_near_dups). Oracle-exact:
@@ -1802,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_pinned": _chunks_pinned,
         "graph_pinned": _graph_pinned,
         "ledger_pinned": _ledger_pinned,
+        "fill_pinned": _fill_pinned,
+        "one_to_one_pinned": _one_to_one_pinned,
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
@@ -2286,6 +2339,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM (VALUES "
         + ", ".join(_lrows)
         + ") AS t(doc_id, identity_key, path, ids_md5, anchors_md5)"
+    )
+    # fill-phase / one-to-one / media pins from committed fixtures.
+    def _values_from_fixture(fname, cols, quote_idx):
+        _p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "tests", "fixtures", fname)
+        with _gz.open(_p, "rt") as _f:
+            _data = _js.load(_f)
+        _out = []
+        for _row in _data:
+            _vals = []
+            for _i, _v in enumerate(_row):
+                if _i in quote_idx:
+                    _vals.append("'" + str(_v).replace("'", "''") + "'")
+                else:
+                    _vals.append(str(_v))
+            _out.append("(" + ", ".join(_vals) + ")")
+        return "SELECT * FROM (VALUES " + ", ".join(_out) + ") AS t(" + ", ".join(cols) + ")"
+
+    q["fill_pinned"] = _values_from_fixture(
+        "golden_fill_seed42_n64.json.gz",
+        ["doc_id", "path", "class", "node_id", "fill_batch", "ids_enc", "fields_enc", "chunks_enc"],
+        {0, 1, 2, 3, 5, 6, 7},
+    )
+    q["one_to_one_pinned"] = _values_from_fixture(
+        "golden_onetoone_seed42_n64.json.gz",
+        ["doc_id", "path", "class", "node_id", "fill_batch", "page_no", "ids_enc", "fields_enc", "chunks_enc"],
+        {0, 1, 2, 3, 6, 7, 8},
+    )
+    q["media_features"] = _values_from_fixture(
+        "golden_media_seed42_n200.json.gz",
+        ["media_ref", "doc_id", "sha256", "n_bytes", "width", "height"],
+        {0, 1, 2},
     )
     # coverage twin: distinct covered chunks (duplicate anchors collapse),
     # retention = covered / total windows.
