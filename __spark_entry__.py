@@ -1528,6 +1528,56 @@ def _graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.unionByName(edges)
 
 
+def _template_graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pydantic-template-compiler acceptance pin: compile the invoice-style
+    Pydantic template (tests/fixtures/invoice_template.py — the reference's
+    template-authoring conventions: graph_id_fields / is_entity metadata,
+    json_schema_extra edge_label / graph_reference / reference_closed_catalog)
+    via sparkdoc.template.compile_template and run the FULL
+    convert_document_graph pipeline over the deterministic invoice corpus;
+    nodes+edges vs the committed golden_invoice fixture."""
+    import os as _os
+    import sys as _sys
+
+    _fx_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "tests", "fixtures")
+    if _fx_dir not in _sys.path:
+        _sys.path.insert(0, _fx_dir)
+    from invoice_template import INVOICE_RULES, InvoiceDoc
+
+    from sparkdoc.extractor import convert_document_graph
+    from sparkdoc.synth import invoice_nodes_df
+    from sparkdoc.template import compile_template
+
+    template = compile_template(InvoiceDoc, rules=INVOICE_RULES)
+    out = convert_document_graph(invoice_nodes_df(spark, 12, SYNTH_SEED, partitions=2), template=template)
+    attrs_md5 = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("attrs")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            "|",
+        )
+    )
+    nodes = out["nodes"].select(
+        F.lit("node").alias("kind"),
+        F.col("node_id").alias("a"),
+        F.col("doc_id").alias("b"),
+        F.col("node_class").alias("c"),
+        F.col("label").alias("d"),
+        attrs_md5.alias("payload_md5"),
+    )
+    edges = out["edges"].select(
+        F.lit("edge").alias("kind"),
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.col("label").alias("c"),
+        F.lit("").alias("d"),
+        F.lit("").alias("payload_md5"),
+    )
+    return nodes.unionByName(edges)
+
+
 def _ledger_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end provenance ledger pin in the driver gate: extract → chunk
     → heading entities → anchor scan → build_ledger over the seeded corpus
@@ -1852,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans_pinned": _extract_spans_pinned,
         "chunks_pinned": _chunks_pinned,
         "graph_pinned": _graph_pinned,
+        "template_graph_pinned": _template_graph_pinned,
         "ledger_pinned": _ledger_pinned,
         "fill_pinned": _fill_pinned,
         "one_to_one_pinned": _one_to_one_pinned,
@@ -2317,6 +2368,27 @@ def oracle_sql() -> dict[str, str]:
     q["graph_pinned"] = (
         "SELECT * FROM (VALUES "
         + ", ".join(_grows)
+        + ") AS t(kind, a, b, c, d, payload_md5)"
+    )
+    # Pydantic-template acceptance pin: committed golden_invoice fixture →
+    # VALUES literal (same node/edge encoding as graph_pinned).
+    _ifx = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "fixtures", "golden_invoice_seed42_n12.json.gz")
+    with _gz.open(_ifx, "rt") as _f:
+        _idata = _js.load(_f)
+    _irows = []
+    for _nid, _gdoc, _cls, _lbl, _attrs_json in _idata["nodes"]:
+        _attrs = _js.loads(_attrs_json)
+        _amd5 = _hl.md5(
+            "|".join(f"{k}={v}" for k, v in sorted(_attrs.items())).encode("utf-8")
+        ).hexdigest()
+        _lbl_esc = _lbl.replace("'", "''")
+        _irows.append(f"('node', '{_nid}', '{_gdoc}', '{_cls}', '{_lbl_esc}', '{_amd5}')")
+    for _src, _dst, _elbl in _idata["edges"]:
+        _irows.append(f"('edge', '{_src}', '{_dst}', '{_elbl}', '', '')")
+    q["template_graph_pinned"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_irows)
         + ") AS t(kind, a, b, c, d, payload_md5)"
     )
     # ledger pipeline pin: committed golden_ledger fixture → VALUES literal.

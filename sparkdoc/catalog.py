@@ -74,6 +74,13 @@ class NodeSpec:
     edge_label: str = ""
     is_list: bool = False
     description: str = ""
+    #: graph_max_instances bound (0 = unbounded) — enforce_cardinality_bounds
+    #: demotes instances past it (graph_converter.py:91-120,360-429)
+    max_instances: int = 0
+    #: identity unique only WITHIN a document (billing-row numbers): doc_id is
+    #: mixed into the registry fingerprint so instances do not collapse
+    #: across documents (the reference registry is per-document-run)
+    doc_scoped: bool = False
     discover: str = ""  # skeleton regex; group 1 (or 0) = primary id value
     #: looser second-chance pattern for the coverage pass (zero-yield chunks);
     #: empty = the coverage pass reuses ``discover``
@@ -81,6 +88,20 @@ class NodeSpec:
     fields: tuple[FieldSpec, ...] = ()
     #: child field names that are id-only references (field -> target id fields)
     reference_fields: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    #: field -> target CLASS name for reference fields — disambiguates targets
+    #: when two entity classes share the same id-field names (fill resolves
+    #: the target's discover pattern by class, not by id-field shape)
+    reference_classes: tuple[tuple[str, str], ...] = ()
+    #: field -> context pattern overriding the target class's discover for
+    #: THIS reference field ("{id}" interpolates the owner's primary id) —
+    #: lets per-instance references (billing row → its own item) resolve
+    #: correctly where a first-match-of-target-discover would tie every
+    #: instance in a chunk to the same target
+    reference_rules: tuple[tuple[str, str], ...] = ()
+    #: field -> explicit edge label for reference edges (edge_label metadata
+    #: on the reference field — graph_converter.py:717,753); missing = the
+    #: field name labels the edge
+    reference_labels: tuple[tuple[str, str], ...] = ()
     #: reference fields declared as a CLOSED catalog (template metadata
     #: ``closed_catalog: True`` — graph_converter.py:842-852): their edges get
     #: the transient _closed_catalog marker and enforce_closed_catalogs drops
@@ -100,6 +121,9 @@ class NodeCatalog:
 
     def children_of(self, path: str) -> list[NodeSpec]:
         return [n for n in self.nodes if n.path and n.parent_path == path]
+
+    def doc_scoped_classes(self) -> tuple[str, ...]:
+        return tuple(sorted({n.node_type for n in self.nodes if n.doc_scoped}))
 
 
 def _field_specs(model: dict, prefix: str = "") -> list[FieldSpec]:
@@ -176,11 +200,20 @@ def build_node_catalog(template: dict, include_references: bool = False) -> Node
     ) -> NodeSpec:
         fields = list(_field_specs(model))
         refs: list[tuple[str, tuple[str, ...]]] = []
+        ref_classes: list[tuple[str, str]] = []
+        ref_rules: list[tuple[str, str]] = []
+        ref_labels: list[tuple[str, str]] = []
         closed: list[str] = []
         for fname, child in (model.get("children") or {}).items():
             child_model = child.get("model") or {}
             if child.get("reference"):
                 refs.append((fname, tuple(child_model.get("id_fields") or ())))
+                ref_classes.append((fname, child_model.get("class", "Unknown")))
+                rule = child.get("rule") or {}
+                if rule.get("pattern"):
+                    ref_rules.append((fname, rule["pattern"]))
+                if child.get("edge_label"):
+                    ref_labels.append((fname, str(child["edge_label"])))
                 if child.get("closed_catalog"):
                     closed.append(fname)
             elif child_model.get("component"):
@@ -195,10 +228,15 @@ def build_node_catalog(template: dict, include_references: bool = False) -> Node
             edge_label=edge_label,
             is_list=is_list,
             description=model.get("description", ""),
+            max_instances=int(model.get("max_instances") or 0),
+            doc_scoped=bool(model.get("doc_scoped")),
             discover=model.get("discover", ""),
             coverage_discover=model.get("coverage_discover", ""),
             fields=tuple(fields),
             reference_fields=tuple(refs),
+            reference_classes=tuple(ref_classes),
+            reference_rules=tuple(ref_rules),
+            reference_labels=tuple(ref_labels),
             closed_catalog_fields=tuple(closed),
         )
 

@@ -72,15 +72,32 @@ def _canon_name():
     return _udf
 
 
-def with_node_ids(entities: DataFrame) -> DataFrame:
+def with_node_ids(entities: DataFrame, doc_scoped_classes: tuple[str, ...] = ()) -> DataFrame:
     """Add deterministic node_id = Class_blake2b16(canonical ids + class).
 
     Cross-class fingerprint collisions are impossible by construction (class
     is mixed into the hash — node_id_registry.py:120-157's collision check is
     therefore a no-op here, kept as an assertion helper below).
+
+    ``doc_scoped_classes``: classes whose declared identity is only unique
+    WITHIN a document (an invoice's billing-row number) get the doc_id mixed
+    into the fingerprint — the reference's registry is per-document-run, so
+    global registry ids silently collapse such entities across documents
+    (doc A's "Row 1" and doc B's "Row 1" become one node). Globally
+    meaningful identities (codes, emails) stay unscoped: cross-document
+    dedup of those is the engine's feature.
     """
+    ids_for_hash = F.col("ids")
+    if doc_scoped_classes:
+        scoped = F.col("class").isin(list(doc_scoped_classes))
+        ids_for_hash = F.when(
+            scoped,
+            F.map_concat(
+                F.col("ids"), F.create_map(F.lit("__doc__"), F.col("doc_id"))
+            ),
+        ).otherwise(F.col("ids"))
     return entities.withColumn(
-        "node_id", _node_id_from_json()(F.col("class"), F.to_json(F.col("ids")))
+        "node_id", _node_id_from_json()(F.col("class"), F.to_json(ids_for_hash))
     )
 
 
@@ -211,6 +228,7 @@ def enforce_cardinality_bounds(
     edges: DataFrame | None = None,
     root_classes: tuple[str, ...] = (),
     id_fields_map: dict[str, list[str]] | None = None,
+    scope_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """graph_converter.py:360-429: per class over its max-instances bound,
     rank best-first by (filled-attr richness desc, provenance chunk-weight
@@ -218,6 +236,11 @@ def enforce_cardinality_bounds(
     node_id asc) and demote the rest. Filled-first is deliberate and
     load-bearing (the reference's note: chunk-count-first buries true
     instances under alias-merged junk). Classic top-k window.
+
+    ``scope_cols`` widens the ranking partition: the reference converts ONE
+    document per graph, so its bound is per-document — a corpus-wide caller
+    passes ("doc_id",) to keep that semantics instead of capping the whole
+    corpus to N instances of a class.
 
     Returns (kept, demoted-with-rank audit).
     """
@@ -267,7 +290,7 @@ def enforce_cardinality_bounds(
     else:
         work = work.withColumn("_canon_id", F.lit(""))
 
-    w = Window.partitionBy(class_col).orderBy(
+    w = Window.partitionBy(*scope_cols, class_col).orderBy(
         richness.desc(), weight.desc(), ext_in.desc(), F.col("_canon_id").asc(), F.col("node_id").asc()
     )
     ranked = (

@@ -120,7 +120,7 @@ def skeleton_phase(chunks: DataFrame, catalog: NodeCatalog | None = None) -> Dat
     raw = discover_entities(chunks, catalog).unionByName(root_entities(chunks, catalog))
     normalized = strip_mislabeled_root_ids(raw)
     normalized = normalized.filter(F.size(F.map_keys("ids")) > 0)
-    return dedup_entities(with_node_ids(normalized))
+    return dedup_entities(with_node_ids(normalized, catalog.doc_scoped_classes()))
 
 
 def coverage_pass(chunks: DataFrame, skeleton: DataFrame, catalog: NodeCatalog | None = None) -> DataFrame:
@@ -144,7 +144,7 @@ def coverage_pass(chunks: DataFrame, skeleton: DataFrame, catalog: NodeCatalog |
     second = discover_entities(
         uncovered.join(share, "doc_id", "left_semi"), catalog, coverage=True
     )
-    extra = dedup_entities(with_node_ids(second))
+    extra = dedup_entities(with_node_ids(second, catalog.doc_scoped_classes()))
     # growth cap: at most 2x the skeleton's per-(doc,path) count; paths the
     # skeleton missed entirely are exempt (they ARE the coverage target)
     pre = skeleton.groupBy("doc_id", "path").agg(F.count("*").alias("_pre"))
@@ -194,13 +194,15 @@ def convert_document_graph(
     skeleton = skeleton_phase(chunks, catalog).persist()
     full = coverage_pass(chunks, skeleton, catalog)
     filled = fill_phase(chunks, full, catalog, fill_cap=fill_cap)
-    validated = salvage_entities(filled, catalog).localCheckpoint()
-    good = validated.filter(F.col("valid") == 1).drop("valid", "errors", "salvage_passes")
-    # root-only identity repair (echo clear + stem fallback) — the strategy
-    # step, reference strategies/many_to_one.py:28 via utils/root_identity.py
-    from sparkdoc.rootid import repair_root_identity
+    # root-only identity repair (echo clear + stem fallback) runs on the
+    # salvage output BEFORE the valid filter — reference order (rescue
+    # precedes validation, strategies/many_to_one.py:28 via
+    # utils/root_identity.py); salvage marks empty-id roots invalid, so
+    # repairing after the filter would make the stem fallback dead code.
+    from sparkdoc.rootid import rescue_invalid_roots
 
-    good = repair_root_identity(good, catalog)
+    validated = rescue_invalid_roots(salvage_entities(filled, catalog), catalog).localCheckpoint()
+    good = validated.filter(F.col("valid") == 1).drop("valid", "errors", "salvage_passes")
     nodes = entities_to_nodes(good.drop("fill_batch")).persist()
     edges = build_catalog_edges(nodes, good, catalog)
     pairs = co_occurrence_veto(
@@ -215,8 +217,24 @@ def convert_document_graph(
         from sparkdoc.merge import enforce_closed_catalogs
 
         nodes2, edges_clean = enforce_closed_catalogs(nodes2, edges_clean)
+    # template-declared graph_max_instances bounds (graph_converter.py:91-120):
+    # rank best-first and demote past the bound, then re-clean edges so
+    # demoted endpoints disappear (no-op for bound-less templates)
+    demoted = None
+    if any(s.max_instances for s in catalog.nodes):
+        from sparkdoc.dedup import enforce_cardinality_bounds
+
+        bounds = {s.node_type: s.max_instances for s in catalog.nodes if s.max_instances}
+        id_map = {s.node_type: list(s.id_fields) for s in catalog.nodes if s.id_fields}
+        root_cls = catalog.spec_by_path()[""].node_type
+        nodes2, demoted = enforce_cardinality_bounds(
+            nodes2, bounds, edges=edges_clean, root_classes=(root_cls,),
+            id_fields_map=id_map, scope_cols=("doc_id",),
+        )
+        nodes2 = nodes2.persist()
+        edges_clean = clean_edges(nodes2, edges_clean)
     ledger = build_ledger(good.drop("fill_batch"), chunks)
-    return {
+    out = {
         "documents": docs,
         "chunks": chunks,
         "entities": good,
@@ -227,6 +245,9 @@ def convert_document_graph(
         "ledger": ledger,
         "coverage": coverage_stats(chunks, ledger),
     }
+    if demoted is not None:
+        out["cardinality_demoted"] = demoted
+    return out
 
 
 def one_to_one_extract(spans: DataFrame, template: dict | None = None, fill_cap: int = 8) -> DataFrame:
@@ -305,13 +326,20 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
         "node_id", "doc_id", "label", "chunk_ids",
         F.coalesce(F.array_min("chunk_ids"), F.lit(0)).alias("emission"),
     )
-    ent_path = entities.select("node_id", "path").dropDuplicates(["node_id"])
+    # path attribution must be per (doc_id, node_id): the registry id is
+    # GLOBAL (same class+ids ⇒ same id), so one node_id can sit at different
+    # catalog paths in different documents (a Party who is seller in doc A
+    # and buyer in doc B) — deduping by node_id alone bleeds one doc's path
+    # onto the other's rows and mislabels its parent edge
+    ent_path = entities.select("doc_id", "node_id", "path").dropDuplicates(
+        ["doc_id", "node_id"]
+    )
     # localCheckpoint truncates the logical plan here: the resolve ladder
     # references its inputs across 6 rungs, and each reference re-embeds the
     # full upstream plan (extract→chunk→fill→salvage mapInPandas chains) —
     # measured to explode Catalyst analysis beyond minutes; with the cut it
     # plans in seconds. The node table is already materialized-size anyway.
-    base = base.join(ent_path, "node_id").localCheckpoint()
+    base = base.join(ent_path, ["doc_id", "node_id"]).localCheckpoint()
 
     for spec in catalog.nodes:
         if not spec.path or spec.kind != "entity":
@@ -341,12 +369,32 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
 
     # reference-field edges via registry-deterministic target ids
     for spec in catalog.nodes:
+        ref_classes = dict(getattr(spec, "reference_classes", ()) or ())
+        ref_labels = dict(getattr(spec, "reference_labels", ()) or ())
         for fname, id_fields in spec.reference_fields:
             if not id_fields:
                 continue
-            target_class = _reference_target_class(catalog, id_fields)
+            # the spec's explicit target class wins — matching by id-field
+            # SHAPE misresolves once two classes share id names (Party and
+            # CatalogItem both keyed on "name" → edges to never-instantiated
+            # phantom ids that clean_edges silently drops)
+            target_class = ref_classes.get(fname) or _reference_target_class(
+                catalog, id_fields
+            )
             if not target_class:
                 continue
+            target_spec = next(
+                (n for n in catalog.nodes if n.node_type == target_class), None
+            )
+            target_ids = F.create_map(
+                F.lit(id_fields[0]), F.element_at(F.col("fields"), fname)
+            )
+            if target_spec is not None and target_spec.doc_scoped:
+                # doc-scoped targets mix doc_id into the fingerprint — mirror
+                # with_node_ids so the derived edge lands on the real node
+                target_ids = F.map_concat(
+                    target_ids, F.create_map(F.lit("__doc__"), F.col("doc_id"))
+                )
             # closed-catalog reference fields stamp the transient marker the
             # enforcement pass keys on (graph_converter.py:842-852)
             props = (
@@ -359,11 +407,8 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
                 & F.element_at(F.col("fields"), fname).isNotNull()
             ).select(
                 F.col("node_id").alias("src"),
-                node_id_expr(
-                    F.lit(target_class),
-                    F.create_map(F.lit(id_fields[0]), F.element_at(F.col("fields"), fname)),
-                ).alias("dst"),
-                F.lit(fname).alias("label"),
+                node_id_expr(F.lit(target_class), target_ids).alias("dst"),
+                F.lit(ref_labels.get(fname) or fname).alias("label"),
                 props.alias("props"),
             )
             edge_parts.append(refs)

@@ -121,10 +121,17 @@ def extract_fields(
             except ValueError:
                 pass
         out[f.name] = str(value).strip()
+    overrides = dict(getattr(spec, "reference_rules", ()) or ())
     for fname, discover in ref_rules:
-        if not discover or not context:
+        # a per-field rule override beats the target's discover: it can
+        # anchor on the owner's own id ({id}) so per-instance references
+        # (billing row -> its own item) resolve instance-correctly
+        pattern = overrides.get(fname) or discover
+        if not pattern or not context:
             continue
-        m = re.search(discover, context)
+        if fname in overrides:
+            pattern = pattern.replace("{id}", re.escape(primary))
+        m = re.search(pattern, context)
         if m:
             out[fname] = (m.group(1) if m.groups() else m.group(0)).strip()
     return out
@@ -147,8 +154,13 @@ def _reference_targets(catalog: NodeCatalog, spec: NodeSpec) -> list[tuple[str, 
 
 
 def _ref_class(catalog: NodeCatalog, spec: NodeSpec, fname: str) -> str:
-    # reference fields are id-only: the target class is the entity class whose
-    # id_fields match the projection (unique in practice for the demo template)
+    # the spec records the target class explicitly (reference_classes) —
+    # required once two entity classes share id-field names (e.g. Party and
+    # Item both keyed on "name"); the id-field-shape match is the fallback
+    # for older hand-built NodeSpecs
+    explicit = dict(getattr(spec, "reference_classes", ()) or ()).get(fname, "")
+    if explicit:
+        return explicit
     want = dict(spec.reference_fields)[fname]
     for n in catalog.nodes:
         if n.id_fields == want and n.discover:

@@ -58,6 +58,17 @@ def main() -> None:
         conflicts=args.conflicts,
         strict_template_check=not args.no_strict,
     )
+    if not args.no_strict:
+        # strict means strict: an input with no manifest/template hash can't
+        # prove it was extracted under the same template — refusing it here
+        # closes the hole where filtering empty hashes out of the comparison
+        # silently passed unverifiable inputs (merger.py:291-330 gate intent)
+        missing = [d for d, h in zip(dirs, hashes) if not h]
+        if missing:
+            sys.exit(
+                "strict template gate: missing manifest.json/template_schema_hash "
+                f"for inputs {missing}; pass --no-strict to merge unverified inputs"
+            )
     use_ledgers = [l for l in ledgers if l is not None]
     out = merge_graphs_policy(
         inputs,

@@ -239,10 +239,13 @@ def resolve_root_identity(
         pats = patterns or {}
 
         def _proposed(fld):
+            # user patterns without a capture group extract the whole match
+            # (group 0) — hard-coded group 1 raises at runtime, the same
+            # crash class fixed in discover_entities' group_idx fallback
+            pat = pats.get(fld, DEFAULT_ROOT_ID_PATTERN)
+            group_idx = 1 if re.compile(pat).groups >= 1 else 0
             return F.regexp_extract(
-                F.coalesce(F.col("_excerpt"), F.lit("")),
-                pats.get(fld, DEFAULT_ROOT_ID_PATTERN),
-                1,
+                F.coalesce(F.col("_excerpt"), F.lit("")), pat, group_idx
             )
 
     def _drop_key(m, fld):
@@ -263,8 +266,22 @@ def resolve_root_identity(
         ).otherwise(new_ids)
 
     resolved = j.withColumn("ids", new_ids).drop("_excerpt", "_resolve", "_props")
+    resolved = _rekey_after_id_mutation(resolved, entities.columns)
     keep = entities.columns
     return resolved.select(*keep).unionByName(others.select(*keep))
+
+
+def _rekey_after_id_mutation(roots: DataFrame, columns: list[str]) -> DataFrame:
+    """node_id = hash(class + canonical ids) with NO doc component — any pass
+    that mutates root ids (echo clear, stem fallback, excerpt resolve) must
+    recompute it, or every doc whose root id changed the same way collapses
+    into ONE graph node and the registry invariant behind join-free
+    reference-edge derivation (same class+ids ⇔ node_id) breaks."""
+    if "node_id" not in columns:
+        return roots
+    from sparkdoc.dedup import node_id_expr
+
+    return roots.withColumn("node_id", node_id_expr(F.col("class"), F.col("ids")))
 
 
 def repair_root_identity(entities: DataFrame, catalog, stem_col: str = "doc_id") -> DataFrame:
@@ -312,5 +329,39 @@ def repair_root_identity(entities: DataFrame, catalog, stem_col: str = "doc_id")
         F.when(fallback, F.map_concat(F.col("ids"), F.create_map(F.lit(id_fields[0]), stem)))
         .otherwise(F.col("ids")),
     )
+    roots = _rekey_after_id_mutation(roots, entities.columns)
     keep = entities.columns
     return roots.select(*keep).unionByName(others.select(*keep))
+
+
+def rescue_invalid_roots(validated: DataFrame, catalog) -> DataFrame:
+    """Run the root-identity repair on salvage output BEFORE the valid filter
+    (reference order: root rescue precedes validation, root_identity.py:67-110
+    via strategies/many_to_one.py:28).
+
+    salvage_entities marks any row with an empty declared id invalid — so
+    running repair only on valid rows makes the 'all id fields empty → stem
+    fallback' branch dead code. Instead: repair all root rows, then flip
+    ``valid`` back to 1 for roots whose ONLY failure was the missing-identity
+    error and whose id fields are now all filled (the stem rescue). Rows
+    invalid for other reasons (terminal salvage errors, user validators) stay
+    invalid; non-root rows are untouched."""
+    spec = catalog.spec_by_path().get("")
+    if spec is None or not spec.id_fields or "valid" not in validated.columns:
+        return repair_root_identity(validated, catalog)
+    repaired = repair_root_identity(validated, catalog)
+    id_filled = F.lit(True)
+    for fld in spec.id_fields:
+        v = F.element_at(F.col("ids"), fld)
+        id_filled = id_filled & v.isNotNull() & (F.trim(v) != "")
+    only_missing_id = (
+        F.size(F.filter("errors", lambda e: ~e.startswith("missing_required:"))) == 0
+    )
+    rescued = (
+        (F.col("path") == "") & (F.col("valid") == 0) & only_missing_id & id_filled
+    )
+    return repaired.withColumn(
+        "errors",
+        F.when(rescued, F.filter("errors", lambda e: ~e.startswith("missing_required:")))
+        .otherwise(F.col("errors")),
+    ).withColumn("valid", F.when(rescued, F.lit(1)).otherwise(F.col("valid")))

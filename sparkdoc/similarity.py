@@ -129,14 +129,30 @@ def hyperplane_bucket(vec: Column, n_bits: int = 8, dim: int = 64, seed: int = 7
     embedded as array literals — zero per-row hashing, and engine-independent
     so the DuckDB twin reproduces the same buckets (emb_lsh_knn is
     oracle-exact). ``dim`` must be ≥ the vector width; each plane is sliced
-    to the vector's length.
+    to the vector's length. A vector WIDER than ``dim`` fails fast at run
+    time: silently, zip_with would null-pad the plane, the projection would
+    aggregate to null, every bit would take the otherwise(0) branch, and all
+    such vectors would land in bucket 0 — degenerating lsh_topk /
+    embedding_near_dups into an all-pairs join.
     """
     planes = md5_planes(n_bits, dim, seed)
+    # run-time width guard: CaseWhen keeps the raise_error branch (it cannot
+    # be pruned — the branches differ), so an over-wide row fails the job
+    # with a clear message instead of silently bucketing everything to 0
+    checked = F.when(F.size(vec) <= F.lit(dim), vec).otherwise(
+        F.raise_error(
+            F.format_string(
+                "hyperplane_bucket: vector width %s exceeds dim=%s — pass dim >= the embedding width",
+                F.size(vec).cast("string"),
+                F.lit(str(dim)),
+            )
+        )
+    )
     bits = []
     for b in range(n_bits):
         plane = F.slice(F.array(*[F.lit(p) for p in planes[b]]), F.lit(1), F.size(vec))
         proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, p: x * p),
+            F.zip_with(checked, plane, lambda x, p: x * p),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -199,12 +215,16 @@ def ivf_assign(
     assignment is computed once and the corpus written bucketed by cell;
     queries probe 1..nprobe cells — scan volume ∝ cell size.
 
-    Pass ``dim`` (the caller knows its embedding width) — inferring it runs a
-    Spark job mid-plan-build, a driver action the 100 TB path must not pay.
+    ``dim`` is required (the caller knows its embedding width) — inferring it
+    would run a Spark job mid-plan-build, a driver action the 100 TB path
+    must not pay, so passing None raises instead of silently collecting.
     """
     if dim is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"])
+        raise ValueError(
+            "ivf_assign: dim is required — inferring the embedding width would "
+            "run corpus.first() at plan-build time (a driver action mid-"
+            "pipeline); pass the known embedding dimension explicitly"
+        )
 
     def centroid(cell: int) -> list[float]:
         # md5-chunked pseudo-random uint16-LE stream, normalized with a

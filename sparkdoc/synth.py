@@ -197,6 +197,115 @@ def synth_corpus(n_docs: int, seed: int = 42) -> list[dict]:
     return out
 
 
+# --------------------------------------------------------------------------
+# Invoice-shaped corpus: acceptance input for the Pydantic template compiler
+# (sparkdoc/template.py). Deterministic invoices/credit notes whose text the
+# compiled template's discover/fill rules can extract exactly — the engine's
+# analog of the reference's golden invoice template fixtures
+# (tests/fixtures/templategen/golden/invoice.py as the template SHAPE, not
+# its code).
+# --------------------------------------------------------------------------
+
+INVOICE_PARTIES = [
+    "Acme GmbH", "Globex SARL", "Initech Ltd", "Umbrella SpA",
+    "Hooli LLC", "Stark Industries", "Wonka Works", "Wayne Corp",
+]
+INVOICE_ITEMS = [
+    ("USB-C cable", "Electronics"), ("Dock DS-300", "Electronics"),
+    ("Laptop stand", "Furniture"), ("HDMI adapter", "Electronics"),
+    ("Webcam W200", "Electronics"), ("Paper ream A4", "Office"),
+    ("Desk lamp", "Furniture"), ("Ethernet switch", "Electronics"),
+]
+
+
+def synth_invoice_nodes(doc_index: int, seed: int) -> list[dict]:
+    """raw_nodes rows for one synthetic invoice document (shuffled emission)."""
+    rng = random.Random(f"sparkdoc-inv:{seed}:{doc_index}")
+    doc_id = f"inv-{doc_index:06d}"
+    is_credit = rng.random() < 0.2
+    inv_no = f"{'CN' if is_credit else 'INV'}-2026-{1000 + doc_index}"
+    seller, buyer = rng.sample(INVOICE_PARTIES, 2)
+    vat_no = f"FR{rng.randint(10**10, 10**11 - 1)}"
+    items = rng.sample(INVOICE_ITEMS, rng.randint(2, 4))
+    currency = rng.choice(["EUR", "USD", "GBP"])
+    issued = f"2026-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    tax_kind = rng.choice(["VAT", "GST"])
+    tax_amt = f"{rng.randint(10, 900)}.{rng.randint(0, 99):02d}"
+
+    nodes: list[dict] = []
+    nid = 0
+    y = 60
+
+    def emit(tag, text, h=14, page=1, at_y=None):
+        nonlocal nid, y
+        nid += 1
+        yy = y if at_y is None else at_y
+        nodes.append(
+            {
+                "doc_id": doc_id,
+                "node_id": nid,
+                "parent_id": 0,
+                "tag": tag,
+                "text": text,
+                "n_chars": len(text),
+                "n_links": 0,
+                "page_no": page,
+                "bbox": [_MARGIN, yy, _PAGE_W - _MARGIN, yy + h],
+                "coord_origin": "TOPLEFT",
+                "page_width": _PAGE_W,
+                "page_height": _PAGE_H,
+            }
+        )
+        if at_y is None:
+            y += h + 8
+
+    emit("header", f"{doc_id} — internal copy", h=12, at_y=10)
+    emit("footer", "Page 1", h=12, at_y=_PAGE_H - 24)
+    emit("h1", f"# {'CREDIT NOTE' if is_credit else 'INVOICE'} {inv_no}", h=20)
+    emit("p", f"Seller: {seller} (VAT {vat_no}).")
+    emit("p", f"Bill To: {buyer}.")
+    emit("p", f"Issued {issued}. Currency: {currency}.")
+    emit("h2", "## Item Catalog", h=16)
+    for name, cat in items:
+        emit("li", f"* {name} [{cat}]")
+    emit("h2", "## Billing Table", h=16)
+    rows = []
+    for rno in range(1, rng.randint(2, len(items) + 2)):
+        name, _cat = rng.choice(items)
+        qty = rng.randint(1, 9)
+        rows.append(f"Row {rno}: {qty} x {name}.")
+    emit("table", "\n".join(rows), h=16 * len(rows))
+    emit("p", f"{tax_kind} {tax_amt} applied at document level.")
+    emit("p", f"Total payable in {currency}. Thank you for your business.")
+    rng.shuffle(nodes)
+    return nodes
+
+
+def invoice_corpus(n_docs: int, seed: int = 42) -> list[dict]:
+    out: list[dict] = []
+    for i in range(n_docs):
+        out.extend(synth_invoice_nodes(i, seed))
+    return out
+
+
+def invoice_nodes_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed invoice-corpus generation (same shape as raw_nodes_df)."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                rows.extend(synth_invoice_nodes(int(i), seed))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    parts = partitions or max(4, n_docs // 256)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(gen, schema=RAW_NODES)
+
+
 def raw_nodes_df(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
     """Distributed generation: spark.range → mapInPandas, deterministic per index."""
     import pandas as pd

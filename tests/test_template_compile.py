@@ -1,0 +1,159 @@
+"""Pydantic template compiler (sparkdoc/template.py): a reference user's
+template class tree drives the engine unmodified — compile assertions, the
+template's own validators through the extension slot, and the whole-pipeline
+pin over the invoice corpus (FIXTURES.md-style committed golden)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import sys
+from enum import Enum
+from typing import List, Optional
+
+import pytest
+from pydantic import BaseModel, ConfigDict, Field
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "fixtures"))
+
+from invoice_template import INVOICE_RULES, InvoiceDoc  # noqa: E402
+
+from sparkdoc.catalog import build_node_catalog  # noqa: E402
+from sparkdoc.template import (  # noqa: E402
+    cardinality_bounds,
+    compile_template,
+    pydantic_validators,
+    template_extensions,
+    template_id_fields_map,
+)
+
+
+def _catalog():
+    return build_node_catalog(compile_template(InvoiceDoc, rules=INVOICE_RULES))
+
+
+def test_compile_paths_and_kinds():
+    cat = _catalog()
+    by_path = cat.spec_by_path()
+    assert set(cat.paths()) == {"", "seller", "buyer", "catalog[]", "rows[]"}
+    assert by_path[""].node_type == "InvoiceDoc"
+    assert by_path[""].id_fields == ("invoice_number",)
+    assert by_path["seller"].edge_label == "ISSUED_BY"
+    assert by_path["buyer"].edge_label == "BILLED_TO"
+    assert by_path["catalog[]"].is_list and by_path["catalog[]"].node_type == "CatalogItem"
+    # TaxBracket is a component: no path, fields inlined dotted into the root
+    root_fields = {f.name for f in by_path[""].fields}
+    assert "taxes.tax_kind" in root_fields and "taxes.tax_amount" in root_fields
+    assert "TaxBracket" not in {s.node_type for s in cat.nodes}
+
+
+def test_compile_reference_metadata():
+    by_path = _catalog().spec_by_path()
+    rows = by_path["rows[]"]
+    assert rows.reference_fields == (("item", ("name",)),)
+    assert dict(rows.reference_classes)["item"] == "CatalogItem"
+    assert dict(rows.reference_labels)["item"] == "REFERENCES_ITEM"
+    assert rows.closed_catalog_fields == ("item",)
+    assert "{id}" in dict(rows.reference_rules)["item"]
+    assert rows.doc_scoped  # x_doc_scoped=True — row numbers are doc-local
+
+
+def test_compile_path_keyed_rules_beat_class_rules():
+    by_path = _catalog().spec_by_path()
+    # same Party class at two paths, each with its own path-keyed discover
+    assert by_path["seller"].discover.startswith("Seller:")
+    assert by_path["buyer"].discover.startswith("Bill To:")
+
+
+def test_compile_scalar_types_and_bounds():
+    by_path = _catalog().spec_by_path()
+    root = {f.name: f for f in by_path[""].fields}
+    assert root["doc_kind"].ftype == "enum"
+    assert set(root["doc_kind"].enum) == {"INVOICE", "CREDIT NOTE", "OTHER"}
+    rows = {f.name: f for f in by_path["rows[]"].fields}
+    assert rows["quantity"].ftype == "int"
+    assert cardinality_bounds(InvoiceDoc) == {"Party": 6}
+    assert template_id_fields_map(InvoiceDoc)["BillingRow"] == ["row_no"]
+    assert by_path["seller"].max_instances == 6
+
+
+def test_compile_recursion_pruned():
+    class Node(BaseModel):
+        model_config = ConfigDict(graph_id_fields=["name"])
+        name: str
+        child: Optional["Node"] = None
+
+    t = compile_template(Node)
+    cat = build_node_catalog(t)
+    # the self-reference is pruned: only the root path exists
+    assert cat.paths() == [""]
+
+
+def test_compile_rejects_non_model():
+    with pytest.raises(TypeError):
+        compile_template(dict)  # type: ignore[arg-type]
+
+
+def test_compile_list_enum_and_optional_unwrap():
+    class Color(str, Enum):
+        RED = "RED"
+        BLUE = "BLUE"
+
+    class Thing(BaseModel):
+        model_config = ConfigDict(graph_id_fields=["name"])
+        name: str
+        colors: List[Color] = Field(default_factory=list)
+        score: Optional[float] = None
+
+    spec = build_node_catalog(compile_template(Thing)).spec_by_path()[""]
+    fields = {f.name: f for f in spec.fields}
+    assert fields["colors"].ftype == "list[string]"
+    assert set(fields["colors"].enum) == {"RED", "BLUE"}
+    assert fields["score"].ftype == "float"
+
+
+def test_pydantic_validators_run_template_validation():
+    v = pydantic_validators(InvoiceDoc)
+    assert set(v) == {"InvoiceDoc", "Party", "CatalogItem", "BillingRow", "TaxBracket"}
+    # the template's own coercion validator accepts numeric strings
+    assert v["BillingRow"]({"row_no": "3", "quantity": "2"}) == []
+    # and reports genuine type violations as terminal template errors
+    errs = v["BillingRow"]({"row_no": "3", "quantity": "many"})
+    assert errs and errs[0].startswith("template:")
+    # model-typed fields are excluded from the scalar payload (filled
+    # elsewhere by the engine) — their presence can't fail validation
+    assert v["InvoiceDoc"]({"invoice_number": "X", "seller": "Acme GmbH"}) == []
+    ext = template_extensions(InvoiceDoc)
+    assert ext.validators["Party"]({"name": "Acme GmbH"}) == []
+
+
+def test_invoice_pipeline_matches_committed_fixture(spark):
+    """Whole-pipeline acceptance pin: the compiled Pydantic template drives
+    convert_document_graph over the invoice corpus and reproduces the
+    checked-in node/edge sets exactly (regenerate deliberately via
+    scripts/regen_invoice_fixture.py)."""
+    from sparkdoc.extractor import convert_document_graph
+    from sparkdoc.synth import invoice_nodes_df
+
+    template = compile_template(InvoiceDoc, rules=INVOICE_RULES)
+    out = convert_document_graph(invoice_nodes_df(spark, 12, 42, partitions=2), template=template)
+    nodes = sorted(
+        (r["node_id"], r["doc_id"], r["node_class"], r["label"],
+         json.dumps(dict(r["attrs"] or {}), sort_keys=True))
+        for r in out["nodes"].collect()
+    )
+    edges = sorted((r["src"], r["dst"], r["label"]) for r in out["edges"].collect())
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "golden_invoice_seed42_n12.json.gz"
+    )
+    with gzip.open(path, "rt") as f:
+        fix = json.load(f)
+    assert nodes == [tuple(x) for x in fix["nodes"]]
+    assert edges == [tuple(x) for x in fix["edges"]]
+    # semantic spot checks the pin alone can't explain:
+    labels = {r["label"] for r in out["edges"].select("label").distinct().collect()}
+    assert labels == {"ISSUED_BY", "BILLED_TO", "CONTAINS_ITEM", "CONTAINS_LINE", "REFERENCES_ITEM"}
+    # doc-scoped BillingRow: every (doc, row) pair keeps its own node id
+    rows_nodes = out["nodes"].filter("node_class='BillingRow'")
+    assert rows_nodes.count() == rows_nodes.select("node_id").distinct().count()

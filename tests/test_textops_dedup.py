@@ -120,7 +120,7 @@ def test_ivf_topk(spark):
 
     rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(16)]) for i in range(120)]
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
-    res = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, n_cells=8, nprobe=3)
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, n_cells=8, nprobe=3, dim=16)
     got = res.groupBy("query_id").count().collect()
     assert len(got) == 3
     for r in got:
