@@ -1468,6 +1468,23 @@ def _extract_spans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doclang_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocLang ingest closes the loop: serialize the seeded corpus to DocLang
+    (doclang_documents) and parse it BACK to span rows (parse_doclang) — the
+    result must equal the INDEPENDENT golden extractor's span sequences
+    (same VALUES oracle as extract_spans_pinned), proving a corpus delivered
+    as DocLang files round-trips into the engine's spans table exactly."""
+    from sparkdoc.serialize import doclang_documents, parse_doclang
+    from sparkdoc.spans import extract_span_rows_geo
+    from sparkdoc.synth import raw_nodes_df
+
+    geo = extract_span_rows_geo(raw_nodes_df(spark, 24, SYNTH_SEED, partitions=8))
+    spans = parse_doclang(doclang_documents(geo))
+    return spans.select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _chunks_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunker drift pin in the driver gate: chunk_documents over the seeded
     corpus vs the checked-in golden_chunks fixture (tests/fixtures/), text
@@ -1900,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_graph_hygiene": _doc_graph_hygiene,
         "doc_coverage": _doc_coverage,
         "extract_spans_pinned": _extract_spans_pinned,
+        "doclang_roundtrip": _doclang_roundtrip,
         "chunks_pinned": _chunks_pinned,
         "graph_pinned": _graph_pinned,
         "template_graph_pinned": _template_graph_pinned,
@@ -2327,6 +2345,9 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_rows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
+    # DocLang roundtrip (serialize → parse) must land on the SAME golden
+    # span sequences — one independent oracle pins both directions.
+    q["doclang_roundtrip"] = q["extract_spans_pinned"]
     # chunker drift pin: committed golden_chunks fixture → VALUES literal.
     import gzip as _gz
     import json as _js
@@ -2609,7 +2630,8 @@ def oracle_sql() -> dict[str, str]:
                        || greatest(ql, qr) || ',' || greatest(qt, qb) || '"'
                        || ' page="' || page_no || '"'
                        || CASE WHEN kind = 'picture' THEN ' ref="m' || off || '"' ELSE '' END
-                       || '>' || w || '</' || kind || '>' AS tag
+                       || '>' || replace(replace(replace(w, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                       || '</' || kind || '>' AS tag
             FROM quant
         ),
         seq AS (

@@ -37,7 +37,7 @@ from sparkdoc.schemas import CHUNKS
 DEFAULT_MAX_TOKENS = 512
 DEFAULT_MAX_BATCH_TOKENS = 3072
 
-#: BPE-ish tokenizer: word runs + single non-space punctuation
+#: word/punct pre-splitter (shared with the WordPiece tokenizer)
 TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 #: sentence-boundary split (reference document_chunker.py:201-240)
 SENTENCE_RE = re.compile(r"(?<=[.!?])\s+|\n\n|\n")
@@ -47,7 +47,32 @@ CONTENT_KINDS = {"text", "list", "caption", "table"}
 
 
 def count_tokens(text: str) -> int:
-    return len(TOKEN_RE.findall(text))
+    """Tokenizer-TRUE token count: greedy WordPiece over the committed vocab
+    (sparkdoc/data/, hash recorded in FIXTURES.md) — the reference budgets
+    chunks on a real subword tokenizer (document_chunker.py:50-154,
+    ``chunk_max_tokens``), so a regex word count drifts its boundaries.
+    Falls back to the regex count only if the vendored vocab is missing
+    (e.g. a stripped deployment zip)."""
+    tok = _tokenizer()
+    if tok is None:
+        return len(TOKEN_RE.findall(text))
+    return tok.count(text)
+
+
+_TOK = None
+_TOK_FAILED = False
+
+
+def _tokenizer():
+    global _TOK, _TOK_FAILED
+    if _TOK is None and not _TOK_FAILED:
+        try:
+            from sparkdoc.wordpiece import default_tokenizer
+
+            _TOK = default_tokenizer()
+        except Exception:
+            _TOK_FAILED = True
+    return _TOK
 
 
 def text_hash8(text: str) -> str:

@@ -258,6 +258,14 @@ def one_to_one_extract(spans: DataFrame, template: dict | None = None, fill_cap:
     (doc_id, page_no) back out. No coverage pass — the page IS the context,
     exactly as the reference's page-level extraction sees everything at once.
 
+    The per-page pseudo-document key is ``base64(doc_id) + ":" + page_no`` —
+    INJECTIVE for any doc_id byte content (the base64 alphabet cannot
+    contain ':'), unlike the previous ``\\x1f`` packing which silently
+    corrupted grouping for doc_ids containing the sentinel. The encoding is
+    confined to this function: callers see real (doc_id, page_no) columns,
+    and a property test drives control characters (incl. ``\\x1f`` and ':')
+    through the roundtrip.
+
     spans: exploded span rows (doc_id, kind, text, media_ref, offset).
     """
     from sparkdoc.fill import fill_phase
@@ -267,8 +275,11 @@ def one_to_one_extract(spans: DataFrame, template: dict | None = None, fill_cap:
 
     catalog = build_node_catalog(template or DEMO_TEMPLATE)
     pages = page_markdowns(spans)
+    pseudo = F.concat_ws(
+        ":", F.base64(F.col("doc_id").cast("binary")), F.col("page_no").cast("string")
+    )
     chunks = pages.select(
-        F.concat_ws("\x1f", F.col("doc_id"), F.col("page_no").cast("string")).alias("doc_id"),
+        pseudo.alias("doc_id"),
         F.lit(0).alias("chunk_id"),
         F.col("markdown").alias("text"),
         token_count(F.col("markdown")).alias("token_count"),
@@ -280,23 +291,27 @@ def one_to_one_extract(spans: DataFrame, template: dict | None = None, fill_cap:
     )
     from sparkdoc.dedup import node_id_expr
 
-    parts = F.split(F.col("doc_id"), "\x1f")
+    # base64 has no ':', so the LAST ':' always separates the page suffix
+    enc = F.substring_index(F.col("doc_id"), ":", 1)
+    page = F.substring_index(F.col("doc_id"), ":", -1).cast("int")
+    real_doc = F.unbase64(enc).cast("string")
     # the pseudo doc_id leaks into the ROOT's primary id (root_entities keys
-    # the root on doc_id) — scrub the suffix from every id value and recompute
-    # the registry node_id so exported identities carry no \x1f artifacts
+    # the root on doc_id) — restore the real doc_id there and recompute the
+    # registry node_id so exported identities carry no encoding artifacts
+    pseudo_here = F.col("doc_id")
     clean_ids = F.map_from_entries(
         F.transform(
             F.map_entries("ids"),
             lambda e: F.struct(
                 e["key"].alias("key"),
-                F.split(e["value"], "\x1f").getItem(0).alias("value"),
+                F.when(e["value"] == pseudo_here, real_doc).otherwise(e["value"]).alias("value"),
             ),
         )
     )
     return (
-        good.withColumn("page_no", parts.getItem(1).cast("int"))
-        .withColumn("doc_id", parts.getItem(0))
-        .withColumn("ids", clean_ids)
+        good.withColumn("ids", clean_ids)
+        .withColumn("page_no", page)
+        .withColumn("doc_id", real_doc)
         .withColumn("node_id", node_id_expr(F.col("class"), F.col("ids")))
     )
 

@@ -39,7 +39,17 @@ def main() -> None:
     ap.add_argument("--fill-cap", type=int, default=8)
     ap.add_argument("--template", help="template JSON file (default: demo template)")
     ap.add_argument(
-        "--export", default="", help="comma list of extra export formats: csv,json,cypher"
+        "--pydantic-template",
+        help="dotted path 'pkg.module:ClassName' of a Pydantic template class "
+        "(TemplateLoading stage analog, pipeline/stages.py:250-329) — compiled "
+        "via sparkdoc.template.compile_template",
+    )
+    ap.add_argument(
+        "--rules", help="JSON file of discover/fill rule overlays for --pydantic-template"
+    )
+    ap.add_argument(
+        "--export", default="",
+        help="comma list of extra export formats: csv,json,cypher,report,html",
     )
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     args = ap.parse_args()
@@ -57,6 +67,20 @@ def main() -> None:
     if args.template:
         with open(args.template) as f:
             template = json.load(f)
+    elif args.pydantic_template:
+        # dotted-path import with cwd fallback (stages.py:250-329 analog)
+        import importlib
+
+        sys.path.insert(0, os.getcwd())
+        mod_path, _, cls_name = args.pydantic_template.partition(":")
+        cls = getattr(importlib.import_module(mod_path), cls_name or "Template")
+        rules = None
+        if args.rules:
+            with open(args.rules) as f:
+                rules = json.load(f)
+        from sparkdoc.template import compile_template
+
+        template = compile_template(cls, rules=rules)
 
     if args.input.startswith("synth:"):
         from sparkdoc.synth import raw_nodes_df
@@ -91,6 +115,12 @@ def main() -> None:
             from sparkdoc.io import export_cypher
 
             export_cypher(out["nodes"], out["edges"], os.path.join(args.out, "graph.cypher"))
+        elif fmt in ("report", "html"):
+            from sparkdoc.report import export_report_and_html
+
+            if not getattr(main, "_report_done", False):
+                export_report_and_html(out, args.out)
+                main._report_done = True  # report+html written together once
 
     manifest = {
         "template_schema_hash": template_schema_hash(template),

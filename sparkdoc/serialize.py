@@ -148,6 +148,85 @@ def chunk_owner_map(
     )
 
 
+def _xml_escape_text(col):
+    """Minimal XML text escaping (&, <, >) — without it a span containing a
+    literal '<' corrupts the serialization and the roundtrip parser
+    (doclang_format escapes markup in the reference)."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def _xml_escape_attr(col):
+    return F.replace(_xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
+
+
+_DCLG_TAG_RE = None
+
+
+def parse_doclang(dclg_docs: DataFrame, text_col: str = "dclg") -> DataFrame:
+    """Inverse of ``doclang_documents`` — the DocLang ingest path (reference
+    DoclangInputHandler, core/input/handlers.py:526-570): parse each
+    ``<doc>``-wrapped serialization back into ordered span rows
+    (doc_id, offset, kind, text, media_ref, page_no, loc).
+
+    ``<page_break/>`` entries become page_break spans (empty text) and every
+    entry consumes an offset, so the reconstructed offsets equal the
+    extraction pipeline's (page_breaks consume an offset in both). A corpus
+    delivered as DocLang files round-trips into the engine's spans table
+    exactly (the ``doclang_roundtrip`` gate entry pins this against the
+    independent golden extractor)."""
+    import re as _re
+
+    import pandas as pd
+
+    tag_re = _re.compile(
+        r"<page_break/>|<(\w+) loc=\"([0-9,\-]*)\" page=\"(\d+)\"(?: ref=\"([^\"]*)\")?>(.*?)</\1>",
+        _re.DOTALL,
+    )
+
+    def unescape(s: str) -> str:
+        return (
+            s.replace("&quot;", '"').replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+        )
+
+    schema = (
+        "doc_id string, offset int, kind string, text string, media_ref string, "
+        "page_no int, loc array<int>"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, dclg in zip(pdf["doc_id"], pdf[text_col]):
+                body = dclg or ""
+                if body.startswith("<doc>"):
+                    body = body[len("<doc>"):]
+                if body.endswith("</doc>"):
+                    body = body[: -len("</doc>")]
+                offset = 0
+                page = 1
+                for m in tag_re.finditer(body):
+                    if m.group(1) is None:  # <page_break/>
+                        rows.append((doc_id, offset, "page_break", "", "", page, None))
+                        offset += 1
+                        continue
+                    kind, loc, pg, ref, text = m.groups()
+                    page = int(pg)
+                    rows.append(
+                        (
+                            doc_id, offset, kind, unescape(text), unescape(ref or ""),
+                            page, [int(x) for x in loc.split(",")] if loc else None,
+                        )
+                    )
+                    offset += 1
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "offset", "kind", "text", "media_ref", "page_no", "loc"]
+            )
+
+    return dclg_docs.mapInPandas(run, schema=schema)
+
+
 def doclang_documents(geo_rows: DataFrame) -> DataFrame:
     """(doc_id, dclg) DocLang-style XML serialization with 512-grid
     locations — byte-exact quantization per provenance/models.py:72-94
@@ -168,9 +247,12 @@ def doclang_documents(geo_rows: DataFrame) -> DataFrame:
             F.lit("<"), F.col("kind"),
             F.lit(' loc="'), F.array_join(F.col("qbox"), ","), F.lit('"'),
             F.lit(' page="'), F.col("page_no").cast("string"), F.lit('"'),
-            F.when(F.col("media_ref") != "", F.concat(F.lit(' ref="'), F.col("media_ref"), F.lit('"'))).otherwise(F.lit("")),
+            F.when(
+                F.col("media_ref") != "",
+                F.concat(F.lit(' ref="'), _xml_escape_attr(F.col("media_ref")), F.lit('"')),
+            ).otherwise(F.lit("")),
             F.lit(">"),
-            F.col("text"),
+            _xml_escape_text(F.col("text")),
             F.lit("</"), F.col("kind"), F.lit(">"),
         ).alias("tag"),
     )

@@ -1,0 +1,180 @@
+"""Minimal WordPiece tokenizer: greedy longest-match-first over a committed
+vocab — the chunker's token budget is tokenizer-TRUE like the reference's
+(HybridChunker budgets on a HF wordpiece/tiktoken tokenizer,
+core/extractors/document_chunker.py:50-154, ``chunk_max_tokens=512``), not a
+regex word count.
+
+Pure Python, no network, no model downloads: the vocab is TRAINED here
+(``train_wordpiece`` — the published WordPiece/BPE merge algorithm scored by
+pair-likelihood, as in the open tokenizers literature) over the engine's own
+deterministic corpora and committed to ``sparkdoc/data/`` with its hash
+recorded. Counting runs inside the chunker's mapInPandas hot loop, so the
+tokenizer memoizes per-word piece counts (corpus words repeat massively) and
+pre-splits with the same word/punct regex the previous counter used.
+
+[UNK] semantics: a word that cannot be fully matched from the vocab counts
+as ONE unknown token (standard WordPiece behavior); the committed vocab
+contains every character seen in training plus full printable ASCII, so this
+is rare on engine corpora.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+import re
+from typing import Iterable
+
+TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+DEFAULT_VOCAB = "wordpiece_vocab_v1.txt.gz"
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+# --------------------------------------------------------------------------
+# trainer (offline; deterministic)
+# --------------------------------------------------------------------------
+
+
+def _word_counts(texts: Iterable[str]) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in TOKEN_RE.findall((t or "").lower()):
+            counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def train_wordpiece(texts: Iterable[str], vocab_size: int = 4096, min_pair_freq: int = 2) -> list[str]:
+    """WordPiece vocab from raw texts: start from the character alphabet
+    (continuations prefixed ``##``), repeatedly merge the pair with the best
+    likelihood score freq(ab) / (freq(a)·freq(b)) until ``vocab_size`` —
+    deterministic (score, then lexicographic tie-break)."""
+    counts = _word_counts(texts)
+    # each word as its piece sequence: first char, then ##char...
+    splits: dict[str, list[str]] = {
+        w: [w[0]] + [f"##{c}" for c in w[1:]] for w in counts if w
+    }
+    vocab: dict[str, int] = {}
+    for w, n in counts.items():
+        for p in splits[w]:
+            vocab[p] = vocab.get(p, 0) + n
+    # full printable ASCII floor so no engine text ever hits [UNK]
+    import string
+
+    for c in string.printable:
+        if not c.isspace():
+            vocab.setdefault(c, 0)
+            vocab.setdefault(f"##{c}", 0)
+    alphabet = sorted(vocab)
+
+    while len(vocab) < vocab_size:
+        pair_freq: dict[tuple[str, str], int] = {}
+        piece_freq: dict[str, int] = {}
+        for w, n in counts.items():
+            parts = splits[w]
+            for p in parts:
+                piece_freq[p] = piece_freq.get(p, 0) + n
+            for a, b in zip(parts, parts[1:]):
+                pair_freq[(a, b)] = pair_freq.get((a, b), 0) + n
+        best = None
+        best_score = 0.0
+        for (a, b), f in pair_freq.items():
+            if f < min_pair_freq:
+                continue
+            score = f / (piece_freq[a] * piece_freq[b])
+            if best is None or score > best_score or (score == best_score and (a, b) < best):
+                best, best_score = (a, b), score
+        if best is None:
+            break
+        a, b = best
+        merged = a + b[2:] if b.startswith("##") else a + b
+        vocab[merged] = pair_freq[best]
+        for w in splits:
+            parts = splits[w]
+            out: list[str] = []
+            i = 0
+            while i < len(parts):
+                if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            splits[w] = out
+    return sorted(set(alphabet) | set(vocab))
+
+
+def save_vocab(vocab: list[str], path: str) -> str:
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write("\n".join(vocab))
+    return vocab_hash(vocab)
+
+
+def vocab_hash(vocab: list[str]) -> str:
+    return hashlib.blake2b("\n".join(vocab).encode("utf-8"), digest_size=8).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# runtime tokenizer
+# --------------------------------------------------------------------------
+
+
+class WordPiece:
+    """Greedy longest-match-first WordPiece with per-word piece-count
+    memoization (the chunker only needs COUNTS; piece strings are exposed for
+    tests/debugging)."""
+
+    def __init__(self, vocab: Iterable[str]):
+        self.vocab = frozenset(vocab)
+        self.max_piece = max((len(v) for v in self.vocab), default=1)
+        self._count_cache: dict[str, int] = {}
+        self.hash = vocab_hash(sorted(self.vocab))
+
+    def pieces(self, word: str) -> list[str] | None:
+        """Piece sequence for one (lowercased) word; None = [UNK]."""
+        out: list[str] = []
+        i = 0
+        n = len(word)
+        while i < n:
+            end = min(n, i + self.max_piece)
+            piece = None
+            while end > i:
+                cand = word[i:end] if i == 0 else "##" + word[i:end]
+                if cand in self.vocab:
+                    piece = cand
+                    break
+                end -= 1
+            if piece is None:
+                return None
+            out.append(piece)
+            i = end if i == 0 else i + len(piece) - 2
+        return out
+
+    def count_word(self, word: str) -> int:
+        c = self._count_cache.get(word)
+        if c is None:
+            p = self.pieces(word)
+            c = 1 if p is None else len(p)
+            if len(self._count_cache) < 1_000_000:  # bounded per-executor memo
+                self._count_cache[word] = c
+            else:
+                return c
+        return c
+
+    def count(self, text: str) -> int:
+        return sum(self.count_word(w) for w in TOKEN_RE.findall((text or "").lower()))
+
+
+_DEFAULT: WordPiece | None = None
+
+
+def default_tokenizer() -> WordPiece:
+    """The vendored-vocab tokenizer, loaded once per process (executors each
+    pay one gzip read; the data file ships inside the package)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        path = os.path.join(_DATA_DIR, DEFAULT_VOCAB)
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            _DEFAULT = WordPiece(f.read().splitlines())
+    return _DEFAULT

@@ -189,3 +189,37 @@ def test_graph_matches_committed_fixture(spark):
         fix = json.load(f)
     assert nodes == [tuple(x) for x in fix["nodes"]]
     assert edges == [tuple(x) for x in fix["edges"]]
+
+
+def test_one_to_one_hostile_doc_ids(spark):
+    """The per-page pseudo-document key must be injective for ANY doc_id
+    byte content: control chars (incl. the old \\x1f sentinel), ':' (the new
+    separator), and unicode all round-trip without corrupting grouping."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.extractor import one_to_one_extract
+
+    hostile = ["doc\x1fwith\x1fsentinel", "doc:with:colons", "доc-ünïcode", "a:b\x1fc"]
+    rows = []
+    for d in hostile:
+        for page, off in ((1, 0), (2, 2)):
+            rows.append((d, "heading", f"# §{off + 1} section", "", off))
+            rows.append((d, "text", f"Contract CT-100{off} applies.", "", off + 1))
+        rows.append((d, "page_break", "", "", 2))
+    spans = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, media_ref string, offset int"
+    )
+    out = one_to_one_extract(spans)
+    got_docs = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert got_docs == set(hostile)  # byte-exact roundtrip, no truncation
+    # per-(doc, page) grouping intact: both pages extracted for every doc
+    pages = {
+        (r["doc_id"], r["page_no"])
+        for r in out.filter(F.col("path") == "").select("doc_id", "page_no").collect()
+    }
+    assert pages == {(d, p) for d in hostile for p in (1, 2)}
+    # the root's primary id carries the REAL doc_id, not the packed key
+    roots = out.filter(F.col("path") == "").collect()
+    for r in roots:
+        assert r["ids"]["name"] == r["doc_id"]
+        assert ":" not in r["node_id"] or r["doc_id"].count(":") > 0

@@ -67,3 +67,51 @@ def test_doclang_serialization(spark):
             for g in m.groups():
                 assert 0 <= int(g) <= 511
     assert multi_page  # corpus has multi-page docs
+
+
+def test_doclang_roundtrip_matches_extraction(spark):
+    """serialize → parse must reproduce the extraction pipeline's span
+    sequences exactly (kind, text, media_ref, offset), page_breaks included —
+    the DocLang ingest path (handlers.py:526-570 analog)."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.serialize import doclang_documents, parse_doclang
+    from sparkdoc.spans import explode_spans, extract_documents, extract_span_rows_geo
+    from sparkdoc.synth import raw_nodes_df
+
+    raw = raw_nodes_df(spark, 16, 42, partitions=4)
+    expected = sorted(
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in explode_spans(extract_documents(raw)).collect()
+    )
+    parsed = parse_doclang(doclang_documents(extract_span_rows_geo(raw)))
+    got = sorted(
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"])
+        for r in parsed.collect()
+    )
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_doclang_roundtrip_hostile_chars(spark):
+    """Markup characters inside span text / refs survive the roundtrip via
+    XML escaping (a literal '</table>' inside a cell must not truncate)."""
+    from sparkdoc.serialize import doclang_documents, parse_doclang
+
+    rows = [
+        ("d1", 0, "text", 'a < b & c > "d" </table>', "", 1, [0, 0, 10, 10], 612, 792),
+        ("d1", 1, "table", "cell1 | x<y\ncell2 | p&q", "", 1, [0, 20, 10, 30], 612, 792),
+        ("d1", 2, "picture", "", 'm"1&<>', 1, [0, 40, 10, 50], 612, 792),
+    ]
+    geo = spark.createDataFrame(
+        rows,
+        "doc_id string, offset int, kind string, text string, media_ref string, "
+        "page_no int, bbox array<int>, page_width int, page_height int",
+    )
+    parsed = {
+        r["offset"]: (r["kind"], r["text"], r["media_ref"])
+        for r in parse_doclang(doclang_documents(geo)).collect()
+    }
+    assert parsed[0] == ("text", 'a < b & c > "d" </table>', "")
+    assert parsed[1] == ("table", "cell1 | x<y\ncell2 | p&q", "")
+    assert parsed[2] == ("picture", "", 'm"1&<>')
