@@ -27,7 +27,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single-file parquet → ONE scan partition; the similarity kernels run
+    # interpreted HOF folds per element, so without a repartition the whole
+    # normalize+dot pipeline runs single-threaded (measured: knn wall 2.4 s
+    # → 0.6 s at sf0.1 with the spread; a real corpus has many files and
+    # parallelizes naturally, this mirrors that shape)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -17,6 +17,9 @@ import argparse
 import json
 import time
 
+import numpy as np
+import pandas as pd
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -26,8 +29,6 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=16)
     args = ap.parse_args()
 
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import DoubleType
 

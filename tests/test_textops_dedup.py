@@ -188,3 +188,49 @@ def test_embedding_near_dups_precision_and_subset(spark):
         true_cos = sum(x * y for x, y in zip(vecs[r["a"]], vecs[r["b"]]))
         assert true_cos >= 0.9 - 1e-9
     assert (0, 1) in {(r["a"], r["b"]) for r in got}
+
+
+def test_embedding_near_dups_verify_impls_agree(spark):
+    """The two cosine-verify paths (JVM HOF fold = oracle-parity default;
+    Arrow-batched numpy = the billions-of-pairs scale path) must agree to
+    the oracle's 6-decimal rounding on every candidate pair."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.similarity import embedding_near_dups
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(16)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    hof = {
+        (r["a"], r["b"]): round(r["cos"], 6)
+        for r in embedding_near_dups(emb, 0.4, 4, 4, dim=16).collect()
+    }
+    np_ = {
+        (r["a"], r["b"]): round(r["cos"], 6)
+        for r in embedding_near_dups(emb, 0.4, 4, 4, dim=16, verify_impl="numpy").collect()
+    }
+    assert hof == np_ and len(hof) > 0
+
+
+def test_hyperplane_bucket_rejects_overwide_vectors(spark):
+    """A vector wider than dim must fail fast, not silently bucket to 0
+    (which would degenerate the LSH join to all-pairs)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkdoc.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 80)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="exceeds dim"):
+        df.select(hyperplane_bucket(F.col("embedding"), n_bits=2, dim=64)).collect()
+
+
+def test_ivf_assign_requires_dim(spark):
+    import pytest
+
+    from sparkdoc.similarity import ivf_assign
+
+    df = spark.createDataFrame([(1, [0.1] * 8)], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="dim is required"):
+        ivf_assign(df)
