@@ -573,3 +573,67 @@ class TestReviewFixes:
         assert row["attrs"]["k"] == "v1"  # input order wins
         c = conflicts.collect()[0]
         assert (c["node_id"], c["attr"], c["n_variants"]) == ("n1", "k", 2)
+
+
+class TestRepairRekeysNodeId:
+    def test_node_id_recomputed_after_repair(self, spark):
+        """node_id = hash(class+ids) with NO doc component: two docs whose
+        root ids echo the class name must NOT share one node_id after the
+        echo-clear + stem fallback (the repair mutates ids, so keeping the
+        stale node_id collapses cross-document roots into a single node and
+        breaks the registry invariant behind reference-edge derivation)."""
+        from sparkdoc.dedup import with_node_ids
+        from sparkdoc.rootid import repair_root_identity
+
+        cat = build_node_catalog(TEMPLATE)
+        ents = with_node_ids(
+            _entities(
+                spark,
+                [
+                    ("doc-1", "", "Report", {"reference_code": "Report"}),
+                    ("doc-2", "", "Report", {"reference_code": "REPORT"}),
+                ],
+            )
+        )
+        before = {r["doc_id"]: r["node_id"] for r in ents.collect()}
+        assert before["doc-1"] == before["doc-2"]  # the collapse hazard
+        out = {r["doc_id"]: r for r in repair_root_identity(ents, cat).collect()}
+        assert out["doc-1"]["ids"]["reference_code"] == "doc-1"
+        assert out["doc-2"]["ids"]["reference_code"] == "doc-2"
+        assert out["doc-1"]["node_id"] != out["doc-2"]["node_id"]
+        assert out["doc-1"]["node_id"] != before["doc-1"]  # rekeyed, not stale
+
+
+class TestRescueInvalidRoots:
+    def _validated(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id string, path string, class string, ids map<string,string>, "
+            "valid int, errors array<string>",
+        )
+
+    def test_stem_rescue_flips_valid(self, spark):
+        """Salvage marks empty-id roots invalid; running the repair BEFORE
+        the valid filter (reference order) lets the stem fallback rescue a
+        root whose ONLY failure was the missing identity."""
+        from sparkdoc.rootid import rescue_invalid_roots
+
+        cat = build_node_catalog(TEMPLATE)
+        rows = [
+            ("doc-1", "", "Report", {}, 0, ["missing_required:reference_code"]),
+            # invalid for another reason too: stays invalid
+            ("doc-2", "", "Report", {}, 0,
+             ["missing_required:reference_code", "string_type@title"]),
+            # non-root rows untouched
+            ("doc-1", "items[]", "Item", {}, 0, ["missing_required:sku"]),
+        ]
+        out = {
+            (r["doc_id"], r["path"]): r
+            for r in rescue_invalid_roots(self._validated(spark, rows), cat).collect()
+        }
+        rescued = out[("doc-1", "")]
+        assert rescued["valid"] == 1
+        assert rescued["ids"]["reference_code"] == "doc-1"
+        assert rescued["errors"] == []
+        assert out[("doc-2", "")]["valid"] == 0  # terminal error kept
+        assert out[("doc-1", "items[]")]["valid"] == 0  # non-root untouched
