@@ -208,7 +208,11 @@ def build_node_catalog(template: dict, include_references: bool = False) -> Node
             child_model = child.get("model") or {}
             if child.get("reference"):
                 refs.append((fname, tuple(child_model.get("id_fields") or ())))
-                ref_classes.append((fname, child_model.get("class", "Unknown")))
+                # empty (not "Unknown") when the reference stub omits the
+                # class: consumers fall back to id-field-shape matching —
+                # a truthy placeholder would win over that fallback and
+                # silently mint never-instantiated edge targets
+                ref_classes.append((fname, child_model.get("class") or ""))
                 rule = child.get("rule") or {}
                 if rule.get("pattern"):
                     ref_rules.append((fname, rule["pattern"]))

@@ -257,8 +257,13 @@ def enforce_cardinality_bounds(
 
     work = nodes
     if edges is not None:
-        # external in-degree: edges whose SOURCE is not a root-class node
-        src_cls = nodes.select(F.col("node_id").alias("src"), F.col(class_col).alias("_sc"))
+        # external in-degree: edges whose SOURCE is not a root-class node.
+        # distinct: the nodes table is one row per (doc_id, node_id), and a
+        # plain join would multiply every edge by the number of documents its
+        # source appears in, skewing the rank toward widely-shared sources
+        src_cls = nodes.select(
+            F.col("node_id").alias("src"), F.col(class_col).alias("_sc")
+        ).distinct()
         ext = (
             edges.join(src_cls, "src")
             .filter(~F.col("_sc").isin(list(root_classes)) if root_classes else F.lit(True))

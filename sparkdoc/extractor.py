@@ -210,7 +210,13 @@ def convert_document_graph(
     ).select("base_id", "superset_id")
     nodes2, edges2, alias_audit = apply_alias_merges(nodes, edges, pairs)
     nodes2 = nodes2.persist()
-    edges_clean = clean_edges(nodes2, edges2)
+    # edges stay doc-attributed ("doc_id" column) until the output boundary:
+    # the cardinality pass below demotes per (doc_id, node_id) row, and an
+    # edge minted in a document whose endpoint was demoted THERE must vanish
+    # even when the same node_id survives in another document (the reference
+    # converts one doc per graph, so its demotion is implicitly per-doc)
+    _doc_keys = ("doc_id", "src", "dst", "label")
+    edges_clean = clean_edges(nodes2, edges2, keys=_doc_keys)
     # template-declared closed catalogs (graph_converter.py:311-314): drop
     # reference edges whose target exists only through marked edges
     if any(s.closed_catalog_fields for s in catalog.nodes):
@@ -232,7 +238,15 @@ def convert_document_graph(
             id_fields_map=id_map, scope_cols=("doc_id",),
         )
         nodes2 = nodes2.persist()
-        edges_clean = clean_edges(nodes2, edges_clean)
+        dem_pairs = demoted.select("doc_id", "node_id").localCheckpoint()
+        edges_clean = (
+            edges_clean.join(
+                dem_pairs.withColumnRenamed("node_id", "src"), ["doc_id", "src"], "left_anti"
+            ).join(
+                dem_pairs.withColumnRenamed("node_id", "dst"), ["doc_id", "dst"], "left_anti"
+            )
+        )
+        edges_clean = clean_edges(nodes2, edges_clean, keys=_doc_keys)
     ledger = build_ledger(good.drop("fill_batch"), chunks)
     out = {
         "documents": docs,
@@ -240,7 +254,9 @@ def convert_document_graph(
         "entities": good,
         "invalid_entities": validated.filter(F.col("valid") == 0),
         "nodes": nodes2,
-        "edges": edges_clean,
+        # collapse doc attribution at the boundary: exported edge identity is
+        # (src, dst, label), matching the reference's merged-graph artifact
+        "edges": edges_clean.drop("doc_id").dropDuplicates(["src", "dst", "label"]),
         "alias_audit": alias_audit,
         "ledger": ledger,
         "coverage": coverage_stats(chunks, ledger),
@@ -298,7 +314,13 @@ def one_to_one_extract(spans: DataFrame, template: dict | None = None, fill_cap:
     # the pseudo doc_id leaks into the ROOT's primary id (root_entities keys
     # the root on doc_id) — restore the real doc_id there and recompute the
     # registry node_id so exported identities carry no encoding artifacts
-    pseudo_here = F.col("doc_id")
+    from sparkdoc.salvage import MAX_ID_LEN
+
+    # salvage truncates over-long id values at MAX_ID_LEN, so a very long
+    # doc_id's pseudo key may appear truncated in ids — compare against the
+    # same truncation instead of exact equality (substring returns the whole
+    # string when shorter, covering the untruncated case too)
+    pseudo_here = F.substring(F.col("doc_id"), 1, MAX_ID_LEN)
     clean_ids = F.map_from_entries(
         F.transform(
             F.map_entries("ids"),
@@ -308,16 +330,31 @@ def one_to_one_extract(spans: DataFrame, template: dict | None = None, fill_cap:
             ),
         )
     )
-    return (
+    out = (
         good.withColumn("ids", clean_ids)
         .withColumn("page_no", page)
         .withColumn("doc_id", real_doc)
-        .withColumn("node_id", node_id_expr(F.col("class"), F.col("ids")))
     )
+    # recompute the registry id mirroring with_node_ids' doc-scoping: the
+    # pipeline hashed doc-scoped classes with __doc__ = the pseudo key (the
+    # page IS the run here), so the rekey must keep that scope — hashing
+    # bare ids would collapse e.g. every page's "Row 1" into one node_id
+    ids_for_hash = F.col("ids")
+    scoped_classes = catalog.doc_scoped_classes()
+    if scoped_classes:
+        run_key = F.concat_ws(":", F.col("doc_id"), F.col("page_no").cast("string"))
+        ids_for_hash = F.when(
+            F.col("class").isin(list(scoped_classes)),
+            F.map_concat(F.col("ids"), F.create_map(F.lit("__doc__"), run_key)),
+        ).otherwise(F.col("ids"))
+    return out.withColumn("node_id", node_id_expr(F.col("class"), ids_for_hash))
 
 
 def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCatalog) -> DataFrame:
-    """Graph edges from the catalog:
+    """Doc-attributed graph edges (doc_id, src, dst, label, props) from the
+    catalog — doc_id is the MINTING document, kept so per-document passes
+    (cardinality demotion) can remove exactly that document's edges; the
+    pipeline drops it at the output boundary. Edge derivation:
 
     * parent edges — for every spec with a parent path, children resolve
       their parent through the 7-rung ladder (resolve.resolve_parents); edge
@@ -373,6 +410,7 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
         resolved = resolve_parents(children, parents)
         edge_parts.append(
             resolved.filter(F.col("parent_id").isNotNull()).select(
+                F.col("doc_id"),
                 F.col("parent_id").alias("src"),
                 F.col("child_id").alias("dst"),
                 F.lit(spec.edge_label or spec.field_name or "has").alias("label"),
@@ -421,6 +459,7 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
                 (F.col("path") == spec.path)
                 & F.element_at(F.col("fields"), fname).isNotNull()
             ).select(
+                F.col("doc_id"),
                 F.col("node_id").alias("src"),
                 node_id_expr(F.lit(target_class), target_ids).alias("dst"),
                 F.lit(ref_labels.get(fname) or fname).alias("label"),
@@ -429,7 +468,9 @@ def build_catalog_edges(nodes: DataFrame, entities: DataFrame, catalog: NodeCata
             edge_parts.append(refs)
 
     if not edge_parts:
-        return nodes.sparkSession.createDataFrame([], "src string, dst string, label string, props map<string,string>")
+        return nodes.sparkSession.createDataFrame(
+            [], "doc_id string, src string, dst string, label string, props map<string,string>"
+        )
     out = edge_parts[0]
     for p in edge_parts[1:]:
         out = out.unionByName(p)

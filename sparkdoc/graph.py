@@ -74,15 +74,20 @@ def remove_phantom_nodes(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame,
     return kept, e, audit
 
 
-def clean_edges(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Self-loop drop, endpoint-exists semi-joins, (src,dst,label) distinct
-    (graph_cleaner.py:81-109,319-364)."""
+def clean_edges(
+    nodes: DataFrame, edges: DataFrame, keys: tuple[str, ...] = ("src", "dst", "label")
+) -> DataFrame:
+    """Self-loop drop, endpoint-exists semi-joins, ``keys`` distinct
+    (graph_cleaner.py:81-109,319-364). Pass doc-attributed keys
+    (("doc_id","src","dst","label")) while edges still carry their minting
+    document so per-document passes (cardinality demotion) stay exact; the
+    pipeline collapses to (src,dst,label) at the output boundary."""
     ids = nodes.select("node_id")
     return (
         edges.filter(F.col("src") != F.col("dst"))
         .join(ids.withColumnRenamed("node_id", "src"), "src", "left_semi")
         .join(ids.withColumnRenamed("node_id", "dst"), "dst", "left_semi")
-        .dropDuplicates(["src", "dst", "label"])
+        .dropDuplicates(list(keys))
     )
 
 

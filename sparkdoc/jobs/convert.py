@@ -102,6 +102,7 @@ def main() -> None:
     mean_cov = out["coverage"].agg(F.avg("coverage").alias("c")).first()["c"]
 
     exports = [x for x in args.export.split(",") if x]
+    report_done = False
     for fmt in exports:
         if fmt == "csv":
             from sparkdoc.io import export_csv
@@ -118,9 +119,9 @@ def main() -> None:
         elif fmt in ("report", "html"):
             from sparkdoc.report import export_report_and_html
 
-            if not getattr(main, "_report_done", False):
+            if not report_done:
                 export_report_and_html(out, args.out)
-                main._report_done = True  # report+html written together once
+                report_done = True  # report+html written together once per run
 
     manifest = {
         "template_schema_hash": template_schema_hash(template),

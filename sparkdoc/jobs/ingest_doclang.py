@@ -46,8 +46,13 @@ def main() -> None:
     if has_dclg_files:
         # one doc per file; wholetext keeps each serialization intact
         raw = spark.read.text(os.path.join(args.input, "*.dclg"), wholetext=True)
+        # input_file_name() returns the URI-encoded path — decode so a file
+        # named "quarterly report.dclg" yields doc_id "quarterly report",
+        # not "quarterly%20report" (try_: never fail the ingest on a path
+        # the JVM produced; fall back to the raw stem)
+        stem = F.regexp_extract(F.input_file_name(), r"([^/]+)\.dclg$", 1)
         docs = raw.select(
-            F.regexp_extract(F.input_file_name(), r"([^/]+)\.dclg$", 1).alias("doc_id"),
+            F.coalesce(F.try_url_decode(stem), stem).alias("doc_id"),
             F.col("value").alias("dclg"),
         )
     else:

@@ -179,17 +179,26 @@ let steps = 0;
 """
 
 
-def graph_html(nodes: list[dict], edges: list[dict]) -> str:
+def graph_html(
+    nodes: list[dict],
+    edges: list[dict],
+    total_nodes: int | None = None,
+    total_edges: int | None = None,
+) -> str:
     """Self-contained interactive graph view (core/visualizers/ analog):
     inline force layout, zero network fetches. Inputs are collected row
     dicts — nodes need (node_id, node_class, label), edges (src, dst,
     label). Oversized graphs are capped with a visible note (never a silent
-    truncation)."""
+    truncation); pass ``total_nodes``/``total_edges`` when the lists were
+    already limit()-collected so the note reports the TRUE table sizes
+    rather than the collected-sample size."""
+    total_nodes = len(nodes) if total_nodes is None else total_nodes
+    total_edges = len(edges) if total_edges is None else total_edges
     cap_note = ""
-    if len(nodes) > MAX_HTML_NODES or len(edges) > MAX_HTML_EDGES:
+    if total_nodes > MAX_HTML_NODES or total_edges > MAX_HTML_EDGES:
         cap_note = (
-            f"showing first {min(len(nodes), MAX_HTML_NODES)}/{len(nodes)} nodes, "
-            f"{min(len(edges), MAX_HTML_EDGES)}/{len(edges)} edges — full graph in parquet"
+            f"showing first {min(len(nodes), MAX_HTML_NODES)}/{total_nodes} nodes, "
+            f"{min(len(edges), MAX_HTML_EDGES)}/{total_edges} edges — full graph in parquet"
         )
         nodes = nodes[:MAX_HTML_NODES]
         edges = edges[:MAX_HTML_EDGES]
@@ -222,9 +231,11 @@ def export_report_and_html(out: dict, out_dir: str) -> dict[str, str]:
     report_path = os.path.join(out_dir, "report.md")
     with open(report_path, "w", encoding="utf-8") as f:
         f.write(report_from_convert(out))
+    total_nodes = out["nodes"].count()
+    total_edges = out["edges"].count()
     nodes = [r.asDict() for r in out["nodes"].select("node_id", "node_class", "label").limit(MAX_HTML_NODES + 1).collect()]
     edges = [r.asDict() for r in out["edges"].select("src", "dst", "label").limit(MAX_HTML_EDGES + 1).collect()]
     html_path = os.path.join(out_dir, "graph.html")
     with open(html_path, "w", encoding="utf-8") as f:
-        f.write(graph_html(nodes, edges))
+        f.write(graph_html(nodes, edges, total_nodes=total_nodes, total_edges=total_edges))
     return {"report": report_path, "graph_html": html_path}

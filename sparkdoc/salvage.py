@@ -519,8 +519,11 @@ def entity_schema_for_spec(catalog, spec) -> dict:
     }
 
 
+MAX_ID_LEN = 300  # id-value truncation bound (shared: one_to_one pseudo-key scrub)
+
+
 def salvage_entities(
-    entities: DataFrame, catalog, max_id_len: int = 300, extensions=None
+    entities: DataFrame, catalog, max_id_len: int = MAX_ID_LEN, extensions=None
 ) -> DataFrame:
     """Vectorized ladder over entity rows: data = {**ids, **fields} validates
     against the path's schema; repaired values flow back to ``fields`` (ids

@@ -161,9 +161,6 @@ def _xml_escape_attr(col):
     return F.replace(_xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
 
 
-_DCLG_TAG_RE = None
-
-
 def parse_doclang(dclg_docs: DataFrame, text_col: str = "dclg") -> DataFrame:
     """Inverse of ``doclang_documents`` — the DocLang ingest path (reference
     DoclangInputHandler, core/input/handlers.py:526-570): parse each

@@ -346,6 +346,8 @@ def embedding_near_dups(
     2.2× faster at 4M pairs — the billions-of-pairs path; see dot_numpy and
     BENCH/BASELINE.md ann-verify row).
     """
+    if verify_impl not in ("hof", "numpy"):
+        raise ValueError(f"verify_impl must be 'hof' or 'numpy', got {verify_impl!r}")
     verify = dot if verify_impl == "hof" else dot_numpy
     c = _with_unit(corpus, vec_col, "v").select(F.col(id_col).alias("_id"), "v")
     buckets = F.array(

@@ -303,9 +303,14 @@ def pydantic_validators(model_cls: type) -> dict[str, Callable[[dict], list[str]
     Each validator receives the flat ``{**fields, **ids}`` dict salvage built
     (component fields dotted). Model-typed fields (children/references) are
     extracted separately by the engine, so they are excluded from the payload
-    before ``model_validate`` — only scalar fields are judged. Returned
-    strings become terminal salvage errors (valid=0), matching the reference's
-    validators raising inside model_validate."""
+    before ``model_validate`` AND errors anchored on them (e.g. ``missing`` for
+    a required child model) are discarded — only scalar fields are judged.
+    (Limitation: when a required child is absent from the payload, Pydantic
+    aborts before mode="after" model validators, so model-level invariants
+    over children do not run here — the engine's own structural checks own
+    that territory.) Returned strings become terminal salvage errors
+    (valid=0), matching the reference's validators raising inside
+    model_validate."""
     _require_pydantic()
     out: dict[str, Callable[[dict], list[str]]] = {}
     for model in iter_template_models(model_cls):
@@ -332,6 +337,10 @@ def pydantic_validators(model_cls: type) -> dict[str, Callable[[dict], list[str]
                             f"template:{err.get('type', 'invalid')}@"
                             + ".".join(str(x) for x in err.get("loc", ()))
                             for err in errors()
+                            # errors rooted on a model-typed field (required
+                            # child "missing", nested shape) are the engine's
+                            # structural checks' territory, not this gate's
+                            if not err.get("loc") or str(err["loc"][0]) in scalars
                         ]
                     return [f"template:{type(e).__name__}"]
 

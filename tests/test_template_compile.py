@@ -128,6 +128,28 @@ def test_pydantic_validators_run_template_validation():
     assert ext.validators["Party"]({"name": "Acme GmbH"}) == []
 
 
+def test_pydantic_validators_required_child_never_invalidates():
+    """A REQUIRED model-typed child (seller: Party, no Optional) must not
+    fail the scalar-payload gate — children are extracted and validated
+    separately, so 'missing@seller' errors are the engine's territory."""
+    from pydantic import BaseModel, ConfigDict
+
+    class Party(BaseModel):
+        model_config = ConfigDict(**{"graph_id_fields": ["name"]})
+        name: str
+
+    class Invoice(BaseModel):
+        model_config = ConfigDict(**{"graph_id_fields": ["number"]})
+        number: str
+        seller: Party  # required child — absent from every scalar payload
+        total: float
+
+    v = pydantic_validators(Invoice)["Invoice"]
+    assert v({"number": "INV-1", "total": "12.5"}) == []
+    # scalar violations still surface (and the child 'missing' stays filtered)
+    assert v({"number": "INV-1", "total": "zzz"}) == ["template:float_parsing@total"]
+
+
 def test_invoice_pipeline_matches_committed_fixture(spark):
     """Whole-pipeline acceptance pin: the compiled Pydantic template drives
     convert_document_graph over the invoice corpus and reproduces the
