@@ -312,6 +312,23 @@ def enforce_cardinality_bounds(
     return kept, demoted
 
 
+def drop_demoted_doc_edges(edges: DataFrame, demoted: DataFrame) -> DataFrame:
+    """Remove edges MINTED in a document where either endpoint was demoted
+    there. Demotion is per (doc_id, node_id) row (the bound is per-document),
+    and the registry node_id is global — so a node demoted in doc B but kept
+    in doc A must lose doc B's edges while keeping doc A's (the reference
+    converts one document per graph; a demoted node simply isn't in that
+    document's graph, so none of its edges survive the per-doc export).
+
+    edges: doc-attributed (doc_id, src, dst, …) from build_catalog_edges.
+    demoted: rows with (doc_id, node_id) — enforce_cardinality_bounds audit.
+    """
+    dem_pairs = demoted.select("doc_id", "node_id").localCheckpoint()
+    return edges.join(
+        dem_pairs.withColumnRenamed("node_id", "src"), ["doc_id", "src"], "left_anti"
+    ).join(dem_pairs.withColumnRenamed("node_id", "dst"), ["doc_id", "dst"], "left_anti")
+
+
 def rekey_graph(nodes: DataFrame, edges: DataFrame, id_fields_map: dict[str, list[str]]) -> tuple[DataFrame, DataFrame]:
     """merge/identity.py:151-248 analog: recompute node ids from exported
     attrs via the SAME fingerprint implementation (the registry-parity pin,

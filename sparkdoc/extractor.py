@@ -238,15 +238,11 @@ def convert_document_graph(
             id_fields_map=id_map, scope_cols=("doc_id",),
         )
         nodes2 = nodes2.persist()
-        dem_pairs = demoted.select("doc_id", "node_id").localCheckpoint()
-        edges_clean = (
-            edges_clean.join(
-                dem_pairs.withColumnRenamed("node_id", "src"), ["doc_id", "src"], "left_anti"
-            ).join(
-                dem_pairs.withColumnRenamed("node_id", "dst"), ["doc_id", "dst"], "left_anti"
-            )
+        from sparkdoc.dedup import drop_demoted_doc_edges
+
+        edges_clean = clean_edges(
+            nodes2, drop_demoted_doc_edges(edges_clean, demoted), keys=_doc_keys
         )
-        edges_clean = clean_edges(nodes2, edges_clean, keys=_doc_keys)
     ledger = build_ledger(good.drop("fill_batch"), chunks)
     out = {
         "documents": docs,

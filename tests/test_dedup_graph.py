@@ -272,3 +272,25 @@ def test_cardinality_full_rank_key(spark):
     # 'alpha' < 'beta' keeps K_2; K_3 demoted
     assert kept_ids == {"K_1", "K_2"}
     assert [r["node_id"] for r in demoted.collect()] == ["K_3"]
+
+
+def test_demoted_doc_edges_dropped_per_document(spark):
+    """A node demoted in doc B but kept in doc A (global registry id, per-doc
+    bound) loses exactly doc B's edges: the reference converts one document
+    per graph, so the demoted instance isn't in doc B's graph at all."""
+    from sparkdoc.dedup import drop_demoted_doc_edges
+
+    edges = spark.createDataFrame(
+        [
+            ("dA", "R_A", "P_1", "has", None),  # P_1 kept in dA → survives
+            ("dB", "R_B", "P_1", "has", None),  # P_1 demoted in dB → dropped
+            ("dB", "P_1", "K_1", "refs", None),  # demoted endpoint as SRC → dropped
+            ("dB", "R_B", "K_1", "has", None),  # untouched edge in dB → survives
+        ],
+        "doc_id string, src string, dst string, label string, props map<string,string>",
+    )
+    demoted = spark.createDataFrame(
+        [("dB", "P_1", "P", 3)], "doc_id string, node_id string, node_class string, _rank int"
+    )
+    out = {(r["doc_id"], r["src"], r["dst"]) for r in drop_demoted_doc_edges(edges, demoted).collect()}
+    assert out == {("dA", "R_A", "P_1"), ("dB", "R_B", "K_1")}
