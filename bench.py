@@ -109,7 +109,7 @@ def main() -> None:
     extras["chunk_docs_per_sec"] = round(BENCH_DOCS / timings["chunk"], 1)
     # two-cluster-size evidence lives in BENCH/BASELINE.md (python -m
     # sparkdoc.bench.run); pointer only — not measured in this process
-    extras["scaling_evidence"] = "BENCH/BASELINE.md: eff 0.899 @ 2->8 cores, 72k docs (r2; 0.875 @ 24k); 0.818/0.921 (r1)"
+    extras["scaling_evidence"] = "BENCH/BASELINE.md: eff 0.951 @ 2->8 cores, 72k docs (r3; r2 0.899; r1 0.818/0.921); 1M-doc kill/resume proven r3"
     docs.unpersist()
     raw.unpersist()
 
