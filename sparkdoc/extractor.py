@@ -243,7 +243,11 @@ def convert_document_graph(
         edges_clean = clean_edges(
             nodes2, drop_demoted_doc_edges(edges_clean, demoted), keys=_doc_keys
         )
-    ledger = build_ledger(good.drop("fill_batch"), chunks)
+    # lazy checkpoint: the ledger feeds BOTH the ledger artifact and
+    # coverage_stats — without the cut the coverage action re-runs the whole
+    # binder ladder; lazy (eager=False) so callers that never touch the
+    # ledger/coverage outputs pay nothing
+    ledger = build_ledger(good.drop("fill_batch"), chunks).localCheckpoint(eager=False)
     out = {
         "documents": docs,
         "chunks": chunks,

@@ -98,6 +98,16 @@ def main() -> None:
         df.write.mode("overwrite").parquet(os.path.join(args.out, name))
         counts[name] = spark.read.parquet(os.path.join(args.out, name)).count()
 
+    # validate/summarize/export from the WRITTEN parquet, not the live DAG:
+    # each extra action on `out` re-schedules the (checkpoint-truncated but
+    # still many-stage) pipeline plan; the files are the same rows for the
+    # cost of a scan. Exports below reuse these too.
+    out = {
+        **out,
+        "nodes": spark.read.parquet(os.path.join(args.out, "nodes")),
+        "edges": spark.read.parquet(os.path.join(args.out, "edges")),
+        "coverage": spark.read.parquet(os.path.join(args.out, "coverage")),
+    }
     validation = validate_graph(out["nodes"], out["edges"])
     mean_cov = out["coverage"].agg(F.avg("coverage").alias("c")).first()["c"]
 
