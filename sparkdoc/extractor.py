@@ -210,6 +210,10 @@ def convert_document_graph(
     ).select("base_id", "superset_id")
     nodes2, edges2, alias_audit = apply_alias_merges(nodes, edges, pairs)
     nodes2 = nodes2.persist()
+    # lazy checkpoint: the post-alias edge plan embeds the 6-rung resolve
+    # ladder and is traversed by the closed-catalog pass, the cardinality
+    # in-degree, the final clean, and the write — cut it once, on first use
+    edges2 = edges2.localCheckpoint(eager=False)
     # edges stay doc-attributed ("doc_id" column) until the output boundary:
     # the cardinality pass below demotes per (doc_id, node_id) row, and an
     # edge minted in a document whose endpoint was demoted THERE must vanish
