@@ -43,16 +43,26 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     return {r["bucket"] for r in rows}
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the JVM Hadoop API — resolves
+    the scheme (file://, hdfs://, s3a://…), so the commit log works on the
+    same storage the data lands on, not just the driver's local disk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
 def commit_bucket_group(
     spark: SparkSession,
     out_dir: str,
     job_id: str,
     metrics_rows: list[dict],
 ) -> None:
-    """Append manifest rows atomically (write to temp dir, then rename files
-    into the manifest dir — rename is atomic on a POSIX/HDFS-like FS)."""
+    """Append manifest rows atomically: write to a temp dir, then RENAME the
+    parquet files into the manifest dir through the Hadoop FileSystem API
+    (atomic on POSIX and HDFS; on S3 the rename is copy+delete but the
+    manifest stays consistent because readers key on whole files)."""
     path = manifest_path(out_dir)
-    os.makedirs(path, exist_ok=True)
     tmp = os.path.join(out_dir, f"_manifest_tmp_{uuid.uuid4().hex}")
     df = spark.createDataFrame(
         [
@@ -70,13 +80,50 @@ def commit_bucket_group(
         METRICS,
     )
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    for name in os.listdir(tmp):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs, manifest_p = _hadoop_fs(spark, path)
+    fs.mkdirs(manifest_p)
+    tmp_p = jvm_path(tmp)
+    for status in fs.listStatus(tmp_p):
+        name = status.getPath().getName()
         if name.endswith(".parquet"):
-            os.rename(os.path.join(tmp, name), os.path.join(path, f"{uuid.uuid4().hex}.parquet"))
-    # best-effort temp cleanup
-    for name in os.listdir(tmp):
-        os.remove(os.path.join(tmp, name))
-    os.rmdir(tmp)
+            fs.rename(status.getPath(), jvm_path(manifest_p, f"{uuid.uuid4().hex}.parquet"))
+    fs.delete(tmp_p, True)
+
+
+def _params_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_run_params")
+
+
+def _check_or_record_params(spark: SparkSession, out_dir: str, **params) -> None:
+    """Resume safety: completed_buckets keys on bucket NUMBER, so resuming
+    with a different n_buckets (renumbers every bucket) or chunk flag
+    (committed buckets would permanently lack their chunks) silently loses
+    data. First run records the partitioning params next to the manifest;
+    any later run must match or gets a hard error (fresh out_dir to change
+    them)."""
+    import json as _json
+
+    try:
+        rows = spark.read.json(_params_path(out_dir)).collect()
+        prior = rows[0].asDict() if rows else None
+    except Exception:
+        prior = None
+    if prior is None:
+        spark.createDataFrame([(_json.dumps(params),)], "v string").selectExpr(
+            "from_json(v, 'n_buckets int, chunk boolean') as p"
+        ).select("p.*").coalesce(1).write.mode("overwrite").json(_params_path(out_dir))
+        return
+    mismatched = {
+        k: (prior.get(k), v) for k, v in params.items() if prior.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            "run_resumable params differ from the committed run in "
+            f"{out_dir!r}: {mismatched} — resuming would silently skip or "
+            "lose work (bucket numbers / chunk outputs no longer line up). "
+            "Use the original params or a fresh out_dir."
+        )
 
 
 def run_resumable(
@@ -96,6 +143,7 @@ def run_resumable(
     from sparkdoc.spans import extract_documents
 
     job_id = job_id or uuid.uuid4().hex[:12]
+    _check_or_record_params(spark, out_dir, n_buckets=n_buckets, chunk=chunk)
     done = completed_buckets(spark, out_dir)
     bucketed = with_bucket(raw_nodes, n_buckets)
     todo = [b for b in range(n_buckets) if b not in done]
@@ -119,12 +167,21 @@ def run_resumable(
         n_chunks_by_bucket: dict[int, int] = {}
         if chunk:
             ch = with_bucket(chunk_documents(docs), n_buckets)
+            ch_path = os.path.join(out_dir, "chunks")
             ch.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
-                os.path.join(out_dir, "chunks")
+                ch_path
             )
+            # count from the WRITTEN parquet: a count on `ch` would re-run
+            # the whole chunking mapInPandas stage (docs is cached but the
+            # chunk stage itself is not) — the scan of what was just written
+            # is the same numbers for a fraction of the cost
             n_chunks_by_bucket = {
                 r["bucket"]: r["n"]
-                for r in ch.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+                for r in spark.read.parquet(ch_path)
+                .filter(F.col("bucket").isin(group))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
             }
         docs.unpersist()
         wall_ms = int((time.monotonic() - t0) * 1000)

@@ -84,15 +84,25 @@ def graph_to_dict(nodes: DataFrame, edges: DataFrame) -> dict:
 
 
 def load_graph_from_json(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Inverse of export_json (core/importers/graph_json.py analog)."""
-    nodes = spark.read.json(f"{out_dir}/nodes.json").select(
+    """Inverse of export_json (core/importers/graph_json.py analog).
+
+    Explicit schemas, NOT inference: the JSON writer drops null fields (an
+    all-null provenance — every pipeline-produced graph — would vanish from
+    the inferred schema and crash the select), and inference would widen
+    ``attrs``/``props`` into structs keyed by the union of all attr names
+    where the engine contract is map<string,string>."""
+    nodes = spark.read.schema(
+        "id string, type string, label string, attrs map<string,string>, provenance string"
+    ).json(f"{out_dir}/nodes.json").select(
         F.col("id").alias("node_id"),
         F.col("type").alias("node_class"),
         "label",
         "attrs",
         "provenance",
     )
-    edges = spark.read.json(f"{out_dir}/edges.json").select(
+    edges = spark.read.schema(
+        "source string, target string, label string, props map<string,string>"
+    ).json(f"{out_dir}/edges.json").select(
         F.col("source").alias("src"), F.col("target").alias("dst"), "label", "props"
     )
     return nodes, edges
@@ -109,13 +119,26 @@ def _cy_quote(col):
     )
 
 
+def _cy_label(col):
+    """Backtick-quoted Neo4j label — template classes are arbitrary strings
+    ('Legal Entity' must not produce invalid Cypher); backticks inside a
+    name are escaped by doubling, per Cypher naming rules."""
+    return F.concat(F.lit("`"), F.replace(col, F.lit("`"), F.lit("``")), F.lit("`"))
+
+
 def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str, merge: bool = True) -> None:
     """One cypher-shell script: uniqueness constraints per label, then
-    MERGE-idempotent node/edge statements (CREATE style when merge=False)."""
+    MERGE-idempotent node/edge statements (CREATE style when merge=False).
+    Edge MATCHes carry the endpoint labels so the per-label uniqueness
+    index serves them (an unlabeled property MATCH is an AllNodesScan per
+    edge in Neo4j — O(E·N) import)."""
     verb = "MERGE" if merge else "CREATE"
     labels = [r["node_class"] for r in nodes.select("node_class").distinct().collect()]
     constraints = [
-        f"CREATE CONSTRAINT IF NOT EXISTS FOR (n:{l}) REQUIRE n.id IS UNIQUE;" for l in sorted(labels)
+        "CREATE CONSTRAINT IF NOT EXISTS FOR (n:`{}`) REQUIRE n.id IS UNIQUE;".format(
+            l.replace("`", "``")
+        )
+        for l in sorted(labels)
     ]
     props = F.concat(
         F.lit("{id: "),
@@ -125,15 +148,36 @@ def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str, merge: bool
         F.lit("}"),
     )
     node_stmts = nodes.select(
-        F.concat(F.lit(f"{verb} (n:"), F.col("node_class"), F.lit(" "), props, F.lit(");")).alias(
-            "stmt"
+        F.concat(
+            F.lit(f"{verb} (n:"), _cy_label(F.col("node_class")), F.lit(" "), props, F.lit(");")
+        ).alias("stmt")
+    )
+    # distinct: the nodes table may carry one row per (doc_id, node_id); a
+    # plain join would emit duplicate edge statements per document
+    cls = nodes.select("node_id", "node_class").distinct()
+    e = (
+        edges.join(
+            cls.withColumnRenamed("node_id", "src").withColumnRenamed("node_class", "_src_cls"),
+            "src",
+            "left",
+        ).join(
+            cls.withColumnRenamed("node_id", "dst").withColumnRenamed("node_class", "_dst_cls"),
+            "dst",
+            "left",
         )
     )
-    edge_stmts = edges.select(
+    label_part = lambda c: F.when(  # noqa: E731 — dangling endpoint: unlabeled MATCH
+        F.col(c).isNotNull(), F.concat(F.lit(":"), _cy_label(F.col(c)))
+    ).otherwise(F.lit(""))
+    edge_stmts = e.select(
         F.concat(
-            F.lit("MATCH (a {id: "),
+            F.lit("MATCH (a"),
+            label_part("_src_cls"),
+            F.lit(" {id: "),
             _cy_quote(F.col("src")),
-            F.lit("}), (b {id: "),
+            F.lit("}), (b"),
+            label_part("_dst_cls"),
+            F.lit(" {id: "),
             _cy_quote(F.col("dst")),
             F.lit(f"}}) {verb} (a)-[:"),
             F.regexp_replace(F.upper("label"), "[^A-Z0-9_]", "_"),

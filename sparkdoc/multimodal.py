@@ -168,9 +168,15 @@ def image_features(media: DataFrame) -> DataFrame:
 
 def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
     """Typed resize plan (target dims preserving aspect) — pure exprs; the
-    pixel work would ride the same mapInPandas as image_features."""
+    pixel work would ride the same mapInPandas as image_features. Image rows
+    with sane dimensions only: audio/video carry null width/height (least()
+    skips nulls → a claimed-valid plan row with null target dims), and a
+    corrupt zero dimension would null the scale the same way."""
     w, h = F.col("meta_width"), F.col("meta_height")
     scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
+    media = media.filter(
+        (F.col("media_type") == "image") & (w > 0) & (h > 0)
+    )
     return media.select(
         "media_ref",
         "doc_id",
@@ -221,10 +227,24 @@ def media_dedup_groups(features: DataFrame) -> DataFrame:
     )
 
 
-def near_dup_media(features: DataFrame, k: int = 5) -> DataFrame:
+def near_dup_media(features: DataFrame, k: int = 5, max_broadcast_rows: int = 100_000) -> DataFrame:
     """Embedding-cosine near-dup candidates over image embeddings (reuses the
-    similarity kernel — brute force here; LSH path in similarity.lsh_topk)."""
+    similarity kernel). Brute force broadcasts the query side and self-joins
+    a mapInPandas-derived plan, so (a) the feature table is checkpointed once
+    instead of re-embedding the feature-extraction plan on both join sides,
+    and (b) the corpus size is guarded — past ``max_broadcast_rows`` use the
+    bucketed path (similarity.lsh_topk / embedding_near_dups), which never
+    broadcasts the corpus."""
     from sparkdoc.similarity import brute_force_topk
 
-    emb = features.select(F.col("media_ref").alias("vec_id"), F.col("embedding"))
+    emb = features.select(
+        F.col("media_ref").alias("vec_id"), F.col("embedding")
+    ).localCheckpoint(eager=False)
+    n = emb.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"near_dup_media: {n} embeddings exceeds the brute-force broadcast "
+            f"guard ({max_broadcast_rows}); use similarity.embedding_near_dups "
+            "(banded LSH, bucketed equi-join) for corpus-scale media dedup."
+        )
     return brute_force_topk(emb, emb, k=k, id_col="vec_id", vec_col="embedding")

@@ -92,8 +92,11 @@ def stream_dedup_first_seen(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # schema derives from text_col — a hardcoded "text" here would null-fill
+    # (or fail to resolve) any other column name and silently collapse every
+    # document into one null-fingerprint group
     docs = (
-        spark.readStream.schema("doc_id string, text string")
+        spark.readStream.schema(f"doc_id string, `{text_col}` string")
         .option("maxFilesPerTrigger", 64)
         .parquet(in_dir)
     )

@@ -78,6 +78,57 @@ def test_export_csv_and_json_roundtrip(spark, small_graph, tmp_path):
     json.dumps(d)  # serializable
 
 
+def test_json_roundtrip_all_null_provenance_and_no_edges(spark, tmp_path):
+    """Every pipeline-produced node has provenance=NULL (entities_to_nodes),
+    and the JSON writer drops null fields — the loader must read with the
+    explicit schema (null-filled provenance, attrs as a MAP), not inference,
+    and an edgeless graph must load instead of failing to resolve columns."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.io import export_json, load_graph_from_json
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [
+            ("P_1", "d1", "Person", "Ada", {"name": "Ada"}, None),
+            ("C_1", "d1", "Company", "ACME", {"hq": "Berlin"}, None),
+        ],
+        NODES,
+    )
+    edges = spark.createDataFrame([], EDGES)
+    out = str(tmp_path / "gnull")
+    export_json(nodes, edges, out)
+    n2, e2 = load_graph_from_json(spark, out)
+    rows = {r["node_id"]: r for r in n2.collect()}
+    assert rows["P_1"]["provenance"] is None
+    assert rows["P_1"]["attrs"] == {"name": "Ada"}  # map, not inferred struct
+    assert rows["C_1"]["attrs"] == {"hq": "Berlin"}
+    # attrs stays usable as a MAP downstream
+    assert n2.select(F.map_keys("attrs")).count() == 2
+    assert e2.count() == 0 and set(e2.columns) == {"src", "dst", "label", "props"}
+
+
+def test_run_resumable_refuses_changed_params(spark, tmp_path):
+    """completed_buckets keys on bucket number; resuming with different
+    n_buckets (renumbered) or chunk flag (missing chunk outputs) must be a
+    hard error, not silent data loss."""
+    import pytest
+
+    from sparkdoc.checkpoint import run_resumable
+    from sparkdoc.synth import raw_nodes_df
+
+    out = str(tmp_path / "resume_guard")
+    raw = raw_nodes_df(spark, 60, 42, partitions=2)
+    run_resumable(spark, raw, out, n_buckets=4, group_size=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_resumable(spark, raw, out, n_buckets=8, group_size=4)
+    with pytest.raises(ValueError, match="chunk"):
+        run_resumable(spark, raw, out, n_buckets=4, group_size=4, chunk=False)
+    # unchanged params still resume cleanly
+    r = run_resumable(spark, raw, out, n_buckets=4, group_size=4)
+    assert r["buckets_processed"] == []
+
+
 def test_export_cypher(spark, small_graph, tmp_path):
     from sparkdoc.io import export_cypher
 
@@ -86,10 +137,13 @@ def test_export_cypher(spark, small_graph, tmp_path):
     export_cypher(nodes, edges, out)
     lines = [r["value"] for r in spark.read.text(out).collect()]
     text = "\n".join(lines)
-    assert "CREATE CONSTRAINT IF NOT EXISTS FOR (n:Person)" in text
-    assert "MERGE (n:Person {id: 'P_1'" in text
+    assert "CREATE CONSTRAINT IF NOT EXISTS FOR (n:`Person`)" in text
+    assert "MERGE (n:`Person` {id: 'P_1'" in text
     assert "WORKS_AT" in text
     assert "ACME\\'s" in text  # quote escaping
+    # edge MATCHes carry endpoint labels so the per-label uniqueness index
+    # serves the import (unlabeled property MATCH = AllNodesScan per edge)
+    assert "MATCH (a:`Person` {id: " in text
 
 
 def test_bucketed_write_joins_without_shuffle(spark):
