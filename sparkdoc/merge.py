@@ -215,8 +215,13 @@ def deep_merge_dicts(
     import copy
 
     out = copy.deepcopy(base)
+    # extra is deep-copied too: _merge_entity_lists appends unmatched source
+    # entities BY REFERENCE into the result, so later in-place merges would
+    # otherwise write through into the caller's input (and mutations of the
+    # returned dict would leak back into it)
     return _deep_merge_into(
-        out, extra, "", identity_fields_map, merge_similarity_fallback, description_fields
+        out, copy.deepcopy(extra), "", identity_fields_map, merge_similarity_fallback,
+        description_fields,
     )
 
 
@@ -299,7 +304,10 @@ def _skolemize_root_collisions(
                 F.when(
                     F.col("_new").isNotNull(),
                     F.map_concat(
-                        F.col("attrs"),
+                        # strip a pre-existing marker (re-merging a merge
+                        # output): duplicate map keys raise under Spark's
+                        # default EXCEPTION dedup policy
+                        F.map_filter(F.col("attrs"), lambda k, v: k != F.lit("skolem_document_id")),
                         F.create_map(F.lit("skolem_document_id"), F.col("_skolem_doc")),
                     ),
                 ).otherwise(F.col("attrs")),
@@ -379,8 +387,10 @@ def merge_graphs_policy(
     if skolemize:
         tagged_n, tagged_e, skolemized = _skolemize_root_collisions(tagged_n, tagged_e)
     else:
+        # same schema as the real audit — the output contract must not flip
+        # column names with the skolemize flag
         skolemized = inputs[0][0].sparkSession.createDataFrame(
-            [], "node_id string, new_id string, input_index int"
+            [], "original_id string, skolemized_id string, document_id string, input_index int"
         )
 
     all_nodes = tagged_n[0]
@@ -429,8 +439,17 @@ def merge_graphs_policy(
     folded = winner.groupBy("node_id").agg(
         F.map_from_entries(F.collect_list(F.struct("k", "v"))).alias("attrs")
     )
+    # the winner row (node_class/label/doc_id/provenance) must follow the
+    # SAME precedence as the attr fold: under 'richest' the input with the
+    # most filled attrs wins the whole row, not just the attrs (input order
+    # breaks richness ties either way)
+    if policy.precedence == "richest":
+        _rich = F.size(F.filter(F.map_values("attrs"), lambda v: v.isNotNull() & (v != "")))
+        _order = [_rich.desc(), F.col("_src").asc()]
+    else:
+        _order = [F.col("_src").asc()]
     label_pick = all_nodes.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("node_id").orderBy("_src"))
+        "_rn", F.row_number().over(Window.partitionBy("node_id").orderBy(*_order))
     ).filter(F.col("_rn") == 1).select("node_id", "node_class", "label", "doc_id", "provenance")
     nodes = label_pick.join(folded, "node_id", "left").withColumn(
         "attrs", F.coalesce(F.col("attrs"), F.create_map().cast("map<string,string>"))
@@ -452,7 +471,12 @@ def merge_graphs_policy(
             "attrs",
             F.when(
                 F.col("_conf").isNotNull(),
-                F.map_concat(F.col("attrs"), F.create_map(F.lit("__conflicts__"), F.col("_conf"))),
+                F.map_concat(
+                    # a previous merge's __conflicts__ would be a duplicate
+                    # map key (EXCEPTION policy) — the fresh packing wins
+                    F.map_filter(F.col("attrs"), lambda k, v: k != F.lit("__conflicts__")),
+                    F.create_map(F.lit("__conflicts__"), F.col("_conf")),
+                ),
             ).otherwise(F.col("attrs")),
         ).drop("_conf")
 
@@ -474,7 +498,8 @@ def merge_graphs_policy(
                 F.lit(VARIANT_TYPE).alias("node_class"),
                 F.concat(F.lit("variant of "), F.col("node_id")).alias("label"),
                 F.map_concat(
-                    F.col("attrs"), F.create_map(F.lit("variant_source"), F.col("_src").cast("string"))
+                    F.map_filter(F.col("attrs"), lambda k, v: k != F.lit("variant_source")),
+                    F.create_map(F.lit("variant_source"), F.col("_src").cast("string")),
                 ).alias("attrs"),
                 F.lit(None).cast("string").alias("provenance"),
                 F.col("node_id").alias("_base"),
@@ -489,13 +514,36 @@ def merge_graphs_policy(
         variant_nodes = variant_nodes.drop("_base")
         nodes = nodes.unionByName(variant_nodes)
 
-    all_edges = tagged_e[0].drop("_src")
+    all_edges = tagged_e[0]
     for t in tagged_e[1:]:
-        all_edges = all_edges.unionByName(t.drop("_src"))
-    edges = all_edges.dropDuplicates(["src", "dst", "label"])
+        all_edges = all_edges.unionByName(t)
+    # deterministic props for duplicate edges: lowest input index wins
+    # (dropDuplicates keeps an arbitrary row), json tie-break within an input
+    edges = all_edges.groupBy("src", "dst", "label").agg(
+        F.min_by("props", F.struct(F.col("_src"), F.to_json("props"))).alias("props")
+    )
     if variant_edges is not None:
         edges = edges.unionByName(variant_edges)
 
+    if ledgers and skolemize:
+        # keep provenance linkage for renamed roots: bind_provenance rung 1
+        # binds on identity_key == node_id, so a skolemized root whose ledger
+        # rows still carry the old id would lose its exact bind — rename the
+        # matching (input, doc, identity) ledger rows the same way
+        ren_small = F.broadcast(skolemized)  # audit derives from a localCheckpoint
+        remapped = []
+        for i, led in enumerate(ledgers):
+            r = ren_small.filter(F.col("input_index") == i).select(
+                F.col("original_id").alias("identity_key"),
+                F.col("document_id").alias("doc_id"),
+                F.col("skolemized_id").alias("_sk"),
+            )
+            remapped.append(
+                led.join(r, ["identity_key", "doc_id"], "left")
+                .withColumn("identity_key", F.coalesce(F.col("_sk"), F.col("identity_key")))
+                .drop("_sk")
+            )
+        ledgers = remapped
     merged_ledger = merge_ledgers_sidecar(ledgers) if ledgers else None
 
     report = {

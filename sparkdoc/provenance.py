@@ -71,20 +71,35 @@ def anchor_scan(entities: DataFrame, chunks: DataFrame) -> DataFrame:
     # phase 1: scan DISTINCT values per doc (skew guard: capped, deterministic)
     wv = Window.partitionBy("doc_id").orderBy("_lv")
     dv = (
-        values.select("doc_id", "_lv").distinct()
+        values.groupBy("doc_id", "_lv")
+        # one representative RAW spelling per lowered value — the needle for
+        # chunks that fell back to case-sensitive scanning (below)
+        .agg(F.min("value").alias("_rv"))
         .withColumn("_rn", F.row_number().over(wv))
         .filter(F.col("_rn") <= MAX_SCAN_VALUES_PER_DOC)
         .drop("_rn")
         .withColumn("_le", F.lower(_xml_escape(F.col("_lv"))))
     )
-    ch = chunks.select("doc_id", "chunk_id", F.lower("text").alias("_lt"))
+    # lower() can CHANGE string length (e.g. U+0130 lowers to two codepoints),
+    # which would shift every span offset right of the fold point — offsets
+    # into _lt must stay valid against the ORIGINAL text, so chunks where the
+    # fold is not length-preserving fall back to case-sensitive scanning
+    # (fewer matches, never a wrong span)
+    _low = F.lower("text")
+    ch = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.when(F.length(_low) == F.length("text"), _low).otherwise(F.col("text")).alias("_lt"),
+    )
     j = dv.join(ch, "doc_id")  # per-doc theta join on distinct values; AQE splits skew
     pos_raw = F.expr("locate(_lv, _lt)")
     pos_esc = F.expr("locate(_le, _lt)")
+    pos_rv = F.expr("locate(_rv, _lt)")  # exact-case needle: hits on fallback chunks
     j = j.withColumn(
         "_hit",
         F.when(pos_raw > 0, F.struct(pos_raw.alias("pos"), F.length("_lv").alias("len")))
-        .when(pos_esc > 0, F.struct(pos_esc.alias("pos"), F.length("_le").alias("len"))),
+        .when(pos_esc > 0, F.struct(pos_esc.alias("pos"), F.length("_le").alias("len")))
+        .when(pos_rv > 0, F.struct(pos_rv.alias("pos"), F.length("_rv").alias("len"))),
     ).filter(F.col("_hit").isNotNull())
     hits = j.select("doc_id", "_lv", "chunk_id", "_hit")
     # phase 2: hits fan back out to (node, field) rows via an equi join
@@ -245,7 +260,10 @@ def bind_provenance(
             led,
             (n2["doc_id"] == led["_l_doc"])
             & (n2["path"] == led["_l_path"])
-            & (F.length("_lt") > 0)
+            # the len >= 3 guard applies to BOTH sides: a 1-2 char ledger
+            # canonical would containment-match half the path and hand out
+            # wrong fuzzy attributions
+            & (F.length("_lt") >= 3)
             & (F.col("_ct").contains(F.col("_lt")) | F.col("_lt").contains(F.col("_ct"))),
         )
     )
@@ -334,10 +352,16 @@ def merge_ledgers(ledgers: list[DataFrame]) -> DataFrame:
     best = (
         exploded.withColumn("_s", strength[F.col("a.kind")])
         .groupBy("doc_id", "identity_key", "path", F.col("a.chunk_id").alias("chunk_id"), F.col("a.span").alias("span"))
-        .agg(F.max_by(F.col("a.kind"), F.col("_s")).alias("kind"), F.first("ids").alias("ids"))
+        .agg(
+            F.max_by(F.col("a.kind"), F.col("_s")).alias("kind"),
+            # deterministic ids pick when input ledgers disagree: richest map
+            # wins, json tie-break (first() returns whichever partition lands
+            # first — merged sidecars would differ run to run)
+            F.max_by("ids", F.struct(F.size("ids"), F.to_json("ids"))).alias("ids"),
+        )
     )
     return best.groupBy("doc_id", "identity_key", "path").agg(
-        F.first("ids").alias("ids"),
+        F.max_by("ids", F.struct(F.size("ids"), F.to_json("ids"))).alias("ids"),
         F.slice(
             F.array_sort(F.collect_list(F.struct("chunk_id", "kind", "span"))), 1, MAX_ANCHORS
         ).alias("anchors"),

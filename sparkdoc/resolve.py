@@ -154,15 +154,21 @@ def resolve_parents(children: DataFrame, parents: DataFrame) -> DataFrame:
     )
     c = _pick(c, r5, "adjacent")
 
-    # R6 synthesized bucket parent
+    # R6 synthesized bucket parent — guarded: concat null-propagates, so a
+    # child with a NULL parent_path must stay unresolved (parent_id NULL,
+    # resolved_by NULL) rather than claim resolved_by='bucket' with no parent
     keep = [x for x in c.columns if x not in ("parent_id", "resolved_by")]
+    bucket_id = F.when(
+        F.col("parent_path").isNotNull(),
+        F.concat(F.lit("BUCKET_"), F.col("doc_id"), F.lit("_"), F.col("parent_path")),
+    )
+    final_pid = F.coalesce(F.col("parent_id"), bucket_id)
     c = c.select(
         *keep,
-        F.coalesce(
-            F.col("parent_id"),
-            F.concat(F.lit("BUCKET_"), F.col("doc_id"), F.lit("_"), F.col("parent_path")),
-        ).alias("parent_id"),
-        F.coalesce(F.col("resolved_by"), F.lit("bucket")).alias("resolved_by"),
+        final_pid.alias("parent_id"),
+        F.when(
+            final_pid.isNotNull(), F.coalesce(F.col("resolved_by"), F.lit("bucket"))
+        ).alias("resolved_by"),
     )
     return c.drop("_c_canon")
 
