@@ -32,9 +32,11 @@ from sparkdoc.textops import doc_fingerprint, words
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of exact duplicates (normalized md5): (fingerprint, n_docs,
-    keep_id = min id, doc_ids)."""
+    keep_id = min id, doc_ids). NULL-text docs are excluded — unknown
+    contents are not duplicates of each other."""
     return (
         df.withColumn("fp", doc_fingerprint(F.col(text_col)))
+        .filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),
@@ -47,13 +49,20 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep min-id representative per fingerprint. Window-free: groupBy +
-    semi-join back (two narrow shuffles, no sort)."""
+    semi-join back (two narrow shuffles, no sort). NULL-text rows pass
+    through untouched: md5(NULL)=NULL would land every failed-extraction doc
+    in ONE group and silently delete all but one of them — unknown contents
+    are not equal contents."""
+    fp = doc_fingerprint(F.col(text_col))
     keep = (
-        df.withColumn("fp", doc_fingerprint(F.col(text_col)))
+        df.filter(fp.isNotNull())
+        .withColumn("fp", fp)
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    return df.join(keep.select(id_col), id_col, "left_semi")
+    return df.join(keep.select(id_col), id_col, "left_semi").unionByName(
+        df.filter(fp.isNull())
+    )
 
 
 # --- shingles / MinHash / LSH -----------------------------------------------------
@@ -155,9 +164,21 @@ def minhash_lsh_candidates(
     happens — the self-join keys on (band, key), and duplicate-pair explosion
     across bands collapses with dropDuplicates before verification.
     """
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_candidates: k={k} must be a positive multiple of "
+            f"bands={bands} (bands>k would hash EMPTY slices — every doc "
+            "collides on every band; a non-dividing bands silently ignores "
+            "trailing signature entries)"
+        )
     rows = k // bands
     sig = (
         minhash_agg(df.select(F.col(id_col).alias("_id"), text_col), "_id", text_col, k, n, out="_sig")
+        # docs with NO shingles (null/empty/short text) share the all-''
+        # signature — banding them would pair every such doc with every
+        # other (O(m²) explosion) while exact-Jaccard verification defines
+        # their overlap as 0 anyway; this method simply cannot see them
+        .filter(F.element_at(F.col("_sig"), 1) != "")
         .select("_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bk"))
         .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
@@ -258,8 +279,10 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 
         *[
             F.struct(
                 F.lit(i).alias("blk"),
+                # width 64 (max_hamming=0, single block): (1<<64)-1 does not
+                # fit a signed long — AND with -1 (all ones) is the identity
                 F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-                    F.lit((1 << width) - 1)
+                    F.lit(-1 if width >= 64 else (1 << width) - 1)
                 ).alias("key"),
             )
             for i, off, width in specs

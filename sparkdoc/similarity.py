@@ -63,8 +63,12 @@ def _with_unit(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     subexpressions per element, so norm() inside the lambda would be O(d²)
     per row (and norm() inside a join projection re-runs per candidate PAIR,
     the round-1 perf bug). After this, every pair costs a single dot."""
+    # zero-norm (or null) vectors are dropped: 0/0 normalizes to NaN, and
+    # Spark sorts NaN ABOVE every real cosine — a single zero vector would
+    # otherwise become the rank-1 "neighbor" of every query
     return (
         df.withColumn("_n", norm(_as_double(F.col(vec_col))))
+        .filter(F.col("_n") > 0)
         .withColumn(out, F.transform(_as_double(F.col(vec_col)), lambda x: x / F.col("_n")))
         .drop("_n")
     )
@@ -120,6 +124,8 @@ def ann_recall(exact: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:
                 F.round(F.avg("recall"), 6).alias("mean_recall_at_k"),
             ).select(F.lit(name).alias("method"), "n_queries", "mean_recall_at_k")
         )
+    if not parts:
+        raise ValueError("ann_recall: approx dict is empty — nothing to grade")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -160,12 +166,24 @@ def hyperplane_bucket(vec: Column, n_bits: int = 8, dim: int = 64, seed: int = 7
     # run-time width guard: CaseWhen keeps the raise_error branch (it cannot
     # be pruned — the branches differ), so an over-wide row fails the job
     # with a clear message instead of silently bucketing everything to 0
-    checked = F.when(F.size(vec) <= F.lit(dim), vec).otherwise(
-        F.raise_error(
-            F.format_string(
-                "hyperplane_bucket: vector width %s exceeds dim=%s — pass dim >= the embedding width",
-                F.size(vec).cast("string"),
-                F.lit(str(dim)),
+    checked = (
+        F.when(
+            vec.isNull(),
+            F.raise_error(
+                F.lit(
+                    "hyperplane_bucket: NULL embedding — filter null/zero "
+                    "vectors before bucketing (_with_unit does)"
+                )
+            ),
+        )
+        .when(F.size(vec) <= F.lit(dim), vec)
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "hyperplane_bucket: vector width %s exceeds dim=%s — pass dim >= the embedding width",
+                    F.size(vec).cast("string"),
+                    F.lit(str(dim)),
+                )
             )
         )
     )
@@ -191,21 +209,25 @@ def lsh_topk(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """ANN top-k: equi-join on hyperplane bucket, exact cosine within bucket.
 
     At 100 TB the corpus hash+bucket is computed once and written bucketed;
     queries probe single buckets — shuffle volume ∝ bucket size, not corpus.
+    ``dim``: max embedding width (plane literals are sized to it; wider rows
+    fail fast in hyperplane_bucket) — exposed here like embedding_near_dups
+    and ivf_topk so >64-dim corpora have an escape hatch.
     """
     c = (
         _with_unit(corpus, vec_col, "cv")
         .select(F.col(id_col).alias("neighbor_id"), "cv")
-        .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_bits))
+        .withColumn("bucket", hyperplane_bucket(F.col("cv"), n_bits, dim))
     )
     q = F.broadcast(
         _with_unit(queries, vec_col, "qv")
         .select(F.col(id_col).alias("query_id"), "qv")
-        .withColumn("bucket", hyperplane_bucket(F.col("qv"), n_bits))
+        .withColumn("bucket", hyperplane_bucket(F.col("qv"), n_bits, dim))
     )
     scored = (
         q.join(c, "bucket")

@@ -45,8 +45,9 @@ LANG_ORDER = ("en", "fr", "de", "es")  # deterministic tie-break precedence
 
 
 def lang_hits(col: Column, lang: str) -> Column:
-    wl = STOPWORDS[lang]
-    return F.size(F.filter(words(col), lambda w: w.isin(*wl)))
+    # delegate so the hit-counting expr (and its DuckDB oracle twin) has ONE
+    # definition to keep in sync
+    return _lang_hits_of(words(col), lang)
 
 
 def _lang_hits_of(words_col: Column, lang: str) -> Column:
@@ -147,7 +148,9 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text", window: int = 16
     @pandas_udf("array<long>")
     def _fp(s: pd.Series) -> pd.Series:
         def fps(text: str) -> list[int]:
-            if not text or len(text) < window:
+            # gate on BYTE length only — windows are byte windows, and a
+            # short-in-chars multibyte text can still hold >= window bytes
+            if not text:
                 return []
             data = text.lower().encode("utf-8", "ignore")
             if len(data) < window:

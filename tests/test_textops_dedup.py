@@ -234,3 +234,77 @@ def test_ivf_assign_requires_dim(spark):
     df = spark.createDataFrame([(1, [0.1] * 8)], "vec_id int, embedding array<double>")
     with pytest.raises(ValueError, match="dim is required"):
         ivf_assign(df)
+
+
+def test_zero_vector_never_ranks(spark):
+    """A zero embedding normalizes to NaN, and Spark sorts NaN above every
+    real cosine — _with_unit must drop zero/null-norm rows so they never
+    appear as rank-1 neighbors."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0])], "vec_id int, embedding array<double>")
+    rows = brute_force_topk(corpus, q, k=3).collect()
+    ids = [r["neighbor_id"] for r in rows]
+    assert 3 not in ids and ids[0] == 1
+    assert all(r["cos"] == r["cos"] for r in rows)  # no NaN survives
+
+
+def test_simhash_near_dups_exact_radius_zero(spark):
+    """max_hamming=0 (single 64-bit block) must not overflow the band mask —
+    it returns exactly the hamming==0 pairs."""
+    from sparkdoc.dedup_text import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 7), ("c", 8)], "doc_id string, simhash long"
+    )
+    pairs = {(r["a"], r["b"]) for r in simhash_near_dups(df, max_hamming=0).collect()}
+    assert pairs == {("a", "b")}
+
+
+def test_minhash_lsh_shingleless_docs_never_pair(spark):
+    """Docs with no shingles (short/empty/null text) share the all-'' MinHash
+    signature — banding them would pair every such doc with every other."""
+    import pytest
+
+    from sparkdoc.dedup_text import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [("a", "hi"), ("b", "yo"), ("c", None),
+         ("d", "the quick brown fox jumps over the lazy dog every day"),
+         ("e", "the quick brown fox jumps over the lazy dog every night")],
+        "doc_id string, text string",
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_candidates(df, k=16, bands=4).collect()}
+    assert pairs == {("d", "e")}  # no short-doc cross-product
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_candidates(df, k=16, bands=20)
+
+
+def test_drop_exact_dups_null_text_passthrough(spark):
+    """NULL-text docs must not be treated as duplicates of each other."""
+    from sparkdoc.dedup_text import drop_exact_dups, exact_dup_groups
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "same"), ("d", "same")],
+        "doc_id string, text string",
+    )
+    kept = {r["doc_id"] for r in drop_exact_dups(df).collect()}
+    assert kept == {"a", "b", "c"}  # both nulls survive; one of c/d dropped
+    assert exact_dup_groups(df).count() == 1  # only the real group
+
+
+def test_rolling_fingerprints_multibyte_short_chars(spark):
+    """A text short in CHARACTERS but >= window BYTES must fingerprint (byte
+    windows, byte gate)."""
+    from sparkdoc.textops import rolling_fingerprints
+
+    text = "漢字の文章テスト例語句集合体系名詞動詞形容詞副詞"  # 24 chars, 72 bytes
+    df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    fps = rolling_fingerprints(df, window=16).collect()[0]["fingerprints"]
+    assert fps  # 72 utf-8 bytes -> 57 windows; min-sampling keeps some
