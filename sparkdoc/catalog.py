@@ -204,24 +204,43 @@ def build_node_catalog(template: dict, include_references: bool = False) -> Node
         ref_rules: list[tuple[str, str]] = []
         ref_labels: list[tuple[str, str]] = []
         closed: list[str] = []
+
+        def add_ref(rname: str, child: dict) -> None:
+            child_model = child.get("model") or {}
+            refs.append((rname, tuple(child_model.get("id_fields") or ())))
+            # empty (not "Unknown") when the reference stub omits the
+            # class: consumers fall back to id-field-shape matching —
+            # a truthy placeholder would win over that fallback and
+            # silently mint never-instantiated edge targets
+            ref_classes.append((rname, child_model.get("class") or ""))
+            rule = child.get("rule") or {}
+            if rule.get("pattern"):
+                ref_rules.append((rname, rule["pattern"]))
+            if child.get("edge_label"):
+                ref_labels.append((rname, str(child["edge_label"])))
+            if child.get("closed_catalog"):
+                closed.append(rname)
+
+        def fold_component(comp_model: dict, prefix: str) -> None:
+            # recurse through NESTED components too (the reference folds the
+            # whole component subtree into the owning entity's fill schema,
+            # catalog.py:238-247): scalar fields dot-prefix at every level,
+            # and reference children inside components hoist to the entity
+            # under their dotted name
+            fields.extend(_field_specs(comp_model, prefix=prefix))
+            for cname, cchild in (comp_model.get("children") or {}).items():
+                c_model = cchild.get("model") or {}
+                if cchild.get("reference"):
+                    add_ref(f"{prefix}{cname}", cchild)
+                elif c_model.get("component"):
+                    fold_component(c_model, f"{prefix}{cname}.")
+
         for fname, child in (model.get("children") or {}).items():
             child_model = child.get("model") or {}
             if child.get("reference"):
-                refs.append((fname, tuple(child_model.get("id_fields") or ())))
-                # empty (not "Unknown") when the reference stub omits the
-                # class: consumers fall back to id-field-shape matching —
-                # a truthy placeholder would win over that fallback and
-                # silently mint never-instantiated edge targets
-                ref_classes.append((fname, child_model.get("class") or ""))
-                rule = child.get("rule") or {}
-                if rule.get("pattern"):
-                    ref_rules.append((fname, rule["pattern"]))
-                if child.get("edge_label"):
-                    ref_labels.append((fname, str(child["edge_label"])))
-                if child.get("closed_catalog"):
-                    closed.append(fname)
+                add_ref(fname, child)
             elif child_model.get("component"):
-                fields.extend(_field_specs(child_model, prefix=f"{fname}."))
+                fold_component(child_model, f"{fname}.")
         return NodeSpec(
             path=path,
             node_type=model.get("class", "Unknown"),

@@ -62,10 +62,8 @@ def prepare_fill(catalog: NodeCatalog) -> dict:
     prepared = {}
     for spec in catalog.nodes:
         props = set(build_projected_fill_schema(catalog, spec)["properties"])
-        refs = [
-            (fname, dict(_reference_targets(catalog, spec)).get(fname, ""))
-            for fname, _ids in spec.reference_fields
-        ]
+        targets = dict(_reference_targets(catalog, spec))
+        refs = [(fname, targets.get(fname, "")) for fname, _ids in spec.reference_fields]
         prepared[spec.path] = (props, refs)
     return prepared
 
@@ -85,10 +83,8 @@ def extract_fields(
         props, ref_rules = prepared[spec.path]
     else:
         props = set(build_projected_fill_schema(catalog, spec)["properties"])
-        ref_rules = [
-            (fname, dict(_reference_targets(catalog, spec)).get(fname, ""))
-            for fname, _ids in spec.reference_fields
-        ]
+        targets = dict(_reference_targets(catalog, spec))
+        ref_rules = [(fname, targets.get(fname, "")) for fname, _ids in spec.reference_fields]
     primary = ids.get(spec.id_fields[0], "") if spec.id_fields else ""
     out: dict = {}
     for f in spec.fields:

@@ -37,14 +37,22 @@ def strip_mislabeled_root_ids(entities: DataFrame) -> DataFrame:
     """Clear id values that are (a) digit-free multi-word prose in a
     numeric-named field, or (b) class-name echoes
     (orchestrator.py:147-183)."""
-    numeric_field = F.col("e.key").rlike("(number|num|code|id)$")
-    proseish = (~F.col("e.value").rlike("[0-9]")) & (
-        F.size(F.split(F.col("e.value"), "\\s+")) >= 3
-    )
-    echo = (
-        F.regexp_replace(F.lower(F.col("e.value")), "[^a-z0-9]", "")
-        == F.regexp_replace(F.lower(F.col("class")), "[^a-z0-9]", "")
-    )
+    def numeric_field(e):
+        return e["key"].rlike("(number|num|code|id)$")
+
+    def proseish(e):
+        return (~e["value"].rlike("[0-9]")) & (F.size(F.split(e["value"], "\\s+")) >= 3)
+
+    def echo(e):
+        return F.regexp_replace(F.lower(e["value"]), "[^a-z0-9]", "") == F.regexp_replace(
+            F.lower(F.col("class")), "[^a-z0-9]", ""
+        )
+
+    # a value equal to the row's doc_id is GROUND TRUTH (root_entities keys
+    # the root on doc_id), never a hallucinated echo — without this guard a
+    # document named after the root class ('report' → class Report) loses
+    # its root id here and the empty-ids filter drops the root row before
+    # repair_root_identity can refill it
     cleaned = F.map_from_entries(
         F.filter(
             F.transform(
@@ -52,15 +60,8 @@ def strip_mislabeled_root_ids(entities: DataFrame) -> DataFrame:
                 lambda e: F.struct(
                     e["key"].alias("key"),
                     F.when(
-                        (
-                            e["key"].rlike("(number|num|code|id)$")
-                            & (~e["value"].rlike("[0-9]"))
-                            & (F.size(F.split(e["value"], "\\s+")) >= 3)
-                        )
-                        | (
-                            F.regexp_replace(F.lower(e["value"]), "[^a-z0-9]", "")
-                            == F.regexp_replace(F.lower(F.col("class")), "[^a-z0-9]", "")
-                        ),
+                        ((numeric_field(e) & proseish(e)) | echo(e))
+                        & (e["value"] != F.col("doc_id")),
                         F.lit(None).cast("string"),
                     ).otherwise(e["value"]).alias("value"),
                 ),
@@ -68,7 +69,6 @@ def strip_mislabeled_root_ids(entities: DataFrame) -> DataFrame:
             lambda s: s["value"].isNotNull(),
         )
     )
-    _ = (numeric_field, proseish, echo)  # documented predicates above
     return entities.withColumn("ids", cleaned)
 
 
@@ -79,9 +79,11 @@ def empty_identity_nodes(entities: DataFrame) -> DataFrame:
     return entities.filter(empty).select("doc_id", "path", "class", "node_id")
 
 
-def over_discovery_warnings(entities: DataFrame, root_path: str = "docs[]") -> DataFrame:
+def over_discovery_warnings(entities: DataFrame, root_path: str = "") -> DataFrame:
     """Paths whose instance count exceeds 5× the median non-root count per
-    doc (orchestrator.py:1983-2008)."""
+    doc (orchestrator.py:1983-2008). ``root_path`` defaults to this engine's
+    root path '' — the root's single row must not enter (and drag down) the
+    per-doc median."""
     counts = (
         entities.filter(F.col("path") != root_path)
         .groupBy("doc_id", "path")
@@ -228,13 +230,20 @@ def resolve_root_identity(
             def _p(excerpt: pd.Series) -> pd.Series:
                 out = []
                 for e in excerpt:
+                    if e is None:
+                        out.append(None)  # row not resolving — skip the call
+                        continue
                     try:
-                        out.append(proposer(e or "", fld))
+                        out.append(proposer(e, fld))
                     except Exception:
                         out.append(None)  # the slot must never break the pass
                 return pd.Series(out, dtype=object)
 
-            return _p(F.col("_excerpt"))
+            # null out excerpts for rows that aren't resolving so the (LLM)
+            # proposer is only invoked for roots that actually need identity
+            # — F.when gates ASSIGNMENT, not evaluation, so feeding the raw
+            # column would call the proposer for every root in the corpus
+            return _p(F.when(F.col("_resolve"), F.col("_excerpt")))
     else:
         pats = patterns or {}
 
@@ -350,10 +359,14 @@ def rescue_invalid_roots(validated: DataFrame, catalog) -> DataFrame:
     if spec is None or not spec.id_fields or "valid" not in validated.columns:
         return repair_root_identity(validated, catalog)
     repaired = repair_root_identity(validated, catalog)
-    id_filled = F.lit(True)
-    for fld in spec.id_fields:
-        v = F.element_at(F.col("ids"), fld)
-        id_filled = id_filled & v.isNotNull() & (F.trim(v) != "")
+    # the PRIMARY id field carries the root's identity (root_entities keys it
+    # on doc_id; the stem fallback refills it). Secondary root id fields have
+    # no deterministic source in this shell (resolve_root_identity is the
+    # opt-in completion micro-pass), so requiring ALL of them here would make
+    # every multi-id-field root permanently invalid — the rescue accepts a
+    # filled primary and drops only the missing-identity errors.
+    primary = F.element_at(F.col("ids"), spec.id_fields[0])
+    id_filled = primary.isNotNull() & (F.trim(primary) != "")
     only_missing_id = (
         F.size(F.filter("errors", lambda e: ~e.startswith("missing_required:"))) == 0
     )

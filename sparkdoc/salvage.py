@@ -88,11 +88,16 @@ def validate(data: Any, schema: dict, loc: tuple = ()) -> list[dict]:
                 continue
             errors.extend(validate(v, sub, (*loc, k)))
         return errors
-    if stype == "list":
+    if stype == "list" or (isinstance(stype, str) and stype.startswith("list[")):
+        # both dialect spellings: 'list' (+items) and the catalog/FieldSpec
+        # 'list[string]' shorthand — without this, catalog-produced list
+        # fields matched NO branch and passed through unvalidated
         if not isinstance(data, list):
             errors.append({"loc": loc, "type": "list_type", "msg": "expected list"})
             return errors
-        items = schema.get("items") or {"type": "string"}
+        items = schema.get("items") or (
+            {"type": stype[5:-1]} if stype.startswith("list[") else {"type": "string"}
+        )
         for i, item in enumerate(data):
             errors.extend(validate(item, items, (*loc, i)))
         return errors
@@ -119,6 +124,13 @@ def validate(data: Any, schema: dict, loc: tuple = ()) -> list[dict]:
         return errors
     if stype == "bool":
         if not isinstance(data, bool):
+            # lax mode mirrors int/float: fill stringifies everything, so
+            # 'True'/'false'/'1' must validate or bool fields are
+            # UNSALVAGEABLE (no coercer can make a str a bool instance)
+            if isinstance(data, str) and data.strip().lower() in (
+                "true", "false", "yes", "no", "1", "0",
+            ):
+                return errors
             errors.append({"loc": loc, "type": "bool_type", "msg": "expected bool"})
         return errors
     return errors
@@ -407,6 +419,17 @@ def coerce_list_types(data: Any, errors: list[dict]) -> bool:
                         continue
                 except (ValueError, SyntaxError):
                     pass
+                # non-literal bracket form ('[Alice, Bob]'): strip the
+                # brackets before the comma-split fallback, or the first and
+                # last elements keep them baked in
+                inner = s[1:-1].strip()
+                lv = [p.strip() for p in inner.split(",") if p.strip()] if "," in inner else (
+                    [inner] if inner else []
+                )
+                _set_at(data, loc, lv)
+                seen.add(loc)
+                changed = True
+                continue
             lv = [p.strip() for p in value.split(",") if p.strip()] if "," in value else [value]
         else:
             lv = [value]

@@ -251,3 +251,134 @@ def test_last_round_fixes_still_validated():
     # whatever the path taken, result is consistent: either valid or terminal
     if not terminal:
         assert isinstance(repaired.get("name", ""), str)
+
+
+def test_bool_fields_are_salvageable(spark):
+    """fill stringifies every value; bool-typed fields must accept
+    'True'/'false'/'1' in lax mode or they are UNSALVAGEABLE (no coercer can
+    turn a str into a bool instance) and every entity with one is dropped."""
+    from sparkdoc.catalog import build_node_catalog
+    from sparkdoc.salvage import salvage_entities
+
+    template = {
+        "class": "R", "id_fields": ["name"],
+        "fields": {"active": {"type": "bool"}}, "children": {},
+    }
+    cat = build_node_catalog(template)
+    ents = spark.createDataFrame(
+        [
+            ("d", "", "R", {"name": "x"}, {"active": "True"}, [0], "n1", -1),
+            ("d", "", "R", {"name": "y"}, {"active": "false"}, [0], "n2", -1),
+            ("d", "", "R", {"name": "z"}, {"active": "maybe"}, [0], "n3", -1),
+        ],
+        "doc_id string, path string, class string, ids map<string,string>, "
+        "fields map<string,string>, chunk_ids array<int>, node_id string, fill_batch int",
+    )
+    out = {r["node_id"]: r for r in salvage_entities(ents, cat).collect()}
+    # valid bool spellings survive WITHOUT a salvage pass (lax accept)…
+    assert out["n1"]["valid"] == 1 and out["n1"]["salvage_passes"] == 0
+    assert out["n1"]["fields"]["active"] == "True"
+    assert out["n2"]["valid"] == 1 and out["n2"]["salvage_passes"] == 0
+    # …while a non-bool spelling takes the ladder's optional-field prune
+    # (previously EVERY spelling failed and the value was always pruned)
+    assert out["n3"]["valid"] == 1 and out["n3"]["salvage_passes"] == 1
+    assert "active" not in out["n3"]["fields"]
+
+
+def test_list_string_dialect_validates(spark):
+    """'list[string]' (the FieldSpec shorthand) must hit the list branch —
+    previously it matched NO branch and passed through unvalidated."""
+    from sparkdoc.salvage import validate
+
+    assert validate(["a", "b"], {"type": "list[string]"}, ()) == []
+    errs = validate("not-a-list", {"type": "list[string]"}, ())
+    assert errs and errs[0]["type"] == "list_type"
+
+
+def test_bracket_list_fallback_strips_brackets():
+    """'[Alice, Bob]' (not a python literal) must split WITHOUT baking the
+    brackets into the first/last elements."""
+    from sparkdoc.salvage import coerce_list_types
+
+    data = {"people": "[Alice, Bob]"}
+    coerce_list_types(data, [{"type": "list_type", "loc": ("people",)}])
+    assert data["people"] == ["Alice", "Bob"]
+
+
+def test_nested_component_fields_fold_to_owner():
+    """component-in-component scalar fields and references fold into the
+    owning ENTITY's spec under dotted names (reference folds the whole
+    component subtree, catalog.py:238-247)."""
+    from sparkdoc.catalog import build_node_catalog
+
+    template = {
+        "class": "R", "id_fields": ["name"], "fields": {},
+        "children": {
+            "meta": {"list": False, "model": {
+                "class": "Meta", "component": True, "fields": {"lang": {"type": "string"}},
+                "children": {
+                    "inner": {"list": False, "model": {
+                        "class": "Inner", "component": True,
+                        "fields": {"x": {"type": "string"}}, "children": {},
+                    }},
+                    "owner": {"list": False, "reference": True, "model": {
+                        "class": "Party", "id_fields": ["email"], "fields": {},
+                    }},
+                },
+            }},
+            "parties": {"list": True, "model": {
+                "class": "Party", "id_fields": ["email"], "fields": {}, "children": {},
+            }},
+        },
+    }
+    cat = build_node_catalog(template)
+    root = cat.spec_by_path()[""]
+    fnames = {f.name for f in root.fields}
+    assert {"meta.lang", "meta.inner.x"} <= fnames
+    ref_names = {fname for fname, _ in root.reference_fields}
+    assert "meta.owner" in ref_names
+    assert dict(root.reference_classes)["meta.owner"] == "Party"
+
+
+def test_multi_id_root_rescued_on_primary(spark):
+    """A root spec with TWO id fields: the stem/doc_id fills only the
+    primary; the rescue must still flip valid (the secondary has no
+    deterministic source — requiring it made every such root invalid)."""
+    from sparkdoc.catalog import build_node_catalog
+    from sparkdoc.rootid import rescue_invalid_roots
+
+    template = {"class": "R", "id_fields": ["name", "code"], "fields": {}, "children": {}}
+    cat = build_node_catalog(template)
+    rows = [
+        ("doc-1", "", "R", {"name": "doc-1"}, 0,
+         ["missing_required:code"]),
+        ("doc-2", "", "R", {}, 0,
+         ["missing_required:name", "missing_required:code"]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, path string, class string, ids map<string,string>, "
+        "valid int, errors array<string>",
+    )
+    out = {r["doc_id"]: r for r in rescue_invalid_roots(df, cat).collect()}
+    assert out["doc-1"]["valid"] == 1  # primary filled → rescued
+    assert out["doc-2"]["valid"] == 1  # stem fallback fills primary → rescued
+    assert out["doc-2"]["ids"]["name"] == "doc-2"
+
+
+def test_root_id_equal_to_doc_id_survives_echo_strip(spark):
+    """A document whose doc_id squashes to the root class name must NOT lose
+    its root id to the class-echo strip (the value IS the doc_id — ground
+    truth, not a hallucinated echo)."""
+    from sparkdoc.rootid import strip_mislabeled_root_ids
+
+    ents = spark.createDataFrame(
+        [
+            ("report", "", "Report", {"name": "report"}),   # ground truth kept
+            ("doc-9", "", "Report", {"name": "Report"}),    # true echo cleared
+        ],
+        "doc_id string, path string, class string, ids map<string,string>",
+    )
+    out = {r["doc_id"]: dict(r["ids"]) for r in strip_mislabeled_root_ids(ents).collect()}
+    assert out["report"] == {"name": "report"}
+    assert out["doc-9"] == {}
