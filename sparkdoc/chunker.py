@@ -178,8 +178,19 @@ def chunk_spans(
     def trail_texts() -> list[str]:
         return [h for _, h in trail]
 
+    _trail_tok: dict = {"key": None, "val": 0}
+
     def trail_tokens() -> int:
-        return count_tokens("\n".join(trail_texts())) if trail else 0
+        # the trail only changes at headings; re-tokenizing it per content
+        # span is O(spans × trail) wasted in the hot loop — memoize on the
+        # trail tuple
+        if not trail:
+            return 0
+        key = tuple(t for _, t in trail)
+        if _trail_tok["key"] != key:
+            _trail_tok["key"] = key
+            _trail_tok["val"] = count_tokens("\n".join(trail_texts()))
+        return _trail_tok["val"]
 
     def emit(units: list[dict], extra_refs: list[tuple[str, int]], resplit_of=None):
         heads = trail_texts()
@@ -236,9 +247,12 @@ def chunk_spans(
         unit = {"text": rendered, "tokens": tokens, "ref": f"#/spans/{s['offset']}", "page": page}
         budget = max_tokens - trail_tokens()
         if kind == "table":
-            # atomic: flush, emit whole even if over budget
+            # atomic: flush, emit whole even if over budget. Pending picture
+            # refs (acc empty, so flush() was a no-op) ride along — dropping
+            # them would lose the picture from every chunk's doc_item_refs
             flush()
-            emit([unit], [])
+            emit([unit], acc_refs)
+            acc_refs = []
             continue
         if tokens > budget:
             # oversize single span: re-split cascade; sub-chunks inherit
@@ -259,6 +273,19 @@ def chunk_spans(
             flush()
         acc.append(unit)
     flush()
+    if acc_refs:
+        # trailing pictures (no content span after them): attach to the last
+        # chunk, or emit a picture-only chunk for a picture-only document —
+        # every span ref must be reachable from some chunk
+        if chunks:
+            last = chunks[-1]
+            last["doc_item_refs"] = last["doc_item_refs"] + [r for r, _ in acc_refs]
+            last["page_numbers"] = sorted(
+                set(last["page_numbers"]) | {p for _, p in acc_refs}
+            )
+        else:
+            emit([], acc_refs)
+        acc_refs = []
 
     # greedy order-preserving batch packing (dense/orchestrator.py:241-264)
     batch, bt = 0, 0

@@ -33,6 +33,16 @@ _CDATA_RE = r"<!\[CDATA\[(.*?)\]\]>"
 _TAG_RE = r"<[^>]+>"
 
 
+#: characters Python's str.strip()/str.isspace() treats as whitespace that
+#: can survive sanitize: ASCII \t\n\r + space, C1 NEL, and the unicode
+#: space family. A text of ONLY these must count as blank exactly like the
+#: reference's `.strip()` (Spark `trim` strips spaces alone).
+PY_BLANK_RE = (
+    "^[ \\t\\n\\r\\u000b\\u000c\\u001c-\\u001f\\u0085\\u00a0\\u1680"
+    "\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]*$"
+)
+
+
 def sanitize_text(col: Column) -> Column:
     """Strip C0 control chars except tab/newline/CR."""
     return F.regexp_replace(col, CONTROL_CHAR_RE, "")
@@ -93,12 +103,19 @@ def classify_raw_nodes(raw: DataFrame) -> DataFrame:
     Output keeps layout columns for the reading-order stage; ``kind`` and
     ``media_ref`` are final span fields.
     """
-    df = raw.withColumn("text", sanitize_text(F.col("text")))
+    # NULL text coerces to '' (golden: `n["text"] or ""`) so img spans carry
+    # '' not NULL through the non-nullable SPAN.text field
+    df = raw.withColumn("text", sanitize_text(F.coalesce(F.col("text"), F.lit(""))))
     df = df.filter(~is_boilerplate(F.col("tag"), F.col("n_chars"), F.col("n_links")))
-    df = df.filter((F.col("tag") == "img") | (F.length(F.trim(F.col("text"))) > 0))
+    # blank test must match Python str.strip() (golden/reference): Spark's
+    # trim removes ONLY spaces, so a text of '\n' or '\t' would survive here
+    # while golden drops it — shifting every later span offset
+    df = df.filter((F.col("tag") == "img") | ~F.col("text").rlike(PY_BLANK_RE))
     df = df.filter(
         ~((F.col("coord_origin") == "BOTTOMLEFT") & F.col("page_height").isNull())
     )
+    # un-renderable geometry: no bbox at all (golden drops these too)
+    df = df.filter(F.col("bbox").isNotNull())
     df = df.withColumn("kind", kind_for_tag(F.col("tag")))
     df = df.withColumn(
         "media_ref",

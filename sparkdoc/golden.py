@@ -49,6 +49,8 @@ def extract_spans_golden(doc_nodes: list[dict]) -> list[dict]:
             continue
         if n["coord_origin"] == "BOTTOMLEFT" and n["page_height"] is None:
             continue  # un-normalizable geometry
+        if n["bbox"] is None:
+            continue  # un-renderable geometry (mirrored in classify_raw_nodes)
         bbox = list(n["bbox"])
         if n["coord_origin"] == "BOTTOMLEFT":
             l, t, r, b = bbox

@@ -43,8 +43,12 @@ def quantize_512(coord: Column, dim: Column) -> Column:
     """clamp(bround(512*coord/dim), 0, 511) — byte-exact .dclg parity rule.
     bround = ROUND_HALF_EVEN, matching the reference's Python round()
     (provenance/models.py:84-86)."""
+    # dim <= 0 guard mirrors quantize_512_py: TOPLEFT rows with unknown page
+    # height carry dim 0, and 512*coord/0 is DIVIDE_BY_ZERO under ANSI (or a
+    # parity-breaking 511 with ANSI off)
     q = F.bround(F.lit(512.0) * coord.cast("double") / dim.cast("double")).cast("int")
-    return F.least(F.greatest(q, F.lit(0)), F.lit(511))
+    clamped = F.least(F.greatest(q, F.lit(0)), F.lit(511))
+    return F.when(dim.cast("double") > 0, clamped).otherwise(F.lit(0))
 
 
 def quantize_512_py(coord: float, dim: float) -> int:

@@ -110,7 +110,12 @@ def chunk_owner_map(
         "doc_id", "chunk_id", F.lower(F.col("text")).alias("_lt"),
         F.lower(F.substring(F.col("text"), 1, head_chars)).alias("_head"),
     )
-    p = parents.select("doc_id", F.col("node_id").alias("owner_id"), F.lower("label").alias("_lp"))
+    # empty labels never match: locate('', s) = 1 in Spark, so one ''-label
+    # parent would "hit" every chunk at head strength and the n==1 uniqueness
+    # filter would strip owner attribution from the whole document
+    p = parents.filter(F.length("label") > 0).select(
+        "doc_id", F.col("node_id").alias("owner_id"), F.lower("label").alias("_lp")
+    )
     j = ch.join(p, "doc_id")
     hits = j.select(
         "doc_id", "chunk_id", "owner_id",
@@ -120,7 +125,7 @@ def chunk_owner_map(
         .alias("strength"),
     ).filter(F.col("strength") > 0)
     per_chunk = hits.groupBy("doc_id", "chunk_id", "strength").agg(
-        F.count("*").alias("_n"), F.first("owner_id").alias("_any"), F.min("owner_id").alias("_min")
+        F.count("*").alias("_n"), F.min("owner_id").alias("_min")
     )
     # unique head owner wins; else unique body owner; ambiguity (n>1) → none
     best = (

@@ -241,7 +241,7 @@ def extract_span_rows_geo(raw_nodes: DataFrame) -> DataFrame:
                                 "media_ref": cols["media_ref"][i],
                                 "page_no": page,
                                 "bbox": list(cols["bbox"][i]),
-                                "page_width": int(cols["page_width"][i]),
+                                "page_width": int(cols["page_width"][i]) if cols["page_width"][i] is not None else 0,
                                 "page_height": int(cols["page_height"][i]) if cols["page_height"][i] is not None else 0,
                             }
                         )

@@ -226,3 +226,29 @@ def test_chunks_match_committed_fixture(spark):
     with gzip.open(path, "rt") as f:
         fix = json.load(f)
     assert got == [tuple(x) for x in fix]
+
+
+def test_pictures_never_dropped_from_refs():
+    """Pending picture refs must land in SOME chunk: before a table they ride
+    the table chunk; trailing they attach to the last chunk; a picture-only
+    document emits a picture-only chunk."""
+    from sparkdoc.chunker import chunk_spans
+
+    def spans(*kinds):
+        return [
+            {"kind": k, "text": f"t{i}" if k != "picture" else "", "media_ref": "", "offset": i}
+            for i, k in enumerate(kinds)
+        ]
+
+    # picture then table: the picture ref rides the table chunk
+    chunks = chunk_spans(spans("picture", "table"))
+    all_refs = [r for c in chunks for r in c["doc_item_refs"]]
+    assert "#/spans/0" in all_refs and "#/spans/1" in all_refs
+
+    # trailing picture: attaches to the last chunk
+    chunks = chunk_spans(spans("text", "picture"))
+    assert "#/spans/1" in chunks[-1]["doc_item_refs"]
+
+    # picture-only document: one chunk, ref present
+    chunks = chunk_spans(spans("picture"))
+    assert len(chunks) == 1 and chunks[0]["doc_item_refs"] == ["#/spans/0"]

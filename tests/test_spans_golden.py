@@ -112,3 +112,48 @@ def test_spark_matches_committed_fixture_seed7(spark):
     assert set(got) == set(fixture)
     for doc_id, spans in fixture.items():
         assert got[doc_id] == spans, doc_id
+
+
+def test_whitespace_only_text_matches_golden(spark):
+    """'\\n'-only text must be BLANK on both sides: Spark trim strips only
+    spaces, golden uses str.strip() — the regex blank test keeps them equal
+    (a divergence here shifts every later span's offset)."""
+    from sparkdoc.clean import classify_raw_nodes
+    from sparkdoc.schemas import RAW_NODES
+
+    rows = [
+        ("d", 0, None, "p", "\n", 1, 0, 1, [0, 0, 5, 5], "TOPLEFT", 612, 792),
+        ("d", 1, None, "p", "\t \t", 3, 0, 1, [0, 6, 5, 9], "TOPLEFT", 612, 792),
+        ("d", 2, None, "p", "real", 4, 0, 1, [0, 10, 5, 14], "TOPLEFT", 612, 792),
+        ("d", 3, None, "img", None, 0, 0, 1, [0, 15, 5, 19], "TOPLEFT", 612, 792),
+    ]
+    out = classify_raw_nodes(spark.createDataFrame(rows, RAW_NODES)).collect()
+    kept = {r["node_id"]: r for r in out}
+    assert set(kept) == {2, 3}  # whitespace-only dropped, img kept
+    assert kept[3]["text"] == ""  # NULL img text coerced like golden
+
+
+def test_null_geometry_never_crashes(spark):
+    """Schema-legal NULL bbox/page_width rows must not kill the job."""
+    from sparkdoc.schemas import RAW_NODES
+    from sparkdoc.spans import explode_spans, extract_documents
+
+    rows = [
+        ("d", 0, None, "p", "has bbox", 8, 0, 1, [0, 0, 5, 5], "TOPLEFT", 612, 792),
+        ("d", 1, None, "p", "no bbox", 7, 0, 1, None, "TOPLEFT", 612, 792),
+        ("d", 2, None, "p", "no width", 8, 0, 1, [0, 6, 5, 9], "TOPLEFT", None, None),
+    ]
+    spans = explode_spans(extract_documents(spark.createDataFrame(rows, RAW_NODES))).collect()
+    texts = {s["text"] for s in spans}
+    assert "has bbox" in texts and "no bbox" not in texts  # dropped, not crashed
+    assert "no width" in texts  # width-less page still extracts
+
+
+def test_quantize_512_zero_dim_parity(spark):
+    from pyspark.sql import functions as F
+
+    from sparkdoc.layout import quantize_512, quantize_512_py
+
+    df = spark.createDataFrame([(100.0, 0.0), (100.0, 612.0)], "c double, d double")
+    got = [r["q"] for r in df.select(quantize_512(F.col("c"), F.col("d")).alias("q")).collect()]
+    assert got == [quantize_512_py(100.0, 0.0), quantize_512_py(100.0, 612.0)]
