@@ -32,16 +32,12 @@ from sparkdoc.identity import (
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
 def _node_id_from_json():
-    @pandas_udf("string")
-    def _udf(node_class: pd.Series, ids_json: pd.Series) -> pd.Series:
-        out = []
-        for c, j in zip(node_class, ids_json):
-            out.append(None if c is None else _node_id(c, json.loads(j) if j else {}))
-        return pd.Series(out)
+    # single source of truth for the identity-critical UDF — a local copy
+    # here could silently drift from the registry-parity implementation
+    from sparkdoc.identity import node_id_udf
 
-    return _udf
+    return node_id_udf()
 
 
 def node_id_expr(node_class, ids_map):
@@ -137,8 +133,30 @@ def dedup_entities(entities_with_ids: DataFrame) -> DataFrame:
 def content_hash_dedup(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """graph_cleaner.py:273-412: group nodes by content hash of non-meta
     attrs; canonical survivor = min(node_id); redirect edges to survivors."""
-    hashed = nodes.withColumn("_chash", _content_hash_from_json()(F.to_json(F.col("attrs"))))
-    w = Window.partitionBy("_chash")
+    # meaningless attr sets (empty / all-'Unknown' placeholders) must not
+    # group: two unrelated placeholder-only nodes are not duplicates — they
+    # keep their own node_id as the hash (identity.content_hash's documented
+    # caller contract)
+    meaningful = (
+        F.size(
+            F.filter(
+                F.map_values("attrs"),
+                lambda v: v.isNotNull() & (v != "") & (v != "Unknown"),
+            )
+        )
+        > 0
+    )
+    hashed = nodes.withColumn(
+        "_chash",
+        F.when(meaningful, _content_hash_from_json()(F.to_json(F.col("attrs")))).otherwise(
+            F.col("node_id")
+        ),
+    )
+    # class-scoped when the table carries classes: identical attrs on a
+    # Person and an Organization are NOT one node (cross-class collapse would
+    # break the registry invariant assert_no_cross_class_collisions asserts)
+    scope = ["node_class", "_chash"] if "node_class" in nodes.columns else ["_chash"]
+    w = Window.partitionBy(*scope)
     canon = hashed.withColumn("_canon", F.min("node_id").over(w))
     mapping = canon.select(F.col("node_id").alias("_from"), F.col("_canon").alias("_to")).filter(
         F.col("_from") != F.col("_to")
@@ -182,12 +200,14 @@ def containment_alias_groups(
         F.col("node_id").alias("base_id"),
         F.col("_canon").alias("base_canon"),
         F.col("_sig").alias("base_sig"),
+        F.col(name_col).alias("base_label"),
     ).filter(F.length("base_canon") >= min_base_len)
     sup = canon.select(
         *[F.col(c).alias(f"_s_{c}") for c in scope_cols],
         F.col("node_id").alias("superset_id"),
         F.col("_canon").alias("superset_canon"),
         F.col("_sig").alias("superset_sig"),
+        F.col(name_col).alias("superset_label"),
     )
     cond = (
         (base["base_canon"] != sup["superset_canon"])
@@ -197,7 +217,25 @@ def containment_alias_groups(
     for c in scope_cols:
         cond = cond & (base[c] == sup[f"_s_{c}"])
     pairs = base.join(sup, cond, "inner").select(
-        *scope_cols, "base_id", "base_canon", "superset_id", "superset_canon"
+        *scope_cols, "base_id", "base_canon", "base_label",
+        "superset_id", "superset_canon", "superset_label",
+    )
+    # one row per (base, superset): the nodes table may carry one row per
+    # (doc_id, path, node_id), and duplicate pair rows would inflate the
+    # uniqueness count below — silently vetoing every alias whose node
+    # appears in 2+ documents
+    pairs = (
+        pairs.groupBy("base_id", "superset_id")
+        .agg(
+            *[
+                F.min(c).alias(c)
+                for c in (*scope_cols, "base_canon", "base_label", "superset_canon", "superset_label")
+            ]
+        )
+        .select(
+            *scope_cols, "base_id", "base_canon", "base_label",
+            "superset_id", "superset_canon", "superset_label",
+        )
     )
     uniq = Window.partitionBy("superset_id")
     return (
@@ -209,8 +247,27 @@ def containment_alias_groups(
 
 def co_occurrence_veto(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
     """dense/orchestrator.py:542-569: drop merge pairs whose two nodes
-    co-occur in the same first-emission chunk (they are siblings, not
-    aliases). Requires nodes to carry chunk_ids array."""
+    co-occur in the same chunk (they are siblings, not aliases). Requires
+    nodes to carry a chunk_ids array.
+
+    chunk ids are PER-DOCUMENT ordinals (chunker.py), so when the nodes
+    table carries doc_id the overlap test runs within each document — doc
+    A's chunk 0 and doc B's chunk 0 are different chunks, and comparing them
+    globally both vetoed never-co-occurring pairs and multiplied join rows
+    per (doc, path) node occurrence. Without a doc_id column the global
+    overlap fallback applies (single-document inputs)."""
+    if "doc_id" in nodes.columns:
+        ch = nodes.select("doc_id", "node_id", "chunk_ids")
+        b = ch.withColumnRenamed("node_id", "base_id").withColumnRenamed("chunk_ids", "_bc")
+        s = ch.withColumnRenamed("node_id", "superset_id").withColumnRenamed("chunk_ids", "_sc")
+        vetoed = (
+            pairs.join(b, "base_id")
+            .join(s, ["superset_id", "doc_id"])
+            .filter(F.arrays_overlap(F.col("_bc"), F.col("_sc")))
+            .select("base_id", "superset_id")
+            .distinct()
+        )
+        return pairs.join(vetoed, ["base_id", "superset_id"], "left_anti")
     ch = nodes.select("node_id", "chunk_ids")
     joined = (
         pairs.join(ch.withColumnRenamed("node_id", "base_id").withColumnRenamed("chunk_ids", "_base_chunks"), "base_id")
@@ -371,20 +428,44 @@ def rekey_graph(nodes: DataFrame, edges: DataFrame, id_fields_map: dict[str, lis
         .join(F.broadcast(mapping).withColumnRenamed("_from", "dst"), "dst", "left")
         .withColumn("dst", F.coalesce(F.col("_to"), F.col("dst")))
         .drop("_to")
+        # folding two nodes can collapse their connecting edge onto itself —
+        # same self-loop drop as content_hash_dedup (graph_cleaner.py:406)
+        .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst", "label"])
     )
     return folded, e
 
 
-def apply_alias_merges(nodes: DataFrame, edges: DataFrame, pairs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def apply_alias_merges(
+    nodes: DataFrame,
+    edges: DataFrame,
+    pairs: DataFrame,
+    edge_keys: tuple[str, ...] = ("src", "dst", "label"),
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """alias_reconciler.py:236-396 analog: merge base → superset (richest
     survives = superset by construction of the containment proposal); absorb
     attrs first-non-empty, redirect edges, record merged_aliases audit.
 
     pairs: (base_id, superset_id) — post-veto.
+    ``edge_keys``: edge identity for the post-redirect dedup — callers whose
+    edges carry doc attribution pass ("doc_id","src","dst","label") so the
+    per-document rows survive for downstream per-doc passes.
     Returns (nodes, edges, merged_aliases audit rows).
     """
     mapping = pairs.select(F.col("base_id").alias("_from"), F.col("superset_id").alias("_to"))
+    # transitive closure (A⊂B, B⊂C): a base chained through an intermediate
+    # superset must land on the FINAL survivor — single-hop redirection would
+    # point A's edges at B, which is itself removed (clean_edges then drops
+    # them) and would absorb A's attrs into a deleted node. Containment is a
+    # strict partial order (proper substring), so path-doubling converges;
+    # 3 rounds cover chains of length 2^3.
+    for _ in range(3):
+        nxt = mapping.select(F.col("_from").alias("_mid"), F.col("_to").alias("_final"))
+        mapping = (
+            mapping.join(nxt, mapping["_to"] == nxt["_mid"], "left")
+            .select("_from", F.coalesce(F.col("_final"), F.col("_to")).alias("_to"))
+        )
+    mapping = mapping.localCheckpoint(eager=False)
     audit = mapping.select(F.col("_from").alias("merged_node"), F.col("_to").alias("into_node"))
     # absorb base attrs into superset where superset lacks the key
     base_attrs = nodes.join(mapping, nodes["node_id"] == mapping["_from"]).select(
@@ -417,7 +498,7 @@ def apply_alias_merges(nodes: DataFrame, edges: DataFrame, pairs: DataFrame) -> 
         .withColumn("dst", F.coalesce(F.col("_to"), F.col("dst")))
         .drop("_to")
         .filter(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst", "label"])
+        .dropDuplicates(list(edge_keys))
     )
     return survivors, e, audit
 

@@ -82,7 +82,14 @@ def confirm_alias_pairs(pairs: DataFrame, confirm_fn: Callable[[str, str], bool]
             [bool(confirm_fn(b or "", s or "")) for b, s in zip(base, sup)]
         )
 
-    return pairs.filter(_confirm(F.col("base_canon"), F.col("superset_canon")))
+    # the documented contract hands the callable HUMAN-READABLE labels —
+    # casing/spacing/punctuation intact — not the squashed canon keys (an
+    # LLM adapter judging 'acmecorp' vs 'acmecorporation' is materially
+    # blinder than one seeing 'ACME Corp.' vs 'ACME Corporation'); canon is
+    # the fallback for pair tables built without labels
+    bcol = "base_label" if "base_label" in pairs.columns else "base_canon"
+    scol = "superset_label" if "superset_label" in pairs.columns else "superset_canon"
+    return pairs.filter(_confirm(F.col(bcol), F.col(scol)))
 
 
 def run_validators(

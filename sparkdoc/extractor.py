@@ -208,7 +208,9 @@ def convert_document_graph(
     pairs = co_occurrence_veto(
         containment_alias_groups(nodes, name_col="label"), nodes
     ).select("base_id", "superset_id")
-    nodes2, edges2, alias_audit = apply_alias_merges(nodes, edges, pairs)
+    nodes2, edges2, alias_audit = apply_alias_merges(
+        nodes, edges, pairs, edge_keys=("doc_id", "src", "dst", "label")
+    )
     nodes2 = nodes2.persist()
     # lazy checkpoint: the post-alias edge plan embeds the 6-rung resolve
     # ladder and is traversed by the closed-catalog pass, the cardinality

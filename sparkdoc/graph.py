@@ -37,7 +37,17 @@ def entities_to_nodes(entities: DataFrame) -> DataFrame:
         "doc_id",
         F.col("class").alias("node_class"),
         label.alias("label"),
-        F.map_concat(F.col("ids"), F.coalesce(F.col("fields"), F.create_map())).alias("attrs"),
+        # ids-first precedence made explicit: a fields key shadowing an id
+        # key would raise DUPLICATED_MAP_KEY under Spark's default dedup
+        # policy (salvage happens to keep them disjoint on the main path, but
+        # external/pre-salvage entities must not crash here)
+        F.map_concat(
+            F.col("ids"),
+            F.map_filter(
+                F.coalesce(F.col("fields"), F.create_map()),
+                lambda k, v: ~F.map_contains_key(F.col("ids"), k),
+            ),
+        ).alias("attrs"),
         F.lit(None).cast("string").alias("provenance"),
         F.col("chunk_ids"),
     )
@@ -150,14 +160,19 @@ def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .count()
         .select(F.lit("edges_per_label").alias("metric"), F.col("label").alias("key"), F.col("count").cast("double").alias("value"))
     )
-    degrees = (
-        edges.select(F.col("src").alias("node_id"))
-        .unionAll(edges.select(F.col("dst").alias("node_id")))
-        .groupBy("node_id")
-        .count()
-    )
-    avg_deg = degrees.agg(F.avg("count").alias("value")).select(
-        F.lit("avg_degree").alias("metric"), F.lit("").alias("key"), "value"
+    # avg degree = 2E/N over ALL nodes (stats_calculator semantics): an
+    # endpoint-only average excludes isolated nodes from the denominator and
+    # inflates the metric (and yields null instead of 0 on an edgeless graph)
+    avg_deg = (
+        edges.agg(F.count("*").alias("_e"))
+        .crossJoin(nodes.agg(F.count("*").alias("_n")))
+        .select(
+            F.lit("avg_degree").alias("metric"),
+            F.lit("").alias("key"),
+            F.when(F.col("_n") > 0, 2.0 * F.col("_e") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias("value"),
+        )
     )
     totals = nodes.agg(F.count("*").cast("double").alias("value")).select(
         F.lit("n_nodes").alias("metric"), F.lit("").alias("key"), "value"

@@ -294,3 +294,92 @@ def test_demoted_doc_edges_dropped_per_document(spark):
     )
     out = {(r["doc_id"], r["src"], r["dst"]) for r in drop_demoted_doc_edges(edges, demoted).collect()}
     assert out == {("dA", "R_A", "P_1"), ("dB", "R_B", "K_1")}
+
+
+def test_alias_pair_survives_multi_doc_node_rows(spark):
+    """A node appearing in 2+ documents (per-(doc,node) rows) must not veto
+    its own alias pair: the uniqueness count is per distinct base, not per
+    row."""
+    from sparkdoc.dedup import containment_alias_groups
+
+    nodes = spark.createDataFrame(
+        [
+            ("N1", "d1", "C", "ACME", [0]),
+            ("N1", "d2", "C", "ACME", [0]),  # same node, second doc
+            ("N2", "d1", "C", "ACME Corporation", [1]),
+        ],
+        "node_id string, doc_id string, node_class string, label string, chunk_ids array<int>",
+    )
+    pairs = containment_alias_groups(nodes).collect()
+    assert {(p["base_id"], p["superset_id"]) for p in pairs} == {("N1", "N2")}
+    assert len(pairs) == 1  # and exactly one row per pair
+
+
+def test_co_occurrence_veto_is_doc_scoped(spark):
+    """chunk ids are per-document ordinals: doc A's chunk 0 and doc B's
+    chunk 0 are different chunks — only SAME-document overlap vetoes."""
+    from sparkdoc.dedup import co_occurrence_veto
+
+    pairs = spark.createDataFrame(
+        [("N1", "N2"), ("N3", "N4")], "base_id string, superset_id string"
+    )
+    nodes = spark.createDataFrame(
+        [
+            # N1/N2: chunk 0 in DIFFERENT docs — no real co-occurrence
+            ("N1", "dA", [0]), ("N2", "dB", [0]),
+            # N3/N4: chunk 3 in the SAME doc — genuine siblings, vetoed
+            ("N3", "dC", [3]), ("N4", "dC", [3]),
+        ],
+        "node_id string, doc_id string, chunk_ids array<int>",
+    )
+    kept = {(r["base_id"], r["superset_id"]) for r in co_occurrence_veto(pairs, nodes).collect()}
+    assert kept == {("N1", "N2")}
+
+
+def test_alias_chain_redirects_to_final_survivor(spark):
+    """A⊂B⊂C: single-hop redirection would point A's edges at the deleted
+    B — the closure must land everything on C."""
+    from sparkdoc.dedup import apply_alias_merges
+
+    nodes = spark.createDataFrame(
+        [
+            ("A", "d", "C", "hanns", {"k": "va"}, None),
+            ("B", "d", "C", "johanns", {"j": "vb"}, None),
+            ("C", "d", "C", "xjohanns", {}, None),
+        ],
+        "node_id string, doc_id string, node_class string, label string, "
+        "attrs map<string,string>, provenance string",
+    )
+    edges = spark.createDataFrame(
+        [("X", "A", "refs", None)], "src string, dst string, label string, props map<string,string>"
+    )
+    pairs = spark.createDataFrame(
+        [("A", "B"), ("B", "C")], "base_id string, superset_id string"
+    )
+    n2, e2, audit = apply_alias_merges(nodes, edges, pairs)
+    assert {r["node_id"] for r in n2.collect()} == {"X"} | {"C"} - {"X"} or True
+    survivors = {r["node_id"] for r in n2.collect()}
+    assert survivors == {"C"}
+    e = e2.collect()
+    assert len(e) == 1 and e[0]["dst"] == "C"  # not the deleted B
+    c_attrs = {r["node_id"]: dict(r["attrs"]) for r in n2.collect()}["C"]
+    assert c_attrs.get("k") == "va" and c_attrs.get("j") == "vb"  # absorbed through the chain
+
+
+def test_content_dedup_never_collapses_across_classes(spark):
+    from sparkdoc.dedup import content_hash_dedup
+    from sparkdoc.schemas import EDGES
+
+    nodes = spark.createDataFrame(
+        [
+            ("P_1", "d", "Person", "Smith", {"name": "Smith"}, None),
+            ("O_1", "d", "Organization", "Smith", {"name": "Smith"}, None),
+            ("U_1", "d", "Person", "u1", {"name": "Unknown"}, None),
+            ("U_2", "d", "Person", "u2", {"name": "Unknown"}, None),
+        ],
+        "node_id string, doc_id string, node_class string, label string, "
+        "attrs map<string,string>, provenance string",
+    )
+    survivors, _ = content_hash_dedup(nodes, spark.createDataFrame([], EDGES))
+    ids = {r["node_id"] for r in survivors.collect()}
+    assert ids == {"P_1", "O_1", "U_1", "U_2"}  # classes and placeholders never merge
