@@ -26,10 +26,13 @@ def entities_to_nodes(entities: DataFrame) -> DataFrame:
     map-concat fold with earliest-chunk precedence (graph_converter.py:
     496-689 analog, already folded by dedup_entities upstream)."""
     df = entities if "node_id" in entities.columns else with_node_ids(entities)
+    # try_element_at / F.get: ANSI mode (Spark 4 default) makes plain
+    # element_at THROW on a missing map key or an empty values array — the
+    # node_id fallback must stay reachable for entities with empty ids.
     label = F.coalesce(
-        F.element_at(F.col("ids"), "name"),
-        F.element_at(F.col("ids"), "title"),
-        F.element_at(F.map_values("ids"), 1),
+        F.try_element_at(F.col("ids"), F.lit("name")),
+        F.try_element_at(F.col("ids"), F.lit("title")),
+        F.get(F.map_values("ids"), F.lit(0)),
         F.col("node_id"),
     )
     return df.select(
@@ -65,9 +68,12 @@ def remove_phantom_nodes(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame,
 
     Returns (nodes, edges, dropped_rels_audit).
     """
-    meaningful = F.exists(
-        F.map_entries("attrs"),
-        lambda e: (~e["key"].startswith(META_PREFIX)) & is_meaningful(e["value"]),
+    meaningful = F.coalesce(  # NULL attrs → phantom, not three-valued limbo
+        F.exists(
+            F.map_entries("attrs"),
+            lambda e: (~e["key"].startswith(META_PREFIX)) & is_meaningful(e["value"]),
+        ),
+        F.lit(False),
     )
     flagged = nodes.withColumn("_keep", meaningful)
     phantoms = flagged.filter(~F.col("_keep")).select("node_id")
@@ -102,9 +108,11 @@ def clean_edges(
 
 
 def cap_keywords(nodes: DataFrame, list_attr: str = "keywords", sep: str = "|") -> DataFrame:
-    """Truncate a '|'-packed list attribute to KEYWORD_CAP entries."""
-    kw = F.element_at(F.col("attrs"), list_attr)
-    capped = F.array_join(F.slice(F.split(kw, "\\|"), 1, KEYWORD_CAP), sep)
+    """Truncate a ``sep``-packed list attribute to KEYWORD_CAP entries."""
+    import re as _re
+
+    kw = F.try_element_at(F.col("attrs"), F.lit(list_attr))
+    capped = F.array_join(F.slice(F.split(kw, _re.escape(sep)), 1, KEYWORD_CAP), sep)
     return nodes.withColumn(
         "attrs",
         F.when(

@@ -151,7 +151,7 @@ def content_hash(attrs: dict, meta_prefix: str = "__") -> str:
     the node_id in (graph_cleaner.py:386-388) — callers pass it via attrs."""
     payload = {
         k: str(v)
-        for k, v in sorted(attrs.items())
+        for k, v in attrs.items()
         if not k.startswith(meta_prefix) and v not in (None, "")
     }
     blob = json.dumps(payload, sort_keys=True, ensure_ascii=False, separators=(",", ":"))

@@ -210,6 +210,9 @@ def parse_doclang(dclg_docs: DataFrame, text_col: str = "dclg") -> DataFrame:
                 page = 1
                 for m in tag_re.finditer(body):
                     if m.group(1) is None:  # <page_break/>
+                        # _page_no_col convention: the break row belongs to
+                        # the FOLLOWING page (cumulative sum includes self)
+                        page += 1
                         rows.append((doc_id, offset, "page_break", "", "", page, None))
                         offset += 1
                         continue

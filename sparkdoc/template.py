@@ -42,6 +42,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal as _decimal
 import enum as _enum
+import types as _types
 import uuid as _uuid
 from typing import Any, Callable, Union, get_args, get_origin
 
@@ -69,7 +70,7 @@ _NoneType = type(None)
 def _strip_optional(annotation: Any) -> Any:
     """Unwrap Optional/Union-with-None down to the payload annotation."""
     origin = get_origin(annotation)
-    if origin is Union or str(origin) == "types.UnionType":
+    if origin is Union or origin is _types.UnionType:  # PEP 604 `X | None`
         args = [a for a in get_args(annotation) if a is not _NoneType]
         if len(args) == 1:
             return _strip_optional(args[0])
@@ -324,8 +325,7 @@ def pydantic_validators(model_cls: type) -> dict[str, Callable[[dict], list[str]
             def validate(entity: dict) -> list[str]:
                 payload: dict[str, Any] = {}
                 for k, v in (entity or {}).items():
-                    root = k.split(".", 1)[0]
-                    if root in scalars and "." not in k and v not in (None, ""):
+                    if k in scalars and v not in (None, ""):
                         payload[k] = v
                 try:
                     m.model_validate(payload)

@@ -148,7 +148,7 @@ class WordPiece:
             if piece is None:
                 return None
             out.append(piece)
-            i = end if i == 0 else i + len(piece) - 2
+            i = end
         return out
 
     def count_word(self, word: str) -> int:

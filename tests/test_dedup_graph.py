@@ -383,3 +383,53 @@ def test_content_dedup_never_collapses_across_classes(spark):
     survivors, _ = content_hash_dedup(nodes, spark.createDataFrame([], EDGES))
     ids = {r["node_id"] for r in survivors.collect()}
     assert ids == {"P_1", "O_1", "U_1", "U_2"}  # classes and placeholders never merge
+
+
+def test_entities_to_nodes_empty_ids_label_fallback(spark):
+    """ANSI regression: an entity with an EMPTY ids map must not crash
+    element_at and must fall back to node_id for its label."""
+    from sparkdoc.graph import entities_to_nodes
+
+    ents = spark.createDataFrame(
+        [
+            ("d1", "T", {}, {"f": "v"}, ["c1"], "NID_EMPTY"),
+            ("d1", "T", {"code": "x9"}, {"f": "v"}, ["c1"], "NID_CODE"),
+            ("d1", "T", {"name": "Ada"}, None, ["c1"], "NID_NAME"),
+        ],
+        "doc_id string, class string, ids map<string,string>, "
+        "fields map<string,string>, chunk_ids array<string>, node_id string",
+    )
+    got = {r["node_id"]: r["label"] for r in entities_to_nodes(ents).collect()}
+    assert got["NID_EMPTY"] == "NID_EMPTY"  # fallback reachable, no throw
+    assert got["NID_CODE"] == "x9"  # first map value
+    assert got["NID_NAME"] == "Ada"
+
+
+def test_remove_phantom_nodes_null_attrs(spark):
+    """A node with NULL attrs is a phantom (not silently dropped from both
+    sides by three-valued logic), and its edges are anti-joined out."""
+    from sparkdoc.graph import remove_phantom_nodes
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [("N1", "d1", "T", "n1", {"a": "1"}, None), ("NN", "d1", "T", "nn", None, None)],
+        NODES,
+    )
+    edges = spark.createDataFrame([("N1", "NN", "to_null", None)], EDGES)
+    kept, e2, audit = remove_phantom_nodes(nodes, edges)
+    assert {r["node_id"] for r in kept.collect()} == {"N1"}
+    assert e2.count() == 0
+    assert audit.count() == 1
+
+
+def test_cap_keywords_custom_sep(spark):
+    """sep parameter drives BOTH split and join (was split-hardcoded to '|')."""
+    from sparkdoc.graph import cap_keywords
+    from sparkdoc.schemas import NODES
+
+    nodes = spark.createDataFrame(
+        [("N1", "d1", "T", "n1", {"keywords": "a,b,c,d,e,f,g"}, None)],
+        NODES,
+    )
+    got = cap_keywords(nodes, sep=",").collect()[0]["attrs"]["keywords"]
+    assert got == "a,b,c,d,e"

@@ -179,3 +179,48 @@ def test_invoice_pipeline_matches_committed_fixture(spark):
     # doc-scoped BillingRow: every (doc, row) pair keeps its own node id
     rows_nodes = out["nodes"].filter("node_class='BillingRow'")
     assert rows_nodes.count() == rows_nodes.select("node_id").distinct().count()
+
+
+def test_pep604_union_equals_optional_twin():
+    """PEP 604 `X | None` must compile identically to typing.Optional[X]
+    (regression: str(get_origin(X|None)) never matched 'types.UnionType',
+    silently flattening child models to string scalars)."""
+
+    class Party604(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True, "graph_id_fields": ["name"]})
+        name: str
+        tax_id: str | None = None
+
+    class Root604(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True, "graph_id_fields": ["ref"]})
+        ref: str
+        count: int | None = None
+        seller: Party604 | None = None
+        items: list[Party604] | None = None
+
+    class PartyOpt(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True, "graph_id_fields": ["name"]})
+        name: str
+        tax_id: Optional[str] = None
+
+    class RootOpt(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True, "graph_id_fields": ["ref"]})
+        ref: str
+        count: Optional[int] = None
+        seller: Optional[PartyOpt] = None
+        items: Optional[List[PartyOpt]] = None
+
+    t604 = compile_template(Root604)
+    topt = compile_template(RootOpt)
+
+    def norm(t):  # class names differ; compare structure
+        s = json.dumps(t, sort_keys=True, default=str)
+        return s.replace("604", "").replace("Opt", "")
+
+    assert norm(t604) == norm(topt)
+    # and the child model genuinely survived as a component, not a scalar
+    cat = build_node_catalog(t604)
+    assert "seller" in set(cat.paths()) and "items[]" in set(cat.paths())
+    by_path = cat.spec_by_path()
+    count_spec = next(f for f in by_path[""].fields if f.name == "count")
+    assert count_spec.ftype == "int"
