@@ -29,6 +29,14 @@ Everything registered here must be picklable (plain functions, not lambdas
 closing over Spark objects): the registry travels to executors inside task
 closures, the Spark-idiomatic replacement for the reference's in-process
 plugin objects.
+
+Wiring: pass an ``Extensions`` instance to
+``extractor.convert_document_graph(..., extensions=ext)`` — it routes
+field_extractors + root_id_proposer + validators into fill/salvage,
+chunk_serializer into chunk_documents, and alias_confirm through
+confirm_alias_pairs over the containment proposals. The description
+summarizer plugs into the merge side:
+``merge.merge_graphs_policy(..., summarizer=ext.description_summarizer)``.
 """
 
 from __future__ import annotations
@@ -55,8 +63,9 @@ class Extensions:
     alias_confirm: Optional[Callable[[str, str], bool]] = None
     #: fn(parts: list[str], max_length: int) → str
     description_summarizer: Optional[Callable[[list, int], str]] = None
-    #: fn(spans: list[dict]) → str (span dicts carry kind/text/media_ref/offset)
-    chunk_serializer: Optional[Callable[[list], str]] = None
+    #: fn(span: dict) → str | None — per content span (dict carries
+    #: kind/text/media_ref/offset); None/exception falls back to span text
+    chunk_serializer: Optional[Callable[[dict], Optional[str]]] = None
     #: class_name → fn(entity: dict) → list[str] (extra validation errors)
     validators: dict[str, Callable[[dict], list]] = field(default_factory=dict)
     #: fn(excerpt: str, field_name: str) → str | None (root-identity micro-pass)
@@ -81,6 +90,11 @@ def confirm_alias_pairs(pairs: DataFrame, confirm_fn: Callable[[str, str], bool]
         return pd.Series(
             [bool(confirm_fn(b or "", s or "")) for b, s in zip(base, sup)]
         )
+
+    # a real adapter is externally-effectful (LLM call) and need not be
+    # pure: mark nondeterministic so Catalyst never pushes the predicate
+    # past joins, duplicates it across plan branches, or re-evaluates it
+    _confirm = _confirm.asNondeterministic()
 
     # the documented contract hands the callable HUMAN-READABLE labels —
     # casing/spacing/punctuation intact — not the squashed canon keys (an

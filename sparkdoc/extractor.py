@@ -167,6 +167,7 @@ def convert_document_graph(
     raw_nodes: DataFrame,
     template: dict | None = None,
     fill_cap: int = 8,
+    extensions=None,
 ) -> dict[str, DataFrame]:
     """The full pipeline driver (reference pipeline/orchestrator.py:62-77 +
     graph_converter.py:202-358 analog): raw interleaved nodes → spans →
@@ -190,10 +191,12 @@ def convert_document_graph(
     # measured: minutes-to-hang without the cut, seconds with it. persist()
     # caches data but does NOT truncate the logical plan.
     docs = extract_documents(raw_nodes)
-    chunks = chunk_documents(docs).localCheckpoint()
+    chunks = chunk_documents(
+        docs, serializer=(extensions.chunk_serializer if extensions else None)
+    ).localCheckpoint()
     skeleton = skeleton_phase(chunks, catalog).persist()
     full = coverage_pass(chunks, skeleton, catalog)
-    filled = fill_phase(chunks, full, catalog, fill_cap=fill_cap)
+    filled = fill_phase(chunks, full, catalog, fill_cap=fill_cap, extensions=extensions)
     # root-only identity repair (echo clear + stem fallback) runs on the
     # salvage output BEFORE the valid filter — reference order (rescue
     # precedes validation, strategies/many_to_one.py:28 via
@@ -201,13 +204,20 @@ def convert_document_graph(
     # repairing after the filter would make the stem fallback dead code.
     from sparkdoc.rootid import rescue_invalid_roots
 
-    validated = rescue_invalid_roots(salvage_entities(filled, catalog), catalog).localCheckpoint()
+    validated = rescue_invalid_roots(
+        salvage_entities(filled, catalog, extensions=extensions), catalog
+    ).localCheckpoint()
     good = validated.filter(F.col("valid") == 1).drop("valid", "errors", "salvage_passes")
     nodes = entities_to_nodes(good.drop("fill_batch")).persist()
     edges = build_catalog_edges(nodes, good, catalog)
-    pairs = co_occurrence_veto(
-        containment_alias_groups(nodes, name_col="label"), nodes
-    ).select("base_id", "superset_id")
+    pairs = co_occurrence_veto(containment_alias_groups(nodes, name_col="label"), nodes)
+    if extensions is not None and extensions.alias_confirm is not None:
+        # the alias_llm_fn slot: containment proposals are candidates only;
+        # a registered confirm callable has the final word per pair
+        from sparkdoc.extension import confirm_alias_pairs
+
+        pairs = confirm_alias_pairs(pairs, extensions.alias_confirm)
+    pairs = pairs.select("base_id", "superset_id")
     nodes2, edges2, alias_audit = apply_alias_merges(
         nodes, edges, pairs, edge_keys=("doc_id", "src", "dst", "label")
     )

@@ -35,7 +35,14 @@ def sanitize_filename(col: Column, max_len: int = 96) -> Column:
     s = F.regexp_replace(col, "[^A-Za-z0-9._-]+", "_")
     s = F.regexp_replace(s, "_+", "_")
     s = F.regexp_replace(s, "^_+|_+$", "")
-    return F.substring(s, 1, max_len)
+    s = F.substring(s, 1, max_len)
+    # dot-only names ('.', '..') are path-traversal segments and an
+    # all-invalid id sanitizes to '' (colliding artifact dirs): both fall
+    # back to a hash of the ORIGINAL id — deterministic and collision-free
+    degenerate = s.isNull() | s.rlike("^[.]*$")
+    return F.when(
+        degenerate, F.concat(F.lit("id_"), F.substring(F.md5(F.coalesce(col, F.lit(""))), 1, 16))
+    ).otherwise(s)
 
 
 def artifact_path(base: Column, doc_id: Column, name: str) -> Column:

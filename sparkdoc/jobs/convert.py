@@ -3,7 +3,7 @@
 ``docling-graph convert`` command, cli/commands/convert.py:192, re-expressed
 as a cluster job).
 
-    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/convert.py \
+    spark-submit --driver-memory 16g --py-files sparkdoc.zip sparkdoc/jobs/convert.py \
         --input synth:1000 --out /data/graph --export csv,json,cypher
 
 ``--input`` is a parquet path of raw_nodes (FIXTURES.md F2 schema) or
@@ -130,7 +130,9 @@ def main() -> None:
             from sparkdoc.report import export_report_and_html
 
             if not report_done:
-                export_report_and_html(out, args.out)
+                # counts from the WRITTEN parquet — counting the live
+                # entities/ledger DAGs would re-run the pipeline per table
+                export_report_and_html(out, args.out, counts=counts)
                 report_done = True  # report+html written together once per run
 
     manifest = {

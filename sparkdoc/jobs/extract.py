@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """spark-submit entrypoint: the resumable extraction job.
 
-    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/extract.py \
+    spark-submit --driver-memory 16g --py-files sparkdoc.zip sparkdoc/jobs/extract.py \
         --input synth:100000 --out /data/out --buckets 64 --group-size 8
 
 ``--input`` is either a parquet path of raw_nodes (FIXTURES.md F2 schema) or

@@ -4,7 +4,7 @@ DocLang serializations back into the engine's documents/spans table
 (reference DoclangInputHandler, core/input/handlers.py:526-570, as a
 cluster job).
 
-    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/ingest_doclang.py \
+    spark-submit --driver-memory 16g --py-files sparkdoc.zip sparkdoc/jobs/ingest_doclang.py \
         --input /data/dclg_dir --out /data/documents
 
 Input is either a directory of ``*.dclg`` files (doc_id = file stem, one

@@ -2,7 +2,7 @@
 """spark-submit entrypoint: N-way graph merge (the reference's
 ``docling-graph merge`` command, cli/commands/merge.py:27, as a cluster job).
 
-    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/merge.py \
+    spark-submit --driver-memory 16g --py-files sparkdoc.zip sparkdoc/jobs/merge.py \
         --inputs /data/g1,/data/g2 --out /data/merged \
         --precedence richest --conflicts keep_all
 

@@ -337,16 +337,18 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=None)
-def _merge_descriptions_udf(max_length: int = 4096):
+def _merge_descriptions_udf(max_length: int = 4096, summarizer=None):
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _udf(parts: pd.Series) -> pd.Series:
         return parts.map(
-            lambda vs: merge_descriptions(list(vs) if vs is not None else [], max_length)
+            lambda vs: merge_descriptions(
+                list(vs) if vs is not None else [], max_length, summarizer=summarizer
+            )
         )
 
-    return _udf
+    return _udf if summarizer is None else _udf.asNondeterministic()
 
 
 def merge_graphs_policy(
@@ -355,6 +357,7 @@ def merge_graphs_policy(
     schema_hashes: list[str] | None = None,
     ledgers: list[DataFrame] | None = None,
     skolemize: bool = True,
+    summarizer=None,
 ) -> dict:
     """Full-policy N-way merge (merger.py:242-289 relational re-expression).
 
@@ -421,7 +424,7 @@ def merge_graphs_policy(
             "v",
             F.when(
                 F.col("k").isin(combine),
-                _merge_descriptions_udf(policy.description_max_length)(
+                _merge_descriptions_udf(policy.description_max_length, summarizer)(
                     F.array_distinct(F.col("_all_vals"))
                 ),
             ).otherwise(F.col("v")),

@@ -20,6 +20,8 @@ import html
 import json
 from typing import Any, Iterable
 
+from pyspark.sql import functions as F
+
 MAX_HTML_NODES = 600
 MAX_HTML_EDGES = 1200
 
@@ -76,19 +78,29 @@ def run_report_markdown(
     return "\n".join(lines)
 
 
-def report_from_convert(out: dict, collect_cap: int = 10000) -> str:
+def report_from_convert(out: dict, collect_cap: int = 10000, counts: dict | None = None) -> str:
     """Build the report from a convert_document_graph output dict (driver
-    side; aggregates only — each input is a groupBy count, never raw rows)."""
-    counts = {}
-    for name in ("nodes", "edges", "entities", "invalid_entities", "ledger", "alias_audit"):
-        if name in out:
-            counts[name] = out[name].count()
+    side; aggregates only — each input is a groupBy count, never raw rows).
+
+    Pass ``counts`` when table counts are already known (the convert job
+    counts its written parquet): counting the live ``entities``/``ledger``
+    DAGs here re-executes the whole extraction pipeline once per table.
+    ``collect_cap`` bounds the per-class/per-label breakdown rows collected
+    to the driver (largest classes first, deterministic tie-break)."""
+    if counts is None:
+        counts = {}
+        for name in ("nodes", "edges", "entities", "invalid_entities", "ledger", "alias_audit"):
+            if name in out:
+                counts[name] = out[name].count()
     class_counts = [
         (r["node_class"], r["count"])
-        for r in out["nodes"].groupBy("node_class").count().collect()
+        for r in out["nodes"].groupBy("node_class").count()
+        .orderBy(F.desc("count"), "node_class").limit(collect_cap).collect()
     ]
     edge_counts = [
-        (r["label"], r["count"]) for r in out["edges"].groupBy("label").count().collect()
+        (r["label"], r["count"])
+        for r in out["edges"].groupBy("label").count()
+        .orderBy(F.desc("count"), "label").limit(collect_cap).collect()
     ]
     cov = out["coverage"].agg({"coverage": "avg", "n_chunks": "sum", "n_covered": "sum"}).collect()[0]
     coverage = {
@@ -96,7 +108,7 @@ def report_from_convert(out: dict, collect_cap: int = 10000) -> str:
         "total_chunks": int(cov["sum(n_chunks)"] or 0),
         "covered_chunks": int(cov["sum(n_covered)"] or 0),
     }
-    return run_report_markdown("convert", counts=counts, class_counts=class_counts,
+    return run_report_markdown("convert", counts=dict(counts), class_counts=class_counts,
                                edge_counts=edge_counts, coverage=coverage)
 
 
@@ -222,19 +234,25 @@ def graph_html(
     )
 
 
-def export_report_and_html(out: dict, out_dir: str) -> dict[str, str]:
+def export_report_and_html(out: dict, out_dir: str, counts: dict | None = None) -> dict[str, str]:
     """Write report.md + graph.html next to a convert job's tables (the
-    reference's DoclingExport/Visualization stages). Returns paths."""
+    reference's DoclingExport/Visualization stages). Returns paths.
+    ``counts`` is forwarded to report_from_convert (precomputed table counts
+    avoid re-executing live pipeline DAGs)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     report_path = os.path.join(out_dir, "report.md")
     with open(report_path, "w", encoding="utf-8") as f:
-        f.write(report_from_convert(out))
-    total_nodes = out["nodes"].count()
-    total_edges = out["edges"].count()
-    nodes = [r.asDict() for r in out["nodes"].select("node_id", "node_class", "label").limit(MAX_HTML_NODES + 1).collect()]
-    edges = [r.asDict() for r in out["edges"].select("src", "dst", "label").limit(MAX_HTML_EDGES + 1).collect()]
+        f.write(report_from_convert(out, counts=counts))
+    total_nodes = counts.get("nodes") if counts else None
+    total_nodes = out["nodes"].count() if total_nodes is None else total_nodes
+    total_edges = counts.get("edges") if counts else None
+    total_edges = out["edges"].count() if total_edges is None else total_edges
+    # orderBy before limit: an unordered limit() samples whichever partitions
+    # answer first — two runs of the same corpus would render different HTML
+    nodes = [r.asDict() for r in out["nodes"].select("node_id", "node_class", "label").orderBy("node_id").limit(MAX_HTML_NODES + 1).collect()]
+    edges = [r.asDict() for r in out["edges"].select("src", "dst", "label").orderBy("src", "dst", "label").limit(MAX_HTML_EDGES + 1).collect()]
     html_path = os.path.join(out_dir, "graph.html")
     with open(html_path, "w", encoding="utf-8") as f:
         f.write(graph_html(nodes, edges, total_nodes=total_nodes, total_edges=total_edges))

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
         # Keep scan partitions reasonable for wide parquet at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Effective only when THIS process builds the driver JVM (python
+        # jobs/x.py, pyspark, tests). Under `spark-submit` the driver is
+        # already running before get_spark() executes and this is silently
+        # ignored — pass `--driver-memory 16g` on the spark-submit line
+        # (the jobs' docstrings say so).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # bucketed-table warehouse (io.write_bucketed_table — the Iceberg
         # hash-distribution-mode analog); kept out of the repo tree

@@ -177,3 +177,21 @@ def test_merge_ledgers_strength(spark):
     assert (0, "verbatim") in anchors  # strength max wins
     assert (0, "observed") not in anchors
     assert (2, "observed") in anchors
+
+
+def test_sanitize_filename_degenerate_ids(spark):
+    """'.'/'..' (path traversal segments) and all-invalid ids (empty result)
+    fall back to a deterministic hash — never a traversal or a collision."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.format import sanitize_filename
+
+    df = spark.createDataFrame(
+        [("..",), (".",), ("???",), ("!!!",), ("ok-doc.1",)], "f string"
+    )
+    got = {r["f"]: r["fn"] for r in df.select("f", sanitize_filename(F.col("f")).alias("fn")).collect()}
+    assert got["ok-doc.1"] == "ok-doc.1"
+    for bad in ("..", ".", "???", "!!!"):
+        assert got[bad].startswith("id_") and "/" not in got[bad] and "." not in got[bad]
+    # distinct degenerate ids → distinct fallback names
+    assert len({got["???"], got["!!!"], got[".."], got["."]}) == 4

@@ -637,3 +637,56 @@ class TestRescueInvalidRoots:
         assert rescued["errors"] == []
         assert out[("doc-2", "")]["valid"] == 0  # terminal error kept
         assert out[("doc-1", "items[]")]["valid"] == 0  # non-root untouched
+
+
+class TestExtensionsWiring:
+    """convert_document_graph(extensions=...) routes every registry slot
+    (regression: alias_confirm / chunk_serializer / description_summarizer
+    were registry fields no pipeline code ever read)."""
+
+    def test_chunk_serializer_and_alias_confirm_reach_pipeline(self, spark):
+        from sparkdoc.extension import Extensions
+        from sparkdoc.extractor import convert_document_graph
+        from sparkdoc.synth import raw_nodes_df
+
+        # local defs: cloudpickle serializes closures by VALUE (a test-module
+        # top-level function pickles by reference and is unimportable on
+        # executors)
+        def mark_serializer(span):  # per-span contract (chunk_spans)
+            t = span.get("text") or ""
+            return f"SERIALIZED::{t}" if t else None
+
+        def reject_all(base_label, superset_label):
+            return False
+
+        raw = raw_nodes_df(spark, 12, 42, partitions=2)
+        ext = Extensions(chunk_serializer=mark_serializer, alias_confirm=reject_all)
+        out = convert_document_graph(raw, extensions=ext)
+        texts = [r["text"] for r in out["chunks"].select("text").limit(20).collect()]
+        assert texts and any("SERIALIZED::" in t for t in texts)
+        # reject-all confirm: no alias merge may survive
+        assert out["alias_audit"].count() == 0
+
+    def test_merge_summarizer_slot(self, spark):
+        from sparkdoc.merge import MergePolicy, merge_graphs_policy
+        from sparkdoc.schemas import EDGES, NODES
+
+        def summarizer(parts, max_length):
+            return " // ".join(sorted(parts))[:max_length]
+
+        n1 = spark.createDataFrame(
+            [("N1", "d1", "T", "n1", {"description": "alpha", "name": "n1"}, None)], NODES
+        )
+        n2 = spark.createDataFrame(
+            [("N1", "d2", "T", "n1", {"description": "beta", "name": "n1"}, None)], NODES
+        )
+        e = spark.createDataFrame([], EDGES)
+        out = merge_graphs_policy(
+            [(n1, e), (n2, e)],
+            MergePolicy(precedence="input_order", conflicts="keep_first",
+                        combine_fields=("description",)),
+            skolemize=False,
+            summarizer=summarizer,
+        )
+        desc = out["nodes"].collect()[0]["attrs"]["description"]
+        assert desc == "alpha // beta"
