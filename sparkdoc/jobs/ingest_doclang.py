@@ -49,10 +49,14 @@ def main() -> None:
         # input_file_name() returns the URI-encoded path — decode so a file
         # named "quarterly report.dclg" yields doc_id "quarterly report",
         # not "quarterly%20report" (try_: never fail the ingest on a path
-        # the JVM produced; fall back to the raw stem)
+        # the JVM produced; fall back to the raw stem). url_decode is
+        # FORM-decoding ('+' → space) but the JVM never form-encodes paths:
+        # protect literal '+' so "a+b.dclg" stays doc_id "a+b" and can't
+        # collide with "a b.dclg"
         stem = F.regexp_extract(F.input_file_name(), r"([^/]+)\.dclg$", 1)
+        protected = F.replace(stem, F.lit("+"), F.lit("%2B"))
         docs = raw.select(
-            F.coalesce(F.try_url_decode(stem), stem).alias("doc_id"),
+            F.coalesce(F.try_url_decode(protected), stem).alias("doc_id"),
             F.col("value").alias("dclg"),
         )
     else:
@@ -77,14 +81,21 @@ def main() -> None:
                 ),
             ).alias("spans"),
         )
-        .withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(args.buckets)))
     )
+    # the canonical bucket formula (shared with the resumable extract job so
+    # both outputs stay join-co-locatable on doc_id)
+    from sparkdoc.checkpoint import with_bucket
+
+    nested = with_bucket(nested, args.buckets)
     nested.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(args.out, "documents"))
 
     written = spark.read.parquet(os.path.join(args.out, "documents"))
-    n_docs = written.count()
-    n_spans = written.select(F.sum(F.size("spans")).alias("n")).collect()[0]["n"] or 0
-    print(json.dumps({"job": "ingest_doclang", "docs": int(n_docs), "spans": int(n_spans)}))
+    summary = written.agg(
+        F.count("*").alias("docs"), F.sum(F.size("spans")).alias("spans")
+    ).collect()[0]
+    print(json.dumps(
+        {"job": "ingest_doclang", "docs": int(summary["docs"]), "spans": int(summary["spans"] or 0)}
+    ))
     spark.stop()
 
 

@@ -2,7 +2,7 @@
 """spark-submit entrypoint: inspect a graph export (the reference's
 ``docling-graph inspect`` command, cli/commands/inspect.py:15).
 
-    python sparkdoc/jobs/inspect.py --graph /data/g1
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/inspect_graph.py --graph /data/g1
 
 Reads a convert.py/merge.py output dir and prints ONE JSON line: validation
 report + per-class node counts, per-label edge counts, degree stats.

@@ -69,12 +69,14 @@ def main() -> None:
                 "strict template gate: missing manifest.json/template_schema_hash "
                 f"for inputs {missing}; pass --no-strict to merge unverified inputs"
             )
-    use_ledgers = [l for l in ledgers if l is not None]
+    # ledgers stay INDEX-ALIGNED with inputs (None = no sidecar); the policy
+    # merge skips missing entries rather than dropping everyone's provenance
+    ledgerless = [d for d, l in zip(dirs, ledgers) if l is None]
     out = merge_graphs_policy(
         inputs,
         policy=policy,
         schema_hashes=[h for h in hashes if h] or None,
-        ledgers=use_ledgers if len(use_ledgers) == len(inputs) else None,
+        ledgers=ledgers if any(l is not None for l in ledgers) else None,
         skolemize=not args.no_skolemize,
     )
 
@@ -96,6 +98,11 @@ def main() -> None:
             "counts": counts,
         }
     )
+    if ledgerless and len(ledgerless) < len(dirs):
+        report.setdefault("warnings", []).append(
+            f"no ledger sidecar for inputs {ledgerless}: merged ledger covers "
+            "the remaining inputs only (exact provenance binds lost for these)"
+        )
     with open(os.path.join(args.out, "merge_report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True, default=str)
     print(json.dumps(report, sort_keys=True, default=str))

@@ -536,6 +536,9 @@ def merge_graphs_policy(
         ren_small = F.broadcast(skolemized)  # audit derives from a localCheckpoint
         remapped = []
         for i, led in enumerate(ledgers):
+            if led is None:  # input without a ledger sidecar — keep alignment
+                remapped.append(None)
+                continue
             r = ren_small.filter(F.col("input_index") == i).select(
                 F.col("original_id").alias("identity_key"),
                 F.col("document_id").alias("doc_id"),
@@ -547,7 +550,11 @@ def merge_graphs_policy(
                 .drop("_sk")
             )
         ledgers = remapped
-    merged_ledger = merge_ledgers_sidecar(ledgers) if ledgers else None
+    # ``ledgers`` is INDEX-ALIGNED with inputs (the skolem remap above keys
+    # on input_index); entries may be None for inputs without a sidecar —
+    # merge the ones that exist instead of forcing all-or-nothing
+    present_ledgers = [l for l in (ledgers or []) if l is not None]
+    merged_ledger = merge_ledgers_sidecar(present_ledgers) if present_ledgers else None
 
     report = {
         "n_inputs": len(inputs),

@@ -119,6 +119,27 @@ class TestSkolemizedAudit:
             assert r["skolemized_id"] in node_ids
 
 
+    def test_partial_ledger_list_merges_present_sidecars(self, spark):
+        """ledgers is index-aligned with inputs and may carry None entries
+        (an input produced without a sidecar): the present ledgers merge and
+        skolem-remap by THEIR index; None no longer forces all-or-nothing."""
+        from sparkdoc.schemas import LEDGER
+
+        a = _graph(spark, [("rootX", "dA", "C", "dA", {}, None)])
+        b = _graph(spark, [("rootX", "dB", "C", "dB", {}, None)])
+        led_b = spark.createDataFrame(
+            [("dB", "rootX", "", {"id": "rootX"}, [(0, "verbatim", [0, 5])])], LEDGER
+        )
+        out = merge_graphs_policy([a, b], ledgers=[None, led_b], skolemize=True)
+        assert out["ledger"] is not None
+        rows = out["ledger"].collect()
+        assert {r["doc_id"] for r in rows} == {"dB"}
+        # dB root was skolemized at input_index 1 -> its ledger row follows
+        audit = {r["document_id"]: r["skolemized_id"] for r in out["skolemized"].collect()}
+        if "dB" in audit:
+            assert {r["identity_key"] for r in rows} == {audit["dB"]}
+
+
 class TestResolveNullParentPath:
     def test_null_parent_path_stays_unresolved(self, spark):
         from sparkdoc.resolve import resolve_parents

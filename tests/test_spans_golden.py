@@ -157,3 +157,49 @@ def test_quantize_512_zero_dim_parity(spark):
     df = spark.createDataFrame([(100.0, 0.0), (100.0, 612.0)], "c double, d double")
     got = [r["q"] for r in df.select(quantize_512(F.col("c"), F.col("d")).alias("q")).collect()]
     assert got == [quantize_512_py(100.0, 0.0), quantize_512_py(100.0, 612.0)]
+
+
+def test_repeated_text_furniture_demotion_parity(spark):
+    """A kind-'text' span repeated verbatim on >= REPEAT_FURNITURE_PAGES
+    pages is demoted to furniture by BOTH the golden extractor and the Spark
+    pipeline; 2-page repeats are NOT. The synth corpus never produces this
+    case (its only cross-page repeats are already-furniture headers), so
+    without this test the two independent demotion implementations could
+    drift unnoticed."""
+    from sparkdoc.golden import extract_corpus_golden
+    from sparkdoc.schemas import RAW_NODES
+    from sparkdoc.spans import extract_documents
+
+    def page(doc, pg, base):
+        return [
+            (doc, base, None, "p", "CONFIDENTIAL — do not distribute", 32, 0, pg,
+             [0, 0, 200, 10], "TOPLEFT", 612, 792),
+            (doc, base + 1, None, "p", "twice only", 10, 0, pg,
+             [0, 20, 200, 30], "TOPLEFT", 612, 792),
+            (doc, base + 2, None, "p", f"unique body {doc} {pg}", 16, 0, pg,
+             [0, 40, 200, 50], "TOPLEFT", 612, 792),
+        ]
+
+    rows = []
+    # d3: banner on 3 pages (demoted); "twice only" on pages 1-2 (kept)
+    for pg in (1, 2, 3):
+        rows += page("d3", pg, pg * 10)
+    rows = [r for r in rows if not (r[4] == "twice only" and r[7] == 3)]
+    # d2: same banner but only 2 pages -> NOT demoted (per-document scope)
+    for pg in (1, 2):
+        rows += page("d2", pg, pg * 10)
+
+    golden = extract_corpus_golden([dict(zip([f.name for f in RAW_NODES.fields], r)) for r in rows])
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in extract_documents(spark.createDataFrame(rows, RAW_NODES)).collect()
+    }
+    exp = {
+        d: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for d, spans in golden.items()
+    }
+    assert got == exp
+    d3_kinds = {t: k for k, t, _, _ in got["d3"]}
+    assert d3_kinds["CONFIDENTIAL — do not distribute"] == "furniture"  # >=3 pages
+    assert d3_kinds["twice only"] == "text"
+    assert {t: k for k, t, _, _ in got["d2"]}["CONFIDENTIAL — do not distribute"] == "text"
