@@ -35,7 +35,10 @@ SEED = 42
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # label from the LAST path component only ('/mnt/sf_shared/sf0.1' must
+    # not yield '_shared/sf0.1'); non-sfN dirs keep their basename as label
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = base[2:] if base.startswith("sf") else base
 
     from pyspark.sql import functions as F
 

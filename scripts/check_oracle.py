@@ -20,12 +20,24 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _sort_key(x):
+    # floats pair via a 6dp key (the gate convention rounds floats to 6dp on
+    # both sides): raw str() keys would pair rows differently when the two
+    # engines disagree below the comparison tolerance
+    if isinstance(x, float):
+        return f"{x:.6f}" if math.isfinite(x) else str(x)
+    return str(x)
+
+
 def canon(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    # case-insensitive column sort: DuckDB lowercases unquoted identifiers,
+    # Spark preserves case — a case-sensitive sort could order the two sides'
+    # columns differently and then "compare" mismatched columns
+    idx = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in idx))
-    return sorted(out, key=lambda t: tuple(str(x) for x in t)), [cols[i] for i in idx]
+    return sorted(out, key=lambda t: tuple(_sort_key(x) for x in t)), [cols[i] for i in idx]
 
 
 def values_equal(a, b) -> bool:
@@ -35,6 +47,8 @@ def values_equal(a, b) -> bool:
         except (TypeError, ValueError):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
+            return True
+        if fa == fb:  # covers +/-inf == +/-inf (inf - inf is NaN below)
             return True
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
@@ -56,6 +70,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not yield a vacuous "all queries match"
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -69,9 +88,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(srows)} rows)")
             if len(srows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+            else:
+                print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
             res = con.sql(oracles[name])

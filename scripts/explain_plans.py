@@ -55,7 +55,9 @@ def main() -> int:
     p = plan_of(q1)
     sections.append(("q1_pricing_summary", p))
     checks.append(("q1 pushes l_shipdate filter to scan", "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p))
-    checks.append(("q1 map-side partial agg", "partial_" in p.lower() or "HashAggregate" in p, p))
+    # partial_<fn> in the aggregate's function list is the map-side combine
+    # marker; a bare "HashAggregate" arm would pass on final-only aggregation
+    checks.append(("q1 map-side partial agg", "partial_" in p.lower(), p))
     checks.append(("q1 whole-stage codegen", "codegen id" in p, p))
 
     p = plan_of(entrymod._q3_unshipped(spark, sf_dir))
@@ -64,7 +66,11 @@ def main() -> int:
 
     p = plan_of(entrymod._q5_local_supplier(spark, sf_dir))
     sections.append(("q5_local_supplier", p))
-    checks.append(("q5 broadcasts dims", p.count("BroadcastHashJoin") >= 3, p))
+    # count NODES, not substrings: formatted plans print each node twice
+    # (tree line + "(n) NodeName" details header) — substring counting would
+    # let 2 surviving broadcasts satisfy a >=3 bar
+    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", p))
+    checks.append(("q5 broadcasts dims (>=3 BroadcastHashJoin nodes)", n_bhj >= 3, p))
 
     p = plan_of(extract_documents(raw))
     sections.append(("extract_documents", p))
@@ -92,7 +98,10 @@ def main() -> int:
             "batch_handles shuffles only on the doc key",
             all(
                 ("user_id" in args or "doc_id" in args)
-                for args in re.findall(r"hashpartitioning\(([^)]*)\)", p)
+                # to end-of-line, not first ')': a function-wrapped key like
+                # hashpartitioning(cast(doc_id#1 as string), 8) would be
+                # truncated out by [^)]*
+                for args in re.findall(r"hashpartitioning\(([^\n]*)", p)
             ),
             p,
         )
@@ -117,7 +126,7 @@ def main() -> int:
             "chunk_owner shuffles only on the doc key",
             all(
                 "doc_id" in args
-                for args in re.findall(r"hashpartitioning\(([^)]*)\)", p)
+                for args in re.findall(r"hashpartitioning\(([^\n]*)", p)
             ),
             p,
         )

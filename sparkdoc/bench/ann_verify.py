@@ -79,9 +79,13 @@ def main() -> None:
             walls.append(time.monotonic() - t0)
         return min(walls)
 
-    # warm both code paths once
-    pairs.limit(1000).select(F.sum(cos_hof)).collect()
-    pairs.limit(1000).select(F.sum(cos_np(F.col("a"), F.col("b")))).collect()
+    # warm both code paths with a FULL untimed pass: limit(1000) evaluates a
+    # single partition and spawns only one Python worker, leaving the timed
+    # numpy reps to pay worker+Arrow cold start on every other partition
+    # (run.py warms every worker for the same reason) — that asymmetry can
+    # flip the winner at --reps 1
+    pairs.select(F.sum(cos_hof)).collect()
+    pairs.select(F.sum(cos_np(F.col("a"), F.col("b")))).collect()
 
     hof_wall = timed(cos_hof, "hof")
     np_wall = timed(cos_np(F.col("a"), F.col("b")), "numpy")

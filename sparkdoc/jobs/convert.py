@@ -48,6 +48,12 @@ def main() -> None:
         "--rules", help="JSON file of discover/fill rule overlays for --pydantic-template"
     )
     ap.add_argument(
+        "--extensions",
+        help="dotted path 'pkg.module:factory' of a zero-arg callable returning "
+        "a sparkdoc.extension.Extensions registry (the reference's plugin "
+        "objects, config.py:161-165); slots route into fill/salvage/chunk/alias",
+    )
+    ap.add_argument(
         "--export", default="",
         help="comma list of extra export formats: csv,json,cypher,report,html",
     )
@@ -82,6 +88,14 @@ def main() -> None:
 
         template = compile_template(cls, rules=rules)
 
+    extensions = None
+    if args.extensions:
+        import importlib
+
+        sys.path.insert(0, os.getcwd())
+        mod_path, _, fn_name = args.extensions.partition(":")
+        extensions = getattr(importlib.import_module(mod_path), fn_name or "make_extensions")()
+
     if args.input.startswith("synth:"):
         from sparkdoc.synth import raw_nodes_df
 
@@ -89,7 +103,9 @@ def main() -> None:
     else:
         raw = spark.read.parquet(args.input)
 
-    out = convert_document_graph(raw, template=template, fill_cap=args.fill_cap)
+    out = convert_document_graph(
+        raw, template=template, fill_cap=args.fill_cap, extensions=extensions
+    )
 
     counts: dict[str, int] = {}
     for name in ("nodes", "edges", "ledger", "coverage", "invalid_entities", "alias_audit"):

@@ -407,13 +407,19 @@ def test_entities_to_nodes_empty_ids_label_fallback(spark):
 
 def test_remove_phantom_nodes_null_attrs(spark):
     """A node with NULL attrs is a phantom (not silently dropped from both
-    sides by three-valued logic), and its edges are anti-joined out."""
+    sides by three-valued logic), and its edges are anti-joined out. NODES
+    declares attrs non-nullable, but externally-supplied parquet does not
+    enforce that — build with a lax schema to model such input."""
     from sparkdoc.graph import remove_phantom_nodes
-    from sparkdoc.schemas import EDGES, NODES
+    from sparkdoc.schemas import EDGES
 
+    lax = (
+        "node_id string, doc_id string, node_class string, label string, "
+        "attrs map<string,string>, provenance string"
+    )
     nodes = spark.createDataFrame(
         [("N1", "d1", "T", "n1", {"a": "1"}, None), ("NN", "d1", "T", "nn", None, None)],
-        NODES,
+        lax,
     )
     edges = spark.createDataFrame([("N1", "NN", "to_null", None)], EDGES)
     kept, e2, audit = remove_phantom_nodes(nodes, edges)

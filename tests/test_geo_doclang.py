@@ -123,21 +123,23 @@ def test_parse_doclang_page_break_page_no_matches_engine_convention(spark):
     includes the current row)."""
     from sparkdoc.serialize import _page_no_col, doclang_documents, parse_doclang
 
-    rows = [
+    rows = [  # content rows only — the serializer inserts <page_break/>
         ("d1", 0, "text", "p1 body", "", 1, [0, 0, 10, 10], 612, 792),
-        ("d1", 1, "page_break", "", "", 2, None, 612, 792),
-        ("d1", 2, "text", "p2 body", "", 2, [0, 0, 10, 10], 612, 792),
-        ("d1", 3, "page_break", "", "", 3, None, 612, 792),
+        ("d1", 1, "text", "p2 body", "", 2, [0, 0, 10, 10], 612, 792),
+        ("d1", 2, "text", "p3 body", "", 3, [0, 0, 10, 10], 612, 792),
     ]
     geo = spark.createDataFrame(
         rows,
         "doc_id string, offset int, kind string, text string, media_ref string, "
         "page_no int, bbox array<int>, page_width int, page_height int",
     )
-    parsed = parse_doclang(doclang_documents(geo))
-    got = {r["offset"]: r["page_no"] for r in parsed.collect()}
+    parsed = parse_doclang(doclang_documents(geo)).localCheckpoint()
+    got = {r["offset"]: (r["kind"], r["page_no"]) for r in parsed.collect()}
     conv = {
-        r["offset"]: r["pn"]
+        r["offset"]: (r["kind"], r["pn"])
         for r in parsed.withColumn("pn", _page_no_col()).collect()
     }
-    assert got == conv == {0: 1, 1: 2, 2: 2, 3: 3}
+    assert got == conv == {
+        0: ("text", 1), 1: ("page_break", 2), 2: ("text", 2),
+        3: ("page_break", 3), 4: ("text", 3),
+    }
