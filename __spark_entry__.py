@@ -42,6 +42,57 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# hostile derived corpus: the synthetic documents are clean alnum English, so
+# several text-operator gates were VACUOUS on them (no dups, no markup, no
+# control chars, one language, nothing quality-rejected — every branch
+# untaken on both engines agrees trivially). Union deterministic adversarial
+# twins derived from doc_id so each twin regime is exercised; the DuckDB
+# oracle derives the IDENTICAL corpus via _HOSTILE_SQL.
+# --------------------------------------------------------------------------
+
+_FR_TEXT = "le la les et un une est que dans pour du de des"
+_DE_TEXT = "der die das und ist von mit den nicht ein eine zu"
+_ES_TEXT = "el la los las de y que en un una es por con"
+_JUNK_TEXT = "!!! ??? ### $$$ %%% ^^^ &&& ***"
+_MARKUP_PRE = "<b>"
+_MARKUP_POST = "</b>\x07<![CDATA[raw & markup]]> End."
+
+_HOSTILE_SQL = (
+    "SELECT doc_id, text FROM documents"
+    " UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0"
+    " UNION ALL SELECT doc_id + 2000000,"
+    " '<b>' || substring(text, 1, 80) || '</b>' || chr(7) ||"
+    " '<![CDATA[raw & markup]]>' || ' End.' FROM documents WHERE doc_id % 5 = 0"
+    f" UNION ALL SELECT doc_id + 3000000, '{_FR_TEXT}' FROM documents WHERE doc_id % 11 = 0"
+    f" UNION ALL SELECT doc_id + 4000000, '{_DE_TEXT}' FROM documents WHERE doc_id % 13 = 0"
+    f" UNION ALL SELECT doc_id + 5000000, '{_ES_TEXT}' FROM documents WHERE doc_id % 17 = 0"
+    f" UNION ALL SELECT doc_id + 6000000, '{_JUNK_TEXT}' FROM documents WHERE doc_id % 19 = 0"
+)
+
+
+def _docs_hostile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def twin(mod: int, offset: int, text_col) -> DataFrame:
+        return (
+            d.filter(F.col("doc_id") % mod == 0)
+            .select((F.col("doc_id") + offset).alias("doc_id"), text_col.alias("text"))
+        )
+
+    markup = F.concat(
+        F.lit(_MARKUP_PRE), F.substring(F.col("text"), 1, 80), F.lit(_MARKUP_POST)
+    )
+    return (
+        d.unionByName(twin(7, 1_000_000, F.col("text")))  # exact duplicates
+        .unionByName(twin(5, 2_000_000, markup))  # tags + control char + CDATA
+        .unionByName(twin(11, 3_000_000, F.lit(_FR_TEXT)))
+        .unionByName(twin(13, 4_000_000, F.lit(_DE_TEXT)))
+        .unionByName(twin(17, 5_000_000, F.lit(_ES_TEXT)))
+        .unionByName(twin(19, 6_000_000, F.lit(_JUNK_TEXT)))  # quality-reject
+    )
+
+
+# --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
 
@@ -202,15 +253,18 @@ def _events_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set ops per user: distinct event types in first vs second half by
-    event_id; intersection/union/except sizes (SURVEY §2.9 set ops)."""
+    """Set ops per user: distinct event types of even event_ids vs
+    multiples-of-3 event_ids — OVERLAPPING, asymmetric sets, so intersect /
+    union / except each produce non-degenerate sizes (the old even/odd split
+    made both sets identical for every user: n_only_first was always 0 and
+    the gate never exercised array_except) (SURVEY §2.9 set ops)."""
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
         F.array_sort(
             F.array_distinct(F.collect_list(F.when(F.col("event_id") % 2 == 0, F.col("event_type"))))
         ).alias("first_types"),
         F.array_sort(
-            F.array_distinct(F.collect_list(F.when(F.col("event_id") % 2 == 1, F.col("event_type"))))
+            F.array_distinct(F.collect_list(F.when(F.col("event_id") % 3 == 0, F.col("event_type"))))
         ).alias("second_types"),
     )
     return agg.select(
@@ -224,7 +278,7 @@ def _events_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.clean import content_chars, sanitize_text, squash_anchor
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_hostile(spark, sf_dir)  # markup/control/CDATA twins exercise all 3 regimes
     return docs.select(
         "doc_id",
         F.length(sanitize_text(F.col("text"))).alias("clean_len"),
@@ -247,13 +301,17 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.textops import with_language
 
-    return with_language(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+    # hostile twins add fr/de/es texts: every language branch and the
+    # strict-vs-non-strict precedence comparisons actually fire
+    return with_language(_docs_hostile(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
 def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.textops import quality_filter
 
-    return quality_filter(_docs(spark, sf_dir)).select(
+    # hostile twins add symbol-only junk (quality_keep=0 path) and
+    # punctuation-terminated markup twins (ends_with_punct=1 path)
+    return quality_filter(_docs_hostile(spark, sf_dir)).select(
         "doc_id",
         "n_words",
         "mean_word_len",
@@ -268,8 +326,11 @@ def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.textops import doc_fingerprint
 
+    # hostile twins add verbatim duplicates (n_docs=2 groups, min-survivor)
+    # and shared-text language twins (many-member groups): the grouping
+    # semantics are actually exercised, not just 1-row groups
     return (
-        _docs(spark, sf_dir)
+        _docs_hostile(spark, sf_dir)
         .withColumn("fp", doc_fingerprint(F.col("text")))
         .groupBy("fp")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
@@ -324,8 +385,14 @@ def _doc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.similarity import _as_double, norm
 
+    # the synthetic embeddings are unit vectors — every norm is exactly 1.0,
+    # so the fold was only ever checked at one magnitude. Scale each row by
+    # (1 + vec_id % 3) BEFORE the fold (same op order in the oracle): norms
+    # {1,2,3} exercise the magnitude path, not just the fixed point
+    scale = (F.lit(1) + F.col("vec_id") % 3).cast("double")
+    scaled = F.transform(_as_double(F.col("embedding")), lambda x: x * scale)
     return _emb(spark, sf_dir).select(
-        "vec_id", F.round(norm(_as_double(F.col("embedding"))), 6).alias("l2_norm")
+        "vec_id", F.round(norm(scaled), 6).alias("l2_norm")
     )
 
 
@@ -434,11 +501,29 @@ def _doc_digit_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", digit_signature_udf()(F.col("props")).alias("digit_sig"))
 
 
+_SIZED_CASE = (
+    "CASE WHEN doc_id % 500 = 0 THEN 1700 WHEN doc_id % 9 = 8 THEN 300 "
+    "WHEN doc_id % 9 = 4 THEN 40 ELSE 1 END"
+)
+_SIZED_SQL = f"SELECT doc_id, repeat(text, {_SIZED_CASE}) AS text FROM documents"
+
+
+def _docs_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents inflated by a deterministic repeat factor so the contract
+    cost model's thresholds actually cross: the raw gate corpus maxes at
+    ~600 chars vs the 32768-char direct bound, making contract/llm_format
+    constant ('direct'/'doclang-geo') for every doc — an inverted threshold
+    was invisible. ~11% of docs now resolve dense."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(f"repeat(text, {_SIZED_CASE})").alias("text")
+    )
+
+
 def _doc_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document plan choice (direct vs dense cost model, SURVEY §4)."""
     from sparkdoc.contracts import with_contract
 
-    return with_contract(_docs(spark, sf_dir)).select("doc_id", "contract", "est_tokens")
+    return with_contract(_docs_sized(spark, sf_dir)).select("doc_id", "contract", "est_tokens")
 
 
 def _page_markdowns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,7 +635,7 @@ def _doc_format_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     274-313): direct→doclang-geo, dense→doclang."""
     from sparkdoc.contracts import with_resolved_format
 
-    return with_resolved_format(_docs(spark, sf_dir)).select(
+    return with_resolved_format(_docs_sized(spark, sf_dir)).select(
         "doc_id", "contract", "llm_format"
     )
 
@@ -576,14 +661,27 @@ def _graph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("provenance"),
         )
 
+    # conflict regimes VARY per node (0, 1, or 2 conflicts): g2 agrees with
+    # g1 on 'a' when doc_id%3==0 (agreement is NOT a conflict), and g3
+    # contradicts g2's 'b' only when doc_id%4==1 — a policy that emitted a
+    # constant one conflict per node would no longer match the oracle
     g1 = mk(F.create_map(F.lit("a"), F.concat(F.lit("a"), (F.col("doc_id") % 3).cast("string"))))
     g2 = mk(
         F.create_map(
-            F.lit("a"), F.lit("z"),
+            F.lit("a"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("a0")).otherwise(F.lit("z")),
             F.lit("b"), F.concat(F.lit("b"), (F.col("doc_id") % 2).cast("string")),
         )
     )
-    g3 = mk(F.create_map(F.lit("c"), F.lit("c")), where=F.col("doc_id") % 2 == 1)
+    g3 = mk(
+        F.map_concat(
+            F.create_map(F.lit("c"), F.lit("c")),
+            F.when(
+                F.col("doc_id") % 4 == 1, F.create_map(F.lit("b"), F.lit("zz"))
+            ).otherwise(F.create_map().cast("map<string,string>")),
+        ),
+        where=F.col("doc_id") % 2 == 1,
+    )
     out = merge_graphs_policy([(g1, empty_edges), (g2, empty_edges), (g3, empty_edges)])
     nconf = out["conflicts"].groupBy("node_id").agg(F.count("*").alias("n_conflicts"))
     return (
@@ -1424,9 +1522,11 @@ def _doc_graph_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covered-chunk accounting (provenance.coverage_stats): 120-char chunk
     windows vs a derived ledger anchoring chunks 0 and 1 (with a duplicate
-    anchor on chunk 0 that must NOT double-count) — n_chunks, distinct
-    n_covered, and the retention ratio are pure arithmetic the DuckDB twin
-    restates."""
+    anchor on chunk 0 that must NOT double-count). For single-chunk docs the
+    chunk-1 anchor is a PHANTOM (no such chunk) and must not count — the
+    operator intersects anchors with the real chunk set, so n_covered =
+    least(2, n_chunks) and coverage never exceeds 1.0; the DuckDB twin
+    restates that arithmetic."""
     from sparkdoc.provenance import coverage_stats
 
     docs = _docs(spark, sf_dir)
@@ -2056,7 +2156,7 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list_distinct(list_filter(
                        list(CASE WHEN event_id % 2 = 0 THEN event_type END), x -> x IS NOT NULL))) AS first_types,
                    list_sort(list_distinct(list_filter(
-                       list(CASE WHEN event_id % 2 = 1 THEN event_type END), x -> x IS NOT NULL))) AS second_types
+                       list(CASE WHEN event_id % 3 = 0 THEN event_type END), x -> x IS NOT NULL))) AS second_types
             FROM events GROUP BY user_id
         )
         SELECT user_id,
@@ -2065,12 +2165,13 @@ def oracle_sql() -> dict[str, str]:
                len(list_filter(first_types, x -> NOT list_contains(second_types, x))) AS n_only_first
         FROM agg
     """
-    q["doc_sanitize"] = r"""
+    q["doc_sanitize"] = rf"""
+        WITH documents_h AS ({_HOSTILE_SQL})
         SELECT doc_id,
                length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS clean_len,
                length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS content_len,
                length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS squash_len
-        FROM documents
+        FROM documents_h
     """
     q["doc_tokens"] = f"""
         SELECT doc_id,
@@ -2083,13 +2184,14 @@ def oracle_sql() -> dict[str, str]:
     de = "['der','die','das','und','ist','von','mit','den','nicht','ein','eine','zu','für']"
     es = "['el','la','los','las','de','y','que','en','un','una','es','por','con']"
     q["doc_lang"] = f"""
-        WITH h AS (
+        WITH documents_h AS ({_HOSTILE_SQL}),
+        h AS (
             SELECT doc_id,
                    len(list_filter({_WORDS_SQL}, w -> list_contains({en}, w))) AS en_h,
                    len(list_filter({_WORDS_SQL}, w -> list_contains({fr}, w))) AS fr_h,
                    len(list_filter({_WORDS_SQL}, w -> list_contains({de}, w))) AS de_h,
                    len(list_filter({_WORDS_SQL}, w -> list_contains({es}, w))) AS es_h
-            FROM documents
+            FROM documents_h
         )
         SELECT doc_id,
                CASE
@@ -2102,11 +2204,12 @@ def oracle_sql() -> dict[str, str]:
         FROM h
     """
     q["doc_quality"] = f"""
-        WITH w AS (
+        WITH documents_h AS ({_HOSTILE_SQL}),
+        w AS (
             SELECT doc_id, text, {_WORDS_SQL} AS ws,
                    length(text) AS nc,
                    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum
-            FROM documents
+            FROM documents_h
         )
         SELECT doc_id,
                len(ws) AS n_words,
@@ -2121,11 +2224,12 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END AS quality_keep
         FROM w
     """
-    q["doc_exact_dups"] = """
+    q["doc_exact_dups"] = f"""
+        WITH documents_h AS ({_HOSTILE_SQL})
         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
                count(*) AS n_docs,
                min(doc_id) AS keep_id
-        FROM documents
+        FROM documents_h
         GROUP BY 1
     """
     _sh = (
@@ -2181,11 +2285,12 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(regexp_extract_all(coalesce(props, ''), '[0-9]+'), '-') AS digit_sig
         FROM events
     """
-    q["doc_contract"] = r"""
-        WITH c AS (
+    q["doc_contract"] = rf"""
+        WITH documents_s AS ({_SIZED_SQL}),
+        c AS (
             SELECT doc_id,
                    length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS cc
-            FROM documents
+            FROM documents_s
         )
         SELECT doc_id,
                CASE WHEN (CAST(ceil(cc / 4) AS BIGINT) + 8192 <= 128000) AND cc <= 32768
@@ -2193,11 +2298,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(ceil(cc / 4) AS BIGINT) AS est_tokens
         FROM c
     """
-    q["doc_format_resolution"] = r"""
-        WITH c AS (
+    q["doc_format_resolution"] = rf"""
+        WITH documents_s AS ({_SIZED_SQL}),
+        c AS (
             SELECT doc_id,
                    length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS cc
-            FROM documents
+            FROM documents_s
         )
         SELECT doc_id,
                CASE WHEN (CAST(ceil(cc / 4) AS BIGINT) + 8192 <= 128000) AND cc <= 32768
@@ -2211,7 +2317,8 @@ def oracle_sql() -> dict[str, str]:
                'a' || CAST(doc_id % 3 AS VARCHAR) AS a,
                'b' || CAST(doc_id % 2 AS VARCHAR) AS b,
                CASE WHEN doc_id % 2 = 1 THEN 'c' END AS c,
-               CAST(1 AS BIGINT) AS n_conflicts
+               CAST((CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts
         FROM documents
     """
     q["doc_salvage"] = """
@@ -2475,11 +2582,16 @@ def oracle_sql() -> dict[str, str]:
     # coverage twin: distinct covered chunks (duplicate anchors collapse),
     # retention = covered / total windows.
     q["doc_coverage"] = """
+        WITH n AS (
+            SELECT doc_id,
+                   greatest(CAST(ceil(length(text)/120.0) AS BIGINT), 1) AS n_chunks
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(greatest(CAST(ceil(length(text)/120.0) AS BIGINT), 1) AS BIGINT) AS n_chunks,
-               CAST(2 AS BIGINT) AS n_covered,
-               2.0 / greatest(CAST(ceil(length(text)/120.0) AS BIGINT), 1) AS coverage
-        FROM documents
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(least(2, n_chunks) AS BIGINT) AS n_covered,
+               least(2, n_chunks) * 1.0 / n_chunks AS coverage
+        FROM n
     """
     # graph-hygiene twin: phantom drop (no meaningful non-meta attr), edge
     # pruning + audit, keywords capped at 5 of 7.
@@ -3067,9 +3179,14 @@ def oracle_sql() -> dict[str, str]:
         FROM joined
     """
     q["emb_norms"] = """
+        WITH s AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(1 + vec_id % 3 AS DOUBLE)) AS e
+            FROM embeddings
+        )
         SELECT vec_id,
-               round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)), 6) AS l2_norm
-        FROM embeddings
+               round(sqrt(list_reduce(list_transform(e, x -> x * x), (a,b) -> a + b)), 6) AS l2_norm
+        FROM s
     """
     # pre-normalized cosine (matches similarity._with_unit): divide each
     # element by the row norm FIRST, then a single sequential-fold dot —

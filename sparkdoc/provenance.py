@@ -168,6 +168,10 @@ def coverage_stats(chunks: DataFrame, ledger: DataFrame) -> DataFrame:
     covered = (
         ledger.select("doc_id", F.explode("anchors").alias("a"))
         .select("doc_id", F.col("a.chunk_id").alias("chunk_id"))
+        # count only chunks that EXIST: an anchor referencing a phantom chunk
+        # id (stale ledger, malformed anchor) must not inflate coverage past
+        # 1.0 — retention is a ratio over the real chunk set
+        .join(chunks.select("doc_id", "chunk_id").distinct(), ["doc_id", "chunk_id"], "left_semi")
         .groupBy("doc_id")
         .agg(F.countDistinct("chunk_id").alias("n_covered"))
     )
