@@ -87,7 +87,16 @@ def commit_bucket_group(
     for status in fs.listStatus(tmp_p):
         name = status.getPath().getName()
         if name.endswith(".parquet"):
-            fs.rename(status.getPath(), jvm_path(manifest_p, f"{uuid.uuid4().hex}.parquet"))
+            target = jvm_path(manifest_p, f"{uuid.uuid4().hex}.parquet")
+            # Hadoop rename reports failure by RETURNING FALSE, not raising —
+            # swallowing it would mark the commit done while the manifest row
+            # is lost (resume would recompute a bucket the summary claimed
+            # committed, and the ledger accounting would be silently wrong)
+            if not fs.rename(status.getPath(), target):
+                raise IOError(
+                    f"manifest commit failed: rename {status.getPath()} -> {target} "
+                    "returned false (filesystem refused the move)"
+                )
     fs.delete(tmp_p, True)
 
 
@@ -174,10 +183,19 @@ def run_resumable(
             # count from the WRITTEN parquet: a count on `ch` would re-run
             # the whole chunking mapInPandas stage (docs is cached but the
             # chunk stage itself is not) — the scan of what was just written
-            # is the same numbers for a fraction of the cost
+            # is the same numbers for a fraction of the cost. Explicit
+            # schema: a group with ZERO chunks (fewer docs than buckets)
+            # leaves the dir without parquet footers and a schema-inferring
+            # read would die with UNABLE_TO_INFER_SCHEMA before any commit
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            from sparkdoc.schemas import CHUNKS
+
+            # copy, don't CHUNKS.add(...): StructType.add mutates in place
+            ch_schema = StructType(list(CHUNKS.fields) + [StructField("bucket", IntegerType())])
             n_chunks_by_bucket = {
                 r["bucket"]: r["n"]
-                for r in spark.read.parquet(ch_path)
+                for r in spark.read.schema(ch_schema).parquet(ch_path)
                 .filter(F.col("bucket").isin(group))
                 .groupBy("bucket")
                 .agg(F.count("*").alias("n"))

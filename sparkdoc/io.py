@@ -32,8 +32,27 @@ def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) 
 # --- CSV (csv_exporter.py:26-111) --------------------------------------------
 
 
+def _unique_nodes(nodes: DataFrame) -> DataFrame:
+    """One export row per node_id, deterministically. The pipeline nodes
+    table may carry one row per (doc_id, node_id); duplicate ``id:ID`` rows
+    make ``neo4j-admin import`` reject the CSV outright, and a Cypher MERGE
+    whose property maps differ across duplicates would CREATE a second node.
+    Winner = the smallest doc_id's row (the pipeline's earliest-doc enrich
+    precedence); without a doc_id column any stable total order works."""
+    from pyspark.sql import Window
+
+    if "doc_id" in nodes.columns:
+        order = [F.col("doc_id")]
+    else:
+        order = [F.to_json(F.struct(*[F.col(c) for c in nodes.columns]))]
+    w = Window.partitionBy("node_id").orderBy(*order)
+    return nodes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
 def export_csv(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """nodes.csv / edges.csv, Neo4j-admin-compatible headers."""
+    nodes = _unique_nodes(nodes)
+    edges = edges.dropDuplicates(["src", "dst", "label"])
     n = nodes.select(
         F.col("node_id").alias("id:ID"),
         F.col("node_class").alias(":LABEL"),
@@ -59,6 +78,8 @@ def export_json(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     """Canonical node/edge JSON-lines (distributed analog of the single-file
     {"nodes","edges"} artifact; per-doc single-file collection is a driver
     concern at small scale)."""
+    nodes = _unique_nodes(nodes)
+    edges = edges.dropDuplicates(["src", "dst", "label"])
     nodes.select(
         F.col("node_id").alias("id"),
         F.col("node_class").alias("type"),
@@ -126,13 +147,36 @@ def _cy_label(col):
     return F.concat(F.lit("`"), F.replace(col, F.lit("`"), F.lit("``")), F.lit("`"))
 
 
+def _cy_prop_entries(map_col, sep: str = ": ", prefix: str = ""):
+    """Sorted ``[prefix]\\`key\\`[sep]'value'`` fragments from a map column —
+    sep ': ' for map literals, ' = ' with prefix 'n.' for SET clauses."""
+    return F.transform(
+        F.array_sort(F.map_entries(F.coalesce(map_col, F.create_map().cast("map<string,string>")))),
+        lambda e: F.concat(
+            F.lit(prefix + "`"), F.replace(e["key"], F.lit("`"), F.lit("``")), F.lit("`" + sep),
+            _cy_quote(F.coalesce(e["value"], F.lit(""))),
+        ),
+    )
+
+
 def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str, merge: bool = True) -> None:
     """One cypher-shell script: uniqueness constraints per label, then
     MERGE-idempotent node/edge statements (CREATE style when merge=False).
     Edge MATCHes carry the endpoint labels so the per-label uniqueness
     index serves them (an unlabeled property MATCH is an AllNodesScan per
-    edge in Neo4j — O(E·N) import)."""
+    edge in Neo4j — O(E·N) import).
+
+    Node attrs and edge props ARE exported (cypher_exporter.py's
+    type-preserving property emission — engine attrs are string-typed, so
+    values emit as quoted strings): MERGE keys on {id} alone then SETs the
+    properties (idempotent re-import refreshes attrs); CREATE inlines the
+    full property map. Relationship types are backtick-quoted (uppercased,
+    reference convention) — sanitizing to [A-Z0-9_] collapsed distinct
+    labels and produced invalid Cypher for empty/digit-leading labels;
+    an empty label falls back to ``REL``."""
     verb = "MERGE" if merge else "CREATE"
+    nodes = _unique_nodes(nodes)
+    edges = edges.dropDuplicates(["src", "dst", "label"])
     labels = [r["node_class"] for r in nodes.select("node_class").distinct().collect()]
     constraints = [
         "CREATE CONSTRAINT IF NOT EXISTS FOR (n:`{}`) REQUIRE n.id IS UNIQUE;".format(
@@ -140,18 +184,34 @@ def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str, merge: bool
         )
         for l in sorted(labels)
     ]
-    props = F.concat(
-        F.lit("{id: "),
-        _cy_quote(F.col("node_id")),
-        F.lit(", label: "),
-        _cy_quote(F.col("label")),
-        F.lit("}"),
-    )
-    node_stmts = nodes.select(
-        F.concat(
-            F.lit(f"{verb} (n:"), _cy_label(F.col("node_class")), F.lit(" "), props, F.lit(");")
-        ).alias("stmt")
-    )
+    attr_entries = _cy_prop_entries(F.col("attrs"))
+    if merge:
+        set_entries = _cy_prop_entries(F.col("attrs"), sep=" = ", prefix="n.")
+        set_tail = F.when(
+            F.size(set_entries) > 0,
+            F.concat(F.lit(", "), F.array_join(set_entries, ", ")),
+        ).otherwise(F.lit(""))
+        node_stmts = nodes.select(
+            F.concat(
+                F.lit("MERGE (n:"), _cy_label(F.col("node_class")),
+                F.lit(" {id: "), _cy_quote(F.col("node_id")), F.lit("})"),
+                F.lit(" SET n.label = "), _cy_quote(F.coalesce(F.col("label"), F.lit(""))),
+                set_tail, F.lit(";"),
+            ).alias("stmt")
+        )
+    else:
+        inline = F.when(
+            F.size(attr_entries) > 0,
+            F.concat(F.lit(", "), F.array_join(attr_entries, ", ")),
+        ).otherwise(F.lit(""))
+        node_stmts = nodes.select(
+            F.concat(
+                F.lit("CREATE (n:"), _cy_label(F.col("node_class")),
+                F.lit(" {id: "), _cy_quote(F.col("node_id")),
+                F.lit(", label: "), _cy_quote(F.coalesce(F.col("label"), F.lit(""))),
+                inline, F.lit("});"),
+            ).alias("stmt")
+        )
     # distinct: the nodes table may carry one row per (doc_id, node_id); a
     # plain join would emit duplicate edge statements per document
     cls = nodes.select("node_id", "node_class").distinct()
@@ -169,6 +229,19 @@ def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str, merge: bool
     label_part = lambda c: F.when(  # noqa: E731 — dangling endpoint: unlabeled MATCH
         F.col(c).isNotNull(), F.concat(F.lit(":"), _cy_label(F.col(c)))
     ).otherwise(F.lit(""))
+    rel_type = F.when(
+        F.length(F.coalesce(F.col("label"), F.lit(""))) > 0,
+        _cy_label(F.upper(F.col("label"))),
+    ).otherwise(F.lit("`REL`"))
+    prop_entries = (
+        _cy_prop_entries(F.col("props"))
+        if "props" in edges.columns
+        else F.array().cast("array<string>")
+    )
+    rel_props = F.when(
+        F.size(prop_entries) > 0,
+        F.concat(F.lit(" {"), F.array_join(prop_entries, ", "), F.lit("}")),
+    ).otherwise(F.lit(""))
     edge_stmts = e.select(
         F.concat(
             F.lit("MATCH (a"),
@@ -180,7 +253,8 @@ def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str, merge: bool
             F.lit(" {id: "),
             _cy_quote(F.col("dst")),
             F.lit(f"}}) {verb} (a)-[:"),
-            F.regexp_replace(F.upper("label"), "[^A-Z0-9_]", "_"),
+            rel_type,
+            rel_props,
             F.lit("]->(b);"),
         ).alias("stmt")
     )

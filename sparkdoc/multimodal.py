@@ -219,11 +219,23 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def media_dedup_groups(features: DataFrame) -> DataFrame:
-    """Exact media dedup by content hash (cross-document)."""
+    """Exact media dedup by content hash (cross-document).
+
+    media_ref ('#/pictures/<node_id>') is DOCUMENT-scoped — the same ref
+    string names unrelated media in other documents — so the survivor is
+    identified by the (doc_id, media_ref) pair, not the ref alone (a bare
+    min(media_ref) could point a consumer at a different document's
+    unrelated image)."""
+    keep = F.min(F.struct("doc_id", "media_ref")).alias("_keep")
     return (
         features.groupBy("sha256")
-        .agg(F.count("*").alias("n_copies"), F.min("media_ref").alias("keep_ref"))
+        .agg(F.count("*").alias("n_copies"), keep)
         .filter(F.col("n_copies") > 1)
+        .select(
+            "sha256", "n_copies",
+            F.col("_keep.doc_id").alias("keep_doc_id"),
+            F.col("_keep.media_ref").alias("keep_ref"),
+        )
     )
 
 
@@ -234,11 +246,20 @@ def near_dup_media(features: DataFrame, k: int = 5, max_broadcast_rows: int = 10
     instead of re-embedding the feature-extraction plan on both join sides,
     and (b) the corpus size is guarded — past ``max_broadcast_rows`` use the
     bucketed path (similarity.lsh_topk / embedding_near_dups), which never
-    broadcasts the corpus."""
+    broadcasts the corpus.
+
+    Output ids are ``doc_id + '\\x1f' + media_ref`` (unit-separator packed):
+    media_ref alone is document-scoped and NOT unique across the corpus."""
     from sparkdoc.similarity import brute_force_topk
 
+    # vec_id must be GLOBALLY unique: media_ref is a per-document counter
+    # ref, so doc A's and doc B's '#/pictures/7' would otherwise share one
+    # id — the kernel's self-pair filter (query_id != neighbor_id) would
+    # drop exactly the cross-document near-dup pairs this exists to find,
+    # and both images' neighbors would merge into one top-k list
     emb = features.select(
-        F.col("media_ref").alias("vec_id"), F.col("embedding")
+        F.concat_ws("\x1f", F.col("doc_id"), F.col("media_ref")).alias("vec_id"),
+        F.col("embedding"),
     ).localCheckpoint(eager=False)
     n = emb.count()
     if n > max_broadcast_rows:

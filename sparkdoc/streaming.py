@@ -37,6 +37,12 @@ def stream_extract(
     from sparkdoc.chunker import chunk_documents
     from sparkdoc.spans import extract_documents
 
+    # INPUT CONTRACT: a file is the unit of atomicity — every raw_nodes file
+    # must contain WHOLE documents (all rows of a doc_id in one file). A doc
+    # split across files can land in different micro-batches and would be
+    # assembled as two partial documents in different batch_id partitions;
+    # the streaming source has no cross-batch view to rejoin them. The batch
+    # pipeline (checkpoint.run_resumable) has no such requirement.
     raw = (
         spark.readStream.schema(RAW_NODES)
         .option("maxFilesPerTrigger", 64)
@@ -100,7 +106,19 @@ def stream_dedup_first_seen(
         .option("maxFilesPerTrigger", 64)
         .parquet(in_dir)
     )
-    keyed = docs.withColumn("fp", F.md5(F.col(text_col))).groupBy("fp")
+    from sparkdoc.textops import doc_fingerprint
+
+    # Fingerprint parity with the BATCH dedup contract (textops.doc_fingerprint:
+    # md5 of whitespace-normalized lowercase — raw md5(text) would call
+    # case/whitespace variants unique here while the batch path collapses
+    # them). NULL text never groups: md5(NULL) = NULL would land every
+    # failed-extraction doc in ONE group and silently delete all but one
+    # (the batch path filters exactly this, dedup_text.py) — each NULL-text
+    # doc gets a per-doc sentinel fingerprint and passes through as unique.
+    fp = F.when(
+        F.col(text_col).isNotNull(), doc_fingerprint(F.col(text_col))
+    ).otherwise(F.concat(F.lit("null:"), F.col("doc_id")))
+    keyed = docs.withColumn("fp", fp).groupBy("fp")
 
     def first_seen(key, pdfs, state: GroupState):
         seen = state.get[0] if state.exists else 0

@@ -138,12 +138,41 @@ def test_export_cypher(spark, small_graph, tmp_path):
     lines = [r["value"] for r in spark.read.text(out).collect()]
     text = "\n".join(lines)
     assert "CREATE CONSTRAINT IF NOT EXISTS FOR (n:`Person`)" in text
-    assert "MERGE (n:`Person` {id: 'P_1'" in text
-    assert "WORKS_AT" in text
+    # MERGE keys on {id} alone, then SETs label + attrs (idempotent refresh)
+    assert "MERGE (n:`Person` {id: 'P_1'}) SET n.label = 'Ada', n.`name` = 'Ada';" in text
+    # relationship type backticked (not sanitized-to-underscore) + props map
+    assert "[:`WORKS AT` {`since`: '2020'}]" in text
     assert "ACME\\'s" in text  # quote escaping
     # edge MATCHes carry endpoint labels so the per-label uniqueness index
     # serves the import (unlabeled property MATCH = AllNodesScan per edge)
     assert "MATCH (a:`Person` {id: " in text
+
+
+def test_export_cypher_hostile_labels_and_duplicates(spark, tmp_path):
+    """Empty / digit-leading edge labels stay valid Cypher; per-doc node
+    duplicates collapse to ONE deterministic statement (duplicate MERGEs
+    with differing attrs would CREATE a second node)."""
+    from sparkdoc.io import export_cypher
+    from sparkdoc.schemas import EDGES, NODES
+
+    nodes = spark.createDataFrame(
+        [
+            ("N1", "d1", "T", "n1", {"a": "from-d1"}, None),
+            ("N1", "d2", "T", "n1", {"a": "from-d2"}, None),  # per-doc duplicate
+            ("N2", "d1", "T", "n2", {}, None),
+        ],
+        NODES,
+    )
+    edges = spark.createDataFrame(
+        [("N1", "N2", "", None), ("N2", "N1", "2nd_ref", {"w": "3"})], EDGES
+    )
+    out = str(tmp_path / "cy2")
+    export_cypher(nodes, edges, out)
+    text = "\n".join(r["value"] for r in spark.read.text(out).collect())
+    assert text.count("MERGE (n:`T` {id: 'N1'})") == 1  # deduped
+    assert "from-d1" in text and "from-d2" not in text  # smallest doc_id wins
+    assert "[:`REL`]" in text  # empty label fallback, still valid Cypher
+    assert "[:`2ND_REF` {`w`: '3'}]" in text  # digit-leading label valid
 
 
 def test_bucketed_write_joins_without_shuffle(spark):
@@ -175,3 +204,16 @@ def test_bucketed_write_joins_without_shuffle(spark):
     aplan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in aplan, aplan
     assert agg.count() == 500
+
+
+def test_run_resumable_zero_chunk_group(spark, tmp_path):
+    """A bucket group yielding ZERO chunks (fewer docs than buckets) must not
+    crash the chunk-count read-back on a footer-less parquet dir."""
+    from sparkdoc.checkpoint import run_resumable
+    from sparkdoc.synth import raw_nodes_df
+
+    out = str(tmp_path / "tiny")
+    r = run_resumable(spark, raw_nodes_df(spark, 3, 42, partitions=1), out,
+                      n_buckets=16, group_size=4)
+    assert len(r["buckets_processed"]) == 16
+    assert r["docs"] >= 1

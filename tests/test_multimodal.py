@@ -99,3 +99,29 @@ def test_binary_column_pruned_from_feature_plan(media):
     assert "payload" in plan  # consumed by the UDF input ...
     downstream = feats.groupBy().agg(F.sum("n_bytes"))
     assert downstream.count() if False else True
+
+
+def test_media_ids_are_document_scoped_safe(spark):
+    """media_ref is a per-document counter ref: dedup keepers carry the
+    (doc_id, media_ref) pair and ANN ids pack doc_id — a bare media_ref
+    would alias unrelated images across documents."""
+    from sparkdoc.multimodal import media_dedup_groups, near_dup_media
+
+    feats = spark.createDataFrame(
+        [
+            ("dA", "#/pictures/7", "samehash", [1.0, 0.0]),
+            ("dB", "#/pictures/7", "samehash", [1.0, 0.0]),  # true copy, same ref string
+            ("dC", "#/pictures/2", "otherhash", [0.0, 1.0]),
+        ],
+        "doc_id string, media_ref string, sha256 string, embedding array<double>",
+    )
+    groups = {r["sha256"]: r for r in media_dedup_groups(feats).collect()}
+    assert groups["samehash"]["n_copies"] == 2
+    assert (groups["samehash"]["keep_doc_id"], groups["samehash"]["keep_ref"]) == ("dA", "#/pictures/7")
+    ann = near_dup_media(feats, k=2).collect()
+    ids = {r["query_id"] for r in ann}
+    # both same-ref images keep distinct identities and find EACH OTHER
+    assert "dA\x1f#/pictures/7" in ids and "dB\x1f#/pictures/7" in ids
+    by_q = {r["query_id"]: r for r in ann if r["rank"] == 1} if ann and "rank" in ann[0].asDict() else None
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert ("dA\x1f#/pictures/7", "dB\x1f#/pictures/7") in pairs

@@ -63,3 +63,29 @@ def test_stream_dedup_first_seen_stateful(spark, tmp_path):
     out2 = spark.read.parquet(out_dir + "/unique").collect()
     assert len(out2) == 3
     assert {r["doc_id"] for r in out2} == {"a1", "b1", "c1"}
+
+
+def test_stream_dedup_matches_batch_fingerprint_and_null_passthrough(spark, tmp_path):
+    """Streaming dedup must (a) collapse case/whitespace variants exactly
+    like the batch doc_fingerprint contract and (b) pass every NULL-text doc
+    through as unique instead of collapsing them into one NULL group."""
+    import os
+
+    from sparkdoc.streaming import stream_dedup_first_seen
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [("d1", "Foo  Bar"), ("d2", "foo bar"), ("d3", None), ("d4", None), ("d5", "other")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = stream_dedup_first_seen(spark, in_dir, out_dir)
+    q.awaitTermination()
+    rows = {r["doc_id"]: r for r in spark.read.parquet(os.path.join(out_dir, "unique")).collect()}
+    # d1/d2 are one fingerprint group (batch-parity normalization): min wins
+    assert "d1" in rows and "d2" not in rows
+    assert rows["d1"]["n_dups_batch"] == 2
+    # NULL-text docs each pass through as unique
+    assert "d3" in rows and "d4" in rows
+    assert "d5" in rows
