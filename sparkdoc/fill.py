@@ -85,8 +85,19 @@ def extract_fields(
         props = set(build_projected_fill_schema(catalog, spec)["properties"])
         targets = dict(_reference_targets(catalog, spec))
         ref_rules = [(fname, targets.get(fname, "")) for fname, _ids in spec.reference_fields]
-    primary = ids.get(spec.id_fields[0], "") if spec.id_fields else ""
+    # `or ""`: a key PRESENT with a NULL map value is schema-legal and would
+    # reach re.escape(None) below
+    primary = (ids.get(spec.id_fields[0], "") or "") if spec.id_fields else ""
     out: dict = {}
+
+    def _search(pattern: str, text: str):
+        # one malformed user rule (re.error) or a Java-only construct must
+        # not kill the whole mapInPandas stage — treat as no-match, same
+        # contract as the extension-extractor guard above
+        try:
+            return re.search(pattern, text)
+        except re.error:
+            return None
     for f in spec.fields:
         if f.name not in props:
             continue
@@ -99,14 +110,14 @@ def extract_fields(
                 except Exception:
                     value = None  # user extractors must never kill the job
         if f.rule_kind == "id":
-            m = re.search(f.pattern, ids.get(f.id_field, "") or "")
+            m = _search(f.pattern, ids.get(f.id_field, "") or "")
             if m:
                 value = m.group(1) if m.groups() else m.group(0)
                 if f.mapping:
                     value = dict(f.mapping).get(value, value)
         elif f.rule_kind == "context" and context:
             pattern = f.pattern.replace("{id}", re.escape(primary))
-            m = re.search(pattern, context)
+            m = _search(pattern, context)
             if m:
                 value = m.group(1) if m.groups() else m.group(0)
         if value is None:
@@ -127,9 +138,15 @@ def extract_fields(
             continue
         if fname in overrides:
             pattern = pattern.replace("{id}", re.escape(primary))
-        m = re.search(pattern, context)
+        m = _search(pattern, context)
         if m:
-            out[fname] = (m.group(1) if m.groups() else m.group(0)).strip()
+            # a capture group that did not PARTICIPATE in the match yields
+            # None (alternation like 'A-(\\d+)|FALLBACK') — fall back to the
+            # whole match, matching the id/context branches' None guard
+            value = m.group(1) if m.groups() else m.group(0)
+            if value is None:
+                value = m.group(0)
+            out[fname] = value.strip()
     return out
 
 
@@ -284,7 +301,10 @@ def fill_phase(
             yield pd.DataFrame(rows, columns=cols)
 
     filled = jobs.mapInPandas(run, schema=out_schema)
-    skipped = skeleton.filter(~F.col("path").isin(fill_paths(catalog))).withColumn(
-        "fill_batch", F.lit(-1).cast("int")
-    )
+    # null-safe complement: a NULL path makes BOTH `isin` and `~isin` NULL,
+    # silently dropping the row from filled AND skipped — coalesce so
+    # NULL-path rows pass through on the skipped branch
+    skipped = skeleton.filter(
+        ~F.coalesce(F.col("path").isin(fill_paths(catalog)), F.lit(False))
+    ).withColumn("fill_batch", F.lit(-1).cast("int"))
     return filled.unionByName(skipped.select(*[c for c in filled.columns]))

@@ -311,8 +311,70 @@ class TestReconcileBatches:
 
 
 # --------------------------------------------------------------------------
-# extension registry slots
+# fill extract_fields hardening branches
 # --------------------------------------------------------------------------
+
+
+class TestExtractFieldsHardening:
+    def _cat(self, fields, context_text="ctx"):
+        template = {
+            "class": "Doc",
+            "id_fields": ["name"],
+            "fields": fields,
+            "children": {},
+        }
+        return build_node_catalog(template)
+
+    def test_malformed_user_regex_is_no_match_not_crash(self):
+        from sparkdoc.fill import extract_fields
+
+        cat = self._cat(
+            {"bad": {"type": "string",
+                     "rule": {"kind": "context", "pattern": r"(unclosed"}}}
+        )
+        out = extract_fields(cat.spec_by_path()[""], {"name": "x"}, "unclosed?", cat)
+        assert "bad" not in out  # re.error swallowed, field simply absent
+
+    def test_null_primary_id_value_does_not_crash_escape(self):
+        from sparkdoc.fill import extract_fields
+
+        cat = self._cat(
+            {"near": {"type": "string",
+                      "rule": {"kind": "context", "pattern": r"val={id}(\d+)"}}}
+        )
+        # ids key present but value None (schema-legal map value)
+        out = extract_fields(cat.spec_by_path()[""], {"name": None}, "val=7", cat)
+        assert out.get("near") == "7"  # {id} expands to '' and still matches
+
+    def test_reference_alternation_nonparticipating_group_falls_back(self):
+        from sparkdoc.fill import extract_fields
+
+        template = {
+            "class": "Doc",
+            "id_fields": ["name"],
+            "fields": {},
+            "children": {
+                "items": {
+                    "list": True,
+                    "model": {
+                        "class": "Item",
+                        "id_fields": ["code"],
+                        "discover": r"ITEM-(\d+)|FALLBACK",
+                        "fields": {},
+                    },
+                },
+                "main_item": {
+                    "list": False,
+                    "reference": True,
+                    "model": {"class": "Item", "id_fields": ["code"]},
+                },
+            },
+        }
+        cat = build_node_catalog(template)
+        spec = cat.spec_by_path()[""]
+        out = extract_fields(spec, {"name": "d"}, "see FALLBACK here", cat)
+        # group 1 did not participate -> whole-match fallback, not a crash/None
+        assert out.get("main_item") == "FALLBACK"
 
 
 def _upper_field(ids: dict, context: str):
