@@ -72,5 +72,10 @@ def with_resolved_format(df: DataFrame, text_col: str = "text", text_input: bool
 
 def preflight_filter(df: DataFrame, text_col: str = "text", context_tokens: int = DEFAULT_CONTEXT_TOKENS) -> DataFrame:
     """Admission control: refuse docs that cannot fit the context at all
-    (llm_backend.py:1209-1239) — filtered out BEFORE any expensive stage."""
-    return df.filter(estimate_tokens(F.col(text_col)) <= context_tokens)
+    (llm_backend.py:1209-1239) — filtered out BEFORE any expensive stage.
+    NULL text estimates as 0 tokens (admitted): resolve_contract routes the
+    same doc to 'dense', and a NULL predicate would otherwise drop the row
+    with no trace."""
+    return df.filter(
+        F.coalesce(estimate_tokens(F.col(text_col)), F.lit(0)) <= context_tokens
+    )

@@ -103,7 +103,12 @@ def confirm_alias_pairs(pairs: DataFrame, confirm_fn: Callable[[str, str], bool]
     # the fallback for pair tables built without labels
     bcol = "base_label" if "base_label" in pairs.columns else "base_canon"
     scol = "superset_label" if "superset_label" in pairs.columns else "superset_canon"
-    return pairs.filter(_confirm(F.col(bcol), F.col(scol)))
+    # cut lineage: apply_alias_merges' transitive-closure loop self-joins the
+    # pair mapping 3x before its own checkpoint, embedding this plan up to 8
+    # times — without truncation the confirm callable (a real LLM adapter)
+    # would be re-invoked per plan copy, and copies could DISAGREE, leaving
+    # chains half-merged (A→B kept while B itself survives in one branch)
+    return pairs.filter(_confirm(F.col(bcol), F.col(scol))).localCheckpoint(eager=False)
 
 
 def run_validators(
@@ -119,7 +124,12 @@ def run_validators(
     out = []
     for e in entities:
         try:
-            out.append([str(x) for x in (fn(e) or [])])
+            errs = fn(e) or []
+            if isinstance(errs, str):
+                # easy contract mistake: a single message instead of a list —
+                # iterating it would explode into one error per CHARACTER
+                errs = [errs]
+            out.append([str(x) for x in errs])
         except Exception as exc:  # a user validator must never kill the job
             out.append([f"validator_error: {exc}"])
     return out

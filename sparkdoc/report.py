@@ -206,14 +206,21 @@ def graph_html(
     rather than the collected-sample size."""
     total_nodes = len(nodes) if total_nodes is None else total_nodes
     total_edges = len(edges) if total_edges is None else total_edges
+    capped = total_nodes > MAX_HTML_NODES or total_edges > MAX_HTML_EDGES
+    nodes = nodes[:MAX_HTML_NODES]
+    edges = edges[:MAX_HTML_EDGES]
+    # an edge whose endpoint fell outside the kept node sample cannot render;
+    # drop it HERE so the cap note reports the count actually drawn (the
+    # "first K/total edges" phrasing was a lie when most sampled edges
+    # touched un-sampled nodes)
+    kept_ids = {n["node_id"] for n in nodes}
+    edges = [e for e in edges if e["src"] in kept_ids and e["dst"] in kept_ids]
     cap_note = ""
-    if total_nodes > MAX_HTML_NODES or total_edges > MAX_HTML_EDGES:
+    if capped:
         cap_note = (
-            f"showing first {min(len(nodes), MAX_HTML_NODES)}/{total_nodes} nodes, "
-            f"{min(len(edges), MAX_HTML_EDGES)}/{total_edges} edges — full graph in parquet"
+            f"showing {len(nodes)}/{total_nodes} nodes, "
+            f"{len(edges)}/{total_edges} edges — full graph in parquet"
         )
-        nodes = nodes[:MAX_HTML_NODES]
-        edges = edges[:MAX_HTML_EDGES]
     njson = json.dumps(
         [
             {"id": n["node_id"], "c": n.get("node_class", ""), "l": (n.get("label") or "")[:60]}

@@ -59,6 +59,8 @@ RAW_NODES = StructType(
         StructField("tag", StringType(), False),
         StructField("text", StringType(), True),
         StructField("n_chars", IntegerType(), False),
+        # characters inside anchor text, NOT a link count: the boilerplate
+        # rule is Boilerpipe link density (n_links / n_chars > 0.5)
         StructField("n_links", IntegerType(), False),
         StructField("page_no", IntegerType(), False),
         StructField("bbox", ArrayType(IntegerType(), False), True),  # [l,t,r,b]

@@ -135,6 +135,8 @@ def synth_doc_nodes(doc_index: int, seed: int) -> list[dict]:
         # occasional nav link-farm (boilerplate: link density ≈ 1 ⇒ dropped)
         if rng.random() < 0.4:
             links = " ".join(f"[{rng.choice(_WORDS)}]" for _ in range(8))
+            # n_links = anchor CHARS (everything in a nav row is linked text),
+            # the link-density numerator — see schemas.py DOM_NODE_SCHEMA
             emit("nav", links, page, _MARGIN, 28, _PAGE_W - 2 * _MARGIN, 12, n_links=len(links))
 
         two_col = m["two_col"] and page % 2 == 0

@@ -66,8 +66,11 @@ def train_wordpiece(texts: Iterable[str], vocab_size: int = 4096, min_pair_freq:
         if not c.isspace():
             vocab.setdefault(c, 0)
             vocab.setdefault(f"##{c}", 0)
-    alphabet = sorted(vocab)
-
+    # NOTE: the merge loop below rescans every word's full piece sequence per
+    # iteration (O(vocab_size x corpus pieces)). Deliberate: this trainer runs
+    # ONCE offline to produce the committed vocab (hash pinned in FIXTURES.md)
+    # — an incremental pair-count update would be faster but risks changing
+    # tie-break order and silently drifting the pinned vocab.
     while len(vocab) < vocab_size:
         pair_freq: dict[tuple[str, str], int] = {}
         piece_freq: dict[str, int] = {}
@@ -102,7 +105,7 @@ def train_wordpiece(texts: Iterable[str], vocab_size: int = 4096, min_pair_freq:
                     out.append(parts[i])
                     i += 1
             splits[w] = out
-    return sorted(set(alphabet) | set(vocab))
+    return sorted(vocab)
 
 
 def save_vocab(vocab: list[str], path: str) -> str:

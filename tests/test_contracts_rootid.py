@@ -23,6 +23,21 @@ def test_contract_resolution(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1}
 
 
+def test_preflight_admits_null_text(spark):
+    """NULL text estimates as 0 tokens and is ADMITTED (resolve_contract
+    routes it to 'dense'); a NULL comparison predicate would silently drop
+    the row while the same doc with text='' passes."""
+    from sparkdoc.contracts import preflight_filter, with_contract
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "z" * 600000)], "doc_id int, text string"
+    )
+    kept = {r["doc_id"] for r in preflight_filter(docs, context_tokens=1000).collect()}
+    assert kept == {1, 2}  # NULL and empty treated alike; monster refused
+    got = {r["doc_id"]: r["contract"] for r in with_contract(docs).collect()}
+    assert got[1] == "dense"  # consistent downstream routing for NULL text
+
+
 def test_contract_markup_blind(spark):
     from sparkdoc.contracts import with_contract
 

@@ -82,6 +82,25 @@ def test_graph_html_cap_is_visible():
     assert "full graph in parquet" not in small
 
 
+def test_graph_html_cap_note_counts_rendered_edges():
+    """The cap note must report edges actually DRAWN: an edge whose endpoint
+    fell outside the kept node sample cannot render, so counting it in
+    'showing K/total' overstates coverage."""
+    nodes = [
+        {"node_id": f"N{i}", "node_class": "C", "label": str(i)}
+        for i in range(MAX_HTML_NODES + 50)
+    ]
+    # every edge touches a node BEYOND the kept first MAX_HTML_NODES
+    edges = [
+        {"src": f"N{MAX_HTML_NODES + (i % 50)}", "dst": "N0", "label": "e"}
+        for i in range(200)
+    ]
+    out = graph_html(nodes, edges)
+    assert f"showing {MAX_HTML_NODES}/{MAX_HTML_NODES + 50} nodes, 0/200 edges" in out
+    # and no dangling edge is embedded in the payload
+    assert '"s": "N' + str(MAX_HTML_NODES) + '"' not in out
+
+
 def test_report_from_convert_and_export(spark, tmp_path):
     import os
 

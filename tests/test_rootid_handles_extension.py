@@ -377,6 +377,56 @@ class TestExtractFieldsHardening:
         assert out.get("main_item") == "FALLBACK"
 
 
+def test_alias_confirm_invoked_once_per_pair(spark, tmp_path):
+    """confirm_alias_pairs feeds apply_alias_merges, whose transitive-closure
+    loop self-joins the pair plan 3x — without lineage truncation the user
+    confirm callable (a real LLM adapter) re-executes per plan copy, with
+    copies free to DISAGREE. Pin: exactly one invocation per candidate pair
+    across the whole merge, counted via a file the executor workers append."""
+    from sparkdoc.dedup import apply_alias_merges
+    from sparkdoc.extension import confirm_alias_pairs
+    from sparkdoc.schemas import EDGES, NODES
+
+    calls_log = str(tmp_path / "confirm_calls.log")
+
+    def confirm(base: str, sup: str) -> bool:
+        with open(calls_log, "a") as f:
+            f.write(f"{base}|{sup}\n")
+        return True
+
+    nodes = spark.createDataFrame(
+        [
+            ("N_base", "d1", "T", "Annex 2", {"name": "Annex 2"}, None),
+            ("N_sup", "d1", "T", "Annex 2 Technical", {"name": "Annex 2 Technical"}, None),
+        ],
+        NODES,
+    )
+    edges = spark.createDataFrame([("N_sup", "N_base", "refs", None)], EDGES)
+    pairs = spark.createDataFrame(
+        [("N_base", "N_sup", "Annex 2", "Annex 2 Technical")],
+        "base_id string, superset_id string, base_label string, superset_label string",
+    )
+    confirmed = confirm_alias_pairs(pairs, confirm)
+    n2, e2, audit = apply_alias_merges(nodes, edges, confirmed)
+    n2.collect()
+    e2.collect()
+    audit.collect()
+    with open(calls_log) as f:
+        calls = [ln for ln in f.read().splitlines() if ln]
+    assert calls == ["Annex 2|Annex 2 Technical"]  # once, not once per plan copy
+
+
+def test_run_validators_wraps_plain_string_return(spark):
+    """A validator returning a bare string (instead of a list) must yield ONE
+    error, not one cryptic error per character."""
+    from sparkdoc.extension import Extensions, run_validators
+
+    exts = Extensions()
+    exts.register_validator("Doc", lambda e: "missing id" if not e.get("id") else [])
+    out = run_validators([{"id": ""}, {"id": "ok"}], "Doc", exts)
+    assert out == [["missing id"], []]
+
+
 def _upper_field(ids: dict, context: str):
     return (ids.get("name") or "").upper()
 

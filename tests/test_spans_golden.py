@@ -203,3 +203,43 @@ def test_repeated_text_furniture_demotion_parity(spark):
     assert d3_kinds["CONFIDENTIAL — do not distribute"] == "furniture"  # >=3 pages
     assert d3_kinds["twice only"] == "text"
     assert {t: k for k, t, _, _ in got["d2"]}["CONFIDENTIAL — do not distribute"] == "text"
+
+
+def test_link_density_drop_parity_on_non_nav_row(spark):
+    """A non-nav row whose anchor-char count exceeds half its text (link
+    density > 0.5) is dropped by BOTH golden and Spark; a low-density row
+    with SOME links is kept. The synth corpus only exercises the density
+    rule via nav rows (already dropped by the tag check), so the two
+    independent implementations of the density formula could drift
+    unnoticed without this pin."""
+    from sparkdoc.golden import extract_corpus_golden
+    from sparkdoc.schemas import RAW_NODES
+    from sparkdoc.spans import extract_documents
+
+    rows = [
+        # 30 chars, 20 of them linked -> density 0.67 -> dropped
+        ("d", 0, None, "p", "[a] [b] [c] [d] [e] filler txt", 30, 20, 1,
+         [0, 0, 200, 10], "TOPLEFT", 612, 792),
+        # 30 chars, 10 linked -> density 0.33 -> kept
+        ("d", 1, None, "p", "mostly prose with [one link] xx", 31, 10, 1,
+         [0, 20, 200, 30], "TOPLEFT", 612, 792),
+        # boundary: n_links*2 == n_chars is NOT > -> kept
+        ("d", 2, None, "p", "half linked txt here exactly", 28, 14, 1,
+         [0, 40, 200, 50], "TOPLEFT", 612, 792),
+    ]
+    golden = extract_corpus_golden(
+        [dict(zip([f.name for f in RAW_NODES.fields], r)) for r in rows]
+    )
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+        for r in extract_documents(spark.createDataFrame(rows, RAW_NODES)).collect()
+    }
+    exp = {
+        d: [(s["kind"], s["text"], s["offset"]) for s in spans]
+        for d, spans in golden.items()
+    }
+    assert got == exp
+    texts = {t for _, t, _ in got["d"]}
+    assert "[a] [b] [c] [d] [e] filler txt" not in texts  # density-dropped
+    assert "mostly prose with [one link] xx" in texts
+    assert "half linked txt here exactly" in texts  # strict >, not >=
