@@ -26,6 +26,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _windows_120(docs: DataFrame, doc_col=None) -> DataFrame:
+    """(doc_id, chunk_id, text): 120-char windows of documents.text — the
+    shared derived-chunk input for the anchor/ledger/bind/coverage/owner
+    twins. Mirrored by the `wins`/window CTEs in oracle_sql(); a change to
+    the window size or the ceil/greatest guard must land in BOTH places."""
+    dcol = F.col("doc_id") if doc_col is None else doc_col
+    return docs.select(
+        dcol.alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
+                " i -> substring(text, (i-1)*120 + 1, 120))"
+            )
+        ).alias("chunk_id", "text"),
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file parquet → ONE scan partition; the similarity kernels run
     # interpreted HOF folds per element, so without a repartition the whole
@@ -908,15 +925,7 @@ def _doc_anchor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.provenance import anchor_scan
 
     docs = _docs(spark, sf_dir)
-    chunks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
-                " i -> substring(text, (i-1)*120 + 1, 120))"
-            )
-        ).alias("chunk_id", "text"),
-    )
+    chunks = _windows_120(docs)
     w = F.split(F.col("text"), " ")
     entities = docs.select(
         "doc_id",
@@ -947,15 +956,7 @@ def _doc_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.provenance import build_ledger
 
     docs = _docs(spark, sf_dir)
-    chunks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
-                " i -> substring(text, (i-1)*120 + 1, 120))"
-            )
-        ).alias("chunk_id", "text"),
-    )
+    chunks = _windows_120(docs)
     w = F.split(F.col("text"), " ")
     entities = docs.select(
         "doc_id",
@@ -1393,15 +1394,7 @@ def _doc_bind_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
     d = F.col("doc_id").cast("string")
-    chunks = docs.select(
-        d.alias("doc_id"),
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
-                " i -> substring(text, (i-1)*120 + 1, 120))"
-            )
-        ).alias("chunk_id", "text"),
-    )
+    chunks = _windows_120(docs, doc_col=d)
     ledger = docs.select(
         d.alias("doc_id"),
         F.lit("K1").alias("identity_key"),
@@ -1455,9 +1448,18 @@ def _doc_name_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
     udf = normalize_entity_name_udf()
+    # guard: words 1-3 all non-empty on BOTH sides — element_at on a short
+    # array NULL-propagates through concat while the oracle's split_part
+    # returns '', so an unguarded <3-word doc diverges (sibling queries use
+    # the same both-sides filter pattern)
+    w3ok = (
+        (F.length(F.coalesce(F.element_at(w, 1), F.lit(""))) > 0)
+        & (F.length(F.coalesce(F.element_at(w, 2), F.lit(""))) > 0)
+        & (F.length(F.coalesce(F.element_at(w, 3), F.lit(""))) > 0)
+    )
     n1 = F.concat(F.element_at(w, 1), F.lit("'s "), F.element_at(w, 2), F.lit("-"), F.element_at(w, 3))
     n2 = F.concat(F.lit("the "), F.element_at(w, 2))
-    return docs.select(
+    return docs.filter(w3ok).select(
         "doc_id",
         udf(n1).alias("norm_possessive"),
         udf(n2).alias("norm_article"),
@@ -1530,15 +1532,7 @@ def _doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.provenance import coverage_stats
 
     docs = _docs(spark, sf_dir)
-    chunks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
-                " i -> substring(text, (i-1)*120 + 1, 120))"
-            )
-        ).alias("chunk_id", "text"),
-    )
+    chunks = _windows_120(docs)
 
     def anchor(c, k, s, e):
         return F.struct(
@@ -1616,14 +1610,11 @@ def _chunks_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole extraction-graph pipeline pin in the driver gate: nodes+edges of
-    convert_document_graph over the seeded corpus vs the committed
-    golden_graph fixture (attrs canonicalized as sorted k=v join, md5)."""
-    from sparkdoc.extractor import convert_document_graph
-    from sparkdoc.synth import raw_nodes_df
-
-    out = convert_document_graph(raw_nodes_df(spark, 32, SYNTH_SEED, partitions=4))
+def _graph_pin_encode(out: dict) -> DataFrame:
+    """Shared node/edge → (kind, a, b, c, d, payload_md5) encoding for the
+    graph-pipeline pins (attrs canonicalized as sorted k=v '|'-join, md5) —
+    mirrors _graph_values_from_fixture in oracle_sql(); one implementation so
+    graph_pinned and template_graph_pinned can never drift apart."""
     attrs_md5 = F.md5(
         F.array_join(
             F.transform(
@@ -1650,6 +1641,17 @@ def _graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("payload_md5"),
     )
     return nodes.unionByName(edges)
+
+
+def _graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole extraction-graph pipeline pin in the driver gate: nodes+edges of
+    convert_document_graph over the seeded corpus vs the committed
+    golden_graph fixture (attrs canonicalized as sorted k=v join, md5)."""
+    from sparkdoc.extractor import convert_document_graph
+    from sparkdoc.synth import raw_nodes_df
+
+    out = convert_document_graph(raw_nodes_df(spark, 32, SYNTH_SEED, partitions=4))
+    return _graph_pin_encode(out)
 
 
 def _template_graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1674,32 +1676,7 @@ def _template_graph_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     template = compile_template(InvoiceDoc, rules=INVOICE_RULES)
     out = convert_document_graph(invoice_nodes_df(spark, 12, SYNTH_SEED, partitions=2), template=template)
-    attrs_md5 = F.md5(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.map_entries("attrs")),
-                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-            ),
-            "|",
-        )
-    )
-    nodes = out["nodes"].select(
-        F.lit("node").alias("kind"),
-        F.col("node_id").alias("a"),
-        F.col("doc_id").alias("b"),
-        F.col("node_class").alias("c"),
-        F.col("label").alias("d"),
-        attrs_md5.alias("payload_md5"),
-    )
-    edges = out["edges"].select(
-        F.lit("edge").alias("kind"),
-        F.col("src").alias("a"),
-        F.col("dst").alias("b"),
-        F.col("label").alias("c"),
-        F.lit("").alias("d"),
-        F.lit("").alias("payload_md5"),
-    )
-    return nodes.unionByName(edges)
+    return _graph_pin_encode(out)
 
 
 def _ledger_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1841,15 +1818,7 @@ def _doc_chunk_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.serialize import chunk_owner_map
 
     docs = _docs(spark, sf_dir)
-    chunks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, greatest(int(ceil(length(text)/120.0)), 1)),"
-                " i -> substring(text, (i-1)*120 + 1, 120))"
-            )
-        ).alias("chunk_id", "text"),
-    )
+    chunks = _windows_120(docs)
     w = F.split(F.col("text"), " ")
     parents = (
         docs.select(
@@ -2042,7 +2011,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fold_phrase": _doc_fold_phrase,
         "doc_digit_sig": _doc_digit_sig,
         "doc_contract": _doc_contract,
-        # span pipeline (north rule; golden-tested, rows-only here)
+        # span pipeline + orchestration surfaces. NOT all rows-only: entries
+        # with an oracle_sql() twin (doc_salvage, doc_root_repair,
+        # events_batch_handles, graph_merge, doc_format_resolution,
+        # media_features, source_stats_salted) are graded oracle-exact; only
+        # the entries WITHOUT an oracle key fall back to the rows-only check
+        # (each of those has an oracle-exact *_pinned counterpart above)
         "extract_spans": _extract_spans,
         "chunk_documents": _chunk_docs,
         "provenance_ledger": _ledger,
@@ -2484,47 +2458,34 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_chunk_rows)
         + ") AS t(doc_id, chunk_id, batch_index, text_md5, token_count, pages, headings_md5, text_hash, char_length, resplit_of)"
     )
-    # graph pipeline pin: committed golden_graph fixture → VALUES literal
-    # (attrs canonicalized as sorted k=v '|'-join, md5).
-    _gfx = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                         "tests", "fixtures", "golden_graph_seed42_n32.json.gz")
-    with _gz.open(_gfx, "rt") as _f:
-        _gdata = _js.load(_f)
-    _grows = []
-    for _nid, _gdoc, _cls, _lbl, _attrs_json in _gdata["nodes"]:
-        _attrs = _js.loads(_attrs_json)
-        _amd5 = _hl.md5(
-            "|".join(f"{k}={v}" for k, v in sorted(_attrs.items())).encode("utf-8")
-        ).hexdigest()
-        _lbl_esc = _lbl.replace("'", "''")
-        _grows.append(f"('node', '{_nid}', '{_gdoc}', '{_cls}', '{_lbl_esc}', '{_amd5}')")
-    for _src, _dst, _elbl in _gdata["edges"]:
-        _grows.append(f"('edge', '{_src}', '{_dst}', '{_elbl}', '', '')")
-    q["graph_pinned"] = (
-        "SELECT * FROM (VALUES "
-        + ", ".join(_grows)
-        + ") AS t(kind, a, b, c, d, payload_md5)"
-    )
-    # Pydantic-template acceptance pin: committed golden_invoice fixture →
-    # VALUES literal (same node/edge encoding as graph_pinned).
-    _ifx = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
-                         "tests", "fixtures", "golden_invoice_seed42_n12.json.gz")
-    with _gz.open(_ifx, "rt") as _f:
-        _idata = _js.load(_f)
-    _irows = []
-    for _nid, _gdoc, _cls, _lbl, _attrs_json in _idata["nodes"]:
-        _attrs = _js.loads(_attrs_json)
-        _amd5 = _hl.md5(
-            "|".join(f"{k}={v}" for k, v in sorted(_attrs.items())).encode("utf-8")
-        ).hexdigest()
-        _lbl_esc = _lbl.replace("'", "''")
-        _irows.append(f"('node', '{_nid}', '{_gdoc}', '{_cls}', '{_lbl_esc}', '{_amd5}')")
-    for _src, _dst, _elbl in _idata["edges"]:
-        _irows.append(f"('edge', '{_src}', '{_dst}', '{_elbl}', '', '')")
-    q["template_graph_pinned"] = (
-        "SELECT * FROM (VALUES "
-        + ", ".join(_irows)
-        + ") AS t(kind, a, b, c, d, payload_md5)"
+    # graph pipeline pins: committed graph fixtures → VALUES literal (attrs
+    # canonicalized as sorted k=v '|'-join, md5). ONE encoder for both pins —
+    # graph_pinned and template_graph_pinned must never drift apart.
+    def _graph_values_from_fixture(fname):
+        _p = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "tests", "fixtures", fname)
+        with _gz.open(_p, "rt") as _f:
+            _data = _js.load(_f)
+        _rows = []
+        for _nid, _gdoc, _cls, _lbl, _attrs_json in _data["nodes"]:
+            _attrs = _js.loads(_attrs_json)
+            _amd5 = _hl.md5(
+                "|".join(f"{k}={v}" for k, v in sorted(_attrs.items())).encode("utf-8")
+            ).hexdigest()
+            _lbl_esc = _lbl.replace("'", "''")
+            _rows.append(f"('node', '{_nid}', '{_gdoc}', '{_cls}', '{_lbl_esc}', '{_amd5}')")
+        for _src, _dst, _elbl in _data["edges"]:
+            _rows.append(f"('edge', '{_src}', '{_dst}', '{_elbl}', '', '')")
+        return (
+            "SELECT * FROM (VALUES "
+            + ", ".join(_rows)
+            + ") AS t(kind, a, b, c, d, payload_md5)"
+        )
+
+    q["graph_pinned"] = _graph_values_from_fixture("golden_graph_seed42_n32.json.gz")
+    # Pydantic-template acceptance pin (same node/edge encoding).
+    q["template_graph_pinned"] = _graph_values_from_fixture(
+        "golden_invoice_seed42_n12.json.gz"
     )
     # ledger pipeline pin: committed golden_ledger fixture → VALUES literal.
     _lfx = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
@@ -2622,6 +2583,9 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN split_part(text, ' ', 2) IN ('The', 'the', 'A', 'a', 'An', 'an')
                     THEN '' ELSE upper(split_part(text, ' ', 2)) END AS norm_article
         FROM documents
+        WHERE length(split_part(text, ' ', 1)) > 0
+          AND length(split_part(text, ' ', 2)) > 0
+          AND length(split_part(text, ' ', 3)) > 0
     """
     # binder-ladder twin: exact key → unique same-path canonical containment
     # (fuzzy) → verbatim locate with anchor guards → unresolved; per-node

@@ -38,7 +38,9 @@ def main() -> None:
     # label from the LAST path component only ('/mnt/sf_shared/sf0.1' must
     # not yield '_shared/sf0.1'); non-sfN dirs keep their basename as label
     base = os.path.basename(sf_dir.rstrip("/"))
-    sf = base[2:] if base.startswith("sf") else base
+    # strip the 'sf' prefix only for real sfN names — 'sf_shared'/'sfdata'
+    # are NOT scale factors and keep their basename as the label
+    sf = base[2:] if base.startswith("sf") and base[2:3].isdigit() else base
 
     from pyspark.sql import functions as F
 

@@ -9,6 +9,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -20,13 +21,36 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def _sort_key(x):
-    # floats pair via a 6dp key (the gate convention rounds floats to 6dp on
-    # both sides): raw str() keys would pair rows differently when the two
-    # engines disagree below the comparison tolerance
-    if isinstance(x, float):
-        return f"{x:.6f}" if math.isfinite(x) else str(x)
-    return str(x)
+def _type_class(x) -> str:
+    """Coarse type family for pairing AND comparison: None is its own class
+    (never equal to the string 'None'); bool folds into num (True == 1 —
+    engines disagree on boolean-expr result types); int/float/Decimal unify
+    (BIGINT 2 must pair with DOUBLE 2.0, but NOT with the string '2')."""
+    if x is None:
+        return "null"
+    if isinstance(x, (bool, int, float, decimal.Decimal)):
+        return "num"
+    if isinstance(x, str):
+        return "str"
+    return "other"
+
+
+def _canon_value(x) -> tuple[str, str]:
+    """(type_class, canonical string). Numerics render at 6dp — the gate
+    convention rounds floats to 6dp on both sides, so sub-6dp noise collapses
+    to one key and rows pair the same way values_equal judges them."""
+    tc = _type_class(x)
+    if tc == "null":
+        return (tc, "")
+    if tc == "num":
+        f = float(x)
+        return (tc, f"{f:.6f}" if math.isfinite(f) else str(f))
+    return (tc, str(x))
+
+
+def _sort_key(x) -> str:
+    tc, s = _canon_value(x)
+    return f"{tc}|{s}"
 
 
 def canon(rows, cols):
@@ -41,16 +65,26 @@ def canon(rows, cols):
 
 
 def values_equal(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
+    ta, tb = _type_class(a), _type_class(b)
+    if ta != tb:
+        # cross-class is type drift, a real finding: NULL vs the string
+        # 'None' and 123 vs '123' must FAIL here even though str() agrees
+        return False
+    if ta == "null":
+        return True
+    if ta == "num":
+        fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
         if fa == fb:  # covers +/-inf == +/-inf (inf - inf is NaN below)
             return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        if not (math.isfinite(fa) and math.isfinite(fb)):
+            return False
+        # same 6dp rendering (the gate's rounding convention) or sub-1e-9
+        # relative noise
+        return f"{fa:.6f}" == f"{fb:.6f}" or abs(fa - fb) <= 1e-9 * max(
+            1.0, abs(fa), abs(fb)
+        )
     return str(a) == str(b)
 
 
