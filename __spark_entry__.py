@@ -292,6 +292,31 @@ def _events_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (F.window, 1h) per event_type: count,
+    exact cents-sum, distinct users — the batch twin of
+    streaming.stream_windowed_event_metrics (same window boundaries the
+    watermarked streaming path finalizes; epoch-aligned, so DuckDB's
+    date_trunc is the exact oracle). Sum in integer cents: summing doubles
+    would hash-differ across partition orders."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_e2"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value_e2",
+            "n_users",
+        )
+    )
+
+
 def _doc_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.clean import content_chars, sanitize_text, squash_anchor
 
@@ -1961,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_type": _events_latest_per_type,
         "events_carry_forward": _events_carry_forward,
         "events_type_sets": _events_type_sets,
+        "events_window_agg": _events_window_agg,
         # text / cleaning operators (SURVEY §2.2)
         "doc_sanitize": _doc_sanitize,
         "doc_tokens": _doc_tokens,
@@ -2138,6 +2164,15 @@ def oracle_sql() -> dict[str, str]:
                len(first_types) + len(second_types) - len(list_intersect(first_types, second_types)) AS n_union,
                len(list_filter(first_types, x -> NOT list_contains(second_types, x))) AS n_only_first
         FROM agg
+    """
+    q["events_window_agg"] = """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
     """
     q["doc_sanitize"] = rf"""
         WITH documents_h AS ({_HOSTILE_SQL})

@@ -47,9 +47,9 @@ def _hadoop_fs(spark: SparkSession, path_str: str):
     """(FileSystem, Path) for ``path_str`` via the JVM Hadoop API — resolves
     the scheme (file://, hdfs://, s3a://…), so the commit log works on the
     same storage the data lands on, not just the driver's local disk."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path_str)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+    from sparkdoc.io import hadoop_fs
+
+    return hadoop_fs(spark, path_str)
 
 
 def commit_bucket_group(

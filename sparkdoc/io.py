@@ -18,6 +18,74 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# --- driver-side artifacts on the DATA filesystem ----------------------------
+#
+# Jobs write small driver-side artifacts (manifest.json, merge_report.json,
+# report.md, graph.html) next to their parquet outputs. Python's open() only
+# reaches the driver's LOCAL disk; on a real cluster --out is hdfs://|s3a://
+# and the artifact must land on the same storage as the data. These helpers
+# go through the JVM Hadoop FileSystem API, so they resolve the path's scheme
+# exactly like the DataFrame writers do (file:// in tests, hdfs/s3a on a
+# cluster). Same mechanism as the checkpoint commit log (checkpoint.py).
+
+
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str``, scheme-resolved."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def fs_exists(spark: SparkSession, path_str: str) -> bool:
+    fs, p = hadoop_fs(spark, path_str)
+    return bool(fs.exists(p))
+
+
+def fs_is_dir(spark: SparkSession, path_str: str) -> bool:
+    fs, p = hadoop_fs(spark, path_str)
+    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+
+def _text_fs(fs):
+    """The RAW filesystem for text artifacts. Hadoop's LocalFileSystem is a
+    ChecksumFileSystem: writing manifest.json through it leaves a hidden
+    .manifest.json.crc sidecar, and any OTHER tool (a text editor, a test,
+    jq) that later edits the artifact leaves the sidecar stale — every
+    subsequent read then dies with ChecksumException. These artifacts are
+    meant to be human/tool-editable, so bypass the checksum layer; HDFS/S3A
+    filesystems have no such client-side sidecar (no getRawFileSystem) and
+    are used as-is."""
+    try:
+        return fs.getRawFileSystem()
+    except Exception:
+        return fs
+
+
+def write_text_file(spark: SparkSession, path_str: str, text: str) -> None:
+    """Overwrite a small text artifact at ``path_str`` (parents created)."""
+    fs, p = hadoop_fs(spark, path_str)
+    stream = _text_fs(fs).create(p, True)  # Hadoop create() mkdirs the parents
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def read_text_file(spark: SparkSession, path_str: str) -> str | None:
+    """Contents of a small text artifact, or None when absent."""
+    fs, p = hadoop_fs(spark, path_str)
+    if not fs.exists(p):
+        return None
+    jvm = spark._jvm
+    stream = _text_fs(fs).open(p)
+    try:
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 65536, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

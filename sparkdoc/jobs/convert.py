@@ -157,9 +157,14 @@ def main() -> None:
         "input": args.input,
         "counts": counts,
     }
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    # via the Hadoop FS API: --out may be hdfs://|s3a:// on a cluster — the
+    # manifest must land next to the parquet, not on the driver's local disk
+    from sparkdoc.io import write_text_file
+
+    write_text_file(
+        spark, os.path.join(args.out, "manifest.json"),
+        json.dumps(manifest, indent=2, sort_keys=True),
+    )
 
     print(
         json.dumps(

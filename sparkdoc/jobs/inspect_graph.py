@@ -39,10 +39,11 @@ def main() -> None:
         "validation": validate_graph(nodes, edges),
         "stats": {f"{m}:{k}" if k else m: v for (m, k), v in sorted(stats.items())},
     }
-    mpath = os.path.join(args.graph, "manifest.json")
-    if os.path.isfile(mpath):
-        with open(mpath) as f:
-            report["template_schema_hash"] = json.load(f).get("template_schema_hash")
+    from sparkdoc.io import read_text_file
+
+    mtext = read_text_file(spark, os.path.join(args.graph, "manifest.json"))
+    if mtext:
+        report["template_schema_hash"] = json.loads(mtext).get("template_schema_hash")
     print(json.dumps(report, sort_keys=True))
     spark.stop()
 

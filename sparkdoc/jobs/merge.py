@@ -38,6 +38,9 @@ def main() -> None:
 
     spark = get_spark("sparkdoc-merge", shuffle_partitions=args.shuffle_partitions)
 
+    # Hadoop-FS probes/reads: input dirs may be hdfs://|s3a:// on a cluster
+    from sparkdoc.io import fs_is_dir, read_text_file
+
     dirs = [d for d in args.inputs.split(",") if d]
     inputs, ledgers, hashes = [], [], []
     for d in dirs:
@@ -45,13 +48,9 @@ def main() -> None:
         edges = spark.read.parquet(os.path.join(d, "edges"))
         inputs.append((nodes, edges))
         ledger_path = os.path.join(d, "ledger")
-        ledgers.append(spark.read.parquet(ledger_path) if os.path.isdir(ledger_path) else None)
-        mpath = os.path.join(d, "manifest.json")
-        if os.path.isfile(mpath):
-            with open(mpath) as f:
-                hashes.append(json.load(f).get("template_schema_hash", ""))
-        else:
-            hashes.append("")
+        ledgers.append(spark.read.parquet(ledger_path) if fs_is_dir(spark, ledger_path) else None)
+        mtext = read_text_file(spark, os.path.join(d, "manifest.json"))
+        hashes.append(json.loads(mtext).get("template_schema_hash", "") if mtext else "")
 
     policy = MergePolicy(
         precedence=args.precedence,
@@ -103,8 +102,12 @@ def main() -> None:
             f"no ledger sidecar for inputs {ledgerless}: merged ledger covers "
             "the remaining inputs only (exact provenance binds lost for these)"
         )
-    with open(os.path.join(args.out, "merge_report.json"), "w") as f:
-        json.dump(report, f, indent=2, sort_keys=True, default=str)
+    from sparkdoc.io import write_text_file
+
+    write_text_file(
+        spark, os.path.join(args.out, "merge_report.json"),
+        json.dumps(report, indent=2, sort_keys=True, default=str),
+    )
     print(json.dumps(report, sort_keys=True, default=str))
     spark.stop()
 

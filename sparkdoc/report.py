@@ -245,13 +245,16 @@ def export_report_and_html(out: dict, out_dir: str, counts: dict | None = None) 
     """Write report.md + graph.html next to a convert job's tables (the
     reference's DoclingExport/Visualization stages). Returns paths.
     ``counts`` is forwarded to report_from_convert (precomputed table counts
-    avoid re-executing live pipeline DAGs)."""
+    avoid re-executing live pipeline DAGs). Artifacts are written through the
+    Hadoop FS API so they land on the DATA filesystem (hdfs://|s3a:// out
+    dirs on a cluster), not the driver's local disk."""
     import os
 
-    os.makedirs(out_dir, exist_ok=True)
+    from sparkdoc.io import write_text_file
+
+    spark = out["nodes"].sparkSession
     report_path = os.path.join(out_dir, "report.md")
-    with open(report_path, "w", encoding="utf-8") as f:
-        f.write(report_from_convert(out, counts=counts))
+    write_text_file(spark, report_path, report_from_convert(out, counts=counts))
     total_nodes = counts.get("nodes") if counts else None
     total_nodes = out["nodes"].count() if total_nodes is None else total_nodes
     total_edges = counts.get("edges") if counts else None
@@ -261,6 +264,8 @@ def export_report_and_html(out: dict, out_dir: str, counts: dict | None = None) 
     nodes = [r.asDict() for r in out["nodes"].select("node_id", "node_class", "label").orderBy("node_id").limit(MAX_HTML_NODES + 1).collect()]
     edges = [r.asDict() for r in out["edges"].select("src", "dst", "label").orderBy("src", "dst", "label").limit(MAX_HTML_EDGES + 1).collect()]
     html_path = os.path.join(out_dir, "graph.html")
-    with open(html_path, "w", encoding="utf-8") as f:
-        f.write(graph_html(nodes, edges, total_nodes=total_nodes, total_edges=total_edges))
+    write_text_file(
+        spark, html_path,
+        graph_html(nodes, edges, total_nodes=total_nodes, total_edges=total_edges),
+    )
     return {"report": report_path, "graph_html": html_path}

@@ -11,7 +11,10 @@ the batch on restart) overwrites its own partition instead of appending
 duplicates — end-to-end effectively-once at the file level
 (complementing checkpoint.py's bucket manifest for batch).
 
-No watermarks/event-time: documents carry no event time (SURVEY §2.10).
+Documents carry no event time, so the extract/dedup streams use no
+watermarks (SURVEY §2.10); the EVENTS stream does — see
+``stream_windowed_event_metrics`` for the watermark + windowed-agg path
+with late-data drop semantics.
 """
 
 from __future__ import annotations
@@ -70,6 +73,66 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_windowed_event_metrics(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    window_dur: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+):
+    """Watermarked event-time windowed aggregation over the events stream:
+    per (window, event_type) count + value sum, append mode.
+
+    Late-data contract (the standard Structured Streaming one): a row whose
+    ``ts`` is older than ``max(ts seen) - watermark`` arrives after its
+    window was finalized and is DROPPED — the already-emitted window row is
+    never retracted, so the parquet sink sees each finalized window exactly
+    once. State is one small row per open (window, event_type), evicted at
+    finalization — bounded by watermark horizon × cardinality, not by stream
+    length, which is what lets this run forever on the 100 TB firehose.
+
+    Returns the StreamingQuery (AvailableNow — drains the backlog and
+    terminates; re-running with the same checkpoint resumes the watermark,
+    so late rows stay late across restarts)."""
+    from pyspark.sql import functions as F
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(in_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_dur, slide or window_dur).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "window_metrics"))
+        .option("checkpointLocation", os.path.join(out_dir, "_window_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_dedup_first_seen(

@@ -217,3 +217,35 @@ def test_run_resumable_zero_chunk_group(spark, tmp_path):
                       n_buckets=16, group_size=4)
     assert len(r["buckets_processed"]) == 16
     assert r["docs"] >= 1
+
+
+def test_driver_artifact_io_scheme_aware(spark, tmp_path):
+    """write_text_file/read_text_file/fs_is_dir go through the Hadoop FS API
+    (same storage as the data: hdfs/s3a on a cluster, file:// here) — parents
+    auto-created, overwrite semantics, UTF-8 faithful, None on absence."""
+    from sparkdoc.io import fs_exists, fs_is_dir, read_text_file, write_text_file
+
+    path = str(tmp_path / "nested" / "dir" / "manifest.json")
+    assert read_text_file(spark, path) is None
+    assert not fs_exists(spark, path)
+
+    body = '{"template_schema_hash": "abc123", "note": "naïve — ünïcødé"}'
+    write_text_file(spark, path, body)  # parents created by Hadoop create()
+    assert read_text_file(spark, path) == body
+    assert fs_exists(spark, path)
+    assert not fs_is_dir(spark, path)  # a file is not a dir
+    assert fs_is_dir(spark, str(tmp_path / "nested"))
+    assert not fs_is_dir(spark, str(tmp_path / "absent"))
+
+    write_text_file(spark, path, "v2")  # overwrite, not append
+    assert read_text_file(spark, path) == "v2"
+
+    # explicit file:// scheme resolves identically
+    assert read_text_file(spark, f"file://{path}") == "v2"
+
+    # artifacts are human/tool-editable: an EXTERNAL edit (plain open(),
+    # which knows nothing of Hadoop's .crc sidecars) must not poison later
+    # reads with ChecksumException — the helpers bypass the checksum layer
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("edited outside the engine")
+    assert read_text_file(spark, path) == "edited outside the engine"

@@ -89,3 +89,79 @@ def test_stream_dedup_matches_batch_fingerprint_and_null_passthrough(spark, tmp_
     # NULL-text docs each pass through as unique
     assert "d3" in rows and "d4" in rows
     assert "d5" in rows
+
+
+def test_stream_windowed_event_metrics_watermark_late_drop(spark, tmp_path):
+    """Watermark + windowed agg (append mode): finalized windows emit exactly
+    once across restarts, and a row arriving behind the checkpointed
+    watermark is dropped — the batch-equivalent aggregation MINUS the late
+    row is exactly what the sink holds once the watermark passes everything.
+
+    Three AvailableNow runs on one checkpoint:
+      run 1: base events spanning 4 windows → checkpoint watermark = maxA-2h
+      run 2: on-time rows + one LATE row (behind run-1's watermark → dropped)
+             + flush1 far in the future (advances the watermark past all of
+             A∪B's windows for run 3's first batch)
+      run 3: flush2 even further out → every A∪B window (and flush1's) is
+             finalized; only flush2's own window stays open/pending.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sparkdoc.streaming import EVENTS_SCHEMA, stream_windowed_event_metrics
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, etype, value):
+        return (i, t0 + dt.timedelta(minutes=minutes), 1, etype, float(value), "{}")
+
+    # run 1: events across 4 hourly windows; max ts = t0+3h30 → watermark t0+1h30
+    file_a = [
+        ev(0, 10, "view", 1.0), ev(1, 20, "click", 2.0),   # window [0,1h)
+        ev(2, 70, "view", 3.0),                            # window [1h,2h)
+        ev(3, 130, "view", 4.0), ev(4, 150, "click", 5.0), # window [2h,3h)
+        ev(5, 210, "view", 6.0),                           # window [3h,4h)
+    ]
+    spark.createDataFrame(file_a, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_windowed_event_metrics(spark, in_dir, out_dir).awaitTermination()
+
+    # run 2: one more on-time row, one LATE row (ts=t0+5min < watermark
+    # t0+1h30 → must be dropped), and flush1 two days out
+    late = ev(6, 5, "view", 100.0)
+    file_b = [ev(7, 200, "click", 7.0), late, ev(8, 2880, "flush", 0.0)]
+    spark.createDataFrame(file_b, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_windowed_event_metrics(spark, in_dir, out_dir).awaitTermination()
+
+    # run 3: flush2 four days out — run 3's first batch starts from run 2's
+    # checkpointed watermark (t0+2d-2h), which closes every earlier window
+    spark.createDataFrame([ev(9, 5760, "flush", 0.0)], EVENTS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    stream_windowed_event_metrics(spark, in_dir, out_dir).awaitTermination()
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(os.path.join(out_dir, "window_metrics")).collect()
+    }
+    # exactly-once per finalized window: no duplicate (window, type) keys
+    assert len(got) == len(set(got)) and len(got) > 0
+
+    # batch equivalent over everything EXCEPT the late row and flush2
+    # (flush2's window never finalized)
+    expected_rows = file_a + [file_b[0], file_b[2]]
+    exp = {
+        ((r["ws"]), r["event_type"]): (r["n"], r["s"])
+        for r in spark.createDataFrame(expected_rows, EVENTS_SCHEMA)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+        .collect()
+    }
+    assert got == exp
+    # and the late row's would-be contribution is verifiably absent
+    w0_view = [v for (ws, et), v in got.items() if et == "view" and ws.hour == 0]
+    assert w0_view == [(1, 1.0)]  # ev(0) only — not the late 100.0
