@@ -1975,6 +1975,109 @@ def _events_batch_handles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# corpus filters (sparkdoc/filters.py): Gopher repetition, PII, decontam
+# --------------------------------------------------------------------------
+
+
+def _docs_lined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-structured derived corpus: the synthetic documents carry no
+    newlines, so the repetition gate derives a 3-line text per doc (every
+    doc_id % 3 == 0 repeats its first line → real duplicate lines); the
+    oracle builds the IDENTICAL corpus in SQL (lines_c CTE)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    seg = lambda a: F.substring("text", a, 60)  # noqa: E731
+    third = F.when(F.col("doc_id") % 3 == 0, seg(1)).otherwise(seg(121))
+    return d.select(
+        "doc_id", F.concat_ws("\n", seg(1), seg(61), third).alias("text")
+    )
+
+
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.filters import with_repetition_stats
+
+    return with_repetition_stats(_docs_lined(spark, sf_dir)).select(
+        "doc_id",
+        "n_lines",
+        "n_dup_lines",
+        "dup_line_chars",
+        "total_line_chars",
+        "top_bigram",
+        "top_bigram_cnt",
+        "top_bigram_chars",
+        "dup_trigram_chars",
+        "total_trigram_chars",
+        "total_word_chars",
+    )
+
+
+def _docs_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-injected derived corpus (the synthetic text contains none):
+    deterministic email/phone/IP/SSN snippets keyed off doc_id, mirrored
+    exactly by the oracle's pii_c CTE. doc_id % 12 == 0 docs carry several
+    kinds at once."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    s = lambda c: c.cast("string")  # noqa: E731
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" mail user"), s(did), F.lit("@ex-"), s(did % 7), F.lit(".org now")
+    )
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad(s(did % 1000), 3, "0"),
+        F.lit("-"),
+        F.lpad(s(did % 10000), 4, "0"),
+        F.lit(" x"),
+    )
+    ip = F.concat(
+        F.lit(" host 10."), s(did % 256), F.lit(".0."), s((did * 3) % 256), F.lit(" up")
+    )
+    ssn = F.concat(
+        F.lit(" ssn 078-05-"), F.lpad(s(did % 10000), 4, "0"), F.lit(" leak")
+    )
+    blank = F.lit("")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, email).otherwise(blank),
+            F.when(did % 4 == 0, phone).otherwise(blank),
+            F.when(did % 5 == 0, ip).otherwise(blank),
+            F.when(did % 6 == 0, ssn).otherwise(blank),
+        ).alias("text"),
+    )
+
+
+def _doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.filters import with_pii_stats
+
+    return with_pii_stats(_docs_pii(spark, sf_dir)).select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "redacted"
+    )
+
+
+def _doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the hostile corpus: the benchmark set
+    is the original docs with doc_id % 21 == 0 — each has an exact
+    duplicate twin at +1_000_000 (21 = 3·7 ⊆ the %7 twin regime), so the
+    graded corpus (hostile minus the benchmark docs themselves) contains
+    guaranteed fully-contaminated members plus partial overlaps from the
+    markup twins."""
+    from sparkdoc.filters import decontaminate
+
+    docs = _docs_hostile(spark, sf_dir).filter(
+        ~((F.col("doc_id") < 1000000) & (F.col("doc_id") % 21 == 0))
+    )
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 21 == 0).select("doc_id", "text")
+    return decontaminate(docs, bench, n=8)
+
+
+def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkdoc.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.4, n_cells=16, dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2000,6 +2103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_simhash_sig": _doc_simhash_sig,
         "doc_rolling_fp": _doc_rolling_fp,
+        # corpus filters (Gopher repetition, PII, decontamination)
+        "doc_repetition": _doc_repetition,
+        "doc_pii": _doc_pii,
+        "doc_decontam": _doc_decontam,
         "doc_chunk_owner": _doc_chunk_owner,
         "doc_page_markdowns": _doc_page_markdowns,
         "emb_near_dups": _emb_near_dups,
@@ -2033,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_knn": _emb_lsh_knn,
         "emb_ivf_knn": _emb_ivf_knn,
         "emb_ann_recall": _emb_ann_recall,
+        "emb_semantic_dedup": _emb_semantic_dedup,
         # identity normalizers + plan choice
         "doc_fold_phrase": _doc_fold_phrase,
         "doc_digit_sig": _doc_digit_sig,
@@ -3089,6 +3197,143 @@ def oracle_sql() -> dict[str, str]:
                CAST(f[len(f)] AS BIGINT) AS fp_max
         FROM fp
     """
+    # Gopher repetition stats over the line-structured derived corpus
+    # (_docs_lined twin): integer counters only — see sparkdoc/filters.py on
+    # why fractions are never hashed. n-gram char length is length(gram)
+    # minus its joining spaces (words contain no spaces).
+    _WS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    q["doc_repetition"] = f"""
+        WITH lines_c AS (
+            SELECT doc_id,
+                   substr(text, 1, 60) || chr(10) || substr(text, 61, 60) || chr(10) ||
+                   CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 60)
+                        ELSE substr(text, 121, 60) END AS text
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)), l -> l <> '') AS ls,
+                   {_WS} AS ws
+            FROM lines_c
+        ),
+        linestats AS (
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines,
+                   CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0)
+                        - coalesce(list_sum(list_transform(list_distinct(ls), l -> length(l))), 0)
+                        AS BIGINT) AS dup_line_chars,
+                   CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0) AS BIGINT)
+                       AS total_line_chars,
+                   CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+                       AS total_word_chars
+            FROM base
+        ),
+        g2 AS (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                                                 i -> ws[i] || ' ' || ws[i+1])) AS g
+            FROM base
+        ),
+        g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        g2top AS (
+            SELECT doc_id, g AS top_bigram, CAST(c AS BIGINT) AS top_bigram_cnt,
+                   CAST(c * (length(g) - 1) AS BIGINT) AS top_bigram_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+                  FROM g2c) WHERE rn = 1
+        ),
+        g3 AS (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+                                                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+            FROM base
+        ),
+        g3c AS (SELECT doc_id, g, count(*) AS c, count(*) * (length(g) - 2) AS chars
+                FROM g3 GROUP BY doc_id, g),
+        g3agg AS (
+            SELECT doc_id,
+                   CAST(coalesce(sum(CASE WHEN c >= 2 THEN chars END), 0) AS BIGINT) AS dup_trigram_chars,
+                   CAST(coalesce(sum(chars), 0) AS BIGINT) AS total_trigram_chars
+            FROM g3c GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.n_lines, l.n_dup_lines, l.dup_line_chars, l.total_line_chars,
+               t.top_bigram,
+               coalesce(t.top_bigram_cnt, 0) AS top_bigram_cnt,
+               coalesce(t.top_bigram_chars, 0) AS top_bigram_chars,
+               coalesce(a.dup_trigram_chars, 0) AS dup_trigram_chars,
+               coalesce(a.total_trigram_chars, 0) AS total_trigram_chars,
+               l.total_word_chars
+        FROM linestats l
+        LEFT JOIN g2top t ON l.doc_id = t.doc_id
+        LEFT JOIN g3agg a ON l.doc_id = a.doc_id
+    """
+    # PII counts + redaction over the PII-injected derived corpus (_docs_pii
+    # twin). Patterns are shared literals from sparkdoc.filters.PII_PATTERNS
+    # (Java-regex/RE2 common subset); redaction applies them in PII_ORDER.
+    from sparkdoc.filters import PII_ORDER as _PII_ORDER
+    from sparkdoc.filters import PII_PATTERNS as _PII_PATTERNS
+
+    _pii_counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[k][0]}')) AS BIGINT) AS n_{k}"
+        for k in _PII_ORDER
+    )
+    _pii_red = "text"
+    for _k in _PII_ORDER:
+        _pii_red = (
+            f"regexp_replace({_pii_red}, '{_PII_PATTERNS[_k][0]}', "
+            f"'{_PII_PATTERNS[_k][1]}', 'g')"
+        )
+    q["doc_pii"] = f"""
+        WITH pii_c AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@ex-' || (doc_id % 7) || '.org now' ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' x' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || (doc_id % 256) || '.0.' || ((doc_id * 3) % 256) || ' up' ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0 THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' leak' ELSE '' END
+                   AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               {_pii_counts},
+               {_pii_red} AS redacted
+        FROM pii_c
+    """
+    # Benchmark decontamination (_doc_decontam twin): benchmark = original
+    # doc_id % 21 == 0 docs; graded corpus = hostile minus those; overlap =
+    # DISTINCT word 8-grams (shingles_of semantics: list_distinct) meeting
+    # on md5.
+    q["doc_decontam"] = f"""
+        WITH documents_h AS ({_HOSTILE_SQL}),
+        dc_docs AS (
+            SELECT doc_id, text FROM documents_h
+            WHERE NOT (doc_id < 1000000 AND doc_id % 21 = 0)
+        ),
+        dc_bw AS (SELECT {_WS} AS ws FROM documents WHERE doc_id % 21 = 0),
+        dc_bg AS (
+            SELECT DISTINCT md5(g) AS h FROM (
+                SELECT unnest(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 7),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))) AS g
+                FROM dc_bw
+            )
+        ),
+        dc_dg AS (
+            SELECT doc_id, md5(g) AS h FROM (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 7),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                         ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))) AS g
+                FROM (SELECT doc_id, {_WS} AS ws FROM dc_docs)
+            )
+        ),
+        dc_hits AS (
+            SELECT doc_id, count(*) AS n FROM dc_dg JOIN dc_bg USING (h) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM dc_docs d LEFT JOIN dc_hits h USING (doc_id)
+    """
     # Brute-force O(n^2) twin of the blocked self-join: pigeonhole blocking
     # with max_hamming+1 blocks is recall-COMPLETE for radius 6, so the
     # candidate-generation path must equal the exhaustive pair scan exactly.
@@ -3247,7 +3492,7 @@ def oracle_sql() -> dict[str, str]:
     # IVF twin: centroids are an md5-chunked uint16-LE stream (rebuilt via
     # hex decode), argmax-cell assignment, nprobe=3 probe join, exact cosine
     # within probed cells — scores (and therefore ranks) are bit-identical.
-    _ivf_cte = f"""cent AS (
+    _cent_cte = f"""cent AS (
             SELECT cell,
                    (SELECT string_agg(md5('ivf:11:' || cell || ':' || i), '' ORDER BY i)
                     FROM (SELECT unnest(generate_series(0, 7)) AS i)) AS hx
@@ -3270,7 +3515,9 @@ def oracle_sql() -> dict[str, str]:
                            c.cell ASC) AS rn
                 FROM e, cnorm c
             ) WHERE rn = 1
-        ),
+        )"""
+
+    _ivf_cte = f"""{_cent_cte},
         probes AS (
             SELECT query_id, e, cell FROM (
                 SELECT q.vec_id AS query_id, q.e, c.cell,
@@ -3356,6 +3603,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'ivf' AS method, count(*) AS n_queries,
                round(avg(CAST(coalesce(h.hits, 0) AS DOUBLE) / d.k), 6) AS mean_recall_at_k
         FROM denom d LEFT JOIN ivf_hits h ON d.query_id = h.query_id
+    """
+    # SemDeDup twin (similarity.semantic_dedup): same cell assignment as the
+    # IVF oracle, within-cell pairwise cosine (identical fold order →
+    # bit-identical doubles → identical >= 0.4 outcomes), shadow = min
+    # lower-id near-twin.
+    q["emb_semantic_dedup"] = f"""
+        WITH {_e_cte}, {_cent_cte},
+        sd_pairs AS (
+            SELECT a.vec_id AS u, b.vec_id AS w, {_dot2('a', 'b')} AS cos
+            FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ),
+        sd_shadow AS (SELECT w, min(u) AS shadow FROM sd_pairs WHERE cos >= 0.4 GROUP BY w)
+        SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+               (s.shadow IS NULL) AS kept, CAST(s.shadow AS BIGINT) AS shadow
+        FROM assigned a LEFT JOIN sd_shadow s ON a.vec_id = s.w
     """
     q["emb_label_knn"] = f"""
         WITH e_raw AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),

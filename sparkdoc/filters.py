@@ -1,0 +1,248 @@
+"""Corpus-level filters for training-data pipelines: Gopher-style repetition
+statistics, PII detection/redaction, and benchmark decontamination.
+
+These extend the reference's quality surface (docling-graph has no corpus
+filters — its gates are per-document admission checks,
+core/input/handlers.py) with the standard web-corpus curation operators
+published in Gopher (Rae et al. 2021, §A1.1 repetition filters) and the
+decontamination procedure of GPT-3 (Brown et al. 2020, §C) — n-gram overlap
+against a benchmark set.
+
+Scale shape:
+- repetition stats: per-document map-side computation ONLY (JVM exprs for
+  line stats, one Arrow-batched pandas UDF for n-gram counting — a Counter
+  pass is O(words), where the pure-expr alternative is O(distinct·words)
+  interpreted array scans). No shuffle anywhere.
+- PII: pure JVM regexp exprs (whole-stage codegen), no Python.
+- decontamination: benchmark n-gram hash set is small by construction →
+  broadcast hash join against exploded document shingles; at 100 TB swap the
+  broadcast for a bloom filter pushed into the scan, same plan shape.
+
+Every operator is deterministic and has an exact DuckDB twin (see
+__spark_entry__.oracle_sql): counts are emitted as integers, never rounded
+floats — Python's banker's rounding and SQL half-away-from-zero disagree on
+exact .5 boundaries (e.g. 1/128 at 6 dp), so fractions are derived by the
+caller from the integer numerators/denominators.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sparkdoc.textops import words
+
+# --- Gopher-style repetition statistics --------------------------------------
+
+
+def _nonempty_lines(col: Column) -> Column:
+    return F.filter(F.split(col, "\n"), lambda l: l != "")
+
+
+def with_line_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-line statistics (Gopher §A1.1 'duplicate line fraction'),
+    pure JVM exprs: lines are the nonempty '\\n'-separated segments.
+
+    Adds integer columns:
+      n_lines            nonempty lines
+      n_dup_lines        occurrences beyond the first of each distinct line
+      dup_line_chars     characters in those beyond-first occurrences
+      total_line_chars   characters across all nonempty lines
+    """
+    sum_len = lambda arr: F.aggregate(  # noqa: E731 — shared fold shape
+        arr, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    df = df.withColumn("_lines", _nonempty_lines(F.col(text_col)))
+    df = df.withColumn("_dlines", F.array_distinct(F.col("_lines")))
+    return (
+        df.withColumn("n_lines", F.size("_lines").cast("long"))
+        .withColumn(
+            "n_dup_lines",
+            (F.size("_lines") - F.size("_dlines")).cast("long"),
+        )
+        .withColumn("total_line_chars", sum_len(F.col("_lines")))
+        .withColumn(
+            "dup_line_chars",
+            sum_len(F.col("_lines")) - sum_len(F.col("_dlines")),
+        )
+        .drop("_lines", "_dlines")
+    )
+
+
+#: must match textops.words(): lowercase, alnum runs, empties dropped
+_WORD_SPLIT = re.compile(r"[^a-z0-9]+")
+
+_NGRAM_SCHEMA = StructType(
+    [
+        StructField("top_bigram", StringType()),
+        StructField("top_bigram_cnt", LongType()),
+        StructField("top_bigram_chars", LongType()),
+        StructField("dup_trigram_chars", LongType()),
+        StructField("total_trigram_chars", LongType()),
+        StructField("total_word_chars", LongType()),
+    ]
+)
+
+
+def _py_words(text: str) -> list[str]:
+    return [w for w in _WORD_SPLIT.split(text.lower()) if w]
+
+
+@pandas_udf(_NGRAM_SCHEMA)
+def _ngram_stats_udf(texts: pd.Series) -> pd.DataFrame:
+    """Per-document n-gram repetition counters (Gopher 'top n-gram char
+    fraction' n=2 and 'duplicated n-gram char fraction' n=3), one O(words)
+    Counter pass per doc. Character length of an n-gram is the sum of its
+    word lengths (the joining space is presentation, not content). Tie-break
+    for the top bigram: lexicographically smallest among max-count."""
+    rows = []
+    for text in texts:
+        ws = _py_words(text or "")
+        total_word_chars = sum(len(w) for w in ws)
+        bi = Counter(zip(ws, ws[1:]))
+        if bi:
+            top, cnt = min(bi.items(), key=lambda kv: (-kv[1], kv[0]))
+            top_s = " ".join(top)
+            top_chars = cnt * (len(top[0]) + len(top[1]))
+        else:
+            top_s, cnt, top_chars = None, 0, 0
+        tri = Counter(zip(ws, ws[1:], ws[2:]))
+        tri_total = tri_dup = 0
+        for gram, c in tri.items():
+            chars = c * sum(len(w) for w in gram)
+            tri_total += chars
+            if c >= 2:
+                tri_dup += chars
+        rows.append((top_s, cnt, top_chars, tri_dup, tri_total, total_word_chars))
+    return pd.DataFrame(rows, columns=[f.name for f in _NGRAM_SCHEMA.fields])
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full Gopher repetition feature set: line stats (JVM exprs) + word
+    n-gram stats (Arrow-batched Counter pass). All integers — derive
+    fractions with :func:`repetition_flags` or downstream arithmetic."""
+    df = with_line_stats(df, text_col)
+    s = _ngram_stats_udf(F.col(text_col))
+    return df.withColumn("_ng", s).select("*", "_ng.*").drop("_ng")
+
+
+def repetition_flags(
+    df: DataFrame,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    max_top_bigram_char_frac: float = 0.2,
+    max_dup_trigram_char_frac: float = 0.3,
+) -> DataFrame:
+    """Boolean keep/reject per Gopher's published thresholds, derived from
+    the integer stats (guards zero denominators: empty docs pass — the
+    length gates elsewhere own those)."""
+
+    def frac(num: str, den: str) -> Column:
+        return F.when(
+            F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+        ).otherwise(F.lit(0.0))
+
+    return df.withColumn(
+        "repetition_ok",
+        (frac("n_dup_lines", "n_lines") <= max_dup_line_frac)
+        & (frac("dup_line_chars", "total_line_chars") <= max_dup_line_char_frac)
+        & (frac("top_bigram_chars", "total_word_chars") <= max_top_bigram_char_frac)
+        & (frac("dup_trigram_chars", "total_trigram_chars") <= max_dup_trigram_char_frac),
+    )
+
+
+# --- PII detection / redaction -----------------------------------------------
+
+#: patterns restricted to syntax Java regex and RE2 (DuckDB) agree on:
+#: character classes, bounded repetition, \b, non-capturing groups — no
+#: lookaround, no backreferences. Applied in PII_ORDER, sequentially.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+}
+PII_ORDER = ("email", "ipv4", "ssn", "phone")
+
+
+def with_pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count and redact PII matches — pure JVM regexps, codegen'd, no
+    Python. Adds ``n_<kind>`` counts per PII_ORDER kind and ``redacted``
+    (matches replaced by their placeholder, in PII_ORDER so earlier
+    redactions can't be re-matched by later, looser patterns — e.g. the
+    digits of an IP never re-match the phone pattern)."""
+    for kind in PII_ORDER:
+        pat, _ = PII_PATTERNS[kind]
+        df = df.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("long"),
+        )
+    red = F.col(text_col)
+    for kind in PII_ORDER:
+        pat, repl = PII_PATTERNS[kind]
+        red = F.regexp_replace(red, pat, repl)
+    return df.withColumn("redacted", red)
+
+
+# --- benchmark decontamination -----------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark contamination: how many DISTINCT word
+    ``n``-grams of the document appear in any benchmark text (GPT-3 §C uses
+    13-grams; ``n`` is a knob because short-document corpora need smaller
+    windows to have any n-grams at all).
+
+    Returns one row per input doc: (id_col, n_contaminated, contaminated).
+
+    Plan shape: both sides shingle via dedup_text.shingles_of (distinct
+    word n-grams, materialized word arrays per its performance contract),
+    hash to md5, and meet in an equi-join on the hash; the benchmark side
+    is aggregated to DISTINCT hashes and broadcast (benchmark suites are
+    tiny vs the corpus). At 100 TB the same set feeds
+    ``spark.sql.optimizer.runtime.bloomFilter`` or a static bloom filter
+    pushed below the explode — the join stays map-side either way. A left
+    join keeps zero-hit docs (n_contaminated = 0) so the output is a total
+    verdict over the corpus, not just the hit list.
+    """
+    from sparkdoc.dedup_text import shingles_of
+
+    bench_hashes = (
+        benchmark.withColumn("_w", words(F.col(text_col)))
+        .withColumn("_sh", shingles_of(F.col("_w"), n))
+        .select(F.explode("_sh").alias("_s"))
+        .select(F.md5(F.col("_s")).alias("_h"))
+        .distinct()
+    )
+    doc_grams = (
+        docs.withColumn("_w", words(F.col(text_col)))
+        .withColumn("_sh", shingles_of(F.col("_w"), n))
+        .select(id_col, F.explode("_sh").alias("_s"))
+        .select(id_col, F.md5(F.col("_s")).alias("_h"))
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_hashes), "_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

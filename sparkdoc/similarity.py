@@ -394,3 +394,64 @@ def embedding_near_dups(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    verify_impl: str = "hof",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with the IVF coarse quantizer, compute pairwise cosine ONLY
+    within each cell, and shadow every vector that has a lower-id near-twin
+    (cos >= threshold) in its cell.
+
+    Keep rule (deterministic, oracle-twinnable): v is dropped iff some u < v
+    in the same cell has cos(u, v) >= threshold; ``shadow`` is the smallest
+    such u. This is the paper's keep-one-per-duplicate-set rule with
+    lowest-id as the representative choice (the paper picks
+    farthest-from-centroid / random — any fixed choice is admissible, and
+    lowest-id is reproducible across engines). Note the rule shadows
+    against ALL lower-id twins, not only kept ones — a chain a~b, b~c with
+    a!~c drops both b and c (the paper's epsilon-ball behaviour, stricter
+    than greedy sequential).
+
+    Returns one row per (norm > 0) corpus vector:
+    (vec_id, cell, kept, shadow) — shadow NULL iff kept.
+
+    100-TB shape: assignment is one map-side argmax over broadcast
+    centroids (corpus then written bucketed by cell); the candidate join is
+    a self-equi-join on cell — cost sum(|cell|^2), bounded by raising
+    n_cells with corpus size, never all-pairs. Exactly SemDeDup's k-means
+    trick, with the deterministic quantizer standing in for trained
+    k-means.
+    """
+    if verify_impl not in ("hof", "numpy"):
+        raise ValueError(f"verify_impl must be 'hof' or 'numpy', got {verify_impl!r}")
+    verify = dot if verify_impl == "hof" else dot_numpy
+    c = _with_unit(corpus, vec_col, "v").select(id_col, "v")
+    _, assigned = ivf_assign(c, n_cells=n_cells, id_col=id_col, vec_col="v", dim=dim)
+    a = assigned.select(F.col(id_col).alias("_u"), F.col("v").alias("vu"), "cell")
+    b = assigned.select(F.col(id_col).alias("_w"), F.col("v").alias("vw"), "cell")
+    shadows = (
+        a.join(b, "cell")
+        .filter(F.col("_u") < F.col("_w"))
+        .select("_w", F.col("_u"), verify(F.col("vu"), F.col("vw")).alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("_w")
+        .agg(F.min("_u").alias("shadow"))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(shadows, F.col(id_col) == F.col("_w"), "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("shadow").isNull().alias("kept"),
+            "shadow",
+        )
+    )

@@ -1,0 +1,194 @@
+"""Unit tests for sparkdoc.filters (Gopher repetition, PII, decontamination)
+and similarity.semantic_dedup — hand-built cases with known answers; the
+DuckDB gate twins (doc_repetition / doc_pii / doc_decontam /
+emb_semantic_dedup) cover corpus-scale exactness."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _rows(df, key="doc_id"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_line_stats_hand_cases(spark):
+    from sparkdoc.filters import with_line_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\n\ncc"),   # 4 nonempty lines, 'aa' twice
+            (2, "xx\nyy\nzz"),          # no dups
+            (3, ""),                     # empty
+            (4, "same\nsame\nsame"),    # all dup
+        ],
+        "doc_id int, text string",
+    )
+    got = _rows(with_line_stats(df))
+    assert got[1]["n_lines"] == 4 and got[1]["n_dup_lines"] == 1
+    assert got[1]["dup_line_chars"] == 2 and got[1]["total_line_chars"] == 8
+    assert got[2]["n_dup_lines"] == 0 and got[2]["dup_line_chars"] == 0
+    assert got[3]["n_lines"] == 0 and got[3]["total_line_chars"] == 0
+    assert got[4]["n_lines"] == 3 and got[4]["n_dup_lines"] == 2
+    assert got[4]["dup_line_chars"] == 8 and got[4]["total_line_chars"] == 12
+
+
+def test_ngram_stats_counts_and_tiebreak(spark):
+    from sparkdoc.filters import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # bigrams: (a b)x2, (b a), (b c): top 'a b' cnt 2, chars 2*2=4
+            # trigrams: (a b a), (b a b), (a b c) — none repeated
+            (1, "a b a b c"),
+            # bigrams (x y) and (y x) both cnt 1 → lexicographic tie-break 'x y'
+            (2, "x y x"),
+            # trigram (w1 w2 w3) twice (overlapping-free repeat)
+            (3, "w1 w2 w3 q w1 w2 w3"),
+            (4, ""),  # no words at all
+            (5, "solo"),  # 1 word: no bigrams/trigrams
+        ],
+        "doc_id int, text string",
+    )
+    got = _rows(with_repetition_stats(df))
+    assert got[1]["top_bigram"] == "a b" and got[1]["top_bigram_cnt"] == 2
+    assert got[1]["top_bigram_chars"] == 4
+    assert got[1]["dup_trigram_chars"] == 0
+    assert got[1]["total_trigram_chars"] == 9  # 3 trigrams x 3 chars
+    assert got[1]["total_word_chars"] == 5
+    assert got[2]["top_bigram"] == "x y"  # lexicographic among count ties
+    # doc 3: trigram 'w1 w2 w3' occurs twice → dup chars = 2*6=12 of the
+    # 5 trigram occurrences' char mass
+    assert got[3]["dup_trigram_chars"] == 12
+    assert got[3]["dup_trigram_chars"] < got[3]["total_trigram_chars"]
+    assert got[4]["top_bigram"] is None and got[4]["top_bigram_cnt"] == 0
+    assert got[4]["total_word_chars"] == 0
+    assert got[5]["top_bigram"] is None and got[5]["total_trigram_chars"] == 0
+
+
+def test_repetition_flags_each_gate(spark):
+    from sparkdoc.filters import repetition_flags, with_repetition_stats
+
+    clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, clean + "\n" + "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (2, "dup line\n" * 8 + clean),           # dup-line gates trip
+            (3, ("hot pair " * 20) + clean),          # top-bigram gate trips
+            (4, ""),                                   # empty passes (length gates own it)
+        ],
+        "doc_id int, text string",
+    )
+    got = _rows(repetition_flags(with_repetition_stats(df)))
+    assert got[1]["repetition_ok"] is True
+    assert got[2]["repetition_ok"] is False
+    assert got[3]["repetition_ok"] is False
+    assert got[4]["repetition_ok"] is True
+
+
+def test_pii_counts_redaction_and_order(spark):
+    from sparkdoc.filters import with_pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@sub.example.co.uk or 555-123-4567"),
+            (2, "server 192.168.001.255 and ssn 078-05-1120"),
+            # the IP's digit runs must NOT be re-matched by the (looser)
+            # phone/ssn patterns after [IP] replaces them
+            (3, "ip 123-45-6789 is an ssn, 10.0.0.1 an ip"),
+            (4, "no pii here"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    got = _rows(with_pii_stats(df.filter(F.col("text").isNotNull())))
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["redacted"] == "reach me at [EMAIL] or [PHONE]"
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_ssn"] == 1
+    assert got[2]["redacted"] == "server [IP] and ssn [SSN]"
+    assert got[3]["n_ssn"] == 1 and got[3]["n_ipv4"] == 1
+    assert got[3]["redacted"] == "ip [SSN] is an ssn, [IP] an ip"
+    assert got[4]["redacted"] == "no pii here"
+    for k in ("n_email", "n_ipv4", "n_ssn", "n_phone"):
+        assert got[4][k] == 0
+
+
+def test_decontaminate_hand_corpus(spark):
+    from sparkdoc.filters import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 8-grams [one..eight] and [two..nine]
+            (1, "zz one two three four five six seven eight nine yy"),
+            # same words, different order: no 8-gram overlap
+            (2, "ten nine eight seven six five four three two one"),
+            # too short for any 8-gram
+            (3, "one two three"),
+            # exact copy: all 3 benchmark 8-grams
+            (4, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id int, text string",
+    )
+    got = _rows(decontaminate(docs, bench, n=8))
+    assert got[1]["n_contaminated"] == 2 and got[1]["contaminated"] is True
+    assert got[2]["n_contaminated"] == 0 and got[2]["contaminated"] is False
+    assert got[3]["n_contaminated"] == 0
+    assert got[4]["n_contaminated"] == 3 and got[4]["contaminated"] is True
+
+
+def test_semantic_dedup_chain_and_keep_rule(spark):
+    from sparkdoc.similarity import semantic_dedup
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    # n_cells=1 → pure pairwise semantics. cos(20°)≈.94 ≥ .9; cos(40°)≈.766 < .9
+    corpus = spark.createDataFrame(
+        [
+            (1, at(0)),
+            (2, at(20)),    # near-twin of 1 → shadowed by 1
+            (3, at(40)),    # near-twin of 2 ONLY → shadowed by 2 (chain: dropped
+                            # even though its shadow 2 is itself dropped)
+            (4, at(90)),    # far from everything → kept
+            (5, [0.0, 0.0, 0.0, 0.0]),  # zero norm → dropped from output
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = _rows(
+        semantic_dedup(corpus, threshold=0.9, n_cells=1, dim=4), key="vec_id"
+    )
+    assert set(got) == {1, 2, 3, 4}  # zero-norm vector absent
+    assert got[1]["kept"] is True and got[1]["shadow"] is None
+    assert got[2]["kept"] is False and got[2]["shadow"] == 1
+    assert got[3]["kept"] is False and got[3]["shadow"] == 2
+    assert got[4]["kept"] is True
+
+
+def test_semantic_dedup_cells_bound_the_join(spark):
+    """Vectors in different cells are never compared: two identical vectors
+    forced into distinct cells both survive. (With 2 cells over mirrored
+    vectors, argmax assignment splits them.)"""
+    from sparkdoc.similarity import ivf_assign, semantic_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, [float(1 - 2 * (i % 2)), 0.5, 0.0, 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_assign(corpus, n_cells=4, dim=4)[1].collect()
+    }
+    got = _rows(semantic_dedup(corpus, threshold=0.99, n_cells=4, dim=4), key="vec_id")
+    for vid, row in got.items():
+        same_cell_lower = [u for u, c in cells.items() if c == cells[vid] and u < vid]
+        # identical vectors share a cell → shadowed by the smallest such id;
+        # vectors alone in their cell are kept
+        if same_cell_lower:
+            assert row["kept"] is False and row["shadow"] == min(same_cell_lower)
+        else:
+            assert row["kept"] is True
