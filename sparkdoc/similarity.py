@@ -297,13 +297,30 @@ def ivf_assign(
         )
     )
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    scored = c.crossJoin(centroids).select(
-        id_col, "cell", dot(F.col("v"), F.col("cvec")).alias("score"), "v"
+    # map-side argmax: centroids are driver-built literals, so each row folds
+    # over an in-plan (cell, score) array instead of crossJoin + window —
+    # the window version shuffled corpus × n_cells rows by id (the dominant
+    # exchange of every IVF path at scale); this is shuffle-FREE. Bit-compat:
+    # score is the same dot() fold over the same doubles, and strict '>' over
+    # cells in ascending order reproduces the window's
+    # (score DESC, cell ASC) tie-break exactly.
+    scores = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                dot(
+                    F.col("v"), F.array(*[F.lit(x) for x in centroid(cell)])
+                ).alias("score"),
+            )
+            for cell in range(n_cells)
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("cell").asc())
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).select(id_col, "cell", "v")
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(-1).alias("cell"), F.lit(float("-inf")).alias("score")),
+        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
     )
+    assigned = c.select(id_col, best["cell"].alias("cell"), "v")
     return centroids, assigned
 
 
