@@ -214,3 +214,107 @@ def stream_dedup_first_seen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    gap_s: int = 1800,
+    watermark: str = "2 hours",
+):
+    """Stateful streaming sessionization: per-user sessions closed by a
+    30-min (``gap_s``) inactivity gap — the streaming counterpart of the
+    batch lag-window sessionize (__spark_entry__._events_sessionize, same
+    gap rule and (ts, event_id) ordering tie-break).
+
+    Custom stateful operator (applyInPandasWithState, EventTimeTimeout):
+    state = the one OPEN session per user (start, last_ts, count). A session
+    is emitted when a later event arrives past the gap (closed_by='gap') or
+    when the watermark passes last_ts + gap with no successor
+    (closed_by='timeout') — so every session is emitted exactly once, and
+    state is one tiny row per user with an open session, evicted on close.
+    Bounded by active-user cardinality, not stream length: the 100 TB
+    firehose shape (with the RocksDB state store for off-heap state, as
+    stream_dedup_first_seen documents).
+
+    Late rows behind the watermark are dropped by the engine before the
+    function sees them (standard arbitrary-stateful contract) — a late
+    event never reopens or retro-extends an emitted session.
+
+    Output rows: (user_id, session_start, session_end, n_events,
+    closed_by). Returns the StreamingQuery (AvailableNow)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(in_dir)
+    )
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+    )
+    gap_ms = gap_s * 1000
+
+    def sessions(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(key[0], start_ms, last_ms, n, "timeout")],
+                columns=["user_id", "start_ms", "end_ms", "n_events", "closed_by"],
+            )
+            return
+        batch = [p for p in pdfs if len(p)]
+        if not batch:
+            return
+        pdf = pd.concat(batch).sort_values(["ts", "event_id"])
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        cur = list(state.get) if state.exists else None  # [start, last, n]
+        closed = []
+        for t in ts_ms:
+            if cur is not None and t - cur[1] <= gap_ms:
+                cur[1] = t
+                cur[2] += 1
+            else:
+                if cur is not None:
+                    closed.append((key[0], cur[0], cur[1], cur[2], "gap"))
+                cur = [t, t, 1]
+        state.update(tuple(cur))
+        # fires once the event-time watermark passes the gap horizon; the
+        # input rows above are never behind the watermark, so this timestamp
+        # is always in the engine's future
+        state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "start_ms", "end_ms", "n_events", "closed_by"],
+            )
+
+    out = keyed.applyInPandasWithState(
+        sessions,
+        outputStructType=(
+            "user_id long, start_ms long, end_ms long, n_events long, closed_by string"
+        ),
+        stateStructType="start_ms long, end_ms long, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("start_ms")).alias("session_start"),
+        F.timestamp_millis(F.col("end_ms")).alias("session_end"),
+        "n_events",
+        "closed_by",
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option("checkpointLocation", os.path.join(out_dir, "_session_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -165,3 +165,89 @@ def test_stream_windowed_event_metrics_watermark_late_drop(spark, tmp_path):
     # and the late row's would-be contribution is verifiably absent
     w0_view = [v for (ws, et), v in got.items() if et == "view" and ws.hour == 0]
     assert w0_view == [(1, 1.0)]  # ev(0) only — not the late 100.0
+
+
+def test_stream_sessionize_matches_batch_and_times_out(spark, tmp_path):
+    """Streaming sessionization = the batch lag-window rule on the on-time
+    rows: gap-closed sessions appear as soon as the successor arrives,
+    straggler-less sessions close by event-time timeout when the watermark
+    passes their gap horizon, and every session is emitted exactly once
+    across restarts."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkdoc.streaming import EVENTS_SCHEMA, stream_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, user):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, "view", 1.0, "{}")
+
+    # user 1: two sessions split by a 40-min gap (> 30-min rule); user 2: one
+    # session (gaps <= 30); the second file's u1 event closes u1's second
+    # session by GAP, and the far-future flush (user 99) advances the
+    # watermark so everything else closes by TIMEOUT on run 3.
+    file_a = [ev(0, 0, 1), ev(1, 10, 1), ev(2, 50, 1), ev(3, 0, 2), ev(4, 25, 2)]
+    spark.createDataFrame(file_a, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    file_b = [ev(5, 130, 1), ev(6, 2880, 99)]  # 130 - 50 = 80 min > gap
+    spark.createDataFrame(file_b, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    # run 3: another flush so run-2's checkpointed watermark (t0+2d-2h)
+    # becomes the operator watermark and fires the event-time timeouts
+    spark.createDataFrame([ev(7, 5760, 99)], EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    rows = spark.read.parquet(os.path.join(out_dir, "sessions")).collect()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]): r["closed_by"]
+        for r in rows
+    }
+    assert len(got) == len(rows)  # exactly-once: no duplicate sessions
+
+    # batch twin over everything except the final still-open flush session
+    all_rows = file_a + file_b
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bat = (
+        spark.createDataFrame(all_rows + [ev(7, 5760, 99)], EVENTS_SCHEMA)
+        .withColumn(
+            "new_s",
+            F.when(
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    exp = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in bat.collect()
+    }
+    # the flush user's LAST session (ev 7) is still open — everything else
+    # must have been emitted
+    open_key = (99, t0 + dt.timedelta(minutes=5760), t0 + dt.timedelta(minutes=5760), 1)
+    assert set(got) == exp - {open_key}
+
+    # closure attribution: u1's first session closed by gap (ev 2 arrived in
+    # the same run), u1's second by gap (ev 5 in run 2); u2's lone session
+    # and u1's third had no successor → timeout
+    assert got[(1, t0, t0 + dt.timedelta(minutes=10), 2)] == "gap"
+    assert got[(1, t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=50), 1)] == "gap"
+    assert got[(2, t0, t0 + dt.timedelta(minutes=25), 2)] == "timeout"
+    assert got[(1, t0 + dt.timedelta(minutes=130), t0 + dt.timedelta(minutes=130), 1)] == "timeout"
