@@ -132,6 +132,49 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._doc_repetition(spark, sf_dir))
+    sections.append(("doc_repetition", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(("repetition stats are shuffle-free (0 Exchange nodes)", n_exchange == 0, p))
+    checks.append(("repetition n-gram pass is Arrow-batched (ArrowEvalPython)", "ArrowEvalPython" in p, p))
+
+    p = plan_of(entrymod._doc_pii(spark, sf_dir))
+    sections.append(("doc_pii", p))
+    checks.append(
+        (
+            "pii redaction is Python-free and shuffle-free",
+            "Python" not in p and len(re.findall(r"\(\d+\) Exchange", p)) == 0,
+            p,
+        )
+    )
+
+    p = plan_of(entrymod._doc_decontam(spark, sf_dir))
+    sections.append(("doc_decontam", p))
+    checks.append(
+        (
+            "decontam meets the benchmark set in a BroadcastHashJoin",
+            len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 1,
+            p,
+        )
+    )
+
+    p = plan_of(entrymod._emb_semantic_dedup(spark, sf_dir))
+    sections.append(("emb_semantic_dedup", p))
+    checks.append(
+        (
+            "semantic dedup cell assignment is map-side (no Window nodes)",
+            len(re.findall(r"\(\d+\) Window", p)) == 0,
+            p,
+        )
+    )
+    checks.append(
+        (
+            "semantic dedup candidate join is cell-bounded (no cartesian)",
+            "CartesianProduct" not in p,
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

@@ -152,7 +152,13 @@ def repetition_flags(
         "repetition_ok",
         (frac("n_dup_lines", "n_lines") <= max_dup_line_frac)
         & (frac("dup_line_chars", "total_line_chars") <= max_dup_line_char_frac)
-        & (frac("top_bigram_chars", "total_word_chars") <= max_top_bigram_char_frac)
+        # a bigram occurring ONCE is not repetition — without the cnt >= 2
+        # guard, any short doc whose longest bigram exceeds the char share
+        # (e.g. 11 words with two long ones) is falsely rejected
+        & (
+            (F.col("top_bigram_cnt") < 2)
+            | (frac("top_bigram_chars", "total_word_chars") <= max_top_bigram_char_frac)
+        )
         & (frac("dup_trigram_chars", "total_trigram_chars") <= max_dup_trigram_char_frac),
     )
 

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: the corpus-curation job — chain every
+training-data filter over a documents table and split it into kept /
+rejected with full per-gate attribution.
+
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/curate.py \
+        --input /data/documents.parquet --out /data/curated \
+        [--benchmark /data/benchmark.parquet] [--near-dup] \
+        [--min-words 10] [--jaccard 0.85]
+
+Gate order (each doc gets the FIRST reason that rejects it — later, more
+expensive gates only ever see survivors, so the cheap map-side gates also
+bound the shuffle volume of the dedup gates):
+
+  1. PII redaction        (never rejects — rewrites text, counts per kind)
+  2. quality              (C4-style word/symbol/distinct gates)
+  3. repetition           (Gopher dup-line / top-bigram / dup-trigram gates)
+  4. exact_dup            (normalized-md5 groups, min-id representative kept)
+  5. near_dup             (optional: MinHash-LSH candidates + exact Jaccard
+                           verify; lowest-id shadow rule, same convention as
+                           similarity.semantic_dedup)
+  6. contaminated         (optional: word-8-gram overlap with --benchmark)
+
+Outputs under --out (all on the data filesystem, hdfs/s3a-safe):
+  kept/        parquet: doc_id, text (REDACTED), quality + language features
+  rejected/    parquet: doc_id, reject_reason
+  stats.json   per-gate counts + knobs (written via the Hadoop FS API)
+
+Prints ONE JSON summary line. Deterministic end-to-end: every gate is a
+pure function of the input table, so re-running the job reproduces the
+same split bit-for-bit (idempotent overwrite writes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--benchmark", default=None, help="parquet of benchmark texts to decontaminate against")
+    ap.add_argument("--near-dup", action="store_true", help="also drop MinHash near-duplicates")
+    ap.add_argument("--min-words", type=int, default=10)
+    ap.add_argument("--jaccard", type=float, default=0.85)
+    ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from sparkdoc.dedup_text import exact_dup_groups, near_dup_pairs
+    from sparkdoc.filters import (
+        decontaminate,
+        repetition_flags,
+        with_pii_stats,
+        with_repetition_stats,
+    )
+    from sparkdoc.io import write_text_file
+    from sparkdoc.session import get_spark
+    from sparkdoc.textops import quality_filter, with_language
+
+    spark = get_spark(
+        "sparkdoc-curate",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+
+    # 1. PII: rewrite, never reject. Downstream gates (incl. dedup keys) see
+    # the REDACTED text — two docs differing only in their PII are
+    # duplicates after redaction, which is the curation-correct behaviour.
+    pii = with_pii_stats(docs).select(
+        "doc_id",
+        F.col("redacted").alias("text"),
+        "n_email", "n_ipv4", "n_ssn", "n_phone",
+    )
+
+    # 2+3. map-side quality / language / repetition features and gates
+    feats = repetition_flags(
+        with_repetition_stats(with_language(quality_filter(pii, min_words=args.min_words)))
+    )
+    flagged = feats.withColumn(
+        "reject_reason",
+        F.when(F.col("quality_keep") == 0, "quality").when(
+            ~F.col("repetition_ok"), "repetition"
+        ),
+    )
+    # one computation of the expensive features for both branches below;
+    # cheap columnar cache, released before the wide output writes
+    flagged.persist()
+    alive = flagged.filter(F.col("reject_reason").isNull())
+
+    # 4. exact dedup among survivors (min-id representative kept)
+    exact_drops = (
+        exact_dup_groups(alive)
+        .select(F.explode("doc_ids").alias("doc_id"), "keep_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit("exact_dup").alias("reject_reason"))
+    )
+    alive2 = alive.join(exact_drops.select("doc_id"), "doc_id", "left_anti")
+
+    drops = [exact_drops]
+
+    # 5. near-dup (optional): verified pairs, lowest-id shadow rule
+    if args.near_dup:
+        near_drops = (
+            near_dup_pairs(alive2, threshold=args.jaccard)
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.lit("near_dup").alias("reject_reason"))
+        )
+        alive2 = alive2.join(near_drops.select("doc_id"), "doc_id", "left_anti")
+        drops.append(near_drops)
+
+    # 6. decontamination (optional)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        contam = (
+            decontaminate(alive2, bench, n=args.decontam_n)
+            .filter(F.col("contaminated"))
+            .select("doc_id", F.lit("contaminated").alias("reject_reason"))
+        )
+        alive2 = alive2.join(contam.select("doc_id"), "doc_id", "left_anti")
+        drops.append(contam)
+
+    kept_cols = [
+        "doc_id", "text",
+        "n_email", "n_ipv4", "n_ssn", "n_phone",
+        "n_words", "symbol_ratio", "stop_fraction", "distinct_word_fraction",
+        "lang_pred",
+        "n_dup_lines", "top_bigram_cnt", "dup_trigram_chars",
+    ]
+    kept = alive2.select(*kept_cols)
+    rejected = flagged.filter(F.col("reject_reason").isNotNull()).select(
+        "doc_id", "reject_reason"
+    )
+    for d in drops:
+        rejected = rejected.unionByName(d)
+
+    kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
+    rejected.write.mode("overwrite").parquet(os.path.join(args.out, "rejected"))
+
+    by_reason = {
+        r["reject_reason"]: r["n"]
+        for r in spark.read.parquet(os.path.join(args.out, "rejected"))
+        .groupBy("reject_reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    summary = {
+        "job": "curate",
+        "input": args.input,
+        "n_input": docs.count(),
+        "n_kept": spark.read.parquet(os.path.join(args.out, "kept")).count(),
+        "rejected_by_reason": dict(sorted(by_reason.items())),
+        "knobs": {
+            "min_words": args.min_words,
+            "near_dup": bool(args.near_dup),
+            "jaccard": args.jaccard,
+            "benchmark": args.benchmark,
+            "decontam_n": args.decontam_n,
+        },
+    }
+    flagged.unpersist()
+    write_text_file(
+        spark,
+        os.path.join(args.out, "stats.json"),
+        json.dumps(summary, indent=2, sort_keys=True),
+    )
+    print(json.dumps(summary, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

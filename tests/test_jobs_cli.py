@@ -48,3 +48,51 @@ def test_convert_merge_and_template_gate(tmp_path):
                 "--out", str(tmp_path / "gm2")], expect_ok=False)
     assert out.returncode != 0
     assert "TemplateMismatch" in out.stderr or "different template schemas" in out.stderr
+
+
+def test_curate_cli_full_gate_attribution(tmp_path, spark):
+    """The curation CLI: every gate fires on a hand corpus, the split is
+    TOTAL (kept + rejected = input, no doc in both), kept text is
+    PII-redacted, and each doc lands on its FIRST failing gate."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    # doc 4: distinct filler words keep distinct_word_fraction >= 0.2 (so the
+    # QUALITY gate passes and the repetition gate is the one that fires on
+    # the 10x repeated 'rep pair' bigram); doc 2's tail is distinct enough to
+    # stay under jaccard 0.85 vs doc 1, doc 6 is doc 1 plus one word (0.917)
+    rows = [
+        (1, base + " one"),                        # kept
+        (2, base + " two mail bob@corp.io from the downtown office address"),
+        (3, "short junk"),                         # quality (min_words)
+        (4, ("rep pair " * 10) + base),            # repetition (top bigram x10)
+        (5, base + " one"),                        # exact dup of 1 -> dropped
+        (6, base + " one more"),                   # near-dup of 1 (jaccard 0.917)
+        (7, "the quick brown fox jumps over the lazy dog benchmark sentence"),
+    ]
+    in_p, bench_p, out_p = (str(tmp_path / n) for n in ("in", "bench", "out"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(in_p)
+    spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog benchmark sentence")],
+        "doc_id long, text string",
+    ).write.parquet(bench_p)
+
+    s = _run(["sparkdoc/jobs/curate.py", "--input", in_p, "--out", out_p,
+              "--benchmark", bench_p, "--near-dup"])
+    assert s["n_input"] == 7
+    assert s["rejected_by_reason"] == {
+        "contaminated": 1, "exact_dup": 1, "near_dup": 1,
+        "quality": 1, "repetition": 1,
+    }
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out_p, "kept")).collect()
+    }
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(os.path.join(out_p, "rejected")).collect()
+    }
+    assert set(kept) == {1, 2} and s["n_kept"] == 2
+    assert set(kept) | set(rej) == {1, 2, 3, 4, 5, 6, 7}
+    assert "[EMAIL]" in kept[2] and "@" not in kept[2]
+    assert rej == {3: "quality", 4: "repetition", 5: "exact_dup",
+                   6: "near_dup", 7: "contaminated"}
+    assert os.path.isfile(os.path.join(out_p, "stats.json"))
