@@ -42,7 +42,9 @@ from sparkdoc.textops import words
 
 
 def _nonempty_lines(col: Column) -> Column:
-    return F.filter(F.split(col, "\n"), lambda l: l != "")
+    # NULL-safe: split(NULL) is NULL and size(NULL) is -1 — a NULL-text doc
+    # would otherwise report n_lines = -1 instead of 0
+    return F.filter(F.split(F.coalesce(col, F.lit("")), "\n"), lambda l: l != "")
 
 
 def with_line_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -183,11 +185,15 @@ def with_pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     (matches replaced by their placeholder, in PII_ORDER so earlier
     redactions can't be re-matched by later, looser patterns — e.g. the
     digits of an IP never re-match the phone pattern)."""
+    # NULL-safe counts (size(regexp_extract_all(NULL)) is -1, not 0); the
+    # redacted column stays NULL for NULL text — redaction must not invent
+    # content for a failed extraction
+    t = F.coalesce(F.col(text_col), F.lit(""))
     for kind in PII_ORDER:
         pat, _ = PII_PATTERNS[kind]
         df = df.withColumn(
             f"n_{kind}",
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("long"),
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long"),
         )
     red = F.col(text_col)
     for kind in PII_ORDER:

@@ -56,7 +56,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from sparkdoc.dedup_text import exact_dup_groups, near_dup_pairs
+    from sparkdoc.dedup_text import near_dup_pairs
     from sparkdoc.filters import (
         decontaminate,
         repetition_flags,
@@ -98,10 +98,17 @@ def main() -> None:
     flagged.persist()
     alive = flagged.filter(F.col("reject_reason").isNull())
 
-    # 4. exact dedup among survivors (min-id representative kept)
+    # 4. exact dedup among survivors (min-id representative kept).
+    # min-per-fingerprint + join back, NOT exact_dup_groups' collect_list:
+    # a pathological fingerprint (e.g. the empty doc) can have millions of
+    # members, and a collect_list array of them is a single-row OOM at scale
+    from sparkdoc.textops import doc_fingerprint
+
+    fp = doc_fingerprint(F.col("text"))
+    fp_docs = alive.filter(fp.isNotNull()).select("doc_id", fp.alias("fp"))
+    keep_min = fp_docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     exact_drops = (
-        exact_dup_groups(alive)
-        .select(F.explode("doc_ids").alias("doc_id"), "keep_id")
+        fp_docs.join(keep_min, "fp")
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id", F.lit("exact_dup").alias("reject_reason"))
     )

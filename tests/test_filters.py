@@ -192,3 +192,22 @@ def test_semantic_dedup_cells_bound_the_join(spark):
             assert row["kept"] is False and row["shadow"] == min(same_cell_lower)
         else:
             assert row["kept"] is True
+
+
+def test_filters_null_text_safe(spark):
+    """NULL-text docs (failed extractions): line/PII counts report 0 (not
+    Spark's size(NULL) = -1), redacted stays NULL, decontaminate reports
+    them uncontaminated."""
+    from sparkdoc.filters import decontaminate, with_line_stats, with_pii_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a@b.io x")], "doc_id int, text string"
+    )
+    ls = _rows(with_line_stats(df))
+    assert ls[1]["n_lines"] == 0 and ls[1]["total_line_chars"] == 0
+    pii = _rows(with_pii_stats(df))
+    assert pii[1]["n_email"] == 0 and pii[1]["redacted"] is None
+    assert pii[2]["n_email"] == 1 and pii[2]["redacted"] == "[EMAIL] x"
+    bench = spark.createDataFrame([(9, "w1 w2 w3 w4 w5 w6 w7 w8")], "doc_id int, text string")
+    dc = _rows(decontaminate(df, bench))
+    assert dc[1]["n_contaminated"] == 0 and dc[1]["contaminated"] is False
