@@ -258,3 +258,91 @@ def decontaminate(
             (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# --- the full curation split (shared by the CLI job and the scaling bench) ---
+
+KEPT_COLS = [
+    "doc_id", "text",
+    "n_email", "n_ipv4", "n_ssn", "n_phone",
+    "n_words", "symbol_ratio", "stop_fraction", "distinct_word_fraction",
+    "lang_pred",
+    "n_dup_lines", "top_bigram_cnt", "dup_trigram_chars",
+]
+
+
+def curate_split(
+    docs: DataFrame,
+    min_words: int = 10,
+    near_dup: bool = False,
+    jaccard: float = 0.85,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The full curation pipeline over (doc_id, text): PII redaction →
+    quality → repetition → exact dedup → optional near-dup → optional
+    decontamination. Returns (kept, rejected); every input doc lands in
+    exactly one, rejected carries the FIRST failing gate as reject_reason.
+    See jobs/curate.py for the gate-order rationale; the intermediate
+    ``flagged`` frame is persisted (both branches read it) — callers that
+    materialize the outputs may unpersist via kept.sparkSession.catalog.
+    """
+    from sparkdoc.dedup_text import near_dup_pairs
+    from sparkdoc.textops import doc_fingerprint, quality_filter, with_language
+
+    pii = with_pii_stats(docs).select(
+        "doc_id",
+        F.col("redacted").alias("text"),
+        "n_email", "n_ipv4", "n_ssn", "n_phone",
+    )
+    feats = repetition_flags(
+        with_repetition_stats(with_language(quality_filter(pii, min_words=min_words)))
+    )
+    flagged = feats.withColumn(
+        "reject_reason",
+        F.when(F.col("quality_keep") == 0, "quality").when(
+            ~F.col("repetition_ok"), "repetition"
+        ),
+    )
+    flagged.persist()
+    alive = flagged.filter(F.col("reject_reason").isNull())
+
+    # exact dedup: min-per-fingerprint + join back (never collect_list — a
+    # pathological fingerprint with millions of members is a single-row OOM)
+    fp = doc_fingerprint(F.col("text"))
+    fp_docs = alive.filter(fp.isNotNull()).select("doc_id", fp.alias("fp"))
+    keep_min = fp_docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_drops = (
+        fp_docs.join(keep_min, "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.lit("exact_dup").alias("reject_reason"))
+    )
+    alive2 = alive.join(exact_drops.select("doc_id"), "doc_id", "left_anti")
+    drops = [exact_drops]
+
+    if near_dup:
+        near_drops = (
+            near_dup_pairs(alive2, threshold=jaccard)
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+            .select("doc_id", F.lit("near_dup").alias("reject_reason"))
+        )
+        alive2 = alive2.join(near_drops.select("doc_id"), "doc_id", "left_anti")
+        drops.append(near_drops)
+
+    if benchmark is not None:
+        contam = (
+            decontaminate(alive2, benchmark, n=decontam_n)
+            .filter(F.col("contaminated"))
+            .select("doc_id", F.lit("contaminated").alias("reject_reason"))
+        )
+        alive2 = alive2.join(contam.select("doc_id"), "doc_id", "left_anti")
+        drops.append(contam)
+
+    kept = alive2.select(*KEPT_COLS)
+    rejected = flagged.filter(F.col("reject_reason").isNotNull()).select(
+        "doc_id", "reject_reason"
+    )
+    for d in drops:
+        rejected = rejected.unionByName(d)
+    return kept, rejected

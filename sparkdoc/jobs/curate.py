@@ -56,16 +56,9 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from sparkdoc.dedup_text import near_dup_pairs
-    from sparkdoc.filters import (
-        decontaminate,
-        repetition_flags,
-        with_pii_stats,
-        with_repetition_stats,
-    )
+    from sparkdoc.filters import curate_split
     from sparkdoc.io import write_text_file
     from sparkdoc.session import get_spark
-    from sparkdoc.textops import quality_filter, with_language
 
     spark = get_spark(
         "sparkdoc-curate",
@@ -73,84 +66,15 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     docs = spark.read.parquet(args.input).select("doc_id", "text")
-
-    # 1. PII: rewrite, never reject. Downstream gates (incl. dedup keys) see
-    # the REDACTED text — two docs differing only in their PII are
-    # duplicates after redaction, which is the curation-correct behaviour.
-    pii = with_pii_stats(docs).select(
-        "doc_id",
-        F.col("redacted").alias("text"),
-        "n_email", "n_ipv4", "n_ssn", "n_phone",
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    kept, rejected = curate_split(
+        docs,
+        min_words=args.min_words,
+        near_dup=args.near_dup,
+        jaccard=args.jaccard,
+        benchmark=bench,
+        decontam_n=args.decontam_n,
     )
-
-    # 2+3. map-side quality / language / repetition features and gates
-    feats = repetition_flags(
-        with_repetition_stats(with_language(quality_filter(pii, min_words=args.min_words)))
-    )
-    flagged = feats.withColumn(
-        "reject_reason",
-        F.when(F.col("quality_keep") == 0, "quality").when(
-            ~F.col("repetition_ok"), "repetition"
-        ),
-    )
-    # one computation of the expensive features for both branches below;
-    # cheap columnar cache, released before the wide output writes
-    flagged.persist()
-    alive = flagged.filter(F.col("reject_reason").isNull())
-
-    # 4. exact dedup among survivors (min-id representative kept).
-    # min-per-fingerprint + join back, NOT exact_dup_groups' collect_list:
-    # a pathological fingerprint (e.g. the empty doc) can have millions of
-    # members, and a collect_list array of them is a single-row OOM at scale
-    from sparkdoc.textops import doc_fingerprint
-
-    fp = doc_fingerprint(F.col("text"))
-    fp_docs = alive.filter(fp.isNotNull()).select("doc_id", fp.alias("fp"))
-    keep_min = fp_docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    exact_drops = (
-        fp_docs.join(keep_min, "fp")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select("doc_id", F.lit("exact_dup").alias("reject_reason"))
-    )
-    alive2 = alive.join(exact_drops.select("doc_id"), "doc_id", "left_anti")
-
-    drops = [exact_drops]
-
-    # 5. near-dup (optional): verified pairs, lowest-id shadow rule
-    if args.near_dup:
-        near_drops = (
-            near_dup_pairs(alive2, threshold=args.jaccard)
-            .select(F.col("b").alias("doc_id"))
-            .distinct()
-            .select("doc_id", F.lit("near_dup").alias("reject_reason"))
-        )
-        alive2 = alive2.join(near_drops.select("doc_id"), "doc_id", "left_anti")
-        drops.append(near_drops)
-
-    # 6. decontamination (optional)
-    if args.benchmark:
-        bench = spark.read.parquet(args.benchmark)
-        contam = (
-            decontaminate(alive2, bench, n=args.decontam_n)
-            .filter(F.col("contaminated"))
-            .select("doc_id", F.lit("contaminated").alias("reject_reason"))
-        )
-        alive2 = alive2.join(contam.select("doc_id"), "doc_id", "left_anti")
-        drops.append(contam)
-
-    kept_cols = [
-        "doc_id", "text",
-        "n_email", "n_ipv4", "n_ssn", "n_phone",
-        "n_words", "symbol_ratio", "stop_fraction", "distinct_word_fraction",
-        "lang_pred",
-        "n_dup_lines", "top_bigram_cnt", "dup_trigram_chars",
-    ]
-    kept = alive2.select(*kept_cols)
-    rejected = flagged.filter(F.col("reject_reason").isNotNull()).select(
-        "doc_id", "reject_reason"
-    )
-    for d in drops:
-        rejected = rejected.unionByName(d)
 
     kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
     rejected.write.mode("overwrite").parquet(os.path.join(args.out, "rejected"))
@@ -176,7 +100,6 @@ def main() -> None:
             "decontam_n": args.decontam_n,
         },
     }
-    flagged.unpersist()
     write_text_file(
         spark,
         os.path.join(args.out, "stats.json"),

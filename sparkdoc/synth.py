@@ -323,3 +323,54 @@ def raw_nodes_df(spark: SparkSession, n_docs: int, seed: int = 42, partitions: i
     parts = partitions or max(8, n_docs // 256)
     rng_df = spark.range(0, n_docs, 1, parts)
     return rng_df.mapInPandas(gen, schema=RAW_NODES)
+
+
+def synth_text_documents(spark, n_docs: int, seed: int = 42, partitions: int | None = None, n_words: int = 80):
+    """Deterministic (doc_id, text) corpus for the curation pipeline bench:
+    word-salad base docs plus derived regimes keyed off doc_id —
+      %7  == 0 → an EXACT duplicate twin at +10M (redaction-stable)
+      %5  == 0 → a NEAR-duplicate twin at +20M (one word appended)
+      %11 == 0 → trailing PII (email + phone snippets, doc_id-derived)
+      %13 == 0 → a repetition-reject twin at +30M (one bigram × n)
+    All generation is JVM exprs (hash-indexed vocab picks) — no Python in
+    the generator, so the bench measures the PIPELINE, not corpus synthesis.
+    """
+    from pyspark.sql import functions as F
+
+    vocab = F.array(*[F.lit(w) for w in _WORDS])
+    base = spark.range(0, n_docs, 1, partitions or max(8, n_docs // 2048))
+    wordseq = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.element_at(
+            vocab, (F.abs(F.hash(F.col("id"), i, F.lit(seed))) % len(_WORDS)) + 1
+        ),
+    )
+    did = F.col("id")
+    pii = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" mail u"), did.cast("string"), F.lit("@corp.example now call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    docs = base.select(
+        did.alias("doc_id"),
+        F.concat(F.array_join(wordseq, " "), pii).alias("text"),
+    )
+    exact_twin = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    near_twin = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing marker word")).alias("text"),
+    )
+    rep_twin = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("hot pair " * 40), F.substring(F.col("text"), 1, 120)
+        ).alias("text"),
+    )
+    return (
+        docs.unionByName(exact_twin).unionByName(near_twin).unionByName(rep_twin)
+    )
