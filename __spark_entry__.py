@@ -2081,6 +2081,43 @@ def _emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_emb(spark, sf_dir), threshold=0.4, n_cells=16, dim=64)
 
 
+def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup clustering: exact-dup fingerprint groups
+    are chained into PATH graphs (consecutive doc_ids within each group), so
+    the iterative min-label/pointer-jump operator must propagate labels over
+    multi-hop chains (the shared-language twin groups are ~n/11 docs long) —
+    not just pairs. The oracle recomputes components independently via a
+    recursive transitive-closure CTE over the same edges."""
+    from pyspark.sql import Window
+
+    from sparkdoc.dedup_text import dup_group_labels
+    from sparkdoc.textops import doc_fingerprint
+
+    d = _docs_hostile(spark, sf_dir).withColumn("fp", doc_fingerprint(F.col("text")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    pairs = (
+        d.select("fp", "doc_id", F.lead("doc_id").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("a"), F.col("nxt").alias("b"))
+    )
+    return dup_group_labels(pairs).orderBy("doc_id")
+
+
+def _doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sampling: strata = doc_id % 3 with
+    per-stratum keep fractions (1.0 / 0.5 / 0.1); membership is a pure
+    function of md5(doc_id || salt), so the oracle reproduces the exact
+    kept set."""
+    from sparkdoc.filters import stratified_hash_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 3).cast("int").alias("stratum")
+    )
+    return stratified_hash_sample(
+        d, "stratum", {0: 1.0, 1: 0.5, 2: 0.1}, default=0.0, salt="gate"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2106,6 +2143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": _doc_simhash_pairs,
         "doc_simhash_sig": _doc_simhash_sig,
         "doc_rolling_fp": _doc_rolling_fp,
+        "doc_dup_groups": _doc_dup_groups,
+        "doc_sample": _doc_sample,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -2399,6 +2438,46 @@ def oracle_sql() -> dict[str, str]:
                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                  ELSE 0.0 END DESC, a.doc_id ASC, b.doc_id ASC
         LIMIT 20
+    """
+    # independent recomputation of connected components: transitive closure
+    # by recursive CTE (no pointer jumping, no label propagation) over the
+    # same chained exact-dup edges, then min-reachable-node per source
+    q["doc_dup_groups"] = f"""
+        WITH RECURSIVE documents_h AS ({_HOSTILE_SQL}),
+        fps AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents_h
+        ),
+        prs AS (
+            SELECT a, b FROM (
+                SELECT doc_id AS a,
+                       lead(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS b
+                FROM fps
+            ) WHERE b IS NOT NULL
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM prs
+            UNION
+            SELECT b AS src, a AS dst FROM prs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, least(src, min(dst)) AS group_id
+        FROM reach
+        GROUP BY src
+        ORDER BY doc_id
+    """
+    q["doc_sample"] = """
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS stratum
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gate'), 1, 15))::UBIGINT
+              % 1000000
+              < CASE doc_id % 3 WHEN 0 THEN 1000000 WHEN 1 THEN 500000 ELSE 100000 END
+        ORDER BY doc_id
     """
     q["doc_segments"] = f"""
         WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)

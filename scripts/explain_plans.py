@@ -175,6 +175,21 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._doc_sample(spark, sf_dir))
+    sections.append(("doc_sample", p))
+    checks.append(
+        (
+            "stratified hash sample is Python-free with no sample-side Exchange"
+            " (only the final orderBy range partitioning)",
+            "Python" not in p
+            and all(
+                "rangepartitioning" in args
+                for args in re.findall(r"Exchange (\w+)", p)
+            ),
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

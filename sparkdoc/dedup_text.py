@@ -237,8 +237,13 @@ def minhash_lsh_candidates(
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs: join texts, set overlap."""
-    sh = with_shingles(docs.select(id_col, text_col), text_col, n, out="sh").select(id_col, "sh")
+    """Exact n-gram Jaccard for candidate pairs: join texts, set overlap.
+
+    ``docs`` should already be reduced to the documents that appear in
+    ``df_pairs`` (near_dup_pairs does this); the shingled frame is persisted
+    because it feeds BOTH join sides — without the cache the shingle pass
+    runs twice."""
+    sh = with_shingles(docs.select(id_col, text_col), text_col, n, out="sh").select(id_col, "sh").persist()
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     joined = df_pairs.join(a, "a").join(b, "b")
@@ -258,9 +263,27 @@ def near_dup_pairs(
     bands: int = 4,
     n: int = 3,
 ) -> DataFrame:
-    """LSH candidates → exact Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, n)
-    return ngram_jaccard(cands, df, text_col, id_col, n).filter(F.col("jaccard") >= threshold)
+    """LSH candidates → exact Jaccard ≥ threshold.
+
+    The verify stage only needs shingles for documents that appear in some
+    candidate pair — a small fraction of the corpus by design — so the
+    candidate set is materialized (it is tiny) and the corpus is left-semi
+    reduced to candidate ids BEFORE the shingle recomputation. Without this,
+    ngram_jaccard re-shingles the ENTIRE corpus twice (once per join side):
+    at 100 TB that is two full extra corpus passes; measured locally it is
+    the difference between the verify stage scaling with candidates vs with
+    input size. Restricting docs to pair ids provably cannot change any
+    pair's Jaccard."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, bands, n).persist()
+    pair_ids = (
+        cands.select(F.col("a").alias(id_col))
+        .unionByName(cands.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    docs_c = df.join(pair_ids, id_col, "left_semi")
+    return ngram_jaccard(cands, docs_c, text_col, id_col, n).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # --- SimHash ------------------------------------------------------------------------
@@ -344,3 +367,98 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 
         .dropDuplicates(["a", "b"])
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --- duplicate-group labeling (connected components) ---------------------------
+
+
+def dup_group_labels(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 30
+) -> DataFrame:
+    """Connected components over an undirected duplicate-pair graph: every
+    document that appears in ``pairs`` gets ``group_id`` = the minimum doc id
+    in its component, turning pairwise near-dup evidence (LSH/SimHash/exact
+    verify output) into actionable dedup clusters (keep ``group_id``, drop
+    the rest — or sample per group).
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+      1. label(v) <- min(label(v), min over neighbors u of label(u))
+      2. label(v) <- label(label(v))   (shortcut through the label forest)
+    Step 2 halves the distance to the component minimum, so convergence is
+    O(log component-diameter) rounds, not O(diameter) — the classic
+    Hash-to-Min bound (Rastogi et al., "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds").
+
+    Scale shape for 100 TB: each round is two equi-joins on (node, label)
+    frames — no all-pairs work, shuffles keyed on node ids; lineage is cut
+    per round (localCheckpoint) so the iterative plan never grows; the
+    convergence probe is sum(label), a scalar aggregate that strictly
+    decreases until fixpoint (labels only move down), so no row-level
+    old-vs-new join is needed. Duplicate components are overwhelmingly tiny
+    (pairs, triangles), so typical convergence is 2-3 rounds; max_iters only
+    bounds adversarial chain graphs.
+
+    Returns (doc_id, group_id), one row per distinct node in ``pairs``.
+    """
+    a = F.col(a_col)
+    b = F.col(b_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionByName(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nb_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = (
+            labels.join(nb_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+            )
+        )
+        # pointer jump: follow the current label one hop (label of my label);
+        # stepped is keyed by node (one row each), so this is a plain lookup
+        hop = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("jumped")
+        )
+        labels = (
+            stepped.join(hop, "label", "left")
+            .select("node", F.least("label", F.coalesce("jumped", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))
+
+
+def near_dup_groups(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate clusters end-to-end: MinHash-LSH candidates → exact
+    Jaccard ≥ threshold → connected components. Returns (doc_id, group_id)
+    for every document that has at least one verified near-duplicate; keep
+    one representative per group_id (or sample within groups) to dedup."""
+    return dup_group_labels(
+        near_dup_pairs(df, threshold, text_col, id_col, k, bands, n)
+    )

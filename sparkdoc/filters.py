@@ -351,3 +351,58 @@ def curate_split(
     for d in drops:
         rejected = rejected.unionByName(d)
     return kept, rejected
+
+
+# --- deterministic corpus sampling ---------------------------------------------
+
+
+def _hash_bucket(key_col: str, salt: str) -> Column:
+    """Uniform bucket in [0, 1e6) from the first 60 bits of md5(key||salt).
+    Engine-portable: DuckDB twin is
+    ('0x' || substr(md5(key || salt), 1, 15))::UBIGINT % 1000000."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic corpus sampling: keep a row iff
+    hash_bucket(key, salt) < fraction * 1e6.
+
+    Unlike ``df.sample``, the kept set is a pure function of the key — stable
+    across runs, partitionings, and engines (so a 1% dev slice of a 100 TB
+    corpus is the SAME slice everywhere), and different salts give
+    independent draws (held-out splits). Scale shape: a single map-side
+    codegen expression, zero shuffles, combines with partition pruning."""
+    ppm = int(round(fraction * 1_000_000))
+    return df.filter(_hash_bucket(key_col, salt) < F.lit(ppm))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    default: float = 0.0,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages or
+    domains in a training mix): each stratum value gets its own keep
+    fraction; unlisted strata keep ``default``. Same map-side, shuffle-free
+    shape as hash_sample — the stratum threshold is a chained CASE, so the
+    whole filter stays inside whole-stage codegen."""
+    thresh = F.lit(int(round(default * 1_000_000)))
+    for val, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(val), F.lit(int(round(frac * 1_000_000)))
+        ).otherwise(thresh)
+    return df.filter(_hash_bucket(key_col, salt) < thresh)

@@ -6,7 +6,7 @@ rejected with full per-gate attribution.
     spark-submit --py-files sparkdoc.zip sparkdoc/jobs/curate.py \
         --input /data/documents.parquet --out /data/curated \
         [--benchmark /data/benchmark.parquet] [--near-dup] \
-        [--min-words 10] [--jaccard 0.85]
+        [--min-words 10] [--jaccard 0.85] [--sample 0.01 --sample-salt dev]
 
 Gate order (each doc gets the FIRST reason that rejects it — later, more
 expensive gates only ever see survivors, so the cheap map-side gates also
@@ -50,6 +50,12 @@ def main() -> None:
     ap.add_argument("--min-words", type=int, default=10)
     ap.add_argument("--jaccard", type=float, default=0.85)
     ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument(
+        "--sample", type=float, default=None,
+        help="deterministic hash-sample fraction applied to the input first "
+        "(stable across runs/partitionings; see filters.hash_sample)",
+    )
+    ap.add_argument("--sample-salt", default="", help="salt for --sample draws")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -66,6 +72,10 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     docs = spark.read.parquet(args.input).select("doc_id", "text")
+    if args.sample is not None:
+        from sparkdoc.filters import hash_sample
+
+        docs = hash_sample(docs, args.sample, salt=args.sample_salt)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     kept, rejected = curate_split(
         docs,
@@ -98,6 +108,8 @@ def main() -> None:
             "jaccard": args.jaccard,
             "benchmark": args.benchmark,
             "decontam_n": args.decontam_n,
+            "sample": args.sample,
+            "sample_salt": args.sample_salt,
         },
     }
     write_text_file(
