@@ -2118,6 +2118,141 @@ def _doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BOILER_NAV = "Subscribe to our newsletter for updates and exclusive offers."
+_BOILER_FOOT = "Copyright 2026 Example Corp. All rights reserved worldwide."
+
+
+def _docs_paras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-structured derived corpus: 3 paragraphs per doc (80-char
+    slices), with boilerplate paragraphs injected cross-doc (doc_id % 4 → a
+    shared nav paragraph, doc_id % 6 → a shared footer) so paragraph-level
+    dedup has real corpus-wide duplicates to remove. The oracle builds the
+    IDENTICAL corpus in SQL (paras_src CTE)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    p1 = F.substring("text", 1, 80)
+    p2 = F.when(F.col("doc_id") % 4 == 0, F.lit(_BOILER_NAV)).otherwise(
+        F.substring("text", 81, 80)
+    )
+    p3 = F.when(F.col("doc_id") % 6 == 0, F.lit(_BOILER_FOOT)).otherwise(
+        F.substring("text", 161, 80)
+    )
+    return d.select("doc_id", F.concat_ws("\n\n", p1, p2, p3).alias("text"))
+
+
+def _doc_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup: first occurrence (min doc_id, para_idx)
+    of each normalized paragraph survives; docs are reassembled from their
+    surviving paragraphs. The oracle recomputes the winner set with a
+    row_number window (vs the engine's skew-safe min-struct agg + join)."""
+    from sparkdoc.dedup_text import paragraph_dedup
+
+    return paragraph_dedup(_docs_paras(spark, sf_dir)).orderBy("doc_id")
+
+
+def _docs_skewed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with 80% of rows collapsed onto one hub domain — the skew
+    shape per-domain caps and rebalancing exist for."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 != 0, F.lit("hub.example"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+
+
+def _doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain cap: keep the 10 smallest-hash docs per
+    source (two-phase skew-bounded top-k; the oracle is a single
+    row_number window over the same md5 bucket ordering)."""
+    from sparkdoc.filters import cap_per_group
+
+    return cap_per_group(
+        _docs_skewed_source(spark, sf_dir), "source", 10, salt="cap"
+    ).orderBy("doc_id")
+
+
+def _doc_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-proportional domain downweighting: groups over 15 docs are
+    hash-sampled to ≈15 in expectation (keep ppm = floor(15e6/n)); small
+    groups pass whole (the least(1e6, ...) branch is exercised by the
+    doc_id % 5 sources, 5 docs each)."""
+    from sparkdoc.filters import downweight_frequent_groups
+
+    return (
+        downweight_frequent_groups(
+            _docs_skewed_source(spark, sf_dir), "source", target=15, salt="rb"
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF top-3 terms per doc (tf · ln((N+1)/(df+1)), rank by
+    score desc then term asc). N rides in as a broadcast 1-row frame — no
+    driver action inside the plan."""
+    from sparkdoc.textops import tfidf_top_terms
+
+    return (
+        tfidf_top_terms(_docs(spark, sf_dir).select("doc_id", "text"), k=3)
+        .withColumn("rank", F.col("rank").cast("int"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+_DELTA_NEAR_TAIL = " extra tail words appended here"
+_DELTA_FRESH_TAIL = (
+    " completely different continuation about penguins and glaciers in the far south"
+)
+
+
+def _docs_delta(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus, delta): the delta batch mixes exact twins of corpus docs
+    (doc_id % 7, +1e6), near twins (doc_id % 9, +2e6, tail appended) and
+    prefix-sharing fresh docs (doc_id % 11, +3e6) — the three ingestion
+    outcomes delta dedup must separate. Oracle mirrors this construction."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def twin(mod: int, offset: int, text_col) -> DataFrame:
+        return d.filter(F.col("doc_id") % mod == 0).select(
+            (F.col("doc_id") + offset).alias("doc_id"), text_col.alias("text")
+        )
+
+    new = (
+        twin(7, 1_000_000, F.col("text"))
+        .unionByName(twin(9, 2_000_000, F.concat(F.col("text"), F.lit(_DELTA_NEAR_TAIL))))
+        .unionByName(
+            twin(
+                11,
+                3_000_000,
+                F.concat(F.substring("text", 1, 40), F.lit(_DELTA_FRESH_TAIL)),
+            )
+        )
+    )
+    return d, new
+
+
+def _doc_delta_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ingestion, exact stage: new docs join the persisted (fp,
+    keep_id) index; only index hits return. Oracle: independent md5 join."""
+    from sparkdoc.incremental import build_exact_index, delta_exact_dups
+
+    old, new = _docs_delta(spark, sf_dir)
+    return delta_exact_dups(new, build_exact_index(old)).orderBy("doc_id")
+
+
+def _doc_delta_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ingestion, near stage: the delta's MinHash band keys join the
+    corpus band index (signatures computed for the delta ONLY), candidates
+    verify exact Jaccard against the candidate-pruned corpus, best match per
+    new doc. Oracle replays the identical double-hash banding + verify."""
+    from sparkdoc.incremental import build_band_index, delta_near_dups
+
+    old, new = _docs_delta(spark, sf_dir)
+    out = delta_near_dups(new, old, build_band_index(old), threshold=0.8)
+    return out.withColumn("jaccard", F.round("jaccard", 6)).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2145,6 +2280,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fp": _doc_rolling_fp,
         "doc_dup_groups": _doc_dup_groups,
         "doc_sample": _doc_sample,
+        "doc_para_dedup": _doc_para_dedup,
+        "doc_domain_cap": _doc_domain_cap,
+        "doc_domain_rebalance": _doc_domain_rebalance,
+        "doc_top_terms": _doc_top_terms,
+        "doc_delta_exact": _doc_delta_exact,
+        "doc_delta_near": _doc_delta_near,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -2477,6 +2618,178 @@ def oracle_sql() -> dict[str, str]:
         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gate'), 1, 15))::UBIGINT
               % 1000000
               < CASE doc_id % 3 WHEN 0 THEN 1000000 WHEN 1 THEN 500000 ELSE 100000 END
+        ORDER BY doc_id
+    """
+    # paragraph dedup: winners recomputed via a row_number window (the engine
+    # uses a skew-safe min-struct agg + join); corpus derivation mirrors
+    # _docs_paras exactly
+    q["doc_para_dedup"] = f"""
+        WITH paras_src AS (
+            SELECT doc_id,
+                   substr(text, 1, 80) AS p1,
+                   CASE WHEN doc_id % 4 = 0 THEN '{_BOILER_NAV}'
+                        ELSE substr(text, 81, 80) END AS p2,
+                   CASE WHEN doc_id % 6 = 0 THEN '{_BOILER_FOOT}'
+                        ELSE substr(text, 161, 80) END AS p3
+            FROM documents
+        ),
+        pl AS (
+            SELECT doc_id, 0 AS pidx, p1 AS para FROM paras_src
+            UNION ALL SELECT doc_id, 1, p2 FROM paras_src
+            UNION ALL SELECT doc_id, 2, p3 FROM paras_src
+        ),
+        keyed AS (
+            SELECT doc_id, pidx, para,
+                   md5(trim(regexp_replace(lower(para), '\\s+', ' ', 'g'))) AS pkey
+            FROM pl WHERE trim(para) <> ''
+        ),
+        win AS (
+            SELECT *, row_number() OVER (PARTITION BY pkey ORDER BY doc_id, pidx) AS rn
+            FROM keyed
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_paras,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+                   string_agg(CASE WHEN rn = 1 THEN para END,
+                              chr(10) || chr(10) ORDER BY pidx) AS text2
+            FROM win GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.text2, '') AS text,
+               coalesce(a.n_paras, 0) AS n_paras,
+               coalesce(a.n_kept, 0) AS n_kept
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    _SKEW_SRC_SQL = (
+        "SELECT doc_id, CASE WHEN doc_id % 5 <> 0 THEN 'hub.example' "
+        "ELSE source END AS source FROM documents"
+    )
+    q["doc_domain_cap"] = f"""
+        WITH d AS ({_SKEW_SRC_SQL}),
+        b AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 15))::UBIGINT
+                       % 1000000 AS bkt
+            FROM d
+        )
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rn
+            FROM b
+        ) WHERE rn <= 10
+        ORDER BY doc_id
+    """
+    q["doc_domain_rebalance"] = f"""
+        WITH d AS ({_SKEW_SRC_SQL}),
+        c AS (SELECT source, count(*) AS n FROM d GROUP BY source)
+        SELECT doc_id, d.source
+        FROM d JOIN c USING (source)
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'rb'), 1, 15))::UBIGINT
+              % 1000000
+              < least(1000000, CAST(floor(15 * 1000000.0 / n) AS BIGINT))
+        ORDER BY doc_id
+    """
+    q["doc_top_terms"] = f"""
+        WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        s AS (
+            SELECT doc_id, term, tf, df_docs,
+                   round(tf * ln((nd + 1.0) / (df_docs + 1.0)), 6) AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df_docs, score, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+            FROM s
+        ) WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """
+    _DELTA_SQL = f"""
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text || '{_DELTA_NEAR_TAIL}'
+            FROM documents WHERE doc_id % 9 = 0
+            UNION ALL
+            SELECT doc_id + 3000000, substr(text, 1, 40) || '{_DELTA_FRESH_TAIL}'
+            FROM documents WHERE doc_id % 11 = 0
+    """
+    _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    q["doc_delta_exact"] = f"""
+        WITH newdocs AS ({_DELTA_SQL}),
+        idx AS (
+            SELECT {_FP} AS fp, min(doc_id) AS keep_id
+            FROM documents WHERE text IS NOT NULL GROUP BY 1
+        )
+        SELECT n.doc_id, i.keep_id AS dup_of
+        FROM (SELECT doc_id, {_FP} AS fp FROM newdocs WHERE text IS NOT NULL) n
+        JOIN idx i USING (fp)
+        ORDER BY n.doc_id
+    """
+
+    # delta near-dup: replay the engine's exact algorithm — KM double-hash
+    # MinHash, 4-band LSH keys on each side, band-key equi-join, exact
+    # shingle-Jaccard verify, best match per new doc
+    def _band_union(sig_cte: str) -> str:
+        parts = []
+        for b in range(4):
+            cols = " || '|' || ".join(
+                f"CAST(mh[{b * 4 + j + 1}] AS VARCHAR)" for j in range(4)
+            )
+            parts.append(
+                f"SELECT doc_id, {b} AS band, md5({cols}) AS key "
+                f"FROM {sig_cte} WHERE mh[1] <> -1"
+            )
+        return " UNION ALL ".join(parts)
+
+    _KM_HASHES = """
+            SELECT doc_id, sh,
+                   list_transform(sh, x ->
+                       CAST(('0x' || substr(md5(x), 1, 15))::UBIGINT % 2147483647 AS BIGINT)) AS h1s,
+                   list_transform(sh, x ->
+                       CAST(('0x' || substr(md5(x), 17, 15))::UBIGINT % 2147483647 AS BIGINT)) AS h2s
+    """
+    _SIG = """
+            SELECT doc_id, sh,
+                   list_transform(generate_series(0, 15),
+                     i -> CASE WHEN len(h1s) > 0
+                               THEN list_min(list_transform(list_zip(h1s, h2s),
+                                      p -> (p[1] + i * p[2]) % 2147483647))
+                               ELSE -1 END) AS mh
+    """
+    q["doc_delta_near"] = f"""
+        WITH newdocs AS ({_DELTA_SQL}),
+        s_o AS (SELECT doc_id, {_sh} AS sh FROM documents),
+        s_n AS (SELECT doc_id, {_sh} AS sh FROM newdocs),
+        hp_o AS ({_KM_HASHES} FROM s_o),
+        hp_n AS ({_KM_HASHES} FROM s_n),
+        sig_o AS ({_SIG} FROM hp_o),
+        sig_n AS ({_SIG} FROM hp_n),
+        bk_o AS ({_band_union("sig_o")}),
+        bk_n AS ({_band_union("sig_n")}),
+        cands AS (
+            SELECT DISTINCT n.doc_id AS a, o.doc_id AS b
+            FROM bk_n n JOIN bk_o o USING (band, key)
+        ),
+        jac AS (
+            SELECT c.a, c.b,
+                   CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+                        THEN len(list_intersect(sa.sh, sb.sh)) /
+                             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                        ELSE 0.0 END AS j
+            FROM cands c
+            JOIN s_n sa ON sa.doc_id = c.a
+            JOIN s_o sb ON sb.doc_id = c.b
+        )
+        SELECT a AS doc_id, b AS dup_of, round(j, 6) AS jaccard
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY a ORDER BY j DESC, b ASC) AS rn
+            FROM jac WHERE j >= 0.8
+        )
+        WHERE rn = 1
         ORDER BY doc_id
     """
     q["doc_segments"] = f"""

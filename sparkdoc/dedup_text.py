@@ -187,6 +187,37 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    out_id: str = "_id",
+) -> DataFrame:
+    """(id, band, key) LSH band-key rows for every doc with at least one
+    shingle — the shared signature stage of minhash_lsh_candidates and the
+    incremental band index (sparkdoc/incremental.py). Docs with NO shingles
+    (null/empty/short text) are excluded: they would all share the empty
+    signature and band every such doc with every other (O(m²) explosion)
+    while exact-Jaccard verification defines their overlap as 0 anyway."""
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"band_keys: k={k} must be a positive multiple of "
+            f"bands={bands} (bands>k would hash EMPTY slices — every doc "
+            "collides on every band; a non-dividing bands silently ignores "
+            "trailing signature entries)"
+        )
+    rows = k // bands
+    return (
+        minhash_agg(df.select(F.col(id_col).alias(out_id), text_col), out_id, text_col, k, n, out="_sig")
+        .filter(F.element_at(F.col("_sig"), 1) != MINHASH_EMPTY)
+        .select(out_id, F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bk"))
+        .select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -201,24 +232,7 @@ def minhash_lsh_candidates(
     happens — the self-join keys on (band, key), and duplicate-pair explosion
     across bands collapses with dropDuplicates before verification.
     """
-    if bands < 1 or k % bands != 0:
-        raise ValueError(
-            f"minhash_lsh_candidates: k={k} must be a positive multiple of "
-            f"bands={bands} (bands>k would hash EMPTY slices — every doc "
-            "collides on every band; a non-dividing bands silently ignores "
-            "trailing signature entries)"
-        )
-    rows = k // bands
-    sig = (
-        minhash_agg(df.select(F.col(id_col).alias("_id"), text_col), "_id", text_col, k, n, out="_sig")
-        # docs with NO shingles (null/empty/short text) share the all-''
-        # signature — banding them would pair every such doc with every
-        # other (O(m²) explosion) while exact-Jaccard verification defines
-        # their overlap as 0 anyway; this method simply cannot see them
-        .filter(F.element_at(F.col("_sig"), 1) != MINHASH_EMPTY)
-        .select("_id", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("bk"))
-        .select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    sig = band_keys(df, text_col, id_col, k, bands, n)
     # persist before the self-join: the signature pipeline (shingle explode →
     # k md5s per shingle → min agg) is the dominant cost of the whole method
     # — without this, BOTH join sides recompute it (measured 2× 12 s vs
@@ -461,4 +475,88 @@ def near_dup_groups(
     one representative per group_id (or sample within groups) to dedup."""
     return dup_group_labels(
         near_dup_pairs(df, threshold, text_col, id_col, k, bands, n)
+    )
+
+
+# --- paragraph-level exact dedup -------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\\n{2,}",
+    joiner: str = "\n\n",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (boilerplate removal): split
+    each document into paragraphs, keep only the FIRST occurrence of every
+    distinct normalized paragraph across the whole corpus (first = smallest
+    (id, para_idx)), and reassemble the surviving paragraphs in original
+    order. The public pattern from Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", at paragraph granularity — repeated
+    navigation/footer/licence paragraphs survive document-level dedup because
+    the SURROUNDING text differs; this removes them corpus-wide.
+
+    ``group_col`` restricts dedup to within a group (e.g. per-domain repeated
+    lines, the CCNet trick) instead of corpus-wide.
+
+    Scale shape for 100 TB: one groupBy on the 16-byte paragraph key with a
+    map-side-combined min(struct) — NOT a window over the key (a boilerplate
+    paragraph duplicated 10^8 times would pile one window partition; partial
+    aggregation keeps hot keys bounded) — then an equi-join back on the key
+    and one groupBy(doc) to reassemble. Empty/whitespace-only paragraphs are
+    dropped outright.
+
+    Returns (id, text [deduped], n_paras, n_kept) — one row per input doc,
+    even when every paragraph was dropped (text = '').
+    """
+    gcols = [group_col] if group_col else []
+    paras = (
+        df.select(
+            id_col,
+            *gcols,
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pidx", "_para"),
+        )
+        .filter(F.trim(F.col("_para")) != "")
+        .withColumn(
+            "_pkey", F.md5(F.trim(F.regexp_replace(F.lower(F.col("_para")), "\\s+", " ")))
+        )
+    )
+    winners = paras.groupBy(*gcols, "_pkey").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_pidx").alias("p"))).alias("_w")
+    )
+    kept = (
+        paras.join(winners, gcols + ["_pkey"])
+        .withColumn(
+            "_keep",
+            ((F.col("_w.i") == F.col(id_col)) & (F.col("_w.p") == F.col("_pidx"))).cast("int"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum("_keep").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep") == 1, F.struct("_pidx", "_para"))
+                        )
+                    ),
+                    lambda s: s["_para"],
+                ),
+                joiner,
+            ).alias("_text"),
+        )
+    )
+    # left join so docs whose every paragraph was blank still come back
+    return (
+        df.select(id_col)
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.coalesce("n_paras", F.lit(0)).cast("int").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        )
     )

@@ -31,7 +31,7 @@ import re
 from collections import Counter
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -406,3 +406,75 @@ def stratified_hash_sample(
             F.col(strata_col) == F.lit(val), F.lit(int(round(frac * 1_000_000)))
         ).otherwise(thresh)
     return df.filter(_hash_bucket(key_col, salt) < thresh)
+
+
+# --- per-group caps and frequency rebalancing ------------------------------------
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    fan_in: int = 32,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group (e.g. per domain/source), chosen
+    deterministically: the k rows with the smallest md5 hash bucket (ties by
+    key) — a stable uniform sample of each group, not "whatever k rows the
+    scan met first". Common-Crawl-style curation caps pathological domains
+    this way so one link farm can't dominate the training mix.
+
+    Scale shape: top-k per group is computed in TWO phases to bound skew —
+    phase 1 ranks within (group, subgroup) where subgroup = crc32(key) %
+    fan_in, discarding all but k rows per subgroup (a giant group's rows
+    never pile into ONE window partition); phase 2 ranks the ≤ k·fan_in
+    survivors per group. Both phases are window row_numbers over equi-shuffle
+    keys; the global top-k is provably inside the union of subgroup top-ks.
+    """
+    b = _hash_bucket(key_col, salt)
+    out = df.withColumn("_cap_b", b)
+    if fan_in > 1:
+        sub = F.pmod(F.crc32(F.col(key_col).cast("string")), F.lit(fan_in))
+        w1 = Window.partitionBy(F.col(group_col), sub).orderBy("_cap_b", key_col)
+        out = (
+            out.withColumn("_cap_r1", F.row_number().over(w1))
+            .filter(F.col("_cap_r1") <= k)
+            .drop("_cap_r1")
+        )
+    w2 = Window.partitionBy(group_col).orderBy("_cap_b", key_col)
+    return (
+        out.withColumn("_cap_r", F.row_number().over(w2))
+        .filter(F.col("_cap_r") <= k)
+        .drop("_cap_r", "_cap_b")
+    )
+
+
+def downweight_frequent_groups(
+    df: DataFrame,
+    group_col: str,
+    target: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Frequency-proportional group rebalancing: groups with ≤ ``target``
+    rows keep everything; larger groups are hash-sampled down to ≈ target
+    rows in expectation (keep fraction = target / group_count). The smooth
+    cousin of cap_per_group — membership stays a pure function of
+    (key, salt, group size), so reruns and engines agree exactly.
+
+    Fully distributed: group counts come from a groupBy (map-side combined),
+    rejoined on the group key — no driver-side collect, so 10^8 distinct
+    domains are fine. The per-group keep threshold is floor(target·1e6 /
+    count) ppm, integer-exact across engines.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_grp_n"))
+    thresh = F.least(
+        F.lit(1_000_000).cast("bigint"),
+        F.floor(F.lit(target) * 1_000_000.0 / F.col("_grp_n")).cast("bigint"),
+    )
+    return (
+        df.join(counts, group_col)
+        .filter(_hash_bucket(key_col, salt) < thresh)
+        .drop("_grp_n")
+    )

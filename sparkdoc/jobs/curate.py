@@ -6,7 +6,8 @@ rejected with full per-gate attribution.
     spark-submit --py-files sparkdoc.zip sparkdoc/jobs/curate.py \
         --input /data/documents.parquet --out /data/curated \
         [--benchmark /data/benchmark.parquet] [--near-dup] \
-        [--min-words 10] [--jaccard 0.85] [--sample 0.01 --sample-salt dev]
+        [--min-words 10] [--jaccard 0.85] [--sample 0.01 --sample-salt dev] \
+        [--para-dedup] [--max-per-source 100000]
 
 Gate order (each doc gets the FIRST reason that rejects it — later, more
 expensive gates only ever see survivors, so the cheap map-side gates also
@@ -56,6 +57,16 @@ def main() -> None:
         "(stable across runs/partitionings; see filters.hash_sample)",
     )
     ap.add_argument("--sample-salt", default="", help="salt for --sample draws")
+    ap.add_argument(
+        "--para-dedup", action="store_true",
+        help="rewrite each doc to its corpus-first paragraphs before the "
+        "gates (boilerplate removal; see dedup_text.paragraph_dedup)",
+    )
+    ap.add_argument(
+        "--max-per-source", type=int, default=None,
+        help="deterministic per-source cap applied to the input (requires a "
+        "'source' column; see filters.cap_per_group)",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -71,11 +82,22 @@ def main() -> None:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
-    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    raw = spark.read.parquet(args.input)
+    if args.max_per_source is not None:
+        from sparkdoc.filters import cap_per_group
+
+        raw = cap_per_group(
+            raw.select("doc_id", "text", "source"), "source", args.max_per_source
+        )
+    docs = raw.select("doc_id", "text")
     if args.sample is not None:
         from sparkdoc.filters import hash_sample
 
         docs = hash_sample(docs, args.sample, salt=args.sample_salt)
+    if args.para_dedup:
+        from sparkdoc.dedup_text import paragraph_dedup
+
+        docs = paragraph_dedup(docs).select("doc_id", "text")
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     kept, rejected = curate_split(
         docs,
@@ -110,6 +132,8 @@ def main() -> None:
             "decontam_n": args.decontam_n,
             "sample": args.sample,
             "sample_salt": args.sample_salt,
+            "para_dedup": bool(args.para_dedup),
+            "max_per_source": args.max_per_source,
         },
     }
     write_text_file(

@@ -169,3 +169,47 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text", window: int = 16
         return s.map(fps)
 
     return df.withColumn("fingerprints", _fp(F.col(text_col)))
+
+
+# --- TF-IDF top terms ---------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (tf · ln((N+1)/(df+1))): the standard keyword/topic signal for corpus
+    exploration and quality triage. Pure DataFrame ops: explode → two
+    aggregations → window top-k; the corpus size N rides in as a broadcast
+    1-row frame, so there is NO driver action inside the plan.
+
+    Determinism: ranking is (score DESC, term ASC); equal (tf, df) pairs
+    give bit-identical scores, so the tiebreak is exact. Scale shape: the
+    (doc, term) tf agg and the term df agg are both map-side combined;
+    the df join is an equi-join on term (hot terms are ONE row on the agg
+    side); the top-k window partitions by doc (bounded per-partition).
+
+    Returns (id, term, tf, df_docs, score, rank), rank 1..k per doc.
+    """
+    terms = df.select(id_col, F.explode(words(F.col(text_col))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df_docs") + 1)), 6
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_docs", "score", "rank")
+    )

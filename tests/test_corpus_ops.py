@@ -1,0 +1,177 @@
+"""paragraph_dedup, cap_per_group, downweight_frequent_groups, tfidf_top_terms."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _bucket(key, salt=""):
+    h = hashlib.md5((str(key) + salt).encode()).hexdigest()
+    return int(h[:15], 16) % 1_000_000
+
+
+# --- paragraph_dedup -------------------------------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from sparkdoc.dedup_text import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n\n{boiler}\n\nbody of doc one"),
+        (2, f"beta two\n\n{boiler}\n\nbody of doc two"),
+        (3, f"{boiler}\n\ngamma three"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(spark.createDataFrame(rows, "doc_id: long, text: string")).collect()
+    }
+    # doc 1 is first (min doc_id): keeps all 3 paragraphs
+    assert out[1].text == rows[0][1]
+    assert (out[1].n_paras, out[1].n_kept) == (3, 3)
+    # docs 2/3 lose the boilerplate paragraph but keep their own
+    assert out[2].text == "beta two\n\nbody of doc two"
+    assert (out[2].n_paras, out[2].n_kept) == (3, 2)
+    assert out[3].text == "gamma three"
+    assert (out[3].n_paras, out[3].n_kept) == (2, 1)
+
+
+def test_paragraph_dedup_normalization_and_blank_paras(spark):
+    from sparkdoc.dedup_text import paragraph_dedup
+
+    rows = [
+        (1, "Hello   World\n\nunique a"),
+        (2, "hello world\n\nunique b"),  # same normalized key (case + ws)
+        (3, "   \n\n\n\n  "),  # only blank paragraphs -> empty doc retained
+    ]
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(spark.createDataFrame(rows, "doc_id: long, text: string")).collect()
+    }
+    assert out[1].text == "Hello   World\n\nunique a"  # original text preserved
+    assert out[2].text == "unique b"
+    assert (out[3].text, out[3].n_paras, out[3].n_kept) == ("", 0, 0)
+
+
+def test_paragraph_dedup_within_doc_and_group_scope(spark):
+    from sparkdoc.dedup_text import paragraph_dedup
+
+    rows = [
+        (1, "same para\n\nsame para", "d1"),
+        (2, "same para\n\nother", "d2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    # corpus-wide: doc1 keeps one copy (its own first), doc2 loses it
+    corpus = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert corpus[1].text == "same para" and corpus[1].n_kept == 1
+    assert corpus[2].text == "other"
+    # group-scoped: doc2 is alone in d2, keeps its copy
+    grouped = {r.doc_id: r for r in paragraph_dedup(df, group_col="source").collect()}
+    assert grouped[2].text == "same para\n\nother"
+
+
+# --- cap_per_group ---------------------------------------------------------------
+
+
+def _skewed(spark, n=120):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 4 != 0, F.lit("hub")).otherwise(
+                F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+            ).alias("source"),
+        )
+    )
+
+
+def test_cap_per_group_matches_hash_rule(spark):
+    from sparkdoc.filters import cap_per_group
+
+    df = _skewed(spark)
+    got = {(r.doc_id, r.source) for r in cap_per_group(df, "source", 7, salt="t").collect()}
+    rows = [(i, "hub" if i % 4 != 0 else f"s{i % 3}") for i in range(120)]
+    expect = set()
+    by_src: dict[str, list] = {}
+    for i, s in rows:
+        by_src.setdefault(s, []).append(i)
+    for s, ids in by_src.items():
+        for i in sorted(ids, key=lambda x: (_bucket(x, "t"), x))[:7]:
+            expect.add((i, s))
+    assert got == expect
+    # group sizes: hub has 90 rows -> capped to 7; s* groups have 10 each -> 7
+    srcs = [s for _, s in got]
+    assert srcs.count("hub") == 7
+
+
+def test_cap_per_group_two_phase_equals_single_phase(spark):
+    from sparkdoc.filters import cap_per_group
+
+    df = _skewed(spark, 200)
+    two = {r.doc_id for r in cap_per_group(df, "source", 9, salt="x", fan_in=32).collect()}
+    one = {r.doc_id for r in cap_per_group(df, "source", 9, salt="x", fan_in=1).collect()}
+    assert two == one
+
+
+def test_cap_per_group_k_exceeds_group_size(spark):
+    from sparkdoc.filters import cap_per_group
+
+    df = _skewed(spark, 40)
+    assert cap_per_group(df, "source", 1000).count() == 40
+
+
+# --- downweight_frequent_groups ----------------------------------------------------
+
+
+def test_downweight_matches_hash_rule_and_spares_small_groups(spark):
+    from sparkdoc.filters import downweight_frequent_groups
+
+    df = _skewed(spark, 400)  # hub: 300 rows, s0/s1/s2: ~33 each
+    got = {r.doc_id for r in downweight_frequent_groups(df, "source", 40, salt="w").collect()}
+    rows = [(i, "hub" if i % 4 != 0 else f"s{i % 3}") for i in range(400)]
+    counts: dict[str, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    expect = {
+        i
+        for i, s in rows
+        if _bucket(i, "w") < min(1_000_000, math.floor(40 * 1_000_000.0 / counts[s]))
+    }
+    assert got == expect
+    # small groups (<= target) keep every row
+    small_ids = {i for i, s in rows if s != "hub"}
+    assert small_ids <= got
+
+
+# --- tfidf_top_terms ---------------------------------------------------------------
+
+
+def test_tfidf_scores_and_ranking(spark):
+    from sparkdoc.textops import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared"),
+        (3, "cherry date shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.rank)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    def score(tf, dfd, n=3):
+        return round(tf * math.log((n + 1) / (dfd + 1)), 6)
+
+    # doc1: apple tf=2 df=1 -> top; banana tf=1 df=2
+    assert [r.term for r in by_doc[1]] == ["apple", "banana"]
+    assert by_doc[1][0].score == score(2, 1)
+    assert by_doc[1][1].score == score(1, 2)
+    # 'shared' appears in every doc: idf = ln(4/4) = 0 -> never outranks
+    assert all(r.term != "shared" or r.score == 0.0 for r in out)
+    # doc2: banana/cherry tie (tf=1, df=2) -> term-asc tiebreak
+    assert [r.term for r in by_doc[2]] == ["banana", "cherry"]
+    assert all(len(v) == 2 for v in by_doc.values())
