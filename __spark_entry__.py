@@ -2253,6 +2253,27 @@ def _doc_delta_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 6)).orderBy("doc_id")
 
 
+def _doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM quality score (self-contained CCNet
+    perplexity analog); the hostile corpus mixes real docs with junk/markup
+    twins so the score actually separates."""
+    from sparkdoc.textops import bigram_lm_score
+
+    return bigram_lm_score(_docs_hostile(spark, sf_dir)).orderBy("doc_id")
+
+
+def _doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard packing: md5-grouped, id-ordered running
+    token cumsum cut at a 512-token budget."""
+    from sparkdoc.filters import pack_sequences
+    from sparkdoc.textops import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, budget=512, n_groups=8).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2286,6 +2307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _doc_top_terms,
         "doc_delta_exact": _doc_delta_exact,
         "doc_delta_near": _doc_delta_near,
+        "doc_lm_score": _doc_lm_score,
+        "doc_pack": _doc_pack,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -2790,6 +2813,47 @@ def oracle_sql() -> dict[str, str]:
             FROM jac WHERE j >= 0.8
         )
         WHERE rn = 1
+        ORDER BY doc_id
+    """
+    q["doc_lm_score"] = f"""
+        WITH documents_h AS ({_HOSTILE_SQL}),
+        w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents_h),
+        bg AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 1)) AS i FROM w)
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        v AS (
+            SELECT count(DISTINCT t) AS v
+            FROM (SELECT unnest(ws) AS t FROM w)
+        ),
+        sc AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(ln((c12 + 1) / (c1 + v))), 6) AS lm_score
+            FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_bigrams, 0) AS INT) AS n_bigrams,
+               s.lm_score
+        FROM documents_h d LEFT JOIN sc s USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    q["doc_pack"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))
+                       AS n_tokens,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 15))::UBIGINT
+                        % 1000000 % 8 AS INT) AS pack_group
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, pack_group,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id)
+                           - n_tokens) / 512.0) AS INT) AS shard_seq
+        FROM t
         ORDER BY doc_id
     """
     q["doc_segments"] = f"""

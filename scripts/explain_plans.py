@@ -190,6 +190,42 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._doc_para_dedup(spark, sf_dir))
+    sections.append(("doc_para_dedup", p))
+    checks.append(
+        (
+            "paragraph dedup picks winners via partial-aggregated min(struct),"
+            " never a Window over the paragraph key",
+            len(re.findall(r"\(\d+\) Window", p)) == 0 and "partial_min" in p.lower(),
+            p,
+        )
+    )
+    checks.append(("paragraph dedup is Python-free", "Python" not in p, p))
+
+    p = plan_of(entrymod._doc_delta_near(spark, sf_dir))
+    sections.append(("doc_delta_near", p))
+    checks.append(
+        (
+            "delta near-dup is Python-free with bucketed equi-joins only"
+            " (no cartesian / broadcast-nested-loop)",
+            "Python" not in p
+            and "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p,
+            p,
+        )
+    )
+
+    p = plan_of(entrymod._doc_top_terms(spark, sf_dir))
+    sections.append(("doc_top_terms", p))
+    checks.append(
+        (
+            "tfidf corpus size N arrives as a broadcast 1-row frame"
+            " (BroadcastNestedLoopJoin), aggs map-side combined",
+            "BroadcastNestedLoopJoin" in p and "partial_count" in p.lower(),
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

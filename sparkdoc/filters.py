@@ -478,3 +478,40 @@ def downweight_frequent_groups(
         .filter(_hash_bucket(key_col, salt) < thresh)
         .drop("_grp_n")
     )
+
+
+# --- training-shard packing --------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_groups: int = 1024,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards,
+    deterministically: docs are hashed into ``n_groups`` independent packing
+    groups (md5 bucket — stable across runs, partitionings AND engines),
+    ordered by id within the group, and cut into shards wherever the running
+    token total crosses ``budget``. shard_id = (group, seq) is stable under
+    re-partitioning and resumable ingestion — the property df.repartition +
+    monotonically increasing ids do NOT give you.
+
+    Contract: a shard's total is ≤ budget + (its last doc's tokens) — the
+    boundary doc goes to the shard it STARTS in (docs are never split); a
+    doc larger than the whole budget therefore occupies its own shard tail.
+
+    Scale shape: one window cumsum per group; groups are hash-balanced so
+    no window partition exceeds ~|corpus|/n_groups regardless of skew. Raise
+    n_groups with corpus size (shards never span groups, so more groups only
+    adds ragged shard tails, ~budget/2 wasted tokens each).
+    """
+    grp = (_hash_bucket(id_col, "pack") % n_groups).alias("pack_group")
+    w = Window.partitionBy("pack_group").orderBy(id_col)
+    run = F.sum(tokens_col).over(w)
+    return (
+        df.select(id_col, tokens_col, grp)
+        .withColumn("shard_seq", F.floor((run - F.col(tokens_col)) / F.lit(budget)).cast("int"))
+        .withColumn("pack_group", F.col("pack_group").cast("int"))
+    )

@@ -213,3 +213,60 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df_docs", "score", "rank")
     )
+
+
+# --- corpus-trained bigram LM scoring ------------------------------------------------
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average bigram log-probability under an add-one-smoothed
+    bigram model trained on the corpus ITSELF — the self-contained version of
+    KenLM-perplexity quality filtering (CCNet's public recipe): documents
+    that look unlike the corpus (gibberish, wrong language, boilerplate
+    soup) score low, without any external model artifact.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), score = mean over the doc's
+    bigram instances of ln P. Docs with < 2 words get score NULL (0 bigrams).
+
+    Scale shape: bigram instances explode once; the count model is two
+    map-side-combined aggs over (w1,w2) and w1; the vocabulary size V is a
+    broadcast 1-row frame; scoring is an equi-join of instances against the
+    count tables (hot bigrams are ONE row on the agg side). No Python, no
+    window, no driver action.
+
+    Returns (id, n_bigrams, lm_score) with lm_score rounded to 6 decimals.
+    """
+    w = df.select(id_col, words(F.col(text_col)).alias("_ws"))
+    bg = w.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_ws"), 1, F.greatest(F.size("_ws") - 1, F.lit(0))).alias("w1"),
+                F.slice(F.col("_ws"), 2, F.greatest(F.size("_ws") - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = w.select(F.explode("_ws").alias("_t")).agg(
+        F.count_distinct("_t").alias("_v")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_lp", F.log((F.col("c12") + 1) / (F.col("c1") + F.col("_v"))))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.round(F.avg("_lp"), 6).alias("lm_score"))
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            "lm_score",
+        )
+    )

@@ -175,3 +175,65 @@ def test_tfidf_scores_and_ranking(spark):
     # doc2: banana/cherry tie (tf=1, df=2) -> term-asc tiebreak
     assert [r.term for r in by_doc[2]] == ["banana", "cherry"]
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+# --- bigram_lm_score ---------------------------------------------------------------
+
+
+def test_bigram_lm_score_hand_case(spark):
+    from sparkdoc.textops import bigram_lm_score
+
+    rows = [
+        (1, "a b a b"),       # bigrams: (a,b)x2, (b,a)x1
+        (2, "a b c"),         # (a,b), (b,c)
+        (3, "zzz"),           # 1 word -> no bigrams
+    ]
+    out = {r.doc_id: r for r in bigram_lm_score(
+        spark.createDataFrame(rows, "doc_id: long, text: string")).collect()}
+    # corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; c1: a=3, b=2; V = {a,b,c,zzz} = 4
+    V = 4
+    lp_ab = math.log((3 + 1) / (3 + V))
+    lp_ba = math.log((1 + 1) / (2 + V))
+    lp_bc = math.log((1 + 1) / (2 + V))
+    assert out[1].n_bigrams == 3
+    assert out[1].lm_score == round((2 * lp_ab + lp_ba) / 3, 6)
+    assert out[2].n_bigrams == 2
+    assert out[2].lm_score == round((lp_ab + lp_bc) / 2, 6)
+    assert out[3].n_bigrams == 0 and out[3].lm_score is None
+
+
+# --- pack_sequences ---------------------------------------------------------------
+
+
+def test_pack_sequences_rule_and_determinism(spark):
+    from sparkdoc.filters import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("n_tokens")
+    )
+    out = pack_sequences(df, budget=100, n_groups=4).collect()
+    # recompute expected shards in python with the same md5 grouping
+    groups: dict[int, list] = {}
+    for i in range(200):
+        groups.setdefault(_bucket(i, "pack") % 4, []).append(i)
+    expect = {}
+    for g, ids in groups.items():
+        run = 0
+        for i in sorted(ids):
+            t = i % 97 + 10
+            expect[i] = (g, run // 100)
+            run += t
+    got = {r.doc_id: (r.pack_group, r.shard_seq) for r in out}
+    assert got == expect
+    # shard totals never exceed budget + last doc's tokens; oversized docs
+    # occupy their own shard tail
+    totals: dict[tuple, int] = {}
+    for r in out:
+        totals[(r.pack_group, r.shard_seq)] = totals.get((r.pack_group, r.shard_seq), 0) + r.n_tokens
+    assert all(v <= 100 + 106 for v in totals.values())
+    # repartitioning the input must not change any assignment
+    got2 = {
+        r.doc_id: (r.pack_group, r.shard_seq)
+        for r in pack_sequences(df.repartition(13), budget=100, n_groups=4).collect()
+    }
+    assert got2 == got
