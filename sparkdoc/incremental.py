@@ -94,7 +94,10 @@ def delta_near_dups(
     (signatures computed for the DELTA only), then exact n-gram Jaccard
     verifies each candidate pair with the corpus scan pruned to candidate
     ids. A new doc matching several corpus docs reports the single best
-    match (max jaccard, min dup_of)."""
+    match (max jaccard, min dup_of).
+
+    Precondition: delta ids are disjoint from corpus ids (globally unique
+    doc ids) — the verify stage unions both text sets under one id column."""
     new_bands = band_keys(new_docs, text_col, id_col, k, bands, n, out_id="a")
     cands = (
         new_bands.join(band_index.withColumnRenamed(id_col, "b"), ["band", "key"])

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: build a training mix — curate, rebalance the
+source distribution, and pack the survivors into fixed-token-budget shards.
+
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/build_mix.py \
+        --input /data/documents.parquet --out /data/mix_v1 \
+        [--target-per-source 100000] [--budget 4194304] [--groups 1024] \
+        [--near-dup] [--min-words 10] [--sample 0.1]
+
+Stages (each deterministic, so the whole mix is reproducible bit-for-bit):
+  1. curate_split       PII redaction + quality + repetition + exact dedup
+                        (+ optional near-dup) — jobs/curate.py's pipeline
+  2. rebalance          downweight_frequent_groups on `source` (skipped when
+                        the input has no source column or no target given)
+  3. pack               token-count + pack_sequences into (pack_group,
+                        shard_seq) shards of ~--budget tokens
+
+Outputs under --out:
+  shards/      parquet partitioned by pack_group: doc_id, text, lang_pred,
+               source, n_tokens, shard_seq
+  rejected/    doc_id, reject_reason
+  manifest.json  mix accounting: per-source and per-language doc/token
+               totals, shard count, knobs
+
+Prints ONE JSON summary line."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--target-per-source", type=int, default=None)
+    ap.add_argument("--budget", type=int, default=4_194_304, help="tokens per shard")
+    ap.add_argument("--groups", type=int, default=1024, help="packing groups")
+    ap.add_argument("--near-dup", action="store_true")
+    ap.add_argument("--min-words", type=int, default=10)
+    ap.add_argument("--sample", type=float, default=None)
+    ap.add_argument("--sample-salt", default="")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from sparkdoc.filters import curate_split, downweight_frequent_groups, hash_sample, pack_sequences
+    from sparkdoc.io import write_text_file
+    from sparkdoc.session import get_spark
+    from sparkdoc.textops import token_count
+
+    spark = get_spark(
+        "sparkdoc-build-mix",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    raw = spark.read.parquet(args.input)
+    has_source = "source" in raw.columns
+    docs = raw.select("doc_id", "text")
+    if args.sample is not None:
+        docs = hash_sample(docs, args.sample, salt=args.sample_salt)
+
+    kept, rejected = curate_split(
+        docs, min_words=args.min_words, near_dup=args.near_dup
+    )
+    kept = kept.select("doc_id", "text", "lang_pred")
+    if has_source:
+        kept = kept.join(raw.select("doc_id", "source"), "doc_id")
+        if args.target_per_source is not None:
+            kept = downweight_frequent_groups(
+                kept, "source", args.target_per_source, salt="mix"
+            )
+    else:
+        kept = kept.withColumn("source", F.lit("unknown"))
+
+    sized = kept.withColumn("n_tokens", token_count(F.col("text")))
+    packed = sized.join(
+        pack_sequences(
+            sized.select("doc_id", "n_tokens"), args.budget, n_groups=args.groups
+        ).select("doc_id", "pack_group", "shard_seq"),
+        "doc_id",
+    )
+    packed.write.mode("overwrite").partitionBy("pack_group").parquet(
+        os.path.join(args.out, "shards")
+    )
+    rejected.write.mode("overwrite").parquet(os.path.join(args.out, "rejected"))
+
+    shards = spark.read.parquet(os.path.join(args.out, "shards"))
+    by_source = {
+        r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in shards.groupBy("source")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+        .collect()
+    }
+    by_lang = {
+        r["lang_pred"]: r["docs"]
+        for r in shards.groupBy("lang_pred").agg(F.count("*").alias("docs")).collect()
+    }
+    n_shards = shards.select("pack_group", "shard_seq").distinct().count()
+    summary = {
+        "job": "build_mix",
+        "input": args.input,
+        "n_kept": shards.count(),
+        "n_rejected": spark.read.parquet(os.path.join(args.out, "rejected")).count(),
+        "n_shards": n_shards,
+        "total_tokens": shards.agg(F.sum("n_tokens")).collect()[0][0],
+        "by_source": dict(sorted(by_source.items())),
+        "by_lang": dict(sorted(by_lang.items())),
+        "knobs": {
+            "target_per_source": args.target_per_source,
+            "budget": args.budget,
+            "groups": args.groups,
+            "near_dup": bool(args.near_dup),
+            "min_words": args.min_words,
+            "sample": args.sample,
+        },
+    }
+    write_text_file(
+        spark, os.path.join(args.out, "manifest.json"),
+        json.dumps(summary, indent=2, sort_keys=True),
+    )
+    print(json.dumps(summary, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -318,3 +318,88 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_curate(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    min_words: int = 10,
+):
+    """Streaming training-data ingestion: the curation pipeline as a
+    continuous query — PII redaction + quality gates run STATELESS per
+    micro-batch, then a stateful cross-batch first-seen exact dedup
+    (fingerprint state in the streaming checkpoint, so restarts keep
+    deduping against everything ever ingested — the streaming counterpart
+    of jobs/curate.py's batch gate order).
+
+    Every input doc is emitted exactly once with attribution:
+      verdict='kept'      survivor (first of its fingerprint, quality-ok)
+      verdict='quality'   failed the quality gate (never enters dedup state)
+      verdict='exact_dup' fingerprint already seen (dup_of = first doc id)
+
+    State: one (first_id,) row per distinct KEPT fingerprint — quality
+    rejects never pollute the state, matching the batch pipeline where the
+    dedup gate only sees quality survivors. Output parquet under curated/.
+    Returns the StreamingQuery (AvailableNow)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from sparkdoc.filters import with_pii_stats
+    from sparkdoc.textops import doc_fingerprint, quality_filter
+
+    docs = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 64)
+        .parquet(in_dir)
+    )
+    redacted = with_pii_stats(docs).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    gated = quality_filter(redacted, min_words=min_words).select(
+        "doc_id", "text", "quality_keep"
+    )
+    fp = F.when(
+        (F.col("quality_keep") == 1) & F.col("text").isNotNull(),
+        doc_fingerprint(F.col("text")),
+    ).otherwise(F.concat(F.lit("reject:"), F.col("doc_id")))
+    keyed = gated.withColumn("fp", fp).groupBy("fp")
+
+    def curate_group(key, pdfs, state: GroupState):
+        rows = []
+        batch = [p for p in pdfs if len(p)]
+        if not batch:
+            return
+        pdf = pd.concat(batch).sort_values("doc_id")
+        if (pdf["quality_keep"] == 0).any():
+            # reject:<doc_id> keys hold exactly one quality-rejected doc
+            for _, r in pdf.iterrows():
+                rows.append((r["doc_id"], r["text"], "quality", None))
+            yield pd.DataFrame(rows, columns=["doc_id", "text", "verdict", "dup_of"])
+            return
+        first = state.get[0] if state.exists else None
+        for _, r in pdf.iterrows():
+            if first is None:
+                first = r["doc_id"]
+                rows.append((r["doc_id"], r["text"], "kept", None))
+            else:
+                rows.append((r["doc_id"], r["text"], "exact_dup", first))
+        state.update((first,))
+        yield pd.DataFrame(rows, columns=["doc_id", "text", "verdict", "dup_of"])
+
+    out = keyed.applyInPandasWithState(
+        curate_group,
+        outputStructType="doc_id string, text string, verdict string, dup_of string",
+        stateStructType="first_id string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "curated"))
+        .option("checkpointLocation", os.path.join(out_dir, "_curate_checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

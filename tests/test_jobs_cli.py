@@ -96,3 +96,51 @@ def test_curate_cli_full_gate_attribution(tmp_path, spark):
     assert rej == {3: "quality", 4: "repetition", 5: "exact_dup",
                    6: "near_dup", 7: "contaminated"}
     assert os.path.isfile(os.path.join(out_p, "stats.json"))
+
+
+def test_build_mix_and_dedup_delta_clis(tmp_path, spark):
+    """build_mix: curate -> per-source rebalance -> shard packing, manifest
+    accounting consistent. dedup_delta: build-index then ingest a delta with
+    one exact dup, one near dup, one fresh doc."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (i, f"{base} tail{i} filler{i} word{i}", f"s{i % 2}") for i in range(1, 9)
+    ] + [(9, "short junk", "s1")]
+    in_p = str(tmp_path / "in")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(in_p)
+
+    mix = str(tmp_path / "mix")
+    s = _run(["sparkdoc/jobs/build_mix.py", "--input", in_p, "--out", mix,
+              "--budget", "64", "--groups", "2"])
+    assert s["n_kept"] == 8 and s["n_rejected"] == 1
+    assert set(s["by_source"]) == {"s0", "s1"}
+    assert s["total_tokens"] == sum(v["tokens"] for v in s["by_source"].values())
+    shards = spark.read.parquet(os.path.join(mix, "shards"))
+    assert shards.count() == 8
+    assert {"doc_id", "text", "lang_pred", "source", "n_tokens", "shard_seq",
+            "pack_group"} <= set(shards.columns)
+    # per-shard totals respect budget + last doc
+    tot = shards.groupBy("pack_group", "shard_seq").sum("n_tokens").collect()
+    mx = shards.agg({"n_tokens": "max"}).collect()[0][0]
+    assert all(r[2] <= 64 + mx for r in tot)
+
+    idx, ing = str(tmp_path / "idx"), str(tmp_path / "ing")
+    s = _run(["sparkdoc/jobs/dedup_delta.py", "--build-index",
+              "--corpus", in_p, "--index", idx])
+    assert s["exact_rows"] == 9 and s["band_rows"] > 0
+    delta_p = str(tmp_path / "delta")
+    spark.createDataFrame(
+        [(101, f"{base} tail1 filler1 word1"),          # exact dup of 1
+         (102, f"{base} tail2 filler2 word2 extra"),    # near dup of 2
+         (103, "совершенно новый документ о пингвинах и ледниках на юге")],
+        "doc_id long, text string",
+    ).write.parquet(delta_p)
+    s = _run(["sparkdoc/jobs/dedup_delta.py", "--corpus", in_p, "--index", idx,
+              "--delta", delta_p, "--out", ing, "--near-dup", "--jaccard", "0.7"])
+    assert s["dups_by_kind"] == {"exact": 1, "near": 1} and s["n_kept"] == 1
+    dups = {r["doc_id"]: (r["dup_of"], r["kind"])
+            for r in spark.read.parquet(os.path.join(ing, "dups")).collect()}
+    assert dups[101] == (1, "exact") and dups[102] == (2, "near")
+    # updated index knows the fresh doc now
+    nxt = spark.read.parquet(os.path.join(idx + "_next", "exact"))
+    assert nxt.count() == 10

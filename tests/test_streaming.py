@@ -251,3 +251,41 @@ def test_stream_sessionize_matches_batch_and_times_out(spark, tmp_path):
     assert got[(1, t0 + dt.timedelta(minutes=50), t0 + dt.timedelta(minutes=50), 1)] == "gap"
     assert got[(2, t0, t0 + dt.timedelta(minutes=25), 2)] == "timeout"
     assert got[(1, t0 + dt.timedelta(minutes=130), t0 + dt.timedelta(minutes=130), 1)] == "timeout"
+
+
+def test_stream_curate_gates_and_restart(spark, tmp_path):
+    """Streaming curation: quality rejects attributed (and kept out of the
+    dedup state), first-seen kept, cross-batch exact dups flagged with
+    dup_of after a restart, PII redacted in the kept text."""
+    from sparkdoc.streaming import stream_curate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        [
+            ("a1", base + " one mail bob@corp.io inside"),
+            ("a2", base + " one mail bob@corp.io inside"),  # within-batch dup
+            ("q1", "short junk"),                            # quality reject
+        ],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(in_dir)
+    q = stream_curate(spark, in_dir, out_dir)
+    q.awaitTermination(180)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir + "/curated").collect()}
+    assert rows["a1"]["verdict"] == "kept" and "[EMAIL]" in rows["a1"]["text"]
+    assert rows["a2"]["verdict"] == "exact_dup" and rows["a2"]["dup_of"] == "a1"
+    assert rows["q1"]["verdict"] == "quality"
+
+    # batch 2 after restart: replayed fingerprint dups against batch-1 state;
+    # a fresh doc is kept
+    spark.createDataFrame(
+        [("a3", base + " one mail bob@corp.io inside"), ("b1", base + " brand new two")],
+        "doc_id string, text string",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_curate(spark, in_dir, out_dir)
+    q2.awaitTermination(180)
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir + "/curated").collect()}
+    assert len(rows) == 5
+    assert rows["a3"]["verdict"] == "exact_dup" and rows["a3"]["dup_of"] == "a1"
+    assert rows["b1"]["verdict"] == "kept"
