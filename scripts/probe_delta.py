@@ -50,6 +50,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=250000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--delta-docs", type=int, default=None)
     args = ap.parse_args()
     spark = get_spark("probe_delta")
     n = args.docs
@@ -68,6 +69,9 @@ def main() -> None:
         return min(walls), walls, r
 
     # --- A: delta ingest vs full re-dedup -------------------------------
+    # everything lands on parquet first (production shape: the corpus and its
+    # indexes are TABLES, not cached plans — clearCache between reps must not
+    # silently turn index reads back into index builds)
     from sparkdoc.dedup_text import near_dup_pairs
     from sparkdoc.incremental import (
         build_band_index,
@@ -76,27 +80,29 @@ def main() -> None:
         delta_near_dups,
     )
 
-    corpus = synth_docs(spark, n).persist()
-    corpus.count()
-    d10 = n // 10
+    base = "/tmp/probe_delta"
+    synth_docs(spark, n).write.mode("overwrite").parquet(f"{base}/corpus")
+    d10 = args.delta_docs or (n // 10)
     # delta: half exact dups of corpus docs, half fresh
-    delta = (
-        synth_docs(spark, d10 // 2, offset=0).select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
-        )
+    (
+        synth_docs(spark, d10 // 2, offset=0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
         .unionByName(
             synth_docs(spark, d10 - d10 // 2, offset=20_000_000)
             .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
         )
-        .persist()
+        .write.mode("overwrite")
+        .parquet(f"{base}/delta")
     )
-    delta.count()
+    corpus = spark.read.parquet(f"{base}/corpus")
+    delta = spark.read.parquet(f"{base}/delta")
 
     t0 = time.monotonic()
-    eidx = build_exact_index(corpus).persist()
-    bidx = build_band_index(corpus).persist()
-    built = eidx.count() + bidx.count()
-    out["index_build_once"] = {"wall": round(time.monotonic() - t0, 2), "rows": built}
+    build_exact_index(corpus).write.mode("overwrite").parquet(f"{base}/idx_exact")
+    build_band_index(corpus).write.mode("overwrite").parquet(f"{base}/idx_bands")
+    out["index_build_once"] = {"wall": round(time.monotonic() - t0, 2)}
+    eidx = spark.read.parquet(f"{base}/idx_exact")
+    bidx = spark.read.parquet(f"{base}/idx_bands")
 
     w, walls, nd = best(
         lambda: delta_exact_dups(delta, eidx).count()
@@ -106,8 +112,6 @@ def main() -> None:
 
     w, walls, np_ = best(lambda: near_dup_pairs(corpus.unionByName(delta), 0.8).count())
     out["full_rededup"] = {"pairs": np_, "best": w, "walls": walls}
-    corpus.unpersist()
-    delta.unpersist()
 
     # --- B: paragraph dedup ---------------------------------------------
     from sparkdoc.dedup_text import paragraph_dedup
