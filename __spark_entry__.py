@@ -2274,6 +2274,29 @@ def _doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=512, n_groups=8).orderBy("doc_id")
 
 
+def _emb_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN: corpus encoded to 8-bit codes against exact
+    per-dimension min/max (order-independent aggregates — bit-identical
+    codebook in any engine), queries full-precision, cosine on dequantized
+    bucket centers."""
+    from sparkdoc.similarity import sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return sq8_topk(emb, queries_df, k=5)
+
+
+def _emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the SQ8 path vs exact top-k — grades quantization
+    quality, not just plan shape."""
+    from sparkdoc.similarity import ann_recall, brute_force_topk, sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries_df, k=5)
+    return ann_recall(exact, {"sq8": sq8_topk(emb, queries_df, k=5)})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2346,6 +2369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_knn": _emb_lsh_knn,
         "emb_ivf_knn": _emb_ivf_knn,
         "emb_ann_recall": _emb_ann_recall,
+        "emb_sq8_knn": _emb_sq8_knn,
+        "emb_sq8_recall": _emb_sq8_recall,
         "emb_semantic_dedup": _emb_semantic_dedup,
         # identity normalizers + plan choice
         "doc_fold_phrase": _doc_fold_phrase,
@@ -3928,6 +3953,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """
+    # SQ8: the codebook is exact per-dimension min/max (order-independent
+    # aggregates), so the oracle rebuilds codes, bucket-center dequant and
+    # the sequential-fold cosine bit-for-bit
+    _mins64 = ", ".join(f"min(e0[{i}])" for i in range(1, 65))
+    _maxs64 = ", ".join(f"max(e0[{i}])" for i in range(1, 65))
+    _sq8_cte = f"""e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
+        st AS (SELECT [{_mins64}] AS mins, [{_maxs64}] AS maxs FROM e_raw),
+        cd AS (
+            SELECT vec_id, list_transform(generate_series(1, 64), i ->
+                CASE WHEN maxs[i] > mins[i]
+                     THEN least(255, CAST(floor((e0[i] - mins[i]) / (maxs[i] - mins[i]) * 256) AS INT))
+                     ELSE 0 END) AS codes
+            FROM e_raw CROSS JOIN st
+        ),
+        dq AS (
+            SELECT vec_id AS neighbor_id,
+                   list_transform(generate_series(1, 64), i ->
+                       mins[i] + (codes[i] + 0.5) * (maxs[i] - mins[i]) / 256) AS dq
+            FROM cd CROSS JOIN st
+        ),
+        dqn AS (
+            SELECT neighbor_id, dq,
+                   sqrt(list_reduce(list_transform(dq, y -> y * y), (a, b) -> a + b)) AS dq_norm
+            FROM dq
+        ),
+        qa8 AS (
+            SELECT vec_id AS query_id, {_unit_e} AS e
+            FROM e_raw WHERE vec_id % 100 = 0
+        ),
+        sq8_scored AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list_transform(list_zip(qa8.e, dqn.dq), p -> p[1] * p[2]),
+                               (x, y) -> x + y) / dq_norm AS cos
+            FROM qa8, dqn WHERE query_id <> neighbor_id
+        ),
+        sq8_top AS (
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM sq8_scored
+            ) WHERE rank <= 5
+        )"""
+    q["emb_sq8_knn"] = f"""
+        WITH {_sq8_cte}
+        SELECT query_id, neighbor_id, rank, cos FROM sq8_top
+    """
+    q["emb_sq8_recall"] = f"""
+        WITH {_sq8_cte},
+        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw),
+        qa AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id % 100 = 0),
+        ca AS (SELECT vec_id AS neighbor_id, e FROM e),
+        ex_scored AS (
+            SELECT query_id, neighbor_id,
+                   list_reduce(list_transform(list_zip(qa.e, ca.e), p -> p[1] * p[2]),
+                               (x, y) -> x + y) AS cos
+            FROM qa, ca WHERE query_id <> neighbor_id
+        ),
+        ex_top AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM ex_scored
+            ) WHERE rank <= 5
+        ),
+        per_q AS (
+            SELECT e.query_id,
+                   count(*) AS k_,
+                   sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+            FROM ex_top e
+            LEFT JOIN sq8_top s
+              ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT 'sq8' AS method,
+               count(*) AS n_queries,
+               round(avg(hits * 1.0 / k_), 6) AS mean_recall_at_k
+        FROM per_q
     """
     # Shared CTE bodies for the ANN twins (LSH planes / IVF centroids are
     # md5-derived, so pure SQL rebuilds them bit-for-bit; every fold is a

@@ -472,3 +472,101 @@ def semantic_dedup(
             "shadow",
         )
     )
+
+
+# --- SQ8 scalar-quantized search ---------------------------------------------------
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-dimension (min, max) over the corpus — the scalar-quantization
+    codebook — as ONE broadcastable row with two array columns. min/max are
+    exact, order-independent aggregates, so unlike k-means codebooks the
+    result is bit-identical across runs, partitionings and engines (the
+    property the oracle twin needs). Map-side combined, one tiny shuffle."""
+    aggs = []
+    for i in range(dim):
+        e = F.element_at(F.col(vec_col), i + 1).cast("double")
+        aggs += [F.min(e).alias(f"_mn{i}"), F.max(e).alias(f"_mx{i}")]
+    return corpus.agg(*aggs).select(
+        F.array(*[F.col(f"_mn{i}") for i in range(dim)]).alias("mins"),
+        F.array(*[F.col(f"_mx{i}") for i in range(dim)]).alias("maxs"),
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """8-bit scalar quantization (the FAISS SQ8 baseline): code_i =
+    min(255, floor((v_i - mn_i) / (mx_i - mn_i) * 256)), degenerate
+    dimensions encode 0. At 100 TB the encoded corpus is what you WRITE —
+    4-16x smaller scans than raw float arrays, and the search reads only
+    codes + the one-row codebook. Pure JVM exprs."""
+    code = lambda x, i: F.when(  # noqa: E731
+        F.element_at("maxs", i + 1) > F.element_at("mins", i + 1),
+        F.least(
+            F.lit(255),
+            F.floor(
+                (x.cast("double") - F.element_at("mins", i + 1))
+                / (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
+                * 256
+            ).cast("int"),
+        ),
+    ).otherwise(0)
+    return (
+        corpus.crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.transform(F.col(vec_col), code).alias("codes"),
+        )
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k over the SQ8-encoded corpus: queries stay
+    full-precision (unit-normalized), corpus rows are dequantized on the fly
+    to bucket centers (mn_i + (code_i + 0.5)·(mx_i - mn_i)/256) and scored
+    cos = dot(q, dq)/||dq||. Same broadcast-queries / window-top-k shape as
+    brute_force_topk; in production the codes table is precomputed + stored
+    and this reads 8-bit codes instead of float vectors."""
+    stats = sq8_stats(corpus, vec_col, dim)
+    codes = sq8_encode(corpus, stats, id_col, vec_col)
+    q = F.broadcast(
+        _with_unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
+    )
+    dq = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at("mins", i + 1)
+        + (c.cast("double") + 0.5)
+        * (F.element_at("maxs", i + 1) - F.element_at("mins", i + 1))
+        / 256,
+    )
+    c = (
+        codes.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col).alias("neighbor_id"), dq.alias("dq"))
+        .withColumn("dq_norm", norm(F.col("dq")))
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("dq")) / F.col("dq_norm")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -237,3 +237,33 @@ def test_pack_sequences_rule_and_determinism(spark):
         for r in pack_sequences(df.repartition(13), budget=100, n_groups=4).collect()
     }
     assert got2 == got
+
+
+# --- SQ8 scalar quantization ---------------------------------------------------------
+
+
+def test_sq8_codes_bounds_and_top1(spark):
+    from sparkdoc.similarity import brute_force_topk, sq8_encode, sq8_stats, sq8_topk
+
+    # 3 well-separated directions in dim 4; third component constant
+    # (degenerate dimension must encode 0, not divide by zero)
+    rows = [
+        (0, [10.0, 0.0, 7.0, 0.1]), (1, [9.5, 0.4, 7.0, 0.2]),
+        (2, [0.0, 10.0, 7.0, 0.3]), (3, [0.3, 9.6, 7.0, 0.1]),
+        (4, [5.0, 5.0, 7.0, 9.0]), (5, [5.2, 4.9, 7.0, 8.8]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    stats = sq8_stats(df, dim=4)
+    codes = {r.vec_id: r.codes for r in sq8_encode(df, stats).collect()}
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    assert all(cs[2] == 0 for cs in codes.values())  # degenerate dim
+    # extremes land on the extreme buckets
+    assert codes[0][0] == 255 and codes[2][0] == 0
+
+    # ANN quality: top-1 neighbor matches exact for every query
+    qs = df.filter(F.col("vec_id").isin(0, 2, 4))
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in brute_force_topk(df, qs, k=1, vec_col="embedding").collect()}
+    approx = {(r.query_id, r.rank): r.neighbor_id
+              for r in sq8_topk(df, qs, k=1, vec_col="embedding", dim=4).collect()}
+    assert approx == exact == {(0, 1): 1, (2, 1): 3, (4, 1): 5}
