@@ -2297,6 +2297,20 @@ def _emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, {"sq8": sq8_topk(emb, queries_df, k=5)})
 
 
+def _doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus term stream (k=30 →
+    threshold n/31): bounded-memory sketch candidates, exact verify counts,
+    integer threshold — provably equal to the exact frequent-terms query
+    (recall-completeness of the union-merged MG summary)."""
+    from sparkdoc.sketches import heavy_hitters
+    from sparkdoc.textops import words
+
+    terms = _docs(spark, sf_dir).select(
+        F.explode(words(F.col("text"))).alias("term")
+    )
+    return heavy_hitters(terms, "term", k=30).orderBy("item")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2332,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_delta_near": _doc_delta_near,
         "doc_lm_score": _doc_lm_score,
         "doc_pack": _doc_pack,
+        "doc_heavy_hitters": _doc_heavy_hitters,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -2880,6 +2895,18 @@ def oracle_sql() -> dict[str, str]:
                            - n_tokens) / 512.0) AS INT) AS shard_seq
         FROM t
         ORDER BY doc_id
+    """
+    # heavy hitters: the oracle is the EXACT frequent-terms query — the
+    # engine's MG sketch must match it exactly (recall-complete candidates +
+    # exact verify counts + integer threshold)
+    q["doc_heavy_hitters"] = f"""
+        WITH w AS (SELECT unnest({_WORDS_SQL}) AS item FROM documents),
+        n AS (SELECT count(*) AS n FROM w)
+        SELECT item, cnt FROM (
+            SELECT item, count(*) AS cnt FROM w GROUP BY item
+        ) CROSS JOIN n
+        WHERE cnt * 31 > n
+        ORDER BY item
     """
     q["doc_segments"] = f"""
         WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)

@@ -1,0 +1,100 @@
+"""Streaming-sketch operators for unbounded-cardinality corpus statistics.
+
+The exact way to find frequent terms is groupBy(term).count() — one shuffle
+whose state is the FULL vocabulary. At 100 TB the vocabulary (URLs, hosts,
+shingles, tokens) can be billions of keys; the shuffle works but is the
+dominant cost when all you want is the head of the distribution. The
+Misra-Gries summary bounds the state at k counters per partition with the
+classic guarantee: any item with frequency > n/(k+1) SURVIVES the sketch
+(recall-complete); counts are under-estimates. We then restore exactness
+with a second pass that counts ONLY the candidates (a broadcast semi-join —
+the same candidates-then-verify shape as the dedup/LSH operators), so the
+emitted counts are exact and the operator's output is provably equal to the
+exact heavy-hitter query. Public algorithm: Misra & Gries 1982, "Finding
+repeated elements"; merge-by-union correctness per Agarwal et al. 2012,
+"Mergeable summaries".
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partition(k: int, col: str):
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one Misra-Gries summary per PARTITION: the dict persists across the
+        # partition's Arrow batches, so state is ≤ k counters regardless of
+        # how many distinct items the partition holds
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf[col]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "mg_count": list(counters.values())}
+            )
+
+    return summarize
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 100,
+    exact: bool = True,
+) -> DataFrame:
+    """Items of ``df[col]`` with frequency strictly above n/(k+1), with
+    EXACT counts, computed in bounded memory:
+
+      pass 1  per-partition Misra-Gries summaries (≤ k counters each) —
+              merged by union, any global heavy hitter survives in at least
+              one partition summary (union of MG summaries is itself an MG
+              summary of the concatenated stream, Agarwal et al. 2012)
+      pass 2  exact counts of the candidates only (broadcast semi-join) and
+              the integer threshold filter cnt·(k+1) > n — no float division,
+              so the kept set is engine-exact.
+
+    ``exact=False`` skips pass 2 and returns (item, mg_count) lower bounds —
+    the single-pass streaming shape.
+
+    Returns (item, cnt) sorted nowhere; the caller orders. State per
+    executor is O(k); the only full-data shuffles are the candidate count
+    (keyed on ≤ k·partitions candidate items) and a scalar total count.
+    """
+    rows = df.select(F.col(col).alias("item")).filter(F.col("item").isNotNull())
+    cands = (
+        rows.mapInPandas(_mg_partition(k, "item"), schema="item string, mg_count long")
+        .groupBy("item")
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    if not exact:
+        return cands
+    n_total = rows.agg(F.count("*").alias("_n"))
+    counted = (
+        rows.join(F.broadcast(cands.select("item")), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * (k + 1) > F.col("_n"))
+        .select("item", "cnt")
+    )

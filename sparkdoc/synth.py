@@ -308,8 +308,19 @@ def invoice_nodes_df(
     return spark.range(0, n_docs, 1, parts).mapInPandas(gen, schema=RAW_NODES)
 
 
-def raw_nodes_df(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
-    """Distributed generation: spark.range → mapInPandas, deterministic per index."""
+def raw_nodes_df(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    start: int = 0,
+    stride: int = 1,
+) -> DataFrame:
+    """Distributed generation: spark.range → mapInPandas, deterministic per
+    index. ``start``/``stride`` select a doc-id slice of the SAME corpus
+    (ids start, start+stride, … < n_docs) — disjoint slices across workers
+    union to exactly the stride-1 corpus, which is what lets the
+    multi-executor scaling harness split one corpus across separate JVMs."""
     import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -321,7 +332,7 @@ def raw_nodes_df(spark: SparkSession, n_docs: int, seed: int = 42, partitions: i
                 yield pd.DataFrame(rows)
 
     parts = partitions or max(8, n_docs // 256)
-    rng_df = spark.range(0, n_docs, 1, parts)
+    rng_df = spark.range(start, n_docs, stride, parts)
     return rng_df.mapInPandas(gen, schema=RAW_NODES)
 
 

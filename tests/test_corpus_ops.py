@@ -267,3 +267,41 @@ def test_sq8_codes_bounds_and_top1(spark):
     approx = {(r.query_id, r.rank): r.neighbor_id
               for r in sq8_topk(df, qs, k=1, vec_col="embedding", dim=4).collect()}
     assert approx == exact == {(0, 1): 1, (2, 1): 3, (4, 1): 5}
+
+
+# --- Misra-Gries heavy hitters -------------------------------------------------------
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    import random
+
+    from sparkdoc.sketches import heavy_hitters
+
+    rng = random.Random(7)
+    # zipf-ish: item i appears ~ 3000/i times; long uniform tail
+    stream = []
+    for i in range(1, 30):
+        stream += [f"hot{i}"] * (3000 // i)
+    stream += [f"tail{j}" for j in range(4000)]
+    rng.shuffle(stream)
+    n = len(stream)
+    k = 20
+    exact = {}
+    for it in stream:
+        exact[it] = exact.get(it, 0) + 1
+    truth = {(it, c) for it, c in exact.items() if c * (k + 1) > n}
+    assert truth  # the test corpus genuinely has heavy hitters
+
+    df = spark.createDataFrame([(s,) for s in stream], "term: string")
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "term", k=k).collect()}
+    assert got == truth
+    # MG guarantee must hold under ANY partitioning (mergeable summaries)
+    got13 = {
+        (r.item, r.cnt)
+        for r in heavy_hitters(df.repartition(13), "term", k=k).collect()
+    }
+    assert got13 == truth
+    # sketch-only mode: lower bounds, and every true heavy hitter is present
+    lb = {r.item: r.mg_count for r in heavy_hitters(df, "term", k=k, exact=False).collect()}
+    assert {it for it, _ in truth} <= set(lb)
+    assert all(lb[it] <= exact[it] for it in lb if it in exact)
