@@ -6,11 +6,16 @@ parallelism levels (default local[2] vs local[8] = N and 4N cores) in
 SEPARATE JVMs and reports docs/sec at both plus scaling efficiency
 ``eff = throughput_4N / (4 * throughput_N)``.
 
-Why 2→8 and not 8→32: this sandbox's 32 vCPUs are a shared/throttled host —
-a RAW multiprocessing control (equal total CPU work, no Spark) measures only
-2.4x from 8→32 procs (eff 0.61 hardware ceiling) but 3.5x from 2→8
-(eff 0.88). The harness therefore evidences scaling over the range where
-the hardware can express it; BENCH/BASELINE.md records the control numbers.
+Why 2→8 and not 8→32: quiet-window controls (sparkdoc/bench/mp_control.py,
+BENCH/BASELINE.md round-3 table) show the host itself delivers 32 cores for
+sustained pure CPU (eff 0.986), but allocation-heavy python work with the
+extract workload's shape caps at ~0.83 and the full pipeline at ~0.65 —
+32 python workers contending on ONE box's memory subsystem, which no
+executor layout fixes in-sandbox (the 4-separate-JVM control in
+bench/multi_exec.py is worse, 0.42: co-location ≠ isolation). 2→8 is the
+range where every control is ≈1, i.e. where the sandbox can express the
+N→4N-executor criterion; real clusters give each executor its own memory
+bus.
 
     python -m sparkdoc.bench.run --docs 12000 --low 2 --high 8
 """
