@@ -2149,6 +2149,53 @@ def _doc_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_docs_paras(spark, sf_dir)).orderBy("doc_id")
 
 
+_SHARED_A = (
+    "terms of service apply to all content on this site and use constitutes "
+    "acceptance of the binding agreement herein"
+)
+_SHARED_B = "breaking news update this story is developing and will be refreshed"
+
+
+def _docs_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived corpus with duplicated passages for exact substring dedup:
+    doc_id % 3 appends a shared 19-word licence passage, doc_id % 7 prepends
+    a shared 12-word news stub, doc_id % 11 re-appends its own first 60
+    chars (an IN-document repeat). The oracle builds the identical corpus
+    in SQL (concat_ws skips the NULL branches in both engines)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_SHARED_B)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 11 == 0, F.substring("text", 1, 60)),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_SHARED_A)),
+        ).alias("text"),
+    )
+
+
+def _doc_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, discovery pass: merged word-index intervals of
+    duplicated 12-word windows (keep-first). The oracle recomputes winners
+    with a row_number window and the interval merge with the classic
+    islands cumulative-max window — vs the engine's skew-safe min-struct
+    agg + equi-join."""
+    from sparkdoc.dedup_text import substring_dup_spans
+
+    return substring_dup_spans(_docs_substr(spark, sf_dir), k=12).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def _doc_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, apply pass: duplicated-interval words removed,
+    survivors reassembled in order, with per-doc dup mass accounting."""
+    from sparkdoc.dedup_text import substring_dedup
+
+    return substring_dedup(_docs_substr(spark, sf_dir), k=12).orderBy("doc_id")
+
+
 def _docs_skewed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with 80% of rows collapsed onto one hub domain — the skew
     shape per-domain caps and rebalancing exist for."""
@@ -2339,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_groups": _doc_dup_groups,
         "doc_sample": _doc_sample,
         "doc_para_dedup": _doc_para_dedup,
+        "doc_substr_spans": _doc_substr_spans,
+        "doc_substr_dedup": _doc_substr_dedup,
         "doc_domain_cap": _doc_domain_cap,
         "doc_domain_rebalance": _doc_domain_rebalance,
         "doc_top_terms": _doc_top_terms,
@@ -2724,6 +2773,90 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.n_kept, 0) AS n_kept
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
+    """
+    # exact substring dedup: the oracle recomputes window winners via a
+    # row_number window (engine: min-struct agg + join) and the interval
+    # merge via the classic islands cumulative-max window. Corpus derivation
+    # mirrors _docs_substr exactly (concat_ws skips NULL branches in both
+    # engines).
+    _SUBSTR_CTES = f"""
+        src AS (
+            SELECT doc_id,
+                   concat_ws(' ',
+                       CASE WHEN doc_id % 7 = 0 THEN '{_SHARED_B}' END,
+                       text,
+                       CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 60) END,
+                       CASE WHEN doc_id % 3 = 0 THEN '{_SHARED_A}' END) AS text
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM src),
+        starts AS (
+            SELECT doc_id, unnest(range(0, len(ws) - 11)) AS start
+            FROM toks WHERE len(ws) >= 12
+        ),
+        occ AS (
+            SELECT s.doc_id, s.start,
+                   md5(array_to_string(t.ws[s.start + 1 : s.start + 12], ' ')) AS h
+            FROM starts s JOIN toks t USING (doc_id)
+        ),
+        win AS (
+            SELECT doc_id, start,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+            FROM occ
+        ),
+        dup AS (SELECT doc_id, start, start + 12 AS e FROM win WHERE rn > 1),
+        m AS (
+            SELECT doc_id, start, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY start
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+            FROM dup
+        ),
+        isl AS (
+            SELECT doc_id, start, e,
+                   sum(CASE WHEN pme IS NULL OR start > pme THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM m
+        ),
+        spans AS (
+            SELECT doc_id, min(start) AS s, max(e) AS e2
+            FROM isl GROUP BY doc_id, island
+        )
+    """
+    q["doc_substr_spans"] = f"""
+        WITH {_SUBSTR_CTES}
+        SELECT doc_id, CAST(s AS INT) AS span_start, CAST(e2 AS INT) AS span_end,
+               CAST(e2 - s AS INT) AS n_words
+        FROM spans ORDER BY doc_id, span_start
+    """
+    q["doc_substr_dedup"] = f"""
+        WITH {_SUBSTR_CTES},
+        widx AS (
+            SELECT doc_id, unnest(range(0, len(ws))) AS j, ws
+            FROM toks WHERE len(ws) > 0
+        ),
+        w2 AS (SELECT doc_id, j, ws[j + 1] AS w FROM widx),
+        dropws AS (
+            SELECT DISTINCT w2.doc_id, w2.j
+            FROM w2 JOIN spans USING (doc_id)
+            WHERE w2.j >= spans.s AND w2.j < spans.e2
+        ),
+        keptagg AS (
+            SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text2
+            FROM (SELECT * FROM w2 ANTI JOIN dropws USING (doc_id, j))
+            GROUP BY doc_id
+        ),
+        dupmass AS (SELECT doc_id, sum(e2 - s) AS ndup FROM spans GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(k.text2, '') AS text,
+               CAST(len(t.ws) AS INT) AS n_words,
+               CAST(coalesce(d.ndup, 0) AS INT) AS n_dup_words,
+               CASE WHEN len(t.ws) > 0 THEN coalesce(d.ndup, 0) / len(t.ws)
+                    ELSE 0.0 END AS dup_frac
+        FROM toks t
+        LEFT JOIN keptagg k USING (doc_id)
+        LEFT JOIN dupmass d USING (doc_id)
+        ORDER BY t.doc_id
     """
     _SKEW_SRC_SQL = (
         "SELECT doc_id, CASE WHEN doc_id % 5 <> 0 THEN 'hub.example' "

@@ -560,3 +560,132 @@ def paragraph_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
         )
     )
+
+
+# --- exact substring dedup (duplicated k-word windows) ----------------------------
+
+
+def _gram_occurrences(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """One row per k-word window: (id, nw, start, h) where h = md5 of the
+    space-joined lowercase window and start is the 0-based word index.
+    Tokens are lowercase [a-z0-9]+ runs (the engine's `words`), so the hash
+    family is reproducible in ANSI SQL. Pure codegen exprs — the per-doc
+    window enumeration is a `transform` over `sequence`, never Python."""
+    ws = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(words(F.col(text_col)), F.array().cast("array<string>")).alias("_ws"),
+    ).withColumn("_nw", F.size("_ws"))
+    grams = ws.withColumn(
+        "_g",
+        F.when(
+            F.col("_nw") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nw") - k),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("_ws"), i + 1, k))).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<start:int,h:string>>")),
+    )
+    return grams.select(
+        F.col("_id"), F.col("_nw"), F.explode("_g").alias("_occ")
+    ).select("_id", "_nw", F.col("_occ.start").alias("_start"), F.col("_occ.h").alias("_h"))
+
+
+def substring_dup_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 12
+) -> DataFrame:
+    """Exact substring dedup, discovery pass (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr variant,
+    re-expressed over word windows instead of a suffix array): a span is
+    duplicated when its k-word window occurs anywhere else in the corpus
+    earlier in (id, start) order. Overlapping/adjacent duplicated windows
+    are merged into maximal intervals, so a shared 50-word passage comes
+    back as ONE span, not 39 overlapping windows.
+
+    Returns one row per merged duplicated interval:
+      (id, span_start, span_end, n_words) with word-index spans [start, end).
+    The FIRST corpus occurrence of every window (min (id, start)) is never
+    marked — keep-first semantics; later occurrences (cross-document AND
+    in-document repeats) are.
+
+    Scale shape for 100 TB: window enumeration is map-side codegen; the
+    winner per window hash is a map-side-combined min(struct) agg (a
+    boilerplate passage shared by 10^8 docs stays bounded — no window over
+    the hash key); dup detection is an equi-join back on the 16-byte hash;
+    interval merge is a per-document window (partition key = doc, never a
+    hot key). Suffix arrays find duplicates of ANY length >= threshold;
+    this k-gram form trades that generality for a shuffle-friendly plan —
+    the standard large-corpus approximation.
+    """
+    from pyspark.sql.window import Window
+
+    occ = _gram_occurrences(df, text_col, id_col, k)
+    winners = occ.groupBy("_h").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_start").alias("s"))).alias("_w"),
+        F.count("*").alias("_c"),
+    )
+    dup = (
+        occ.join(winners.filter(F.col("_c") > 1).drop("_c"), "_h")
+        .filter(~((F.col("_w.i") == F.col("_id")) & (F.col("_w.s") == F.col("_start"))))
+        .select("_id", "_start", (F.col("_start") + k).alias("_end"))
+    )
+    w = Window.partitionBy("_id").orderBy("_start")
+    prev_max_end = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        dup.withColumn(
+            "_new", F.when(prev_max_end.isNull() | (F.col("_start") > prev_max_end), 1).otherwise(0)
+        )
+        .withColumn("_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("_id", "_island")
+        .agg(F.min("_start").alias("span_start"), F.max("_end").alias("span_end"))
+    )
+    return merged.select(
+        F.col("_id").alias(id_col),
+        F.col("span_start").cast("int"),
+        F.col("span_end").cast("int"),
+        (F.col("span_end") - F.col("span_start")).cast("int").alias("n_words"),
+    )
+
+
+def substring_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 12
+) -> DataFrame:
+    """Apply pass for exact substring dedup: remove every word covered by a
+    duplicated interval (see `substring_dup_spans`) and reassemble the
+    survivors in order. Output text is token-normalized (lowercase words
+    joined by single spaces) — the interval coordinate system IS the word
+    sequence, so the rewrite happens in that space; callers needing byte
+    fidelity use the spans against the original text instead.
+
+    Returns (id, text, n_words, n_dup_words, dup_frac) — one row per input
+    doc, including docs with nothing removed and docs too short to window.
+    """
+    spans = substring_dup_spans(df, text_col, id_col, k)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_ivs"),
+        F.sum("n_words").alias("_ndup"),
+    )
+    ws = df.select(
+        id_col, F.coalesce(words(F.col(text_col)), F.array().cast("array<string>")).alias("_ws")
+    )
+    joined = ws.join(per_doc, id_col, "left").withColumn(
+        "_ivs", F.coalesce(F.col("_ivs"), F.array().cast("array<struct<span_start:int,span_end:int>>"))
+    )
+    idx_words = F.transform(F.col("_ws"), lambda w_, i: F.struct(w_.alias("w"), i.alias("i")))
+    kept = F.filter(
+        idx_words,
+        lambda s: ~F.exists(
+            F.col("_ivs"), lambda iv: (s["i"] >= iv["span_start"]) & (s["i"] < iv["span_end"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(text_col),
+        F.size("_ws").cast("int").alias("n_words"),
+        F.coalesce(F.col("_ndup"), F.lit(0)).cast("int").alias("n_dup_words"),
+        F.when(F.size("_ws") > 0, F.coalesce(F.col("_ndup"), F.lit(0)) / F.size("_ws"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -308,3 +308,74 @@ def test_rolling_fingerprints_multibyte_short_chars(spark):
     df = spark.createDataFrame([("d", text)], "doc_id string, text string")
     fps = rolling_fingerprints(df, window=16).collect()[0]["fingerprints"]
     assert fps  # 72 utf-8 bytes -> 57 windows; min-sampling keeps some
+
+
+# --- exact substring dedup ---------------------------------------------------------
+
+
+def _substr_corpus(spark):
+    shared = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        "nu xi omicron pi rho sigma tau"
+    )  # 19 words: 8 windows at k=12, merging into one island per occurrence
+    return spark.createDataFrame(
+        [
+            (0, "first doc holds the canonical copy " + shared),
+            (1, shared + " plus trailing unique words here"),
+            (2, "lead in words " + shared + " closing remark"),
+            (3, "completely unrelated text with no duplicate window at all in it anywhere truly"),
+            (4, "self repeat " + "a b c d e f g h i j k l " * 2 + "done"),
+            (5, "tiny"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_substring_dup_spans_keep_first_and_merge(spark):
+    """Keep-first semantics + interval merge: the shared 19-word passage is
+    ONE merged span per later occurrence; the winner doc is never marked;
+    an in-document repeat is caught; short/NULL docs produce nothing."""
+    from sparkdoc.dedup_text import substring_dup_spans
+
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(_substr_corpus(spark), k=12).collect()
+    }
+    # doc 0 (winner, min (id, start)) absent; doc 1 span covers words [0,19);
+    # doc 2 covers [3,22); doc 4 second copy of the 12-word block at [14,26)
+    assert rows == {(1, 0, 19), (2, 3, 22), (4, 14, 26)}
+
+
+def test_substring_dedup_trim_and_stats(spark):
+    from sparkdoc.dedup_text import substring_dedup
+
+    out = {r["doc_id"]: r for r in substring_dedup(_substr_corpus(spark), k=12).collect()}
+    assert out[1]["text"] == "plus trailing unique words here"
+    assert out[2]["text"] == "lead in words closing remark"
+    assert out[1]["n_dup_words"] == 19 and out[1]["n_words"] == 24
+    assert abs(out[1]["dup_frac"] - 19 / 24) < 1e-12
+    # winner doc 0 untouched (token-normalized join of its own words)
+    assert out[0]["n_dup_words"] == 0 and out[0]["text"].startswith("first doc holds")
+    # short + NULL docs come back whole with zero dup mass
+    assert out[5]["text"] == "tiny" and out[5]["dup_frac"] == 0.0
+    assert out[6]["n_words"] == 0 and out[6]["text"] == ""
+
+
+def test_substring_dedup_adjacent_islands_merge(spark):
+    """Two duplicated passages separated by < k words in the source doc can
+    yield ADJACENT dup windows — the islands pass must merge touching
+    intervals (start == running max end) rather than emit two spans."""
+    from sparkdoc.dedup_text import substring_dup_spans
+
+    p1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    p2 = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"
+    df = spark.createDataFrame(
+        [(0, p1), (1, p2), (2, p1 + " " + p2)],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in substring_dup_spans(df, k=12).collect()
+    ]
+    assert rows == [(2, 0, 24)]  # one merged span, not [0,12) + [12,24)
