@@ -2196,6 +2196,24 @@ def _doc_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(_docs_substr(spark, sf_dir), k=12).orderBy("doc_id")
 
 
+def _doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized linear-classifier inference (hashed bag-of-words, integer
+    milli-weights): margin_e6 = bias + sum(cnt * w[bucket(word)]) as an
+    exact BIGINT — order-independent, so the DuckDB twin matches bit-for-bit.
+    Weights here are a deterministic pseudo-model ((bucket*2654435761) %
+    2001 - 1000) so both engines can derive them; TRAINED weights are pinned
+    by the numpy-twin unit suite (tests/test_classifier.py)."""
+    from sparkdoc.classifier import score_quantized
+
+    wdf = spark.range(512).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).cast("bigint").alias("w"),
+    )
+    return score_quantized(
+        _docs(spark, sf_dir), None, 37, weights_df=wdf, n_buckets=512, salt="clf"
+    ).orderBy("doc_id")
+
+
 def _docs_skewed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with 80% of rows collapsed onto one hub domain — the skew
     shape per-domain caps and rebalancing exist for."""
@@ -2388,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_para_dedup": _doc_para_dedup,
         "doc_substr_spans": _doc_substr_spans,
         "doc_substr_dedup": _doc_substr_dedup,
+        "doc_classifier_score": _doc_classifier_score,
         "doc_domain_cap": _doc_domain_cap,
         "doc_domain_rebalance": _doc_domain_rebalance,
         "doc_top_terms": _doc_top_terms,
@@ -2857,6 +2876,32 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN keptagg k USING (doc_id)
         LEFT JOIN dupmass d USING (doc_id)
         ORDER BY t.doc_id
+    """
+    # quantized classifier inference: integer margins are exact in both
+    # engines; pseudo-weights derived from the bucket id so the oracle can
+    # rebuild the model without a fixture
+    q["doc_classifier_score"] = f"""
+        WITH wts AS (
+            SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w
+            FROM range(512) t(i)
+        ),
+        toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+        bk AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(word || 'clf'), 1, 15))::UBIGINT % 512
+                        AS BIGINT) AS bucket
+            FROM toks
+        ),
+        cnts AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY doc_id, bucket),
+        dots AS (
+            SELECT c.doc_id, sum(c.cnt * w.w) AS dot
+            FROM cnts c JOIN wts w USING (bucket) GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(t.dot, 0) + 37 AS BIGINT) AS margin_e6,
+               CAST(CASE WHEN coalesce(t.dot, 0) + 37 > 0 THEN 1 ELSE 0 END AS INT) AS label
+        FROM documents d LEFT JOIN dots t USING (doc_id)
+        ORDER BY d.doc_id
     """
     _SKEW_SRC_SQL = (
         "SELECT doc_id, CASE WHEN doc_id % 5 <> 0 THEN 'hub.example' "
