@@ -7,7 +7,8 @@ rejected with full per-gate attribution.
         --input /data/documents.parquet --out /data/curated \
         [--benchmark /data/benchmark.parquet] [--near-dup] \
         [--min-words 10] [--jaccard 0.85] [--sample 0.01 --sample-salt dev] \
-        [--para-dedup] [--max-per-source 100000]
+        [--para-dedup] [--substr-dedup --substr-k 12] [--max-per-source 100000] \
+        [--classifier /data/model]
 
 Gate order (each doc gets the FIRST reason that rejects it — later, more
 expensive gates only ever see survivors, so the cheap map-side gates also
@@ -21,6 +22,13 @@ bound the shuffle volume of the dedup gates):
                            verify; lowest-id shadow rule, same convention as
                            similarity.semantic_dedup)
   6. contaminated         (optional: word-8-gram overlap with --benchmark)
+  7. classifier           (optional: trained hashed-linear model from
+                           jobs/train_classifier.py; label-0 survivors of
+                           every cheaper gate are rejected)
+
+Rewrite stages before the gates: --para-dedup (corpus-first paragraphs) and
+--substr-dedup (exact substring dedup — corpus-duplicated k-word passages
+trimmed, keep-first).
 
 Outputs under --out (all on the data filesystem, hdfs/s3a-safe):
   kept/        parquet: doc_id, text (REDACTED), quality + language features
@@ -67,6 +75,17 @@ def main() -> None:
         help="deterministic per-source cap applied to the input (requires a "
         "'source' column; see filters.cap_per_group)",
     )
+    ap.add_argument(
+        "--substr-dedup", action="store_true",
+        help="trim corpus-duplicated k-word passages from each doc before "
+        "the gates (exact substring dedup; see dedup_text.substring_dedup)",
+    )
+    ap.add_argument("--substr-k", type=int, default=12, help="window size for --substr-dedup")
+    ap.add_argument(
+        "--classifier", default=None,
+        help="model dir written by jobs/train_classifier.py; kept docs "
+        "scoring label 0 are rejected with reason 'classifier'",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
@@ -98,6 +117,10 @@ def main() -> None:
         from sparkdoc.dedup_text import paragraph_dedup
 
         docs = paragraph_dedup(docs).select("doc_id", "text")
+    if args.substr_dedup:
+        from sparkdoc.dedup_text import substring_dedup
+
+        docs = substring_dedup(docs, k=args.substr_k).select("doc_id", "text")
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     kept, rejected = curate_split(
         docs,
@@ -107,6 +130,29 @@ def main() -> None:
         benchmark=bench,
         decontam_n=args.decontam_n,
     )
+    if args.classifier:
+        # trained-model gate, last: only survivors of every cheaper gate pay
+        # for scoring, and the reject attribution stays first-fault
+        from sparkdoc.classifier import score_quantized
+        from sparkdoc.io import read_text_file
+
+        manifest = json.loads(read_text_file(spark, os.path.join(args.classifier, "manifest.json")))
+        wdf = spark.read.parquet(os.path.join(args.classifier, "weights"))
+        scored = score_quantized(
+            kept,
+            None,
+            manifest["bias"],
+            salt=manifest.get("salt", ""),
+            weights_df=wdf,
+            n_buckets=manifest["n_buckets"],
+        ).withColumnRenamed("label", "_clf")
+        kept_s = kept.join(scored.select("doc_id", "_clf"), "doc_id")
+        rejected = rejected.unionByName(
+            kept_s.filter(F.col("_clf") == 0).select(
+                "doc_id", F.lit("classifier").alias("reject_reason")
+            )
+        )
+        kept = kept_s.filter(F.col("_clf") == 1).drop("_clf")
 
     kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
     rejected.write.mode("overwrite").parquet(os.path.join(args.out, "rejected"))
@@ -134,6 +180,9 @@ def main() -> None:
             "sample_salt": args.sample_salt,
             "para_dedup": bool(args.para_dedup),
             "max_per_source": args.max_per_source,
+            "substr_dedup": bool(args.substr_dedup),
+            "substr_k": args.substr_k,
+            "classifier": args.classifier,
         },
     }
     write_text_file(

@@ -144,3 +144,53 @@ def test_build_mix_and_dedup_delta_clis(tmp_path, spark):
     # updated index knows the fresh doc now
     nxt = spark.read.parquet(os.path.join(idx + "_next", "exact"))
     assert nxt.count() == 10
+
+
+def test_train_classifier_and_curate_gate(tmp_path, spark):
+    """Train the hashed-linear classifier on a separable corpus, then drive
+    curate with --classifier (trained-model gate) and --substr-dedup (the
+    duplicated-passage trim runs BEFORE the gates)."""
+    good = [
+        "excellent careful verified thorough prose with citations and structure today",
+        "well researched article citing primary sources and careful analysis throughout",
+        "thorough technical documentation with verified examples and structure provided",
+        "careful verified reporting with primary citations and clear prose material",
+    ]
+    spam = [
+        "click buy pills casino winner free prize money now bonus jackpot deal",
+        "free casino bonus click winner pills buy now money jackpot prize deal",
+        "winner prize click free money casino pills buy bonus deal jackpot offer",
+        "buy now free pills winner casino prize bonus click offer jackpot money",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(good)] + [
+        (100 + i, t, 0) for i, t in enumerate(spam)
+    ]
+    in_p, model_p, out_p = (str(tmp_path / n) for n in ("in", "model", "out"))
+    spark.createDataFrame(rows, "doc_id long, text string, label int").write.parquet(in_p)
+
+    s = _run(["sparkdoc/jobs/train_classifier.py", "--input", in_p, "--out", model_p,
+              "--label-col", "label", "--n-buckets", "256", "--iters", "25"])
+    assert s["train"]["accuracy"] == 1.0
+    assert os.path.isdir(os.path.join(model_p, "weights"))
+
+    # curate a fresh corpus: a good doc, a near-copy that shares only a
+    # 9-word run (below k=12 — substr trim must NOT fire), and a spam doc in
+    # an unseen word order (the model, not a memorized string, rejects it)
+    shared = good[0]
+    c_rows = [
+        (1, shared),
+        (2, "filler intro words " + shared.replace("today", "again")),
+        (3, "casino pills winner click buy free bonus prize money now deal jackpot"),
+    ]
+    cur_in = str(tmp_path / "cin")
+    spark.createDataFrame(c_rows, "doc_id long, text string").write.parquet(cur_in)
+    s2 = _run(["sparkdoc/jobs/curate.py", "--input", cur_in, "--out", out_p,
+               "--classifier", model_p, "--substr-dedup", "--min-words", "5"])
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(os.path.join(out_p, "rejected")).collect()
+    }
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(os.path.join(out_p, "kept")).collect()}
+    assert rej[3] == "classifier"
+    assert kept_ids == {1, 2}  # 9-word overlap < k: doc 2 survives untrimmed
+    assert s2["knobs"]["substr_dedup"] is True and s2["knobs"]["classifier"] == model_p
