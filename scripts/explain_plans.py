@@ -226,6 +226,36 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._doc_substr_spans(spark, sf_dir))
+    sections.append(("doc_substr_spans", p))
+    checks.append(
+        (
+            "substring dedup picks window winners via partial-aggregated"
+            " min(struct) on the gram hash; the only Window is the per-doc"
+            " interval merge (every shuffle keyed on the doc or the hash)",
+            "partial_min" in p.lower()
+            and "Python" not in p
+            and all(
+                ("_id" in args or "_h" in args)
+                for args in re.findall(r"hashpartitioning\(([^\n]*)", p)
+            ),
+            p,
+        )
+    )
+
+    p = plan_of(entrymod._doc_classifier_score(spark, sf_dir))
+    sections.append(("doc_classifier_score", p))
+    checks.append(
+        (
+            "classifier inference broadcasts the model (BroadcastHashJoin),"
+            " Python-free, dot product map-side combined",
+            len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 1
+            and "Python" not in p
+            and "partial_sum" in p.lower(),
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")
