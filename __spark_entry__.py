@@ -2376,6 +2376,46 @@ def _doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(terms, "term", k=30).orderBy("item")
 
 
+def _docs_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived URL corpus: one synthetic URL per document, deterministically
+    spelled from doc_id so many spellings collapse to the same canonical
+    form — mixed-case scheme/host (%2 / %3), default port (%4), trailing
+    slash (%5), param order + a utm_source tracker (%2), fragment (%7).
+    The oracle builds the IDENTICAL strings in SQL (urls_src CTE)."""
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("http://")),
+        F.when(did % 3 == 0, F.concat(F.lit("Site"), (did % 40).cast("string"), F.lit(".COM")))
+        .otherwise(F.concat(F.lit("site"), (did % 40).cast("string"), F.lit(".com"))),
+        F.when(did % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        (did % 25).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.concat(F.lit("?b=2&a="), (did % 10).cast("string"), F.lit("&utm_source=s")))
+        .otherwise(F.concat(F.lit("?a="), (did % 10).cast("string"), F.lit("&b=2"))),
+        F.when(did % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def _doc_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (RefinedWeb §3.2-class normalization): lowercase
+    scheme/authority, default-port + fragment + trailing-slash + tracking-
+    param removal, bytewise query-param sort — pure codegen exprs."""
+    from sparkdoc.urlops import with_canonical_url
+
+    return with_canonical_url(_docs_urls(spark, sf_dir)).orderBy("doc_id")
+
+
+def _doc_url_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup: one row per canonical URL with the deterministic
+    keeper (min doc_id), row count, and distinct-spelling count — the
+    window-free keep-min shape, one shuffle on the canonical key."""
+    from sparkdoc.urlops import url_dedup
+
+    return url_dedup(_docs_urls(spark, sf_dir)).orderBy("url_canon")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2415,6 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": _doc_lm_score,
         "doc_pack": _doc_pack,
         "doc_heavy_hitters": _doc_heavy_hitters,
+        "doc_url_canon": _doc_url_canon,
+        "doc_url_dups": _doc_url_dups,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -3085,6 +3127,70 @@ def oracle_sql() -> dict[str, str]:
         ) CROSS JOIN n
         WHERE cnt * 31 > n
         ORDER BY item
+    """
+    # URL canonicalization twins (_docs_urls / urlops.canonical_url): the
+    # urls_src CTE builds byte-identical synthetic URLs; the canon ladder
+    # mirrors urlops.canonical_url step for step (DuckDB backrefs are \1
+    # where Spark's are $1 — same RE2-class patterns).
+    _urls_canon_sql = """
+        urls_src AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN 'Site' || CAST(doc_id % 40 AS VARCHAR) || '.COM'
+                            ELSE 'site' || CAST(doc_id % 40 AS VARCHAR) || '.com' END)
+                   || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+                   || '/Page/' || CAST(doc_id % 25 AS VARCHAR)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 2 = 0
+                            THEN '?b=2&a=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_source=s'
+                            ELSE '?a=' || CAST(doc_id % 10 AS VARCHAR) || '&b=2' END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+            FROM documents
+        ),
+        u1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM urls_src),
+        u2 AS (
+            SELECT *, regexp_extract(u, '^([^?]*)', 1) AS base,
+                   CASE WHEN contains(u, '?') THEN regexp_replace(u, '^[^?]*\\?', '')
+                        ELSE '' END AS query
+            FROM u1
+        ),
+        u3 AS (
+            SELECT *,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
+                       '^(http://.*):80$', '\\1'), '^(https://.*):443$', '\\1') AS auth,
+                   regexp_replace(regexp_replace(base,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''), '/+$', '') AS path,
+                   array_to_string(list_sort(list_filter(string_split(query, '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')
+                            AND regexp_extract(p, '^([^=]*)', 1) NOT IN
+                                ('fbclid','gclid','msclkid','mc_cid','mc_eid','igshid','ref')
+                   )), '&') AS qcanon
+            FROM u2
+        ),
+        url_canon_t AS (
+            SELECT doc_id, url,
+                   CASE WHEN auth = '' THEN u
+                        ELSE auth || path ||
+                             CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END
+                   END AS url_canon
+            FROM u3
+        )
+    """
+    q["doc_url_canon"] = f"""
+        WITH {_urls_canon_sql}
+        SELECT doc_id, url, url_canon FROM url_canon_t ORDER BY doc_id
+    """
+    q["doc_url_dups"] = f"""
+        WITH {_urls_canon_sql}
+        SELECT url_canon,
+               min(doc_id) AS keep_id,
+               count(*) AS n_rows,
+               count(DISTINCT url) AS n_spellings
+        FROM url_canon_t
+        GROUP BY url_canon
+        ORDER BY url_canon
     """
     q["doc_segments"] = f"""
         WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)

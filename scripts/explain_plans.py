@@ -256,6 +256,28 @@ def main() -> int:
         )
     )
 
+    from sparkdoc.urlops import url_dedup
+
+    p = plan_of(url_dedup(entrymod._docs_urls(spark, sf_dir)))
+    sections.append(("url_dedup", p))
+    # two exchanges, both hashpartitioned on the canonical key (the distinct-
+    # spelling count makes the agg two-phase: (url_canon, url) then
+    # url_canon — Spark's standard distributed count-distinct shape); min and
+    # count combine map-side before either shuffle
+    exchange_keys = re.findall(r"hashpartitioning\((\w+)#", p)
+    checks.append(
+        (
+            "url dedup is Python-free codegen exprs; every shuffle is keyed"
+            " on the canonical url (two-phase distinct agg), min/count"
+            " combined map-side",
+            "Python" not in p
+            and len(exchange_keys) == 2
+            and all(k.startswith("url_canon") for k in exchange_keys)
+            and "partial_min" in p.lower(),
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

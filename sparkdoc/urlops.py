@@ -1,0 +1,93 @@
+"""URL canonicalization and URL-keyed dedup for web-corpus curation.
+
+Web crawls carry the same page under many URL spellings — mixed-case
+scheme/host, default ports, fragments, tracking parameters, unordered query
+strings, trailing slashes. Canonicalizing BEFORE content dedup removes the
+cheap bulk of duplicates with a pure string transform (no shingling, no
+joins), the standard first stage in CommonCrawl-derived pipelines (e.g.
+CCNet, Wenzek et al. 2020 dedups per-URL before per-paragraph; RefinedWeb,
+Penedo et al. 2023 §3.2 applies exactly this class of URL normalization).
+
+The reference engine has no URL surface (its ingest is file/bytes —
+core/input/handlers.py); this module is part of the training-data-pipeline
+additions, alongside sparkdoc.filters and sparkdoc.dedup_text.
+
+Canonical form (deterministic, engine-portable — every step is a regexp /
+array expression with an exact DuckDB twin in __spark_entry__.oracle_sql):
+
+  1. trim; strip the fragment (``#...`` — never sent to the server)
+  2. lowercase the scheme and authority (host[:port]) ONLY — the path and
+     query stay case-sensitive per RFC 3986 §6.2.2.1
+  3. drop the default port (``:80`` for http, ``:443`` for https)
+  4. collapse trailing ``/`` runs on the path (``/a/`` == ``/a``; a bare
+     authority keeps no slash)
+  5. drop tracking parameters: any ``utm_*`` plus the click-id set
+     (fbclid, gclid, msclkid, mc_cid, mc_eid, igshid, ref) and empty params
+  6. sort the surviving query parameters bytewise and rejoin with ``&``
+     (parameter order is not semantic for the overwhelming majority of
+     endpoints; sorting makes spelling order irrelevant)
+
+Scale shape: whole-stage-codegen string/array exprs only — no UDF, no
+shuffle for canonicalization; ``url_dedup`` adds exactly one hash shuffle
+on the canonical key with a map-side-combined min/count agg (the same
+window-free keep-min shape as dedup_text.exact_dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# click-id / campaign parameters dropped outright (utm_* is prefix-matched)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid", "ref")
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL column per the module contract. NULL in →
+    NULL out; a value with no ``://`` authority is returned trimmed and
+    fragment-stripped but otherwise untouched (no scheme to reason about)."""
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    base = F.regexp_extract(u, "^([^?]*)", 1)
+    query = F.when(u.contains("?"), F.regexp_replace(u, "^[^?]*\\?", "")).otherwise(F.lit(""))
+
+    # scheme://authority , lowered; path untouched
+    authority = F.lower(F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
+    path = F.regexp_replace(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    authority = F.regexp_replace(authority, "^(http://.*):80$", "$1")
+    authority = F.regexp_replace(authority, "^(https://.*):443$", "$1")
+    path = F.regexp_replace(path, "/+$", "")
+
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~F.regexp_extract(p, "^([^=]*)", 1).isin(*TRACKING_PARAMS),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        authority, path, F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit(""))
+    )
+    # no authority (mailto:, relative refs, garbage): leave the trimmed,
+    # fragmentless spelling as-is rather than invent structure
+    return F.when(authority == "", u).otherwise(canon)
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``url_canon`` — the canonical form of ``df[url_col]``."""
+    return df.withColumn("url_canon", canonical_url(F.col(url_col)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """One row per canonical URL: the keeper (min id — deterministic), the
+    spelling count and distinct-spelling count. Exactly one shuffle on the
+    canonical key; min/count combine map-side. Join back on ``keep_id`` to
+    subset the corpus (the caller's join stays a cheap semi-join on the id)."""
+    return (
+        with_canonical_url(df, url_col)
+        .groupBy("url_canon")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_rows"),
+            F.count_distinct(url_col).alias("n_spellings"),
+        )
+    )

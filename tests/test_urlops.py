@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdoc.urlops import canonical_url, url_dedup, with_canonical_url
+
+
+def _canon(spark, *urls: str | None) -> list[str | None]:
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+CASES = [
+    # scheme+host lowered, path case kept
+    ("HTTP://Example.COM/Path/To", "http://example.com/Path/To"),
+    # default ports dropped, non-default kept
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),  # 80 is NOT https default
+    # fragment stripped
+    ("http://ex.com/a#frag", "http://ex.com/a"),
+    ("http://ex.com/a?x=1#frag", "http://ex.com/a?x=1"),
+    # trailing slash runs collapse; bare authority keeps none
+    ("http://ex.com/a/", "http://ex.com/a"),
+    ("http://ex.com/a///", "http://ex.com/a"),
+    ("http://ex.com/", "http://ex.com"),
+    ("http://ex.com", "http://ex.com"),
+    # tracking params dropped, rest sorted bytewise
+    ("http://ex.com/a?utm_source=x&b=2&a=1", "http://ex.com/a?a=1&b=2"),
+    ("http://ex.com/a?b=2&a=1&fbclid=zzz&gclid=1", "http://ex.com/a?a=1&b=2"),
+    ("http://ex.com/a?ref=tw&x=1", "http://ex.com/a?x=1"),
+    # refresh is NOT in the tracking set (exact match only, not prefix)
+    ("http://ex.com/a?refresh=1", "http://ex.com/a?refresh=1"),
+    # all params tracking -> no '?'
+    ("http://ex.com/a?utm_campaign=c&utm_medium=m", "http://ex.com/a"),
+    # empty params dropped; '&&' tolerated
+    ("http://ex.com/a?&&x=1&", "http://ex.com/a?x=1"),
+    # query values keep case and '='-less params survive
+    ("http://ex.com/a?Key=Val&flag", "http://ex.com/a?Key=Val&flag"),
+    # whitespace trimmed
+    ("  http://ex.com/a  ", "http://ex.com/a"),
+    # no authority: trimmed + fragment-stripped only
+    ("mailto:Bob@Example.com", "mailto:Bob@Example.com"),
+    ("not a url#x", "not a url"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_canonical_cases(spark, raw, want):
+    assert _canon(spark, raw) == [want]
+
+
+def test_null_passthrough(spark):
+    assert _canon(spark, None) == [None]
+
+
+def test_idempotent(spark):
+    raws = [r for r, _ in CASES]
+    once = _canon(spark, *raws)
+    twice = _canon(spark, *once)
+    assert once == twice
+
+
+def test_url_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://Ex.com/a?utm_source=s&k=1"),
+            (2, "http://ex.com/a/?k=1"),
+            (3, "http://ex.com/a?k=1#top"),
+            (4, "http://ex.com/b"),
+            (5, "http://ex.com/b"),
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {r["url_canon"]: r for r in url_dedup(df).collect()}
+    a = got["http://ex.com/a?k=1"]
+    assert (a["keep_id"], a["n_rows"], a["n_spellings"]) == (1, 3, 3)
+    b = got["http://ex.com/b"]
+    assert (b["keep_id"], b["n_rows"], b["n_spellings"]) == (4, 2, 1)
+
+
+def test_with_canonical_keeps_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "http://ex.com/x"), (2, None)], "doc_id bigint, url string"
+    )
+    out = with_canonical_url(df).orderBy("doc_id").collect()
+    assert [r["url_canon"] for r in out] == ["http://ex.com/x", None]
