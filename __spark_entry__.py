@@ -2376,6 +2376,29 @@ def _doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(terms, "term", k=30).orderBy("item")
 
 
+_MOJ_SNIP = " cafÃ© naÃ¯ve â€œquoteâ€ Â£5"  # singly-encoded mojibake
+_MOJ_SNIP2 = " itÃ¢â‚¬â„¢s dÃ©jÃ  vu"  # doubly-encoded ’ + single pairs
+
+
+def _doc_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (ftfy-class cp1252 mis-decoding fix) over a corpus
+    with injected mojibake: doc_id%3 gets singly-encoded snippets, doc_id%5
+    a doubly-encoded one — two passes of the ordered replace chain repair
+    both; clean docs flag had_mojibake = 0."""
+    from sparkdoc.textops import with_fixed_encoding
+
+    did = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.lit(_MOJ_SNIP)).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(_MOJ_SNIP2)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return with_fixed_encoding(d).orderBy("doc_id")
+
+
 def _docs_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived URL corpus: one synthetic URL per document, deterministically
     spelled from doc_id so many spellings collapse to the same canonical
@@ -2457,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heavy_hitters": _doc_heavy_hitters,
         "doc_url_canon": _doc_url_canon,
         "doc_url_dups": _doc_url_dups,
+        "doc_fix_encoding": _doc_fix_encoding,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -3191,6 +3215,29 @@ def oracle_sql() -> dict[str, str]:
         FROM url_canon_t
         GROUP BY url_canon
         ORDER BY url_canon
+    """
+    # Mojibake repair twin (_doc_fix_encoding): the replace chain is
+    # generated from the SAME MOJIBAKE_TABLE data constant the engine uses
+    # (the table itself is unit-pinned against the real cp1252/utf-8 codecs
+    # in tests/test_mojibake.py) — 2 passes, order-preserving.
+    from sparkdoc.textops import MOJIBAKE_TABLE
+
+    _fix_expr = "text"
+    for _ in range(2):
+        for _bad, _good in MOJIBAKE_TABLE:
+            _fix_expr = f"replace({_fix_expr}, '{_bad}', '{_good}')"
+    q["doc_fix_encoding"] = f"""
+        WITH moj AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0 THEN '{_MOJ_SNIP}' ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0 THEN '{_MOJ_SNIP2}' ELSE '' END
+                   AS text
+            FROM documents
+        )
+        SELECT doc_id, text, {_fix_expr} AS text_fixed,
+               CASE WHEN text IS DISTINCT FROM {_fix_expr} THEN 1 ELSE 0 END AS had_mojibake
+        FROM moj ORDER BY doc_id
     """
     q["doc_segments"] = f"""
         WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)

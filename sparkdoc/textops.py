@@ -87,6 +87,72 @@ def detect_language(col: Column) -> Column:
     return detect_language_of(words(col))
 
 
+# --- encoding repair (mojibake) ---------------------------------------------------
+
+#: characters whose UTF-8 bytes, mis-decoded as Windows-1252, produce the
+#: classic web mojibake ('Ã©' for 'é', 'â€™' for a right quote, ...). The
+#: repair table is GENERATED from this list by round-tripping each char
+#: through the actual encodings, so the table cannot drift from the bytes.
+#: Scope: Latin-1 supplement letters + the common punctuation/symbol set —
+#: the deterministic, oracle-checkable core of what ftfy (Speer 2019,
+#: "ftfy: fixes text for you", zenodo 2591652) fixes heuristically.
+_MOJIBAKE_CHARS = (
+    "€’‘“”–—…•™"  # 3-byte UTF-8 (E2 xx xx): fixed FIRST, longest match
+    "éèêëáàâäãåóòôöõúùûüíìîïñçßÉ"  # C3 xx pairs
+    "°©®«»·£"  # C2 xx pairs
+)
+
+
+def _mojibake_of(ch: str) -> str:
+    """The cp1252 mis-decoding of ch's UTF-8 bytes; bytes undefined in
+    cp1252 (0x81 8D 8F 90 9D) pass through as their Latin-1 control char,
+    matching how browsers and lenient decoders render them."""
+    out = []
+    for b in ch.encode("utf-8"):
+        if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D):
+            out.append(chr(b))
+        else:
+            out.append(bytes([b]).decode("cp1252"))
+    return "".join(out)
+
+
+#: ordered (bad, good) pairs. Order matters within a pass: 3-byte sequences
+#: first (their cp1252 spellings contain 'â' which must not be re-fixed as a
+#: bare C3 A2 pair first), then the double-encode bridge 'Ãƒ'->'Ã', then the
+#: 2-byte pairs — so a singly-mis-decoded double encoding ('ÃƒÂ©') resolves
+#: within one pass.
+MOJIBAKE_TABLE: list[tuple[str, str]] = (
+    [(_mojibake_of(c), c) for c in _MOJIBAKE_CHARS[:10]]
+    + [("Ãƒ", "Ã")]  # 'Ãƒ' -> 'Ã' (C3 83, the double-encode bridge)
+    + [(_mojibake_of(c), c) for c in _MOJIBAKE_CHARS[10:]]
+)
+
+
+def fix_mojibake(col: Column, passes: int = 2) -> Column:
+    """Repair UTF-8-bytes-decoded-as-cp1252 mojibake by the ordered literal
+    replace chain in MOJIBAKE_TABLE, applied ``passes`` times (two passes
+    resolve doubly-encoded text — 'Ã¢â‚¬â„¢' -> 'â€™' -> '’'). Pure
+    codegen string replaces; NULL in -> NULL out.
+
+    Heuristic caveat (inherent to all mojibake repair): text that GENUINELY
+    contains a sequence like 'Ã©' is rewritten; on web corpora the
+    mis-encoding reading is overwhelmingly the correct one."""
+    for _ in range(passes):
+        for bad, good in MOJIBAKE_TABLE:
+            col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def with_fixed_encoding(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``text_fixed`` (mojibake-repaired text) and ``had_mojibake``
+    (1 where the repair changed anything). Map-side only, no shuffle."""
+    fixed = fix_mojibake(F.col(text_col))
+    return df.withColumn("text_fixed", fixed).withColumn(
+        "had_mojibake",
+        (~F.col(text_col).eqNullSafe(F.col("text_fixed"))).cast("int"),
+    )
+
+
 # --- quality scoring ------------------------------------------------------------
 
 

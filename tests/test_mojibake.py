@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkdoc.textops import MOJIBAKE_TABLE, fix_mojibake, with_fixed_encoding
+
+
+def _fix(spark, *texts: str | None) -> list[str | None]:
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r["c"] for r in df.select(fix_mojibake(F.col("text")).alias("c")).collect()]
+
+
+def test_table_is_true_cp1252_misdecoding():
+    # every (bad, good) pair except the double-encode bridge must satisfy
+    # bad == cp1252-lenient-decode(utf8(good)) — the table is generated, so
+    # this pins the generator against the real codecs
+    for bad, good in MOJIBAKE_TABLE:
+        if (bad, good) == ("Ãƒ", "Ã"):
+            continue
+        raw = good.encode("utf-8")
+        expect = "".join(
+            chr(b) if b in (0x81, 0x8D, 0x8F, 0x90, 0x9D) else bytes([b]).decode("cp1252")
+            for b in raw
+        )
+        assert bad == expect, (bad, good)
+
+
+CASES = [
+    ("cafÃ©", "café"),
+    ("dÃ©jÃ  vu", "déjà vu"),  # à's mojibake ends in nbsp
+    ("itÃ¢â‚¬â„¢s", "it’s"),  # doubly-encoded ’
+    ("naÃ¯ve", "naïve"),
+    ("StraÃŸe", "Straße"),
+    ("Ã‰tat", "État"),
+    ("â€œquoteâ€", "“quote”"),  # ” carries the 0x9D control
+    ("5â€“10", "5–10"),
+    ("Â£50 â‚¬60", "£50 €60"),
+    ("plain ascii stays", "plain ascii stays"),
+    ("already é fine", "already é fine"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_fix_cases(spark, raw, want):
+    assert _fix(spark, raw) == [want]
+
+
+def test_double_encoded_single_pair(spark):
+    # 'é' encoded twice: utf8 -> cp1252 -> utf8 -> cp1252 = 'ÃƒÂ©'
+    twice = "é".encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+    assert _fix(spark, twice) == ["é"]
+
+
+def test_python_reference_agreement(spark):
+    # the Spark chain must equal applying the same table in Python
+    def py_fix(s: str) -> str:
+        for _ in range(2):
+            for bad, good in MOJIBAKE_TABLE:
+                s = s.replace(bad, good)
+        return s
+
+    raws = [r for r, _ in CASES] + ["mixed Ã© and â€œok" + "Â»"]
+    assert _fix(spark, *raws) == [py_fix(r) for r in raws]
+
+
+def test_null_passthrough(spark):
+    assert _fix(spark, None) == [None]
+
+
+def test_with_fixed_encoding_flags(spark):
+    df = spark.createDataFrame(
+        [(1, "cafÃ©"), (2, "clean"), (3, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in with_fixed_encoding(df).collect()}
+    assert (out[1]["text_fixed"], out[1]["had_mojibake"]) == ("café", 1)
+    assert (out[2]["text_fixed"], out[2]["had_mojibake"]) == ("clean", 0)
+    assert (out[3]["text_fixed"], out[3]["had_mojibake"]) == (None, 0)
