@@ -26,9 +26,11 @@ bound the shuffle volume of the dedup gates):
                            jobs/train_classifier.py; label-0 survivors of
                            every cheaper gate are rejected)
 
-Rewrite stages before the gates: --para-dedup (corpus-first paragraphs) and
---substr-dedup (exact substring dedup — corpus-duplicated k-word passages
-trimmed, keep-first).
+Pre-gate stages (in order): --url-dedup (drop all but the min-id doc per
+canonical URL, reason 'url_dup' — requires a 'url' column), --max-per-source,
+--fix-encoding (cp1252 mojibake repair, rewrite only), --sample,
+--para-dedup (corpus-first paragraphs) and --substr-dedup (exact substring
+dedup — corpus-duplicated k-word passages trimmed, keep-first).
 
 Outputs under --out (all on the data filesystem, hdfs/s3a-safe):
   kept/        parquet: doc_id, text (REDACTED), quality + language features
@@ -82,6 +84,17 @@ def main() -> None:
     )
     ap.add_argument("--substr-k", type=int, default=12, help="window size for --substr-dedup")
     ap.add_argument(
+        "--fix-encoding", action="store_true",
+        help="repair cp1252 mojibake in text before any other stage "
+        "(map-side replace chain; see textops.fix_mojibake)",
+    )
+    ap.add_argument(
+        "--url-dedup", action="store_true",
+        help="drop all but the min-id doc per canonical URL before the "
+        "gates (requires a 'url' column; rejects get reason 'url_dup'; "
+        "see urlops)",
+    )
+    ap.add_argument(
         "--classifier", default=None,
         help="model dir written by jobs/train_classifier.py; kept docs "
         "scoring label 0 are rejected with reason 'classifier'",
@@ -102,6 +115,22 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     raw = spark.read.parquet(args.input)
+    url_rejected = None
+    if args.url_dedup:
+        # cheapest dedup first: pure string canonicalization + one keep-min
+        # shuffle on the canonical key, before any text-heavy stage (and
+        # before the per-source cap, which drops the url column)
+        from sparkdoc.urlops import with_canonical_url
+
+        wc = with_canonical_url(raw)
+        keepers = wc.groupBy("url_canon").agg(F.min("doc_id").alias("_keep"))
+        wc = wc.join(keepers, "url_canon")
+        url_rejected = wc.filter(F.col("doc_id") != F.col("_keep")).select(
+            "doc_id", F.lit("url_dup").alias("reject_reason")
+        )
+        raw = wc.filter(F.col("doc_id") == F.col("_keep")).drop(
+            "url_canon", "_keep"
+        )
     if args.max_per_source is not None:
         from sparkdoc.filters import cap_per_group
 
@@ -109,6 +138,10 @@ def main() -> None:
             raw.select("doc_id", "text", "source"), "source", args.max_per_source
         )
     docs = raw.select("doc_id", "text")
+    if args.fix_encoding:
+        from sparkdoc.textops import fix_mojibake
+
+        docs = docs.select("doc_id", fix_mojibake(F.col("text")).alias("text"))
     if args.sample is not None:
         from sparkdoc.filters import hash_sample
 
@@ -154,6 +187,8 @@ def main() -> None:
         )
         kept = kept_s.filter(F.col("_clf") == 1).drop("_clf")
 
+    if url_rejected is not None:
+        rejected = rejected.unionByName(url_rejected)
     kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
     rejected.write.mode("overwrite").parquet(os.path.join(args.out, "rejected"))
 
@@ -183,6 +218,8 @@ def main() -> None:
             "substr_dedup": bool(args.substr_dedup),
             "substr_k": args.substr_k,
             "classifier": args.classifier,
+            "fix_encoding": bool(args.fix_encoding),
+            "url_dedup": bool(args.url_dedup),
         },
     }
     write_text_file(

@@ -194,3 +194,37 @@ def test_train_classifier_and_curate_gate(tmp_path, spark):
     assert rej[3] == "classifier"
     assert kept_ids == {1, 2}  # 9-word overlap < k: doc 2 survives untrimmed
     assert s2["knobs"]["substr_dedup"] is True and s2["knobs"]["classifier"] == model_p
+
+
+def test_curate_cli_url_dedup_and_fix_encoding(tmp_path, spark):
+    """--url-dedup keeps the min-id doc per canonical URL (rejects get
+    'url_dup') and --fix-encoding repairs mojibake before the gates, so a
+    doc whose only flaw is cp1252 damage is KEPT with clean text."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        # docs 1-3: same page under three URL spellings -> keep 1 only
+        (1, base + " one", "HTTP://Ex.com/a?utm_source=s&k=1"),
+        (2, base + " two", "http://ex.com/a/?k=1"),
+        (3, base + " three", "http://ex.com/a?k=1#top"),
+        # doc 4: distinct URL, mojibake text -> kept, repaired
+        (4, base + " cafÃ© visit itÃ¢â‚¬â„¢s fine", "http://ex.com/b"),
+    ]
+    in_p, out_p = str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(in_p)
+
+    s = _run(["sparkdoc/jobs/curate.py", "--input", in_p, "--out", out_p,
+              "--url-dedup", "--fix-encoding", "--min-words", "5"])
+    assert s["n_input"] == 2  # post-url-dedup gate input
+    assert s["rejected_by_reason"] == {"url_dup": 2}
+    assert s["knobs"]["url_dedup"] is True and s["knobs"]["fix_encoding"] is True
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out_p, "kept")).collect()
+    }
+    assert set(kept) == {1, 4}
+    assert "café" in kept[4] and "it’s" in kept[4] and "Ã" not in kept[4]
+    rej = {
+        r["doc_id"]: r["reject_reason"]
+        for r in spark.read.parquet(os.path.join(out_p, "rejected")).collect()
+    }
+    assert rej == {2: "url_dup", 3: "url_dup"}
