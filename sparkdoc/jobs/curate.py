@@ -123,14 +123,18 @@ def main() -> None:
         from sparkdoc.urlops import with_canonical_url
 
         wc = with_canonical_url(raw)
-        keepers = wc.groupBy("url_canon").agg(F.min("doc_id").alias("_keep"))
-        wc = wc.join(keepers, "url_canon")
-        url_rejected = wc.filter(F.col("doc_id") != F.col("_keep")).select(
-            "doc_id", F.lit("url_dup").alias("reject_reason")
+        keepers = wc.filter(F.col("url_canon").isNotNull()).groupBy("url_canon").agg(
+            F.min("doc_id").alias("_keep")
         )
-        raw = wc.filter(F.col("doc_id") == F.col("_keep")).drop(
-            "url_canon", "_keep"
-        )
+        wc = wc.join(keepers, "url_canon", "left")
+        # NULL-url docs never reject: unknown URLs are not duplicates of
+        # each other (keepers join misses -> _keep is NULL -> kept)
+        url_rejected = wc.filter(
+            F.col("_keep").isNotNull() & (F.col("doc_id") != F.col("_keep"))
+        ).select("doc_id", F.lit("url_dup").alias("reject_reason"))
+        raw = wc.filter(
+            F.col("_keep").isNull() | (F.col("doc_id") == F.col("_keep"))
+        ).drop("url_canon", "_keep")
     if args.max_per_source is not None:
         from sparkdoc.filters import cap_per_group
 

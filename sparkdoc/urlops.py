@@ -81,9 +81,14 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     """One row per canonical URL: the keeper (min id — deterministic), the
     spelling count and distinct-spelling count. Exactly one shuffle on the
     canonical key; min/count combine map-side. Join back on ``keep_id`` to
-    subset the corpus (the caller's join stays a cheap semi-join on the id)."""
+    subset the corpus (the caller's join stays a cheap semi-join on the id).
+
+    NULL-url rows are EXCLUDED from the result: an unknown URL is not a
+    duplicate of other unknown URLs (same rule as the NULL-text exact-dup
+    path) — callers keep those docs unconditionally."""
     return (
         with_canonical_url(df, url_col)
+        .filter(F.col("url_canon").isNotNull())
         .groupBy("url_canon")
         .agg(
             F.min(id_col).alias("keep_id"),

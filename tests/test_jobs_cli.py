@@ -208,20 +208,23 @@ def test_curate_cli_url_dedup_and_fix_encoding(tmp_path, spark):
         (3, base + " three", "http://ex.com/a?k=1#top"),
         # doc 4: distinct URL, mojibake text -> kept, repaired
         (4, base + " cafÃ© visit itÃ¢â‚¬â„¢s fine", "http://ex.com/b"),
+        # docs 5-6: NULL urls must never group as duplicates -> both kept
+        (5, base + " five", None),
+        (6, base + " six", None),
     ]
     in_p, out_p = str(tmp_path / "in"), str(tmp_path / "out")
     spark.createDataFrame(rows, "doc_id long, text string, url string").write.parquet(in_p)
 
     s = _run(["sparkdoc/jobs/curate.py", "--input", in_p, "--out", out_p,
               "--url-dedup", "--fix-encoding", "--min-words", "5"])
-    assert s["n_input"] == 2  # post-url-dedup gate input
+    assert s["n_input"] == 4  # post-url-dedup gate input (incl. NULL-url docs)
     assert s["rejected_by_reason"] == {"url_dup": 2}
     assert s["knobs"]["url_dedup"] is True and s["knobs"]["fix_encoding"] is True
     kept = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(os.path.join(out_p, "kept")).collect()
     }
-    assert set(kept) == {1, 4}
+    assert set(kept) == {1, 4, 5, 6}
     assert "café" in kept[4] and "it’s" in kept[4] and "Ã" not in kept[4]
     rej = {
         r["doc_id"]: r["reject_reason"]

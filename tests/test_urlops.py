@@ -82,6 +82,17 @@ def test_url_dedup_groups(spark):
     assert (b["keep_id"], b["n_rows"], b["n_spellings"]) == (4, 2, 1)
 
 
+def test_url_dedup_null_urls_never_group(spark):
+    # unknown URLs are not duplicates of each other: NULL-url rows are
+    # excluded from the dedup result entirely (callers keep them)
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "http://ex.com/a")],
+        "doc_id bigint, url string",
+    )
+    got = url_dedup(df).collect()
+    assert len(got) == 1 and got[0]["url_canon"] == "http://ex.com/a"
+
+
 def test_with_canonical_keeps_rows(spark):
     df = spark.createDataFrame(
         [(1, "http://ex.com/x"), (2, None)], "doc_id bigint, url string"
