@@ -3222,10 +3222,20 @@ def oracle_sql() -> dict[str, str]:
     # in tests/test_mojibake.py) — 2 passes, order-preserving.
     from sparkdoc.textops import MOJIBAKE_TABLE
 
-    _fix_expr = "text"
-    for _ in range(2):
-        for _bad, _good in MOJIBAKE_TABLE:
-            _fix_expr = f"replace({_fix_expr}, '{_bad}', '{_good}')"
+    # DuckDB binds at most 128 nested expressions, so the 2x-pass replace
+    # chain is staged through CTEs of <=40 replaces each
+    _steps = [(b, g) for _ in range(2) for b, g in MOJIBAKE_TABLE]
+    _fix_ctes, _prev, _i = [], "text", 0
+    while _steps:
+        _chunk, _steps = _steps[:40], _steps[40:]
+        _e = _prev if _i else "text"
+        for _bad, _good in _chunk:
+            _e = f"replace({_e}, '{_bad}', '{_good}')"
+        _i += 1
+        _fix_ctes.append(
+            f"fx{_i} AS (SELECT doc_id, text, {_e} AS t FROM {'moj' if _i == 1 else f'fx{_i-1}'})"
+        )
+        _prev = "t"
     q["doc_fix_encoding"] = f"""
         WITH moj AS (
             SELECT doc_id,
@@ -3234,10 +3244,11 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN doc_id % 5 = 0 THEN '{_MOJ_SNIP2}' ELSE '' END
                    AS text
             FROM documents
-        )
-        SELECT doc_id, text, {_fix_expr} AS text_fixed,
-               CASE WHEN text IS DISTINCT FROM {_fix_expr} THEN 1 ELSE 0 END AS had_mojibake
-        FROM moj ORDER BY doc_id
+        ),
+        {', '.join(_fix_ctes)}
+        SELECT doc_id, text, t AS text_fixed,
+               CASE WHEN text IS DISTINCT FROM t THEN 1 ELSE 0 END AS had_mojibake
+        FROM fx{_i} ORDER BY doc_id
     """
     q["doc_segments"] = f"""
         WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)

@@ -91,16 +91,26 @@ def detect_language(col: Column) -> Column:
 
 #: characters whose UTF-8 bytes, mis-decoded as Windows-1252, produce the
 #: classic web mojibake ('Ã©' for 'é', 'â€™' for a right quote, ...). The
-#: repair table is GENERATED from this list by round-tripping each char
+#: repair table is GENERATED from these lists by round-tripping each char
 #: through the actual encodings, so the table cannot drift from the bytes.
-#: Scope: Latin-1 supplement letters + the common punctuation/symbol set —
-#: the deterministic, oracle-checkable core of what ftfy (Speer 2019,
-#: "ftfy: fixes text for you", zenodo 2591652) fixes heuristically.
-_MOJIBAKE_CHARS = (
-    "€’‘“”–—…•™"  # 3-byte UTF-8 (E2 xx xx): fixed FIRST, longest match
-    "éèêëáàâäãåóòôöõúùûüíìîïñçßÉ"  # C3 xx pairs
-    "°©®«»·£"  # C2 xx pairs
-)
+#: Scope: Latin-1 supplement letters + punctuation/symbols — the
+#: deterministic, oracle-checkable core of what ftfy (Speer 2019, "ftfy:
+#: fixes text for you", zenodo 2591652) fixes heuristically.
+#: 3-byte UTF-8 (E2/E2-82 sequences): fixed FIRST (their mojibake contains
+#: 'â' = a C3-pair lead that must not be consumed early)
+_MOJIBAKE_3BYTE = "€’‘“”–—…•™‰‚„†‡‹›"
+#: C2-xx pairs: the FULL U+00A0..U+00BF symbol block (incl. nbsp and soft
+#: hyphen) + 'Ÿ' (the cp1252 spelling of ß's second byte). Fixed BEFORE the
+#: C3 pairs so doubly-encoded letters ('ÃƒÂ¼') resolve: bridge -> 'ÃÂ¼',
+#: C2 pass -> 'Ã¼', second pass -> 'ü'.
+_MOJIBAKE_C2 = "\xa0¡¢£¤¥¦§¨©ª«¬\xad®¯°±²³´µ¶·¸¹º»¼½¾¿"
+#: other 2-byte pairs (C5/C6/CB leads): cp1252's 0x80-0x9F printables —
+#: these appear both as direct mojibake and as intermediates of doubly-
+#: encoded text ('Ÿ' is ß's second byte, '‚' is €'s)
+_MOJIBAKE_MISC2 = "ŸšŠžŽœŒƒˆ˜"
+#: C3-xx pairs: Latin-1 supplement letters + math symbols (Å/Æ/Ë double as
+#: the lead-byte bridges for the MISC2 class's double encodings)
+_MOJIBAKE_C3 = "éèêëáàâäãåóòôöõúùûüíìîïñçßÉÅÆË÷×"
 
 
 def _mojibake_of(ch: str) -> str:
@@ -116,15 +126,18 @@ def _mojibake_of(ch: str) -> str:
     return "".join(out)
 
 
-#: ordered (bad, good) pairs. Order matters within a pass: 3-byte sequences
-#: first (their cp1252 spellings contain 'â' which must not be re-fixed as a
-#: bare C3 A2 pair first), then the double-encode bridge 'Ãƒ'->'Ã', then the
-#: 2-byte pairs — so a singly-mis-decoded double encoding ('ÃƒÂ©') resolves
-#: within one pass.
+#: ordered (bad, good) pairs. Order matters within a pass: 3-byte sequences,
+#: then the double-encode bridges ('Ãƒ' = C3 83 -> 'Ã', 'Ã‚' = C2 82 lead
+#: -> 'Â' — the mojibake of the mojibake lead bytes), then C2 pairs, then
+#: C3 pairs — so a doubly-encoded char resolves within the two passes.
 MOJIBAKE_TABLE: list[tuple[str, str]] = (
-    [(_mojibake_of(c), c) for c in _MOJIBAKE_CHARS[:10]]
-    + [("Ãƒ", "Ã")]  # 'Ãƒ' -> 'Ã' (C3 83, the double-encode bridge)
-    + [(_mojibake_of(c), c) for c in _MOJIBAKE_CHARS[10:]]
+    [(_mojibake_of(c), c) for c in _MOJIBAKE_3BYTE]
+    # bridges: the mojibake of the C3/C2 lead bytes themselves, plus the
+    # cp1252-undefined 0x9D ('”'s third byte) behind a C2 lead
+    + [("Ãƒ", "Ã"), ("Ã‚", "Â"), ("Â\x9d", "\x9d")]
+    + [(_mojibake_of(c), c) for c in _MOJIBAKE_C2]
+    + [(_mojibake_of(c), c) for c in _MOJIBAKE_MISC2]
+    + [(_mojibake_of(c), c) for c in _MOJIBAKE_C3]
 )
 
 

@@ -16,7 +16,7 @@ def test_table_is_true_cp1252_misdecoding():
     # bad == cp1252-lenient-decode(utf8(good)) — the table is generated, so
     # this pins the generator against the real codecs
     for bad, good in MOJIBAKE_TABLE:
-        if (bad, good) == ("Ãƒ", "Ã"):
+        if (bad, good) in (("Ãƒ", "Ã"), ("Ã‚", "Â")):
             continue
         raw = good.encode("utf-8")
         expect = "".join(
@@ -50,6 +50,15 @@ def test_double_encoded_single_pair(spark):
     # 'é' encoded twice: utf8 -> cp1252 -> utf8 -> cp1252 = 'ÃƒÂ©'
     twice = "é".encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
     assert _fix(spark, twice) == ["é"]
+
+
+def test_double_encoded_symbols_and_letters(spark):
+    # C2-class symbols need the 'Ã‚'->'Â' bridge: '°' twice = 'Ã‚Â°'
+    def twice(ch):
+        return ch.encode("utf-8").decode("cp1252").encode("utf-8").decode("cp1252")
+
+    raws = [twice(c) for c in "°©«üñ"]
+    assert _fix(spark, *raws) == list("°©«üñ")
 
 
 def test_python_reference_agreement(spark):
