@@ -278,6 +278,18 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._doc_heavy_hitters(spark, sf_dir))
+    sections.append(("doc_heavy_hitters", p))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    checks.append(
+        (
+            "heavy hitters scans the data exactly twice (MG sketch pass +"
+            " combined count/total pass — the exact-verify floor)",
+            n_scans == 2,
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

@@ -68,17 +68,25 @@ def heavy_hitters(
               merged by union, any global heavy hitter survives in at least
               one partition summary (union of MG summaries is itself an MG
               summary of the concatenated stream, Agarwal et al. 2012)
-      pass 2  exact counts of the candidates only (broadcast semi-join) and
-              the integer threshold filter cnt·(k+1) > n — no float division,
-              so the kept set is engine-exact.
+      pass 2  ONE scan that counts candidates exactly AND totals the stream:
+              a broadcast left join marks candidate rows, every non-candidate
+              row folds into a single NULL group (map-side combine collapses
+              them immediately, so agg state stays ≤ candidates + 1), and
+              n = the sum of ALL group counts — recovered with an
+              unpartitioned window over the tiny aggregated set. The integer
+              threshold cnt·(k+1) > n has no float division, so the kept set
+              is engine-exact.
 
     ``exact=False`` skips pass 2 and returns (item, mg_count) lower bounds —
     the single-pass streaming shape.
 
     Returns (item, cnt) sorted nowhere; the caller orders. State per
-    executor is O(k); the only full-data shuffles are the candidate count
-    (keyed on ≤ k·partitions candidate items) and a scalar total count.
+    executor is O(k); the data is scanned exactly twice (the information-
+    theoretic floor for exact heavy hitters), and the only full-data shuffle
+    is keyed on ≤ k·partitions candidate items (+1 NULL group).
     """
+    from pyspark.sql import Window
+
     rows = df.select(F.col(col).alias("item")).filter(F.col("item").isNotNull())
     cands = (
         rows.mapInPandas(_mg_partition(k, "item"), schema="item string, mg_count long")
@@ -87,14 +95,17 @@ def heavy_hitters(
     )
     if not exact:
         return cands
-    n_total = rows.agg(F.count("*").alias("_n"))
-    counted = (
-        rows.join(F.broadcast(cands.select("item")), "item", "left_semi")
-        .groupBy("item")
-        .agg(F.count("*").alias("cnt"))
+    marked = rows.join(
+        F.broadcast(cands.select("item").withColumn("_cand", F.lit(1))), "item", "left"
     )
+    detail = marked.groupBy(
+        F.when(F.col("_cand") == 1, F.col("item")).alias("item")
+    ).agg(F.count("*").alias("cnt"))
+    # the detail groups partition the whole stream, so sum(cnt) over the
+    # (tiny: ≤ candidates + 1 rows) aggregate IS the stream length n
+    n = F.sum("cnt").over(Window.partitionBy())
     return (
-        counted.crossJoin(F.broadcast(n_total))
-        .filter(F.col("cnt") * (k + 1) > F.col("_n"))
+        detail.withColumn("_n", n)
+        .filter(F.col("item").isNotNull() & (F.col("cnt") * (k + 1) > F.col("_n")))
         .select("item", "cnt")
     )
