@@ -3172,7 +3172,7 @@ def oracle_sql() -> dict[str, str]:
                    || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
             FROM documents
         ),
-        u1 AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*$', '') AS u FROM urls_src),
+        u1 AS (SELECT doc_id, url, trim(regexp_replace(trim(url), '#.*$', '')) AS u FROM urls_src),
         u2 AS (
             SELECT *, regexp_extract(u, '^([^?]*)', 1) AS base,
                    CASE WHEN contains(u, '?') THEN regexp_replace(u, '^[^?]*\\?', '')

@@ -46,7 +46,9 @@ def canonical_url(col: Column) -> Column:
     """Canonical form of a URL column per the module contract. NULL in →
     NULL out; a value with no ``://`` authority is returned trimmed and
     fragment-stripped but otherwise untouched (no scheme to reason about)."""
-    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    # trim AFTER the fragment strip too: removing '#...' can expose
+    # whitespace that was mid-string at the first trim (idempotence fuzz)
+    u = F.trim(F.regexp_replace(F.trim(col), "#.*$", ""))
     base = F.regexp_extract(u, "^([^?]*)", 1)
     query = F.when(u.contains("?"), F.regexp_replace(u, "^[^?]*\\?", "")).otherwise(F.lit(""))
 

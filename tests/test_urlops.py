@@ -64,6 +64,24 @@ def test_idempotent(spark):
     assert once == twice
 
 
+def test_idempotent_fuzz(spark):
+    # seeded fuzz over URL-shaped strings: canonicalization must be a
+    # projection (canon(canon(x)) == canon(x)) for ANY input, including
+    # degenerate ones — one Spark batch for all examples
+    import random
+
+    rng = random.Random(42)
+    frags = [
+        "http://", "HTTPS://", "hTtP://", "EX.com", "ex.COM", ":80", ":443",
+        ":8080", "/", "//", "/A/b", "?", "&", "=", "#frag", "utm_x=1", "a=1",
+        "b", "ref=t", "refresh=2", "fbclid", "%20", "..", "@", " ", "é", "Ã",
+    ]
+    raws = ["".join(rng.choice(frags) for _ in range(rng.randint(0, 8))) for _ in range(400)]
+    once = _canon(spark, *raws)
+    twice = _canon(spark, *once)
+    assert once == twice
+
+
 def test_url_dedup_groups(spark):
     df = spark.createDataFrame(
         [
