@@ -2439,6 +2439,28 @@ def _doc_url_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_docs_urls(spark, sf_dir)).orderBy("url_canon")
 
 
+def _doc_url_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host + registrable-domain extraction (PSL-subset rule): synthetic
+    hosts mix www/sub prefixes, .com vs .co.uk suffixes, ports and
+    userinfo; the oracle rebuilds the same strings and mirrors the
+    label-slice rule."""
+    from sparkdoc.urlops import with_url_domain
+
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(did % 7 == 0, F.lit("User@")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("sub.")).otherwise(F.lit("")),
+        F.lit("Site"), (did % 30).cast("string"),
+        F.when(did % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".Com")),
+        F.when(did % 5 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), (did % 10).cast("string"),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return with_url_domain(d).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2481,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_canon": _doc_url_canon,
         "doc_url_dups": _doc_url_dups,
         "doc_fix_encoding": _doc_fix_encoding,
+        "doc_url_domain": _doc_url_domain,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -3249,6 +3272,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, text, t AS text_fixed,
                CASE WHEN text IS DISTINCT FROM t THEN 1 ELSE 0 END AS had_mojibake
         FROM fx{_i} ORDER BY doc_id
+    """
+    # Host/registrable-domain twin (_doc_url_domain / urlops.url_host +
+    # registered_domain): the two-level-suffix predicate is generated from
+    # the SAME TWO_LEVEL_SUFFIXES constant the engine uses.
+    from sparkdoc.urlops import TWO_LEVEL_SUFFIXES
+
+    _suf_pred = " OR ".join(
+        f"host LIKE '%.{s}' OR host = '{s}'" for s in TWO_LEVEL_SUFFIXES
+    )
+    q["doc_url_domain"] = f"""
+        WITH urls2 AS (
+            SELECT doc_id,
+                   'http://'
+                   || (CASE WHEN doc_id % 7 = 0 THEN 'User@' ELSE '' END)
+                   || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END)
+                   || 'Site' || CAST(doc_id % 30 AS VARCHAR)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.Com' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+                   || '/p/' || CAST(doc_id % 10 AS VARCHAR) AS url
+            FROM documents
+        ),
+        hosts AS (
+            SELECT doc_id, url,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                       '^[^@]*@', ''), ':[0-9]*$', '') AS host
+            FROM urls2
+        ),
+        doms AS (
+            SELECT *, string_split(host, '.') AS labels,
+                   CASE WHEN {_suf_pred} THEN 3 ELSE 2 END AS keep
+            FROM hosts
+        )
+        SELECT doc_id, url, host,
+               CASE WHEN len(labels) <= keep THEN host
+                    ELSE array_to_string(labels[(len(labels) - keep + 1):], '.')
+               END AS domain
+        FROM doms ORDER BY doc_id
     """
     q["doc_segments"] = f"""
         WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)

@@ -74,6 +74,50 @@ def canonical_url(col: Column) -> Column:
     return F.when(authority == "", u).otherwise(canon)
 
 
+#: multi-label public suffixes (PSL subset): when a host ends in one of
+#: these, the registered domain keeps THREE labels, not two. The full
+#: Mozilla Public Suffix List is thousands of entries; this embeds the
+#: high-traffic country-code second-level suffixes — swap in the full list
+#: as a broadcast table for production crawls.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "com.tr",
+)
+
+
+def url_host(col: Column) -> Column:
+    """The lowercased host of a URL (no scheme, no port, no userinfo, no
+    path). Empty string when the value has no ``://`` authority."""
+    auth = F.lower(F.regexp_extract(col, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    no_user = F.regexp_replace(auth, "^[^@]*@", "")
+    return F.regexp_replace(no_user, ":[0-9]*$", "")
+
+
+def registered_domain(host: Column) -> Column:
+    """The registrable domain of a host: the last two labels, or the last
+    THREE when the host ends in a two-level public suffix (so
+    'a.b.example.co.uk' -> 'example.co.uk', 'www.example.com' ->
+    'example.com'). Hosts with fewer labels pass through unchanged. Pure
+    exprs: split + slice + array_join, no UDF."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    two_level = F.lit(False)
+    for suf in TWO_LEVEL_SUFFIXES:
+        two_level = two_level | host.endswith("." + suf) | (host == F.lit(suf))
+    keep = F.when(two_level, F.lit(3)).otherwise(F.lit(2))
+    return F.when(
+        n <= keep, host
+    ).otherwise(F.array_join(F.slice(labels, n - keep + 1, keep), "."))
+
+
+def with_url_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``host`` and ``domain`` (registrable domain) — the grouping key
+    for per-domain caps/rebalancing (filters.cap_per_group). Map-side only."""
+    h = url_host(F.col(url_col))
+    return df.withColumn("host", h).withColumn("domain", registered_domain(F.col("host")))
+
+
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds ``url_canon`` — the canonical form of ``df[url_col]``."""
     return df.withColumn("url_canon", canonical_url(F.col(url_col)))

@@ -3,7 +3,14 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from sparkdoc.urlops import canonical_url, url_dedup, with_canonical_url
+from sparkdoc.urlops import (
+    canonical_url,
+    registered_domain,
+    url_dedup,
+    url_host,
+    with_canonical_url,
+    with_url_domain,
+)
 
 
 def _canon(spark, *urls: str | None) -> list[str | None]:
@@ -109,6 +116,38 @@ def test_url_dedup_null_urls_never_group(spark):
     )
     got = url_dedup(df).collect()
     assert len(got) == 1 and got[0]["url_canon"] == "http://ex.com/a"
+
+
+HOST_CASES = [
+    ("HTTP://WWW.Example.COM/path?q=1", "www.example.com", "example.com"),
+    ("https://a.b.Example.co.uk:8443/x", "a.b.example.co.uk", "example.co.uk"),
+    ("http://user:pw@Sub.Site.ORG:80/", "sub.site.org", "site.org"),
+    ("https://example.com", "example.com", "example.com"),
+    ("http://co.uk/odd", "co.uk", "co.uk"),  # bare suffix passes through
+    ("http://localhost:9000/x", "localhost", "localhost"),
+    ("http://deep.x.y.example.com.au/", "deep.x.y.example.com.au", "example.com.au"),
+    ("mailto:bob@example.com", "", ""),  # no authority
+    ("not a url", "", ""),
+]
+
+
+@pytest.mark.parametrize("raw,host,dom", HOST_CASES)
+def test_host_and_domain(spark, raw, host, dom):
+    df = spark.createDataFrame([(raw,)], "url string")
+    r = df.select(
+        url_host(F.col("url")).alias("h"),
+        registered_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()[0]
+    assert (r["h"], r["d"]) == (host, dom)
+
+
+def test_with_url_domain_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "http://www.a.co.uk/x"), (2, None)], "doc_id bigint, url string"
+    )
+    out = {r["doc_id"]: r for r in with_url_domain(df).collect()}
+    assert (out[1]["host"], out[1]["domain"]) == ("www.a.co.uk", "a.co.uk")
+    assert (out[2]["host"], out[2]["domain"]) == (None, None)
 
 
 def test_with_canonical_keeps_rows(spark):
