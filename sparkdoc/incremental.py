@@ -78,6 +78,38 @@ def delta_exact_dups(
     return fps.join(exact_index, "fp").select(id_col, F.col("keep_id").alias("dup_of"))
 
 
+def delta_exact_dups_full(
+    new_docs: DataFrame,
+    exact_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Like `delta_exact_dups`, but ALSO catches duplicates INSIDE the
+    delta batch (two identical new docs, neither in the corpus): per fp the
+    keeper is the corpus keep_id when the index has the fp, else the min
+    new id; every other delta doc with that fp reports (id, dup_of=keeper).
+    When the fp is in the corpus, every delta copy is a dup (dup_of points
+    at the corpus keeper), matching `delta_exact_dups`."""
+    fps = new_docs.select(
+        id_col, doc_fingerprint(F.col(text_col)).alias("fp")
+    ).filter(F.col("fp").isNotNull())
+    resolved = (
+        fps.groupBy("fp")
+        .agg(F.min(id_col).alias("_min_new"))
+        .join(exact_index, "fp", "left")
+        .select(
+            "fp",
+            F.coalesce("keep_id", "_min_new").alias("_keeper"),
+            F.col("keep_id").isNotNull().alias("_in_corpus"),
+        )
+    )
+    return (
+        fps.join(resolved, "fp")
+        .filter(F.col("_in_corpus") | (F.col(id_col) != F.col("_keeper")))
+        .select(id_col, F.col("_keeper").alias("dup_of"))
+    )
+
+
 def delta_near_dups(
     new_docs: DataFrame,
     corpus: DataFrame,

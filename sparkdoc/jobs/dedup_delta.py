@@ -53,7 +53,7 @@ def main() -> None:
     from sparkdoc.incremental import (
         build_band_index,
         build_exact_index,
-        delta_exact_dups,
+        delta_exact_dups_full,
         delta_near_dups,
         update_band_index,
         update_exact_index,
@@ -90,7 +90,9 @@ def main() -> None:
     exact_idx = spark.read.parquet(exact_path)
     band_idx = spark.read.parquet(bands_path)
 
-    exact = delta_exact_dups(delta, exact_idx).withColumn("kind", F.lit("exact")).withColumn("jaccard", F.lit(1.0))
+    # _full: also collapses duplicates INSIDE the delta batch (two identical
+    # new docs -> one keeper), not just delta-vs-corpus hits
+    exact = delta_exact_dups_full(delta, exact_idx).withColumn("kind", F.lit("exact")).withColumn("jaccard", F.lit(1.0))
     dups = exact
     if args.near_dup:
         survivors0 = delta.join(exact.select("doc_id"), "doc_id", "left_anti")

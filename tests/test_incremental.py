@@ -76,3 +76,21 @@ def test_update_band_index_appends(spark):
     idx2 = update_band_index(idx, _df(spark, [(2, LONG_B)]), bands=4)
     assert idx2.count() == 8
     assert {r.doc_id for r in idx2.select("doc_id").distinct().collect()} == {1, 2}
+
+
+def test_delta_exact_dups_full_internal(spark):
+    from sparkdoc.incremental import build_exact_index, delta_exact_dups_full
+
+    corpus = _df(spark, [(1, LONG_A), (2, LONG_B)])
+    idx = build_exact_index(corpus)
+    fresh = "totally new sentence that the corpus has never seen before today"
+    new = _df(spark, [
+        (10, LONG_A),    # corpus dup -> dup_of 1
+        (11, LONG_A),    # corpus dup too (internal twin of 10) -> dup_of 1
+        (12, fresh),     # internal keeper
+        (13, fresh),     # internal dup -> dup_of 12
+        (14, "unique survivor text that matches nothing else anywhere at all"),
+        (15, None),      # NULL text: never a duplicate
+    ])
+    dups = {(r.doc_id, r.dup_of) for r in delta_exact_dups_full(new, idx).collect()}
+    assert dups == {(10, 1), (11, 1), (13, 12)}
