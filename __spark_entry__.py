@@ -2439,6 +2439,25 @@ def _doc_url_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_docs_urls(spark, sf_dir)).orderBy("url_canon")
 
 
+def _doc_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size via HLL++ sketch with exact validation:
+    the gate pins the EXACT distinct-word count per source plus the sketch's
+    within-tolerance self-check (the oracle asserts TRUE — an estimate
+    drifting past 5·rsd fails the hash compare). n_estimate itself is
+    engine-specific and excluded from the compared columns."""
+    from sparkdoc.sketches import approx_distinct_by
+    from sparkdoc.textops import words
+
+    terms = _docs(spark, sf_dir).select(
+        "source", F.explode(words(F.col("text"))).alias("w")
+    )
+    return (
+        approx_distinct_by(terms, "source", "w", rsd=0.02, exact=True)
+        .select("source", "n_distinct", F.col("within_tol").cast("int").alias("within_tol"))
+        .orderBy("source")
+    )
+
+
 def _doc_url_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host + registrable-domain extraction (PSL-subset rule): synthetic
     hosts mix www/sub prefixes, .com vs .co.uk suffixes, ports and
@@ -2504,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dups": _doc_url_dups,
         "doc_fix_encoding": _doc_fix_encoding,
         "doc_url_domain": _doc_url_domain,
+        "doc_vocab_sketch": _doc_vocab_sketch,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -3272,6 +3292,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, text, t AS text_fixed,
                CASE WHEN text IS DISTINCT FROM t THEN 1 ELSE 0 END AS had_mojibake
         FROM fx{_i} ORDER BY doc_id
+    """
+    # Vocabulary-sketch twin (_doc_vocab_sketch): DuckDB verifies the exact
+    # per-source distinct-word count and asserts the HLL tolerance held
+    # (within_tol literal 1 — a drifting estimate fails the value hash).
+    q["doc_vocab_sketch"] = f"""
+        WITH w AS (SELECT source, unnest({_WORDS_SQL}) AS w FROM documents)
+        SELECT source, count(DISTINCT w) AS n_distinct, 1 AS within_tol
+        FROM w GROUP BY source ORDER BY source
     """
     # Host/registrable-domain twin (_doc_url_domain / urlops.url_host +
     # registered_domain): the two-level-suffix predicate is generated from

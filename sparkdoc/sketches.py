@@ -24,6 +24,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def approx_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rsd: float = 0.02,
+    exact: bool = False,
+) -> DataFrame:
+    """Distinct-value cardinality per group via HyperLogLog++ (Heule et al.
+    2013 — Spark's `approx_count_distinct`): mergeable constant-size sketch
+    state per group, ONE map-side-combined shuffle keyed on the group —
+    the only way to count a 100 TB corpus vocabulary without shuffling every
+    distinct value. The estimate is deterministic for a given dataset and
+    ``rsd`` (the sketch hash has no seed), so results are reproducible
+    run-to-run, but NOT bit-portable across engines.
+
+    ``exact=True`` adds ``n_distinct`` (true count — a full shuffle of the
+    distinct pairs; use only where that is affordable, e.g. validation) and
+    ``within_tol`` = |estimate − exact| ≤ 5·rsd·exact, the self-check the
+    correctness gate pins (the DuckDB twin verifies the exact count and
+    asserts the tolerance held).
+
+    Returns (group_col, n_estimate[, n_distinct, within_tol])."""
+    aggs = [F.approx_count_distinct(value_col, rsd).alias("n_estimate")]
+    if exact:
+        aggs.append(F.count_distinct(value_col).alias("n_distinct"))
+    out = df.groupBy(group_col).agg(*aggs)
+    if exact:
+        out = out.withColumn(
+            "within_tol",
+            (
+                F.abs(F.col("n_estimate") - F.col("n_distinct"))
+                <= F.lit(5 * rsd) * F.col("n_distinct")
+            ),
+        )
+    return out
+
+
 def _mg_partition(k: int, col: str):
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one Misra-Gries summary per PARTITION: the dict persists across the

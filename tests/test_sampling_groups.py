@@ -125,3 +125,27 @@ def test_stratified_hash_sample_per_stratum_fractions(spark):
     # every en kept, no de kept
     assert sum(1 for _, l in got if l == "en") == 1000
     assert all(l != "de" for _, l in got)
+
+
+def test_approx_distinct_by_sketch_and_exact(spark):
+    from sparkdoc.sketches import approx_distinct_by
+
+    # 3 groups with known distinct counts (values repeat within groups)
+    rows = [("a", f"v{i % 50}") for i in range(500)]
+    rows += [("b", f"v{i}") for i in range(200)]
+    rows += [("c", "only")] * 30
+    df = spark.createDataFrame(rows, "g string, v string")
+
+    est = {r["g"]: r for r in approx_distinct_by(df, "g", "v").collect()}
+    assert set(est) == {"a", "b", "c"}
+    # rsd 0.02 -> estimates land well within 10% at these cardinalities
+    for g, exact in (("a", 50), ("b", 200), ("c", 1)):
+        assert abs(est[g]["n_estimate"] - exact) <= max(1, 0.1 * exact)
+
+    full = {r["g"]: r for r in approx_distinct_by(df, "g", "v", exact=True).collect()}
+    assert {g: full[g]["n_distinct"] for g in full} == {"a": 50, "b": 200, "c": 1}
+    assert all(full[g]["within_tol"] for g in full)
+
+    # deterministic: the sketch has no seed, so re-running reproduces it
+    again = {r["g"]: r["n_estimate"] for r in approx_distinct_by(df, "g", "v").collect()}
+    assert again == {g: est[g]["n_estimate"] for g in est}
