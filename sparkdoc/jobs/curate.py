@@ -48,6 +48,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
@@ -114,6 +115,7 @@ def main() -> None:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    t_start = time.monotonic()  # post-session: pipeline wall, not JVM boot
     raw = spark.read.parquet(args.input)
     url_rejected = None
     if args.url_dedup:
@@ -206,6 +208,7 @@ def main() -> None:
     summary = {
         "job": "curate",
         "input": args.input,
+        "wall_s": round(time.monotonic() - t_start, 3),
         "n_input": docs.count(),
         "n_kept": spark.read.parquet(os.path.join(args.out, "kept")).count(),
         "rejected_by_reason": dict(sorted(by_reason.items())),

@@ -41,6 +41,7 @@ def run_report_markdown(
     edge_counts: Iterable[tuple[str, int]] = (),
     warnings: Iterable[str] = (),
     config: dict[str, Any] | None = None,
+    extra_tables: Iterable[tuple[str, Iterable[tuple[str, Any]]]] = (),
 ) -> str:
     """Markdown run report (stages.py:905-1001 analog): deterministic section
     order, sorted keys — snapshot-testable."""
@@ -61,6 +62,8 @@ def run_report_markdown(
         table("Nodes by class", sorted(class_counts))
     if edge_counts:
         table("Edges by label", sorted(edge_counts))
+    for title, rows in extra_tables:
+        table(title, rows)
     if coverage:
         table("Coverage", sorted(coverage.items()))
     if validation:

@@ -231,3 +231,37 @@ def test_curate_cli_url_dedup_and_fix_encoding(tmp_path, spark):
         for r in spark.read.parquet(os.path.join(out_p, "rejected")).collect()
     }
     assert rej == {2: "url_dup", 3: "url_dup"}
+
+
+def test_corpus_stats_cli(tmp_path, spark):
+    """corpus_stats job: exact totals, exact top terms, exact-dup rate and
+    url-dup/domain rollups on a hand corpus where every number is known."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 words
+    rows = [
+        (1, base + " alpha alpha", "http://a.example.com/x", "s1"),   # alpha x3
+        (2, base + " alpha alpha", "HTTP://a.example.com/x/", "s1"),  # exact dup of 1, url dup of 1
+        (3, base + " beta", "http://b.other.org/y", "s2"),            # beta x2
+        (4, "cafÃ© " + base, "http://c.other.org/z", "s2"),           # mojibake
+    ]
+    in_p, out_p = str(tmp_path / "docs"), str(tmp_path / "stats")
+    spark.createDataFrame(rows, "doc_id long, text string, url string, source string").write.parquet(in_p)
+
+    s = _run(["sparkdoc/jobs/corpus_stats.py", "--input", in_p, "--out", out_p,
+              "--top-terms", "3", "--top-domains", "2"])
+    assert s["n_docs"] == 4
+    assert s["n_distinct_texts"] == 3
+    assert s["exact_dup_rate"] == 0.25          # doc 2 beyond first of its group
+    assert s["mojibake_rate"] == 0.25           # doc 4 only
+    assert s["by_source"] == {"s1": 2, "s2": 2}
+    # alpha appears 3x in docs 1 and 2, 1x in docs 3 and 4 -> 8
+    assert s["top_terms"][0] == ["alpha", 8]
+    assert len(s["top_terms"]) == 3
+    assert s["url_dup_rate"] == 0.25            # doc 2's url re-spells doc 1's
+    assert dict(s["top_domains"]) == {"example.com": 2, "other.org": 2}
+    # vocab: 10 base + cafe variants; HLL at this size is exact for small sets
+    assert s["vocab_estimate_hll"] >= 10
+    rep = open(os.path.join(out_p, "report.md")).read()
+    assert "## Top terms" in rep and "alpha" in rep
+    assert "## Language distribution" in rep
+    st = json.load(open(os.path.join(out_p, "stats.json")))
+    assert st["n_docs"] == 4
