@@ -2318,6 +2318,24 @@ def _doc_delta_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("jaccard", F.round("jaccard", 6)).orderBy("doc_id")
 
 
+def _doc_delta_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned delta admission: a constant-size membership sketch over
+    the corpus fp index clears 'definitely new' delta docs without touching
+    the index; only the maybes anti-join it. Output = the admitted (non-
+    duplicate) delta doc ids — EXACT regardless of sketch false positives
+    (no false negatives + join-verified maybes), so the oracle is the plain
+    anti-join."""
+    from sparkdoc.incremental import build_exact_index, delta_new_docs
+    from sparkdoc.sketches import bloom_build
+
+    old, new = _docs_delta(spark, sf_dir)
+    idx = build_exact_index(old)
+    # index build is a job boundary: sizing the sketch with one count is the
+    # documented production pattern (no mid-plan action downstream)
+    bloom = bloom_build(idx, "fp", n_expected=idx.count(), fpp=0.01)
+    return delta_new_docs(new, idx, bloom=bloom).select("doc_id").orderBy("doc_id")
+
+
 def _doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one bigram LM quality score (self-contained CCNet
     perplexity analog); the hostile corpus mixes real docs with junk/markup
@@ -2516,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _doc_top_terms,
         "doc_delta_exact": _doc_delta_exact,
         "doc_delta_near": _doc_delta_near,
+        "doc_delta_bloom": _doc_delta_bloom,
         "doc_lm_score": _doc_lm_score,
         "doc_pack": _doc_pack,
         "doc_heavy_hitters": _doc_heavy_hitters,
@@ -3077,6 +3096,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT n.doc_id, i.keep_id AS dup_of
         FROM (SELECT doc_id, {_FP} AS fp FROM newdocs WHERE text IS NOT NULL) n
         JOIN idx i USING (fp)
+        ORDER BY n.doc_id
+    """
+
+    # bloom-pruned admission is EXACT (sketch has no false negatives and
+    # maybes are join-verified), so its oracle is the plain anti-join —
+    # NULL-fp (NULL-text) delta docs are always admitted
+    q["doc_delta_bloom"] = f"""
+        WITH newdocs AS ({_DELTA_SQL}),
+        idx AS (
+            SELECT DISTINCT {_FP} AS fp
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT n.doc_id
+        FROM (SELECT doc_id, {_FP} AS fp FROM newdocs) n
+        LEFT JOIN idx i ON n.fp = i.fp
+        WHERE i.fp IS NULL
         ORDER BY n.doc_id
     """
 

@@ -192,3 +192,37 @@ def update_band_index(
     return band_index.unionByName(
         build_band_index(kept_new_docs, text_col, id_col, k, bands, n)
     )
+
+
+def delta_new_docs(
+    new_docs: DataFrame,
+    exact_index: DataFrame,
+    bloom=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The delta docs that are NOT exact duplicates of any corpus doc — the
+    admission set delta ingestion appends. Without ``bloom``: one anti-join
+    on the fp. With a ``BloomFilter`` built over the index's fp column
+    (sketches.bloom_build), the join is PRE-PRUNED: a constant-size
+    broadcast probe clears 'definitely new' docs without touching the
+    index, and only the 'maybe' docs (true members + ~fpp false positives)
+    anti-join it. On a mostly-fresh crawl the join traffic drops from
+    |delta| to ≈ fpp·|delta| rows while the result stays EXACT — no false
+    negatives means a probe-False doc cannot be in the index, and every
+    probe-True doc is verified by the join. NULL-text docs are always
+    admitted (unknown contents are not duplicates)."""
+    fps = new_docs.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+    idx = exact_index.select(F.col("fp").alias("_fp"))
+    if bloom is None:
+        verified = fps.filter(F.col("_fp").isNotNull()).join(idx, "_fp", "left_anti")
+    else:
+        from sparkdoc.sketches import bloom_might_contain
+
+        probed = bloom_might_contain(
+            fps.filter(F.col("_fp").isNotNull()), "_fp", bloom, out="_maybe"
+        )
+        definite_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+        maybes = probed.filter(F.col("_maybe")).drop("_maybe")
+        verified = definite_new.unionByName(maybes.join(idx, "_fp", "left_anti"))
+    return verified.unionByName(fps.filter(F.col("_fp").isNull())).drop("_fp")

@@ -146,3 +146,132 @@ def heavy_hitters(
         .filter(F.col("item").isNotNull() & (F.col("cnt") * (k + 1) > F.col("_n")))
         .select("item", "cnt")
     )
+
+
+# --- Bloom filter ----------------------------------------------------------------
+
+
+class BloomFilter:
+    """Fixed-size membership sketch: ``might_contain`` is True for EVERY
+    inserted value (no false negatives — build and probe hash identically:
+    JVM ``xxhash64`` double-hashed per Kirsch & Mitzenmacher 2006,
+    "Less hashing, same performance") and True for a non-member with
+    probability ≈ ``fpp``. The bitmap is a plain ``bytes`` value — ship it
+    with ``sc.broadcast`` or persist it next to the index it summarizes.
+    """
+
+    __slots__ = ("bits", "m", "k")
+
+    def __init__(self, bits: bytes, m: int, k: int):
+        self.bits, self.m, self.k = bits, m, k
+
+    @staticmethod
+    def params(n_expected: int, fpp: float) -> tuple[int, int]:
+        """Optimal (m_bits, k_hashes) for n items at false-positive rate p:
+        m = -n·ln p / (ln 2)², k = (m/n)·ln 2. m is rounded up to a whole
+        number of bytes."""
+        import math
+
+        n = max(1, n_expected)
+        m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+        m = ((m + 7) // 8) * 8
+        k = max(1, round(m / n * math.log(2)))
+        return m, k
+
+    def to_dict(self) -> dict:
+        import base64
+
+        return {"m": self.m, "k": self.k, "bits_b64": base64.b64encode(self.bits).decode()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "BloomFilter":
+        import base64
+
+        return cls(base64.b64decode(d["bits_b64"]), d["m"], d["k"])
+
+
+_BLOOM_H2_SEED = -1640531527  # golden-ratio constant; any fixed literal works
+
+
+def _bloom_hash_cols(col):
+    """The two JVM-side 64-bit hashes both build and probe derive positions
+    from — computing them in Spark (not Python) keeps the hot path codegen
+    and guarantees build/probe hash agreement byte-for-byte. ``xxhash64``
+    never returns NULL (a NULL input hashes to the seed), so NULL inputs
+    are masked explicitly: NULL value → NULL hashes → skipped/NULL probe."""
+    null = F.lit(None).cast("long")
+    return (
+        F.when(col.isNull(), null).otherwise(F.xxhash64(col)),
+        F.when(col.isNull(), null).otherwise(F.xxhash64(col, F.lit(_BLOOM_H2_SEED))),
+    )
+
+
+def _bloom_positions(h1, h2, m: int, k: int):
+    """Vectorized Kirsch-Mitzenmacher positions: (h1 + i·h2) mod m for
+    i in [0, k), computed in uint64 wraparound arithmetic. Returns a
+    (len, k) index array."""
+    import numpy as np
+
+    u1 = h1.to_numpy(dtype="int64").view("uint64")[:, None]
+    u2 = h2.to_numpy(dtype="int64").view("uint64")[:, None]
+    i = np.arange(k, dtype="uint64")[None, :]
+    return ((u1 + i * u2) % np.uint64(m)).astype("int64")
+
+
+def bloom_build(df: DataFrame, col: str, n_expected: int, fpp: float = 0.01) -> BloomFilter:
+    """Build a Bloom filter over ``df[col]`` (NULLs skipped). One pass:
+    each partition sets bits in its own m/8-byte bitmap (vectorized numpy
+    over Arrow batches), emits the bitmap once, and the per-partition
+    bitmaps are OR-merged. Merge traffic is partitions × m/8 bytes —
+    independent of row count, the property that makes the sketch usable as
+    a 100 TB index summary. ``n_expected`` is explicit (no mid-plan count):
+    size it from the index build, which is a job boundary anyway."""
+    import numpy as np
+
+    m, k = BloomFilter.params(n_expected, fpp)
+    hashes = df.select(*(h.alias(n) for h, n in zip(_bloom_hash_cols(F.col(col)), ("h1", "h2")))).filter(
+        F.col("h1").isNotNull()
+    )
+
+    def set_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bmp = np.zeros(m // 8, dtype="uint8")
+        seen = False
+        for b in batches:
+            if not len(b):
+                continue
+            seen = True
+            pos = _bloom_positions(b["h1"], b["h2"], m, k).ravel()
+            np.bitwise_or.at(bmp, pos >> 3, np.uint8(1) << (pos & 7).astype("uint8"))
+        if seen:
+            yield pd.DataFrame({"bmp": [bmp.tobytes()]})
+
+    parts = hashes.mapInPandas(set_bits, schema="bmp binary").collect()
+    acc = np.zeros(m // 8, dtype="uint8")
+    for r in parts:  # ≤ one bitmap per partition; production: treeReduce
+        acc |= np.frombuffer(r["bmp"], dtype="uint8")
+    return BloomFilter(acc.tobytes(), m, k)
+
+
+def bloom_might_contain(df: DataFrame, col: str, bloom: BloomFilter, out: str = "might_contain") -> DataFrame:
+    """Adds boolean ``out``: False ⇒ the value was definitely never
+    inserted; True ⇒ it may have been (verify exactly downstream). NULL
+    values probe NULL. The bitmap rides the closure (Spark broadcasts task
+    binaries); the probe is a vectorized Arrow-batched pandas UDF."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    bits, m, k = bloom.bits, bloom.m, bloom.k
+
+    @pandas_udf("boolean")
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bmp = np.frombuffer(bits, dtype="uint8")
+        if not len(h1):
+            return pd.Series([], dtype="object")
+        pos = _bloom_positions(h1.fillna(0), h2.fillna(0), m, k)
+        hit = (bmp[pos >> 3] & (np.uint8(1) << (pos & 7).astype("uint8"))) != 0
+        res = pd.Series(hit.all(axis=1))
+        return res.mask(h1.isna(), None)
+
+    h1, h2 = _bloom_hash_cols(F.col(col))
+    return df.withColumn(out, _probe(h1, h2))
