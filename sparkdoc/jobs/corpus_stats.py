@@ -88,6 +88,9 @@ def main() -> None:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("quality_keep").alias("n_quality_keep"),
         F.sum("had_mojibake").alias("n_mojibake"),
+        # doc-length distribution via the Greenwald-Khanna quantile sketch
+        # (constant state per executor; exact at small corpora)
+        F.percentile_approx("n_tokens", [0.5, 0.9, 0.99], 10000).alias("tok_pcts"),
     ).collect()[0]
     n_docs = totals["n_docs"]
 
@@ -165,6 +168,9 @@ def main() -> None:
         "mojibake_rate": round((totals["n_mojibake"] or 0) / n_docs, 6) if n_docs else None,
         "exact_dup_rate": round(dup_row["n_dup_docs"] / n_docs, 6) if n_docs else None,
         "n_distinct_texts": dup_row["n_distinct_texts"],
+        "tokens_p50": totals["tok_pcts"][0] if totals["tok_pcts"] else None,
+        "tokens_p90": totals["tok_pcts"][1] if totals["tok_pcts"] else None,
+        "tokens_p99": totals["tok_pcts"][2] if totals["tok_pcts"] else None,
         "vocab_estimate_hll": vocab_estimate,
         "by_lang": dict(sorted(by_lang.items())),
         "by_source": dict(sorted(by_source.items())),

@@ -260,6 +260,8 @@ def test_corpus_stats_cli(tmp_path, spark):
     assert dict(s["top_domains"]) == {"example.com": 2, "other.org": 2}
     # vocab: 10 base + cafe variants; HLL at this size is exact for small sets
     assert s["vocab_estimate_hll"] >= 10
+    # docs 1,2 have 12 tokens; GK sketch is exact at this scale
+    assert s["tokens_p50"] >= 11 and s["tokens_p99"] >= s["tokens_p50"]
     rep = open(os.path.join(out_p, "report.md")).read()
     assert "## Top terms" in rep and "alpha" in rep
     assert "## Language distribution" in rep
