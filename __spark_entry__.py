@@ -2357,6 +2357,43 @@ def _doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=512, n_groups=8).orderBy("doc_id")
 
 
+#: DSIR gate parameters — target corpus = every 17th doc (a deterministic
+#: topical-slice stand-in); small bucket space so collisions are exercised.
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_MOD = 17
+_DSIR_K = 50
+_DSIR_SEED = 7
+
+
+def _dsir_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.filter(F.col("doc_id") % _DSIR_TARGET_MOD == 0), d
+
+
+def _doc_dsir_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR bucket model fit (Xie et al. 2023): hashed unigram+bigram counts
+    on a target slice vs the raw pool, add-one smoothed log-ratio quantized
+    to integer micro-units. Oracle recomputes the whole chain (md5 bucket
+    hash, dense spine, ln ratio) in SQL."""
+    from sparkdoc.selection import fit_dsir_model
+
+    target, raw = _dsir_frames(spark, sf_dir)
+    return fit_dsir_model(target, raw, n_buckets=_DSIR_BUCKETS).orderBy("bucket")
+
+
+def _doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection: exact BIGINT importance weights
+    (cnt · lr_e6 sums) + deterministic md5-derived Gumbel keys; top-50 by
+    score. The full fit→weight→sample chain is replayed by the SQL twin."""
+    from sparkdoc.selection import dsir_select, fit_dsir_model
+
+    target, raw = _dsir_frames(spark, sf_dir)
+    model = fit_dsir_model(target, raw, n_buckets=_DSIR_BUCKETS)
+    return dsir_select(
+        raw, model, k=_DSIR_K, seed=_DSIR_SEED, n_buckets=_DSIR_BUCKETS
+    ).orderBy("rank")
+
+
 def _emb_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar-quantized ANN: corpus encoded to 8-bit codes against exact
     per-dimension min/max (order-independent aggregates — bit-identical
@@ -2537,6 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_delta_bloom": _doc_delta_bloom,
         "doc_lm_score": _doc_lm_score,
         "doc_pack": _doc_pack,
+        "doc_dsir_model": _doc_dsir_model,
+        "doc_dsir_select": _doc_dsir_select,
         "doc_heavy_hitters": _doc_heavy_hitters,
         "doc_url_canon": _doc_url_canon,
         "doc_url_dups": _doc_url_dups,
@@ -3217,6 +3256,78 @@ def oracle_sql() -> dict[str, str]:
                            - n_tokens) / 512.0) AS INT) AS shard_seq
         FROM t
         ORDER BY doc_id
+    """
+    # DSIR twins (sparkdoc/selection.py): the same hashed-ngram bucket model,
+    # integer micro-unit log-ratios, BIGINT weight sums and md5-Gumbel keys,
+    # replayed end-to-end in SQL. Shared CTE chain for both entries.
+    _dsir_cte = f"""
+        w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        uni AS (SELECT doc_id, 'u:' || unnest(ws) AS f FROM w),
+        bi AS (
+            SELECT doc_id, 'b:' || ws[i] || ' ' || ws[i + 1] AS f
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 1)) AS i FROM w)
+        ),
+        feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        fb AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(f || 'dsir'), 1, 15))::UBIGINT
+                        % 256 AS BIGINT) AS bucket
+            FROM feats
+        ),
+        cnts AS (SELECT doc_id, bucket, count(*) AS cnt
+                 FROM fb GROUP BY doc_id, bucket),
+        tc AS (SELECT bucket, sum(cnt) AS t_cnt FROM cnts
+               WHERE doc_id % 17 = 0 GROUP BY bucket),
+        rc AS (SELECT bucket, sum(cnt) AS r_cnt FROM cnts GROUP BY bucket),
+        spine AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+        m AS (
+            SELECT spine.bucket,
+                   coalesce(t_cnt, 0) AS t_cnt, coalesce(r_cnt, 0) AS r_cnt
+            FROM spine LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+        ),
+        tot AS (SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rt FROM m),
+        model AS (
+            SELECT bucket, CAST(t_cnt AS BIGINT) AS t_cnt,
+                   CAST(r_cnt AS BIGINT) AS r_cnt,
+                   CAST(round((ln((t_cnt + 1.0) / (tt + 256.0))
+                             - ln((r_cnt + 1.0) / (rt + 256.0))) * 1000000)
+                        AS BIGINT) AS lr_e6
+            FROM m CROSS JOIN tot
+        )
+    """
+    q["doc_dsir_model"] = f"""
+        WITH {_dsir_cte}
+        SELECT bucket, t_cnt, r_cnt, lr_e6 FROM model ORDER BY bucket
+    """
+    q["doc_dsir_select"] = f"""
+        WITH {_dsir_cte},
+        wts AS (
+            SELECT c.doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+                   CAST(sum(cnt * lr_e6) AS BIGINT) AS logw_e6
+            FROM cnts c JOIN model USING (bucket) GROUP BY c.doc_id
+        ),
+        g AS (
+            SELECT doc_id,
+                   CAST(round(-ln(-ln(
+                       ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::UBIGINT
+                         % 2147483647) + 1) / 2147483649.0)) * 1000000)
+                        AS BIGINT) AS gumbel_e6
+            FROM documents
+        ),
+        sel AS (
+            SELECT doc_id, n_feats, logw_e6, gumbel_e6,
+                   logw_e6 + gumbel_e6 AS score_e6
+            FROM wts JOIN g USING (doc_id)
+            WHERE n_feats > 0
+        )
+        SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS INT)
+                   AS rank,
+               doc_id, n_feats, logw_e6, gumbel_e6,
+               CAST(score_e6 AS BIGINT) AS score_e6
+        FROM sel
+        ORDER BY score_e6 DESC, doc_id
+        LIMIT 50
     """
     # heavy hitters: the oracle is the EXACT frequent-terms query — the
     # engine's MG sketch must match it exactly (recall-complete candidates +

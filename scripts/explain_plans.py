@@ -290,6 +290,20 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._doc_dsir_select(spark, sf_dir))
+    sections.append(("doc_dsir_select", p))
+    checks.append(
+        (
+            "DSIR select is Python-free; the bucket model meets the corpus"
+            " in a BroadcastHashJoin; top-k compiles to"
+            " TakeOrderedAndProject (never a global Sort before the limit)",
+            "Python" not in p
+            and "BroadcastHashJoin" in p
+            and "TakeOrderedAndProject" in p,
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")
