@@ -8,7 +8,7 @@ rejected with full per-gate attribution.
         [--benchmark /data/benchmark.parquet] [--near-dup] \
         [--min-words 10] [--jaccard 0.85] [--sample 0.01 --sample-salt dev] \
         [--para-dedup] [--substr-dedup --substr-k 12] [--max-per-source 100000] \
-        [--classifier /data/model]
+        [--classifier /data/model] [--dsir-target /data/target.parquet --dsir-k 1000000]
 
 Gate order (each doc gets the FIRST reason that rejects it — later, more
 expensive gates only ever see survivors, so the cheap map-side gates also
@@ -25,6 +25,9 @@ bound the shuffle volume of the dedup gates):
   7. classifier           (optional: trained hashed-linear model from
                            jobs/train_classifier.py; label-0 survivors of
                            every cheaper gate are rejected)
+  8. dsir                 (optional: DSIR importance resampling — keep the
+                           --dsir-k survivors whose hashed-ngram distribution
+                           best matches --dsir-target; see selection.py)
 
 Pre-gate stages (in order): --url-dedup (drop all but the min-id doc per
 canonical URL, reason 'url_dup' — requires a 'url' column), --max-per-source,
@@ -99,6 +102,21 @@ def main() -> None:
         "--classifier", default=None,
         help="model dir written by jobs/train_classifier.py; kept docs "
         "scoring label 0 are rejected with reason 'classifier'",
+    )
+    ap.add_argument(
+        "--dsir-target", default=None,
+        help="parquet of target-domain documents (doc_id, text); after every "
+        "gate, keep only the --dsir-k survivors whose hashed-ngram "
+        "distribution best matches this target (DSIR importance resampling, "
+        "see selection.py; non-selected docs get reason 'dsir')",
+    )
+    ap.add_argument("--dsir-k", type=int, default=None, help="number of docs DSIR keeps (required with --dsir-target)")
+    ap.add_argument("--dsir-seed", type=int, default=7, help="Gumbel sampling seed for --dsir-target")
+    ap.add_argument("--dsir-buckets", type=int, default=4096, help="hashed-ngram bucket count for --dsir-target")
+    ap.add_argument(
+        "--dsir-temperature", type=float, default=1.0,
+        help="0 = deterministic top-k by importance weight; 1 = the paper's "
+        "sampling-without-replacement",
     )
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -193,6 +211,28 @@ def main() -> None:
         )
         kept = kept_s.filter(F.col("_clf") == 1).drop("_clf")
 
+    if args.dsir_target:
+        # selection LAST: DSIR ranks only documents that survived every
+        # quality/dedup gate, so the target-matching budget is never spent
+        # on docs a cheaper gate would have dropped anyway
+        if args.dsir_k is None:
+            ap.error("--dsir-target requires --dsir-k")
+        from sparkdoc.selection import dsir_select, fit_dsir_model
+
+        target = spark.read.parquet(args.dsir_target).select("doc_id", "text")
+        model = fit_dsir_model(target, kept, n_buckets=args.dsir_buckets)
+        sel_ids = dsir_select(
+            kept, model, k=args.dsir_k, seed=args.dsir_seed,
+            n_buckets=args.dsir_buckets, temperature=args.dsir_temperature,
+        ).select("doc_id")
+        # k rows vs the corpus: AQE broadcasts the small side at runtime
+        rejected = rejected.unionByName(
+            kept.join(sel_ids, "doc_id", "left_anti").select(
+                "doc_id", F.lit("dsir").alias("reject_reason")
+            )
+        )
+        kept = kept.join(sel_ids, "doc_id")
+
     if url_rejected is not None:
         rejected = rejected.unionByName(url_rejected)
     kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
@@ -227,6 +267,11 @@ def main() -> None:
             "classifier": args.classifier,
             "fix_encoding": bool(args.fix_encoding),
             "url_dedup": bool(args.url_dedup),
+            "dsir_target": args.dsir_target,
+            "dsir_k": args.dsir_k,
+            "dsir_seed": args.dsir_seed,
+            "dsir_buckets": args.dsir_buckets,
+            "dsir_temperature": args.dsir_temperature,
         },
     }
     write_text_file(

@@ -233,6 +233,46 @@ def test_curate_cli_url_dedup_and_fix_encoding(tmp_path, spark):
     assert rej == {2: "url_dup", 3: "url_dup"}
 
 
+def test_curate_cli_dsir_selection(tmp_path, spark):
+    """--dsir-target keeps the --dsir-k gate survivors whose hashed-ngram
+    distribution best matches the target corpus; non-selected survivors get
+    reason 'dsir' and the split stays TOTAL. temperature=0 makes the pick
+    deterministic top-k by importance weight (content, not length: all raw
+    docs are word-count-matched)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    target_rows = [
+        (0, "quantum physics and quantum computing research papers published"),
+        (1, "physics experiments with quantum entanglement results published"),
+    ]
+    raw_rows = [
+        (10, base + " quantum computing is a branch of physics research"),
+        (11, base + " football match results and league standings published today"),
+        (12, base + " recipe for chocolate cake with butter and extra sugar"),
+        (13, base + " quantum entanglement physics experiments run in the lab"),
+    ]
+    tgt_p, in_p, out_p = str(tmp_path / "tgt"), str(tmp_path / "in"), str(tmp_path / "out")
+    spark.createDataFrame(target_rows, "doc_id long, text string").write.parquet(tgt_p)
+    spark.createDataFrame(raw_rows, "doc_id long, text string").write.parquet(in_p)
+
+    s = _run(["sparkdoc/jobs/curate.py", "--input", in_p, "--out", out_p,
+              "--min-words", "5", "--dsir-target", tgt_p, "--dsir-k", "2",
+              "--dsir-temperature", "0"])
+    assert s["n_kept"] == 2
+    assert s["rejected_by_reason"] == {"dsir": 2}
+    assert s["knobs"]["dsir_k"] == 2 and s["knobs"]["dsir_temperature"] == 0.0
+    kept = {r["doc_id"] for r in spark.read.parquet(os.path.join(out_p, "kept")).collect()}
+    assert kept == {10, 13}  # the two quantum/physics docs
+    rej = {r["doc_id"]: r["reject_reason"]
+           for r in spark.read.parquet(os.path.join(out_p, "rejected")).collect()}
+    assert rej == {11: "dsir", 12: "dsir"}
+
+    # --dsir-target without --dsir-k is a usage error, not a silent no-op
+    out = _run(["sparkdoc/jobs/curate.py", "--input", in_p,
+                "--out", str(tmp_path / "out2"), "--dsir-target", tgt_p],
+               expect_ok=False)
+    assert out.returncode != 0 and "--dsir-k" in out.stderr
+
+
 def test_corpus_stats_cli(tmp_path, spark):
     """corpus_stats job: exact totals, exact top terms, exact-dup rate and
     url-dup/domain rollups on a hand corpus where every number is known."""
