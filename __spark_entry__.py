@@ -2417,6 +2417,78 @@ def _emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, {"sq8": sq8_topk(emb, queries_df, k=5)})
 
 
+def _emb_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, 2 iterations, hash-ranked seeds):
+    the fit runs as one Spark job per iteration (shuffle-free plan-literal
+    assignment + BIGINT micro-unit sums), then the integer-exact next-
+    iteration state (cell, j, s_e6, cnt) is emitted — the DuckDB twin
+    re-derives the ENTIRE training loop bit-for-bit, no float tolerance."""
+    from sparkdoc.cluster import kmeans_fit, kmeans_stats
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=4, iters=2, dim=64, seed=13)
+    return kmeans_stats(emb, cents, dim=64)
+
+
+def _emb_ivf_trained_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED centroids (vs emb_ivf_knn's deterministic
+    untrained ones): sampled fit would be train_mod at 100 TB; here the gate
+    corpus is small so the fit sees everything. nprobe=2 of k=4 cells."""
+    from sparkdoc.cluster import ivf_topk_trained, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=4, iters=2, dim=64, seed=13)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk_trained(emb, queries_df, cents, k=5, nprobe=2)
+
+
+def _emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (m=8 subspaces × ksub=4 cells, one joint
+    Lloyd iteration): the compressed representation a 100 TB corpus stores
+    (m bytes/vector vs dim·4). Long form (vec_id, sub, code) so the gate
+    hashes scalar values."""
+    from sparkdoc.cluster import pq_encode, pq_fit
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_fit(emb, m=8, ksub=4, iters=1, dim=64, seed=13)
+    return pq_encode(emb, cb).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    )
+
+
+def _emb_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: per-query LUT of subspace dots,
+    candidate score = fixed-order sum of m lookups — the classic IVF-PQ
+    scan's scoring half, exactly twinned in SQL."""
+    from sparkdoc.cluster import pq_fit, pq_topk
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_fit(emb, m=8, ksub=4, iters=1, dim=64, seed=13)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_topk(emb, queries_df, cb, k=5)
+
+
+def _emb_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the trained-IVF and PQ-ADC paths vs exact top-k — grades
+    the trained quantizers on retrieval QUALITY, mirroring emb_ann_recall's
+    treatment of the untrained paths."""
+    from sparkdoc.cluster import ivf_topk_trained, kmeans_fit, pq_fit, pq_topk
+    from sparkdoc.similarity import ann_recall, brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = kmeans_fit(emb, k=4, iters=2, dim=64, seed=13)
+    cb = pq_fit(emb, m=8, ksub=4, iters=1, dim=64, seed=13)
+    exact = brute_force_topk(emb, queries_df, k=5)
+    return ann_recall(
+        exact,
+        {
+            "ivf_trained": ivf_topk_trained(emb, queries_df, cents, k=5, nprobe=2),
+            "pq": pq_topk(emb, queries_df, cb, k=5),
+        },
+    )
+
+
 def _doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters over the corpus term stream (k=30 →
     threshold n/31): bounded-memory sketch candidates, exact verify counts,
@@ -2621,6 +2693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall": _emb_ann_recall,
         "emb_sq8_knn": _emb_sq8_knn,
         "emb_sq8_recall": _emb_sq8_recall,
+        "emb_kmeans_stats": _emb_kmeans_stats,
+        "emb_ivf_trained_knn": _emb_ivf_trained_knn,
+        "emb_pq_codes": _emb_pq_codes,
+        "emb_pq_knn": _emb_pq_knn,
+        "emb_trained_recall": _emb_trained_recall,
         "emb_semantic_dedup": _emb_semantic_dedup,
         # identity normalizers + plan choice
         "doc_fold_phrase": _doc_fold_phrase,
@@ -4817,5 +4894,177 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, label AS n_label, count(*) AS votes
         FROM knn GROUP BY query_id, label
+    """
+
+    # Trained-quantizer twins (sparkdoc/cluster.py): the ENTIRE Lloyd
+    # training loop unrolled in SQL — hash-ranked seeds, argmin-L2
+    # assignment as row_number over (dot - ||c||²/2 DESC, cell ASC), BIGINT
+    # micro-unit centroid updates (order-independent, bit-exact), empty
+    # cells carrying the previous centroid via LEFT JOIN + COALESCE. Every
+    # float op is the same sequential fold Spark runs, so scores, fits,
+    # codes and ranks are bit-identical.
+    def _l2s(vec: str, cvec: str) -> str:
+        return (
+            f"(list_reduce(list_transform(list_zip({vec}, {cvec}), pr -> pr[1] * pr[2]), (x, y) -> x + y)"
+            f" - list_reduce(list_transform({cvec}, x -> x * x), (a, b) -> a + b) / 2)"
+        )
+
+    def _km_assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, e, cell FROM (
+                SELECT e.vec_id, e.e, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY {_l2s('e.e', 'c.cvec')} DESC, c.cell ASC) AS rn
+                FROM e, {cents} c
+            ) WHERE rn = 1
+        )"""
+
+    def _km_update(name: str, assigned: str, prev: str) -> str:
+        return f"""{name}_s AS (
+            SELECT a.cell, g.j, SUM(CAST(round(a.e[g.j + 1] * 1000000.0) AS BIGINT)) AS s, COUNT(*) AS cnt
+            FROM {assigned} a, (SELECT unnest(generate_series(0, 63)) AS j) g
+            GROUP BY a.cell, g.j
+        ),
+        {name} AS (
+            SELECT c.cell, COALESCE(u.cvec, c.cvec) AS cvec
+            FROM {prev} c LEFT JOIN (
+                SELECT cell, list(s / (cnt * 1000000.0) ORDER BY j) AS cvec FROM {name}_s GROUP BY cell
+            ) u USING (cell)
+        )"""
+
+    _seed_cte = """seedrank AS (
+            SELECT e, row_number() OVER (ORDER BY md5(vec_id::VARCHAR || ':13') ASC, vec_id ASC) AS rn FROM e
+        )"""
+
+    _km_cte = f"""kc0 AS (SELECT rn - 1 AS cell, e AS cvec FROM seedrank WHERE rn <= 4),
+        {_km_assign('ka1', 'kc0')}, {_km_update('kc1', 'ka1', 'kc0')},
+        {_km_assign('ka2', 'kc1')}, {_km_update('kc2', 'ka2', 'kc1')},
+        {_km_assign('ka3', 'kc2')}"""
+
+    q["emb_kmeans_stats"] = f"""
+        WITH {_e_cte}, {_seed_cte}, {_km_cte},
+        ks3 AS (
+            SELECT a.cell, g.j, SUM(CAST(round(a.e[g.j + 1] * 1000000.0) AS BIGINT)) AS s_e6, COUNT(*) AS cnt
+            FROM ka3 a, (SELECT unnest(generate_series(0, 63)) AS j) g
+            GROUP BY a.cell, g.j
+        )
+        SELECT cell, j, s_e6, cnt FROM ks3
+    """
+
+    _ivt_cte = f"""{_km_cte},
+        ivtp AS (
+            SELECT query_id, e, cell FROM (
+                SELECT q.vec_id AS query_id, q.e, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id ORDER BY {_l2s('q.e', 'c.cvec')} DESC, c.cell ASC) AS rn
+                FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, kc2 c
+            ) WHERE rn <= 2
+        ),
+        ivt_scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_reduce(list_transform(list_zip(p.e, a.e), pr -> pr[1] * pr[2]), (x, y) -> x + y) AS cos
+            FROM ivtp p JOIN ka3 a ON p.cell = a.cell AND p.query_id <> a.vec_id
+        ),
+        ivt AS (
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM ivt_scored
+            ) WHERE rank <= 5
+        )"""
+
+    q["emb_ivf_trained_knn"] = f"""
+        WITH {_e_cte}, {_seed_cte}, {_ivt_cte}
+        SELECT query_id, neighbor_id, rank, cos FROM ivt
+    """
+
+    # PQ twin: m=8 subspaces of dsub=8 dims, ksub=4 cells, ONE joint Lloyd
+    # iteration over the exploded (vec, sub) slice frame; ADC score is a
+    # fixed ascending-sub fold of per-sub LUT lookups.
+    def _pq_assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, sub, sv, cell FROM (
+                SELECT s.vec_id, s.sub, s.sv, c.cell,
+                       row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY {_l2s('s.sv', 'c.cvec')} DESC, c.cell ASC) AS rn
+                FROM pslices s JOIN {cents} c ON s.sub = c.sub
+            ) WHERE rn = 1
+        )"""
+
+    _pq_cte = f"""psub AS (SELECT unnest(generate_series(0, 7)) AS sub),
+        pc0 AS (
+            SELECT g.sub, p.rn - 1 AS cell, list_slice(p.e, g.sub * 8 + 1, g.sub * 8 + 8) AS cvec
+            FROM seedrank p, psub g WHERE p.rn <= 4
+        ),
+        pslices AS (
+            SELECT e.vec_id, g.sub, list_slice(e.e, g.sub * 8 + 1, g.sub * 8 + 8) AS sv
+            FROM e, psub g
+        ),
+        {_pq_assign('pa1', 'pc0')},
+        ps1 AS (
+            SELECT a.sub, a.cell, g.j, SUM(CAST(round(a.sv[g.j + 1] * 1000000.0) AS BIGINT)) AS s, COUNT(*) AS cnt
+            FROM pa1 a, (SELECT unnest(generate_series(0, 7)) AS j) g
+            GROUP BY a.sub, a.cell, g.j
+        ),
+        pc1 AS (
+            SELECT c.sub, c.cell, COALESCE(u.cvec, c.cvec) AS cvec
+            FROM pc0 c LEFT JOIN (
+                SELECT sub, cell, list(s / (cnt * 1000000.0) ORDER BY j) AS cvec FROM ps1 GROUP BY sub, cell
+            ) u USING (sub, cell)
+        ),
+        pcodes AS (
+            SELECT vec_id, sub, cell AS code FROM (
+                SELECT s.vec_id, s.sub, c.cell,
+                       row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY {_l2s('s.sv', 'c.cvec')} DESC, c.cell ASC) AS rn
+                FROM pslices s JOIN pc1 c ON s.sub = c.sub
+            ) WHERE rn = 1
+        )"""
+
+    q["emb_pq_codes"] = f"""
+        WITH {_e_cte}, {_seed_cte}, {_pq_cte}
+        SELECT vec_id, sub, code FROM pcodes
+    """
+
+    _pqt_cte = f"""{_pq_cte},
+        plut AS (
+            SELECT q.vec_id AS query_id, c.sub, c.cell,
+                   list_reduce(list_transform(list_zip(list_slice(q.e, c.sub * 8 + 1, c.sub * 8 + 8), c.cvec), pr -> pr[1] * pr[2]), (x, y) -> x + y) AS lv
+            FROM (SELECT * FROM e WHERE vec_id % 100 = 0) q, pc1 c
+        ),
+        padc AS (
+            SELECT l.query_id, pc.vec_id AS neighbor_id,
+                   list_reduce(list(l.lv ORDER BY l.sub ASC), (x, y) -> x + y) AS cos
+            FROM plut l JOIN pcodes pc ON l.sub = pc.sub AND l.cell = pc.code
+            WHERE l.query_id <> pc.vec_id
+            GROUP BY l.query_id, pc.vec_id
+        ),
+        pqt AS (
+            SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM padc
+            ) WHERE rank <= 5
+        )"""
+
+    q["emb_pq_knn"] = f"""
+        WITH {_e_cte}, {_seed_cte}, {_pqt_cte}
+        SELECT query_id, neighbor_id, rank, cos FROM pqt
+    """
+
+    q["emb_trained_recall"] = f"""
+        WITH {_e_cte}, {_seed_cte}, {_exact_cte}, {_ivt_cte}, {_pqt_cte},
+        tdenom AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id),
+        ivt_hits AS (
+            SELECT x.query_id, count(*) AS hits FROM exact x
+            JOIN ivt v ON x.query_id = v.query_id AND x.neighbor_id = v.neighbor_id
+            GROUP BY x.query_id
+        ),
+        pqt_hits AS (
+            SELECT x.query_id, count(*) AS hits FROM exact x
+            JOIN pqt p ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+            GROUP BY x.query_id
+        )
+        SELECT 'ivf_trained' AS method, count(*) AS n_queries,
+               round(avg(CAST(coalesce(h.hits, 0) AS DOUBLE) / d.k), 6) AS mean_recall_at_k
+        FROM tdenom d LEFT JOIN ivt_hits h ON d.query_id = h.query_id
+        UNION ALL
+        SELECT 'pq' AS method, count(*) AS n_queries,
+               round(avg(CAST(coalesce(h.hits, 0) AS DOUBLE) / d.k), 6) AS mean_recall_at_k
+        FROM tdenom d LEFT JOIN pqt_hits h ON d.query_id = h.query_id
     """
     return q
