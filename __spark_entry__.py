@@ -269,6 +269,47 @@ def _events_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (sparkdoc/temporal.py): each purchase picks up the latest
+    click at-or-before it per user, within a 24 h tolerance — Spark's
+    missing ASOF JOIN as ONE union+window shuffle (no join node), twinned
+    against DuckDB's LATERAL most-recent-row subquery."""
+    from sparkdoc.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        right_vals=["event_id"],
+        tiebreak="event_id",
+        tolerance_s=86400,
+    )
+    return out.select("user_id", "event_id", "asof_event_id", "asof_lag_us")
+
+
+def _events_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join: all (purchase, click) pairs within 1 h per
+    user as an EQUI-join on (user, time-bucket) with the right side exploded
+    to 3 adjacent buckets — never a theta-join, so skewed users hit AQE's
+    skew split instead of a nested loop."""
+    from sparkdoc.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return interval_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        max_gap_s=3600,
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+    )
+
+
 def _events_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops per user: distinct event types of even event_ids vs
     multiples-of-3 event_ids — OVERLAPPING, asymmetric sets, so intersect /
@@ -2617,6 +2658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "events_latest_per_type": _events_latest_per_type,
         "events_carry_forward": _events_carry_forward,
+        "events_asof_click": _events_asof_click,
+        "events_interval_pairs": _events_interval_pairs,
         "events_type_sets": _events_type_sets,
         "events_window_agg": _events_window_agg,
         # text / cleaning operators (SURVEY §2.2)
@@ -5066,5 +5109,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'pq' AS method, count(*) AS n_queries,
                round(avg(CAST(coalesce(h.hits, 0) AS DOUBLE) / d.k), 6) AS mean_recall_at_k
         FROM tdenom d LEFT JOIN pqt_hits h ON d.query_id = h.query_id
+    """
+
+    # Temporal-join twins (sparkdoc/temporal.py): the LATERAL most-recent-
+    # row subquery IS the as-of definition; lag arithmetic is integer
+    # microseconds end to end.
+    q["events_asof_click"] = """
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT * FROM events WHERE event_type = 'click')
+        SELECT p.user_id, p.event_id,
+               CASE WHEN epoch_us(p.ts) - r.tsus <= 86400000000 THEN r.event_id END AS asof_event_id,
+               CASE WHEN epoch_us(p.ts) - r.tsus <= 86400000000 THEN epoch_us(p.ts) - r.tsus END AS asof_lag_us
+        FROM p LEFT JOIN LATERAL (
+            SELECT c.event_id, epoch_us(c.ts) AS tsus FROM c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        ) r ON true
+    """
+    q["events_interval_pairs"] = """
+        WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT * FROM events WHERE event_type = 'click')
+        SELECT p.user_id, p.event_id AS l_event_id, c.event_id AS r_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000
     """
     return q
