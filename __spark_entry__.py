@@ -2293,6 +2293,23 @@ def _doc_domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (sparkdoc/retrieval.py): every 100th document's first
+    8 words become a probe query; top-5 corpus docs per query by BM25 with
+    integer micro-unit scoring (order-independent BIGINT sums, so ranks are
+    engine-exact). The self-document should usually win rank 1 — a built-in
+    sanity signal the oracle also checks implicitly."""
+    from sparkdoc.retrieval import bm25_topk
+    from sparkdoc.textops import words
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 8), " ").alias("text"),
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
 def _doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF top-3 terms per doc (tf · ln((N+1)/(df+1)), rank by
     score desc then term asc). N rides in as a broadcast 1-row frame — no
@@ -2684,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_cap": _doc_domain_cap,
         "doc_domain_rebalance": _doc_domain_rebalance,
         "doc_top_terms": _doc_top_terms,
+        "doc_bm25": _doc_bm25,
         "doc_delta_exact": _doc_delta_exact,
         "doc_delta_near": _doc_delta_near,
         "doc_delta_bloom": _doc_delta_bloom,
@@ -5125,6 +5143,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE c.user_id = p.user_id AND c.ts <= p.ts
             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
         ) r ON true
+    """
+    q["doc_bm25"] = f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+        post AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(ws) AS term FROM w
+            ) GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM post GROUP BY term),
+        st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        qt AS (
+            SELECT doc_id AS query_id, unnest(list_distinct(list_slice(ws, 1, 8))) AS term
+            FROM w WHERE doc_id % 100 = 0
+        ),
+        contrib AS (
+            SELECT q.query_id, p.doc_id,
+                   CAST(round(1000000.0
+                        * ln(1.0 + (st.n_docs - f.df_docs + 0.5) / (f.df_docs + 0.5))
+                        * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+                   ) AS BIGINT) AS c_e6
+            FROM post p JOIN qt q USING (term)
+            JOIN dfq f USING (term)
+            JOIN dl d ON p.doc_id = d.doc_id
+            CROSS JOIN st
+        ),
+        agg AS (SELECT query_id, doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, rank, score_e6 FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INT) AS rank
+            FROM agg
+        ) WHERE rank <= 5
     """
     q["events_interval_pairs"] = """
         WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

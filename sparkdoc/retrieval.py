@@ -1,0 +1,120 @@
+"""BM25 full-text retrieval over the documents table.
+
+The missing "search" capability for a curation pipeline: query-based data
+selection (pull the top-k corpus documents for each probe query), built the
+way a 100 TB deployment would:
+
+- ``bm25_postings`` is the INDEX: one explode + one (doc, term) groupBy
+  (map-side combined) per corpus pass, producing (term, doc_id, tf, dl).
+  At scale you compute it once and WRITE it bucketed by term — query time
+  then touches only the probed terms' buckets.
+- ``bm25_topk`` is the QUERY: the query-term table is tiny and broadcast;
+  scoring is a broadcast hash join + one aggregation, never a corpus
+  shuffle.
+
+Determinism contract: the per-(query, doc, term) BM25 contribution is
+quantized to integer micro-units (round(1e6 · idf · tf_part) AS BIGINT) and
+summed as BIGINT — addition order can't change the score, so ranks are
+bit-identical in any engine/partitioning (same trick as cluster.py /
+classifier.py). idf = ln(1 + (N - df + ½)/(df + ½)) (Robertson-Spärck
+Jones, the Lucene variant); tf_part = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+
+Tokenization is textops.words (one shared definition with the language-ID /
+TF-IDF twins); duplicate query terms count once.
+
+No counterpart in the reference repo; LLM-data-pipeline addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkdoc.textops import words
+
+#: micro-unit scale for the integer score quantization
+E6 = 1e6
+
+
+def bm25_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_id, tf, dl): the inverted-index postings table. dl is the
+    word count of the document (the same words() the terms come from). One
+    shuffle on (doc_id, term) with map-side combine; write this bucketed by
+    term at corpus scale."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("_w")
+    ).withColumn("dl", F.size("_w"))
+    return (
+        w.select("doc_id", "dl", F.explode("_w").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Top-k corpus documents per query by BM25, as (query_id, doc_id, rank,
+    score_e6). score_e6 is the BIGINT micro-unit sum (divide by 1e6 for the
+    conventional score). Ties break on ascending doc_id.
+
+    Plan shape: postings (corpus-side, precomputable) ⨝ broadcast(query
+    terms) on term → integer-sum per (query, doc) → window top-k. The
+    corpus statistics (N, avgdl) are single scalar aggregates; at 100 TB
+    they come from the index manifest, not a fresh scan."""
+    postings = bm25_postings(docs, text_col, id_col)
+    # distinct doc lengths per doc ride the postings (tf row carries dl);
+    # N and total length from the doc-level frame
+    doclen = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(words(F.col(text_col))).alias("dl")
+    )
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df_docs"))
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("term"),
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # avgdl as one double divide of exact integers; contribution quantized
+    # to BIGINT micro-units so the cross-term sum is order-independent
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    contrib = F.round(F.lit(E6) * idf * tf_part).cast("long")
+    agg = (
+        scored.select("query_id", "doc_id", contrib.alias("c_e6"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_e6").alias("score_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_e6")
+    )
