@@ -2310,6 +2310,30 @@ def _doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (sparkdoc/graphalgo.py) over the symmetrized supplier <->
+    customer trade graph (distinct pairs via lineitem x orders; custkeys
+    shifted to their own id space). 3 power iterations, all-integer
+    nano-unit ranks — the DuckDB twin replays the full iteration history
+    exactly, like the k-means fit oracle."""
+    from sparkdoc.graphalgo import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + 10000000).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return pagerank(edges, iters=3)
+
+
 def _doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF top-3 terms per doc (tf · ln((N+1)/(df+1)), rank by
     score desc then term asc). N rides in as a broadcast 1-row frame — no
@@ -2702,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_rebalance": _doc_domain_rebalance,
         "doc_top_terms": _doc_top_terms,
         "doc_bm25": _doc_bm25,
+        "graph_pagerank": _graph_pagerank,
         "doc_delta_exact": _doc_delta_exact,
         "doc_delta_near": _doc_delta_near,
         "doc_delta_bloom": _doc_delta_bloom,
@@ -5175,6 +5200,45 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INT) AS rank
             FROM agg
         ) WHERE rank <= 5
+    """
+    q["graph_pagerank"] = """
+        WITH pairs AS (
+            SELECT DISTINCT l_suppkey AS s, o_custkey + 10000000 AS c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e AS (SELECT s AS src, c AS dst FROM pairs UNION SELECT c, s FROM pairs),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1000000000 // nn.n AS r FROM nodes CROSS JOIN nn),
+        ps1 AS (
+            SELECT e.dst AS node, sum(r0.r // od.outdeg) AS s
+            FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+            GROUP BY e.dst
+        ),
+        r1 AS (
+            SELECT nodes.node, (150000000 // nn.n) + CAST(round(0.85 * COALESCE(ps1.s, 0)) AS BIGINT) AS r
+            FROM nodes CROSS JOIN nn LEFT JOIN ps1 ON nodes.node = ps1.node
+        ),
+        ps2 AS (
+            SELECT e.dst AS node, sum(r1.r // od.outdeg) AS s
+            FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+            GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT nodes.node, (150000000 // nn.n) + CAST(round(0.85 * COALESCE(ps2.s, 0)) AS BIGINT) AS r
+            FROM nodes CROSS JOIN nn LEFT JOIN ps2 ON nodes.node = ps2.node
+        ),
+        ps3 AS (
+            SELECT e.dst AS node, sum(r2.r // od.outdeg) AS s
+            FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+            GROUP BY e.dst
+        ),
+        r3 AS (
+            SELECT nodes.node, (150000000 // nn.n) + CAST(round(0.85 * COALESCE(ps3.s, 0)) AS BIGINT) AS r
+            FROM nodes CROSS JOIN nn LEFT JOIN ps3 ON nodes.node = ps3.node
+        )
+        SELECT node, r AS r_e9 FROM r3
     """
     q["events_interval_pairs"] = """
         WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
