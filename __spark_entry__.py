@@ -2334,6 +2334,28 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=3)
 
 
+def _doc_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (sketches.cms_build/cms_estimate): term-frequency
+    estimates from a d=4 x w=256 sketch table vs the exact counts, for the
+    distinct terms of every 100th document. w is deliberately small so
+    collisions DO occur — the gate then checks the over-count bound
+    est >= exact holds cell-for-cell, not just on easy inputs."""
+    from sparkdoc.sketches import cms_build, cms_estimate
+    from sparkdoc.textops import words
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    terms = docs.select(F.explode(words(F.col("text"))).alias("term"))
+    sketch = cms_build(terms, "term", w=256, d=4)
+    probes = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.explode(words(F.col("text"))).alias("term")
+    )
+    est = cms_estimate(sketch, probes, "term", w=256, d=4)
+    exact = terms.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    return est.join(exact, est.value == exact.term).select(
+        "value", "est_cnt", "exact_cnt"
+    )
+
+
 def _doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF top-3 terms per doc (tf · ln((N+1)/(df+1)), rank by
     score desc then term asc). N rides in as a broadcast 1-row frame — no
@@ -2727,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": _doc_top_terms,
         "doc_bm25": _doc_bm25,
         "graph_pagerank": _graph_pagerank,
+        "doc_cms_terms": _doc_cms_terms,
         "doc_delta_exact": _doc_delta_exact,
         "doc_delta_near": _doc_delta_near,
         "doc_delta_bloom": _doc_delta_bloom,
@@ -5239,6 +5262,33 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes CROSS JOIN nn LEFT JOIN ps3 ON nodes.node = ps3.node
         )
         SELECT node, r AS r_e9 FROM r3
+    """
+    q["doc_cms_terms"] = f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        t AS (SELECT unnest(ws) AS term FROM w),
+        cells AS (
+            SELECT g.row,
+                   ('0x' || substr(md5(term || ':cms:' || g.row), 1, 15))::UBIGINT % 256 AS pos,
+                   count(*) AS cnt
+            FROM t, (SELECT unnest(generate_series(0, 3)) AS row) g
+            GROUP BY g.row, pos
+        ),
+        probes AS (
+            SELECT DISTINCT unnest(ws) AS value FROM w WHERE doc_id % 100 = 0
+        ),
+        pp AS (
+            SELECT p.value, g.row,
+                   ('0x' || substr(md5(p.value || ':cms:' || g.row), 1, 15))::UBIGINT % 256 AS pos
+            FROM probes p, (SELECT unnest(generate_series(0, 3)) AS row) g
+        ),
+        est AS (
+            SELECT pp.value, min(COALESCE(c.cnt, 0)) AS est_cnt
+            FROM pp LEFT JOIN cells c ON pp.row = c.row AND pp.pos = c.pos
+            GROUP BY pp.value
+        ),
+        exact AS (SELECT term, count(*) AS exact_cnt FROM t GROUP BY term)
+        SELECT e.value, e.est_cnt, x.exact_cnt
+        FROM est e JOIN exact x ON e.value = x.term
     """
     q["events_interval_pairs"] = """
         WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

@@ -275,3 +275,75 @@ def bloom_might_contain(df: DataFrame, col: str, bloom: BloomFilter, out: str = 
 
     h1, h2 = _bloom_hash_cols(F.col(col))
     return df.withColumn(out, _probe(h1, h2))
+
+
+# --- Count-Min sketch -----------------------------------------------------------
+
+
+def _cms_pos(col, row: int, w: int):
+    """Engine-portable CMS position: uint60 of md5('<v>:cms:<row>') mod w.
+    md5 hex is identical in Spark and DuckDB (binary-collated), so the
+    sketch table and every estimate twin exactly — unlike xxhash64, which
+    is Spark-only (fine for the Bloom filter, whose probes never leave
+    Spark; the CMS table is a persisted artifact other engines may read)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":cms:{row}"))), 1, 15), 16, 10)
+        .cast("bigint")
+        % w
+    )
+
+
+def cms_build(df: DataFrame, col: str, w: int = 1024, d: int = 4) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over ``df[col]``
+    occurrences, as a TABLE (row, pos, cnt) of at most d·w rows — the
+    mergeable frequency summary: merging two corpora's sketches is
+    sum-by-(row, pos), and the build is ONE map-side-combined shuffle of
+    d·w cells regardless of corpus size or vocabulary (the state bound
+    groupBy(term) can't give). Estimates are over-counts only:
+    est(v) = min over rows of cell(row, pos(v)) >= true(v), within
+    eps = e/w of total mass with probability 1 - e^-d. NULLs are skipped."""
+    vals = df.select(F.col(col).alias("_v")).filter(F.col("_v").isNotNull())
+    cells = vals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _cms_pos(F.col("_v"), i, w).alias("pos")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """(value, est_cnt): the CMS point estimate for each DISTINCT probe
+    value — min over the d rows of the probed cell, absent cells counting
+    as 0. The probe side is d rows per distinct value, joined to the d·w
+    sketch table (broadcastable both ways); never touches the corpus."""
+    p = probes.select(F.col(col).alias("value")).filter(F.col("value").isNotNull()).distinct()
+    pp = p.select(
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), _cms_pos(F.col("value"), i, w).alias("pos")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("value", F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    joined = pp.join(sketch, ["row", "pos"], "left").select(
+        "value", F.coalesce(F.col("cnt"), F.lit(0)).alias("cell")
+    )
+    return joined.groupBy("value").agg(F.min("cell").alias("est_cnt"))
