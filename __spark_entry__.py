@@ -2356,6 +2356,26 @@ def _doc_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (clean.nfc_normalize_text): every 10th doc
+    gets a deterministic DECOMPOSED suffix (NFD 'café Å' spelled with
+    combining marks) so the normalizer has real work; output is the changed
+    flag plus md5 of the normalized text (byte-exact UTF-8 digest in both
+    engines), pinning CPython unicodedata == DuckDB utf8proc."""
+    from sparkdoc.clean import nfc_normalize_text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    suffix = " cafe\u0301 A\u030a ga\u0308rden"
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(suffix))
+        ).otherwise(F.col("text")),
+    )
+    out = nfc_normalize_text(seeded, "text")
+    return out.select("doc_id", "nfc_changed", F.md5(F.col("text")).alias("nfc_md5"))
+
+
 def _doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF top-3 terms per doc (tf · ln((N+1)/(df+1)), rank by
     score desc then term asc). N rides in as a broadcast 1-row frame — no
@@ -2750,6 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": _doc_bm25,
         "graph_pagerank": _graph_pagerank,
         "doc_cms_terms": _doc_cms_terms,
+        "doc_nfc": _doc_nfc,
         "doc_delta_exact": _doc_delta_exact,
         "doc_delta_near": _doc_delta_near,
         "doc_delta_bloom": _doc_delta_bloom,
@@ -5289,6 +5310,19 @@ def oracle_sql() -> dict[str, str]:
         exact AS (SELECT term, count(*) AS exact_cnt FROM t GROUP BY term)
         SELECT e.value, e.est_cnt, x.exact_cnt
         FROM est e JOIN exact x ON e.value = x.term
+    """
+    q["doc_nfc"] = """
+        WITH seeded AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN text || ' cafe' || chr(769) || ' A' || chr(778) || ' ga' || chr(776) || 'rden'
+                        ELSE text END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               nfc_normalize(text) <> text AS nfc_changed,
+               md5(nfc_normalize(text)) AS nfc_md5
+        FROM seeded
     """
     q["events_interval_pairs"] = """
         WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

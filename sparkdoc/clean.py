@@ -21,6 +21,7 @@ two implementations are independent on purpose; drift fails the golden tests):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -125,3 +126,35 @@ def classify_raw_nodes(raw: DataFrame) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     return df
+
+
+def nfc_normalize_text(
+    df: "DataFrame", text_col: str = "text", out: str | None = None
+) -> "DataFrame":
+    """Unicode NFC normalization (the curation-standard canonical form:
+    combining sequences compose, singletons map — mojibake repair's
+    complement for text that is VALID but decomposed, e.g. NFD output from
+    macOS pipelines or OCR). Writes ``out`` (default: replaces
+    ``text_col``) plus boolean ``nfc_changed``; NULL passes through NULL.
+
+    Spark has no NFC builtin, so this is a vectorized Arrow-batched pandas
+    UDF over CPython's unicodedata — which agrees byte-for-byte with
+    DuckDB's utf8proc ``nfc_normalize`` on the ranges real corpora hit
+    (the doc_nfc oracle pins that agreement)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    target = out or text_col
+    return (
+        df.withColumn("_nfc_out", _nfc(F.col(text_col)))
+        .withColumn("nfc_changed", F.col("_nfc_out") != F.col(text_col))
+        .withColumn(target, F.col("_nfc_out"))
+        .drop("_nfc_out")
+    )

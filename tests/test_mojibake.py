@@ -85,3 +85,44 @@ def test_with_fixed_encoding_flags(spark):
     assert (out[1]["text_fixed"], out[1]["had_mojibake"]) == ("café", 1)
     assert (out[2]["text_fixed"], out[2]["had_mojibake"]) == ("clean", 0)
     assert (out[3]["text_fixed"], out[3]["had_mojibake"]) == (None, 0)
+
+
+# --- NFC normalization (clean.nfc_normalize_text) -------------------------------
+
+
+def test_nfc_composes_decomposed_sequences(spark):
+    from pyspark.sql import Row
+
+    from sparkdoc.clean import nfc_normalize_text
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="café"),  # e + combining acute -> é
+            Row(doc_id=1, text="plain ascii"),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text="Ångström"),  # Å + ö decomposed
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["text"], r["nfc_changed"]) for r in nfc_normalize_text(df).collect()}
+    assert out[0] == ("café", True)
+    assert out[1] == ("plain ascii", False)
+    assert out[2] == (None, None)
+    assert out[3] == ("Ångström", True)
+
+
+def test_nfc_is_idempotent_and_supports_out_column(spark):
+    import unicodedata
+
+    from pyspark.sql import Row
+
+    from sparkdoc.clean import nfc_normalize_text
+
+    df = spark.createDataFrame([Row(doc_id=0, text="gärden")])
+    once = nfc_normalize_text(df, "text", out="norm")
+    row = once.collect()[0]
+    assert row["text"] == "gärden"  # original preserved with out=
+    assert row["norm"] == unicodedata.normalize("NFC", "gärden")
+    twice = nfc_normalize_text(once.select("doc_id", F.col("norm").alias("text")))
+    r2 = twice.collect()[0]
+    assert r2["nfc_changed"] is False and r2["text"] == row["norm"]
