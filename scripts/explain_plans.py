@@ -304,6 +304,58 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._events_asof_click(spark, sf_dir))
+    sections.append(("events_asof_click", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(
+        (
+            "asof join is ONE union+window Exchange on the key — no join"
+            " node at all",
+            n_exchange == 1
+            and "Join" not in p
+            and "Union" in p
+            and "Window" in p,
+            p,
+        )
+    )
+
+    p = plan_of(entrymod._doc_bm25(spark, sf_dir))
+    sections.append(("doc_bm25", p))
+    checks.append(
+        (
+            "bm25 meets query terms / df / stats via broadcast joins only"
+            " and is Python-free (corpus never reshuffles at query time"
+            " beyond the postings build)",
+            "Python" not in p
+            and "BroadcastHashJoin" in p
+            and "CartesianProduct" not in p
+            and "SortMergeJoin" not in p,
+            p,
+        )
+    )
+
+    p = plan_of(entrymod._graph_pagerank(spark, sf_dir))
+    sections.append(("graph_pagerank", p))
+    checks.append(
+        (
+            "pagerank iteration joins are hash equi-joins with broadcast"
+            " N/outdeg sides (no cartesian), aggs map-side combined",
+            "CartesianProduct" not in p and "partial_" in p.lower(),
+            p,
+        )
+    )
+
+    p = plan_of(entrymod._doc_cms_terms(spark, sf_dir))
+    sections.append(("doc_cms_terms", p))
+    checks.append(
+        (
+            "count-min build is Python-free codegen (md5 positions) with"
+            " map-side-combined cell counts",
+            "Python" not in p and "partial_count" in p.lower(),
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")
