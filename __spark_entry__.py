@@ -2376,6 +2376,19 @@ def _doc_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "nfc_changed", F.md5(F.col("text")).alias("nfc_md5"))
 
 
+def _emb_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED k-means cells (the paper's actual recipe —
+    Abbas et al. cluster with k-means, not a hash quantizer): same
+    lowest-id shadow rule, cells from cluster.kmeans_fit. The twin replays
+    fit + assignment + within-cell pairwise cosine exactly."""
+    from sparkdoc.cluster import kmeans_fit
+    from sparkdoc.similarity import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=4, iters=2, dim=64, seed=13)
+    return semantic_dedup(emb, threshold=0.4, cents=cents, dim=64)
+
+
 def _doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF top-3 terms per doc (tf · ln((N+1)/(df+1)), rank by
     score desc then term asc). N rides in as a broadcast 1-row frame — no
@@ -2828,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes": _emb_pq_codes,
         "emb_pq_knn": _emb_pq_knn,
         "emb_trained_recall": _emb_trained_recall,
+        "emb_semantic_dedup_trained": _emb_semantic_dedup_trained,
         "emb_semantic_dedup": _emb_semantic_dedup,
         # identity normalizers + plan choice
         "doc_fold_phrase": _doc_fold_phrase,
@@ -5323,6 +5337,18 @@ def oracle_sql() -> dict[str, str]:
                nfc_normalize(text) <> text AS nfc_changed,
                md5(nfc_normalize(text)) AS nfc_md5
         FROM seeded
+    """
+    q["emb_semantic_dedup_trained"] = f"""
+        WITH {_e_cte}, {_seed_cte}, {_km_cte},
+        sdt_pairs AS (
+            SELECT a.vec_id AS u, b.vec_id AS w,
+                   list_reduce(list_transform(list_zip(a.e, b.e), pr -> pr[1] * pr[2]), (x, y) -> x + y) AS cos
+            FROM ka3 a JOIN ka3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ),
+        sdt_shadow AS (SELECT w, min(u) AS shadow FROM sdt_pairs WHERE cos >= 0.4 GROUP BY w)
+        SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+               (s.shadow IS NULL) AS kept, CAST(s.shadow AS BIGINT) AS shadow
+        FROM ka3 a LEFT JOIN sdt_shadow s ON a.vec_id = s.w
     """
     q["events_interval_pairs"] = """
         WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),

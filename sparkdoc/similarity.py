@@ -421,6 +421,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dim: int = 64,
     verify_impl: str = "hof",
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus with the IVF coarse quantizer, compute pairwise cosine ONLY
@@ -444,14 +445,20 @@ def semantic_dedup(
     centroids (corpus then written bucketed by cell); the candidate join is
     a self-equi-join on cell — cost sum(|cell|^2), bounded by raising
     n_cells with corpus size, never all-pairs. Exactly SemDeDup's k-means
-    trick, with the deterministic quantizer standing in for trained
-    k-means.
+    trick: pass ``cents`` (a cluster.kmeans_fit codebook) to use TRAINED
+    cells — the paper's actual recipe, with balanced cell populations —
+    else the deterministic hash quantizer stands in.
     """
     if verify_impl not in ("hof", "numpy"):
         raise ValueError(f"verify_impl must be 'hof' or 'numpy', got {verify_impl!r}")
     verify = dot if verify_impl == "hof" else dot_numpy
     c = _with_unit(corpus, vec_col, "v").select(id_col, "v")
-    _, assigned = ivf_assign(c, n_cells=n_cells, id_col=id_col, vec_col="v", dim=dim)
+    if cents is not None:
+        from sparkdoc.cluster import l2_argmax_cell  # deferred: cluster imports this module
+
+        assigned = c.select(id_col, l2_argmax_cell(F.col("v"), cents).alias("cell"), "v")
+    else:
+        _, assigned = ivf_assign(c, n_cells=n_cells, id_col=id_col, vec_col="v", dim=dim)
     a = assigned.select(F.col(id_col).alias("_u"), F.col("v").alias("vu"), "cell")
     b = assigned.select(F.col(id_col).alias("_w"), F.col("v").alias("vw"), "cell")
     shadows = (

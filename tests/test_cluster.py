@@ -267,3 +267,21 @@ def test_pq_adc_orders_like_exact_cosine_on_separated_data(spark, emb):
     }
     for qid, nid in top1.items():
         assert qid % 2 == nid % 2  # same parity == same cluster
+
+
+def test_semantic_dedup_with_trained_cells(spark, emb):
+    """SemDeDup over trained k-means cells: keep rule preserved, cells come
+    from the codebook (every vector's cell equals its kmeans_assign cell)."""
+    from sparkdoc.similarity import semantic_dedup
+
+    cents = kmeans_fit(emb, k=2, iters=2, dim=DIM)
+    out = semantic_dedup(emb, threshold=0.99, cents=cents, dim=DIM)
+    rows = out.collect()
+    assert len(rows) == 40
+    cells = {r["vec_id"]: r["cell"] for r in rows}
+    want = {r["vec_id"]: r["cell"] for r in kmeans_assign(emb, cents).collect()}
+    assert cells == want
+    # a shadowed vector's shadow is a lower id in the same cell
+    for r in rows:
+        if not r["kept"]:
+            assert r["shadow"] < r["vec_id"] and cells[r["shadow"]] == r["cell"]
