@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: trained ANN index build + query (the IVF-PQ
+production path over an embeddings table).
+
+    # one-time: train quantizers on a hash sample, encode + bucket the corpus
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/ann_index.py \
+        --build --corpus /data/embeddings.parquet --index /data/ann_index \
+        --cells 256 --m 8 --ksub 256 --train-mod 64
+
+    # per query batch: probe cells, ADC-score codes, exact-rescore the head
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/ann_index.py \
+        --query /data/queries.parquet --index /data/ann_index \
+        --k 10 --nprobe 8 --out /data/knn_results
+
+Index layout under --index:
+  cells/       parquet (vec_id, cell, v) written PARTITIONED BY cell — a
+               probe reads only its nprobe partitions (partition pruning is
+               the single biggest lever at corpus scale)
+  codes/       parquet (vec_id, codes array<int>) — m bytes/vector payload
+  manifest.json  centroids + codebooks + params (the trained state is a few
+               hundred KB of plan literals; queries never refit)
+
+Query path: centroid probe (plan literals) → cell-pruned candidate read →
+ADC over codes → top (rescore_factor · k) by approximate score → exact
+cosine rescore of that head only → top-k. Prints ONE JSON summary line.
+Deterministic end to end (integer-exact fits, fixed tie-breaks)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default=None, help="embeddings parquet (vec_id, embedding)")
+    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--build", action="store_true")
+    ap.add_argument("--query", default=None, help="queries parquet (vec_id, embedding)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cells", type=int, default=16)
+    ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--ksub", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--train-mod", type=int, default=None)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--nprobe", type=int, default=4)
+    ap.add_argument("--rescore-factor", type=int, default=4)
+    ap.add_argument("--exclude-self", action="store_true",
+                    help="drop candidates whose vec_id equals the query_id (for corpus-member probes)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkdoc.cluster import kmeans_assign, kmeans_fit, pq_encode, pq_fit
+    from sparkdoc.session import get_spark
+    from sparkdoc.similarity import _with_unit, dot
+
+    spark = get_spark(
+        "sparkdoc-ann-index",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+    manifest_path = os.path.join(args.index, "manifest.json")
+
+    if args.build:
+        if not args.corpus:
+            raise SystemExit("--build requires --corpus")
+        corpus = spark.read.parquet(args.corpus)
+        cents = kmeans_fit(
+            corpus,
+            k=args.cells,
+            iters=args.iters,
+            dim=args.dim,
+            seed=args.seed,
+            train_mod=args.train_mod,
+        )
+        cb = pq_fit(
+            corpus,
+            m=args.m,
+            ksub=args.ksub,
+            iters=max(1, args.iters - 1),
+            dim=args.dim,
+            seed=args.seed,
+            train_mod=args.train_mod,
+        )
+        assigned = kmeans_assign(corpus, cents)
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(args.index, "cells")
+        )
+        pq_encode(corpus, cb).write.mode("overwrite").parquet(
+            os.path.join(args.index, "codes")
+        )
+        n = assigned.count()
+        os.makedirs(args.index, exist_ok=True)
+        with open(manifest_path, "w") as f:
+            json.dump(
+                {
+                    "n_vectors": n,
+                    "cells": args.cells,
+                    "m": args.m,
+                    "ksub": args.ksub,
+                    "dim": args.dim,
+                    "seed": args.seed,
+                    "iters": args.iters,
+                    "train_mod": args.train_mod,
+                    "centroids": cents,
+                    "codebooks": cb,
+                },
+                f,
+            )
+        print(
+            json.dumps(
+                {
+                    "job": "ann_index_build",
+                    "n_vectors": n,
+                    "cells": args.cells,
+                    "m": args.m,
+                    "code_bytes_per_vec": args.m,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if not args.query or not args.out:
+        raise SystemExit("query mode requires --query and --out")
+    with open(manifest_path) as f:
+        man = json.load(f)
+    cents = man["centroids"]
+    cb = man["codebooks"]
+    dim, m = man["dim"], man["m"]
+    dsub = dim // m
+
+    cells = spark.read.parquet(os.path.join(args.index, "cells"))
+    codes = spark.read.parquet(os.path.join(args.index, "codes"))
+    queries = spark.read.parquet(args.query)
+
+    from sparkdoc.cluster import _half_sq, _lit_vec
+
+    q = _with_unit(queries, "embedding", "qv").select(
+        F.col("vec_id").alias("query_id"), "qv"
+    )
+    # per-query ADC LUT computed ONCE on the (tiny) query side and carried
+    # through the join: lut[s][cell] = dot(q_slice_s, codebook[s][cell])
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    dot(F.slice(F.col("qv"), s * dsub + 1, dsub), _lit_vec(c))
+                    for c in cb[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = q.withColumn("lut", lut)
+    probe_scores = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                (dot(F.col("qv"), _lit_vec(c)) - F.lit(_half_sq(c))).alias("score"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.select("query_id", "qv", "lut", F.explode(probe_scores).alias("ps"))
+        .select(
+            "query_id", "qv", "lut",
+            F.col("ps.cell").alias("cell"), F.col("ps.score").alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= args.nprobe)
+        .select("query_id", "qv", "lut", "cell")
+    )
+    # cell-pruned candidates (partition pruning on the cells table), ADC over
+    # their codes (m array lookups per candidate), exact rescore of the
+    # rescore_factor*k head only
+    cand = probes.join(cells.select("vec_id", "cell", "v"), "cell").join(
+        codes, "vec_id"
+    )
+    if args.exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    adc_score = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1
+        )
+        adc_score = term if adc_score is None else adc_score + term
+    adc = cand.select(
+        "query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v",
+        adc_score.alias("adc"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
+    head = adc.withColumn("_ar", F.row_number().over(wa)).filter(
+        F.col("_ar") <= args.rescore_factor * args.k
+    )
+    rescored = head.select(
+        "query_id", "neighbor_id", dot(F.col("qv"), F.col("v")).alias("cos")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    topk = (
+        rescored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= args.k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+    topk.write.mode("overwrite").parquet(args.out)
+    n_q = queries.count()
+    n_res = spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "job": "ann_index_query",
+                "queries": n_q,
+                "results": n_res,
+                "k": args.k,
+                "nprobe": args.nprobe,
+                "rescore_factor": args.rescore_factor,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -307,3 +307,54 @@ def test_corpus_stats_cli(tmp_path, spark):
     assert "## Language distribution" in rep
     st = json.load(open(os.path.join(out_p, "stats.json")))
     assert st["n_docs"] == 4
+
+
+def test_ann_index_cli_build_query_recall(tmp_path, spark):
+    """ann_index.py end to end: build writes cell-partitioned vectors,
+    PQ codes and a manifest; query produces exact-cosine-rescored top-k
+    whose rank-1 hits equal brute force when nprobe covers all cells and
+    the rescore head covers the corpus (the plumbing-exactness bound; at
+    production settings the head is a small multiple of k and recall is
+    graded, not exact)."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.similarity import brute_force_topk
+
+    corpus_path = str(tmp_path / "emb.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    emb.write.parquet(corpus_path)
+    queries_path = str(tmp_path / "q.parquet")
+    emb.filter(F.col("vec_id") % 100 == 0).write.parquet(queries_path)
+
+    idx = str(tmp_path / "idx")
+    rb = _run(
+        [
+            "sparkdoc/jobs/ann_index.py", "--build", "--corpus", corpus_path,
+            "--index", idx, "--cells", "4", "--m", "8", "--ksub", "4",
+        ]
+    )
+    assert rb["n_vectors"] == emb.count()
+    assert os.path.isdir(os.path.join(idx, "cells")) and os.path.isfile(
+        os.path.join(idx, "manifest.json")
+    )
+    # cell-partitioned layout (partition pruning surface)
+    assert any(d.startswith("cell=") for d in os.listdir(os.path.join(idx, "cells")))
+
+    out = str(tmp_path / "res")
+    rq = _run(
+        [
+            "sparkdoc/jobs/ann_index.py", "--query", queries_path, "--index", idx,
+            "--out", out, "--k", "5", "--nprobe", "4", "--rescore-factor", "100",
+            "--exclude-self",
+        ]
+    )
+    assert rq["results"] == rq["queries"] * 5
+    got = spark.read.parquet(out)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in got.filter(F.col("rank") == 1).collect()}
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") % 100 == 0), k=1)
+    want = {r["query_id"]: r["neighbor_id"] for r in exact.collect()}
+    # nprobe == all cells AND rescore head >= corpus: every candidate is
+    # exactly rescored, so rank-1 must equal brute force everywhere
+    assert top1 == want
