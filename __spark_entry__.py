@@ -2744,6 +2744,177 @@ def _doc_url_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_url_domain(d).orderBy("doc_id")
 
 
+_EVAL_ID_FIELDS = {"R": ["title"], "E": ["name"]}
+
+
+def _eval_graph_inputs(spark: SparkSession, sf_dir: str):
+    """Deterministic per-document (truth, got) graph pair for the evaluation
+    harness gates (evaluate.py; reference 16_extraction_evaluation.py).
+
+    Per doc, words 1-5 (letters-only, canonical fallbacks) build:
+      truth: root R(title=w1 w2) + entities E(w1), E(w2), E(w3), E(w3 12)
+      got:   R(w1-w2) [strict via canonicalization], E(upper w1) [strict],
+             E(w2+w4+q) [relaxed superset of w2], E(qz+w5) [fp noise],
+             E(w3 1234) [digit-signature veto vs 'w3 12' -> stays fp/fn]
+    so strict, relaxed, veto, and noise rows all populate at every SF."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+
+    def word(i: int, fb: str):
+        c = F.regexp_replace(F.lower(F.element_at(w, i)), "[^a-z]", "")
+        return F.coalesce(F.nullif(c, F.lit("")), F.lit(fb))
+
+    w1, w2, w3 = word(1, "alpha"), word(2, "beta"), word(3, "gamma")
+    w4, w5 = word(4, "delta"), word(5, "epsilon")
+
+    def node(cls, nid, field, val, attrs):
+        return F.struct(
+            F.lit(cls).alias("class"),
+            F.lit(nid).alias("node_id"),
+            F.create_map(F.lit(field), val).alias("ids"),
+            attrs.alias("attrs"),
+        )
+
+    def shape(df):
+        return df.select(
+            "doc_id", F.col("n.class").alias("class"), F.col("n.node_id").alias("node_id"),
+            F.col("n.ids").alias("ids"), F.col("n.attrs").alias("attrs"),
+        )
+
+    org = F.create_map(F.lit("kind"), F.lit("org"))
+    truth = shape(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    node("R", "tR", "title", F.concat(w1, F.lit(" "), w2),
+                         F.create_map(F.lit("year"), F.lit("2024"), F.lit("desc"), w3)),
+                    node("E", "te1", "name", w1,
+                         F.create_map(F.lit("kind"), F.lit("org"), F.lit("city"), w4)),
+                    node("E", "te2", "name", w2, org),
+                    node("E", "te3", "name", w3,
+                         F.create_map(F.lit("m3"), w4)),
+                    node("E", "te4", "name", F.concat(w3, F.lit(" 12")),
+                         F.create_map(F.lit("m4"), w5)),
+                )
+            ).alias("n"),
+        )
+    )
+    got = shape(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    node("R", "gR", "title", F.concat(w1, F.lit("-"), w2),
+                         F.create_map(F.lit("year"), F.lit("2024"), F.lit("desc"), F.lit(""))),
+                    node("E", "ge1", "name", F.upper(w1),
+                         F.create_map(F.lit("kind"), F.lit("org"), F.lit("city"), F.lit(""))),
+                    node("E", "ge2", "name", F.concat(w2, w4, F.lit("q")), org),
+                    # ge9: fp at strict+relaxed, but its m3 attr equals te3's
+                    # -> the structural-alignment rung pairs them (score 1.0).
+                    node("E", "ge9", "name", F.concat(F.lit("qz"), w5),
+                         F.create_map(F.lit("m3"), w4)),
+                    # ge4: digit-sig veto partner; m4 never matches te4's
+                    # (w5 vs literal 'zz') -> stays unmatched at every rung.
+                    node("E", "ge4", "name", F.concat(w3, F.lit(" 1234")),
+                         F.create_map(F.lit("m4"), F.lit("zz"))),
+                )
+            ).alias("n"),
+        )
+    )
+
+    def edges(df, rows):
+        arr = F.array(
+            *[
+                F.struct(F.lit(s).alias("src"), F.lit(d).alias("dst"), F.lit(lb).alias("label"))
+                for s, d, lb in rows
+            ]
+        )
+        return df.select("doc_id", F.explode(arr).alias("e")).select(
+            "doc_id", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"),
+            F.col("e.label").alias("label"),
+        )
+
+    tedges = edges(docs, [("tR", "te1", "has"), ("tR", "te2", "has"), ("te1", "te3", "rel")])
+    gedges = edges(
+        docs,
+        [("gR", "ge1", "has"), ("gR", "ge1", "has"), ("gR", "ge2", "has"), ("ge1", "ge9", "rel")],
+    )
+    return truth, got, tedges, gedges
+
+
+def _doc_eval_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node P/R/F1 at strict + relaxed rungs (evaluate.eval_nodes) over the
+    synthesized truth/got pair; the DuckDB twin rebuilds the full ladder
+    (canonical keys -> distinct -> strict equi-join -> symmetric-unique
+    containment pairs with digit-signature guard -> prf arithmetic)."""
+    from sparkdoc.evaluate import eval_nodes
+
+    truth, got, _, _ = _eval_graph_inputs(spark, sf_dir)
+    return eval_nodes(truth, got, _EVAL_ID_FIELDS)
+
+
+def _doc_eval_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge P/R/F1 with relaxed alias folding (evaluate.eval_edges): the got
+    edge into the relaxed-matched alias counts at the relaxed rung only;
+    duplicate got edges collapse (set semantics)."""
+    from sparkdoc.evaluate import eval_edges
+
+    truth, got, tedges, gedges = _eval_graph_inputs(spark, sf_dir)
+    return eval_edges(truth, got, tedges, gedges, _EVAL_ID_FIELDS)
+
+
+def _doc_eval_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute completeness on strictly matched nodes
+    (evaluate.attribute_completeness): per (class, field) filled/expected."""
+    from sparkdoc.evaluate import attribute_completeness
+
+    truth, got, _, _ = _eval_graph_inputs(spark, sf_dir)
+    return attribute_completeness(truth, got, _EVAL_ID_FIELDS).orderBy("class", "field")
+
+
+def _doc_eval_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aligned rung (evaluate.eval_nodes_aligned): structural pairing of the
+    post-relaxed remainders by attribute overlap (ge9's m3 attr equals
+    te3's). The synthesized attrs partition by field name, so each remainder
+    node has at most ONE >=1.0 candidate — the greedy best-first result then
+    equals the SQL twin's mutual-unique exact-field-match pairing (greedy tie
+    ordering itself is unit-pinned in tests/test_evaluate.py)."""
+    from sparkdoc.evaluate import eval_nodes_aligned
+
+    truth, got, _, _ = _eval_graph_inputs(spark, sf_dir)
+    return eval_nodes_aligned(truth, got, _EVAL_ID_FIELDS)
+
+
+def _doc_eval_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-fidelity ratio (evaluate.verbatim_ratio): per doc, one long
+    attr lifted verbatim from the source (hit) and one with a fabricated
+    tail (miss); short attrs excluded by the >=80-char gate."""
+    from sparkdoc.evaluate import verbatim_ratio
+
+    docs = _docs(spark, sf_dir)
+    got = docs.select(
+        "doc_id",
+        F.create_map(
+            F.lit("quote"), F.substring(F.col("text"), 1, 100),
+            F.lit("fabricated"), F.concat(F.substring(F.col("text"), 1, 100), F.lit(" qqzzqq")),
+            F.lit("short"), F.lit("abc"),
+        ).alias("attrs"),
+    )
+    return verbatim_ratio(got, docs)
+
+
+def _doc_eval_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-matrix rollup (evaluate.eval_rollup, 17_benchmark_aggregate
+    micro): per class across all docs, micro P/R/F1 both rungs + mean per-doc
+    strict F1 (rounded 6dp, the gate's float convention)."""
+    from sparkdoc.evaluate import eval_nodes, eval_rollup
+
+    truth, got, _, _ = _eval_graph_inputs(spark, sf_dir)
+    out = eval_rollup(eval_nodes(truth, got, _EVAL_ID_FIELDS))
+    return out.withColumn("mean_f1_strict", F.round("mean_f1_strict", 6))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (joins/aggs/windows/top-k)
@@ -2797,6 +2968,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fix_encoding": _doc_fix_encoding,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
+        # extraction evaluation harness (16/17_… analogs)
+        "doc_eval_nodes": _doc_eval_nodes,
+        "doc_eval_edges": _doc_eval_edges,
+        "doc_eval_fill": _doc_eval_fill,
+        "doc_eval_rollup": _doc_eval_rollup,
+        "doc_eval_aligned": _doc_eval_aligned,
+        "doc_eval_verbatim": _doc_eval_verbatim,
         # corpus filters (Gopher repetition, PII, decontamination)
         "doc_repetition": _doc_repetition,
         "doc_pii": _doc_pii,
@@ -5357,5 +5535,279 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         FROM p JOIN c ON p.user_id = c.user_id
          AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000
+    """
+
+    # --- extraction evaluation harness: shared CTE ladder -------------------
+    # Mirrors evaluate.py exactly: canonical keys (lower + [^a-z0-9] strip) ->
+    # per-side DISTINCT keys (min node wins) -> strict equi-join ->
+    # symmetric-unique containment pairs gated on equal digit signatures ->
+    # P/R/F1 arithmetic (exact double divisions, no rounding).
+    _ev_cte = """
+        ev_docs AS (SELECT doc_id, text FROM documents),
+        ev_w AS (
+            SELECT doc_id,
+              coalesce(nullif(regexp_replace(lower(split_part(text,' ',1)),'[^a-z]','','g'),''),'alpha') AS w1,
+              coalesce(nullif(regexp_replace(lower(split_part(text,' ',2)),'[^a-z]','','g'),''),'beta') AS w2,
+              coalesce(nullif(regexp_replace(lower(split_part(text,' ',3)),'[^a-z]','','g'),''),'gamma') AS w3,
+              coalesce(nullif(regexp_replace(lower(split_part(text,' ',4)),'[^a-z]','','g'),''),'delta') AS w4,
+              coalesce(nullif(regexp_replace(lower(split_part(text,' ',5)),'[^a-z]','','g'),''),'epsilon') AS w5
+            FROM ev_docs),
+        ev_tn AS (
+            SELECT doc_id, 'R' AS class, 'tR' AS node_id, w1 || ' ' || w2 AS rawid FROM ev_w
+            UNION ALL SELECT doc_id, 'E', 'te1', w1 FROM ev_w
+            UNION ALL SELECT doc_id, 'E', 'te2', w2 FROM ev_w
+            UNION ALL SELECT doc_id, 'E', 'te3', w3 FROM ev_w
+            UNION ALL SELECT doc_id, 'E', 'te4', w3 || ' 12' FROM ev_w),
+        ev_gn AS (
+            SELECT doc_id, 'R' AS class, 'gR' AS node_id, w1 || '-' || w2 AS rawid FROM ev_w
+            UNION ALL SELECT doc_id, 'E', 'ge1', upper(w1) FROM ev_w
+            UNION ALL SELECT doc_id, 'E', 'ge2', w2 || w4 || 'q' FROM ev_w
+            UNION ALL SELECT doc_id, 'E', 'ge9', 'qz' || w5 FROM ev_w
+            UNION ALL SELECT doc_id, 'E', 'ge4', w3 || ' 1234' FROM ev_w),
+        ev_tkn AS (SELECT doc_id, class, node_id,
+              regexp_replace(lower(rawid),'[^a-z0-9]','','g') AS key
+            FROM ev_tn),
+        ev_gkn AS (SELECT doc_id, class, node_id,
+              regexp_replace(lower(rawid),'[^a-z0-9]','','g') AS key
+            FROM ev_gn),
+        ev_tk AS (SELECT doc_id, class, key, min(node_id) AS node_id,
+              coalesce(array_to_string(regexp_extract_all(key,'[0-9]+'),'-'), '') AS sig
+            FROM ev_tkn WHERE length(key) > 0 GROUP BY doc_id, class, key),
+        ev_gk AS (SELECT doc_id, class, key, min(node_id) AS node_id,
+              coalesce(array_to_string(regexp_extract_all(key,'[0-9]+'),'-'), '') AS sig
+            FROM ev_gkn WHERE length(key) > 0 GROUP BY doc_id, class, key),
+        ev_strict AS (
+            SELECT t.doc_id, t.class, t.key, t.node_id AS t_node, g.node_id AS g_node
+            FROM ev_tk t JOIN ev_gk g USING (doc_id, class, key)),
+        ev_trem AS (SELECT t.* FROM ev_tk t ANTI JOIN ev_strict s USING (doc_id, class, key)),
+        ev_grem AS (SELECT g.* FROM ev_gk g ANTI JOIN ev_strict s USING (doc_id, class, key)),
+        ev_cand AS (
+            SELECT t.doc_id, t.class, t.key AS tkey, g.key AS gkey
+            FROM ev_trem t JOIN ev_grem g
+              ON t.doc_id = g.doc_id AND t.class = g.class AND t.sig = g.sig
+             AND (strpos(g.key, t.key) > 0 OR strpos(t.key, g.key) > 0)),
+        ev_pairs AS (
+            SELECT doc_id, class, tkey, gkey FROM (
+              SELECT *, count(*) OVER (PARTITION BY doc_id, class, tkey) AS nt,
+                        count(*) OVER (PARTITION BY doc_id, class, gkey) AS ng
+              FROM ev_cand)
+            WHERE nt = 1 AND ng = 1),
+        ev_nm AS (
+            SELECT tc.doc_id, tc.class, tc.truth_n, gc.got_n,
+                   coalesce(sc.tp, 0) AS tp, coalesce(rc.rx, 0) AS rx
+            FROM (SELECT doc_id, class, count(*) AS truth_n FROM ev_tk GROUP BY 1, 2) tc
+            JOIN (SELECT doc_id, class, count(*) AS got_n FROM ev_gk GROUP BY 1, 2) gc USING (doc_id, class)
+            LEFT JOIN (SELECT doc_id, class, count(*) AS tp FROM ev_strict GROUP BY 1, 2) sc USING (doc_id, class)
+            LEFT JOIN (SELECT doc_id, class, count(*) AS rx FROM ev_pairs GROUP BY 1, 2) rc USING (doc_id, class)),
+        ev_nodes AS (
+            SELECT doc_id, class, truth_n, got_n,
+                   tp AS tp_strict, got_n - tp AS fp_strict, truth_n - tp AS fn_strict,
+                   p_s AS p_strict, r_s AS r_strict,
+                   CASE WHEN p_s + r_s > 0 THEN 2.0 * p_s * r_s / (p_s + r_s) ELSE 0.0 END AS f1_strict,
+                   tp + rx AS tp_relaxed, got_n - tp - rx AS fp_relaxed, truth_n - tp - rx AS fn_relaxed,
+                   p_r AS p_relaxed, r_r AS r_relaxed,
+                   CASE WHEN p_r + r_r > 0 THEN 2.0 * p_r * r_r / (p_r + r_r) ELSE 0.0 END AS f1_relaxed
+            FROM (SELECT *,
+                    CASE WHEN got_n > 0 THEN CAST(tp AS DOUBLE) / got_n ELSE 0.0 END AS p_s,
+                    CASE WHEN truth_n > 0 THEN CAST(tp AS DOUBLE) / truth_n ELSE 0.0 END AS r_s,
+                    CASE WHEN got_n > 0 THEN CAST(tp + rx AS DOUBLE) / got_n ELSE 0.0 END AS p_r,
+                    CASE WHEN truth_n > 0 THEN CAST(tp + rx AS DOUBLE) / truth_n ELSE 0.0 END AS r_r
+                  FROM ev_nm))
+    """
+    q["doc_eval_nodes"] = f"""
+        WITH {_ev_cte}
+        SELECT * FROM ev_nodes
+    """
+    q["doc_eval_rollup"] = f"""
+        WITH {_ev_cte},
+        roll AS (
+            SELECT class, CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+                   CAST(sum(tp_strict) AS BIGINT) AS tps, CAST(sum(fp_strict) AS BIGINT) AS fps,
+                   CAST(sum(fn_strict) AS BIGINT) AS fns,
+                   CAST(sum(tp_relaxed) AS BIGINT) AS tpr, CAST(sum(fp_relaxed) AS BIGINT) AS fpr,
+                   CAST(sum(fn_relaxed) AS BIGINT) AS fnr,
+                   round(avg(f1_strict), 6) AS mean_f1_strict
+            FROM ev_nodes GROUP BY class)
+        SELECT class, docs,
+               tps AS tp_strict, fps AS fp_strict, fns AS fn_strict,
+               p_s AS p_strict, r_s AS r_strict,
+               CASE WHEN p_s + r_s > 0 THEN 2.0 * p_s * r_s / (p_s + r_s) ELSE 0.0 END AS f1_strict,
+               tpr AS tp_relaxed, fpr AS fp_relaxed, fnr AS fn_relaxed,
+               p_r AS p_relaxed, r_r AS r_relaxed,
+               CASE WHEN p_r + r_r > 0 THEN 2.0 * p_r * r_r / (p_r + r_r) ELSE 0.0 END AS f1_relaxed,
+               mean_f1_strict
+        FROM (SELECT *,
+                CASE WHEN tps + fps > 0 THEN CAST(tps AS DOUBLE) / (tps + fps) ELSE 0.0 END AS p_s,
+                CASE WHEN tps + fns > 0 THEN CAST(tps AS DOUBLE) / (tps + fns) ELSE 0.0 END AS r_s,
+                CASE WHEN tpr + fpr > 0 THEN CAST(tpr AS DOUBLE) / (tpr + fpr) ELSE 0.0 END AS p_r,
+                CASE WHEN tpr + fnr > 0 THEN CAST(tpr AS DOUBLE) / (tpr + fnr) ELSE 0.0 END AS r_r
+              FROM roll)
+    """
+    q["doc_eval_edges"] = f"""
+        WITH {_ev_cte},
+        ev_te AS (
+            SELECT doc_id, 'tR' AS src, 'te1' AS dst, 'has' AS label FROM ev_w
+            UNION ALL SELECT doc_id, 'tR', 'te2', 'has' FROM ev_w
+            UNION ALL SELECT doc_id, 'te1', 'te3', 'rel' FROM ev_w),
+        ev_ge AS (
+            SELECT doc_id, 'gR' AS src, 'ge1' AS dst, 'has' AS label FROM ev_w
+            UNION ALL SELECT doc_id, 'gR', 'ge1', 'has' FROM ev_w
+            UNION ALL SELECT doc_id, 'gR', 'ge2', 'has' FROM ev_w
+            UNION ALL SELECT doc_id, 'ge1', 'ge9', 'rel' FROM ev_w),
+        ev_tmap AS (SELECT doc_id, node_id, class, key FROM ev_tkn WHERE length(key) > 0),
+        ev_gmap AS (SELECT doc_id, node_id, class, key FROM ev_gkn WHERE length(key) > 0),
+        ev_tek AS (
+            SELECT DISTINCT e.doc_id, e.label, s.class AS sclass, s.key AS skey,
+                   d.class AS dclass, d.key AS dkey
+            FROM ev_te e
+            JOIN ev_tmap s ON e.doc_id = s.doc_id AND e.src = s.node_id
+            JOIN ev_tmap d ON e.doc_id = d.doc_id AND e.dst = d.node_id),
+        ev_gek AS (
+            SELECT DISTINCT e.doc_id, e.label, s.class AS sclass, s.key AS skey,
+                   d.class AS dclass, d.key AS dkey
+            FROM ev_ge e
+            JOIN ev_gmap s ON e.doc_id = s.doc_id AND e.src = s.node_id
+            JOIN ev_gmap d ON e.doc_id = d.doc_id AND e.dst = d.node_id),
+        ev_gek_r AS (
+            SELECT DISTINCT g.doc_id, g.label, g.sclass,
+                   coalesce(ps.tkey, g.skey) AS skey, g.dclass,
+                   coalesce(pd.tkey, g.dkey) AS dkey
+            FROM ev_gek g
+            LEFT JOIN ev_pairs ps ON g.doc_id = ps.doc_id AND g.sclass = ps.class AND g.skey = ps.gkey
+            LEFT JOIN ev_pairs pd ON g.doc_id = pd.doc_id AND g.dclass = pd.class AND g.dkey = pd.gkey),
+        ev_labels AS (
+            SELECT DISTINCT doc_id, label FROM ev_tek
+            UNION SELECT DISTINCT doc_id, label FROM ev_gek),
+        ev_em AS (
+            SELECT l.doc_id, l.label,
+                   coalesce(tn.truth_n, 0) AS truth_n,
+                   coalesce(gs.got_s, 0) AS got_s, coalesce(ts.tp_s, 0) AS tp_s,
+                   coalesce(gr.got_r, 0) AS got_r, coalesce(tr.tp_r, 0) AS tp_r
+            FROM ev_labels l
+            LEFT JOIN (SELECT doc_id, label, count(*) AS truth_n FROM ev_tek GROUP BY 1, 2) tn USING (doc_id, label)
+            LEFT JOIN (SELECT doc_id, label, count(*) AS got_s FROM ev_gek GROUP BY 1, 2) gs USING (doc_id, label)
+            LEFT JOIN (SELECT t.doc_id, t.label, count(*) AS tp_s FROM ev_tek t
+                       SEMI JOIN ev_gek g ON t.doc_id = g.doc_id AND t.label = g.label
+                         AND t.sclass = g.sclass AND t.skey = g.skey
+                         AND t.dclass = g.dclass AND t.dkey = g.dkey
+                       GROUP BY 1, 2) ts USING (doc_id, label)
+            LEFT JOIN (SELECT doc_id, label, count(*) AS got_r FROM ev_gek_r GROUP BY 1, 2) gr USING (doc_id, label)
+            LEFT JOIN (SELECT t.doc_id, t.label, count(*) AS tp_r FROM ev_tek t
+                       SEMI JOIN ev_gek_r g ON t.doc_id = g.doc_id AND t.label = g.label
+                         AND t.sclass = g.sclass AND t.skey = g.skey
+                         AND t.dclass = g.dclass AND t.dkey = g.dkey
+                       GROUP BY 1, 2) tr USING (doc_id, label))
+        SELECT doc_id, label, truth_n, got_s AS got_n,
+               tp_s AS tp_strict, got_s - tp_s AS fp_strict, truth_n - tp_s AS fn_strict,
+               p_s AS p_strict, r_s AS r_strict,
+               CASE WHEN p_s + r_s > 0 THEN 2.0 * p_s * r_s / (p_s + r_s) ELSE 0.0 END AS f1_strict,
+               tp_r AS tp_relaxed, got_r - tp_r AS fp_relaxed, truth_n - tp_r AS fn_relaxed,
+               p_r AS p_relaxed, r_r AS r_relaxed,
+               CASE WHEN p_r + r_r > 0 THEN 2.0 * p_r * r_r / (p_r + r_r) ELSE 0.0 END AS f1_relaxed
+        FROM (SELECT *,
+                CASE WHEN got_s > 0 THEN CAST(tp_s AS DOUBLE) / got_s ELSE 0.0 END AS p_s,
+                CASE WHEN truth_n > 0 THEN CAST(tp_s AS DOUBLE) / truth_n ELSE 0.0 END AS r_s,
+                CASE WHEN got_r > 0 THEN CAST(tp_r AS DOUBLE) / got_r ELSE 0.0 END AS p_r,
+                CASE WHEN truth_n > 0 THEN CAST(tp_r AS DOUBLE) / truth_n ELSE 0.0 END AS r_r
+              FROM ev_em)
+    """
+    _ev_attrs = """
+        ev_ta AS (
+            SELECT doc_id, 'tR' AS node_id, 'year' AS field, '2024' AS val FROM ev_w
+            UNION ALL SELECT doc_id, 'tR', 'desc', w3 FROM ev_w
+            UNION ALL SELECT doc_id, 'te1', 'kind', 'org' FROM ev_w
+            UNION ALL SELECT doc_id, 'te1', 'city', w4 FROM ev_w
+            UNION ALL SELECT doc_id, 'te2', 'kind', 'org' FROM ev_w
+            UNION ALL SELECT doc_id, 'te3', 'm3', w4 FROM ev_w
+            UNION ALL SELECT doc_id, 'te4', 'm4', w5 FROM ev_w),
+        ev_ga AS (
+            SELECT doc_id, 'gR' AS node_id, 'year' AS field, '2024' AS val FROM ev_w
+            UNION ALL SELECT doc_id, 'gR', 'desc', '' FROM ev_w
+            UNION ALL SELECT doc_id, 'ge1', 'kind', 'org' FROM ev_w
+            UNION ALL SELECT doc_id, 'ge1', 'city', '' FROM ev_w
+            UNION ALL SELECT doc_id, 'ge2', 'kind', 'org' FROM ev_w
+            UNION ALL SELECT doc_id, 'ge9', 'm3', w4 FROM ev_w
+            UNION ALL SELECT doc_id, 'ge4', 'm4', 'zz' FROM ev_w)
+    """
+    q["doc_eval_fill"] = f"""
+        WITH {_ev_cte},
+        {_ev_attrs},
+        ev_fill AS (
+            SELECT s.class, a.field,
+                   CASE WHEN ga.val IS NOT NULL AND length(trim(ga.val)) > 0 THEN 1 ELSE 0 END AS ok
+            FROM ev_strict s
+            JOIN ev_ta a ON a.doc_id = s.doc_id AND a.node_id = s.t_node
+            LEFT JOIN ev_ga ga ON ga.doc_id = s.doc_id AND ga.node_id = s.g_node AND ga.field = a.field
+            WHERE a.val IS NOT NULL AND length(trim(a.val)) > 0)
+        SELECT class, field, CAST(sum(ok) AS BIGINT) AS filled, count(*) AS expected
+        FROM ev_fill GROUP BY class, field
+        ORDER BY class, field
+    """
+    # Aligned rung: the synthesized attrs partition by field name, so the
+    # operator's greedy best-first pairing reduces to mutual-unique
+    # exact-field-match pairing — expressible relationally.
+    q["doc_eval_aligned"] = f"""
+        WITH {_ev_cte},
+        {_ev_attrs},
+        ev_trem2 AS (
+            SELECT t.* FROM ev_trem t
+            ANTI JOIN ev_pairs p ON t.doc_id = p.doc_id AND t.class = p.class AND t.key = p.tkey),
+        ev_grem2 AS (
+            SELECT g.* FROM ev_grem g
+            ANTI JOIN ev_pairs p ON g.doc_id = p.doc_id AND g.class = p.class AND g.key = p.gkey),
+        ev_acand AS (
+            SELECT t.doc_id, t.class, t.key AS tkey, g.key AS gkey
+            FROM ev_trem2 t
+            JOIN ev_grem2 g ON t.doc_id = g.doc_id AND t.class = g.class
+            JOIN ev_ta a ON a.doc_id = t.doc_id AND a.node_id = t.node_id
+            JOIN ev_ga b ON b.doc_id = g.doc_id AND b.node_id = g.node_id AND b.field = a.field
+            WHERE length(trim(a.val)) > 0 AND length(trim(b.val)) > 0
+              AND trim(regexp_replace(lower(a.val), '\\s+', ' ', 'g'))
+                = trim(regexp_replace(lower(b.val), '\\s+', ' ', 'g'))
+            GROUP BY 1, 2, 3, 4),
+        ev_apairs AS (
+            SELECT doc_id, class, tkey, gkey FROM (
+              SELECT *, count(*) OVER (PARTITION BY doc_id, class, tkey) AS nt,
+                        count(*) OVER (PARTITION BY doc_id, class, gkey) AS ng
+              FROM ev_acand)
+            WHERE nt = 1 AND ng = 1),
+        ev_ax AS (SELECT doc_id, class, count(*) AS ax FROM ev_apairs GROUP BY 1, 2),
+        ev_full AS (
+            SELECT n.*, coalesce(x.ax, 0) AS ax
+            FROM ev_nodes n LEFT JOIN ev_ax x USING (doc_id, class))
+        SELECT doc_id, class, truth_n, got_n,
+               tp_strict, fp_strict, fn_strict, p_strict, r_strict, f1_strict,
+               tp_relaxed, fp_relaxed, fn_relaxed, p_relaxed, r_relaxed, f1_relaxed,
+               tp_relaxed + ax AS tp_aligned,
+               fp_relaxed - ax AS fp_aligned,
+               fn_relaxed - ax AS fn_aligned,
+               p_a AS p_aligned, r_a AS r_aligned,
+               CASE WHEN p_a + r_a > 0 THEN 2.0 * p_a * r_a / (p_a + r_a) ELSE 0.0 END AS f1_aligned
+        FROM (SELECT *,
+                CASE WHEN tp_relaxed + ax + fp_relaxed - ax > 0
+                     THEN CAST(tp_relaxed + ax AS DOUBLE) / (tp_relaxed + fp_relaxed) ELSE 0.0 END AS p_a,
+                CASE WHEN tp_relaxed + ax + fn_relaxed - ax > 0
+                     THEN CAST(tp_relaxed + ax AS DOUBLE) / (tp_relaxed + fn_relaxed) ELSE 0.0 END AS r_a
+              FROM ev_full)
+    """
+    q["doc_eval_verbatim"] = """
+        WITH vdocs AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS src
+            FROM documents),
+        vattrs AS (
+            SELECT doc_id, substr(text, 1, 100) AS val FROM vdocs
+            UNION ALL SELECT doc_id, substr(text, 1, 100) || ' qqzzqq' FROM vdocs
+            UNION ALL SELECT doc_id, 'abc' FROM vdocs),
+        vlong AS (
+            SELECT a.doc_id,
+                   trim(regexp_replace(lower(a.val), '\\s+', ' ', 'g')) AS v,
+                   d.src
+            FROM vattrs a JOIN vdocs d USING (doc_id)
+            WHERE length(a.val) >= 80)
+        SELECT doc_id, count(*) AS verbatim_n,
+               CAST(sum(CASE WHEN strpos(src, v) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS verbatim_hits,
+               CAST(sum(CASE WHEN strpos(src, v) > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS verbatim_ratio
+        FROM vlong GROUP BY doc_id
     """
     return q
