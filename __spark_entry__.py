@@ -869,6 +869,36 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_ref", "doc_id", "sha256", "n_bytes", "width", "height")
 
 
+def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (sparkdoc.imagecodec: BMP 24/32bpp bottom-up and
+    top-down, binary PPM/PGM) pinned against a closed-form oracle: the synth
+    corpus draws pixels from an arithmetic formula, so DuckDB recomputes the
+    channel sums and the position-weighted luma sum (row-order + channel-
+    order + padding sensitive) WITHOUT decoding — any decoder bug (BGR swap,
+    bottom-up flip, stride padding, PNM header parse) breaks the match."""
+    from sparkdoc.multimodal import image_pixel_stats, synth_decodable_media_df
+
+    media = synth_decodable_media_df(spark, 40)
+    return image_pixel_stats(media).select(
+        "doc_id", "media_ref", "decoded", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum_luma",
+    ).orderBy("doc_id")
+
+
+def _media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV decode (sparkdoc.audiocodec: 8/16-bit, multi-channel,
+    chunk-walk header) pinned the same way as media_decode: formula samples,
+    closed-form oracle; the interleave-position-weighted sum catches channel
+    or byte-order mistakes."""
+    from sparkdoc.multimodal import audio_features, synth_decodable_audio_df
+
+    media = synth_decodable_audio_df(spark, 30)
+    return audio_features(media).select(
+        "doc_id", "media_ref", "decoded", "sample_rate", "n_frames", "channels",
+        "duration_ms", "sum_s", "sum_abs", "wsum_s",
+    ).orderBy("doc_id")
+
+
 def _doc_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash signature — md5 word-hash family, so the
     DuckDB twin reproduces it bit-for-bit (oracle-exact fingerprints)."""
@@ -2744,6 +2774,94 @@ def _doc_url_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_url_domain(d).orderBy("doc_id")
 
 
+# Committed BPE merge list: fit_bpe_py over sf0.001 word counts (n=12) —
+# the encode/token gates apply a FIXED ruleset so the oracle can replay the
+# exact replace chain; fit itself is gated separately (doc_bpe_fit replays
+# the whole training loop in SQL) and unit-pinned against the python twin.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"),
+]
+
+
+def _doc_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained BPE: the full greedy merge-learning loop (8 iterations of
+    pair-count argmax + fuse) — the oracle replays EVERY iteration in SQL
+    (chained CTEs: pair explode, deterministic argmax, 7-pass replace)."""
+    from sparkdoc.bpe import fit_bpe, word_counts
+
+    merges = fit_bpe(word_counts(_docs(spark, sf_dir)), n_merges=8)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, merge_a string, merge_b string").orderBy("rank")
+
+
+def _doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode of the distinct-word vocabulary under the committed merge
+    list — a pure-JVM replace chain (no UDF); the oracle applies the
+    identical chain."""
+    from sparkdoc.bpe import encode_words, word_counts
+
+    enc = encode_words(word_counts(_docs(spark, sf_dir)), _BPE_MERGES)
+    return enc.select(
+        "word", "cnt", F.concat_ws(" ", "tokens").alias("tokens_str"), "n_tokens"
+    ).orderBy("word")
+
+
+def _doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts: corpus explodes once, the encoded
+    vocabulary broadcast-joins on (plan-asserted broadcast)."""
+    from sparkdoc.bpe import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir), _BPE_MERGES).orderBy("doc_id")
+
+
+def _bpe_sql_words(docs_table: str = "documents") -> str:
+    return f"""(
+        SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+            FROM {docs_table})
+        WHERE length(word) > 0 GROUP BY word)"""
+
+
+_BPE_SQL_INIT = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' || ' '"
+
+
+def _bpe_encode_expr(merges: list[tuple[str, str]], fix_passes: int) -> str:
+    expr = _BPE_SQL_INIT
+    for a, b in merges:
+        for _ in range(fix_passes):
+            expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return expr
+
+
+def _bpe_fit_oracle_sql(n_merges: int, fix_passes: int) -> str:
+    """Generate the SQL that replays the ENTIRE BPE training loop: per
+    iteration, adjacent-pair counting via a 1-based list zip, the
+    deterministic argmax (count desc, pair asc), and the 7-pass fuse."""
+    parts = [f"w0 AS (SELECT {_BPE_SQL_INIT} AS syms, cnt FROM {_bpe_sql_words()} )"]
+    for k in range(n_merges):
+        parts.append(
+            f"""p{k} AS (
+            SELECT arr[i] AS a, arr[i + 1] AS b, sum(cnt) AS n
+            FROM (SELECT arr, cnt, unnest(generate_series(1, len(arr) - 1)) AS i
+                  FROM (SELECT string_split(trim(syms), ' ') AS arr, cnt FROM w{k}))
+            GROUP BY 1, 2),
+        m{k} AS (
+            SELECT a, b, ' ' || a || ' ' || b || ' ' AS pat, ' ' || a || b || ' ' AS rep
+            FROM p{k} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        rep = "w.syms"
+        for _ in range(fix_passes):
+            rep = f"replace({rep}, m.pat, m.rep)"
+        parts.append(f"w{k + 1} AS (SELECT {rep} AS syms, w.cnt FROM w{k} w, m{k} m)")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k + 1} AS rank, a AS merge_a, b AS merge_b FROM m{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY rank"
+
+
 _EVAL_ID_FIELDS = {"R": ["title"], "E": ["name"]}
 
 
@@ -2968,6 +3086,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fix_encoding": _doc_fix_encoding,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
+        # trained BPE tokenizer (fit loop + committed-ruleset encode)
+        "doc_bpe_fit": _doc_bpe_fit,
+        "doc_bpe_encode": _doc_bpe_encode,
+        "doc_bpe_tokens": _doc_bpe_tokens,
         # extraction evaluation harness (16/17_… analogs)
         "doc_eval_nodes": _doc_eval_nodes,
         "doc_eval_edges": _doc_eval_edges,
@@ -3046,6 +3168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_to_one_extract": _one_to_one,
         "doc_format_resolution": _doc_format_resolution,
         "media_features": _media_features,
+        "media_decode": _media_decode,
+        "media_audio_decode": _media_audio_decode,
         "domain_stats_salted": _domain_stats,
         "source_stats_salted": _source_stats_salted,
         "doclang_serialize": _doclang_docs,
@@ -3838,6 +3962,65 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN text IS DISTINCT FROM t THEN 1 ELSE 0 END AS had_mojibake
         FROM fx{_i} ORDER BY doc_id
     """
+    # Closed-form twin of the REAL PCM WAV decoder (see media_decode note):
+    # clip i (i%4=3 → 8-bit quantized, else 16-bit) with formula samples.
+    q["media_audio_decode"] = """
+        WITH clips AS (
+            SELECT CAST(i AS INT) AS i,
+                   CAST(20 + i % 13 AS BIGINT) AS frames,
+                   CAST(1 + i % 3 AS INT) AS channels,
+                   CAST(8000 * (1 + i % 3) AS INT) AS rate
+            FROM range(0, 30) t(i)),
+        samp1 AS (
+            SELECT i, frames, channels, rate,
+                   unnest(generate_series(0, frames - 1)) AS t
+            FROM clips),
+        samp AS (
+            SELECT i, frames, channels, rate, t,
+                   CAST(c AS BIGINT) AS c,
+                   CASE WHEN i % 4 = 3
+                        THEN ((5 * t + 3 * c + i) % 256 - 128) * 256
+                        ELSE ((5 * t + 3 * c + i) * 2641) % 65536 - 32768
+                   END AS s
+            FROM (SELECT *, unnest(generate_series(0, CAST(channels AS BIGINT) - 1)) AS c
+                  FROM samp1))
+        SELECT 'aud' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
+               '#/audio/' || CAST(i AS VARCHAR) AS media_ref,
+               1 AS decoded, rate AS sample_rate, frames AS n_frames, channels,
+               CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(sum(s) AS BIGINT) AS sum_s,
+               CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+               CAST(sum((t * channels + c) * s) AS BIGINT) AS wsum_s
+        FROM samp GROUP BY i, frames, channels, rate
+        ORDER BY doc_id
+    """
+    # Trained-BPE twins: doc_bpe_fit replays the whole training loop in SQL
+    # (generated CTE chain — pair zip, argmax, 7-pass fuse per iteration);
+    # encode/tokens apply the committed merge list via the identical
+    # replace chain the engine uses.
+    q["doc_bpe_fit"] = _bpe_fit_oracle_sql(8, 7)
+    _bpe_e = _bpe_encode_expr(_BPE_MERGES, 7)
+    q["doc_bpe_encode"] = f"""
+        WITH enc AS (
+            SELECT word, cnt, {_bpe_e} AS e FROM {_bpe_sql_words()} )
+        SELECT word, cnt, trim(e) AS tokens_str,
+               CAST(len(string_split(trim(e), ' ')) AS INT) AS n_tokens
+        FROM enc ORDER BY word
+    """
+    q["doc_bpe_tokens"] = f"""
+        WITH words AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+                FROM documents)
+            WHERE length(word) > 0),
+        enc AS (
+            SELECT word, CAST(len(string_split(trim({_bpe_e}), ' ')) AS BIGINT) AS n_tokens
+            FROM (SELECT DISTINCT word FROM words))
+        SELECT w.doc_id, CAST(sum(e.n_tokens) AS BIGINT) AS bpe_tokens,
+               count(*) AS bpe_words
+        FROM words w JOIN enc e USING (word)
+        GROUP BY w.doc_id ORDER BY w.doc_id
+    """
     # Vocabulary-sketch twin (_doc_vocab_sketch): DuckDB verifies the exact
     # per-source distinct-word count and asserts the HLL tolerance held
     # (within_tol literal 1 — a drifting estimate fails the value hash).
@@ -4188,6 +4371,42 @@ def oracle_sql() -> dict[str, str]:
         ["media_ref", "doc_id", "sha256", "n_bytes", "width", "height"],
         {0, 1, 2},
     )
+    # Closed-form twin of the REAL image decoder: pixel values come from an
+    # arithmetic formula, so the oracle recomputes every statistic over a
+    # generate_series grid without touching any container bytes. PGM images
+    # (i%5=4) are grayscale: all three channels equal the r-formula.
+    q["media_decode"] = """
+        WITH imgs AS (
+            SELECT CAST(i AS INT) AS i,
+                   CAST(5 + i % 6 AS INT) AS w,
+                   CAST(4 + i % 7 AS INT) AS h
+            FROM range(0, 40) t(i)),
+        px1 AS (
+            SELECT i, w, h,
+                   unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+            FROM imgs),
+        px AS (
+            SELECT i, w, h, x,
+                   unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y
+            FROM px1),
+        vals AS (
+            SELECT i, w, h, x, y,
+                   (7 * x + 13 * y + i) % 256 AS r,
+                   CASE WHEN i % 5 = 4 THEN (7 * x + 13 * y + i) % 256
+                        ELSE (3 * x + 5 * y + 2 * i) % 251 END AS g,
+                   CASE WHEN i % 5 = 4 THEN (7 * x + 13 * y + i) % 256
+                        ELSE (11 * x + 17 * y + 3 * i) % 241 END AS b
+            FROM px)
+        SELECT 'img' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
+               '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
+               1 AS decoded, w AS width, h AS height,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum((y * w + x) * ((77 * r + 150 * g + 29 * b) // 256)) AS BIGINT) AS wsum_luma
+        FROM vals GROUP BY i, w, h
+        ORDER BY doc_id
+    """
     # coverage twin: distinct covered chunks (duplicate anchors collapse),
     # retention = covered / total windows.
     q["doc_coverage"] = """

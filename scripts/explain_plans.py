@@ -356,6 +356,20 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._doc_bpe_tokens(spark, sf_dir))
+    sections.append(("doc_bpe_tokens", p))
+    checks.append(
+        (
+            "bpe encode is a pure-JVM replace chain (no Python) and the"
+            " encoded vocab broadcast-joins onto the corpus with a"
+            " map-side-combined rollup",
+            "Python" not in p
+            and len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 1
+            and "partial_sum" in p.lower(),
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

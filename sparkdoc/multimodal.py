@@ -2,11 +2,16 @@
 
 Media travel as ``binary`` + typed metadata struct; the span table references
 them via ``media_ref`` (``#/pictures/<id>``). Decode / feature-extract /
-resize / frame-sample are Arrow-batched pandas UDFs over mapInPandas — the
-Spark-side plumbing (schema, partitioning, UDF signature, batch shape) is
-real and tested; the codec step itself is STUBBED behind
-``SPARKDOC_FAKE_CODECS`` (deterministic fake) because the sandbox has no
-image/audio libraries. Swap ``_decode_image_real`` in when PIL/ffmpeg exist.
+resize / frame-sample are Arrow-batched pandas UDFs over mapInPandas.
+
+Decode status: payloads in uncompressed containers (BMP 24/32-bit, binary
+PPM/PGM) decode FOR REAL via the pure-numpy ``sparkdoc.imagecodec`` kernel —
+true dimensions, pixel statistics, and a content embedding come from actual
+pixels (gate ``media_decode`` pins the decoded stats against a closed-form
+SQL twin). Compressed formats (PNG/JPEG) still need a codec library the
+sandbox lacks and keep the documented stub path behind
+``SPARKDOC_FAKE_CODECS`` (deterministic fake embedding) /
+``_decode_image_real`` (NotImplementedError when fakes are disabled).
 
 Design for 100 TB of media:
   * blobs never join wide tables — media lives in its own table keyed by
@@ -82,9 +87,23 @@ EMBED_DIM = 16
 
 def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs in sandbox
     raise NotImplementedError(
-        "real image decode needs PIL/opencv — not available in this container; "
-        "set SPARKDOC_FAKE_CODECS=1 (default) for the deterministic stub"
+        "compressed-image decode (PNG/JPEG) needs PIL/opencv — not available in "
+        "this container; BMP/PPM/PGM decode natively via sparkdoc.imagecodec, "
+        "and SPARKDOC_FAKE_CODECS=1 (default) stubs the rest deterministically"
     )
+
+
+def _try_decode(payload: bytes):
+    """Real decode for natively-supported containers; None when the payload
+    is not one of them (or is corrupt) so callers can fall back."""
+    from sparkdoc import imagecodec
+
+    if imagecodec.sniff_format(payload) is None:
+        return None
+    try:
+        return imagecodec.decode_image(payload)
+    except ValueError:
+        return None
 
 
 def _fake_embed(payload: bytes, dim: int = EMBED_DIM) -> list[float]:
@@ -134,28 +153,42 @@ def synth_media_df(spark: SparkSession, documents: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """Decode(stub) + feature-extract per image: hash, size, dims, embedding.
+    """Decode + feature-extract per image: hash, size, dims, embedding.
+
+    Natively-decodable containers (BMP/PPM/PGM — sparkdoc.imagecodec) yield
+    TRUE width/height from the pixel data (overriding possibly-lying
+    metadata) and a real content embedding (gray-grid block means);
+    everything else takes the documented stub path (metadata dims + fake
+    hash embedding, or NotImplementedError with fakes disabled).
 
     Arrow-batched; the binary column is consumed here and pruned from all
     downstream plans.
     """
+    from sparkdoc.imagecodec import gray_grid_embedding
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload)
-                if not FAKE_CODECS:
-                    _decode_image_real(payload)
+                arr = _try_decode(payload)
+                if arr is not None:
+                    width, height = int(arr.shape[1]), int(arr.shape[0])
+                    embedding = gray_grid_embedding(arr)
+                else:
+                    if not FAKE_CODECS:
+                        _decode_image_real(payload)
+                    width, height = r.meta_width, r.meta_height
+                    embedding = _fake_embed(payload)
                 rows.append(
                     {
                         "media_ref": r.media_ref,
                         "doc_id": r.doc_id,
                         "sha256": hashlib.sha256(payload).hexdigest(),
                         "n_bytes": len(payload),
-                        "width": r.meta_width,
-                        "height": r.meta_height,
-                        "embedding": _fake_embed(payload),
+                        "width": width,
+                        "height": height,
+                        "embedding": embedding,
                     }
                 )
             if rows:
@@ -164,6 +197,141 @@ def image_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         feats, schema=IMAGE_FEATURES
     )
+
+
+PIXEL_STATS = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("decoded", IntegerType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+        StructField("wsum_luma", LongType(), True),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel statistics per decodable image: channel sums plus a
+    position-weighted luma sum, wsum_luma = Σ (y·W + x) · luma(x, y) with
+    integer luma (77·R + 150·G + 29·B) >> 8.
+
+    The position weighting makes the statistic sensitive to ROW ORDER and
+    CHANNEL ORDER, so it pins exactly the parts a container decoder can get
+    wrong (bottom-up flip, BGR swap, row padding) — the ``media_decode``
+    gate recomputes it in closed form over the generating formula.
+    Undecodable payloads emit decoded=0 with null stats (never an error —
+    a 100 TB media crawl always contains junk)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = _try_decode(bytes(r.payload))
+                if arr is None:
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "doc_id": r.doc_id,
+                            "decoded": 0,
+                            "width": None,
+                            "height": None,
+                            "sum_r": None,
+                            "sum_g": None,
+                            "sum_b": None,
+                            "wsum_luma": None,
+                        }
+                    )
+                    continue
+                a = arr.astype(np.int64)
+                h, w, _ = a.shape
+                luma = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                rows.append(
+                    {
+                        "media_ref": r.media_ref,
+                        "doc_id": r.doc_id,
+                        "decoded": 1,
+                        "width": w,
+                        "height": h,
+                        "sum_r": int(a[:, :, 0].sum()),
+                        "sum_g": int(a[:, :, 1].sum()),
+                        "sum_b": int(a[:, :, 2].sum()),
+                        "wsum_luma": int((pos * luma).sum()),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        stats, schema=PIXEL_STATS
+    )
+
+
+def synth_decodable_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic REAL-container media corpus: image i rotates through
+    five encodings (BMP bottom-up 24bpp, BMP top-down 24bpp, BMP bottom-up
+    32bpp, binary PPM, binary PGM) with formula pixels
+
+        r = (7x + 13y + i) mod 256
+        g = (3x + 5y + 2i) mod 251     (PGM: r = g = b = r-formula)
+        b = (11x + 17y + 3i) mod 241
+
+    and dimensions w = 5 + i mod 6, h = 4 + i mod 7 — the width sweep
+    exercises every 24bpp row-padding remainder. The closed-form pixel rule
+    is what lets the media_decode oracle verify the DECODER, not just the
+    plumbing."""
+    from sparkdoc.imagecodec import encode_bmp, encode_pgm, encode_ppm
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r = (7 * x + 13 * y + i) % 256
+                g = (3 * x + 5 * y + 2 * i) % 251
+                b = (11 * x + 17 * y + 3 * i) % 241
+                kind = i % 5
+                if kind == 4:
+                    payload = encode_pgm(r.astype(np.uint8))
+                    mime = "image/x-portable-graymap"
+                else:
+                    arr = np.stack(
+                        [r.astype(np.uint8), g.astype(np.uint8), b.astype(np.uint8)], axis=2
+                    )
+                    if kind == 0:
+                        payload, mime = encode_bmp(arr, bpp=24, bottom_up=True), "image/bmp"
+                    elif kind == 1:
+                        payload, mime = encode_bmp(arr, bpp=24, bottom_up=False), "image/bmp"
+                    elif kind == 2:
+                        payload, mime = encode_bmp(arr, bpp=32, bottom_up=True), "image/bmp"
+                    else:
+                        payload, mime = encode_ppm(arr), "image/x-portable-pixmap"
+                rows.append(
+                    {
+                        "media_ref": f"#/pictures/{i}",
+                        "doc_id": f"img{i:04d}",
+                        "media_type": "image",
+                        "mime": mime,
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                        "meta_sample_rate": None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
 
 
 def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
@@ -216,6 +384,133 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(
         frames, schema=FRAME_SAMPLES
     )
+
+
+AUDIO_STATS = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("decoded", IntegerType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("sum_s", LongType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("wsum_s", LongType(), True),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio statistics per decodable payload (PCM WAV via
+    sparkdoc.audiocodec): sample rate / frames / channels / duration from
+    the actual container, plus integer sample sums — sum, |sum|, and the
+    interleave-position-weighted wsum_s = Σ (t·C + c) · s(t, c), which pins
+    channel-interleaving and byte order exactly the way wsum_luma pins row
+    order for images (gate ``media_audio_decode``). Undecodable payloads
+    (MP3/AAC — no codec in the sandbox) emit decoded=0 with null stats."""
+    from sparkdoc.audiocodec import decode_wav, sniff_wav
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                decoded = None
+                if sniff_wav(payload):
+                    try:
+                        decoded = decode_wav(payload)
+                    except ValueError:
+                        decoded = None
+                if decoded is None:
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "doc_id": r.doc_id,
+                            "decoded": 0,
+                            "sample_rate": None,
+                            "n_frames": None,
+                            "channels": None,
+                            "duration_ms": None,
+                            "sum_s": None,
+                            "sum_abs": None,
+                            "wsum_s": None,
+                        }
+                    )
+                    continue
+                samples, sr = decoded
+                s = samples.astype(np.int64)
+                frames, channels = s.shape
+                pos = np.arange(frames * channels, dtype=np.int64).reshape(frames, channels)
+                rows.append(
+                    {
+                        "media_ref": r.media_ref,
+                        "doc_id": r.doc_id,
+                        "decoded": 1,
+                        "sample_rate": int(sr),
+                        "n_frames": int(frames),
+                        "channels": int(channels),
+                        "duration_ms": int(frames * 1000 // sr),
+                        "sum_s": int(s.sum()),
+                        "sum_abs": int(np.abs(s).sum()),
+                        "wsum_s": int((pos * s).sum()),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        stats, schema=AUDIO_STATS
+    )
+
+
+def synth_decodable_audio_df(spark: SparkSession, n: int = 30) -> DataFrame:
+    """Deterministic REAL-container audio corpus: clip i is PCM WAV with
+    frames = 20 + i mod 13, channels = 1 + i mod 3, rate = 8000·(1 + i mod 3)
+    and formula samples
+
+        16-bit (i mod 4 ≠ 3): s = ((5t + 3c + i)·2641) mod 65536 − 32768
+        8-bit  (i mod 4 = 3): s = (((5t + 3c + i) mod 256) − 128) · 256
+
+    — both closed-form so the media_audio_decode oracle recomputes every
+    statistic without touching container bytes."""
+    from sparkdoc.audiocodec import encode_wav
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                frames, channels = 20 + i % 13, 1 + i % 3
+                rate = 8000 * (1 + i % 3)
+                t = np.arange(frames, dtype=np.int64)[:, None]
+                c = np.arange(channels, dtype=np.int64)[None, :]
+                if i % 4 == 3:
+                    s = (((5 * t + 3 * c + i) % 256) - 128) * 256
+                    payload = encode_wav(s.astype(np.int32), rate, bits=8)
+                else:
+                    s = ((5 * t + 3 * c + i) * 2641) % 65536 - 32768
+                    payload = encode_wav(s.astype(np.int32), rate, bits=16)
+                rows.append(
+                    {
+                        "media_ref": f"#/audio/{i}",
+                        "doc_id": f"aud{i:04d}",
+                        "media_type": "audio",
+                        "mime": "audio/wav",
+                        "payload": payload,
+                        "meta_width": None,
+                        "meta_height": None,
+                        "meta_duration_ms": int(frames * 1000 // rate),
+                        "meta_sample_rate": rate,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
 
 
 def media_dedup_groups(features: DataFrame) -> DataFrame:

@@ -1,0 +1,128 @@
+"""Trained BPE tokenizer: fit loop, merge-application fixpoint semantics,
+encode chain — Spark vs the pure-Python twin."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkdoc.bpe import (
+    FIX_PASSES,
+    apply_merge_py,
+    encode_word_py,
+    fit_bpe_py,
+)
+
+
+class TestMergeSemantics:
+    def test_simple_fuse(self):
+        assert apply_merge_py(" h e l l o </w> ", "l", "l") == " h e ll o </w> "
+
+    def test_chain_needs_multiple_passes(self):
+        # ' a b a b ': the first match consumes the shared space, hiding the
+        # second occurrence from a single pass
+        s = " a b a b </w> "
+        one_pass = s.replace(" a b ", " ab ")
+        assert " a b " in one_pass  # single pass misses shared-space chains
+        out = apply_merge_py(s, "a", "b")
+        assert " a b " not in out  # fixpoint: no occurrence survives
+        assert out == " ab ab </w> "
+        # self-pair chains also reach a (well-defined) fixpoint
+        out2 = apply_merge_py(" " + "a " * 8 + "</w> ", "a", "a")
+        assert " a a " not in out2
+        assert out2.replace(" ", "").count("a") == 8
+
+    def test_fixpoint_bound_holds_for_long_words(self):
+        # 2^FIX_PASSES symbols is the documented bound; real words are far
+        # shorter, but the bound itself must hold
+        s = " " + "a " * (2 ** FIX_PASSES) + "</w> "
+        apply_merge_py(s, "a", "a")  # raises if FIX_PASSES insufficient
+
+    @given(st.text(alphabet="ab", min_size=1, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_fixpoint_fuzz(self, word):
+        s = " " + " ".join(word) + " </w> "
+        out = apply_merge_py(s, "a", "b")
+        assert " a b " not in out
+
+    def test_encode_applies_in_rank_order(self):
+        # (e,r) then (er,</w>): 'ber' -> b er</w>; reversed order couldn't
+        # form er</w> because 'er' doesn't exist yet
+        toks = encode_word_py("ber", [("e", "r"), ("er", "</w>")])
+        assert toks == ["b", "er</w>"]
+        toks2 = encode_word_py("ber", [("er", "</w>"), ("e", "r")])
+        assert toks2 == ["b", "er", "</w>"]
+
+
+class TestFitPy:
+    def test_greedy_argmax_with_ties(self):
+        # 'abab' x3: pairs (a,b) cnt 6, (b,a) cnt 3 -> first merge (a,b);
+        # then (ab,ab) cnt 3 beats (ab,</w>) cnt 3 on pair asc tiebreak?
+        # ('ab','</w>') < ('ab','ab') lexicographically -> tie broken to </w>
+        merges = fit_bpe_py({"abab": 3}, n_merges=2)
+        assert merges[0] == ("a", "b")
+        assert merges[1] == ("ab", "</w>")
+
+    def test_frequency_weighting(self):
+        # 'xy' freq 10 dominates 'zz' freq 1
+        merges = fit_bpe_py({"xy": 10, "zz": 1}, n_merges=1)
+        assert merges[0] == ("x", "y")
+
+    def test_exhausts_gracefully(self):
+        merges = fit_bpe_py({"a": 5}, n_merges=10)
+        # 'a </w>' has one pair; after fusing, no pairs remain
+        assert merges == [("a", "</w>")]
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkParity:
+    def test_fit_matches_python_twin(self, spark):
+        from sparkdoc.bpe import fit_bpe
+
+        corpus = [
+            ("d1", "the river runs forever under the lower tower"),
+            ("d2", "river water never slower, the tower of power"),
+            ("d3", "lower the rower, the mower, the thrower"),
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id string, text string")
+        from sparkdoc.bpe import word_counts
+
+        wc_rows = word_counts(docs).collect()
+        wc = {r["word"]: r["cnt"] for r in wc_rows}
+        want = fit_bpe_py(wc, n_merges=6)
+        got = fit_bpe(word_counts(docs), n_merges=6)
+        assert got == want
+
+    def test_encode_matches_python_twin(self, spark):
+        from sparkdoc.bpe import encode_words
+
+        merges = [("e", "r"), ("er", "</w>"), ("t", "h"), ("th", "e</w>")]
+        words = spark.createDataFrame(
+            [("ther",), ("the",), ("river",), ("a",)], "word string"
+        )
+        got = {r["word"]: list(r["tokens"]) for r in encode_words(words, merges).collect()}
+        for w in ["ther", "the", "river", "a"]:
+            assert got[w] == encode_word_py(w, merges), w
+
+    def test_token_counts_roll_up(self, spark):
+        from sparkdoc.bpe import bpe_token_counts
+
+        merges = [("a", "b")]
+        docs = spark.createDataFrame(
+            [("d1", "ab ab cd"), ("d2", "!!!"), ("d3", "ab")],
+            "doc_id string, text string",
+        )
+        got = {r["doc_id"]: (r["bpe_tokens"], r["bpe_words"]) for r in
+               bpe_token_counts(docs, merges).collect()}
+        # 'ab' -> [ab, </w>] = 2 tokens; 'cd' -> [c, d, </w>] = 3
+        assert got["d1"] == (2 + 2 + 3, 3)
+        assert got["d3"] == (2, 1)
+        assert "d2" not in got  # no letters-only words
+
+    def test_encode_plan_is_udf_free(self, spark):
+        from sparkdoc.bpe import encode_words
+
+        words = spark.createDataFrame([("hello",)], "word string")
+        plan = encode_words(words, [("l", "l")])._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
