@@ -29,19 +29,45 @@ def _timeit(fn, reps: int) -> float:
     return round(best, 3)
 
 
-def _synth_vectors(spark, n: int, dim: int):
-    """n deterministic pseudo-random vectors: element j of row i derives
-    from md5(i:j-chunk), mapped to [-0.5, 0.5) — engine-side exprs only."""
+def _synth_vectors(
+    spark,
+    n: int,
+    dim: int,
+    clusters: int = 64,
+    group: int = 16,
+    group_amp: float = 0.3,
+    noise: float = 0.05,
+):
+    """n deterministic pseudo-random vectors with HIERARCHICAL cluster
+    structure (engine-side exprs only): row i belongs to tight group
+    g = i // group, groups scatter around coarse center g mod clusters.
+
+        v(i) = coarse(g mod clusters) + 0.3·u(g) + 0.05·u(i)
+
+    Every row's exact top-(group-1) neighbors are its group-mates, clearly
+    separated from the rest — so recall@k measures whether the index FINDS
+    the true neighbors, not how it breaks near-ties. Uniform random vectors
+    (no structure) are the degenerate case for every VQ method: all cosines
+    ≈ 0 and top-k is pure noise; real embedding corpora are clustered, which
+    is the regime IVF/PQ exist for."""
     cols = []
+    gid = (F.col("id") - F.col("id") % group) / group
+    cid = (gid.cast("long") % clusters).cast("string")
+    gstr = gid.cast("long").cast("string")
     for c in range(dim // 8):
-        h = F.md5(F.concat(F.col("id").cast("string"), F.lit(f":v{c}")))
+        hn = F.md5(F.concat(F.col("id").cast("string"), F.lit(f":v{c}")))
+        hg = F.md5(F.concat(F.lit("grp:"), gstr, F.lit(f":v{c}")))
+        hc = F.md5(F.concat(F.lit("ctr:"), cid, F.lit(f":v{c}")))
         for b in range(8):
+            u = lambda h: (
+                F.conv(F.substring(h, b * 4 + 1, 4), 16, 10).cast("double")
+                / F.lit(65536.0)
+                - F.lit(0.5)
+            )
             cols.append(
-                (
-                    F.conv(F.substring(h, b * 4 + 1, 4), 16, 10).cast("double")
-                    / F.lit(65536.0)
-                    - F.lit(0.5)
-                ).alias(f"x{c * 8 + b}")
+                (u(hc) + F.lit(group_amp) * u(hg) + F.lit(noise) * u(hn)).alias(
+                    f"x{c * 8 + b}"
+                )
             )
     df = spark.range(n).select(F.col("id").alias("vec_id"), *cols)
     return df.select(
@@ -50,69 +76,89 @@ def _synth_vectors(spark, n: int, dim: int):
 
 
 def vq_mode(args) -> None:
-    from sparkdoc.cluster import (
-        ivf_topk_trained,
-        kmeans_assign,
-        kmeans_fit,
-        pq_encode,
-        pq_fit,
-        pq_topk,
-    )
+    """Measures the PRODUCTION shape (jobs/ann_index.py): the index — trained
+    cells + PQ codes — is built ONCE and persisted; queries run against the
+    persisted tables via cluster.ivfpq_topk (probe → ADC shortlist → exact
+    rescore). Build cost and query cost are reported separately because at
+    100 TB they amortize completely differently (one build, endless queries).
+    adc_only recall shows why the rescore stage exists."""
+    import shutil
+    import tempfile
+
+    from sparkdoc.cluster import ivfpq_topk, kmeans_assign, kmeans_fit, pq_encode, pq_fit, pq_topk
     from sparkdoc.session import get_spark
     from sparkdoc.similarity import ann_recall, brute_force_topk
 
     spark = get_spark("bench-vq", shuffle_partitions=32)
-    n, dim = args.vectors, 64
+    n, dim, k = args.vectors, 64, 10
     corpus = _synth_vectors(spark, n, dim).persist()
     corpus.count()  # materialize + warm
     queries = corpus.filter(F.col("vec_id") % (n // args.queries) == 0)
 
-    t0 = time.monotonic()
-    cents = kmeans_fit(corpus, k=16, iters=2, dim=dim, train_mod=16)
-    fit_s = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    cb = pq_fit(corpus, m=8, ksub=16, iters=1, dim=dim, train_mod=16)
-    pq_fit_s = round(time.monotonic() - t0, 3)
-
-    assign_s = _timeit(lambda: kmeans_assign(corpus, cents).count(), args.reps)
-    encode_s = _timeit(lambda: pq_encode(corpus, cb).count(), args.reps)
-    bf_s = _timeit(lambda: brute_force_topk(corpus, queries, k=10).count(), args.reps)
-    ivf_s = _timeit(
-        lambda: ivf_topk_trained(corpus, queries, cents, k=10, nprobe=4).count(),
-        args.reps,
-    )
-    adc_s = _timeit(lambda: pq_topk(corpus, queries, cb, k=10).count(), args.reps)
-
-    exact = brute_force_topk(corpus, queries, k=10)
-    rec = {
-        r["method"]: r["mean_recall_at_k"]
-        for r in ann_recall(
-            exact,
-            {
-                "ivf_trained": ivf_topk_trained(corpus, queries, cents, k=10, nprobe=4),
-                "pq_adc": pq_topk(corpus, queries, cb, k=10),
-            },
-        ).collect()
-    }
-    print(
-        json.dumps(
-            {
-                "mode": "vq",
-                "vectors": n,
-                "queries": args.queries,
-                "kmeans_fit_s": fit_s,
-                "pq_fit_s": pq_fit_s,
-                "assign_s": assign_s,
-                "pq_encode_s": encode_s,
-                "brute_force_s": bf_s,
-                "ivf_trained_s": ivf_s,
-                "pq_adc_s": adc_s,
-                "recall": rec,
-                "code_bytes_per_vec": 8,
-                "raw_bytes_per_vec": dim * 8,
-            }
+    idx = tempfile.mkdtemp(prefix="vq_idx_")
+    try:
+        t0 = time.monotonic()
+        cents = kmeans_fit(corpus, k=16, iters=2, dim=dim, train_mod=16)
+        fit_s = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        cb = pq_fit(corpus, m=8, ksub=16, iters=1, dim=dim, train_mod=16)
+        pq_fit_s = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        kmeans_assign(corpus, cents).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{idx}/cells"
         )
-    )
+        assign_s = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        pq_encode(corpus, cb).write.mode("overwrite").parquet(f"{idx}/codes")
+        encode_s = round(time.monotonic() - t0, 3)
+
+        cells = spark.read.parquet(f"{idx}/cells")
+        codes = spark.read.parquet(f"{idx}/codes")
+
+        rf = args.rescore_factor
+        bf_s = _timeit(lambda: brute_force_topk(corpus, queries, k=k).count(), args.reps)
+        ivfpq_s = _timeit(
+            lambda: ivfpq_topk(
+                cells, codes, queries, cents, cb,
+                k=k, nprobe=4, rescore_factor=rf, exclude_self=True,
+            ).count(),
+            args.reps,
+        )
+
+        exact = brute_force_topk(corpus, queries, k=k)
+        rec = {
+            r["method"]: r["mean_recall_at_k"]
+            for r in ann_recall(
+                exact,
+                {
+                    "ivfpq": ivfpq_topk(
+                        cells, codes, queries, cents, cb,
+                        k=k, nprobe=4, rescore_factor=rf, exclude_self=True,
+                    ),
+                    "adc_only": pq_topk(corpus, queries, cb, k=k),
+                },
+            ).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "mode": "vq",
+                    "vectors": n,
+                    "queries": args.queries,
+                    "kmeans_fit_s": fit_s,
+                    "pq_fit_s": pq_fit_s,
+                    "index_assign_write_s": assign_s,
+                    "index_encode_write_s": encode_s,
+                    "brute_force_s": bf_s,
+                    "ivfpq_query_s": ivfpq_s,
+                    "recall": rec,
+                    "code_bytes_per_vec": 8,
+                    "raw_bytes_per_vec": dim * 8,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
     spark.stop()
 
 
@@ -195,6 +241,7 @@ def main() -> None:
     ap.add_argument("--right", type=int, default=80_000)
     ap.add_argument("--keys", type=int, default=200)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--rescore-factor", type=int, default=32)
     args = ap.parse_args()
     if args.asof:
         asof_mode(args)

@@ -406,3 +406,85 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivfpq_topk(
+    cells: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    cb: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    rescore_factor: int = 4,
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production IVF-PQ query against a PERSISTED index — the scoring core
+    of jobs/ann_index.py query mode (the CLI calls this).
+
+    ``cells``: (vec_id, cell, v) — the trained-k-means assignment written
+    once at build time (partitioned by cell on disk, so probing prunes
+    partitions); ``codes``: (vec_id, codes array<int>) — the PQ codes.
+
+    Per query: probe the ``nprobe`` argmin-L2 trained cells, ADC-score every
+    candidate in them via a per-query LUT (m array lookups per candidate —
+    no float vector math on the corpus side), then exact-rescore ONLY the
+    ``rescore_factor``·k ADC head with true cosine. The rescore step is what
+    keeps recall high even where 8-byte codes are too coarse to rank
+    correctly on their own. Output: (query_id, neighbor_id, rank, cos)."""
+    m = len(cb)
+    dsub = len(cb[0][0])
+
+    q = _with_unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
+    lut = F.array(
+        *[
+            F.array(
+                *[dot(F.slice(F.col("qv"), s * dsub + 1, dsub), _lit_vec(c)) for c in cb[s]]
+            )
+            for s in range(m)
+        ]
+    )
+    q = q.withColumn("lut", lut)
+    probe_scores = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                (dot(F.col("qv"), _lit_vec(c)) - F.lit(_half_sq(c))).alias("score"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell").asc())
+    probes = (
+        q.select("query_id", "qv", "lut", F.explode(probe_scores).alias("ps"))
+        .select(
+            "query_id", "qv", "lut",
+            F.col("ps.cell").alias("cell"), F.col("ps.score").alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "lut", "cell")
+    )
+    cand = probes.join(cells.select(id_col, "cell", "v"), "cell").join(codes, id_col)
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col(id_col))
+    adc_score = None
+    for s in range(m):
+        term = F.element_at(F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1)
+        adc_score = term if adc_score is None else adc_score + term
+    adc = cand.select(
+        "query_id", "qv", F.col(id_col).alias("neighbor_id"), "v", adc_score.alias("adc")
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
+    head = adc.withColumn("_ar", F.row_number().over(wa)).filter(
+        F.col("_ar") <= rescore_factor * k
+    )
+    rescored = head.select("query_id", "neighbor_id", dot(F.col("qv"), F.col("v")).alias("cos"))
+    wf = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

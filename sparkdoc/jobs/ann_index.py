@@ -51,19 +51,19 @@ def main() -> None:
     ap.add_argument("--train-mod", type=int, default=None)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=4)
-    ap.add_argument("--rescore-factor", type=int, default=4)
+    # 32 measured (bench/vq_ops.py): on a hierarchically-clustered 50k corpus
+    # the nprobe=4 probe ceiling is recall 1.0 and the ADC shortlist is the
+    # only loss — rf=4 left recall at 0.28-0.34 while rf=32 (320 exact
+    # rescans per query) recovers 1.0 at negligible wall cost
+    ap.add_argument("--rescore-factor", type=int, default=32)
     ap.add_argument("--exclude-self", action="store_true",
                     help="drop candidates whose vec_id equals the query_id (for corpus-member probes)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     from sparkdoc.cluster import kmeans_assign, kmeans_fit, pq_encode, pq_fit
     from sparkdoc.session import get_spark
-    from sparkdoc.similarity import _with_unit, dot
 
     spark = get_spark(
         "sparkdoc-ann-index",
@@ -139,84 +139,27 @@ def main() -> None:
         man = json.load(f)
     cents = man["centroids"]
     cb = man["codebooks"]
-    dim, m = man["dim"], man["m"]
-    dsub = dim // m
 
     cells = spark.read.parquet(os.path.join(args.index, "cells"))
     codes = spark.read.parquet(os.path.join(args.index, "codes"))
     queries = spark.read.parquet(args.query)
 
-    from sparkdoc.cluster import _half_sq, _lit_vec
+    from sparkdoc.cluster import ivfpq_topk
 
-    q = _with_unit(queries, "embedding", "qv").select(
-        F.col("vec_id").alias("query_id"), "qv"
-    )
-    # per-query ADC LUT computed ONCE on the (tiny) query side and carried
-    # through the join: lut[s][cell] = dot(q_slice_s, codebook[s][cell])
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    dot(F.slice(F.col("qv"), s * dsub + 1, dsub), _lit_vec(c))
-                    for c in cb[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    q = q.withColumn("lut", lut)
-    probe_scores = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                (dot(F.col("qv"), _lit_vec(c)) - F.lit(_half_sq(c))).alias("score"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("cell").asc()
-    )
-    probes = (
-        q.select("query_id", "qv", "lut", F.explode(probe_scores).alias("ps"))
-        .select(
-            "query_id", "qv", "lut",
-            F.col("ps.cell").alias("cell"), F.col("ps.score").alias("score"),
-        )
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= args.nprobe)
-        .select("query_id", "qv", "lut", "cell")
-    )
-    # cell-pruned candidates (partition pruning on the cells table), ADC over
-    # their codes (m array lookups per candidate), exact rescore of the
-    # rescore_factor*k head only
-    cand = probes.join(cells.select("vec_id", "cell", "v"), "cell").join(
-        codes, "vec_id"
-    )
-    if args.exclude_self:
-        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
-    adc_score = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1
-        )
-        adc_score = term if adc_score is None else adc_score + term
-    adc = cand.select(
-        "query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v",
-        adc_score.alias("adc"),
-    )
-    wa = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
-    head = adc.withColumn("_ar", F.row_number().over(wa)).filter(
-        F.col("_ar") <= args.rescore_factor * args.k
-    )
-    rescored = head.select(
-        "query_id", "neighbor_id", dot(F.col("qv"), F.col("v")).alias("cos")
-    )
-    wf = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    topk = (
-        rescored.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= args.k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    # probe nprobe trained cells (partition pruning on the cells table), ADC
+    # over the candidates' codes (m array lookups each, per-query LUT built
+    # once on the tiny query side), exact rescore of the rescore_factor*k
+    # ADC head only — scoring shared with cluster.ivfpq_topk
+    topk = ivfpq_topk(
+        cells,
+        codes,
+        queries,
+        cents,
+        cb,
+        k=args.k,
+        nprobe=args.nprobe,
+        rescore_factor=args.rescore_factor,
+        exclude_self=args.exclude_self,
     )
     topk.write.mode("overwrite").parquet(args.out)
     n_q = queries.count()
