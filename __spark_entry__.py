@@ -885,6 +885,62 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (sparkdoc.videocodec: Y4M with
+    C420/C444/Cmono chroma layouts) pinned against a closed-form oracle:
+    formula luma planes, every-2nd-frame sampling, true fps timestamps. The
+    per-frame position-weighted sum catches chroma-skip desync — a wrong
+    plane size shifts every subsequent frame's bytes."""
+    from sparkdoc.multimodal import synth_decodable_video_df, video_frame_stats
+
+    media = synth_decodable_video_df(spark, 20)
+    return video_frame_stats(media, every_n=2).select(
+        "doc_id", "media_ref", "decoded", "frame_index", "ts_ms",
+        "width", "height", "sum_y", "wsum_y",
+    ).orderBy("doc_id", "frame_index")
+
+
+def _doc_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-structure recovery (tableops.split_table_cells): pipe-row table
+    text (the chunker's rendering of table spans) → one row per cell with
+    0-based (row_idx, col_idx). Derived input: a 3-row table built from each
+    document's words; every third document drops the last cell of the last
+    row so RAGGED tables are exercised. The oracle constructs the expected
+    cell grid directly from the same word formulas — any split/trim/indexing
+    drift breaks the match."""
+    from sparkdoc.tableops import split_table_cells
+
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    fbs = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota"]
+
+    def word(i: int, fb: str):
+        c = F.regexp_replace(F.lower(F.element_at(w, i)), "[^a-z]", "")
+        return F.coalesce(F.nullif(c, F.lit("")), F.lit(fb))
+
+    rows = []
+    for r in range(3):
+        cells = [word(3 * r + c + 1, fbs[3 * r + c]) for c in range(3)]
+        full = F.concat_ws(" | ", *cells)
+        if r == 2:
+            rows.append(
+                F.when(F.col("doc_id") % 3 == 0, F.concat_ws(" | ", *cells[:2])).otherwise(full)
+            )
+        else:
+            rows.append(full)
+    tbl = docs.select("doc_id", F.concat_ws("\n", *rows).alias("text"))
+    return split_table_cells(tbl, keep=["doc_id"]).orderBy("doc_id", "row_idx", "col_idx")
+
+
+def _doc_table_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape rollup chained on the cell grid (tableops.table_shapes):
+    n_rows / n_cells / min-max width / raggedness per table."""
+    from sparkdoc.tableops import table_shapes
+
+    cells = _doc_table_cells(spark, sf_dir)
+    return table_shapes(cells, keys=["doc_id"]).orderBy("doc_id")
+
+
 def _media_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM WAV decode (sparkdoc.audiocodec: 8/16-bit, multi-channel,
     chunk-walk header) pinned the same way as media_decode: formula samples,
@@ -3170,6 +3226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features,
         "media_decode": _media_decode,
         "media_audio_decode": _media_audio_decode,
+        "media_video_decode": _media_video_decode,
+        "doc_table_cells": _doc_table_cells,
+        "doc_table_shapes": _doc_table_shapes,
         "domain_stats_salted": _domain_stats,
         "source_stats_salted": _source_stats_salted,
         "doclang_serialize": _doclang_docs,
@@ -3993,6 +4052,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum((t * channels + c) * s) AS BIGINT) AS wsum_s
         FROM samp GROUP BY i, frames, channels, rate
         ORDER BY doc_id
+    """
+    # Closed-form twin of the REAL Y4M decoder: every-2nd-frame sampling,
+    # ts from the true fps, per-frame luma sums from the generating formula.
+    q["media_video_decode"] = """
+        WITH clips AS (
+            SELECT CAST(i AS INT) AS i,
+                   CAST(3 + i % 4 AS BIGINT) AS nf,
+                   CAST(4 + (i % 3) * 2 AS INT) AS w,
+                   CAST(4 + (i % 2) * 2 AS INT) AS h,
+                   CAST(10 + i % 5 AS BIGINT) AS fps
+            FROM range(0, 20) t(i)),
+        fr AS (
+            SELECT i, w, h, fps,
+                   unnest(generate_series(0, nf - 1, 2)) AS f
+            FROM clips),
+        px1 AS (
+            SELECT i, w, h, fps, f,
+                   unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+            FROM fr),
+        px AS (
+            SELECT i, w, h, fps, f, x,
+                   unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y
+            FROM px1),
+        vals AS (
+            SELECT i, w, h, fps, f, x, y,
+                   (3 * x + 5 * y + 7 * f + i) % 256 AS yv
+            FROM px)
+        SELECT 'vid' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
+               '#/video/' || CAST(i AS VARCHAR) AS media_ref,
+               1 AS decoded, CAST(f AS INT) AS frame_index,
+               CAST(f * 1000 // fps AS BIGINT) AS ts_ms,
+               w AS width, h AS height,
+               CAST(sum(yv) AS BIGINT) AS sum_y,
+               CAST(sum((y * w + x) * yv) AS BIGINT) AS wsum_y
+        FROM vals GROUP BY i, w, h, fps, f
+        ORDER BY doc_id, frame_index
+    """
+    # Table-cell twins: the oracle constructs the expected grid directly
+    # from the word formulas (no string splitting on its side).
+    _TBL_W = ", ".join(
+        "coalesce(nullif(regexp_replace(lower(split_part(text, ' ', {i})), '[^a-z]', '', 'g'), ''), '{fb}') AS tw{i}".format(
+            i=i + 1,
+            fb=["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota"][i],
+        )
+        for i in range(9)
+    )
+    _tbl_rows = []
+    for r in range(3):
+        for c in range(3):
+            sel = (
+                f"SELECT doc_id, {r} AS row_idx, {c} AS col_idx, tw{3 * r + c + 1} AS cell FROM tw"
+            )
+            if r == 2 and c == 2:
+                sel += " WHERE doc_id % 3 <> 0"
+            _tbl_rows.append(sel)
+    q["doc_table_cells"] = f"""
+        WITH tw AS (SELECT doc_id, {_TBL_W} FROM documents)
+        {' UNION ALL '.join(_tbl_rows)}
+        ORDER BY doc_id, row_idx, col_idx
+    """
+    q["doc_table_shapes"] = """
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS n_rows,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 9 END AS BIGINT) AS n_cells,
+               CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 3 END AS min_cols,
+               3 AS max_cols,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_ragged
+        FROM documents ORDER BY doc_id
     """
     # Trained-BPE twins: doc_bpe_fit replays the whole training loop in SQL
     # (generated CTE chain — pair zip, argmax, 7-pass fuse per iteration);

@@ -513,6 +513,131 @@ def synth_decodable_audio_df(spark: SparkSession, n: int = 30) -> DataFrame:
     return base.mapInPandas(gen, schema=MEDIA)
 
 
+FRAME_STATS = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("doc_id", StringType(), False),
+        StructField("decoded", IntegerType(), False),
+        StructField("frame_index", IntegerType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sum_y", LongType(), True),
+        StructField("wsum_y", LongType(), True),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling over decodable video (Y4M via
+    sparkdoc.videocodec): emit every ``every_n``-th frame with its true
+    timestamp (frame_index·1000·fps_den // fps_num) and integer luma
+    statistics — sum_y plus the position-weighted wsum_y = Σ (y·W + x)·Y,
+    which pins plane layout AND frame synchronization (a chroma-skip bug
+    desyncs every later frame). Undecodable payloads (MP4 etc. — no codecs
+    in the sandbox) emit one decoded=0 row with null stats."""
+    from sparkdoc.videocodec import decode_y4m, sniff_y4m
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                decoded = None
+                if sniff_y4m(payload):
+                    try:
+                        decoded = decode_y4m(payload)
+                    except ValueError:
+                        decoded = None
+                if decoded is None:
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "doc_id": r.doc_id,
+                            "decoded": 0,
+                            "frame_index": None,
+                            "ts_ms": None,
+                            "width": None,
+                            "height": None,
+                            "sum_y": None,
+                            "wsum_y": None,
+                        }
+                    )
+                    continue
+                luma, num, den = decoded
+                nf, h, w = luma.shape
+                pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+                for f in range(0, nf, every_n):
+                    y = luma[f].astype(np.int64)
+                    rows.append(
+                        {
+                            "media_ref": r.media_ref,
+                            "doc_id": r.doc_id,
+                            "decoded": 1,
+                            "frame_index": f,
+                            "ts_ms": int(f * 1000 * den // num),
+                            "width": w,
+                            "height": h,
+                            "sum_y": int(y.sum()),
+                            "wsum_y": int((pos * y).sum()),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        stats, schema=FRAME_STATS
+    )
+
+
+def synth_decodable_video_df(spark: SparkSession, n: int = 20) -> DataFrame:
+    """Deterministic REAL-container video corpus: clip i is Y4M with
+    colorspace rotating C420/C444/Cmono (chroma-skip sizes all exercised),
+    frames = 3 + i mod 4, w = 4 + (i mod 3)·2, h = 4 + (i mod 2)·2,
+    fps = (10 + i mod 5):1 and formula luma
+
+        Y(f, x, y) = (3x + 5y + 7f + i) mod 256
+
+    — closed-form so the media_video_decode oracle recomputes every sampled
+    frame's statistics without touching container bytes."""
+    from sparkdoc.videocodec import encode_y4m
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                nf = 3 + i % 4
+                w, h = 4 + (i % 3) * 2, 4 + (i % 2) * 2
+                fps = 10 + i % 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                luma = np.stack(
+                    [((3 * x + 5 * y + 7 * f + i) % 256).astype(np.uint8) for f in range(nf)]
+                )
+                cs = ["C420", "C444", "Cmono"][i % 3]
+                payload = encode_y4m(luma, fps, 1, cs)
+                rows.append(
+                    {
+                        "media_ref": f"#/video/{i}",
+                        "doc_id": f"vid{i:04d}",
+                        "media_type": "video",
+                        "mime": "video/x-yuv4mpeg",
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": int(nf * 1000 // fps),
+                        "meta_sample_rate": None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
+
+
 def media_dedup_groups(features: DataFrame) -> DataFrame:
     """Exact media dedup by content hash (cross-document).
 
