@@ -915,7 +915,11 @@ def _doc_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     fbs = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota"]
 
     def word(i: int, fb: str):
-        c = F.regexp_replace(F.lower(F.element_at(w, i)), "[^a-z]", "")
+        # try_element_at: under ANSI (default in this session) element_at on a
+        # short array THROWS instead of returning NULL, so the fallback
+        # below would be unreachable exactly when needed (docs with fewer
+        # words than the highest index used)
+        c = F.regexp_replace(F.lower(F.try_element_at(w, F.lit(i))), "[^a-z]", "")
         return F.coalesce(F.nullif(c, F.lit("")), F.lit(fb))
 
     rows = []
@@ -2935,7 +2939,11 @@ def _eval_graph_inputs(spark: SparkSession, sf_dir: str):
     w = F.split(F.col("text"), " ")
 
     def word(i: int, fb: str):
-        c = F.regexp_replace(F.lower(F.element_at(w, i)), "[^a-z]", "")
+        # try_element_at: under ANSI (default in this session) element_at on a
+        # short array THROWS instead of returning NULL, so the fallback
+        # below would be unreachable exactly when needed (docs with fewer
+        # words than the highest index used)
+        c = F.regexp_replace(F.lower(F.try_element_at(w, F.lit(i))), "[^a-z]", "")
         return F.coalesce(F.nullif(c, F.lit("")), F.lit(fb))
 
     w1, w2, w3 = word(1, "alpha"), word(2, "beta"), word(3, "gamma")

@@ -43,7 +43,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
+            # validate the BODY length, not the declared size — a truncated
+            # payload can declare size 16 but carry fewer bytes, and a
+            # struct.error escaping here would crash the Spark task instead
+            # of taking the callers' documented decoded=0 fallback
+            if len(body) < 16:
                 raise ValueError("wav: short fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":

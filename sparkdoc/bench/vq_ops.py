@@ -93,7 +93,12 @@ def vq_mode(args) -> None:
     n, dim, k = args.vectors, 64, 10
     corpus = _synth_vectors(spark, n, dim).persist()
     corpus.count()  # materialize + warm
-    queries = corpus.filter(F.col("vec_id") % (n // args.queries) == 0)
+    # max(1, ...): --queries > --vectors would make the step 0 (ANSI
+    # divide-by-zero); report the ACTUAL query count, which differs from
+    # --queries when n is not an exact multiple of the step
+    step = max(1, n // max(1, args.queries))
+    queries = corpus.filter(F.col("vec_id") % step == 0)
+    n_queries = queries.count()
 
     idx = tempfile.mkdtemp(prefix="vq_idx_")
     try:
@@ -144,7 +149,7 @@ def vq_mode(args) -> None:
                 {
                     "mode": "vq",
                     "vectors": n,
-                    "queries": args.queries,
+                    "queries": n_queries,
                     "kmeans_fit_s": fit_s,
                     "pq_fit_s": pq_fit_s,
                     "index_assign_write_s": assign_s,

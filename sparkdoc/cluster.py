@@ -416,13 +416,19 @@ def ivfpq_topk(
     cb: list[list[list[float]]],
     k: int = 10,
     nprobe: int = 4,
-    rescore_factor: int = 4,
+    rescore_factor: int = 32,
     exclude_self: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Production IVF-PQ query against a PERSISTED index — the scoring core
     of jobs/ann_index.py query mode (the CLI calls this).
+
+    ``rescore_factor`` default is measured (bench/vq_ops.py, 50k hierarchical
+    corpus, nprobe=4): the probe stage's ceiling is recall 1.0, ALL loss is
+    the ADC shortlist — rf=4 → 0.28-0.34, rf=32 → 0.74, rf=128 → 1.00.
+    Exact-rescoring rf·k rows per query is cheap, so raise rf when recall
+    matters more than the last bit of query wall.
 
     ``cells``: (vec_id, cell, v) — the trained-k-means assignment written
     once at build time (partitioned by cell on disk, so probing prunes

@@ -208,7 +208,10 @@ def _node_match(truth_nodes, got_nodes, id_fields):
 
 
 def eval_nodes(
-    truth_nodes: DataFrame, got_nodes: DataFrame, id_fields: dict[str, list[str]]
+    truth_nodes: DataFrame,
+    got_nodes: DataFrame,
+    id_fields: dict[str, list[str]],
+    match: tuple | None = None,
 ) -> DataFrame:
     """Per-(doc, class) node P/R/F1 at the strict and relaxed rungs
     (reference node_metrics loop, 16_…py:464-487).
@@ -219,7 +222,7 @@ def eval_nodes(
     unique pairs on top of strict: tp+|pairs|, fp/fn reduced by the paired
     keys — exactly the reference's arithmetic (:472-479).
     """
-    tkeys, gkeys, strict, pairs = _node_match(truth_nodes, got_nodes, id_fields)
+    tkeys, gkeys, strict, pairs = match or _node_match(truth_nodes, got_nodes, id_fields)
     tc = tkeys.groupBy("doc_id", "class").agg(F.count(F.lit(1)).alias("truth_n"))
     gc = gkeys.groupBy("doc_id", "class").agg(F.count(F.lit(1)).alias("got_n"))
     sc = strict.groupBy("doc_id", "class").agg(F.count(F.lit(1)).alias("tp"))
@@ -475,7 +478,10 @@ STRONG_CONTAINMENT_CHARS = 40  # reference :98-102
 
 
 def structural_align_pairs(
-    truth_nodes: DataFrame, got_nodes: DataFrame, id_fields: dict[str, list[str]]
+    truth_nodes: DataFrame,
+    got_nodes: DataFrame,
+    id_fields: dict[str, list[str]],
+    match: tuple | None = None,
 ) -> DataFrame:
     """The aligned rung's extra pairs (reference structural_align :322-355 +
     _pair_similarity :299-319): after strict and relaxed matching, remaining
@@ -490,7 +496,7 @@ def structural_align_pairs(
     """
     import pandas as pd
 
-    tkeys, gkeys, strict, pairs = _node_match(truth_nodes, got_nodes, id_fields)
+    tkeys, gkeys, strict, pairs = match or _node_match(truth_nodes, got_nodes, id_fields)
     skeys = strict.select("doc_id", "class", "key")
 
     def remainder(keyed, nodes, paired_col):
@@ -520,8 +526,11 @@ def structural_align_pairs(
             .select(rem["doc_id"], "class", "key", "attrs")
         )
 
-    trem = remainder(_distinct_keys(node_identity_keys(truth_nodes, id_fields)), truth_nodes, "tkey")
-    grem = remainder(_distinct_keys(node_identity_keys(got_nodes, id_fields)), got_nodes, "gkey")
+    # reuse the key frames _node_match already built — recomputing
+    # _distinct_keys(node_identity_keys(...)) here would duplicate a
+    # join+groupBy shuffle subtree per side in the same plan
+    trem = remainder(tkeys, truth_nodes, "tkey")
+    grem = remainder(gkeys, got_nodes, "gkey")
 
     def score(t_attrs: dict, g_attrs: dict) -> float:
         s = 0.0
@@ -587,9 +596,13 @@ def eval_nodes_aligned(
 ) -> DataFrame:
     """`eval_nodes` plus the aligned rung (reference :480-487): aligned tp =
     strict + relaxed + structural pairs, fp/fn reduced accordingly."""
-    base = eval_nodes(truth_nodes, got_nodes, id_fields)
+    # one shared _node_match for both rungs — the match subtree (identity
+    # keys + distinct + strict/relaxed joins) is the expensive part of the
+    # plan and would otherwise be built twice
+    match = _node_match(truth_nodes, got_nodes, id_fields)
+    base = eval_nodes(truth_nodes, got_nodes, id_fields, match=match)
     extra = (
-        structural_align_pairs(truth_nodes, got_nodes, id_fields)
+        structural_align_pairs(truth_nodes, got_nodes, id_fields, match=match)
         .groupBy("doc_id", "class")
         .agg(F.count(F.lit(1)).alias("ax"))
     )

@@ -51,10 +51,9 @@ def main() -> None:
     ap.add_argument("--train-mod", type=int, default=None)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--nprobe", type=int, default=4)
-    # 32 measured (bench/vq_ops.py): on a hierarchically-clustered 50k corpus
-    # the nprobe=4 probe ceiling is recall 1.0 and the ADC shortlist is the
-    # only loss — rf=4 left recall at 0.28-0.34 while rf=32 (320 exact
-    # rescans per query) recovers 1.0 at negligible wall cost
+    # default inherited from cluster.ivfpq_topk, where the measured
+    # recall/rf curve is documented (bench/vq_ops.py: rf=4 → 0.28-0.34,
+    # rf=32 → 0.74, rf=128 → 1.00 on the 50k hierarchical corpus)
     ap.add_argument("--rescore-factor", type=int, default=32)
     ap.add_argument("--exclude-self", action="store_true",
                     help="drop candidates whose vec_id equals the query_id (for corpus-member probes)")
