@@ -885,6 +885,37 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (sparkdoc.imagecodec: stdlib-zlib DEFLATE, all five
+    scanline filters via the per-row round-robin, color types 0/2/3/4/6)
+    pinned against a closed-form oracle: formula pixels, so DuckDB
+    recomputes channel sums and the position-weighted luma sum WITHOUT
+    decoding — an unfilter bug (wrong Paeth predictor, missed bpp offset),
+    a palette-index slip, or a kept alpha byte breaks the match."""
+    from sparkdoc.multimodal import image_pixel_stats, synth_png_media_df
+
+    media = synth_png_media_df(spark, 40)
+    return image_pixel_stats(media).select(
+        "doc_id", "media_ref", "decoded", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum_luma",
+    ).orderBy("doc_id")
+
+
+def _media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (sparkdoc.imagecodec: 12-bit variable-width LZW,
+    4-pass interlace, CLEAR handling) pinned against a closed-form oracle:
+    all four container shapes (LZW/uncompressed × sequential/interlaced)
+    decode to the same formula pixels, so a table-growth desync, a wrong
+    interlace pass order, or a palette slip breaks the match."""
+    from sparkdoc.multimodal import image_pixel_stats, synth_gif_media_df
+
+    media = synth_gif_media_df(spark, 40)
+    return image_pixel_stats(media).select(
+        "doc_id", "media_ref", "decoded", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum_luma",
+    ).orderBy("doc_id")
+
+
 def _media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling (sparkdoc.videocodec: Y4M with
     C420/C444/Cmono chroma layouts) pinned against a closed-form oracle:
@@ -3233,6 +3264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_format_resolution": _doc_format_resolution,
         "media_features": _media_features,
         "media_decode": _media_decode,
+        "media_png_decode": _media_png_decode,
+        "media_gif_decode": _media_gif_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
         "doc_table_cells": _doc_table_cells,
@@ -4533,6 +4566,82 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (11 * x + 17 * y + 3 * i) % 241 END AS b
             FROM px)
         SELECT 'img' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
+               '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
+               1 AS decoded, w AS width, h AS height,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum((y * w + x) * ((77 * r + 150 * g + 29 * b) // 256)) AS BIGINT) AS wsum_luma
+        FROM vals GROUP BY i, w, h
+        ORDER BY doc_id
+    """
+    # Closed-form twin of the REAL PNG decoder (DEFLATE + unfilter + color-
+    # type expansion): same formula-pixel trick as media_decode. Gray color
+    # types (i%5 in (2,3)) collapse all channels to the r-formula; palette
+    # images (i%5=4) go through the index formula p=(x+2y+i)%64 into the
+    # formula-built PLTE; alpha (types 4/6) never appears — a decoder that
+    # keeps it would shift every sum.
+    q["media_png_decode"] = """
+        WITH imgs AS (
+            SELECT CAST(i AS INT) AS i,
+                   CAST(5 + i % 6 AS INT) AS w,
+                   CAST(4 + i % 7 AS INT) AS h
+            FROM range(0, 40) t(i)),
+        px1 AS (
+            SELECT i, w, h,
+                   unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+            FROM imgs),
+        px AS (
+            SELECT i, w, h, x,
+                   unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y
+            FROM px1),
+        vals AS (
+            SELECT i, w, h, x, y,
+                   CASE WHEN i % 5 = 4 THEN (7 * ((x + 2 * y + i) % 64) + i) % 256
+                        ELSE (7 * x + 13 * y + i) % 256 END AS r,
+                   CASE WHEN i % 5 IN (2, 3) THEN (7 * x + 13 * y + i) % 256
+                        WHEN i % 5 = 4 THEN (3 * ((x + 2 * y + i) % 64) + 2 * i) % 251
+                        ELSE (3 * x + 5 * y + 2 * i) % 251 END AS g,
+                   CASE WHEN i % 5 IN (2, 3) THEN (7 * x + 13 * y + i) % 256
+                        WHEN i % 5 = 4 THEN (11 * ((x + 2 * y + i) % 64) + 3 * i) % 241
+                        ELSE (11 * x + 17 * y + 3 * i) % 241 END AS b
+            FROM px)
+        SELECT 'png' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
+               '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
+               1 AS decoded, w AS width, h AS height,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum((y * w + x) * ((77 * r + 150 * g + 29 * b) // 256)) AS BIGINT) AS wsum_luma
+        FROM vals GROUP BY i, w, h
+        ORDER BY doc_id
+    """
+    # Closed-form twin of the REAL GIF decoder (LZW + interlace + palette):
+    # every synth GIF is palette-indexed with the same index/palette
+    # formulas as the PNG type-3 branch, and the four container shapes
+    # (i%4: LZW/uncompressed × sequential/interlaced) all decode to the
+    # SAME pixels — so one formula covers the whole rotation.
+    q["media_gif_decode"] = """
+        WITH imgs AS (
+            SELECT CAST(i AS INT) AS i,
+                   CAST(5 + i % 6 AS INT) AS w,
+                   CAST(4 + i % 7 AS INT) AS h
+            FROM range(0, 40) t(i)),
+        px1 AS (
+            SELECT i, w, h,
+                   unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+            FROM imgs),
+        px AS (
+            SELECT i, w, h, x,
+                   unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y
+            FROM px1),
+        vals AS (
+            SELECT i, w, h, x, y,
+                   (7 * ((x + 2 * y + i) % 64) + i) % 256 AS r,
+                   (3 * ((x + 2 * y + i) % 64) + 2 * i) % 251 AS g,
+                   (11 * ((x + 2 * y + i) % 64) + 3 * i) % 241 AS b
+            FROM px)
+        SELECT 'gif' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
                '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
                1 AS decoded, w AS width, h AS height,
                CAST(sum(r) AS BIGINT) AS sum_r,

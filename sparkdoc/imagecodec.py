@@ -1,13 +1,16 @@
-"""Pure-numpy image codecs for uncompressed formats: BMP (24/32-bit BI_RGB,
-bottom-up and top-down), binary PPM (P6) and PGM (P5).
+"""Pure-numpy image codecs: BMP (24/32-bit BI_RGB, bottom-up and top-down),
+binary PPM (P6), PGM (P5), PNG (bit depth 8, color types 0/2/3/4/6, all
+five scanline filters — DEFLATE via stdlib zlib), and GIF (87a/89a LZW,
+global/local color tables, interlace; first frame of animations).
 
 This is the REAL decode kernel behind ``multimodal.image_features`` — no
 external image libraries exist in this environment, but these formats are
-bit-exactly decodable from their public specifications, so the media
-pipeline runs end-to-end on real pixel data instead of the deterministic
-stub whenever payloads arrive in one of these containers. Compressed
-formats (PNG/JPEG) still require a codec library and keep the documented
-stub/NotImplementedError path (multimodal._decode_image_real).
+bit-exactly decodable from their public specifications (PNG's only
+compression is DEFLATE, which Python ships), so the media pipeline runs
+end-to-end on real pixel data instead of the deterministic stub whenever
+payloads arrive in one of these containers. JPEG (DCT+Huffman) still
+requires a codec library and keeps the documented stub/NotImplementedError
+path (multimodal._decode_image_real).
 
 Reference parity note: the reference engine delegates image handling to
 PIL via docling's conversion backends (see /root/reference docling
@@ -32,12 +35,20 @@ __all__ = [
     "encode_bmp",
     "encode_ppm",
     "encode_pgm",
+    "encode_png",
+    "encode_gif",
+    "luma_int",
     "gray_grid_embedding",
 ]
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Container sniff by magic bytes: 'bmp' | 'ppm' | 'pgm' | None."""
+    """Container sniff by magic bytes:
+    'bmp' | 'ppm' | 'pgm' | 'png' | 'gif' | None."""
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if len(payload) >= 2:
         if payload[:2] == b"BM":
             return "bmp"
@@ -213,7 +224,21 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_ppm(payload)
     if fmt == "pgm":
         return _decode_pgm(payload)
-    raise ValueError("decode_image: unsupported container (BMP/PPM/PGM only)")
+    if fmt == "png":
+        return _decode_png(payload)
+    if fmt == "gif":
+        return _decode_gif(payload)
+    raise ValueError("decode_image: unsupported container (BMP/PPM/PGM/PNG/GIF only)")
+
+
+def luma_int(arr: np.ndarray) -> np.ndarray:
+    """Integer BT.601-style luma plane: (77·R + 150·G + 29·B) >> 8 on int64.
+
+    THE single definition — the media_decode gate pins its closed-form SQL
+    twin to exactly these coefficients, so every consumer (embedding, pixel
+    stats) must share this function rather than re-deriving the formula."""
+    a = arr.astype(np.int64)
+    return (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
 
 
 def gray_grid_embedding(arr: np.ndarray, grid: int = 4) -> list[float]:
@@ -223,8 +248,7 @@ def gray_grid_embedding(arr: np.ndarray, grid: int = 4) -> list[float]:
     (77R+150G+29B)>>8, block boundaries by integer splits, float64 math.
     """
     h, w, _ = arr.shape
-    a = arr.astype(np.int64)
-    luma = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+    luma = luma_int(arr)
     ys = [h * i // grid for i in range(grid + 1)]
     xs = [w * i // grid for i in range(grid + 1)]
     v = np.empty(grid * grid, dtype=np.float64)
@@ -239,3 +263,539 @@ def gray_grid_embedding(arr: np.ndarray, grid: int = 4) -> list[float]:
         v = np.full(grid * grid, 1.0 / np.sqrt(grid * grid))
         return [float(x) for x in v]
     return [float(x / n) for x in v]
+
+
+# --------------------------------------------------------------------------
+# PNG (RFC 2083 / W3C PNG spec) — stdlib zlib + numpy unfiltering
+# --------------------------------------------------------------------------
+#
+# PNG is a COMPRESSED container, but its only compression is DEFLATE —
+# which Python ships in the standard library (zlib) — so unlike JPEG it is
+# fully decodable here without any external codec. Supported: bit depth 8,
+# color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+# interlace method 0, all five scanline filters (None/Sub/Up/Average/
+# Paeth). Alpha is dropped on decode (same policy as 32bpp BMP). CRCs are
+# verified — a crawl payload with flipped bits fails loudly into the
+# callers' decoded=0 fallback instead of yielding garbage pixels.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# bytes per pixel by color type at bit depth 8
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, body) for each chunk, verifying lengths and CRCs."""
+    import zlib
+
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body_end = pos + 8 + size
+        if body_end + 4 > n:
+            raise ValueError("png: truncated chunk")
+        body = payload[pos + 8 : body_end]
+        (crc,) = struct.unpack_from(">I", payload, body_end)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC on {ctype!r} chunk")
+        yield ctype, body
+        pos = body_end + 4
+        if ctype == b"IEND":
+            return
+    raise ValueError("png: missing IEND")
+
+
+def _unfilter_png(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters. Returns (H, W*bpp) uint8.
+
+    Filters Sub/Up are vectorized (uint8 accumulate wraps mod 256 exactly
+    as the spec requires); Average and Paeth have a genuine along-x data
+    dependency and run as per-byte loops — fine for the Arrow-batched
+    per-image call sites, and honest about the spec's sequential recurrence.
+    """
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"png: decompressed size {len(raw)} != expected {(stride + 1) * height}"
+        )
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(mat[y, 0])
+        row = mat[y, 1:].copy()
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = np.add.accumulate(row.reshape(-1, bpp), axis=0, dtype=np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 3:  # Average
+            rec = row
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = row
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("png: bad magic")
+    width = height = None
+    color_type = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("png: bad IHDR length")
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"png: bit depth {depth} not supported (8 only)")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"png: color type {color_type} not supported")
+            if comp != 0 or filt != 0:
+                raise ValueError("png: nonstandard compression/filter method")
+            if interlace != 0:
+                raise ValueError("png: Adam7 interlace not supported")
+            if width <= 0 or height <= 0 or width > 1 << 24 or height > 1 << 24:
+                raise ValueError(f"png: bad dimensions {width}x{height}")
+        elif ctype == b"PLTE":
+            if len(body) % 3 != 0 or not 3 <= len(body) <= 768:
+                raise ValueError("png: bad PLTE length")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None:
+        raise ValueError("png: missing IHDR")
+    if not idat:
+        raise ValueError("png: missing IDAT")
+    bpp = _PNG_CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupted stream -> ValueError like the rest
+        raise ValueError(f"png: bad IDAT stream ({e})") from None
+    flat = _unfilter_png(raw, width, height, bpp)
+    if color_type == 0:  # gray
+        g = flat.reshape(height, width)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if color_type == 2:  # RGB
+        return flat.reshape(height, width, 3).copy()
+    if color_type == 3:  # palette
+        if palette is None:
+            raise ValueError("png: color type 3 without PLTE")
+        idx = flat.reshape(height, width)
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("png: palette index out of range")
+        return palette[idx]
+    if color_type == 4:  # gray + alpha (alpha dropped)
+        ga = flat.reshape(height, width, 2)
+        return np.repeat(ga[:, :, :1], 3, axis=2)
+    # color type 6: RGBA (alpha dropped)
+    return flat.reshape(height, width, 4)[:, :, :3].copy()
+
+
+def encode_png(
+    arr: np.ndarray,
+    *,
+    color_type: int = 2,
+    filter_type: int | None = None,
+    palette: np.ndarray | None = None,
+    indices: np.ndarray | None = None,
+    alpha: np.ndarray | None = None,
+) -> bytes:
+    """Encode to PNG for tests and synthetic corpora.
+
+    ``arr``: (H, W, 3) uint8 RGB for color types 2/6, (H, W) uint8 gray for
+    0/4; color type 3 takes ``palette`` (N,3) + ``indices`` (H,W) instead
+    (arr ignored). ``alpha``: (H, W) uint8 for types 4/6 (default opaque).
+    ``filter_type``: fixed filter 0-4 for every row, or None for the
+    round-robin (row % 5) sweep — the decoder-exercising default.
+    Roundtrip with ``decode_image`` must be exact on the RGB projection.
+    """
+    import zlib
+
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"encode_png: color type {color_type}")
+    if color_type == 3:
+        if palette is None or indices is None:
+            raise ValueError("encode_png: color type 3 needs palette + indices")
+        if palette.ndim != 2 or palette.shape[1] != 3 or palette.shape[0] > 256:
+            raise ValueError("encode_png: bad palette shape")
+        h, w = indices.shape
+        px = indices.astype(np.uint8)[:, :, None]
+    elif color_type in (0, 4):
+        if arr.ndim != 2 or arr.dtype != np.uint8:
+            raise ValueError("encode_png: gray color types take (H, W) uint8")
+        h, w = arr.shape
+        px = arr[:, :, None]
+        if color_type == 4:
+            a = alpha if alpha is not None else np.full((h, w), 255, dtype=np.uint8)
+            px = np.concatenate([px, a[:, :, None]], axis=2)
+    else:
+        if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+            raise ValueError("encode_png: expected (H, W, 3) uint8 RGB")
+        h, w, _ = arr.shape
+        px = arr
+        if color_type == 6:
+            a = alpha if alpha is not None else np.full((h, w), 255, dtype=np.uint8)
+            px = np.concatenate([px, a[:, :, None]], axis=2)
+    bpp = _PNG_CHANNELS[color_type]
+    flat = np.ascontiguousarray(px).reshape(h, w * bpp)
+    stride = w * bpp
+
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = (y % 5) if filter_type is None else filter_type
+        cur = flat[y]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            left = np.zeros(stride, dtype=np.uint8)
+            left[bpp:] = cur[:-bpp]
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                enc[x] = (int(cur[x]) - ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:
+            enc = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                enc[x] = (int(cur[x]) - _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"encode_png: filter type {ft}")
+        lines.append(ft)
+        lines += enc.tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = bytearray(_PNG_MAGIC)
+    out += chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", np.ascontiguousarray(palette.astype(np.uint8)).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a) — pure-Python LZW + numpy palette expansion
+# --------------------------------------------------------------------------
+#
+# GIF's only compression is the 12-bit variable-width LZW variant its spec
+# defines — no external codec needed. Supported: global and local color
+# tables, interlaced and sequential row order, 89a extension blocks
+# (skipped; transparency is IGNORED — alpha is dropped everywhere in this
+# kernel, matching the BMP-32/PNG policy). Animated GIFs decode to their
+# FIRST frame (the honest still-image projection for a feature pipeline);
+# the frame must cover the full logical screen, else ValueError.
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start row, step)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
+    """The GIF LZW variant: variable code width starting at min+1, grows to
+    12 bits, CLEAR resets the table, EOI terminates. Codes are packed
+    LSB-first. Returns exactly ``expect`` pixel indices (extra data after
+    EOI is ignored per spec; a short stream raises)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    # table maps code -> bytes; rebuilt on CLEAR
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("gif: LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # table is frozen at 4096 (deferred clear)
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= expect:
+            # spec says EOI follows; tolerate its absence only at exact fill
+            if len(out) > expect:
+                raise ValueError("gif: more pixels than image area")
+            break
+    if len(out) != expect:
+        raise ValueError(f"gif: decoded {len(out)} pixels, expected {expect}")
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad magic")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x07)
+        end = pos + 3 * gct_n
+        if len(payload) < end:
+            raise ValueError("gif: truncated global color table")
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * gct_n, offset=pos).reshape(
+            -1, 3
+        )
+        pos = end
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks, all skipped
+            pos += 2
+            while pos < n and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1  # block terminator
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                raise ValueError("gif: truncated image descriptor")
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise ValueError("gif: first frame does not cover the logical screen")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"gif: bad dimensions {w}x{h}")
+            ct = gct
+            if ipacked & 0x80:
+                lct_n = 2 << (ipacked & 0x07)
+                end = pos + 3 * lct_n
+                if n < end:
+                    raise ValueError("gif: truncated local color table")
+                ct = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * lct_n, offset=pos
+                ).reshape(-1, 3)
+                pos = end
+            if ct is None:
+                raise ValueError("gif: no color table")
+            if pos >= n:
+                raise ValueError("gif: missing LZW min code size")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"gif: bad LZW min code size {min_code}")
+            data = bytearray()
+            while pos < n and payload[pos] != 0:
+                size = payload[pos]
+                if pos + 1 + size > n:
+                    raise ValueError("gif: truncated image sub-block")
+                data += payload[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            if pos >= n:
+                raise ValueError("gif: missing sub-block terminator")
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), min_code, w * h), dtype=np.uint8
+            )
+            if int(idx.max(initial=0)) >= ct.shape[0]:
+                raise ValueError("gif: color index out of range")
+            if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+                rows = np.empty((h, w), dtype=np.uint8)
+                flat = idx.reshape(h, w)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        rows[y] = flat[src]
+                        src += 1
+                idx = rows
+            else:
+                idx = idx.reshape(h, w)
+            return ct[idx]  # first frame only
+        elif block == 0x3B:  # trailer before any image
+            raise ValueError("gif: no image data")
+        else:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+    raise ValueError("gif: missing trailer")
+
+
+def encode_gif(
+    palette: np.ndarray,
+    indices: np.ndarray,
+    *,
+    interlace: bool = False,
+    compress: bool = True,
+    version: bytes = b"GIF89a",
+) -> bytes:
+    """Encode a single-frame GIF for tests and synthetic corpora.
+
+    ``compress=True`` runs the real GIF-LZW compressor (greedy
+    longest-match dictionary, width growth min+1 → 12 bits, CLEAR emitted
+    when the table fills at 4096) so roundtrips exercise the decoder's
+    table-growth / width-increase / KwKwK paths. ``compress=False`` uses
+    the classic 'uncompressed GIF' technique — a CLEAR before every pixel
+    keeps the table empty so every code is a literal — which instead
+    exercises CLEAR handling on every single pixel. Both are
+    bitstream-valid; roundtrip with ``decode_image`` must be exact."""
+    if palette.ndim != 2 or palette.shape[1] != 3 or palette.shape[0] > 256:
+        raise ValueError("encode_gif: bad palette shape")
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("encode_gif: indices must be (H, W) uint8")
+    if int(indices.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("encode_gif: index out of palette range")
+    h, w = indices.shape
+    # color table size: power of two >= max(palette len, 4)
+    ct_bits = 1
+    while (2 << ct_bits - 1) < max(palette.shape[0], 4):
+        ct_bits += 1
+    ct_n = 2 << ct_bits - 1
+    min_code = max(2, ct_bits)
+    clear = 1 << min_code
+    width = min_code + 1
+
+    out = bytearray(version)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
+    ct = np.zeros((ct_n, 3), dtype=np.uint8)
+    ct[: palette.shape[0]] = palette.astype(np.uint8)
+    out += ct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+
+    if interlace:
+        order = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        seq = indices[order].reshape(-1)
+    else:
+        seq = indices.reshape(-1)
+
+    # bit packer, LSB-first
+    acc = 0
+    nbits = 0
+    lzw = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    eoi = clear + 1
+    if not compress:
+        emit(clear)
+        for px in seq.tolist():
+            emit(int(px))
+            emit(clear)  # keep the table permanently empty
+        emit(eoi)
+    else:
+        # Real GIF-LZW. Sync invariant with the decoder (which appends its
+        # mirror entry one code later): grow width when the JUST-ASSIGNED
+        # code equals 1<<width — that is exactly when the decoder's table
+        # length hits 1<<width after its append. At 4096 entries emit CLEAR
+        # and restart (never defer).
+        pixels = bytes(seq.tolist())
+
+        def fresh():
+            return {bytes((i,)): i for i in range(1 << min_code)}, eoi + 1
+
+        emit(clear)
+        table, next_code = fresh()
+        buf = b""
+        for i in range(len(pixels)):
+            c = pixels[i : i + 1]
+            if buf + c in table:
+                buf += c
+                continue
+            emit(table[buf])
+            table[buf + c] = next_code
+            assigned, next_code = next_code, next_code + 1
+            if assigned == (1 << width) and width < 12:
+                width += 1
+            buf = c
+            if next_code == 4096:
+                emit(table[buf])  # flush before reset so widths stay synced
+                emit(clear)
+                width = min_code + 1
+                table, next_code = fresh()
+                buf = b""
+        if buf:
+            emit(table[buf])
+        emit(eoi)
+    if nbits:
+        lzw.append(acc & 0xFF)
+
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # image-data terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)

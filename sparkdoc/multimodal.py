@@ -4,12 +4,14 @@ Media travel as ``binary`` + typed metadata struct; the span table references
 them via ``media_ref`` (``#/pictures/<id>``). Decode / feature-extract /
 resize / frame-sample are Arrow-batched pandas UDFs over mapInPandas.
 
-Decode status: payloads in uncompressed containers (BMP 24/32-bit, binary
-PPM/PGM) decode FOR REAL via the pure-numpy ``sparkdoc.imagecodec`` kernel —
-true dimensions, pixel statistics, and a content embedding come from actual
-pixels (gate ``media_decode`` pins the decoded stats against a closed-form
-SQL twin). Compressed formats (PNG/JPEG) still need a codec library the
-sandbox lacks and keep the documented stub path behind
+Decode status: payloads in BMP 24/32-bit, binary PPM/PGM, PNG (bit depth 8,
+all color types, all scanline filters — DEFLATE via stdlib zlib), and GIF
+(87a/89a LZW, interlace, first frame) decode FOR REAL via the pure-numpy
+``sparkdoc.imagecodec`` kernel — true dimensions, pixel statistics, and a
+content embedding come from actual pixels (gates ``media_decode`` /
+``media_png_decode`` / ``media_gif_decode`` pin the decoded stats against
+closed-form SQL twins). JPEG still needs a codec library the
+sandbox lacks and keeps the documented stub path behind
 ``SPARKDOC_FAKE_CODECS`` (deterministic fake embedding) /
 ``_decode_image_real`` (NotImplementedError when fakes are disabled).
 
@@ -87,8 +89,8 @@ EMBED_DIM = 16
 
 def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs in sandbox
     raise NotImplementedError(
-        "compressed-image decode (PNG/JPEG) needs PIL/opencv — not available in "
-        "this container; BMP/PPM/PGM decode natively via sparkdoc.imagecodec, "
+        "JPEG decode (DCT+Huffman) needs PIL/opencv — not available in this "
+        "container; BMP/PPM/PGM/PNG decode natively via sparkdoc.imagecodec, "
         "and SPARKDOC_FAKE_CODECS=1 (default) stubs the rest deterministically"
     )
 
@@ -155,7 +157,7 @@ def synth_media_df(spark: SparkSession, documents: DataFrame) -> DataFrame:
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract per image: hash, size, dims, embedding.
 
-    Natively-decodable containers (BMP/PPM/PGM — sparkdoc.imagecodec) yield
+    Natively-decodable containers (BMP/PPM/PGM/PNG — sparkdoc.imagecodec) yield
     TRUE width/height from the pixel data (overriding possibly-lying
     metadata) and a real content embedding (gray-grid block means);
     everything else takes the documented stub path (metadata dims + fake
@@ -227,6 +229,8 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     a 100 TB media crawl always contains junk)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkdoc.imagecodec import luma_int
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
@@ -248,7 +252,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
                     continue
                 a = arr.astype(np.int64)
                 h, w, _ = a.shape
-                luma = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+                luma = luma_int(arr)
                 pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
                 rows.append(
                     {
@@ -321,6 +325,139 @@ def synth_decodable_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
                         "doc_id": f"img{i:04d}",
                         "media_type": "image",
                         "mime": mime,
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                        "meta_sample_rate": None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
+
+
+def synth_png_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic REAL-PNG media corpus: image i rotates through the five
+    PNG color types (2 RGB, 6 RGBA, 0 gray, 4 gray+alpha, 3 palette) with
+    the same formula pixels as ``synth_decodable_media_df``
+
+        r = (7x + 13y + i) mod 256
+        g = (3x + 5y + 2i) mod 251     (gray types: r = g = b = r-formula)
+        b = (11x + 17y + 3i) mod 241
+
+    Palette images index with p = (x + 2y + i) mod 64 into a PLTE whose
+    entry j is (7j+i mod 256, 3j+2i mod 251, 11j+3i mod 241); alpha (types
+    4/6) is (5x + 7y + i) mod 253 and must be DROPPED by the decoder. Every
+    row uses filter (y mod 5) — the round-robin sweeps all five scanline
+    filters within each image — and dimensions w = 5 + i mod 6,
+    h = 4 + i mod 7 keep h ≥ 4 so at least filters 0-3 always fire. The
+    closed-form pixel rule lets the ``media_png_decode`` oracle verify the
+    DEFLATE + unfilter + color-type expansion pipeline without touching any
+    container bytes."""
+    from sparkdoc.imagecodec import encode_png
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r = ((7 * x + 13 * y + i) % 256).astype(np.uint8)
+                g = ((3 * x + 5 * y + 2 * i) % 251).astype(np.uint8)
+                b = ((11 * x + 17 * y + 3 * i) % 241).astype(np.uint8)
+                alpha = ((5 * x + 7 * y + i) % 253 + np.zeros((h, w), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                kind = i % 5
+                if kind == 0:
+                    payload = encode_png(np.stack([r, g, b], axis=2), color_type=2)
+                elif kind == 1:
+                    payload = encode_png(
+                        np.stack([r, g, b], axis=2), color_type=6, alpha=alpha
+                    )
+                elif kind == 2:
+                    payload = encode_png(r, color_type=0)
+                elif kind == 3:
+                    payload = encode_png(r, color_type=4, alpha=alpha)
+                else:
+                    j = np.arange(64, dtype=np.int64)
+                    pal = np.stack(
+                        [(7 * j + i) % 256, (3 * j + 2 * i) % 251, (11 * j + 3 * i) % 241],
+                        axis=1,
+                    ).astype(np.uint8)
+                    idx = ((x + 2 * y + i) % 64 + np.zeros((h, w), dtype=np.int64)).astype(
+                        np.uint8
+                    )
+                    payload = encode_png(None, color_type=3, palette=pal, indices=idx)
+                rows.append(
+                    {
+                        "media_ref": f"#/pictures/{i}",
+                        "doc_id": f"png{i:04d}",
+                        "media_type": "image",
+                        "mime": "image/png",
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                        "meta_sample_rate": None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
+
+
+def synth_gif_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic REAL-GIF media corpus: every image is palette-indexed
+    (GIF is always paletted) with the same palette/index formulas as the
+    PNG type-3 rotation —
+
+        index p = (x + 2y + i) mod 64
+        PLTE[j] = ((7j+i) mod 256, (3j+2i) mod 251, (11j+3i) mod 241)
+
+    — while i mod 4 rotates the CONTAINER shape: (LZW-compressed,
+    sequential), (LZW, interlaced), (clear-per-pixel uncompressed,
+    sequential), (uncompressed, interlaced). All four decode to identical
+    pixels, so one closed-form oracle (``media_gif_decode``) pins the LZW
+    table growth, the 4-pass interlace shuffle, and CLEAR handling at once.
+    Dimensions w = 5 + i mod 6, h = 4 + i mod 7."""
+    from sparkdoc.imagecodec import encode_gif
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                j = np.arange(64, dtype=np.int64)
+                pal = np.stack(
+                    [(7 * j + i) % 256, (3 * j + 2 * i) % 251, (11 * j + 3 * i) % 241],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = ((x + 2 * y + i) % 64 + np.zeros((h, w), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                kind = i % 4
+                payload = encode_gif(
+                    pal, idx, compress=kind < 2, interlace=kind % 2 == 1
+                )
+                rows.append(
+                    {
+                        "media_ref": f"#/pictures/{i}",
+                        "doc_id": f"gif{i:04d}",
+                        "media_type": "image",
+                        "mime": "image/gif",
                         "payload": payload,
                         "meta_width": w,
                         "meta_height": h,

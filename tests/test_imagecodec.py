@@ -193,3 +193,207 @@ class TestMediaPipeline:
         out = image_pixel_stats(spark.createDataFrame(rows, schema=MEDIA)).collect()
         assert len(out) == 1
         assert out[0]["decoded"] == 0 and out[0]["sum_r"] is None
+
+
+class TestPng:
+    """PNG codec (stdlib-zlib DEFLATE + numpy unfiltering): every color
+    type × every filter type roundtrips; corruption/unsupported payloads
+    raise ValueError (so the pipeline takes the decoded=0 path)."""
+
+    def test_rgb_roundtrip_all_filters(self):
+        from sparkdoc.imagecodec import encode_png
+
+        for ft in (None, 0, 1, 2, 3, 4):
+            for w in range(1, 9):  # width sweep incl. 1-px edge
+                arr = _rand_img(6, w, seed=ft if ft is not None else 9)
+                p = encode_png(arr, color_type=2, filter_type=ft)
+                assert sniff_format(p) == "png"
+                assert (decode_image(p) == arr).all()
+
+    def test_rgba_alpha_dropped(self):
+        from sparkdoc.imagecodec import encode_png
+
+        arr = _rand_img(5, 7, seed=1)
+        alpha = np.random.RandomState(2).randint(0, 256, (5, 7)).astype(np.uint8)
+        for ft in (None, 0, 1, 2, 3, 4):
+            p = encode_png(arr, color_type=6, filter_type=ft, alpha=alpha)
+            assert (decode_image(p) == arr).all()
+
+    def test_gray_and_gray_alpha_replicate_channels(self):
+        from sparkdoc.imagecodec import encode_png
+
+        gray = np.random.RandomState(3).randint(0, 256, (4, 6)).astype(np.uint8)
+        want = np.repeat(gray[:, :, None], 3, axis=2)
+        alpha = np.random.RandomState(4).randint(0, 256, (4, 6)).astype(np.uint8)
+        for ft in (None, 0, 1, 2, 3, 4):
+            assert (decode_image(encode_png(gray, color_type=0, filter_type=ft)) == want).all()
+            assert (
+                decode_image(encode_png(gray, color_type=4, filter_type=ft, alpha=alpha))
+                == want
+            ).all()
+
+    def test_palette_roundtrip(self):
+        from sparkdoc.imagecodec import encode_png
+
+        rs = np.random.RandomState(5)
+        pal = rs.randint(0, 256, (17, 3)).astype(np.uint8)
+        idx = rs.randint(0, 17, (6, 5)).astype(np.uint8)
+        for ft in (None, 0, 1, 2, 3, 4):
+            p = encode_png(None, color_type=3, filter_type=ft, palette=pal, indices=idx)
+            assert (decode_image(p) == pal[idx]).all()
+
+    def test_corrupt_and_unsupported_rejected(self):
+        import struct
+        import zlib
+
+        from sparkdoc.imagecodec import encode_png
+
+        arr = _rand_img(6, 5, seed=6)
+        good = encode_png(arr)
+
+        # bit-flip inside IDAT -> CRC failure
+        bad = bytearray(good)
+        bad[len(bad) // 2] ^= 0xFF
+        with pytest.raises(ValueError):
+            decode_image(bytes(bad))
+        # truncation
+        with pytest.raises(ValueError):
+            decode_image(good[: len(good) - 10])
+
+        def chunk(t, b):
+            return struct.pack(">I", len(b)) + t + b + struct.pack(
+                ">I", zlib.crc32(t + b) & 0xFFFFFFFF
+            )
+
+        magic = b"\x89PNG\r\n\x1a\n"
+        # Adam7 interlace unsupported
+        with pytest.raises(ValueError, match="interlace"):
+            decode_image(magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 1)))
+        # 16-bit depth unsupported
+        with pytest.raises(ValueError, match="bit depth"):
+            decode_image(magic + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 16, 2, 0, 0, 0)))
+        # palette image missing its PLTE
+        with pytest.raises(ValueError, match="PLTE"):
+            raw = zlib.compress(bytes(6 * (1 + 5)))
+            decode_image(
+                magic
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 3, 0, 0, 0))
+                + chunk(b"IDAT", raw)
+                + chunk(b"IEND", b"")
+            )
+        # declared size disagrees with decompressed scanlines
+        with pytest.raises(ValueError, match="decompressed size"):
+            raw = zlib.compress(bytes(3 * (1 + 5 * 3)))  # 3 rows for a 6-row image
+            decode_image(
+                magic
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", raw)
+                + chunk(b"IEND", b"")
+            )
+
+    def test_synth_png_corpus_stats_match_oracle_formula(self, spark):
+        """The media_png_decode gate's Spark side, pinned in-process: decoded
+        sums equal the closed-form formulas for every color type."""
+        from sparkdoc.multimodal import image_pixel_stats, synth_png_media_df
+
+        out = {
+            r["doc_id"]: r
+            for r in image_pixel_stats(synth_png_media_df(spark, 10)).collect()
+        }
+        assert len(out) == 10
+        for i in range(10):
+            w, h = 5 + i % 6, 4 + i % 7
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            kind = i % 5
+            if kind in (0, 1):
+                er = (7 * x + 13 * y + i) % 256
+                eg = (3 * x + 5 * y + 2 * i) % 251
+                eb = (11 * x + 17 * y + 3 * i) % 241
+            elif kind in (2, 3):
+                er = eg = eb = (7 * x + 13 * y + i) % 256
+            else:
+                p = (x + 2 * y + i) % 64
+                er, eg, eb = (7 * p + i) % 256, (3 * p + 2 * i) % 251, (11 * p + 3 * i) % 241
+            er, eg, eb = (np.broadcast_to(a, (h, w)) for a in (er, eg, eb))
+            r = out[f"png{i:04d}"]
+            assert r["decoded"] == 1 and (r["width"], r["height"]) == (w, h)
+            assert r["sum_r"] == int(er.sum()) and r["sum_g"] == int(eg.sum())
+            assert r["sum_b"] == int(eb.sum())
+            pos = np.arange(h * w, dtype=np.int64).reshape(h, w)
+            luma = (77 * er + 150 * eg + 29 * eb) >> 8
+            assert r["wsum_luma"] == int((pos * luma).sum())
+
+
+class TestGif:
+    """GIF codec (pure-Python variable-width LZW + numpy palette/interlace):
+    both encoder modes roundtrip; malformed payloads raise ValueError."""
+
+    def test_roundtrip_both_modes_and_interlace(self):
+        from sparkdoc.imagecodec import encode_gif
+
+        rs = np.random.RandomState(8)
+        for npal in (3, 16, 256):
+            pal = rs.randint(0, 256, (npal, 3)).astype(np.uint8)
+            for (w, h) in ((1, 1), (5, 4), (17, 9)):
+                idx = rs.randint(0, npal, (h, w)).astype(np.uint8)
+                for comp in (True, False):
+                    for il in (True, False):
+                        p = encode_gif(pal, idx, compress=comp, interlace=il)
+                        assert sniff_format(p) == "gif"
+                        assert (decode_image(p) == pal[idx]).all()
+
+    def test_lzw_table_growth_to_4096_and_kwkwk(self):
+        from sparkdoc.imagecodec import encode_gif
+
+        pal = np.random.RandomState(9).randint(0, 256, (256, 3)).astype(np.uint8)
+        # diagonal stripes: long repeated runs drive the table to 4096 so the
+        # mid-stream CLEAR + width growth to 12 bits is exercised
+        h, w = 200, 300
+        idx = ((np.arange(h)[:, None] + np.arange(w)[None, :]) % 251).astype(np.uint8)
+        assert (decode_image(encode_gif(pal, idx, compress=True)) == pal[idx]).all()
+        # all-one-color image: back-to-back KwKwK codes
+        flat = np.zeros((50, 60), dtype=np.uint8)
+        assert (decode_image(encode_gif(pal, flat, compress=True)) == pal[flat]).all()
+
+    def test_malformed_rejected(self):
+        from sparkdoc.imagecodec import encode_gif
+
+        pal = np.random.RandomState(10).randint(0, 256, (8, 3)).astype(np.uint8)
+        idx = np.random.RandomState(10).randint(0, 8, (6, 5)).astype(np.uint8)
+        good = encode_gif(pal, idx)
+        with pytest.raises(ValueError):
+            decode_image(good[:20])  # truncated color table
+        with pytest.raises(ValueError):
+            decode_image(good[: len(good) - 8])  # truncated LZW stream
+        bad = bytearray(good)
+        bad[3] = ord("x")  # breaks the sniff -> unsupported-container reject
+        with pytest.raises(ValueError, match="unsupported container"):
+            decode_image(bytes(bad))
+        # trailer with no image data
+        with pytest.raises(ValueError, match="no image"):
+            decode_image(good[:13] + bytes(8 * 3) + b"\x3b")
+
+    def test_synth_gif_corpus_matches_formula(self, spark):
+        """The media_gif_decode gate's Spark side, pinned in-process: all
+        four container shapes decode to the shared palette formula."""
+        from sparkdoc.multimodal import image_pixel_stats, synth_gif_media_df
+
+        out = {
+            r["doc_id"]: r
+            for r in image_pixel_stats(synth_gif_media_df(spark, 8)).collect()
+        }
+        assert len(out) == 8
+        for i in range(8):
+            w, h = 5 + i % 6, 4 + i % 7
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            p = (x + 2 * y + i) % 64
+            er = np.broadcast_to((7 * p + i) % 256, (h, w))
+            eg = np.broadcast_to((3 * p + 2 * i) % 251, (h, w))
+            eb = np.broadcast_to((11 * p + 3 * i) % 241, (h, w))
+            r = out[f"gif{i:04d}"]
+            assert r["decoded"] == 1 and (r["width"], r["height"]) == (w, h)
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+                int(er.sum()), int(eg.sum()), int(eb.sum()),
+            )
