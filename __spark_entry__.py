@@ -916,6 +916,22 @@ def _media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (sparkdoc.jpegcodec: Huffman entropy decode,
+    DC prediction, dequant + IDCT, 4:2:0 upsample, DRI/RSTn) pinned against
+    a closed-form oracle: flat-block images with the all-8s quant table are
+    reconstructed EXACTLY (DC-only path), so DuckDB replays the fixed
+    floor(x+0.5) YCbCr→RGB conversion over the block formulas — a Huffman
+    desync, DC-predictor slip, IDCT scale error, or upsample bug breaks it."""
+    from sparkdoc.multimodal import image_pixel_stats, synth_jpeg_media_df
+
+    media = synth_jpeg_media_df(spark, 40)
+    return image_pixel_stats(media).select(
+        "doc_id", "media_ref", "decoded", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum_luma",
+    ).orderBy("doc_id")
+
+
 def _media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling (sparkdoc.videocodec: Y4M with
     C420/C444/Cmono chroma layouts) pinned against a closed-form oracle:
@@ -3266,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         "media_png_decode": _media_png_decode,
         "media_gif_decode": _media_gif_decode,
+        "media_jpeg_decode": _media_jpeg_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
         "doc_table_cells": _doc_table_cells,
@@ -4642,6 +4659,60 @@ def oracle_sql() -> dict[str, str]:
                    (11 * ((x + 2 * y + i) % 64) + 3 * i) % 241 AS b
             FROM px)
         SELECT 'gif' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
+               '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
+               1 AS decoded, w AS width, h AS height,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum((y * w + x) * ((77 * r + 150 * g + 29 * b) // 256)) AS BIGINT) AS wsum_luma
+        FROM vals GROUP BY i, w, h
+        ORDER BY doc_id
+    """
+    # Closed-form twin of the REAL baseline-JPEG decoder: flat blocks with
+    # the all-8s quant table reconstruct exactly (DC-only), so the oracle
+    # replays the codec's fixed floor(x+0.5) YCbCr→RGB conversion over the
+    # block formulas. e-notation literals (1.402e0) force DOUBLE arithmetic
+    # so DuckDB's float math is bit-identical to the numpy decoder's.
+    q["media_jpeg_decode"] = """
+        WITH imgs AS (
+            SELECT CAST(i AS INT) AS i,
+                   CASE WHEN i % 4 = 2 THEN 16 ELSE 8 END AS s,
+                   CAST(CASE WHEN i % 4 = 2 THEN 16 * (1 + i % 2)
+                             ELSE 8 * (1 + i % 4) END AS INT) AS w,
+                   CAST(CASE WHEN i % 4 = 2 THEN 16 * (1 + (i // 4) % 2)
+                             ELSE 8 * (1 + i % 3) END AS INT) AS h
+            FROM range(0, 40) t(i)),
+        px1 AS (
+            SELECT i, s, w, h,
+                   unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+            FROM imgs),
+        px AS (
+            SELECT i, s, w, h, x,
+                   unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y
+            FROM px1),
+        ycc AS (
+            SELECT i, w, h, x, y,
+                   (37 * (x // s) + 53 * (y // s) + 11 + i) % 256 AS yy,
+                   (29 * (x // s) + 71 * (y // s) + 5 + 2 * i) % 256 AS cb,
+                   (41 * (x // s) + 13 * (y // s) + 101 + 3 * i) % 256 AS cr
+            FROM px),
+        vals AS (
+            SELECT i, w, h, x, y,
+                   CASE WHEN i % 4 = 0 THEN yy
+                        ELSE CAST(least(255e0, greatest(0e0, floor(
+                            yy + 1.402e0 * (cr - 128) + 0.5e0))) AS BIGINT)
+                   END AS r,
+                   CASE WHEN i % 4 = 0 THEN yy
+                        ELSE CAST(least(255e0, greatest(0e0, floor(
+                            yy - 0.344136e0 * (cb - 128)
+                               - 0.714136e0 * (cr - 128) + 0.5e0))) AS BIGINT)
+                   END AS g,
+                   CASE WHEN i % 4 = 0 THEN yy
+                        ELSE CAST(least(255e0, greatest(0e0, floor(
+                            yy + 1.772e0 * (cb - 128) + 0.5e0))) AS BIGINT)
+                   END AS b
+            FROM ycc)
+        SELECT 'jpg' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
                '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
                1 AS decoded, w AS width, h AS height,
                CAST(sum(r) AS BIGINT) AS sum_r,

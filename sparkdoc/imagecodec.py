@@ -1,16 +1,18 @@
 """Pure-numpy image codecs: BMP (24/32-bit BI_RGB, bottom-up and top-down),
 binary PPM (P6), PGM (P5), PNG (bit depth 8, color types 0/2/3/4/6, all
-five scanline filters — DEFLATE via stdlib zlib), and GIF (87a/89a LZW,
-global/local color tables, interlace; first frame of animations).
+five scanline filters — DEFLATE via stdlib zlib), GIF (87a/89a LZW,
+global/local color tables, interlace; first frame of animations), and
+baseline JPEG (``sparkdoc.jpegcodec``: SOF0 Huffman + IDCT, 4:4:4/4:2:0,
+restart intervals).
 
 This is the REAL decode kernel behind ``multimodal.image_features`` — no
 external image libraries exist in this environment, but these formats are
-bit-exactly decodable from their public specifications (PNG's only
-compression is DEFLATE, which Python ships), so the media pipeline runs
+fully decodable from their public specifications (PNG/GIF bit-exactly;
+JPEG exactly up to its own quantization loss), so the media pipeline runs
 end-to-end on real pixel data instead of the deterministic stub whenever
-payloads arrive in one of these containers. JPEG (DCT+Huffman) still
-requires a codec library and keeps the documented stub/NotImplementedError
-path (multimodal._decode_image_real).
+payloads arrive in one of these containers. Genuinely out-of-scope
+containers (WebP, TIFF, AVIF, progressive JPEG) keep the documented
+stub/NotImplementedError path (multimodal._decode_image_real).
 
 Reference parity note: the reference engine delegates image handling to
 PIL via docling's conversion backends (see /root/reference docling
@@ -49,6 +51,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if len(payload) >= 2:
         if payload[:2] == b"BM":
             return "bmp"
@@ -228,7 +232,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if fmt == "gif":
         return _decode_gif(payload)
-    raise ValueError("decode_image: unsupported container (BMP/PPM/PGM/PNG/GIF only)")
+    if fmt == "jpeg":
+        from sparkdoc.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError(
+        "decode_image: unsupported container (BMP/PPM/PGM/PNG/GIF/JPEG only)"
+    )
 
 
 def luma_int(arr: np.ndarray) -> np.ndarray:

@@ -1,0 +1,644 @@
+"""Pure-numpy baseline JPEG codec (ITU T.81 sequential DCT, Huffman).
+
+JPEG needs no external library either: baseline decode is Huffman entropy
+coding + dequantization + 8x8 IDCT + chroma upsampling + YCbCr->RGB, all
+expressible in numpy. Supported: SOF0 (baseline sequential), 8-bit
+precision, 1 or 3 components, 4:4:4 and 4:2:0 chroma subsampling, restart
+intervals (DRI/RSTn), APPn/COM skipped. Progressive (SOF2), arithmetic
+coding, and 12-bit precision are rejected with ValueError (the callers'
+decoded=0 fallback).
+
+Determinism contract (what the ``media_jpeg_decode`` gate pins): all float
+color math rounds via floor(x + 0.5) — NOT banker's rounding — so the
+DuckDB twin can replay the YCbCr->RGB conversion bit-for-bit in SQL, and a
+DC-only (flat) block dequantized with q=8 reconstructs its level-shifted
+value EXACTLY (F(0,0)/8 is exact integer arithmetic in float64; the
+~1e-13 basis-matrix noise never crosses a floor(x+0.5) boundary).
+
+Reference parity note: the reference engine delegates JPEG to PIL through
+docling's backends; this module re-derives baseline JPEG from the public
+T.81 spec (Annex F decode procedures, Annex K example Huffman/quant
+tables). No reference code involved.
+
+Everything here is executor-side plain Python + numpy, called per-image
+from Arrow-batched pandas UDFs — never a Catalyst expression.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg", "STD_QUANT_NEAR_LOSSLESS"]
+
+# ---------------------------------------------------------------------------
+# Constants: zigzag order and the T.81 Annex K Huffman tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3: typical Huffman tables (counts per code length 1..16, symbols)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# Near-lossless quant table: every coefficient 8. DC of a flat block is
+# 8*(v-128), so DC/8 = v-128 is EXACT — the bit-exactness anchor for the
+# oracle gate; AC error stays tiny for the tolerance roundtrip tests.
+STD_QUANT_NEAR_LOSSLESS = np.full(64, 8, dtype=np.int64)
+
+# 8x8 DCT basis (orthonormal): B[u, x] = alpha(u) * cos((2x+1)u*pi/16) / 2
+_B = np.zeros((8, 8), dtype=np.float64)
+for _u in range(8):
+    _a = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _B[_u, _x] = 0.5 * _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5) — the codec's ONLY float->int rounding (replayable in
+    SQL, unlike numpy's banker's rounding)."""
+    return np.floor(x + 0.5)
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _B @ block @ _B.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _B.T @ coef @ _B
+
+
+# ---------------------------------------------------------------------------
+# Huffman table machinery
+# ---------------------------------------------------------------------------
+
+def _build_decoder_table(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: map (length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encoder_table(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing
+    and RST-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: entropy stream exhausted")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise ValueError("jpeg: hit RST marker mid-symbol")
+            else:
+                # EOI or other marker: pad with 1-bits per spec
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_rst(self):
+        """Byte-align and consume one RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # skip stuffing zeros if any partial state, then expect FF Dn
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("jpeg: missing RST marker")
+        self.pos += 2
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _category(v: int) -> int:
+    s = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        s += 1
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale replicated)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    n = len(payload)
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None
+    restart_interval = 0
+
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("jpeg: no scan data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        seg_end = pos + seg_len
+        if seg_end > n:
+            raise ValueError("jpeg: truncated segment")
+        body = payload[pos + 2 : seg_end]
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables not supported")
+                if i + 65 > len(body):
+                    raise ValueError("jpeg: truncated DQT")
+                tbl = np.frombuffer(body, dtype=np.uint8, count=64, offset=i + 1)
+                qtables[tq] = tbl.astype(np.int64)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1 : i + 17])
+                total = sum(counts)
+                syms = list(body[i + 17 : i + 17 + total])
+                if len(syms) != total:
+                    raise ValueError("jpeg: truncated DHT")
+                htables[(tc, th)] = _build_decoder_table(counts, syms)
+                i += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"jpeg: precision {prec} not supported")
+            if nc not in (1, 3):
+                raise ValueError(f"jpeg: {nc} components not supported")
+            if h == 0 or w == 0:
+                raise ValueError("jpeg: bad dimensions")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"jpeg: SOF{marker - 0xC0} not supported (baseline only)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            if ns != len(frame["comps"]):
+                raise ValueError("jpeg: partial scans not supported")
+            sel = {}
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cs] = (tdta >> 4, tdta & 0x0F)
+            return _decode_scan(
+                payload, seg_end, frame, sel, qtables, htables, restart_interval
+            )
+        # all other markers (APPn, COM): skip
+        pos = seg_end
+    raise ValueError("jpeg: missing SOS")
+
+
+def _decode_scan(payload, data_pos, frame, sel, qtables, htables, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
+        raise ValueError("jpeg: only 1x1/2x2 sampling factors supported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    planes = []
+    for c in comps:
+        pw, ph = mcus_x * c["h"] * 8, mcus_y * c["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        if c["tq"] not in qtables:
+            raise ValueError("jpeg: missing quant table")
+
+    reader = _BitReader(payload, data_pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_rst()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dct_t, act_t = sel[c["id"]]
+                dc_table = htables.get((0, dct_t))
+                ac_table = htables.get((1, act_t))
+                if dc_table is None or ac_table is None:
+                    raise ValueError("jpeg: missing Huffman table")
+                q = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = reader.decode_huff(dc_table)
+                        diff = _extend(reader.receive(s), s)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(ac_table)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC run overflow")
+                            zz[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = (zz * q).astype(np.float64)
+                        block = _idct(coef.reshape(8, 8))
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # upsample to full resolution, crop, level shift
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w] + 128.0)
+
+    if len(comps) == 1:
+        g = np.clip(_round_half_up(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = _round_half_up(y + 1.402 * (cr - 128.0))
+    g = _round_half_up(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+    b = _round_half_up(y + 1.772 * (cb - 128.0))
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (tests + synthetic corpora)
+# ---------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _encode_block(zw: _BitWriter, zz: np.ndarray, pred: int, dc_enc, ac_enc) -> int:
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    code, length = dc_enc[s]
+    zw.write(code, length)
+    if s:
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        zw.write(v & ((1 << s) - 1), s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_enc[0xF0]
+            zw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_enc[(run << 4) | s]
+        zw.write(code, length)
+        vv = v if v >= 0 else v + (1 << s) - 1
+        zw.write(vv & ((1 << s) - 1), s)
+        run = 0
+    if run:
+        code, length = ac_enc[0x00]  # EOB
+        zw.write(code, length)
+    return int(zz[0])
+
+
+def _plane_blocks(plane: np.ndarray, q: np.ndarray):
+    """Pad to 8-multiples by edge replication, FDCT+quantize each block;
+    yields zigzag int arrays in raster block order."""
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    if pw > w:
+        padded[:h, w:] = plane[:, -1:]
+    if ph > h:
+        padded[h:, :] = padded[h - 1 : h, :]
+    qn = np.empty(64, dtype=np.float64)
+    qn[:] = q[np.argsort(ZIGZAG)]  # natural-order quant steps
+    qn = qn.reshape(8, 8)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _fdct(block) / qn
+            zz = _round_half_up(coef).astype(np.int64).reshape(-1)[ZIGZAG]
+            yield zz
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    *,
+    subsampling: str = "444",
+    quant: np.ndarray | None = None,
+    ycbcr: np.ndarray | None = None,
+    gray: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder for tests and synthetic corpora.
+
+    ``arr``: (H, W, 3) uint8 RGB (converted to YCbCr with floor(x+0.5)
+    rounding), or pass ``ycbcr`` (H, W, 3) float64 directly to skip the
+    color conversion (the oracle corpus does this so decode output is
+    closed-form). ``gray=True`` encodes a single-component image from
+    arr's (H, W) plane. ``subsampling``: '444' or '420'. ``quant``: 64
+    zigzag-order steps (default near-lossless all-8s)."""
+    q = (quant if quant is not None else STD_QUANT_NEAR_LOSSLESS).astype(np.int64)
+    if np.any(q < 1) or np.any(q > 255) or q.shape != (64,):
+        raise ValueError("encode_jpeg: quant must be 64 values in 1..255")
+
+    if gray:
+        if arr.ndim != 2:
+            raise ValueError("encode_jpeg: gray=True takes (H, W)")
+        h, w = arr.shape
+        planes = [arr.astype(np.float64)]
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+    else:
+        if ycbcr is not None:
+            h, w, _ = ycbcr.shape
+            y = ycbcr[:, :, 0].astype(np.float64)
+            cb = ycbcr[:, :, 1].astype(np.float64)
+            cr = ycbcr[:, :, 2].astype(np.float64)
+        else:
+            if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+                raise ValueError("encode_jpeg: expected (H, W, 3) uint8 RGB")
+            h, w, _ = arr.shape
+            rf = arr[:, :, 0].astype(np.float64)
+            gf = arr[:, :, 1].astype(np.float64)
+            bf = arr[:, :, 2].astype(np.float64)
+            y = _round_half_up(0.299 * rf + 0.587 * gf + 0.114 * bf)
+            cb = _round_half_up(128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf)
+            cr = _round_half_up(128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf)
+            y, cb, cr = (np.clip(p, 0, 255) for p in (y, cb, cr))
+        if subsampling == "444":
+            planes = [y, cb, cr]
+            comps = [
+                {"id": 1, "h": 1, "v": 1, "tq": 0},
+                {"id": 2, "h": 1, "v": 1, "tq": 1},
+                {"id": 3, "h": 1, "v": 1, "tq": 1},
+            ]
+        elif subsampling == "420":
+            # box-average 2x2 downsample (pad odd dims by edge replication)
+            def down(p):
+                hh, ww = p.shape
+                if hh % 2:
+                    p = np.vstack([p, p[-1:]])
+                if ww % 2:
+                    p = np.hstack([p, p[:, -1:]])
+                return _round_half_up(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+                )
+
+            planes = [y, down(cb), down(cr)]
+            comps = [
+                {"id": 1, "h": 2, "v": 2, "tq": 0},
+                {"id": 2, "h": 1, "v": 1, "tq": 1},
+                {"id": 3, "h": 1, "v": 1, "tq": 1},
+            ]
+        else:
+            raise ValueError(f"encode_jpeg: subsampling {subsampling!r}")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def segment(marker: int, body: bytes):
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    # DQT (table 0 luma, table 1 chroma — same steps here)
+    segment(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    if not gray:
+        segment(0xDB, bytes([0x01]) + bytes(int(v) for v in q))
+    # SOF0
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for c in comps:
+        sof += struct.pack(">BBB", c["id"], (c["h"] << 4) | c["v"], c["tq"])
+    segment(0xC0, sof)
+    # DHT (Annex K tables)
+    for tc, th, (counts, syms) in (
+        (0, 0, _DC_LUMA),
+        (1, 0, _AC_LUMA),
+        (0, 1, _DC_CHROMA),
+        (1, 1, _AC_CHROMA),
+    ):
+        if gray and th == 1:
+            continue
+        segment(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+    # SOS
+    sos = bytes([len(comps)])
+    for c in comps:
+        t = 0 if c["id"] == 1 else 1
+        sos += bytes([c["id"], (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    segment(0xDA, sos)
+
+    dc_encs = [_build_encoder_table(*_DC_LUMA), _build_encoder_table(*_DC_CHROMA)]
+    ac_encs = [_build_encoder_table(*_AC_LUMA), _build_encoder_table(*_AC_CHROMA)]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # pre-compute per-component zigzag blocks in raster order
+    comp_blocks = []
+    for ci, c in enumerate(comps):
+        # pad the plane so block grid covers mcus * sampling exactly
+        p = planes[ci]
+        need_h, need_w = mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
+        ph, pw = p.shape
+        if ph < need_h or pw < need_w:
+            pp = np.empty((need_h, need_w), dtype=np.float64)
+            pp[:ph, :pw] = p
+            if need_w > pw:
+                pp[:ph, pw:] = p[:, -1:]
+            if need_h > ph:
+                pp[ph:, :] = pp[ph - 1 : ph, :]
+            p = pp
+        blocks = list(_plane_blocks(p, q))
+        comp_blocks.append((blocks, need_w // 8))
+
+    zw = _BitWriter()
+    pred = [0] * len(comps)
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                zw.flush()
+                zw.out.extend((0xFF, 0xD0 + rst_idx))
+                rst_idx = (rst_idx + 1) % 8
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                blocks, bw = comp_blocks[ci]
+                t = 0 if c["id"] == 1 else 1
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bidx = (my * c["v"] + by) * bw + (mx * c["h"] + bx)
+                        pred[ci] = _encode_block(
+                            zw, blocks[bidx], pred[ci], dc_encs[t], ac_encs[t]
+                        )
+            mcu_count += 1
+    zw.flush()
+    out.extend(zw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -5,13 +5,15 @@ them via ``media_ref`` (``#/pictures/<id>``). Decode / feature-extract /
 resize / frame-sample are Arrow-batched pandas UDFs over mapInPandas.
 
 Decode status: payloads in BMP 24/32-bit, binary PPM/PGM, PNG (bit depth 8,
-all color types, all scanline filters — DEFLATE via stdlib zlib), and GIF
-(87a/89a LZW, interlace, first frame) decode FOR REAL via the pure-numpy
-``sparkdoc.imagecodec`` kernel — true dimensions, pixel statistics, and a
-content embedding come from actual pixels (gates ``media_decode`` /
-``media_png_decode`` / ``media_gif_decode`` pin the decoded stats against
-closed-form SQL twins). JPEG still needs a codec library the
-sandbox lacks and keeps the documented stub path behind
+all color types, all scanline filters — DEFLATE via stdlib zlib), GIF
+(87a/89a LZW, interlace, first frame), and baseline JPEG (SOF0 Huffman +
+IDCT, 4:4:4/4:2:0, restart intervals) decode FOR REAL via the pure-numpy
+``sparkdoc.imagecodec``/``jpegcodec`` kernels — true dimensions, pixel
+statistics, and a content embedding come from actual pixels (gates
+``media_decode`` / ``media_png_decode`` / ``media_gif_decode`` /
+``media_jpeg_decode`` pin the decoded stats against closed-form SQL twins).
+Containers beyond those (WebP, TIFF, progressive JPEG) still need a codec
+library the sandbox lacks and keep the documented stub path behind
 ``SPARKDOC_FAKE_CODECS`` (deterministic fake embedding) /
 ``_decode_image_real`` (NotImplementedError when fakes are disabled).
 
@@ -89,9 +91,11 @@ EMBED_DIM = 16
 
 def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs in sandbox
     raise NotImplementedError(
-        "JPEG decode (DCT+Huffman) needs PIL/opencv — not available in this "
-        "container; BMP/PPM/PGM/PNG decode natively via sparkdoc.imagecodec, "
-        "and SPARKDOC_FAKE_CODECS=1 (default) stubs the rest deterministically"
+        "decode for containers beyond BMP/PPM/PGM/PNG/GIF/baseline-JPEG "
+        "(e.g. WebP, TIFF, AVIF, progressive JPEG) needs PIL/opencv — not "
+        "available in this container; the supported formats decode natively "
+        "via sparkdoc.imagecodec/jpegcodec, and SPARKDOC_FAKE_CODECS=1 "
+        "(default) stubs the rest deterministically"
     )
 
 
@@ -157,7 +161,8 @@ def synth_media_df(spark: SparkSession, documents: DataFrame) -> DataFrame:
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract per image: hash, size, dims, embedding.
 
-    Natively-decodable containers (BMP/PPM/PGM/PNG — sparkdoc.imagecodec) yield
+    Natively-decodable containers (BMP/PPM/PGM/PNG/GIF/baseline-JPEG —
+    sparkdoc.imagecodec + jpegcodec) yield
     TRUE width/height from the pixel data (overriding possibly-lying
     metadata) and a real content embedding (gray-grid block means);
     everything else takes the documented stub path (metadata dims + fake
@@ -458,6 +463,78 @@ def synth_gif_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
                         "doc_id": f"gif{i:04d}",
                         "media_type": "image",
                         "mime": "image/gif",
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                        "meta_sample_rate": None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
+
+
+def synth_jpeg_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic REAL-JPEG media corpus, built so decode is CLOSED-FORM
+    despite JPEG being lossy: every 8x8 block (16x16 macroblock in 4:2:0) is
+    FLAT, so only the DC coefficient is nonzero and the all-8s quant table
+    reconstructs the level-shifted value exactly (see jpegcodec docstring).
+    Encoding happens from YCbCr planes directly, so the decoded RGB is the
+    fixed floor(x+0.5) color conversion of the block formulas
+
+        Y  = (37·bx + 53·by + 11 + i) mod 256
+        Cb = (29·bx + 71·by + 5 + 2i) mod 256
+        Cr = (41·bx + 13·by + 101 + 3i) mod 256
+
+    with bx = x // s, by = y // s. i mod 4 rotates the container shape:
+    0 = grayscale single-component (r = g = b = Y), 1 = color 4:4:4,
+    2 = color 4:2:0 (s = 16, dims multiples of 16), 3 = color 4:4:4 with
+    restart interval 2 (DRI/RSTn exercised). The ``media_jpeg_decode``
+    oracle replays the conversion in SQL — a Huffman desync, a DC-predictor
+    slip, a wrong IDCT scale, or a chroma-upsample bug breaks the match."""
+    from sparkdoc.jpegcodec import encode_jpeg
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                kind = i % 4
+                if kind == 2:
+                    s = 16
+                    w, h = 16 * (1 + i % 2), 16 * (1 + (i // 4) % 2)
+                else:
+                    s = 8
+                    w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                bx, by = x // s, y // s
+                yv = ((37 * bx + 53 * by + 11 + i) % 256).astype(np.float64)
+                yv = yv + np.zeros((h, w))
+                if kind == 0:
+                    payload = encode_jpeg(yv.astype(np.uint8), gray=True)
+                else:
+                    cb = ((29 * bx + 71 * by + 5 + 2 * i) % 256).astype(np.float64)
+                    cr = ((41 * bx + 13 * by + 101 + 3 * i) % 256).astype(np.float64)
+                    ycc = np.stack(
+                        [yv, cb + np.zeros((h, w)), cr + np.zeros((h, w))], axis=2
+                    )
+                    payload = encode_jpeg(
+                        None,
+                        subsampling="420" if kind == 2 else "444",
+                        ycbcr=ycc,
+                        restart_interval=2 if kind == 3 else 0,
+                    )
+                rows.append(
+                    {
+                        "media_ref": f"#/pictures/{i}",
+                        "doc_id": f"jpg{i:04d}",
+                        "media_type": "image",
+                        "mime": "image/jpeg",
                         "payload": payload,
                         "meta_width": w,
                         "meta_height": h,

@@ -397,3 +397,107 @@ class TestGif:
             assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
                 int(er.sum()), int(eg.sum()), int(eb.sum()),
             )
+
+
+class TestJpeg:
+    """Baseline JPEG codec (sparkdoc.jpegcodec): flat blocks are EXACT with
+    the all-8s quant table; general content roundtrips within the
+    quantization-loss tolerance; non-baseline payloads raise ValueError."""
+
+    def test_flat_gray_exact(self):
+        from sparkdoc.jpegcodec import decode_jpeg, encode_jpeg
+
+        for v in (0, 1, 127, 128, 200, 255):
+            g = np.full((16, 24), v, dtype=np.uint8)
+            out = decode_jpeg(encode_jpeg(g, gray=True))
+            assert out.shape == (16, 24, 3) and (out == v).all()
+
+    def test_flat_ycbcr_blocks_exact_both_subsamplings(self):
+        from sparkdoc.jpegcodec import decode_jpeg, encode_jpeg
+
+        for sub, s, (h, w) in (("444", 8, (24, 40)), ("420", 16, (32, 48))):
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            bx, by = x // s, y // s
+            Y = ((37 * bx + 53 * by + 11) % 256) + np.zeros((h, w))
+            Cb = ((29 * bx + 71 * by + 5) % 256) + np.zeros((h, w))
+            Cr = ((41 * bx + 13 * by + 101) % 256) + np.zeros((h, w))
+            out = decode_jpeg(
+                encode_jpeg(None, subsampling=sub, ycbcr=np.stack([Y, Cb, Cr], axis=2))
+            )
+            er = np.clip(np.floor(Y + 1.402 * (Cr - 128) + 0.5), 0, 255)
+            eg = np.clip(
+                np.floor(Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128) + 0.5), 0, 255
+            )
+            eb = np.clip(np.floor(Y + 1.772 * (Cb - 128) + 0.5), 0, 255)
+            assert (out[:, :, 0] == er).all(), sub
+            assert (out[:, :, 1] == eg).all(), sub
+            assert (out[:, :, 2] == eb).all(), sub
+
+    def test_general_roundtrip_within_quant_loss(self):
+        from sparkdoc.jpegcodec import decode_jpeg, encode_jpeg
+
+        rs = np.random.RandomState(12)
+        arr = rs.randint(0, 256, (25, 37, 3)).astype(np.uint8)  # odd dims: padding
+        out = decode_jpeg(encode_jpeg(arr, subsampling="444"))
+        assert out.shape == arr.shape
+        assert np.abs(out.astype(int) - arr.astype(int)).max() <= 24
+
+    def test_restart_intervals(self):
+        from sparkdoc.jpegcodec import decode_jpeg, encode_jpeg
+
+        rs = np.random.RandomState(13)
+        arr = rs.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+        with_rst = encode_jpeg(arr, subsampling="444", restart_interval=3)
+        without = encode_jpeg(arr, subsampling="444")
+        assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+        assert (decode_jpeg(with_rst) == decode_jpeg(without)).all()
+
+    def test_dispatch_and_rejects(self):
+        from sparkdoc.imagecodec import decode_image, sniff_format
+        from sparkdoc.jpegcodec import decode_jpeg, encode_jpeg
+
+        g = np.full((8, 8), 99, dtype=np.uint8)
+        p = encode_jpeg(g, gray=True)
+        assert sniff_format(p) == "jpeg"
+        assert (decode_image(p) == 99).all()  # routed through the dispatcher
+        with pytest.raises(ValueError):
+            decode_jpeg(p[:30])  # truncated
+        with pytest.raises(ValueError, match="SOF2"):
+            decode_jpeg(p.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+        with pytest.raises(ValueError, match="missing SOS|no scan"):
+            decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, nothing else
+
+    def test_synth_jpeg_corpus_matches_formula(self, spark):
+        """The media_jpeg_decode gate's Spark side, pinned in-process."""
+        from sparkdoc.multimodal import image_pixel_stats, synth_jpeg_media_df
+
+        out = {
+            r["doc_id"]: r
+            for r in image_pixel_stats(synth_jpeg_media_df(spark, 8)).collect()
+        }
+        assert len(out) == 8
+        for i in range(8):
+            kind = i % 4
+            if kind == 2:
+                s, w, h = 16, 16 * (1 + i % 2), 16 * (1 + (i // 4) % 2)
+            else:
+                s, w, h = 8, 8 * (1 + i % 4), 8 * (1 + i % 3)
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            bx, by = x // s, y // s
+            Y = (37 * bx + 53 * by + 11 + i) % 256
+            if kind == 0:
+                er = eg = eb = np.broadcast_to(Y, (h, w))
+            else:
+                Cb = (29 * bx + 71 * by + 5 + 2 * i) % 256
+                Cr = (41 * bx + 13 * by + 101 + 3 * i) % 256
+                er = np.broadcast_to(np.clip(np.floor(Y + 1.402 * (Cr - 128) + 0.5), 0, 255), (h, w))
+                eg = np.broadcast_to(np.clip(np.floor(
+                    Y - 0.344136 * (Cb - 128) - 0.714136 * (Cr - 128) + 0.5), 0, 255), (h, w))
+                eb = np.broadcast_to(np.clip(np.floor(Y + 1.772 * (Cb - 128) + 0.5), 0, 255), (h, w))
+            r = out[f"jpg{i:04d}"]
+            assert r["decoded"] == 1 and (r["width"], r["height"]) == (w, h)
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+                int(er.sum()), int(eg.sum()), int(eb.sum()),
+            ), i
