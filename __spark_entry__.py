@@ -2800,6 +2800,73 @@ def _doc_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fixed_encoding(d).orderBy("doc_id")
 
 
+def _html_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw HTML ingestion closes the web first mile: flatten_html (stdlib
+    HTMLParser, Arrow-batched, zero-shuffle) over a 24-doc seeded messy-HTML
+    corpus, fed straight into the SAME classify→XY-cut→spans pipeline — the
+    oracle is a VALUES table from synth.expected_html_spans, the CLOSED-FORM
+    block plan the renderer was authored from (the parser never sees the
+    plan, only the HTML strings)."""
+    from sparkdoc.htmlparse import flatten_html
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import html_corpus_df
+
+    nodes = flatten_html(html_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    spans = explode_spans(extract_documents(nodes))
+    return spans.select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
+def _docs_boiler_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived node table for the Boilerpipe gate: each document's text is
+    chunked into per-doc fixed-width word windows (width 6+doc_id%20 so word
+    counts straddle every NumWordsRules threshold), and n_links is spelled
+    deterministically from (node_id, n_chars) so link densities hit the
+    0.8 / 0.5 / 0 regimes — the oracle builds the IDENTICAL table in SQL."""
+    did = F.col("doc_id")
+    sz = (did % 20 + 6).cast("int")
+    # triple the text so wide-window docs still yield enough nodes for the
+    # prev-link-dense → next_words>17 → CONTENT path to fire (branch
+    # coverage verified: every leaf of the tree is populated at sf0.01)
+    t3 = F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text"))
+    ws = F.split(F.trim(t3), r"\s+")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", ws.alias("ws"), sz.alias("sz"),
+        F.ceil(F.size(ws) / sz).cast("int").alias("nchunks"),
+    )
+    d = d.select(
+        "doc_id", "ws", "sz",
+        F.explode(F.sequence(F.lit(0), F.col("nchunks") - 1)).alias("i"),
+    )
+    sent = F.array_join(F.slice(F.col("ws"), F.col("i") * F.col("sz") + 1, F.col("sz")), " ")
+    d = d.select("doc_id", (F.col("i") + 1).alias("node_id"), sent.alias("text"))
+    n_chars = F.length(F.col("text"))
+    n_links = (
+        F.when(F.col("node_id") % 4 == 0, F.floor(n_chars * 4 / 5))
+        .when(F.col("node_id") % 7 == 0, F.floor(n_chars / 2))
+        .otherwise(F.lit(0))
+    ).cast("int")
+    return d.withColumn("n_chars", n_chars.cast("int")).withColumn("n_links", n_links)
+
+
+def _doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe NumWordsRulesClassifier (Kohlschütter et al., WSDM 2010 —
+    text density + link density over lag/lead neighbours) as pure exprs +
+    one doc-keyed window; the DuckDB twin restates the published decision
+    tree independently."""
+    from sparkdoc.htmlparse import numwords_content
+
+    out = numwords_content(_docs_boiler_nodes(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "node_id",
+        "words",
+        F.round(F.col("link_density"), 6).alias("link_density"),
+        F.col("is_content").cast("int").alias("is_content"),
+    ).orderBy("doc_id", "node_id")
+
+
 def _docs_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived URL corpus: one synthetic URL per document, deterministically
     spelled from doc_id so many spellings collapse to the same canonical
@@ -3195,6 +3262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_canon": _doc_url_canon,
         "doc_url_dups": _doc_url_dups,
         "doc_fix_encoding": _doc_fix_encoding,
+        "html_extract_pinned": _html_extract_pinned,
+        "doc_boilerplate": _doc_boilerplate,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
         # trained BPE tokenizer (fit loop + committed-ruleset encode)
@@ -4078,6 +4147,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, text, t AS text_fixed,
                CASE WHEN text IS DISTINCT FROM t THEN 1 ELSE 0 END AS had_mojibake
         FROM fx{_i} ORDER BY doc_id
+    """
+    # HTML-ingest pin: flatten_html over the seeded messy-HTML corpus must
+    # land on the closed-form block plan the renderer was authored from
+    # (synth.expected_html_spans — never touches the parser or the engine).
+    import hashlib as _hl
+
+    from sparkdoc.synth import expected_html_spans as _html_expected
+
+    _hrows = []
+    for _s in _html_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _hrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["html_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_hrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # Boilerpipe NumWordsRulesClassifier twin: identical derived node table
+    # (per-doc word windows + deterministic n_links), identical published
+    # decision tree, restated in SQL with lag/lead neighbours.
+    q["doc_boilerplate"] = r"""
+        WITH d AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text || ' ' || text || ' ' || text), '\s+') AS ws,
+                   CAST(doc_id % 20 + 6 AS INT) AS sz
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(i + 1 AS INT) AS node_id,
+                   array_to_string(ws[i * sz + 1 : i * sz + sz], ' ') AS sent
+            FROM d, unnest(generate_series(0, CAST(ceil(len(ws) / CAST(sz AS DOUBLE)) AS INT) - 1)) AS t(i)
+        ),
+        nodes AS (
+            SELECT doc_id, node_id, sent,
+                   length(sent) AS n_chars,
+                   CASE WHEN node_id % 4 = 0 THEN CAST(floor(length(sent) * 4 / 5) AS INT)
+                        WHEN node_id % 7 = 0 THEN CAST(floor(length(sent) / 2) AS INT)
+                        ELSE 0 END AS n_links
+            FROM chunks
+        ),
+        feats AS (
+            SELECT doc_id, node_id,
+                   CASE WHEN trim(sent) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(sent), '\s+')) END AS words,
+                   CASE WHEN n_chars > 0 THEN CAST(n_links AS DOUBLE) / n_chars ELSE 0.0 END AS link_density
+            FROM nodes
+        ),
+        nbr AS (
+            SELECT doc_id, node_id, words, link_density,
+                   coalesce(lag(words) OVER w, 0) AS prev_words,
+                   coalesce(lead(words) OVER w, 0) AS next_words,
+                   coalesce(lag(link_density) OVER w, 0.0) AS prev_link_density
+            FROM feats
+            WINDOW w AS (PARTITION BY doc_id ORDER BY node_id)
+        )
+        SELECT doc_id, node_id, words,
+               round(link_density, 6) AS link_density,
+               CASE WHEN link_density <= 0.333333 THEN
+                      CASE WHEN prev_link_density <= 0.555556 THEN
+                             CASE WHEN words > 16 OR next_words > 15 OR prev_words > 4 THEN 1 ELSE 0 END
+                           ELSE
+                             CASE WHEN words > 40 OR next_words > 17 THEN 1 ELSE 0 END
+                      END
+                    ELSE 0 END AS is_content
+        FROM nbr ORDER BY doc_id, node_id
     """
     # Closed-form twin of the REAL PCM WAV decoder (see media_decode note):
     # clip i (i%4=3 → 8-bit quantized, else 16-bit) with formula samples.

@@ -370,6 +370,35 @@ def main() -> int:
         )
     )
 
+    # HTML ingest: flatten is ONE Arrow-batched python stage straight off the
+    # scan (embarrassingly parallel — no Exchange anywhere before extract's
+    # single doc_id repartition), and the NumWordsRules classifier adds no
+    # python and no extra shuffle beyond the one doc-keyed window.
+    from sparkdoc.htmlparse import flatten_html, numwords_content
+    from sparkdoc.synth import html_corpus_df
+
+    _py_nodes = r"\(\d+\) (?:ArrowEvalPython|MapInPandas|BatchEvalPython|FlatMapGroupsInPandas)"
+    flat = flatten_html(html_corpus_df(spark, 50, 42, partitions=4))
+    p = plan_of(flat)
+    sections.append(("flatten_html", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    n_py_flat = len(re.findall(_py_nodes, p))
+    checks.append(
+        ("flatten_html is zero-shuffle Arrow-batched python (no Exchange)",
+         n_exchange == 0 and "MapInPandas" in p, p)
+    )
+    p = plan_of(numwords_content(flat))
+    sections.append(("numwords_content", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    n_py = len(re.findall(_py_nodes, p))
+    checks.append(
+        (
+            "numwords boilerplate classifier adds exactly one doc-keyed window Exchange and zero python nodes beyond the flatten stage",
+            n_exchange == 1 and "hashpartitioning(doc_id" in p and n_py == n_py_flat,
+            p,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

@@ -385,3 +385,200 @@ def synth_text_documents(spark, n_docs: int, seed: int = 42, partitions: int | N
     return (
         docs.unionByName(exact_twin).unionByName(near_twin).unionByName(rep_twin)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic messy-HTML corpus with closed-form flattening expectations
+# (htmlparse.flatten_html's gate fodder — FIXTURES.md F7)
+# ---------------------------------------------------------------------------
+
+def _esc(s: str) -> str:
+    import html as _html
+
+    return _html.escape(s, quote=False)
+
+
+def _inline_wrap(rng: random.Random, text: str) -> str:
+    """Render a paragraph with random inline markup (b/em/code/span) around
+    1-2 words — the flattened text must still equal ``text`` exactly."""
+    words = text.split(" ")
+    wrapped = {}
+    for i in rng.sample(range(len(words)), min(rng.randint(1, 2), len(words))):
+        tag = rng.choice(["b", "em", "code", "span", "strong", "i"])
+        wrapped[i] = f"<{tag}>{_esc(words[i])}</{tag}>"
+    return " ".join(wrapped.get(i, _esc(w)) for i, w in enumerate(words))
+
+
+def synth_html_doc(doc_index: int, seed: int) -> dict:
+    """One messy HTML document + its closed-form flattened block plan.
+
+    Returns {doc_id, html, expected: [(tag, text, n_links), ...]} where
+    ``expected`` is authored ALONGSIDE the rendering from the same block
+    plan — the parser under test never sees the plan, only the HTML string.
+    Messiness exercised: head noise (style/script/meta), <title>→h1, nav
+    link farms, inline markup, anchors (n_links accounting), entities &
+    unicode, tables (th/td, ragged whitespace), figures with/without alt,
+    unclosed <p> and <li> (implied end tags), pre whitespace preservation,
+    comments, hr separators, blockquote, header/footer furniture.
+    """
+    rng = random.Random(f"sparkdoc-html:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-html-{doc_index:08d}"
+    expected: list[tuple[str, str, int]] = []
+    body: list[str] = []
+
+    title = f"§{doc_index} " + _sentence(rng, rng.randint(3, 6)).rstrip(".")
+    head_noise = (
+        "<meta charset='utf-8'><style>body{margin:0}</style>"
+        "<script>var x=1;</script>"
+    )
+    if doc_index % 2 == 0:
+        head = f"<head>{head_noise}<title>{_esc(title)}</title></head>"
+    else:
+        head = f"<head>{head_noise}</head>"
+        body.append(f"<h1>{_esc(title)}</h1>")
+    expected.append(("h1", title, 0))
+
+    # nav link farm: every word linked; n_links = sum of word lengths
+    nav_words = [rng.choice(_WORDS) for _ in range(rng.randint(4, 8))]
+    body.append(
+        "<nav>" + " ".join(f'<a href="/{w}">{_esc(w)}</a>' for w in nav_words) + "</nav>"
+    )
+    expected.append(("nav", " ".join(nav_words), sum(len(w) for w in nav_words)))
+
+    n_blocks = rng.randint(30, 60) if rng.random() < 0.10 else rng.randint(4, 9)
+    for _ in range(n_blocks):
+        if rng.random() < 0.15:
+            body.append("<!-- boilerplate comment -->")
+        if rng.random() < 0.08:
+            body.append("<script>trackPage();</script>")
+        r = rng.random()
+        if r < 0.26:  # plain paragraph, inline markup
+            text = _paragraph(rng)
+            if rng.random() < 0.15:  # entity/unicode fodder
+                text += " R&D <5% naïve café."
+            closing = "" if rng.random() < 0.2 else "</p>"  # unclosed-p fodder
+            body.append(f"<p>{_inline_wrap(rng, text)}{closing}")
+            expected.append(("p", text, 0))
+        elif r < 0.38:  # paragraph with one linked sentence
+            pre_s = _sentence(rng, rng.randint(4, 9))
+            link_s = _sentence(rng, rng.randint(3, 6)).rstrip(".")
+            post_s = _sentence(rng, rng.randint(4, 9))
+            body.append(
+                f"<p>{_esc(pre_s)} <a href='#ref'>{_esc(link_s)}</a> {_esc(post_s)}</p>"
+            )
+            expected.append(
+                ("p", f"{pre_s} {link_s} {post_s}", len(link_s))
+            )
+        elif r < 0.50:  # heading
+            lvl = rng.randint(2, 4)
+            text = _sentence(rng, rng.randint(2, 5)).rstrip(".")
+            body.append(f"<h{lvl}>{_esc(text)}</h{lvl}>")
+            expected.append((f"h{lvl}", text, 0))
+        elif r < 0.64:  # list (sometimes unclosed li)
+            items = ["• " + _sentence(rng, rng.randint(3, 8)) for _ in range(rng.randint(2, 4))]
+            closing = "" if rng.random() < 0.3 else "</li>"
+            body.append(
+                "<ul>\n" + "\n".join(f"  <li>{_esc(i)}{closing}" for i in items) + "\n</ul>"
+            )
+            expected.extend(("li", i, 0) for i in items)
+        elif r < 0.76:  # table, ragged whitespace, th header row
+            rows = [[rng.choice(_WORDS) for _ in range(3)] for _ in range(rng.randint(2, 4))]
+            cell = "th" if rng.random() < 0.5 else "td"
+            parts = ["<table>"]
+            for j, row in enumerate(rows):
+                c = cell if j == 0 else "td"
+                parts.append(
+                    "  <tr>\n" + "\n".join(f"    <{c}> {_esc(x)} </{c}>" for x in row) + "\n  </tr>"
+                )
+            parts.append("</table>")
+            body.append("\n".join(parts))
+            expected.append(
+                ("table", "\n".join(" | ".join(row) for row in rows), 0)
+            )
+        elif r < 0.86:  # figure: img (alt sometimes empty) + caption sometimes
+            alt = "" if rng.random() < 0.4 else "Figure " + _sentence(rng, rng.randint(2, 5))
+            cap = None if rng.random() < 0.5 else "Caption: " + _sentence(rng, rng.randint(3, 6))
+            fig = f'<figure><img src="/img/{rng.randint(1, 999)}.png" alt="{_esc(alt)}">'
+            if cap is not None:
+                fig += f"<figcaption>{_esc(cap)}</figcaption>"
+            fig += "</figure>"
+            body.append(fig)
+            expected.append(("img", alt, 0))
+            if cap is not None:
+                expected.append(("figcaption", cap, 0))
+        elif r < 0.92:  # blockquote or pre
+            if rng.random() < 0.5:
+                text = _sentence(rng, rng.randint(5, 12))
+                body.append(f"<blockquote>{_esc(text)}</blockquote>")
+                expected.append(("blockquote", text, 0))
+            else:
+                code = f"def f_{rng.randint(0, 99)}(x):\n    return  x * {rng.randint(2, 9)}"
+                body.append(f"<pre>{_esc(code)}</pre>")
+                expected.append(("pre", code, 0))
+        else:  # furniture
+            tag = rng.choice(["header", "footer"])
+            text = f"{doc_id} — {'top' if tag == 'header' else 'bottom'} matter"
+            body.append(f"<{tag}>{_esc(text)}</{tag}>")
+            expected.append((tag, text, 0))
+        if rng.random() < 0.10:
+            body.append("<hr>")
+
+    html = (
+        "<!DOCTYPE html><html>" + head + "<body><div class='main'>\n"
+        + "\n".join(body) + "\n</div></body></html>"
+    )
+    return {"doc_id": doc_id, "html": html, "expected": expected}
+
+
+def html_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, html) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_html_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "html": r["html"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 256)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, html string"
+    )
+
+
+_HTML_KIND = {
+    "h1": "heading", "h2": "heading", "h3": "heading", "h4": "heading",
+    "h5": "heading", "h6": "heading", "li": "list", "table": "table",
+    "img": "picture", "figcaption": "caption", "header": "furniture",
+    "footer": "furniture",
+}
+
+
+def expected_html_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE html→spans pipeline:
+    independent restatement of the classify rules (nav/link-density drop,
+    blank drop, kind map, media_ref from flatten's 1-based node order) over
+    the authored block plans — never calls the parser or the engine."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_html_doc(i, seed)
+        off = 0
+        for nid, (tag, text, n_links) in enumerate(d["expected"], start=1):
+            if tag == "nav" or (n_links > 0 and 2 * n_links > len(text)):
+                continue
+            if tag != "img" and not text.strip():
+                continue
+            out.append({
+                "doc_id": d["doc_id"],
+                "offset": off,
+                "kind": _HTML_KIND.get(tag, "text"),
+                "text": text,
+                "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
+            })
+            off += 1
+    return out
