@@ -4,10 +4,14 @@
     spark-submit --driver-memory 16g --py-files sparkdoc.zip sparkdoc/jobs/extract.py \
         --input synth:100000 --out /data/out --buckets 64 --group-size 8
 
-``--input`` is either a parquet path of raw_nodes (FIXTURES.md F2 schema) or
-``synth:<n_docs>`` for the seeded generator. The job commits per-bucket-group
-manifests (lineage + metrics) and resumes from them — kill it mid-run and
-rerun the same command to continue.
+``--input`` is one of
+  * a parquet path of raw_nodes (FIXTURES.md F2 schema),
+  * ``synth:<n_docs>`` for the seeded layout-corpus generator,
+  * ``html:<parquet path>`` — a (doc_id, html) table of raw HTML strings,
+    flattened in-job by htmlparse.flatten_html (zero extra shuffle), or
+  * ``html-synth:<n_docs>`` for the seeded messy-HTML generator (F7).
+The job commits per-bucket-group manifests (lineage + metrics) and resumes
+from them — kill it mid-run and rerun the same command to continue.
 """
 
 from __future__ import annotations
@@ -22,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="raw_nodes parquet path or synth:<n_docs>")
+    ap.add_argument(
+        "--input", required=True,
+        help="raw_nodes parquet | synth:<n> | html:<parquet of doc_id,html> | html-synth:<n>",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--group-size", type=int, default=4)
@@ -38,6 +45,17 @@ def main() -> None:
     spark = get_spark("sparkdoc-extract", master=args.master)
     if args.input.startswith("synth:"):
         raw = raw_nodes_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+    elif args.input.startswith("html-synth:"):
+        from sparkdoc.htmlparse import flatten_html
+        from sparkdoc.synth import html_corpus_df
+
+        raw = flatten_html(
+            html_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("html:"):
+        from sparkdoc.htmlparse import flatten_html
+
+        raw = flatten_html(spark.read.parquet(args.input.split(":", 1)[1]))
     else:
         raw = spark.read.parquet(args.input)
 

@@ -358,3 +358,23 @@ def test_ann_index_cli_build_query_recall(tmp_path, spark):
     # nprobe == all cells AND rescore head >= corpus: every candidate is
     # exactly rescored, so rank-1 must equal brute force everywhere
     assert top1 == want
+
+
+def test_extract_cli_html_inputs(tmp_path, spark):
+    """--input html-synth:<n> and --input html:<parquet> both flatten raw
+    HTML in-job and land on identical documents output (span counts equal
+    the closed-form expectation)."""
+    from sparkdoc.synth import expected_html_spans, html_corpus_df
+
+    out1 = str(tmp_path / "o1")
+    r1 = _run(["sparkdoc/jobs/extract.py", "--input", "html-synth:24",
+               "--out", out1, "--buckets", "4", "--group-size", "2"])
+    assert r1["docs"] == 24
+    assert r1["spans"] == len(expected_html_spans(24, 42))
+
+    html_pq = str(tmp_path / "html_pq")
+    html_corpus_df(spark, 24, 42, partitions=2).write.parquet(html_pq)
+    out2 = str(tmp_path / "o2")
+    r2 = _run(["sparkdoc/jobs/extract.py", "--input", f"html:{html_pq}",
+               "--out", out2, "--buckets", "4", "--group-size", "2"])
+    assert r2["spans"] == r1["spans"] and r2["docs"] == 24
