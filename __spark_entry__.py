@@ -2818,6 +2818,21 @@ def _html_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_fused_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-shuffle fused html→documents path (one mapInPandas stage,
+    no exchange — the 10^12-doc production shape when input is raw HTML)
+    must land on the SAME closed-form block-plan oracle as the two-stage
+    flatten→classify→XY-cut path: one independent oracle pins both."""
+    from sparkdoc.htmlparse import html_to_documents_fused
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import html_corpus_df
+
+    docs = html_to_documents_fused(html_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _docs_boiler_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived node table for the Boilerpipe gate: each document's text is
     chunked into per-doc fixed-width word windows (width 6+doc_id%20 so word
@@ -3263,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dups": _doc_url_dups,
         "doc_fix_encoding": _doc_fix_encoding,
         "html_extract_pinned": _html_extract_pinned,
+        "html_fused_pinned": _html_fused_pinned,
         "doc_boilerplate": _doc_boilerplate,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
@@ -4166,6 +4182,8 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_hrows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
+    # the fused zero-shuffle path must land on the SAME closed-form plan
+    q["html_fused_pinned"] = q["html_extract_pinned"]
     # Boilerpipe NumWordsRulesClassifier twin: identical derived node table
     # (per-doc word windows + deterministic n_links), identical published
     # decision tree, restated in SQL with lag/lead neighbours.

@@ -112,6 +112,24 @@ def main() -> None:
     docs.count()
     timed("chunk", lambda: chunk_documents(docs).count())
     extras["chunk_docs_per_sec"] = round(BENCH_DOCS / timings["chunk"], 1)
+    # web first mile: raw HTML strings → flattened nodes → spans, measured
+    # on a persisted (doc_id, html) input so timing excludes generation
+    from sparkdoc.htmlparse import flatten_html
+    from sparkdoc.synth import html_corpus_df
+
+    html_docs = BENCH_DOCS // 2
+    html = html_corpus_df(spark, html_docs, SEED).persist()
+    html.count()
+    n_hspans = timed(
+        "html_extract",
+        lambda: extract_documents(flatten_html(html))
+        .select(F.sum(F.size("spans")))
+        .collect()[0][0],
+    )
+    extras["html_extract_docs_per_sec"] = round(html_docs / timings["html_extract"], 1)
+    extras["html_extract_n_spans"] = int(n_hspans)
+    html.unpersist()
+
     # two-cluster-size evidence lives in BENCH/BASELINE.md (python -m
     # sparkdoc.bench.run); pointer only — not measured in this process
     extras["scaling_evidence"] = "BENCH/BASELINE.md: eff 0.951 @ 2->8 cores, 72k docs (r3; r2 0.899; r1 0.818/0.921); 1M-doc kill/resume proven r3"

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence for the raw-HTML first mile.
+
+Same harness shape as sparkdoc/bench/run.py (see its docstring for why the
+sandbox expresses the N→4N-executor criterion over 2→8 cores): the identical
+flatten_html → extract_documents job on the same seeded messy-HTML corpus at
+local[low] and local[high] in SEPARATE JVMs, best-of-N walls, efficiency
+``eff = thr_high / ((high/low) * thr_low)``.
+
+    python -m sparkdoc.bench.html_scaling --docs 24000 --low 2 --high 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_WORKER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from sparkdoc.session import get_spark
+from sparkdoc.htmlparse import flatten_html, html_to_documents_fused
+from sparkdoc.spans import extract_documents
+from sparkdoc.synth import html_corpus_df
+
+cores = {cores}
+n_docs = {docs}
+fused = {fused}
+job = ((lambda df: html_to_documents_fused(df)) if fused
+       else (lambda df: extract_documents(flatten_html(df))))
+spark = get_spark("html-scaling-%d" % cores, master="local[%d]" % cores,
+                  shuffle_partitions=cores * 4,
+                  extra_conf={{"spark.sql.adaptive.coalescePartitions.enabled": "false"}})
+html = html_corpus_df(spark, n_docs, 42, partitions=max(cores * 4, 16)).persist()
+html.count()
+warm = html_corpus_df(spark, 8 * cores, 7, partitions=cores)
+job(warm).count()
+walls = []
+n_spans = 0
+for _ in range({reps}):
+    t0 = time.monotonic()
+    n_spans = int(job(html).select(F.sum(F.size("spans"))).collect()[0][0])
+    walls.append(time.monotonic() - t0)
+wall = min(walls)
+print("RESULT " + json.dumps({{"cores": cores, "wall_sec": round(wall, 3),
+      "walls": [round(w, 2) for w in walls],
+      "docs_per_sec": round(n_docs / wall, 2), "n_spans": n_spans}}))
+spark.stop()
+"""
+
+
+def run_level(repo: str, cores: int, docs: int, reps: int, fused: bool = False) -> dict:
+    code = _WORKER.format(repo=repo, cores=cores, docs=docs, reps=reps,
+                          fused=repr(fused))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"no RESULT line (cores={cores}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=24000)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--fused", action="store_true",
+                    help="measure the zero-shuffle html_to_documents_fused path")
+    args = ap.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    lo = run_level(repo, args.low, args.docs, args.reps, args.fused)
+    hi = run_level(repo, args.high, args.docs, args.reps, args.fused)
+    assert lo["n_spans"] == hi["n_spans"], "span counts must match across levels"
+    ratio = args.high / args.low
+    eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
+    print(json.dumps({
+        "job": "html_fused" if args.fused else "html_flatten_extract",
+        "docs": args.docs,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

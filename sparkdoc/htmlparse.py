@@ -455,3 +455,77 @@ def strip_boilerplate(nodes: DataFrame) -> DataFrame:
         "words", "link_density", "prev_words", "next_words",
         "prev_link_density", "is_content",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused html → documents(doc_id, spans): ZERO-shuffle production path
+# ---------------------------------------------------------------------------
+
+# control-char sanitize, byte-identical to clean.sanitize_text / the golden
+# extractor (parity pinned by tests + the closed-form gate)
+_CTRL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_KIND_BY_TAG = {
+    "h1": "heading", "h2": "heading", "h3": "heading", "h4": "heading",
+    "h5": "heading", "h6": "heading", "li": "list", "table": "table",
+    "img": "picture", "figcaption": "caption", "header": "furniture",
+    "footer": "furniture",
+}
+
+
+def html_spans_doc(doc_id: str, html: str) -> list[dict]:
+    """Pure per-doc kernel: HTML → ordered span dicts, identical output to
+    ``extract_documents(flatten_html(...))`` for HTML inputs (parity-pinned).
+
+    The general extract pipeline shuffles on doc_id because arbitrary
+    raw_nodes arrive scattered; flatten emits each doc's nodes together and
+    already in reading order (single unpaginated column), so for HTML the
+    classify rules reduce to a per-doc streaming pass: sanitize →
+    nav/link-density drop → blank drop → kind map → offsets.  Repeated-text
+    furniture needs ≥3 distinct pages and page_breaks need ≥2 pages —
+    neither can occur on a 1-page canvas, so both rules are vacuous here."""
+    spans: list[dict] = []
+    off = 0
+    for nid, b in enumerate(
+        flatten_html_doc(doc_id, html), start=1
+    ):
+        tag, n_links = b["tag"], b["n_links"]
+        text = _CTRL_RE.sub("", b["text"])
+        if tag == "nav" or (n_links > 0 and n_links * 2 > b["n_chars"]):
+            continue
+        if tag != "img" and not text.strip():
+            continue
+        kind = _KIND_BY_TAG.get(tag, "text")
+        spans.append({
+            "kind": kind,
+            "text": text,
+            "media_ref": f"#/pictures/{nid}" if kind == "picture" else "",
+            "offset": off,
+        })
+        off += 1
+    return spans
+
+
+def html_to_documents_fused(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML corpus → documents(doc_id, spans) in ONE python stage with ZERO
+    shuffles: scan → mapInPandas, nothing else.  At 10^12 docs this removes
+    the full-corpus node-row exchange the generic path pays (flatten →
+    repartition(doc_id) → assemble), which is pure waste when the flattener
+    already yields whole ordered documents.  Semantics parity with the
+    two-stage path is pinned by tests and the closed-form gate."""
+    from sparkdoc.schemas import DOCUMENTS
+
+    src = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(html_col).alias("html"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                {"doc_id": did, "spans": html_spans_doc(did, html)}
+                for did, html in zip(pdf["doc_id"], pdf["html"])
+            ]
+            yield (pd.DataFrame(out, columns=["doc_id", "spans"]) if out
+                   else pd.DataFrame({"doc_id": [], "spans": []}))
+
+    return src.mapInPandas(gen, schema=DOCUMENTS)

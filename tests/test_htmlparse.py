@@ -225,3 +225,37 @@ def test_word_count_blank_is_zero(spark):
 
     got = [r["w"] for r in df.select(word_count(F.col("text")).alias("w")).collect()]
     assert got == [0, 0, 2]
+
+
+def test_fused_path_parity_with_two_stage(spark):
+    """html_to_documents_fused (zero-shuffle) == extract_documents(
+    flatten_html(...)) span-for-span, including control-char sanitize."""
+    from sparkdoc.htmlparse import html_to_documents_fused
+    from sparkdoc.spans import explode_spans, extract_documents
+
+    corpus = html_corpus_df(spark, 16, 42, partitions=4)
+    # inject a control char through the html side: entity &#7; decodes to \x07
+    dirty = corpus.unionByName(
+        spark.createDataFrame(
+            [("dirty-doc", "<p>bell&#7;inside</p><nav><a>xxxx</a></nav>")],
+            "doc_id string, html string",
+        )
+    )
+    a = sorted(tuple(r) for r in explode_spans(html_to_documents_fused(dirty)).collect())
+    b = sorted(
+        tuple(r)
+        for r in explode_spans(extract_documents(flatten_html(dirty))).collect()
+    )
+    assert a == b
+    assert ("dirty-doc", "text", "bellinside", "", 0) in {
+        (d, k, t, m, o) for (d, k, t, m, o) in
+        ((r[0], r[1], r[2], r[3], r[4]) for r in a)
+    }
+
+
+def test_fused_plan_is_zero_shuffle(spark):
+    from sparkdoc.htmlparse import html_to_documents_fused
+
+    df = html_to_documents_fused(html_corpus_df(spark, 8, 42, partitions=2))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
