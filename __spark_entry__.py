@@ -2833,6 +2833,36 @@ def _html_fused_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Markdown closes the .md first mile (reference: .txt/.md sources,
+    handlers.py:44-105): the stdlib CommonMark-subset block parser over a
+    24-doc seeded messy-Markdown corpus, through the fused zero-shuffle
+    spans path — the oracle is a VALUES table from synth.expected_md_spans,
+    the closed-form authored block plan (the parser never sees the plan)."""
+    from sparkdoc.mdparse import md_to_documents
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import md_corpus_df
+
+    docs = md_to_documents(md_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
+def _md_generic_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic path (flatten_markdown → classify → XY-cut → spans) must
+    land on the SAME closed-form plan as the fused path — one independent
+    oracle pins both, so the two implementations can never drift apart."""
+    from sparkdoc.mdparse import flatten_markdown
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import md_corpus_df
+
+    nodes = flatten_markdown(md_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(extract_documents(nodes)).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _docs_boiler_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived node table for the Boilerpipe gate: each document's text is
     chunked into per-doc fixed-width word windows (width 6+doc_id%20 so word
@@ -3279,6 +3309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fix_encoding": _doc_fix_encoding,
         "html_extract_pinned": _html_extract_pinned,
         "html_fused_pinned": _html_fused_pinned,
+        "md_extract_pinned": _md_extract_pinned,
+        "md_generic_pinned": _md_generic_pinned,
         "doc_boilerplate": _doc_boilerplate,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
@@ -4184,6 +4216,21 @@ def oracle_sql() -> dict[str, str]:
     )
     # the fused zero-shuffle path must land on the SAME closed-form plan
     q["html_fused_pinned"] = q["html_extract_pinned"]
+    # Markdown first mile, same construction: VALUES from the authored plan
+    from sparkdoc.synth import expected_md_spans as _md_expected
+
+    _mrows = []
+    for _s in _md_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _mrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["md_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_mrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    q["md_generic_pinned"] = q["md_extract_pinned"]
     # Boilerpipe NumWordsRulesClassifier twin: identical derived node table
     # (per-doc word windows + deterministic n_links), identical published
     # decision tree, restated in SQL with lag/lead neighbours.

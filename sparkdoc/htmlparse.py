@@ -328,6 +328,22 @@ def flatten_html_doc(
         # html.parser is tolerant by design; anything that still raises
         # (pathological input) yields an empty doc rather than a dead task
         blocks = p.blocks
+    return blocks_to_raw_nodes(doc_id, blocks, page_width, page_height, margin)
+
+
+def blocks_to_raw_nodes(
+    doc_id: str,
+    blocks: list[dict],
+    page_width: int = _PAGE_W,
+    page_height: int = _PAGE_H,
+    margin: int = _MARGIN,
+) -> list[dict]:
+    """Flattened blocks [{tag, text, n_links}, ...] → RAW_NODES row dicts.
+
+    Shared by every single-canvas flattener (HTML, Markdown, DOCX): node_id
+    is the 1-based document-order index, geometry is synthesized
+    single-column monotone-y so XY-cut reproduces document order exactly,
+    page_no is always 1 and page_height is sized to the content."""
     rows: list[dict] = []
     y = _TOP_Y
     for i, b in enumerate(blocks, start=1):
@@ -483,14 +499,21 @@ def html_spans_doc(doc_id: str, html: str) -> list[dict]:
     nav/link-density drop → blank drop → kind map → offsets.  Repeated-text
     furniture needs ≥3 distinct pages and page_breaks need ≥2 pages —
     neither can occur on a 1-page canvas, so both rules are vacuous here."""
+    return blocks_to_spans(flatten_html_doc(doc_id, html))
+
+
+def blocks_to_spans(blocks: list[dict]) -> list[dict]:
+    """Shared fused-path classify reduction over flattened single-canvas
+    blocks (HTML/Markdown/DOCX): sanitize → nav/link-density drop → blank
+    drop → kind map → offsets.  Blocks need (tag, text, n_links); n_chars
+    defaults to len(text) when absent."""
     spans: list[dict] = []
     off = 0
-    for nid, b in enumerate(
-        flatten_html_doc(doc_id, html), start=1
-    ):
+    for nid, b in enumerate(blocks, start=1):
         tag, n_links = b["tag"], b["n_links"]
         text = _CTRL_RE.sub("", b["text"])
-        if tag == "nav" or (n_links > 0 and n_links * 2 > b["n_chars"]):
+        n_chars = b.get("n_chars", len(b["text"]))
+        if tag == "nav" or (n_links > 0 and n_links * 2 > n_chars):
             continue
         if tag != "img" and not text.strip():
             continue

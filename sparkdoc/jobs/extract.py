@@ -8,8 +8,10 @@
   * a parquet path of raw_nodes (FIXTURES.md F2 schema),
   * ``synth:<n_docs>`` for the seeded layout-corpus generator,
   * ``html:<parquet path>`` — a (doc_id, html) table of raw HTML strings,
-    flattened in-job by htmlparse.flatten_html (zero extra shuffle), or
-  * ``html-synth:<n_docs>`` for the seeded messy-HTML generator (F7).
+    flattened in-job by htmlparse.flatten_html (zero extra shuffle),
+  * ``html-synth:<n_docs>`` for the seeded messy-HTML generator (F7),
+  * ``md:<parquet path>`` — a (doc_id, markdown) table of raw Markdown, or
+  * ``md-synth:<n_docs>`` for the seeded messy-Markdown generator.
 The job commits per-bucket-group manifests (lineage + metrics) and resumes
 from them — kill it mid-run and rerun the same command to continue.
 """
@@ -28,7 +30,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--input", required=True,
-        help="raw_nodes parquet | synth:<n> | html:<parquet of doc_id,html> | html-synth:<n>",
+        help="raw_nodes parquet | synth:<n> | html:<parquet> | html-synth:<n> "
+             "| md:<parquet> | md-synth:<n>",
     )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
@@ -56,6 +59,17 @@ def main() -> None:
         from sparkdoc.htmlparse import flatten_html
 
         raw = flatten_html(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("md-synth:"):
+        from sparkdoc.mdparse import flatten_markdown
+        from sparkdoc.synth import md_corpus_df
+
+        raw = flatten_markdown(
+            md_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("md:"):
+        from sparkdoc.mdparse import flatten_markdown
+
+        raw = flatten_markdown(spark.read.parquet(args.input.split(":", 1)[1]))
     else:
         raw = spark.read.parquet(args.input)
 

@@ -582,3 +582,206 @@ def expected_html_spans(n_docs: int, seed: int = 42) -> list[dict]:
             })
             off += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic messy-Markdown corpus with closed-form block expectations
+# (mdparse gate fodder — same authoring pattern as the HTML corpus above:
+# the expected plan is written ALONGSIDE the rendering; the parser under
+# test only ever sees the markdown string)
+# ---------------------------------------------------------------------------
+
+
+def _md_inline_wrap(rng: random.Random, text: str) -> str:
+    """Render a paragraph with random inline markup (**bold** *em* `code`
+    __strong__) around 1-2 words — stripped text must equal ``text``."""
+    words = text.split(" ")
+    wrapped = {}
+    for i in rng.sample(range(len(words)), min(rng.randint(1, 2), len(words))):
+        w = words[i]
+        mark = rng.choice(["**", "*", "`", "__"])
+        wrapped[i] = f"{mark}{w}{mark}"
+    return " ".join(wrapped.get(i, w) for i, w in enumerate(words))
+
+
+def _md_hard_wrap(rng: random.Random, text: str) -> str:
+    """Soft-wrap fodder: break the rendered paragraph onto multiple lines at
+    word boundaries (the parser re-joins with single spaces)."""
+    words = text.split(" ")
+    width = rng.randint(7, 12)
+    return "\n".join(
+        " ".join(words[j:j + width]) for j in range(0, len(words), width)
+    )
+
+
+def synth_md_doc(doc_index: int, seed: int) -> dict:
+    """One messy Markdown document + its closed-form block plan.
+
+    Returns {doc_id, markdown, expected: [(tag, text, n_links), ...]}.
+    Messiness exercised: ATX vs setext headings (trailing-# runs), link
+    farms (boilerplate density fodder), inline emphasis/code/links/escapes,
+    hard-wrapped paragraphs, list markers -/*/+/1./1) with indented
+    continuation lines, ragged pipe tables with alignment colons,
+    standalone images with/without alt text, blockquotes over several
+    lines, fenced code (backtick and tilde, markup-literal content), and
+    --- / *** thematic breaks."""
+    rng = random.Random(f"sparkdoc-md:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-md-{doc_index:08d}"
+    expected: list[tuple[str, str, int]] = []
+    body: list[str] = []
+
+    title = f"§{doc_index} " + _sentence(rng, rng.randint(3, 6)).rstrip(".")
+    if doc_index % 2 == 0:
+        body.append(f"# {title}")
+    else:
+        body.append(title + "\n" + "=" * rng.randint(3, 24))
+    expected.append(("h1", title, 0))
+
+    # link farm (nav analog): every word linked; n_links = sum of word chars
+    farm_words = [rng.choice(_WORDS) for _ in range(rng.randint(4, 8))]
+    body.append(" ".join(f"[{w}](/{w})" for w in farm_words))
+    expected.append(("p", " ".join(farm_words), sum(len(w) for w in farm_words)))
+
+    n_blocks = rng.randint(30, 60) if rng.random() < 0.10 else rng.randint(4, 9)
+    for _ in range(n_blocks):
+        r = rng.random()
+        if r < 0.24:  # paragraph: inline markup, hard wrap, escape fodder
+            text = _paragraph(rng)
+            if rng.random() < 0.15:
+                text += " R&D <5% naïve café."
+            rendered = _md_inline_wrap(rng, text)
+            if rng.random() < 0.15:
+                rendered += r" \*not bold\*"
+                text += " *not bold*"
+            body.append(_md_hard_wrap(rng, rendered))
+            expected.append(("p", text, 0))
+        elif r < 0.36:  # paragraph with one link (+ the odd autolink)
+            pre_s = _sentence(rng, rng.randint(4, 9))
+            link_s = _sentence(rng, rng.randint(3, 6)).rstrip(".")
+            post_s = _sentence(rng, rng.randint(4, 9))
+            if rng.random() < 0.3:
+                url = f"https://{domain}/p/{rng.randint(1, 999)}"
+                body.append(f"{pre_s} [{link_s}](#ref) {post_s} <{url}>")
+                expected.append(
+                    ("p", f"{pre_s} {link_s} {post_s} {url}",
+                     len(link_s) + len(url))
+                )
+            else:
+                body.append(f"{pre_s} [{link_s}](#ref) {post_s}")
+                expected.append(("p", f"{pre_s} {link_s} {post_s}", len(link_s)))
+        elif r < 0.50:  # heading: ATX (sometimes closing #s) or setext h2
+            lvl = rng.randint(2, 4)
+            text = _sentence(rng, rng.randint(2, 5)).rstrip(".")
+            if lvl == 2 and rng.random() < 0.4:
+                body.append(text + "\n" + "-" * rng.randint(3, 20))
+            elif rng.random() < 0.3:
+                body.append(f"{'#' * lvl} {text} {'#' * lvl}")
+            else:
+                body.append(f"{'#' * lvl} {text}")
+            expected.append((f"h{lvl}", text, 0))
+        elif r < 0.64:  # list (marker mix, occasional continuation line)
+            marker = rng.choice(["-", "*", "+", "1."])
+            items = ["• " + _sentence(rng, rng.randint(3, 8))
+                     for _ in range(rng.randint(2, 4))]
+            lines = []
+            for k, it in enumerate(items):
+                mk = f"{k + 1}." if marker == "1." else marker
+                if rng.random() < 0.25:
+                    cont = _sentence(rng, rng.randint(3, 6))
+                    lines.append(f"{mk} {it}\n  {cont}")
+                    items[k] = f"{it} {cont}"
+                else:
+                    lines.append(f"{mk} {it}")
+            body.append("\n".join(lines))
+            expected.extend(("li", it, 0) for it in items)
+        elif r < 0.76:  # pipe table, ragged spacing + alignment colons
+            rows = [[rng.choice(_WORDS) for _ in range(3)]
+                    for _ in range(rng.randint(2, 4))]
+            sep = "|" + "|".join(
+                rng.choice(["---", ":---", "---:", ":---:"]) for _ in range(3)
+            ) + "|"
+            lines = []
+            for j, row in enumerate(rows):
+                cells = "|".join(
+                    " " * rng.randint(0, 2) + x + " " * rng.randint(0, 2)
+                    for x in row
+                )
+                lines.append(f"|{cells}|")
+                if j == 0:
+                    lines.append(sep)
+            body.append("\n".join(lines))
+            expected.append(
+                ("table", "\n".join(" | ".join(row) for row in rows), 0)
+            )
+        elif r < 0.86:  # standalone image (alt sometimes empty)
+            alt = "" if rng.random() < 0.4 else (
+                "Figure " + _sentence(rng, rng.randint(2, 5))
+            )
+            body.append(f"![{alt}](/img/{rng.randint(1, 999)}.png)")
+            expected.append(("img", alt, 0))
+        elif r < 0.94:  # blockquote or fenced code
+            if rng.random() < 0.5:
+                s1 = _sentence(rng, rng.randint(4, 8))
+                s2 = _sentence(rng, rng.randint(3, 7))
+                body.append(f"> {s1}\n> {s2}")
+                expected.append(("blockquote", f"{s1} {s2}", 0))
+            else:
+                code = (
+                    f"def f_{rng.randint(0, 99)}(x):\n"
+                    f"    return  x * {rng.randint(2, 9)}  # *not emphasis*"
+                )
+                fence = rng.choice(["```", "~~~"])
+                info = rng.choice(["", "python"])
+                body.append(f"{fence}{info}\n{code}\n{fence}")
+                expected.append(("pre", code, 0))
+        else:  # thematic break (emits nothing)
+            body.append(rng.choice(["---", "***", "-----"]))
+    md = "\n\n".join(body) + "\n"
+    return {"doc_id": doc_id, "markdown": md, "expected": expected}
+
+
+def md_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, markdown) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_md_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "markdown": r["markdown"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 256)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, markdown string"
+    )
+
+
+def expected_md_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE markdown→spans pipeline —
+    independent restatement of the classify rules over the authored block
+    plans, never calling the parser or the engine (same rules as
+    expected_html_spans: markdown has no nav tag, so only the link-density
+    branch can drop a block)."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_md_doc(i, seed)
+        off = 0
+        for nid, (tag, text, n_links) in enumerate(d["expected"], start=1):
+            if n_links > 0 and 2 * n_links > len(text):
+                continue
+            if tag != "img" and not text.strip():
+                continue
+            out.append({
+                "doc_id": d["doc_id"],
+                "offset": off,
+                "kind": _HTML_KIND.get(tag, "text"),
+                "text": text,
+                "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
+            })
+            off += 1
+    return out
