@@ -2863,6 +2863,25 @@ def _md_generic_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PDF closes the north rule's named first mile ("parses PDF layout
+    blocks, reading-order sort via XY-cut over bounding boxes"): real PDF
+    bytes (Flate streams, per-row positioned tables, image XObjects,
+    two-column pages) parsed from scratch by pdfparse, blocks carrying REAL
+    multi-page bboxes into the generic classify → XY-cut → spans pipeline.
+    The oracle is a VALUES table from synth.expected_pdf_spans — the
+    closed-form authored plan incl. page breaks, positional furniture, and
+    picture media_refs (the parser only ever sees the bytes)."""
+    from sparkdoc.pdfparse import flatten_pdf
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import pdf_corpus_df
+
+    nodes = flatten_pdf(pdf_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(extract_documents(nodes)).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _docs_boiler_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived node table for the Boilerpipe gate: each document's text is
     chunked into per-doc fixed-width word windows (width 6+doc_id%20 so word
@@ -3311,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_fused_pinned": _html_fused_pinned,
         "md_extract_pinned": _md_extract_pinned,
         "md_generic_pinned": _md_generic_pinned,
+        "pdf_extract_pinned": _pdf_extract_pinned,
         "doc_boilerplate": _doc_boilerplate,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
@@ -4231,6 +4251,21 @@ def oracle_sql() -> dict[str, str]:
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
     q["md_generic_pinned"] = q["md_extract_pinned"]
+    # PDF first mile, same construction (multi-page: includes page_break
+    # rows, furniture kinds, node-order-derived picture media_refs)
+    from sparkdoc.synth import expected_pdf_spans as _pdf_expected
+
+    _prows = []
+    for _s in _pdf_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _prows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["pdf_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_prows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
     # Boilerpipe NumWordsRulesClassifier twin: identical derived node table
     # (per-doc word windows + deterministic n_links), identical published
     # decision tree, restated in SQL with lag/lead neighbours.

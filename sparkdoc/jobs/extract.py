@@ -10,8 +10,10 @@
   * ``html:<parquet path>`` — a (doc_id, html) table of raw HTML strings,
     flattened in-job by htmlparse.flatten_html (zero extra shuffle),
   * ``html-synth:<n_docs>`` for the seeded messy-HTML generator (F7),
-  * ``md:<parquet path>`` — a (doc_id, markdown) table of raw Markdown, or
-  * ``md-synth:<n_docs>`` for the seeded messy-Markdown generator.
+  * ``md:<parquet path>`` — a (doc_id, markdown) table of raw Markdown,
+  * ``md-synth:<n_docs>`` for the seeded messy-Markdown generator,
+  * ``pdf:<parquet path>`` — a (doc_id, pdf binary) table of raw PDF bytes, or
+  * ``pdf-synth:<n_docs>`` for the seeded real-PDF generator.
 The job commits per-bucket-group manifests (lineage + metrics) and resumes
 from them — kill it mid-run and rerun the same command to continue.
 """
@@ -31,7 +33,7 @@ def main() -> None:
     ap.add_argument(
         "--input", required=True,
         help="raw_nodes parquet | synth:<n> | html:<parquet> | html-synth:<n> "
-             "| md:<parquet> | md-synth:<n>",
+             "| md:<parquet> | md-synth:<n> | pdf:<parquet> | pdf-synth:<n>",
     )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
@@ -70,6 +72,17 @@ def main() -> None:
         from sparkdoc.mdparse import flatten_markdown
 
         raw = flatten_markdown(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("pdf-synth:"):
+        from sparkdoc.pdfparse import flatten_pdf
+        from sparkdoc.synth import pdf_corpus_df
+
+        raw = flatten_pdf(
+            pdf_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("pdf:"):
+        from sparkdoc.pdfparse import flatten_pdf
+
+        raw = flatten_pdf(spark.read.parquet(args.input.split(":", 1)[1]))
     else:
         raw = spark.read.parquet(args.input)
 

@@ -785,3 +785,240 @@ def expected_md_spans(n_docs: int, seed: int = 42) -> list[dict]:
             })
             off += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PDF corpus with closed-form layout-block expectations
+# (pdfparse gate fodder: REAL multi-page PDF bytes rendered by pdfgen; the
+# expected plan is authored alongside — the parser only ever sees the bytes)
+# ---------------------------------------------------------------------------
+
+_PDF_BODY, _PDF_FURN = 10, 8
+_PDF_HSIZES = {1: 18, 2: 15, 3: 13}
+_PDF_GAP = 14  # inter-block y gap: > 1.6*leading(10)-10 so blocks never merge
+
+
+def synth_pdf_doc(doc_index: int, seed: int) -> dict:
+    """One real PDF document + its closed-form expected block plan.
+
+    Returns {doc_id, pdf: bytes, expected: [(page, tag, text), ...],
+    node_order: [(page, tag, text), ...]} where ``expected`` is the
+    authored READING order per page (header → flow columns → footer — what
+    XY-cut must recover) and ``node_order`` is the parser's deterministic
+    node enumeration (column-major text blocks, then images, per page) from
+    which picture media_refs derive.  Exercised: multi-page layout, bold
+    heading sizes, wrapped paragraphs with TJ kern splits, bullet lists,
+    per-cell positioned tables, image XObjects, two-column pages,
+    repeated-header furniture, cp1252 accents/dashes/bullets."""
+    from sparkdoc.pdfgen import (
+        image_ops, leading_for, render_pdf, table_ops, text_block_ops,
+    )
+
+    rng = random.Random(f"sparkdoc-pdf:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-pdf-{doc_index:08d}"
+    heavy = rng.random() < 0.02
+    n_pages = rng.randint(6, 10) if heavy else rng.randint(1, 3)
+    two_col_doc = rng.random() < 0.30
+
+    page_streams: list[bytes] = []
+    expected: list[tuple[int, str, str]] = []
+    node_order: list[tuple[int, str, str]] = []
+
+    def wrap(text: str, width_px: int, size: int) -> list[str]:
+        max_chars = int(width_px / (0.6 * size))
+        words = text.split(" ")
+        lines, cur = [], ""
+        for w in words:
+            cand = (cur + " " + w) if cur else w
+            if len(cand) <= max_chars or not cur:
+                cur = cand
+            else:
+                lines.append(cur)
+                cur = w
+        if cur:
+            lines.append(cur)
+        return lines
+
+    for page in range(1, n_pages + 1):
+        ops: list[bytes] = []
+        flow: list[tuple] = []   # (x, y_top, tag, text) in authored flow order
+        images: list[tuple] = []  # (x, y_top, tag, text) in draw order
+        header = f"{doc_id} — CONFIDENTIAL"
+        footer = f"Page {page}"
+        ops.append(text_block_ops(_MARGIN, 10, _PDF_FURN, False, [header], _PAGE_H))
+        ops.append(text_block_ops(_MARGIN, _PAGE_H - 22, _PDF_FURN, False,
+                                  [footer], _PAGE_H))
+
+        two_col = two_col_doc and page % 2 == 0
+        col_w = (_PAGE_W - 2 * _MARGIN - 24) // 2 if two_col else _PAGE_W - 2 * _MARGIN
+        cols = ([(_MARGIN, 60), (_MARGIN + col_w + 24, 60)] if two_col
+                else [(_MARGIN, 60)])
+        ci = 0
+        x, y = cols[0]
+
+        def place(h: int) -> bool:
+            """Advance to the next column when a block of height h would
+            cross into the footer band; False = the page is full (a real
+            writer paginates by measured height, never overflows)."""
+            nonlocal x, y, ci
+            while y + h > _PAGE_H - 44:
+                ci += 1
+                if ci >= len(cols):
+                    return False
+                x, y = cols[ci]
+            return True
+
+        n_blocks = rng.randint(4, 10)
+        for _ in range(n_blocks):
+            r = rng.random()
+            if r < 0.18:  # bold heading, single line
+                lvl = rng.randint(1, 3)
+                size = _PDF_HSIZES[lvl]
+                max_chars = int(col_w / (0.6 * size))
+                text = _sentence(rng, rng.randint(2, 4)).rstrip(".")
+                while len(text) > max_chars:
+                    text = text.rsplit(" ", 1)[0]
+                if not place(size):
+                    break
+                ops.append(text_block_ops(x, y, size, True, [text], _PAGE_H))
+                flow.append((x, y, f"h{lvl}", text))
+                y += size + _PDF_GAP
+            elif r < 0.52:  # wrapped paragraph, occasional TJ kern split
+                text = _paragraph(rng)
+                lines = wrap(text, col_w, _PDF_BODY)
+                h = 10 + (len(lines) - 1) * leading_for(_PDF_BODY)
+                if not place(h):
+                    break
+                splits = None
+                if rng.random() < 0.3:
+                    splits = [
+                        (rng.randint(1, max(1, len(ln) - 1))
+                         if rng.random() < 0.5 and len(ln) > 2 else 0)
+                        for ln in lines
+                    ]
+                ops.append(text_block_ops(x, y, _PDF_BODY, False, lines,
+                                          _PAGE_H, kern_splits=splits))
+                flow.append((x, y, "p", text))
+                y += h + _PDF_GAP
+            elif r < 0.66:  # bullet list: one block per item line
+                items = []
+                for _k in range(rng.randint(2, 4)):
+                    item = "• " + _sentence(
+                        rng, rng.randint(3, min(8, int(col_w / 6 / 7)))
+                    )
+                    while len(item) > int(col_w / 6):
+                        item = item.rsplit(" ", 1)[0]
+                    items.append(item)
+                if not place(15 * len(items)):
+                    break
+                for item in items:
+                    ops.append(text_block_ops(x, y, _PDF_BODY, False, [item], _PAGE_H))
+                    flow.append((x, y, "li", item))
+                    y += 15
+                y += _PDF_GAP - 5
+            elif r < 0.82:  # table: per-cell positioned text
+                short = [w for w in _WORDS if len(w) <= 8]
+                n_rows = rng.randint(2, 4)
+                rows = [[rng.choice(short) for _ in range(3)] for _ in range(n_rows)]
+                h = 10 + (n_rows - 1) * int(_PDF_BODY * 1.6)
+                if not place(h):
+                    break
+                cw3 = col_w // 3
+                col_xs = [x, x + cw3, x + 2 * cw3]
+                ops.append(table_ops(x, y, _PDF_BODY, col_xs, rows, _PAGE_H))
+                flow.append((x, y, "table",
+                             "\n".join(" | ".join(r_) for r_ in rows)))
+                y += h + _PDF_GAP
+            else:  # image XObject
+                w_img = rng.randint(80, min(160, col_w))
+                h_img = rng.randint(50, 100)
+                if not place(h_img):
+                    break
+                ops.append(image_ops(x, y, w_img, h_img, _PAGE_H))
+                images.append((x, y, "img", ""))
+                y += h_img + _PDF_GAP
+
+        # expected reading order (XY-cut): header, flow by column then y, footer
+        expected.append((page, "header", header))
+        for colx, _cy in cols:
+            colblocks = [b for b in flow + images if b[0] == colx]
+            for _x, _y, tag, text in sorted(colblocks, key=lambda b: b[1]):
+                expected.append((page, tag, text))
+        expected.append((page, "footer", footer))
+        # parser node enumeration: text blocks column-major (x, then y), then
+        # images in draw order — media_refs derive from this
+        texts = [(x0, y0, tag, t) for (x0, y0, tag, t) in flow]
+        hdr_ftr = [(_MARGIN, 10, "header", header), (_MARGIN, _PAGE_H - 22, "footer", footer)]
+        ordered = sorted(texts + hdr_ftr, key=lambda b: (b[0], b[1]))
+        node_order.extend((page, tag, t) for (_x, _y, tag, t) in ordered)
+        node_order.extend((page, tag, t) for (_x, _y, tag, t) in images)
+        page_streams.append(b"\n".join(ops))
+
+    pdf = render_pdf(page_streams, _PAGE_W, _PAGE_H)
+    return {"doc_id": doc_id, "pdf": pdf, "expected": expected,
+            "node_order": node_order}
+
+
+def pdf_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, pdf binary) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_pdf_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "pdf": r["pdf"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, pdf binary"
+    )
+
+
+_PDF_KIND = dict(_HTML_KIND)
+_PDF_KIND.update({"header": "furniture", "footer": "furniture"})
+
+
+def expected_pdf_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE pdf→spans pipeline:
+    page_break spans between pages, furniture kinds for header/footer,
+    picture media_refs from the parser's deterministic node enumeration —
+    all restated from the authored plan, never calling the parser."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_pdf_doc(i, seed)
+        # node_id per (page, tag, text) from the parser's enumeration order
+        img_node_id: dict[int, list[int]] = {}
+        for nid, (page, tag, _t) in enumerate(d["node_order"], start=1):
+            if tag == "img":
+                img_node_id.setdefault(page, []).append(nid)
+        img_seen: dict[int, int] = {}
+        off = 0
+        prev_page = None
+        for page, tag, text in d["expected"]:
+            if prev_page is not None and page != prev_page:
+                out.append({"doc_id": d["doc_id"], "offset": off,
+                            "kind": "page_break", "text": "", "media_ref": ""})
+                off += 1
+            prev_page = page
+            if tag == "img":
+                k = img_seen.get(page, 0)
+                img_seen[page] = k + 1
+                nid = img_node_id[page][k]
+                media_ref = f"#/pictures/{nid}"
+            else:
+                media_ref = ""
+            out.append({
+                "doc_id": d["doc_id"],
+                "offset": off,
+                "kind": _PDF_KIND.get(tag, "text"),
+                "text": text,
+                "media_ref": media_ref,
+            })
+            off += 1
+    return out
