@@ -2882,6 +2882,24 @@ def _pdf_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docx_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw DOCX closes the Office first mile (reference: input-type
+    catch-all DOCUMENT → docling's MS-Word backend, core/input/types.py):
+    real OOXML zip packages parsed by docxparse (split runs, hyperlink
+    link-density accounting, heading/Title styles, numPr lists, tables
+    with multi-paragraph cells, drawings with alt text, header/footer
+    parts) through the fused zero-shuffle spans path — oracle is a VALUES
+    table from synth.expected_docx_spans (closed-form authored plan)."""
+    from sparkdoc.docxparse import docx_to_documents
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import docx_corpus_df
+
+    docs = docx_to_documents(docx_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _docs_boiler_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived node table for the Boilerpipe gate: each document's text is
     chunked into per-doc fixed-width word windows (width 6+doc_id%20 so word
@@ -3331,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_extract_pinned": _md_extract_pinned,
         "md_generic_pinned": _md_generic_pinned,
         "pdf_extract_pinned": _pdf_extract_pinned,
+        "docx_extract_pinned": _docx_extract_pinned,
         "doc_boilerplate": _doc_boilerplate,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
@@ -4264,6 +4283,20 @@ def oracle_sql() -> dict[str, str]:
     q["pdf_extract_pinned"] = (
         'SELECT * FROM (VALUES '
         + ", ".join(_prows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # DOCX first mile, same construction
+    from sparkdoc.synth import expected_docx_spans as _docx_expected
+
+    _xrows = []
+    for _s in _docx_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _xrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["docx_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_xrows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
     # Boilerpipe NumWordsRulesClassifier twin: identical derived node table

@@ -12,8 +12,10 @@
   * ``html-synth:<n_docs>`` for the seeded messy-HTML generator (F7),
   * ``md:<parquet path>`` — a (doc_id, markdown) table of raw Markdown,
   * ``md-synth:<n_docs>`` for the seeded messy-Markdown generator,
-  * ``pdf:<parquet path>`` — a (doc_id, pdf binary) table of raw PDF bytes, or
-  * ``pdf-synth:<n_docs>`` for the seeded real-PDF generator.
+  * ``pdf:<parquet path>`` — a (doc_id, pdf binary) table of raw PDF bytes,
+  * ``pdf-synth:<n_docs>`` for the seeded real-PDF generator,
+  * ``docx:<parquet path>`` — a (doc_id, docx binary) table of OOXML
+    packages, or ``docx-synth:<n_docs>`` for the seeded generator.
 The job commits per-bucket-group manifests (lineage + metrics) and resumes
 from them — kill it mid-run and rerun the same command to continue.
 """
@@ -33,7 +35,8 @@ def main() -> None:
     ap.add_argument(
         "--input", required=True,
         help="raw_nodes parquet | synth:<n> | html:<parquet> | html-synth:<n> "
-             "| md:<parquet> | md-synth:<n> | pdf:<parquet> | pdf-synth:<n>",
+             "| md:<parquet> | md-synth:<n> | pdf:<parquet> | pdf-synth:<n> "
+             "| docx:<parquet> | docx-synth:<n>",
     )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
@@ -83,6 +86,17 @@ def main() -> None:
         from sparkdoc.pdfparse import flatten_pdf
 
         raw = flatten_pdf(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("docx-synth:"):
+        from sparkdoc.docxparse import flatten_docx
+        from sparkdoc.synth import docx_corpus_df
+
+        raw = flatten_docx(
+            docx_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("docx:"):
+        from sparkdoc.docxparse import flatten_docx
+
+        raw = flatten_docx(spark.read.parquet(args.input.split(":", 1)[1]))
     else:
         raw = spark.read.parquet(args.input)
 

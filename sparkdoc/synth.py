@@ -1022,3 +1022,262 @@ def expected_pdf_spans(n_docs: int, seed: int = 42) -> list[dict]:
             })
             off += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic DOCX corpus with closed-form block expectations
+# (docxparse gate fodder: real OOXML zip packages built with stdlib
+# zipfile; the expected plan is authored alongside the XML)
+# ---------------------------------------------------------------------------
+
+_DOCX_NS = (
+    'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" '
+    'xmlns:wp="http://schemas.openxmlformats.org/drawingml/2006/wordprocessingDrawing" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+)
+
+
+def _xesc(s: str) -> str:
+    from xml.sax.saxutils import escape
+
+    return escape(s)
+
+
+def _docx_runs(rng: random.Random, text: str) -> str:
+    """Render text as 1-3 w:r runs with random split points and random
+    bold/italic formatting — flattened text must equal ``text`` exactly.
+    Splits land mid-word as real editors produce (formatting history)."""
+    n_cuts = rng.randint(0, 2)
+    cuts = sorted(rng.sample(range(1, len(text)), min(n_cuts, max(0, len(text) - 1))))
+    segs = [text[a:b] for a, b in zip([0] + cuts, cuts + [len(text)])]
+    out = []
+    for seg in segs:
+        rpr = ""
+        if rng.random() < 0.3:
+            rpr = "<w:rPr>" + rng.choice(["<w:b/>", "<w:i/>", "<w:b/><w:i/>"]) + "</w:rPr>"
+        out.append(
+            f'<w:r>{rpr}<w:t xml:space="preserve">{_xesc(seg)}</w:t></w:r>'
+        )
+    return "".join(out)
+
+
+def _docx_drawing(img_id: int, alt: str) -> str:
+    return (
+        '<w:r><w:drawing><wp:inline><wp:extent cx="914400" cy="685800"/>'
+        f'<wp:docPr id="{img_id}" name="Picture {img_id}" descr="{_xesc(alt)}"/>'
+        '<a:graphic><a:graphicData uri="http://schemas.openxmlformats.org/drawingml/2006/picture">'
+        f'<a:blip r:embed="rId{100 + img_id}"/></a:graphicData></a:graphic>'
+        "</wp:inline></w:drawing></w:r>"
+    )
+
+
+def synth_docx_doc(doc_index: int, seed: int) -> dict:
+    """One real DOCX package + its closed-form block plan.
+
+    Returns {doc_id, docx: bytes, expected: [(tag, text, n_links), ...]}.
+    Messiness exercised: runs split mid-word with random bold/italic,
+    xml:space-preserved segments, hyperlink runs (n_links accounting) and
+    all-link farm paragraphs, empty paragraphs (blank-drop fodder), w:br
+    as space, Heading1-3 + Title styles, numPr list paragraphs, tables
+    with multi-paragraph cells, inline images with/without alt text,
+    header/footer parts, XML entities (& < >) and unicode."""
+    rng = random.Random(f"sparkdoc-docx:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-docx-{doc_index:08d}"
+    expected: list[tuple[str, str, int]] = []
+    body: list[str] = []
+    img_id = 0
+
+    header_text = f"{doc_id} — CONFIDENTIAL"
+    footer_text = "Company confidential — do not distribute"
+    expected.append(("header", header_text, 0))
+
+    title = f"§{doc_index} " + _sentence(rng, rng.randint(3, 6)).rstrip(".")
+    style = "Title" if doc_index % 2 == 0 else "Heading1"
+    body.append(
+        f'<w:p><w:pPr><w:pStyle w:val="{style}"/></w:pPr>{_docx_runs(rng, title)}</w:p>'
+    )
+    expected.append(("h1", title, 0))
+
+    # link farm paragraph (nav analog): every word hyperlinked
+    farm = [rng.choice(_WORDS) for _ in range(rng.randint(4, 8))]
+    parts = []
+    for k, w in enumerate(farm):
+        if k:
+            parts.append('<w:r><w:t xml:space="preserve"> </w:t></w:r>')
+        parts.append(
+            f'<w:hyperlink r:id="rId{900 + k}"><w:r><w:t>{_xesc(w)}</w:t></w:r></w:hyperlink>'
+        )
+    body.append("<w:p>" + "".join(parts) + "</w:p>")
+    expected.append(("p", " ".join(farm), sum(len(w) for w in farm)))
+
+    n_blocks = rng.randint(30, 60) if rng.random() < 0.10 else rng.randint(4, 9)
+    for _ in range(n_blocks):
+        if rng.random() < 0.12:  # empty paragraph (dropped downstream)
+            body.append("<w:p/>")
+            expected.append(("p", "", 0))
+        r = rng.random()
+        if r < 0.24:  # paragraph, split runs; entity/br fodder
+            text = _paragraph(rng)
+            if rng.random() < 0.15:
+                text += " R&D <5% naïve café."
+            if rng.random() < 0.2:  # w:br renders as a space
+                a, b = text.rsplit(" ", 1)[0], text.rsplit(" ", 1)[-1]
+                body.append(
+                    f"<w:p>{_docx_runs(rng, a)}<w:r><w:br/></w:r>{_docx_runs(rng, b)}</w:p>"
+                )
+            else:
+                body.append(f"<w:p>{_docx_runs(rng, text)}</w:p>")
+            expected.append(("p", text, 0))
+        elif r < 0.36:  # paragraph with one hyperlinked sentence
+            pre_s = _sentence(rng, rng.randint(4, 9))
+            link_s = _sentence(rng, rng.randint(3, 6)).rstrip(".")
+            post_s = _sentence(rng, rng.randint(4, 9))
+            body.append(
+                f'<w:p><w:r><w:t xml:space="preserve">{_xesc(pre_s)} </w:t></w:r>'
+                f'<w:hyperlink r:id="rId801"><w:r><w:t>{_xesc(link_s)}</w:t></w:r></w:hyperlink>'
+                f'<w:r><w:t xml:space="preserve"> {_xesc(post_s)}</w:t></w:r></w:p>'
+            )
+            expected.append(("p", f"{pre_s} {link_s} {post_s}", len(link_s)))
+        elif r < 0.50:  # heading 2-3
+            lvl = rng.randint(2, 3)
+            text = _sentence(rng, rng.randint(2, 5)).rstrip(".")
+            body.append(
+                f'<w:p><w:pPr><w:pStyle w:val="Heading{lvl}"/></w:pPr>{_docx_runs(rng, text)}</w:p>'
+            )
+            expected.append((f"h{lvl}", text, 0))
+        elif r < 0.64:  # numbered/bulleted list
+            for _k in range(rng.randint(2, 4)):
+                item = _sentence(rng, rng.randint(3, 8))
+                body.append(
+                    '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/>'
+                    f"</w:numPr></w:pPr>{_docx_runs(rng, item)}</w:p>"
+                )
+                expected.append(("li", item, 0))
+        elif r < 0.76:  # table, cells sometimes two paragraphs
+            n_rows = rng.randint(2, 4)
+            rows = []
+            for _r2 in range(n_rows):
+                cells = []
+                for _c in range(3):
+                    if rng.random() < 0.15:
+                        t1, t2 = rng.choice(_WORDS), rng.choice(_WORDS)
+                        cells.append((f"{t1} {t2}",
+                                      f"<w:p>{_docx_runs(rng, t1)}</w:p>"
+                                      f"<w:p>{_docx_runs(rng, t2)}</w:p>"))
+                    else:
+                        t = rng.choice(_WORDS)
+                        cells.append((t, f"<w:p>{_docx_runs(rng, t)}</w:p>"))
+                rows.append(cells)
+            xml = ["<w:tbl><w:tblGrid/>"]
+            for cells in rows:
+                xml.append(
+                    "<w:tr>" + "".join(f"<w:tc>{c[1]}</w:tc>" for c in cells) + "</w:tr>"
+                )
+            xml.append("</w:tbl>")
+            body.append("".join(xml))
+            expected.append(
+                ("table", "\n".join(" | ".join(c[0] for c in cells) for cells in rows), 0)
+            )
+        elif r < 0.88:  # inline image, alt sometimes empty
+            img_id += 1
+            alt = "" if rng.random() < 0.4 else (
+                "Figure " + _sentence(rng, rng.randint(2, 5))
+            )
+            body.append(f"<w:p>{_docx_drawing(img_id, alt)}</w:p>")
+            expected.append(("img", alt, 0))
+        else:  # paragraph ending with an image (text block, then img block)
+            img_id += 1
+            text = _sentence(rng, rng.randint(5, 10))
+            body.append(
+                f"<w:p>{_docx_runs(rng, text)}{_docx_drawing(img_id, 'chart')}</w:p>"
+            )
+            expected.append(("p", text, 0))
+            expected.append(("img", "chart", 0))
+    expected.append(("footer", footer_text, 0))
+
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<w:document {_DOCX_NS}><w:body>"
+        + "".join(body)
+        + '<w:sectPr><w:headerReference w:type="default" r:id="rId10"/>'
+        '<w:footerReference w:type="default" r:id="rId11"/></w:sectPr>'
+        "</w:body></w:document>"
+    )
+    furn = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        "<w:{tag} {ns}><w:p><w:r><w:t>{text}</w:t></w:r></w:p></w:{tag}>"
+    )
+    import io as _io
+    import zipfile as _zipfile
+
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr("word/document.xml", document)
+        zf.writestr(
+            "word/header1.xml",
+            furn.format(tag="hdr", ns=_DOCX_NS, text=_xesc(header_text)),
+        )
+        zf.writestr(
+            "word/footer1.xml",
+            furn.format(tag="ftr", ns=_DOCX_NS, text=_xesc(footer_text)),
+        )
+    return {"doc_id": doc_id, "docx": buf.getvalue(), "expected": expected}
+
+
+def docx_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, docx binary) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_docx_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "docx": r["docx"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, docx binary"
+    )
+
+
+def expected_docx_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE docx→spans pipeline —
+    same classify restatement as expected_html_spans, plus furniture kinds
+    for the header/footer parts."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_docx_doc(i, seed)
+        off = 0
+        for nid, (tag, text, n_links) in enumerate(d["expected"], start=1):
+            if n_links > 0 and 2 * n_links > len(text):
+                continue
+            if tag != "img" and not text.strip():
+                continue
+            out.append({
+                "doc_id": d["doc_id"],
+                "offset": off,
+                "kind": _PDF_KIND.get(tag, "text"),
+                "text": text,
+                "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
+            })
+            off += 1
+    return out
