@@ -129,6 +129,23 @@ def main() -> None:
     extras["html_extract_docs_per_sec"] = round(html_docs / timings["html_extract"], 1)
     extras["html_extract_n_spans"] = int(n_hspans)
     html.unpersist()
+    # PDF first mile (the north rule's named format): real PDF bytes →
+    # object/content-stream parse → layout blocks → XY-cut spans
+    from sparkdoc.pdfparse import flatten_pdf
+    from sparkdoc.synth import pdf_corpus_df
+
+    pdf_docs = BENCH_DOCS // 8
+    pdfs = pdf_corpus_df(spark, pdf_docs, SEED).persist()
+    pdfs.count()
+    n_pspans = timed(
+        "pdf_extract",
+        lambda: extract_documents(flatten_pdf(pdfs))
+        .select(F.sum(F.size("spans")))
+        .collect()[0][0],
+    )
+    extras["pdf_extract_docs_per_sec"] = round(pdf_docs / timings["pdf_extract"], 1)
+    extras["pdf_extract_n_spans"] = int(n_pspans)
+    pdfs.unpersist()
 
     # two-cluster-size evidence lives in BENCH/BASELINE.md (python -m
     # sparkdoc.bench.run); pointer only — not measured in this process

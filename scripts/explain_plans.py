@@ -399,6 +399,40 @@ def main() -> int:
         )
     )
 
+    # --- first-mile ingest family: every raw-format path must be a single
+    # scan → mapInPandas python stage with no Exchange (fused spans paths),
+    # and the PDF generic path adds only the one doc_id repartition the
+    # XY-cut extract already owns.
+    from sparkdoc.docxparse import docx_to_documents
+    from sparkdoc.htmlparse import html_to_documents_fused
+    from sparkdoc.mdparse import md_to_documents
+    from sparkdoc.pdfparse import flatten_pdf
+    from sparkdoc.synth import (
+        docx_corpus_df, html_corpus_df as _hcd, md_corpus_df, pdf_corpus_df,
+    )
+
+    for label, df in (
+        ("html_fused", html_to_documents_fused(_hcd(spark, 20, 42, partitions=4))),
+        ("md_fused", md_to_documents(md_corpus_df(spark, 20, 42, partitions=4))),
+        ("docx_fused", docx_to_documents(docx_corpus_df(spark, 12, 42, partitions=4))),
+    ):
+        p = plan_of(df)
+        sections.append((label, p))
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+        checks.append(
+            (f"{label} documents path is zero-shuffle (scan → MapInPandas only)",
+             n_exchange == 0 and "MapInPandas" in p, p)
+        )
+    pdf_docs = extract_documents(flatten_pdf(pdf_corpus_df(spark, 8, 42, partitions=4)))
+    p = plan_of(pdf_docs)
+    sections.append(("pdf_extract", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(
+        ("pdf parse+extract pays exactly the ONE doc_id exchange of the "
+         "generic XY-cut path (multi-page geometry)",
+         n_exchange == 1 and "hashpartitioning(doc_id" in p, p)
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

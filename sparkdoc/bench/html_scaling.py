@@ -1,13 +1,15 @@
 #!/usr/bin/env python
-"""Two-parallelism scaling evidence for the raw-HTML first mile.
+"""Two-parallelism scaling evidence for the raw-format first miles.
 
 Same harness shape as sparkdoc/bench/run.py (see its docstring for why the
 sandbox expresses the N→4N-executor criterion over 2→8 cores): the identical
-flatten_html → extract_documents job on the same seeded messy-HTML corpus at
-local[low] and local[high] in SEPARATE JVMs, best-of-N walls, efficiency
+parse → spans job on the same seeded corpus at local[low] and local[high] in
+SEPARATE JVMs, best-of-N walls, efficiency
 ``eff = thr_high / ((high/low) * thr_low)``.
 
     python -m sparkdoc.bench.html_scaling --docs 24000 --low 2 --high 8
+    python -m sparkdoc.bench.html_scaling --fmt pdf --docs 8000
+    python -m sparkdoc.bench.html_scaling --fused   # zero-shuffle html path
 """
 
 from __future__ import annotations
@@ -24,20 +26,34 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from sparkdoc.session import get_spark
 from sparkdoc.htmlparse import flatten_html, html_to_documents_fused
+from sparkdoc.mdparse import flatten_markdown, md_to_documents
+from sparkdoc.docxparse import flatten_docx, docx_to_documents
+from sparkdoc.pdfparse import flatten_pdf
 from sparkdoc.spans import extract_documents
-from sparkdoc.synth import html_corpus_df
+from sparkdoc.synth import (
+    html_corpus_df, md_corpus_df, docx_corpus_df, pdf_corpus_df,
+)
 
 cores = {cores}
 n_docs = {docs}
 fused = {fused}
-job = ((lambda df: html_to_documents_fused(df)) if fused
-       else (lambda df: extract_documents(flatten_html(df))))
-spark = get_spark("html-scaling-%d" % cores, master="local[%d]" % cores,
+fmt = {fmt!r}
+CORPUS = dict(html=html_corpus_df, md=md_corpus_df, docx=docx_corpus_df,
+              pdf=pdf_corpus_df)[fmt]
+FLAT = dict(html=flatten_html, md=flatten_markdown, docx=flatten_docx,
+            pdf=flatten_pdf)[fmt]
+FUSED = dict(html=html_to_documents_fused, md=md_to_documents,
+             docx=docx_to_documents).get(fmt)
+if fused and FUSED is None:
+    raise SystemExit("--fused: pdf has no fused path (multi-page geometry)")
+job = ((lambda df: FUSED(df)) if fused
+       else (lambda df: extract_documents(FLAT(df))))
+spark = get_spark("fmt-scaling-%d" % cores, master="local[%d]" % cores,
                   shuffle_partitions=cores * 4,
                   extra_conf={{"spark.sql.adaptive.coalescePartitions.enabled": "false"}})
-html = html_corpus_df(spark, n_docs, 42, partitions=max(cores * 4, 16)).persist()
+html = CORPUS(spark, n_docs, 42, partitions=max(cores * 4, 16)).persist()
 html.count()
-warm = html_corpus_df(spark, 8 * cores, 7, partitions=cores)
+warm = CORPUS(spark, 8 * cores, 7, partitions=cores)
 job(warm).count()
 walls = []
 n_spans = 0
@@ -53,9 +69,10 @@ spark.stop()
 """
 
 
-def run_level(repo: str, cores: int, docs: int, reps: int, fused: bool = False) -> dict:
+def run_level(repo: str, cores: int, docs: int, reps: int, fused: bool = False,
+              fmt: str = "html") -> dict:
     code = _WORKER.format(repo=repo, cores=cores, docs=docs, reps=reps,
-                          fused=repr(fused))
+                          fused=repr(fused), fmt=fmt)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
@@ -72,16 +89,17 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
-                    help="measure the zero-shuffle html_to_documents_fused path")
+                    help="measure the zero-shuffle fused documents path")
+    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf"])
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    lo = run_level(repo, args.low, args.docs, args.reps, args.fused)
-    hi = run_level(repo, args.high, args.docs, args.reps, args.fused)
+    lo = run_level(repo, args.low, args.docs, args.reps, args.fused, args.fmt)
+    hi = run_level(repo, args.high, args.docs, args.reps, args.fused, args.fmt)
     assert lo["n_spans"] == hi["n_spans"], "span counts must match across levels"
     ratio = args.high / args.low
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     print(json.dumps({
-        "job": "html_fused" if args.fused else "html_flatten_extract",
+        "job": f"{args.fmt}_fused" if args.fused else f"{args.fmt}_flatten_extract",
         "docs": args.docs,
         "low": lo,
         "high": hi,
