@@ -160,10 +160,19 @@ def docx_blocks_doc(data: bytes) -> list[dict]:
         return []  # not a zip / no document part: empty doc, never a dead task
     blocks: list[dict] = []
 
+    def read_part(name: str) -> bytes:
+        # a valid central directory can still point at a corrupted deflate
+        # stream (zf.read raises zlib.error / BadZipFile mid-decompress);
+        # one bad member must cost its furniture block, never the task
+        try:
+            return zf.read(name)
+        except Exception:
+            return b""
+
     names = sorted(zf.namelist())
     for name in names:
         if re.fullmatch(r"word/header\d*\.xml", name):
-            blk = _furniture_block(zf.read(name), "header")
+            blk = _furniture_block(read_part(name), "header")
             if blk:
                 blocks.append(blk)
             break
@@ -179,7 +188,7 @@ def docx_blocks_doc(data: bytes) -> list[dict]:
             blocks.append(_table_block(el))
     for name in names:
         if re.fullmatch(r"word/footer\d*\.xml", name):
-            blk = _furniture_block(zf.read(name), "footer")
+            blk = _furniture_block(read_part(name), "footer")
             if blk:
                 blocks.append(blk)
             break

@@ -77,7 +77,7 @@ def _parse_value(b: bytes, i: int):
     if b[i : i + 2] == b"<<":
         i += 2
         d: dict = {}
-        while True:
+        while i < n:  # truncated dict: EOF terminates (never spin at i == n)
             while i < n and b[i : i + 1].isspace():
                 i += 1
             if b[i : i + 2] == b">>":
@@ -86,20 +86,29 @@ def _parse_value(b: bytes, i: int):
                 i += 1  # tolerate junk
                 continue
             m = re.match(rb"/([^\s/<>\[\]()]+)", b[i:])
+            if not m:  # bare '/' before a delimiter: skip it, keep scanning
+                i += 1
+                continue
             key = m.group(1).decode("latin-1")
             i += m.end()
-            val, i = _parse_value(b, i)
+            val, j = _parse_value(b, i)
+            i = j if j > i else i + 1  # recursion must consume ≥1 byte
             d[key] = val
+        return d, i
     if c == b"[":
         i += 1
         arr = []
-        while True:
+        while i < n:  # truncated array: EOF terminates
             while i < n and b[i : i + 1].isspace():
                 i += 1
             if b[i : i + 1] == b"]":
                 return arr, i + 1
-            val, i = _parse_value(b, i)
+            val, j = _parse_value(b, i)
+            if j <= i:  # no progress (EOF inside value): stop, don't spin
+                return arr, j
+            i = j
             arr.append(val)
+        return arr, i
     if c == b"/":
         m = re.match(rb"/([^\s/<>\[\]()]*)", b[i:])
         return "/" + m.group(1).decode("latin-1"), i + m.end()
@@ -141,8 +150,12 @@ def _parse_string(b: bytes, i: int) -> tuple[bytes, int]:
                 i += 2
             elif nxt.isdigit():
                 m = re.match(rb"\\([0-7]{1,3})", b[i:])
-                out.append(int(m.group(1), 8) & 0xFF)
-                i += m.end()
+                if m:  # \8 and \9 are not octal — PDF drops the backslash
+                    out.append(int(m.group(1), 8) & 0xFF)
+                    i += m.end()
+                else:
+                    out += nxt
+                    i += 2
             else:
                 i += 2
         elif c == b"(":
@@ -184,7 +197,8 @@ def _scan_objects(data: bytes) -> dict[int, tuple]:
         if sm:
             start = j + sm.end()
             length = val.get("Length") if isinstance(val, dict) else None
-            if isinstance(length, int):
+            if isinstance(length, int) and length >= 0:  # corrupt negative
+                # Length would move the cursor BACKWARDS (rescan loop)
                 stream = data[start : start + length]
                 j = start + length
             else:
@@ -200,7 +214,9 @@ def _scan_objects(data: bytes) -> dict[int, tuple]:
                 j = se
         objs[num] = (val, stream)
         e = data.find(b"endobj", j)
-        pos = (e + 6) if e >= 0 else j
+        # monotone cursor: corrupt offsets must never move pos backwards
+        # (rescanning the same object forever)
+        pos = max((e + 6) if e >= 0 else j, m.end())
     return objs
 
 
