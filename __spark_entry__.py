@@ -2900,6 +2900,57 @@ def _docx_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dljson_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoclingDocument JSON closes the reference's conversion-skipping input
+    (DoclingDocumentHandler, core/input/handlers.py:573-673; detector peek
+    core/input/types.py:206-233): real schema_name-marked dumps with
+    body.children $ref walks, groups, offset-indexed table cells, and prov
+    geometry in BOTH origins, parsed from scratch into the generic classify
+    → XY-cut pipeline. Emission order in the JSON is SHUFFLED against the
+    authored reading order — the oracle (VALUES from
+    synth.expected_docling_json_spans) proves the geometry recovers it."""
+    from sparkdoc.dljson import flatten_docling_json
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import docling_json_corpus_df
+
+    nodes = flatten_docling_json(docling_json_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(extract_documents(nodes)).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
+def _mixed_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format ingest closes the input-routing first mile (reference
+    InputTypeDetector.detect, core/input/types.py:44-233): ONE (doc_id,
+    blob) table interleaving real PDF/DOCX/HTML/Markdown/DocLang bytes plus
+    binary and graph-JSON rejects, sniffed and parsed per row inside one
+    zero-shuffle mapInPandas. The oracle is a VALUES table from
+    synth.expected_mixed_spans — the same per-format closed-form
+    restatements the per-format gates pin, composed (the router only ever
+    sees the bytes)."""
+    from sparkdoc.ingest import mixed_to_documents
+    from sparkdoc.synth import mixed_corpus_df
+
+    out = mixed_to_documents(mixed_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    s = out.select("doc_id", "fmt", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id", "fmt", F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("text_md5"), F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _mixed_formats_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sniff accounting over the same mixed corpus: EVERY input row
+    appears — including binary/json rejects with zero spans (the reference
+    raises on graph exports, types.py:180-190; a batch engine records and
+    moves on)."""
+    from sparkdoc.ingest import mixed_to_documents
+    from sparkdoc.synth import mixed_corpus_df
+
+    out = mixed_to_documents(mixed_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return out.select("doc_id", "fmt", F.size("spans").alias("n_spans"))
+
+
 def _docs_boiler_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived node table for the Boilerpipe gate: each document's text is
     chunked into per-doc fixed-width word windows (width 6+doc_id%20 so word
@@ -3350,6 +3401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_generic_pinned": _md_generic_pinned,
         "pdf_extract_pinned": _pdf_extract_pinned,
         "docx_extract_pinned": _docx_extract_pinned,
+        "dljson_extract_pinned": _dljson_extract_pinned,
+        "mixed_extract_pinned": _mixed_extract_pinned,
+        "mixed_formats_pinned": _mixed_formats_pinned,
         "doc_boilerplate": _doc_boilerplate,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
@@ -4298,6 +4352,47 @@ def oracle_sql() -> dict[str, str]:
         'SELECT * FROM (VALUES '
         + ", ".join(_xrows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # DoclingDocument JSON first mile, same construction
+    from sparkdoc.synth import expected_docling_json_spans as _dlj_expected
+
+    _jrows = []
+    for _s in _dlj_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _jrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["dljson_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_jrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # Mixed-format ingest, same construction: the VALUES plan composes the
+    # SAME per-format closed-form restatements the per-format gates pin.
+    from sparkdoc.synth import expected_mixed_formats as _mix_fmt_expected
+    from sparkdoc.synth import expected_mixed_spans as _mix_expected
+
+    _mixrows = []
+    for _s in _mix_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _mixrows.append(
+            f"('{_d}', '{_s['fmt']}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')"
+        )
+    q["mixed_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_mixrows)
+        + ') AS t(doc_id, fmt, "offset", kind, text_md5, media_ref)'
+    )
+    _mfrows = []
+    for _s in _mix_fmt_expected(24, SYNTH_SEED):
+        _d = _s["doc_id"].replace("'", "''")
+        _mfrows.append(f"('{_d}', '{_s['fmt']}', {_s['n_spans']})")
+    q["mixed_formats_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_mfrows)
+        + ') AS t(doc_id, fmt, n_spans)'
     )
     # Boilerpipe NumWordsRulesClassifier twin: identical derived node table
     # (per-doc word windows + deterministic n_links), identical published

@@ -146,6 +146,23 @@ def main() -> None:
     extras["pdf_extract_docs_per_sec"] = round(pdf_docs / timings["pdf_extract"], 1)
     extras["pdf_extract_n_spans"] = int(n_pspans)
     pdfs.unpersist()
+    # mixed-format ingest: format-heterogeneous blobs (html/md/pdf/docx/
+    # doclang/binary interleaved) sniffed + routed per row, one python stage
+    from sparkdoc.ingest import mixed_to_documents
+    from sparkdoc.synth import mixed_corpus_df
+
+    mixed_docs = BENCH_DOCS // 4
+    mixed = mixed_corpus_df(spark, mixed_docs, SEED).persist()
+    mixed.count()
+    n_mspans = timed(
+        "mixed_extract",
+        lambda: mixed_to_documents(mixed)
+        .select(F.sum(F.size("spans")))
+        .collect()[0][0],
+    )
+    extras["mixed_extract_docs_per_sec"] = round(mixed_docs / timings["mixed_extract"], 1)
+    extras["mixed_extract_n_spans"] = int(n_mspans)
+    mixed.unpersist()
 
     # two-cluster-size evidence lives in BENCH/BASELINE.md (python -m
     # sparkdoc.bench.run); pointer only — not measured in this process

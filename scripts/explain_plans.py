@@ -433,6 +433,38 @@ def main() -> int:
          n_exchange == 1 and "hashpartitioning(doc_id" in p, p)
     )
 
+    # mixed-format ingest: sniff + route per row in ONE python stage — even
+    # the PDFs inside go through the per-doc fused kernel (the blob row
+    # already co-locates the document), so the whole mixed path is
+    # zero-Exchange like the single-canvas fused paths.
+    from sparkdoc.ingest import mixed_to_documents
+    from sparkdoc.synth import mixed_corpus_df
+
+    p = plan_of(mixed_to_documents(mixed_corpus_df(spark, 24, 42, partitions=4)))
+    sections.append(("mixed_ingest", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(
+        ("mixed-format ingest (sniff + route, PDFs included) is zero-shuffle "
+         "(scan → MapInPandas only)",
+         n_exchange == 0 and "MapInPandas" in p, p)
+    )
+
+    # DoclingDocument JSON generic path: flatten is python-stage-only; the
+    # one Exchange is the XY-cut extract's doc_id repartition (same as pdf)
+    from sparkdoc.dljson import flatten_docling_json
+    from sparkdoc.synth import docling_json_corpus_df
+
+    p = plan_of(extract_documents(
+        flatten_docling_json(docling_json_corpus_df(spark, 12, 42, partitions=4))
+    ))
+    sections.append(("dljson_extract", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(
+        ("docling-json parse+extract pays exactly the ONE doc_id exchange "
+         "of the generic XY-cut path",
+         n_exchange == 1 and "hashpartitioning(doc_id" in p, p)
+    )
+
     out = ["# PLANS — formatted physical plans of the headline operators\n"]
     out.append("Generated by scripts/explain_plans.py; assertions below are re-checked on each run.\n")
     out.append("## Assertions\n")

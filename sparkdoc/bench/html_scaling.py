@@ -29,9 +29,11 @@ from sparkdoc.htmlparse import flatten_html, html_to_documents_fused
 from sparkdoc.mdparse import flatten_markdown, md_to_documents
 from sparkdoc.docxparse import flatten_docx, docx_to_documents
 from sparkdoc.pdfparse import flatten_pdf
+from sparkdoc.ingest import mixed_to_documents
 from sparkdoc.spans import extract_documents
 from sparkdoc.synth import (
     html_corpus_df, md_corpus_df, docx_corpus_df, pdf_corpus_df,
+    mixed_corpus_df,
 )
 
 cores = {cores}
@@ -39,15 +41,19 @@ n_docs = {docs}
 fused = {fused}
 fmt = {fmt!r}
 CORPUS = dict(html=html_corpus_df, md=md_corpus_df, docx=docx_corpus_df,
-              pdf=pdf_corpus_df)[fmt]
+              pdf=pdf_corpus_df, mixed=mixed_corpus_df)[fmt]
 FLAT = dict(html=flatten_html, md=flatten_markdown, docx=flatten_docx,
-            pdf=flatten_pdf)[fmt]
+            pdf=flatten_pdf).get(fmt)
 FUSED = dict(html=html_to_documents_fused, md=md_to_documents,
-             docx=docx_to_documents).get(fmt)
+             docx=docx_to_documents, mixed=mixed_to_documents).get(fmt)
 if fused and FUSED is None:
     raise SystemExit("--fused: pdf has no fused path (multi-page geometry)")
-job = ((lambda df: FUSED(df)) if fused
-       else (lambda df: extract_documents(FLAT(df))))
+if fmt == "mixed":
+    job = lambda df: mixed_to_documents(df)  # sniff+route is fused by design
+elif fused:
+    job = lambda df: FUSED(df)
+else:
+    job = lambda df: extract_documents(FLAT(df))
 spark = get_spark("fmt-scaling-%d" % cores, master="local[%d]" % cores,
                   shuffle_partitions=cores * 4,
                   extra_conf={{"spark.sql.adaptive.coalescePartitions.enabled": "false"}})
@@ -90,7 +96,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="measure the zero-shuffle fused documents path")
-    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf"])
+    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed"])
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     lo = run_level(repo, args.low, args.docs, args.reps, args.fused, args.fmt)
@@ -99,7 +105,9 @@ def main() -> None:
     ratio = args.high / args.low
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     print(json.dumps({
-        "job": f"{args.fmt}_fused" if args.fused else f"{args.fmt}_flatten_extract",
+        "job": ("mixed_sniff_route" if args.fmt == "mixed"
+                else f"{args.fmt}_fused" if args.fused
+                else f"{args.fmt}_flatten_extract"),
         "docs": args.docs,
         "low": lo,
         "high": hi,

@@ -143,8 +143,14 @@ def run_resumable(
     group_size: int = 4,
     job_id: str | None = None,
     chunk: bool = True,
+    documents_input: bool = False,
 ) -> dict:
     """Extract (+ chunk) with per-bucket-group commits; resumes automatically.
+
+    With ``documents_input=True`` the first argument is already a
+    documents-shaped table (doc_id, spans, extra columns pass through to the
+    write — the mixed-format ingest adds ``fmt``) and the extract stage is
+    skipped: bucketing, commits, and resume semantics are identical.
 
     Returns a summary dict with buckets processed/skipped and totals.
     """
@@ -162,7 +168,10 @@ def run_resumable(
         group = todo[gi : gi + group_size]
         t0 = time.monotonic()
         part = bucketed.filter(F.col("bucket").isin(group))
-        docs = extract_documents(part.drop("bucket")).persist()
+        if documents_input:
+            docs = part.drop("bucket").persist()
+        else:
+            docs = extract_documents(part.drop("bucket")).persist()
         docs_b = with_bucket(docs, n_buckets)
         docs_b.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
             os.path.join(out_dir, "documents")
@@ -175,7 +184,9 @@ def run_resumable(
         }
         n_chunks_by_bucket: dict[int, int] = {}
         if chunk:
-            ch = with_bucket(chunk_documents(docs), n_buckets)
+            # mixed-format docs carry an extra fmt column; the chunker's
+            # Arrow stage needs exactly (doc_id, spans)
+            ch = with_bucket(chunk_documents(docs.select("doc_id", "spans")), n_buckets)
             ch_path = os.path.join(out_dir, "chunks")
             ch.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
                 ch_path

@@ -15,7 +15,16 @@
   * ``pdf:<parquet path>`` — a (doc_id, pdf binary) table of raw PDF bytes,
   * ``pdf-synth:<n_docs>`` for the seeded real-PDF generator,
   * ``docx:<parquet path>`` — a (doc_id, docx binary) table of OOXML
-    packages, or ``docx-synth:<n_docs>`` for the seeded generator.
+    packages, or ``docx-synth:<n_docs>`` for the seeded generator,
+  * ``mixed:<parquet path>`` — a (doc_id, blob binary) table of
+    format-heterogeneous documents (PDF/DOCX/HTML/Markdown/DocLang bytes
+    interleaved, as crawl dumps arrive); each row is sniffed and routed by
+    ingest.mixed_to_documents in one zero-shuffle pass — the documents
+    table gains a ``fmt`` column recording the detected format,
+  * ``mixed-synth:<n_docs>`` for the seeded mixed-format generator,
+  * ``dljson:<parquet path>`` — a (doc_id, blob binary) table of serialized
+    DoclingDocument JSON dumps (the reference's conversion-skipping input),
+    or ``dljson-synth:<n_docs>`` for the seeded generator.
 The job commits per-bucket-group manifests (lineage + metrics) and resumes
 from them — kill it mid-run and rerun the same command to continue.
 """
@@ -36,7 +45,8 @@ def main() -> None:
         "--input", required=True,
         help="raw_nodes parquet | synth:<n> | html:<parquet> | html-synth:<n> "
              "| md:<parquet> | md-synth:<n> | pdf:<parquet> | pdf-synth:<n> "
-             "| docx:<parquet> | docx-synth:<n>",
+             "| docx:<parquet> | docx-synth:<n> | mixed:<parquet> "
+             "| mixed-synth:<n> | dljson:<parquet> | dljson-synth:<n>",
     )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
@@ -97,6 +107,28 @@ def main() -> None:
         from sparkdoc.docxparse import flatten_docx
 
         raw = flatten_docx(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("mixed-synth:"):
+        from sparkdoc.ingest import mixed_to_documents
+        from sparkdoc.synth import mixed_corpus_df
+
+        raw = mixed_to_documents(
+            mixed_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("mixed:"):
+        from sparkdoc.ingest import mixed_to_documents
+
+        raw = mixed_to_documents(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("dljson-synth:"):
+        from sparkdoc.dljson import flatten_docling_json
+        from sparkdoc.synth import docling_json_corpus_df
+
+        raw = flatten_docling_json(
+            docling_json_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("dljson:"):
+        from sparkdoc.dljson import flatten_docling_json
+
+        raw = flatten_docling_json(spark.read.parquet(args.input.split(":", 1)[1]))
     else:
         raw = spark.read.parquet(args.input)
 
@@ -107,6 +139,7 @@ def main() -> None:
         n_buckets=args.buckets,
         group_size=args.group_size,
         chunk=not args.no_chunk,
+        documents_input=args.input.startswith(("mixed:", "mixed-synth:")),
     )
     print(json.dumps(summary))
     spark.stop()

@@ -597,6 +597,40 @@ def pdf_nodes_doc(doc_id: str, data: bytes) -> list[dict]:
     return rows
 
 
+def pdf_spans_doc(doc_id: str, data: bytes) -> list[dict]:
+    """Pure per-doc kernel: PDF bytes → ordered span dicts, identical output
+    to ``extract_documents(flatten_pdf(...))`` for PDF inputs (parity-pinned
+    by tests). Used by the mixed-format ingest, where each blob is one row
+    and the generic path's doc_id exchange would be pure waste.
+
+    The classify reduction here mirrors clean.classify_raw_nodes for the
+    node population pdf_nodes_doc can emit: n_links is always 0 (the
+    link-density drop is vacuous), coord_origin is always TOPLEFT (no
+    BOTTOMLEFT flip), and bbox is always present — so classify reduces to
+    sanitize → blank drop → kind map → media_ref. XY-cut reading order,
+    repeated-text furniture, and page breaks come from the SAME
+    spans.assemble_spans kernel the distributed path runs."""
+    from sparkdoc.clean import KIND_BY_TAG
+    from sparkdoc.htmlparse import _CTRL_RE
+    from sparkdoc.spans import assemble_spans
+
+    rows: list[dict] = []
+    for n in pdf_nodes_doc(doc_id, data):
+        text = _CTRL_RE.sub("", n["text"] or "")
+        if n["tag"] != "img" and not text.strip():
+            continue
+        kind = KIND_BY_TAG.get(n["tag"], "text")
+        rows.append({
+            "node_id": n["node_id"],
+            "kind": kind,
+            "text": text,
+            "media_ref": f"#/pictures/{n['node_id']}" if kind == "picture" else "",
+            "page_no": n["page_no"],
+            "bbox": n["bbox"],
+        })
+    return assemble_spans(rows)
+
+
 def flatten_pdf(
     docs: DataFrame, pdf_col: str = "pdf", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -166,31 +166,79 @@ def _xml_escape_attr(col):
     return F.replace(_xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
 
 
+_DCLG_TAG_RE = None  # compiled lazily (re import kept function-local pattern)
+
+
+def _dclg_tag_re():
+    global _DCLG_TAG_RE
+    if _DCLG_TAG_RE is None:
+        import re as _re
+
+        _DCLG_TAG_RE = _re.compile(
+            r"<page_break/>|<(\w+) loc=\"([0-9,\-]*)\" page=\"(\d+)\"(?: ref=\"([^\"]*)\")?>(.*?)</\1>",
+            _re.DOTALL,
+        )
+    return _DCLG_TAG_RE
+
+
+def _dclg_unescape(s: str) -> str:
+    return (
+        s.replace("&quot;", '"').replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    )
+
+
+def doclang_spans_doc(dclg: str) -> list[dict]:
+    """Per-document DocLang parse kernel (reference DoclangInputHandler,
+    core/input/handlers.py:526-570): one ``<doc>``-wrapped serialization →
+    ordered span dicts (kind, text, media_ref, offset, page_no, loc).
+
+    ``<page_break/>`` entries become page_break spans (empty text) and every
+    entry consumes an offset, so the reconstructed offsets equal the
+    extraction pipeline's. Shared by ``parse_doclang`` (distributed ingest)
+    and ``ingest.mixed_to_documents`` (format-sniffed routing)."""
+    body = dclg or ""
+    if body.startswith("<doc>"):
+        body = body[len("<doc>"):]
+    if body.endswith("</doc>"):
+        body = body[: -len("</doc>")]
+    offset = 0
+    page = 1
+    rows: list[dict] = []
+    for m in _dclg_tag_re().finditer(body):
+        if m.group(1) is None:  # <page_break/>
+            # _page_no_col convention: the break row belongs to the
+            # FOLLOWING page (cumulative sum includes self)
+            page += 1
+            rows.append({
+                "kind": "page_break", "text": "", "media_ref": "",
+                "offset": offset, "page_no": page, "loc": None,
+            })
+            offset += 1
+            continue
+        kind, loc, pg, ref, text = m.groups()
+        page = int(pg)
+        rows.append({
+            "kind": kind,
+            "text": _dclg_unescape(text),
+            "media_ref": _dclg_unescape(ref or ""),
+            "offset": offset,
+            "page_no": page,
+            "loc": [int(x) for x in loc.split(",")] if loc else None,
+        })
+        offset += 1
+    return rows
+
+
 def parse_doclang(dclg_docs: DataFrame, text_col: str = "dclg") -> DataFrame:
     """Inverse of ``doclang_documents`` — the DocLang ingest path (reference
     DoclangInputHandler, core/input/handlers.py:526-570): parse each
     ``<doc>``-wrapped serialization back into ordered span rows
     (doc_id, offset, kind, text, media_ref, page_no, loc).
 
-    ``<page_break/>`` entries become page_break spans (empty text) and every
-    entry consumes an offset, so the reconstructed offsets equal the
-    extraction pipeline's (page_breaks consume an offset in both). A corpus
-    delivered as DocLang files round-trips into the engine's spans table
-    exactly (the ``doclang_roundtrip`` gate entry pins this against the
-    independent golden extractor)."""
-    import re as _re
-
+    A corpus delivered as DocLang files round-trips into the engine's spans
+    table exactly (the ``doclang_roundtrip`` gate entry pins this against
+    the independent golden extractor)."""
     import pandas as pd
-
-    tag_re = _re.compile(
-        r"<page_break/>|<(\w+) loc=\"([0-9,\-]*)\" page=\"(\d+)\"(?: ref=\"([^\"]*)\")?>(.*?)</\1>",
-        _re.DOTALL,
-    )
-
-    def unescape(s: str) -> str:
-        return (
-            s.replace("&quot;", '"').replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
-        )
 
     schema = (
         "doc_id string, offset int, kind string, text string, media_ref string, "
@@ -201,30 +249,11 @@ def parse_doclang(dclg_docs: DataFrame, text_col: str = "dclg") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, dclg in zip(pdf["doc_id"], pdf[text_col]):
-                body = dclg or ""
-                if body.startswith("<doc>"):
-                    body = body[len("<doc>"):]
-                if body.endswith("</doc>"):
-                    body = body[: -len("</doc>")]
-                offset = 0
-                page = 1
-                for m in tag_re.finditer(body):
-                    if m.group(1) is None:  # <page_break/>
-                        # _page_no_col convention: the break row belongs to
-                        # the FOLLOWING page (cumulative sum includes self)
-                        page += 1
-                        rows.append((doc_id, offset, "page_break", "", "", page, None))
-                        offset += 1
-                        continue
-                    kind, loc, pg, ref, text = m.groups()
-                    page = int(pg)
+                for s in doclang_spans_doc(dclg):
                     rows.append(
-                        (
-                            doc_id, offset, kind, unescape(text), unescape(ref or ""),
-                            page, [int(x) for x in loc.split(",")] if loc else None,
-                        )
+                        (doc_id, s["offset"], s["kind"], s["text"],
+                         s["media_ref"], s["page_no"], s["loc"])
                     )
-                    offset += 1
             yield pd.DataFrame(
                 rows, columns=["doc_id", "offset", "kind", "text", "media_ref", "page_no", "loc"]
             )

@@ -21,6 +21,7 @@ Nasty cases baked in (FIXTURES.md F1/F2 requirements):
 
 from __future__ import annotations
 
+import json
 import random
 from typing import Iterator
 
@@ -559,6 +560,29 @@ _HTML_KIND = {
 }
 
 
+def _expected_canvas_doc(doc_id: str, expected: list, kind_map: dict) -> list[dict]:
+    """Single-canvas classify restatement shared by the html/md/docx
+    expectations (nav/link-density drop, blank drop, kind map, media_ref
+    from the flattener's 1-based node order) — one implementation so the
+    per-format and mixed-corpus oracles can never drift apart."""
+    out: list[dict] = []
+    off = 0
+    for nid, (tag, text, n_links) in enumerate(expected, start=1):
+        if tag == "nav" or (n_links > 0 and 2 * n_links > len(text)):
+            continue
+        if tag != "img" and not text.strip():
+            continue
+        out.append({
+            "doc_id": doc_id,
+            "offset": off,
+            "kind": kind_map.get(tag, "text"),
+            "text": text,
+            "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
+        })
+        off += 1
+    return out
+
+
 def expected_html_spans(n_docs: int, seed: int = 42) -> list[dict]:
     """Closed-form span expectation for the WHOLE html→spans pipeline:
     independent restatement of the classify rules (nav/link-density drop,
@@ -567,20 +591,7 @@ def expected_html_spans(n_docs: int, seed: int = 42) -> list[dict]:
     out: list[dict] = []
     for i in range(n_docs):
         d = synth_html_doc(i, seed)
-        off = 0
-        for nid, (tag, text, n_links) in enumerate(d["expected"], start=1):
-            if tag == "nav" or (n_links > 0 and 2 * n_links > len(text)):
-                continue
-            if tag != "img" and not text.strip():
-                continue
-            out.append({
-                "doc_id": d["doc_id"],
-                "offset": off,
-                "kind": _HTML_KIND.get(tag, "text"),
-                "text": text,
-                "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
-            })
-            off += 1
+        out.extend(_expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND))
     return out
 
 
@@ -770,20 +781,7 @@ def expected_md_spans(n_docs: int, seed: int = 42) -> list[dict]:
     out: list[dict] = []
     for i in range(n_docs):
         d = synth_md_doc(i, seed)
-        off = 0
-        for nid, (tag, text, n_links) in enumerate(d["expected"], start=1):
-            if n_links > 0 and 2 * n_links > len(text):
-                continue
-            if tag != "img" and not text.strip():
-                continue
-            out.append({
-                "doc_id": d["doc_id"],
-                "offset": off,
-                "kind": _HTML_KIND.get(tag, "text"),
-                "text": text,
-                "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
-            })
-            off += 1
+        out.extend(_expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND))
     return out
 
 
@@ -984,43 +982,49 @@ _PDF_KIND = dict(_HTML_KIND)
 _PDF_KIND.update({"header": "furniture", "footer": "furniture"})
 
 
+def _expected_pdf_doc(d: dict) -> list[dict]:
+    """Per-doc pdf expectation: page_break spans between pages, furniture
+    kinds for header/footer, picture media_refs from the parser's
+    deterministic node enumeration — restated from the authored plan."""
+    # node_id per (page, tag, text) from the parser's enumeration order
+    img_node_id: dict[int, list[int]] = {}
+    for nid, (page, tag, _t) in enumerate(d["node_order"], start=1):
+        if tag == "img":
+            img_node_id.setdefault(page, []).append(nid)
+    img_seen: dict[int, int] = {}
+    out: list[dict] = []
+    off = 0
+    prev_page = None
+    for page, tag, text in d["expected"]:
+        if prev_page is not None and page != prev_page:
+            out.append({"doc_id": d["doc_id"], "offset": off,
+                        "kind": "page_break", "text": "", "media_ref": ""})
+            off += 1
+        prev_page = page
+        if tag == "img":
+            k = img_seen.get(page, 0)
+            img_seen[page] = k + 1
+            nid = img_node_id[page][k]
+            media_ref = f"#/pictures/{nid}"
+        else:
+            media_ref = ""
+        out.append({
+            "doc_id": d["doc_id"],
+            "offset": off,
+            "kind": _PDF_KIND.get(tag, "text"),
+            "text": text,
+            "media_ref": media_ref,
+        })
+        off += 1
+    return out
+
+
 def expected_pdf_spans(n_docs: int, seed: int = 42) -> list[dict]:
     """Closed-form span expectation for the WHOLE pdf→spans pipeline:
-    page_break spans between pages, furniture kinds for header/footer,
-    picture media_refs from the parser's deterministic node enumeration —
     all restated from the authored plan, never calling the parser."""
     out: list[dict] = []
     for i in range(n_docs):
-        d = synth_pdf_doc(i, seed)
-        # node_id per (page, tag, text) from the parser's enumeration order
-        img_node_id: dict[int, list[int]] = {}
-        for nid, (page, tag, _t) in enumerate(d["node_order"], start=1):
-            if tag == "img":
-                img_node_id.setdefault(page, []).append(nid)
-        img_seen: dict[int, int] = {}
-        off = 0
-        prev_page = None
-        for page, tag, text in d["expected"]:
-            if prev_page is not None and page != prev_page:
-                out.append({"doc_id": d["doc_id"], "offset": off,
-                            "kind": "page_break", "text": "", "media_ref": ""})
-                off += 1
-            prev_page = page
-            if tag == "img":
-                k = img_seen.get(page, 0)
-                img_seen[page] = k + 1
-                nid = img_node_id[page][k]
-                media_ref = f"#/pictures/{nid}"
-            else:
-                media_ref = ""
-            out.append({
-                "doc_id": d["doc_id"],
-                "offset": off,
-                "kind": _PDF_KIND.get(tag, "text"),
-                "text": text,
-                "media_ref": media_ref,
-            })
-            off += 1
+        out.extend(_expected_pdf_doc(synth_pdf_doc(i, seed)))
     return out
 
 
@@ -1266,18 +1270,443 @@ def expected_docx_spans(n_docs: int, seed: int = 42) -> list[dict]:
     out: list[dict] = []
     for i in range(n_docs):
         d = synth_docx_doc(i, seed)
-        off = 0
-        for nid, (tag, text, n_links) in enumerate(d["expected"], start=1):
-            if n_links > 0 and 2 * n_links > len(text):
-                continue
-            if tag != "img" and not text.strip():
-                continue
-            out.append({
-                "doc_id": d["doc_id"],
-                "offset": off,
-                "kind": _PDF_KIND.get(tag, "text"),
-                "text": text,
-                "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
-            })
-            off += 1
+        out.extend(_expected_canvas_doc(d["doc_id"], d["expected"], _PDF_KIND))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MIXED-format corpus (ingest sniffer/router gate fodder):
+# one (doc_id, blob) table interleaving every first-mile format plus
+# non-document rejects, exactly as a real crawl dump arrives. The expected
+# plan composes the per-format closed-form expectations above.
+# ---------------------------------------------------------------------------
+
+
+def _dclg_esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def synth_doclang_doc(doc_index: int, seed: int) -> dict:
+    """One DocLang-serialized document + its closed-form expected spans.
+
+    Returns {doc_id, dclg: str, expected: [(kind, text, media_ref), ...]}
+    where ``expected`` INCLUDES page_break rows ('' text) exactly as the
+    parse emits them (every entry consumes an offset). Exercised:
+    multi-page docs, empty loc attrs, pictures with ref attrs, XML
+    entities in text, every span kind."""
+    rng = random.Random(f"sparkdoc-dclg:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-dclg-{doc_index:08d}"
+    expected: list[tuple[str, str, str]] = []
+    parts: list[str] = ["<doc>"]
+    pic = 0
+
+    def loc() -> str:
+        if rng.random() < 0.2:
+            return ""
+        left, top = rng.randint(0, 400), rng.randint(0, 400)
+        return f"{left},{top},{left + rng.randint(8, 111)},{top + rng.randint(8, 111)}"
+
+    for page in range(1, rng.randint(1, 3) + 1):
+        if page > 1:
+            parts.append("<page_break/>")
+            expected.append(("page_break", "", ""))
+        title = _sentence(rng, rng.randint(3, 6))
+        parts.append(f'<heading loc="{loc()}" page="{page}">{_dclg_esc(title)}</heading>')
+        expected.append(("heading", title, ""))
+        for _ in range(rng.randint(2, 5)):
+            r = rng.random()
+            if r < 0.45:
+                text = _sentence(rng, rng.randint(6, 14))
+                if rng.random() < 0.25:
+                    text += " <tags & such>"
+                parts.append(f'<text loc="{loc()}" page="{page}">{_dclg_esc(text)}</text>')
+                expected.append(("text", text, ""))
+            elif r < 0.6:
+                text = "• " + _sentence(rng, rng.randint(3, 7))
+                parts.append(f'<list loc="{loc()}" page="{page}">{_dclg_esc(text)}</list>')
+                expected.append(("list", text, ""))
+            elif r < 0.75:
+                text = " | ".join(_sentence(rng, 2) for _ in range(3))
+                parts.append(f'<table loc="{loc()}" page="{page}">{_dclg_esc(text)}</table>')
+                expected.append(("table", text, ""))
+            elif r < 0.88:
+                pic += 1
+                ref = f"#/pictures/{pic}"
+                parts.append(f'<picture loc="{loc()}" page="{page}" ref="{ref}"></picture>')
+                expected.append(("picture", "", ref))
+            else:
+                text = _sentence(rng, rng.randint(2, 5))
+                parts.append(f'<caption loc="{loc()}" page="{page}">{_dclg_esc(text)}</caption>')
+                expected.append(("caption", text, ""))
+    parts.append("</doc>")
+    return {"doc_id": doc_id, "dclg": "".join(parts), "expected": expected}
+
+
+def synth_binary_doc(doc_index: int, seed: int) -> dict:
+    """One non-document blob — mixed-ingest reject fodder. Returns
+    {doc_id, blob: bytes, fmt} with fmt the sniff class: 'binary' (unknown
+    magic / invalid UTF-8 / zip without word/document.xml) or 'json' (a
+    graph export, which the reference refuses to convert —
+    core/input/types.py:180-190)."""
+    rng = random.Random(f"sparkdoc-bin:{seed}:{doc_index}")
+    doc_id = f"bin-{doc_index:08d}"
+    v = doc_index % 4
+    if v == 0:  # unknown magic (PNG) + noise
+        return {"doc_id": doc_id, "fmt": "binary",
+                "blob": b"\x89PNG\r\n\x1a\n" + bytes(rng.randrange(256) for _ in range(64))}
+    if v == 1:  # a zip that is NOT a Word package
+        import io as _io
+        import zipfile as _zf
+
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("data.bin", bytes(rng.randrange(256) for _ in range(32)))
+        return {"doc_id": doc_id, "fmt": "binary", "blob": buf.getvalue()}
+    if v == 2:  # graph-export JSON: rejected as a document
+        return {"doc_id": doc_id, "fmt": "json",
+                "blob": b'{"nodes": [], "edges": [], "metadata": {}}'}
+    # invalid UTF-8 (0xff never occurs in valid UTF-8)
+    return {"doc_id": doc_id, "fmt": "binary",
+            "blob": b"\xff\xfe" + bytes(rng.randrange(256) for _ in range(48))}
+
+
+_MIXED_FORMATS = (
+    "html", "markdown", "pdf", "docx", "doclang", "docling_json", "binary"
+)
+
+
+def synth_mixed_doc(doc_index: int, seed: int) -> dict:
+    """Mixed-corpus row: format cycles with index; the per-format generator
+    sees sub-index doc_index // 6, so the mixed corpus reuses the SAME
+    authored documents the per-format gates pin. Returns
+    {doc_id, blob: bytes, fmt}. Every third markdown doc gets a UTF-8 BOM
+    (sniffer fodder — real dumps carry them)."""
+    f = _MIXED_FORMATS[doc_index % len(_MIXED_FORMATS)]
+    j = doc_index // len(_MIXED_FORMATS)
+    if f == "html":
+        d = synth_html_doc(j, seed)
+        return {"doc_id": d["doc_id"], "blob": d["html"].encode("utf-8"), "fmt": "html"}
+    if f == "markdown":
+        d = synth_md_doc(j, seed)
+        blob = d["markdown"].encode("utf-8")
+        if j % 3 == 0:
+            blob = b"\xef\xbb\xbf" + blob
+        return {"doc_id": d["doc_id"], "blob": blob, "fmt": "markdown"}
+    if f == "pdf":
+        d = synth_pdf_doc(j, seed)
+        return {"doc_id": d["doc_id"], "blob": d["pdf"], "fmt": "pdf"}
+    if f == "docx":
+        d = synth_docx_doc(j, seed)
+        return {"doc_id": d["doc_id"], "blob": d["docx"], "fmt": "docx"}
+    if f == "doclang":
+        d = synth_doclang_doc(j, seed)
+        return {"doc_id": d["doc_id"], "blob": d["dclg"].encode("utf-8"), "fmt": "doclang"}
+    if f == "docling_json":
+        d = synth_docling_json_doc(j, seed)
+        return {"doc_id": d["doc_id"], "blob": d["blob"], "fmt": "docling_json"}
+    return synth_binary_doc(j, seed)
+
+
+def mixed_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, blob binary) mixed-format corpus."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_mixed_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "blob": r["blob"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, blob binary"
+    )
+
+
+def expected_mixed_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form expectation for the WHOLE mixed-ingest pipeline: rows
+    (doc_id, fmt, offset, kind, text, media_ref), composed from the SAME
+    per-format restatements the per-format gates use (binary/json docs
+    yield no span rows — see expected_mixed_formats for their accounting)."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        f = _MIXED_FORMATS[i % len(_MIXED_FORMATS)]
+        j = i // len(_MIXED_FORMATS)
+        if f == "html":
+            d = synth_html_doc(j, seed)
+            rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
+        elif f == "markdown":
+            d = synth_md_doc(j, seed)
+            rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
+        elif f == "pdf":
+            rows = _expected_pdf_doc(synth_pdf_doc(j, seed))
+        elif f == "docx":
+            d = synth_docx_doc(j, seed)
+            rows = _expected_canvas_doc(d["doc_id"], d["expected"], _PDF_KIND)
+        elif f == "doclang":
+            d = synth_doclang_doc(j, seed)
+            rows = [
+                {"doc_id": d["doc_id"], "offset": off, "kind": k,
+                 "text": t, "media_ref": m}
+                for off, (k, t, m) in enumerate(d["expected"])
+            ]
+        elif f == "docling_json":
+            d = synth_docling_json_doc(j, seed)
+            rows = [
+                {"doc_id": d["doc_id"], "offset": off, "kind": k,
+                 "text": t, "media_ref": m}
+                for off, (k, t, m) in enumerate(d["expected"])
+            ]
+        else:
+            continue
+        for r in rows:
+            out.append({**r, "fmt": f})
+    return out
+
+
+def expected_mixed_formats(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form per-doc accounting: (doc_id, fmt, n_spans) for EVERY row
+    of the mixed corpus including binary/json rejects."""
+    span_counts: dict[str, int] = {}
+    for r in expected_mixed_spans(n_docs, seed):
+        span_counts[r["doc_id"]] = span_counts.get(r["doc_id"], 0) + 1
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_mixed_doc(i, seed)
+        out.append({"doc_id": d["doc_id"], "fmt": d["fmt"],
+                    "n_spans": span_counts.get(d["doc_id"], 0)})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic DoclingDocument-JSON corpus with closed-form expectations
+# (dljson gate fodder: real schema_name="DoclingDocument" dumps with
+# body.children $ref walks, groups, prov geometry in both origins; the
+# expected plan is authored alongside — the parser only sees the bytes)
+# ---------------------------------------------------------------------------
+
+_DLJ_PAGE_W, _DLJ_PAGE_H = 612, 792
+
+
+def synth_docling_json_doc(doc_index: int, seed: int) -> dict:
+    """One DoclingDocument JSON dump + its closed-form expected spans.
+
+    Returns {doc_id, blob: bytes, expected: [(kind, text, media_ref), ...]}
+    (page_break rows included). Emission order in body.children is SHUFFLED
+    against the authored reading order — XY-cut must recover it from the
+    prov geometry. Variants by index: %4==0 geometry-less (docling md/html
+    conversions: emission order IS reading order, single canvas), %4==1
+    TOPLEFT prov, %4==2 BOTTOMLEFT prov (the docling PDF default — flip
+    required), %4==3 mixed (some items lack prov → dropped, reference
+    document_processor.py:87-94). Exercised: groups (list items nest under
+    a group ref), section_header levels, tables with offset-indexed cells,
+    pictures, page_header/footer furniture, blank texts (classify drop),
+    XML-hostile characters."""
+    rng = random.Random(f"sparkdoc-dlj:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-dlj-{doc_index:08d}"
+    variant = doc_index % 4
+    n_pages = 1 if variant == 0 else rng.randint(1, 3)
+
+    # ---- author the reading-order plan: per page, (tag, text) stacked ----
+    uniq = 0
+
+    def sent(n: int) -> str:
+        nonlocal uniq
+        uniq += 1
+        return f"[{uniq}] " + _sentence(rng, n)
+
+    pages: list[list[tuple[str, str]]] = []
+    for p in range(n_pages):
+        items: list[tuple[str, str]] = []
+        items.append(("h1" if p == 0 else "h2", sent(rng.randint(3, 6))))
+        for _ in range(rng.randint(2, 5)):
+            r = rng.random()
+            if r < 0.40:
+                t = sent(rng.randint(6, 14))
+                if rng.random() < 0.2:
+                    t += " & <angles> \"quoted\""
+                items.append(("p", t))
+            elif r < 0.55:
+                items.append(("li", "item " + sent(rng.randint(3, 6))))
+            elif r < 0.68:
+                rows = ["c1 " + sent(2) + " | c2 " + sent(2) for _ in range(2)]
+                items.append(("table", "\n".join(rows)))
+            elif r < 0.78:
+                items.append(("img", ""))
+            elif r < 0.86:
+                items.append(("h3", sent(rng.randint(2, 4))))
+            elif r < 0.93:
+                items.append(("header", f"{doc_id} p{p + 1}"))
+            else:
+                items.append(("p", "   "))  # blank: classify drops it
+        pages.append(items)
+
+    # ---- flatten to emission entries with authored geometry --------------
+    entries = []  # dicts: tag, text, page_no, y, h
+    for p, items in enumerate(pages, start=1):
+        y = 40
+        for tag, text in items:
+            h = 20 * (1 + text.count("\n"))
+            entries.append({"tag": tag, "text": text, "page_no": p, "y": y, "h": h})
+            y += h + 12
+    order = list(range(len(entries)))
+    if variant != 0:
+        rng.shuffle(order)  # emission ≠ reading order; XY-cut recovers
+
+    # variant 3: a third of items lose prov (and are dropped)
+    dropped: set[int] = set()
+    if variant == 3:
+        dropped = {i for i in order if rng.random() < 0.33}
+        if len(dropped) == len(entries):
+            dropped.discard(order[0])
+
+    # ---- render the JSON shape ------------------------------------------
+    texts, tables, pictures, groups = [], [], [], []
+    children: list[dict] = []
+    emit_nid: dict[int, int] = {}  # entry index -> 1-based emission position
+    li_run: list[dict] = []
+
+    def flush_li_run() -> None:
+        nonlocal li_run
+        if li_run:
+            groups.append({"self_ref": f"#/groups/{len(groups)}",
+                           "name": "list", "children": li_run})
+            children.append({"$ref": f"#/groups/{len(groups) - 1}"})
+            li_run = []
+
+    for pos, ei in enumerate(order, start=1):
+        e = entries[ei]
+        emit_nid[ei] = pos
+        prov = None
+        if variant != 0 and ei not in dropped:
+            l = 60 + (pos % 7)
+            r_ = _DLJ_PAGE_W - 60
+            if variant == 2:  # BOTTOMLEFT: t measured from page bottom
+                bbox = {"l": l, "t": _DLJ_PAGE_H - e["y"], "r": r_,
+                        "b": _DLJ_PAGE_H - (e["y"] + e["h"]),
+                        "coord_origin": "BOTTOMLEFT"}
+            else:
+                bbox = {"l": l, "t": e["y"], "r": r_, "b": e["y"] + e["h"],
+                        "coord_origin": "TOPLEFT"}
+            prov = [{"page_no": e["page_no"], "bbox": bbox,
+                     "charspan": [0, len(e["text"])]}]
+        elif variant == 3 and ei in dropped:
+            prov = []
+        tag = e["tag"]
+        if tag == "table":
+            cells = []
+            for ri, row in enumerate(e["text"].split("\n")):
+                for ci, cell in enumerate(row.split(" | ")):
+                    cells.append({"text": cell, "start_row_offset_idx": ri,
+                                  "start_col_offset_idx": ci,
+                                  "end_row_offset_idx": ri + 1,
+                                  "end_col_offset_idx": ci + 1})
+            rng.shuffle(cells)  # parser must re-sort by offsets
+            ref = f"#/tables/{len(tables)}"
+            tables.append({"self_ref": ref, "prov": prov or [],
+                           "data": {"num_rows": 2, "num_cols": 2,
+                                    "table_cells": cells}})
+            flush_li_run()
+            children.append({"$ref": ref})
+        elif tag == "img":
+            ref = f"#/pictures/{len(pictures)}"
+            pictures.append({"self_ref": ref, "prov": prov or [], "captions": []})
+            flush_li_run()
+            children.append({"$ref": ref})
+        else:
+            label = {"h1": "title", "h2": "section_header", "h3": "section_header",
+                     "li": "list_item", "header": "page_header",
+                     "footer": "page_footer"}.get(tag, "text")
+            item = {"self_ref": f"#/texts/{len(texts)}", "label": label,
+                    "text": e["text"], "orig": e["text"], "prov": prov or []}
+            if label == "section_header":
+                item["level"] = 1 if tag == "h2" else 2
+            texts.append(item)
+            ref = item["self_ref"]
+            if tag == "li":
+                li_run.append({"$ref": ref})
+            else:
+                flush_li_run()
+                children.append({"$ref": ref})
+    flush_li_run()
+
+    doc = {
+        "schema_name": "DoclingDocument",
+        "version": "2.8.0",
+        "name": doc_id,
+        "body": {"self_ref": "#/body", "children": children},
+        "texts": texts,
+        "tables": tables,
+        "pictures": pictures,
+        "groups": groups,
+        "pages": {str(p): {"page_no": p,
+                           "size": {"width": float(_DLJ_PAGE_W),
+                                    "height": float(_DLJ_PAGE_H)}}
+                  for p in range(1, n_pages + 1)},
+    }
+
+    # ---- closed-form expected spans --------------------------------------
+    # reading order = authored page/y order; dropped and blank entries
+    # never produce spans (classify removes them before page grouping) but
+    # still consume an emission nid — picture media_refs number from the
+    # emission enumeration, exactly as the parser assigns node_ids.
+    kind_map = dict(_PDF_KIND)
+    expected: list[tuple[str, str, str]] = []
+    live_pages: list[int] = []
+    for p in range(1, n_pages + 1):
+        page_entries = [
+            (i, e) for i, e in enumerate(entries)
+            if e["page_no"] == p and i not in dropped
+            and (e["tag"] == "img" or e["text"].strip())
+        ]
+        if not page_entries:
+            continue
+        live_pages.append(p)
+        if len(live_pages) > 1:
+            expected.append(("page_break", "", ""))
+        for i, e in sorted(page_entries, key=lambda t: t[1]["y"]):
+            if e["tag"] == "img":
+                expected.append(("picture", "", f"#/pictures/{emit_nid[i]}"))
+            else:
+                expected.append((kind_map.get(e["tag"], "text"), e["text"], ""))
+
+    return {"doc_id": doc_id,
+            "blob": json.dumps(doc, ensure_ascii=False).encode("utf-8"),
+            "expected": expected}
+
+
+def docling_json_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, blob binary) DoclingDocument-JSON corpus."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_docling_json_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "blob": r["blob"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, blob binary"
+    )
+
+
+def expected_docling_json_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the dljson→spans pipeline."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_docling_json_doc(i, seed)
+        for off, (k, t, m) in enumerate(d["expected"]):
+            out.append({"doc_id": d["doc_id"], "offset": off, "kind": k,
+                        "text": t, "media_ref": m})
     return out

@@ -1,0 +1,269 @@
+"""Mixed-format ingest: bytes sniffer + one-pass per-doc routing.
+
+Reference analog: InputTypeDetector.detect (core/input/types.py:44-233)
+classifies each source and dispatches to a handler; our detector works on
+leading blob bytes (crawl tables carry no filenames) and routes inside one
+mapInPandas. The fused per-doc PDF kernel's parity with the generic
+classify → XY-cut path is pinned here too.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from sparkdoc.ingest import (
+    FORMATS,
+    format_counts,
+    mixed_spans_doc,
+    mixed_to_documents,
+    sniff_format,
+)
+from sparkdoc.synth import (
+    expected_mixed_formats,
+    expected_mixed_spans,
+    mixed_corpus_df,
+    synth_binary_doc,
+    synth_doclang_doc,
+    synth_docx_doc,
+    synth_html_doc,
+    synth_md_doc,
+    synth_mixed_doc,
+    synth_pdf_doc,
+)
+
+SEED = 42
+
+
+# --- sniffer unit ----------------------------------------------------------
+
+
+def test_sniff_magics():
+    assert sniff_format(b"%PDF-1.4 junk") == "pdf"
+    assert sniff_format(b"") == "binary"
+    assert sniff_format(b"   \n\t  ") == "binary"  # whitespace-only text
+    assert sniff_format(b"\xff\xfe\x00\x01") == "binary"  # invalid UTF-8
+    assert sniff_format(b'{"nodes": [], "edges": []}') == "json"
+    assert sniff_format(b"[1, 2, 3]") == "json"
+    assert sniff_format(b"plain prose, no tags at all") == "markdown"
+    assert sniff_format(b"# Title\n\nbody") == "markdown"
+
+
+def test_sniff_html_variants():
+    assert sniff_format(b"<!DOCTYPE html><html><body>x</body></html>") == "html"
+    assert sniff_format(b"<HTML><BODY>upper</BODY></HTML>") == "html"
+    assert sniff_format(b"  \n<div class='a'>fragment</div>") == "html"
+    assert sniff_format(b"prose first then <a href='x'>link</a>") == "html"
+
+
+def test_sniff_doclang():
+    assert sniff_format(b'<doc><text loc="" page="1">t</text></doc>') == "doclang"
+    assert sniff_format(b"\xef\xbb\xbf<doc></doc>") == "doclang"  # BOM
+    assert sniff_format(b'<?xml version="1.0"?><doc></doc>') == "doclang"
+
+
+def test_sniff_zip_docx_vs_plain_zip():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("data.bin", b"\x00\x01")
+    assert sniff_format(buf.getvalue()) == "binary"
+    d = synth_docx_doc(0, SEED)
+    assert sniff_format(d["docx"]) == "docx"
+    # truncated zip (central directory gone) degrades to binary, not a crash
+    assert sniff_format(d["docx"][:100]) == "binary"
+
+
+def test_sniff_bom_markdown():
+    assert sniff_format(b"\xef\xbb\xbf# Heading\n\nbody text") == "markdown"
+
+
+def test_sniff_every_synth_format():
+    """Every authored synth doc sniffs as its own format (the mixed gate
+    depends on this)."""
+    assert sniff_format(synth_html_doc(0, SEED)["html"].encode()) == "html"
+    assert sniff_format(synth_md_doc(0, SEED)["markdown"].encode()) == "markdown"
+    assert sniff_format(synth_pdf_doc(0, SEED)["pdf"]) == "pdf"
+    assert sniff_format(synth_docx_doc(0, SEED)["docx"]) == "docx"
+    assert sniff_format(synth_doclang_doc(0, SEED)["dclg"].encode()) == "doclang"
+    for j in range(4):
+        b = synth_binary_doc(j, SEED)
+        assert sniff_format(b["blob"]) == b["fmt"]
+
+
+# --- per-doc routing kernel --------------------------------------------------
+
+
+def test_mixed_spans_doc_matches_expected_all_formats():
+    exp = expected_mixed_spans(24, SEED)
+    by_doc: dict[str, list] = {}
+    for r in exp:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(24):
+        d = synth_mixed_doc(i, SEED)
+        fmt, spans = mixed_spans_doc(d["doc_id"], d["blob"])
+        assert fmt == d["fmt"], d["doc_id"]
+        erows = by_doc.get(d["doc_id"], [])
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans] == [
+            (e["kind"], e["text"], e["media_ref"], e["offset"]) for e in erows
+        ], d["doc_id"]
+
+
+def test_mixed_spans_doc_garbage_never_crashes():
+    """Truncated/corrupt blobs of every sniffable shape degrade to spans
+    (possibly empty), never exceptions — one poison blob must not kill a
+    10^12-row batch."""
+    cases = [
+        b"%PDF-1.4",  # pdf magic, no body
+        b"%PDF-" + bytes(range(256)),  # pdf magic, binary junk
+        synth_pdf_doc(0, SEED)["pdf"][:200],  # truncated real pdf
+        b"PK\x03\x04" + b"\x00" * 50,  # broken zip
+        b"<doc><text loc=",  # truncated doclang
+        b"<html><p>unclosed",  # broken html
+        b"\xef\xbb\xbf",  # BOM only
+    ]
+    for blob in cases:
+        fmt, spans = mixed_spans_doc("d", blob)
+        assert fmt in FORMATS
+        assert isinstance(spans, list)
+
+
+def test_pdf_spans_doc_parity_with_generic_path(spark):
+    """The fused per-doc PDF kernel must equal the distributed generic path
+    (classify → XY-cut → assemble) span for span — same pin the other
+    single-canvas fused paths carry."""
+    from sparkdoc.pdfparse import flatten_pdf, pdf_spans_doc
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import pdf_corpus_df
+
+    n = 12
+    generic = (
+        explode_spans(extract_documents(flatten_pdf(pdf_corpus_df(spark, n, SEED))))
+        .orderBy("doc_id", "offset")
+        .collect()
+    )
+    fused: list[tuple] = []
+    for i in range(n):
+        d = synth_pdf_doc(i, SEED)
+        for s in pdf_spans_doc(d["doc_id"], d["pdf"]):
+            fused.append((d["doc_id"], s["kind"], s["text"], s["media_ref"], s["offset"]))
+    fused.sort()
+    got = sorted((r.doc_id, r.kind, r.text, r.media_ref, r.offset) for r in generic)
+    assert fused == got
+
+
+# --- distributed e2e ---------------------------------------------------------
+
+
+def test_mixed_to_documents_e2e(spark):
+    n = 24
+    out = mixed_to_documents(mixed_corpus_df(spark, n, SEED)).collect()
+    assert len(out) == n
+    fmts = {r["doc_id"]: (r["fmt"], r["n_spans"]) for r in expected_mixed_formats(n, SEED)}
+    exp = expected_mixed_spans(n, SEED)
+    by_doc: dict[str, list] = {}
+    for r in exp:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for row in out:
+        efmt, ecount = fmts[row.doc_id]
+        assert row.fmt == efmt, row.doc_id
+        assert len(row.spans) == ecount, row.doc_id
+        erows = by_doc.get(row.doc_id, [])
+        assert [(s.kind, s.text, s.media_ref, s.offset) for s in row.spans] == [
+            (e["kind"], e["text"], e["media_ref"], e["offset"]) for e in erows
+        ], row.doc_id
+
+
+def test_format_counts(spark):
+    n = 24
+    got = {r.fmt: (r.docs, r.spans) for r in
+           format_counts(mixed_to_documents(mixed_corpus_df(spark, n, SEED))).collect()}
+    exp: dict[str, list[int]] = {}
+    for r in expected_mixed_formats(n, SEED):
+        d = exp.setdefault(r["fmt"], [0, 0])
+        d[0] += 1
+        d[1] += r["n_spans"]
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_mixed_plan_zero_exchange(spark):
+    """The mixed ingest is scan → mapInPandas, nothing else: no Exchange
+    anywhere in the physical plan (one pass over every blob)."""
+    plan = mixed_to_documents(
+        mixed_corpus_df(spark, 12, SEED)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- DoclingDocument JSON first mile ----------------------------------------
+
+
+def test_sniff_docling_json():
+    from sparkdoc.synth import synth_docling_json_doc
+
+    assert sniff_format(synth_docling_json_doc(0, SEED)["blob"]) == "docling_json"
+    assert sniff_format(b'{"schema_name": "DoclingDocument", "texts": []}') == "docling_json"
+    # other schema_names and graph exports stay rejected
+    assert sniff_format(b'{"schema_name": "Other"}') == "json"
+    assert sniff_format(b'{"nodes": [], "edges": []}') == "json"
+
+
+def test_docling_json_kernel_matches_expected():
+    from sparkdoc.dljson import docling_json_spans_doc
+    from sparkdoc.synth import expected_docling_json_spans, synth_docling_json_doc
+
+    n = 24
+    exp = expected_docling_json_spans(n, SEED)
+    by_doc: dict[str, list] = {}
+    for r in exp:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(n):
+        d = synth_docling_json_doc(i, SEED)
+        spans = docling_json_spans_doc(d["doc_id"], d["blob"])
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans] == [
+            (e["kind"], e["text"], e["media_ref"], e["offset"])
+            for e in by_doc.get(d["doc_id"], [])
+        ], (d["doc_id"], f"variant={i % 4}")
+
+
+def test_docling_json_garbage_never_crashes():
+    from sparkdoc.dljson import docling_json_nodes_doc, docling_json_spans_doc
+
+    cases = [
+        b"",
+        b"{",
+        b'{"schema_name": "DoclingDocument"}',  # no body/texts
+        b'{"schema_name": "DoclingDocument", "body": {"children": [{"$ref": "#/texts/9"}]}, "texts": []}',
+        b'{"schema_name": "DoclingDocument", "body": {"children": [{"$ref": "#/groups/0"}]}, "groups": [{"children": [{"$ref": "#/groups/0"}]}]}',  # self-referential group
+        b'{"schema_name": "Nope"}',
+    ]
+    for blob in cases:
+        assert isinstance(docling_json_nodes_doc("d", blob), list)
+        assert isinstance(docling_json_spans_doc("d", blob), list)
+
+
+def test_docling_json_fused_parity_with_generic(spark):
+    """Fused per-doc kernel == distributed flatten → classify → XY-cut path,
+    across all four geometry variants (incl. BOTTOMLEFT flips and the
+    mixed-prov drop rule)."""
+    from sparkdoc.dljson import docling_json_spans_doc, flatten_docling_json
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import docling_json_corpus_df, synth_docling_json_doc
+
+    n = 16
+    generic = (
+        explode_spans(extract_documents(
+            flatten_docling_json(docling_json_corpus_df(spark, n, SEED))
+        ))
+        .orderBy("doc_id", "offset")
+        .collect()
+    )
+    fused: list[tuple] = []
+    for i in range(n):
+        d = synth_docling_json_doc(i, SEED)
+        for s in docling_json_spans_doc(d["doc_id"], d["blob"]):
+            fused.append((d["doc_id"], s["kind"], s["text"], s["media_ref"], s["offset"]))
+    fused.sort()
+    got = sorted((r.doc_id, r.kind, r.text, r.media_ref, r.offset) for r in generic)
+    assert fused == got

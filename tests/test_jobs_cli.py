@@ -378,3 +378,31 @@ def test_extract_cli_html_inputs(tmp_path, spark):
     r2 = _run(["sparkdoc/jobs/extract.py", "--input", f"html:{html_pq}",
                "--out", out2, "--buckets", "4", "--group-size", "2"])
     assert r2["spans"] == r1["spans"] and r2["docs"] == 24
+
+
+def test_extract_cli_mixed_resume(tmp_path, spark):
+    """--input mixed-synth:<n>: format-heterogeneous blobs sniffed and
+    routed in-job (documents_input path — no extract stage), with the same
+    kill/resume manifest semantics: a partial run's committed buckets are
+    skipped on rerun and totals match the closed-form expectation."""
+    from sparkdoc.synth import expected_mixed_formats, expected_mixed_spans
+
+    out = str(tmp_path / "mix")
+    r1 = _run(["sparkdoc/jobs/extract.py", "--input", "mixed-synth:24",
+               "--out", out, "--buckets", "4", "--group-size", "1"])
+    assert r1["docs"] == 24
+    assert r1["spans"] == len(expected_mixed_spans(24, 42))
+    # resume: everything already committed → all buckets skipped
+    r2 = _run(["sparkdoc/jobs/extract.py", "--input", "mixed-synth:24",
+               "--out", out, "--buckets", "4", "--group-size", "1"])
+    assert r2["buckets_processed"] == [] and len(r2["buckets_skipped"]) == 4
+    # the fmt column survives into the written documents table
+    from pyspark.sql import functions as F
+
+    got = spark.read.parquet(os.path.join(out, "documents"))
+    fmt_counts = {r["fmt"]: r["n"] for r in
+                  got.groupBy("fmt").agg(F.count("*").alias("n")).collect()}
+    exp: dict[str, int] = {}
+    for r in expected_mixed_formats(24, 42):
+        exp[r["fmt"]] = exp.get(r["fmt"], 0) + 1
+    assert fmt_counts == exp
