@@ -2951,6 +2951,25 @@ def _mixed_formats_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fmt", F.size("spans").alias("n_spans"))
 
 
+def _warc_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container ingest (beyond-reference: crawl corpora arrive as ISO
+    28500 archives — Common Crawl ships per-record-gzip members): record
+    split by Content-Length discipline, HTTP header strip + chunked
+    transfer decode, warcinfo/request noise skipped, every payload routed
+    through the mixed sniffer. Oracle = VALUES from
+    synth.expected_warc_spans (the mixed closed forms re-keyed to the
+    container-derived doc_ids)."""
+    from sparkdoc.synth import warc_corpus_df
+    from sparkdoc.warc import warc_extract
+
+    out = warc_extract(warc_corpus_df(spark, 6, SYNTH_SEED, partitions=3))
+    s = out.select("doc_id", "fmt", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id", "fmt", F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("text_md5"), F.col("s.media_ref").alias("media_ref"),
+    )
+
+
 def _docs_boiler_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived node table for the Boilerpipe gate: each document's text is
     chunked into per-doc fixed-width word windows (width 6+doc_id%20 so word
@@ -3404,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dljson_extract_pinned": _dljson_extract_pinned,
         "mixed_extract_pinned": _mixed_extract_pinned,
         "mixed_formats_pinned": _mixed_formats_pinned,
+        "warc_extract_pinned": _warc_extract_pinned,
         "doc_boilerplate": _doc_boilerplate,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
@@ -4393,6 +4413,23 @@ def oracle_sql() -> dict[str, str]:
         'SELECT * FROM (VALUES '
         + ", ".join(_mfrows)
         + ') AS t(doc_id, fmt, n_spans)'
+    )
+    # WARC container ingest, same construction (mixed closed forms re-keyed
+    # to container-derived doc_ids)
+    from sparkdoc.synth import expected_warc_spans as _warc_expected
+
+    _wrows = []
+    for _s in _warc_expected(6, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _wrows.append(
+            f"('{_d}', '{_s['fmt']}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')"
+        )
+    q["warc_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_wrows)
+        + ') AS t(doc_id, fmt, "offset", kind, text_md5, media_ref)'
     )
     # Boilerpipe NumWordsRulesClassifier twin: identical derived node table
     # (per-doc word windows + deterministic n_links), identical published

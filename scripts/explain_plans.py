@@ -449,6 +449,20 @@ def main() -> int:
          n_exchange == 0 and "MapInPandas" in p, p)
     )
 
+    # WARC container ingest: record split + sniff + route is still ONE
+    # python stage over the container scan — zero Exchange
+    from sparkdoc.synth import warc_corpus_df
+    from sparkdoc.warc import warc_extract
+
+    p = plan_of(warc_extract(warc_corpus_df(spark, 4, 42, partitions=2)))
+    sections.append(("warc_ingest", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(
+        ("WARC container ingest (record split + sniff + route) is "
+         "zero-shuffle (scan → MapInPandas only)",
+         n_exchange == 0 and "MapInPandas" in p, p)
+    )
+
     # DoclingDocument JSON generic path: flatten is python-stage-only; the
     # one Exchange is the XY-cut extract's doc_id repartition (same as pdf)
     from sparkdoc.dljson import flatten_docling_json

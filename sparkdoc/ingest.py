@@ -38,6 +38,10 @@ Format vocabulary (sniff → handler):
   binary    everything else (unknown magics, invalid UTF-8, zips without
             word/document.xml, empty blobs) — zero spans, fmt recorded so
             the job can account for skipped inputs instead of crashing
+
+Gzip transport compression (1f 8b magic) is stripped transparently before
+sniffing — crawl dumps gzip per document — with a decompression cap
+(MAX_INFLATE) so a gzip bomb routes to 'binary' instead of OOMing a worker.
 """
 
 from __future__ import annotations
@@ -76,6 +80,26 @@ _HTML_MARKERS = (
 )
 
 _UTF8_BOM = b"\xef\xbb\xbf"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+#: decompression cap per blob — a 100 TB ingest must survive gzip bombs; a
+#: blob inflating past this routes to 'binary' instead of OOMing the worker
+MAX_INFLATE = 512 * 1024 * 1024
+
+
+def gunzip(data: bytes, cap: int = MAX_INFLATE) -> bytes | None:
+    """First gzip member of ``data`` inflated, or None (corrupt / over cap).
+    decompressobj + max_length keeps the bomb guard allocation-bounded."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(data, cap)
+        if d.unconsumed_tail:  # would inflate past the cap
+            return None
+        return out
+    except zlib.error:
+        return None
 
 
 def sniff_format(data: bytes) -> str:
@@ -86,6 +110,11 @@ def sniff_format(data: bytes) -> str:
     END of the file; zipfile needs it to list member names)."""
     if not data:
         return "binary"
+    if data.startswith(_GZIP_MAGIC):
+        # transparent transport compression (crawl dumps gzip per document);
+        # sniff the inflated payload — corrupt/bomb gzip is binary
+        inner = gunzip(data)
+        return "binary" if inner is None else sniff_format(inner)
     if data.startswith(b"%PDF-"):
         return "pdf"
     if data.startswith(b"PK\x03\x04"):
@@ -134,7 +163,13 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
     exports and unreadable inputs; a 10^12-row batch job records and moves
     on). Parser failures on a CORRECTLY sniffed format also degrade to zero
     spans rather than poisoning the batch — each first-mile parser already
-    guards its own nontermination/crash cases (fuzz-tested)."""
+    guards its own nontermination/crash cases (fuzz-tested). Gzip transport
+    compression is stripped transparently (fmt reports the INNER format)."""
+    if data.startswith(_GZIP_MAGIC):
+        inner = gunzip(data)
+        if inner is None:
+            return "binary", []
+        data = inner
     fmt = sniff_format(data)
     if fmt == "pdf":
         from sparkdoc.pdfparse import pdf_spans_doc

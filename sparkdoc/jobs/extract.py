@@ -24,7 +24,11 @@
   * ``mixed-synth:<n_docs>`` for the seeded mixed-format generator,
   * ``dljson:<parquet path>`` — a (doc_id, blob binary) table of serialized
     DoclingDocument JSON dumps (the reference's conversion-skipping input),
-    or ``dljson-synth:<n_docs>`` for the seeded generator.
+    or ``dljson-synth:<n_docs>`` for the seeded generator,
+  * ``warc:<parquet path>`` — a (warc_name, content binary) table of WARC
+    container files (plain or per-record-gzip): records split, HTTP
+    payloads extracted, every document sniffed + routed like ``mixed:``,
+  * ``warc-synth:<n_files>`` for the seeded WARC generator.
 The job commits per-bucket-group manifests (lineage + metrics) and resumes
 from them — kill it mid-run and rerun the same command to continue.
 """
@@ -46,7 +50,8 @@ def main() -> None:
         help="raw_nodes parquet | synth:<n> | html:<parquet> | html-synth:<n> "
              "| md:<parquet> | md-synth:<n> | pdf:<parquet> | pdf-synth:<n> "
              "| docx:<parquet> | docx-synth:<n> | mixed:<parquet> "
-             "| mixed-synth:<n> | dljson:<parquet> | dljson-synth:<n>",
+             "| mixed-synth:<n> | dljson:<parquet> | dljson-synth:<n> "
+             "| warc:<parquet> | warc-synth:<n>",
     )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
@@ -129,6 +134,17 @@ def main() -> None:
         from sparkdoc.dljson import flatten_docling_json
 
         raw = flatten_docling_json(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("warc-synth:"):
+        from sparkdoc.synth import warc_corpus_df
+        from sparkdoc.warc import warc_extract
+
+        raw = warc_extract(
+            warc_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("warc:"):
+        from sparkdoc.warc import warc_extract
+
+        raw = warc_extract(spark.read.parquet(args.input.split(":", 1)[1]))
     else:
         raw = spark.read.parquet(args.input)
 
@@ -139,7 +155,9 @@ def main() -> None:
         n_buckets=args.buckets,
         group_size=args.group_size,
         chunk=not args.no_chunk,
-        documents_input=args.input.startswith(("mixed:", "mixed-synth:")),
+        documents_input=args.input.startswith(
+            ("mixed:", "mixed-synth:", "warc:", "warc-synth:")
+        ),
     )
     print(json.dumps(summary))
     spark.stop()

@@ -75,6 +75,50 @@ def stream_extract(
     return writer.start()
 
 
+def stream_extract_mixed(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    chunk: bool = True,
+    available_now: bool = True,
+):
+    """Incremental MIXED-FORMAT ingest: new (doc_id, blob binary) parquet
+    files land in a directory; each micro-batch sniffs + routes every blob
+    through ingest.mixed_to_documents (zero-shuffle) and writes its own
+    ``batch_id=N`` partition — the same idempotent at-least-once-to-
+    effectively-once sink as stream_extract, with ``fmt`` preserved.
+
+    Unlike stream_extract there is NO file-atomicity caveat: one blob row
+    IS one whole document, so any file split across batches is safe."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.ingest import mixed_to_documents
+
+    blobs = (
+        spark.readStream.schema("doc_id string, blob binary")
+        .option("maxFilesPerTrigger", 64)
+        .parquet(in_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = mixed_to_documents(batch_df).persist()
+        docs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents", f"batch_id={batch_id}")
+        )
+        if chunk:
+            chunk_documents(docs.select("doc_id", "spans")).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "chunks", f"batch_id={batch_id}")
+            )
+        docs.unpersist()
+
+    writer = (
+        blobs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"

@@ -1381,12 +1381,18 @@ def synth_mixed_doc(doc_index: int, seed: int) -> dict:
     sees sub-index doc_index // 6, so the mixed corpus reuses the SAME
     authored documents the per-format gates pin. Returns
     {doc_id, blob: bytes, fmt}. Every third markdown doc gets a UTF-8 BOM
-    (sniffer fodder — real dumps carry them)."""
+    and every fourth html doc arrives gzip-compressed (sniffer fodder —
+    real dumps carry both)."""
+    import gzip as _gz
+
     f = _MIXED_FORMATS[doc_index % len(_MIXED_FORMATS)]
     j = doc_index // len(_MIXED_FORMATS)
     if f == "html":
         d = synth_html_doc(j, seed)
-        return {"doc_id": d["doc_id"], "blob": d["html"].encode("utf-8"), "fmt": "html"}
+        blob = d["html"].encode("utf-8")
+        if j % 4 == 1:
+            blob = _gz.compress(blob, mtime=0)  # deterministic member
+        return {"doc_id": d["doc_id"], "blob": blob, "fmt": "html"}
     if f == "markdown":
         d = synth_md_doc(j, seed)
         blob = d["markdown"].encode("utf-8")
@@ -1709,4 +1715,114 @@ def expected_docling_json_spans(n_docs: int, seed: int = 42) -> list[dict]:
         for off, (k, t, m) in enumerate(d["expected"]):
             out.append({"doc_id": d["doc_id"], "offset": off, "kind": k,
                         "text": t, "media_ref": m})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic WARC corpus (container-ingest gate fodder): real ISO-28500
+# records wrapping the mixed-format blobs above — plain files AND
+# per-record-gzip members (the Common Crawl layout), HTTP responses plain
+# and chunked, resource records, plus warcinfo/request noise records.
+# ---------------------------------------------------------------------------
+
+_WARC_DOCS_PER_FILE = 7
+
+
+def synth_warc_file(file_index: int, seed: int) -> dict:
+    """One WARC file + its closed-form record plan.
+
+    Returns {warc_name, content: bytes, expected: [(out_doc_id,
+    inner_doc_id), ...]} where out_doc_id is the id warc_to_blobs derives
+    (``<name>#<record_idx>:<target-uri>``) and inner_doc_id keys the
+    wrapped mixed doc's closed-form spans. Odd files are per-record-gzip
+    (.warc.gz); payload styles cycle plain-HTTP / chunked-HTTP / resource."""
+    import gzip as _gz
+
+    name = f"crawl-{file_index:05d}.warc" + (".gz" if file_index % 2 else "")
+    records: list[bytes] = []
+    expected: list[tuple[str, str]] = []
+
+    def rec(wtype: str, uri: str | None, rec_id: str, ctype: str, block: bytes) -> bytes:
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+            + f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+            + f"Content-Type: {ctype}\r\n"
+            + f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode("latin-1")
+        return head + block + b"\r\n\r\n"
+
+    records.append(rec("warcinfo", None, f"info-{file_index}",
+                       "application/warc-fields", b"software: sparkdoc-synth\r\n"))
+    for j in range(_WARC_DOCS_PER_FILE):
+        d = synth_mixed_doc(file_index * _WARC_DOCS_PER_FILE + j, seed)
+        uri = f"http://crawl.example/{d['doc_id']}"
+        style = (file_index + j) % 3
+        if style == 0:  # request noise + plain HTTP response
+            records.append(rec("request", uri, f"req-{file_index}-{j}",
+                               "application/http; msgtype=request",
+                               b"GET / HTTP/1.1\r\nHost: crawl.example\r\n\r\n"))
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: application/octet-stream\r\n"
+                    b"Content-Length: " + str(len(d["blob"])).encode() + b"\r\n\r\n"
+                    + d["blob"])
+            expected.append((f"{name}#{len(records):06d}:{uri}", d["doc_id"]))
+            records.append(rec("response", uri, f"resp-{file_index}-{j}",
+                               "application/http; msgtype=response", http))
+        elif style == 1:  # chunked HTTP response
+            body, pos, chunks = d["blob"], 0, []
+            while pos < len(body):
+                k = min(len(body) - pos, 900 + 37 * ((pos // 997) % 7))
+                chunks.append(f"{k:x}".encode() + b"\r\n" + body[pos:pos + k] + b"\r\n")
+                pos += k
+            http = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+                    + b"".join(chunks) + b"0\r\n\r\n")
+            expected.append((f"{name}#{len(records):06d}:{uri}", d["doc_id"]))
+            records.append(rec("response", uri, f"resp-{file_index}-{j}",
+                               "application/http; msgtype=response", http))
+        else:  # resource record: the document verbatim
+            expected.append((f"{name}#{len(records):06d}:{uri}", d["doc_id"]))
+            records.append(rec("resource", uri, f"res-{file_index}-{j}",
+                               "application/octet-stream", d["blob"]))
+
+    if file_index % 2:
+        content = b"".join(_gz.compress(r, mtime=0) for r in records)
+    else:
+        content = b"".join(records)
+    return {"warc_name": name, "content": content, "expected": expected}
+
+
+def warc_corpus_df(
+    spark: SparkSession, n_files: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (warc_name, content binary) corpus."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_warc_file(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"warc_name": r["warc_name"], "content": r["content"]} for r in rows]
+                )
+
+    parts = partitions or max(2, n_files // 4)
+    return spark.range(0, n_files, 1, parts).mapInPandas(
+        gen, schema="warc_name string, content binary"
+    )
+
+
+def expected_warc_spans(n_files: int, seed: int = 42) -> list[dict]:
+    """Closed-form expectation for container → sniff → route: the mixed
+    per-doc restatements re-keyed to the WARC-derived doc_ids."""
+    inner = expected_mixed_spans(n_files * _WARC_DOCS_PER_FILE, seed)
+    by_inner: dict[str, list[dict]] = {}
+    for r in inner:
+        by_inner.setdefault(r["doc_id"], []).append(r)
+    out: list[dict] = []
+    for i in range(n_files):
+        f = synth_warc_file(i, seed)
+        for out_id, inner_id in f["expected"]:
+            for r in by_inner.get(inner_id, []):
+                out.append({**r, "doc_id": out_id})
     return out

@@ -267,3 +267,39 @@ def test_docling_json_fused_parity_with_generic(spark):
     fused.sort()
     got = sorted((r.doc_id, r.kind, r.text, r.media_ref, r.offset) for r in generic)
     assert fused == got
+
+
+# --- gzip transport compression ----------------------------------------------
+
+
+def test_sniff_gzip_transparent():
+    import gzip
+
+    from sparkdoc.ingest import MAX_INFLATE, gunzip
+
+    assert sniff_format(gzip.compress(b"<!DOCTYPE html><p>x</p>")) == "html"
+    assert sniff_format(gzip.compress(b"# md heading\n\nbody")) == "markdown"
+    assert sniff_format(gzip.compress(synth_pdf_doc(0, SEED)["pdf"])) == "pdf"
+    assert sniff_format(b"\x1f\x8b\x00corrupt") == "binary"
+    assert gunzip(b"\x1f\x8b garbage") is None
+
+
+def test_mixed_gzip_doc_routes_to_inner_format():
+    import gzip
+
+    d = synth_html_doc(1, SEED)
+    fmt, spans = mixed_spans_doc(d["doc_id"], gzip.compress(d["html"].encode()))
+    assert fmt == "html" and len(spans) > 0
+    # identical spans to the uncompressed route
+    fmt2, spans2 = mixed_spans_doc(d["doc_id"], d["html"].encode())
+    assert spans == spans2
+
+
+def test_gunzip_bomb_guard():
+    import gzip
+
+    from sparkdoc.ingest import gunzip
+
+    bomb = gzip.compress(b"\x00" * (4 << 20))
+    assert gunzip(bomb, cap=1 << 20) is None  # over cap -> rejected
+    assert gunzip(bomb, cap=8 << 20) is not None

@@ -289,3 +289,36 @@ def test_stream_curate_gates_and_restart(spark, tmp_path):
     assert len(rows) == 5
     assert rows["a3"]["verdict"] == "exact_dup" and rows["a3"]["dup_of"] == "a1"
     assert rows["b1"]["verdict"] == "kept"
+
+
+def test_stream_extract_mixed(spark, tmp_path):
+    """Incremental mixed-format ingest: sniff + route per micro-batch,
+    idempotent batch_id sink, checkpointed restart, fmt preserved, span
+    values matching the closed-form expectation."""
+    from sparkdoc.streaming import stream_extract_mixed
+    from sparkdoc.synth import expected_mixed_formats, mixed_corpus_df
+
+    in_dir = str(tmp_path / "blobs_in")
+    out_dir = str(tmp_path / "mix_out")
+    mixed_corpus_df(spark, 21, 42, partitions=2).write.parquet(in_dir)
+
+    q = stream_extract_mixed(spark, in_dir, out_dir)
+    q.awaitTermination(180)
+    assert not q.isActive
+    docs = spark.read.parquet(os.path.join(out_dir, "documents"))
+    assert docs.count() == 21
+    fmts = {r.doc_id: r.fmt for r in docs.collect()}
+    for e in expected_mixed_formats(21, 42):
+        assert fmts[e["doc_id"]] == e["fmt"]
+    assert spark.read.parquet(os.path.join(out_dir, "chunks")).count() > 0
+
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = stream_extract_mixed(spark, in_dir, out_dir)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out_dir, "documents")).count() == 21
+
+    # new blobs arrive → only they are processed (7-format cycle continues)
+    mixed_corpus_df(spark, 7, 99, partitions=1).write.mode("append").parquet(in_dir)
+    q3 = stream_extract_mixed(spark, in_dir, out_dir)
+    q3.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out_dir, "documents")).count() == 28
