@@ -2951,6 +2951,25 @@ def _mixed_formats_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "fmt", F.size("spans").alias("n_spans"))
 
 
+def _url_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSRF URL-admission gate, static subset (reference URLValidator ladder,
+    core/input/validators.py:162-340: scheme → host → per-address checks in
+    metadata/loopback/link-local/multicast/reserved/private order; every
+    resolved address must pass — handlers.py:238-241). No DNS in the DAG:
+    IP-literal hosts and a pre-resolved ips column go through the identical
+    ladder. Oracle = VALUES of the authored truth table
+    (synth.URL_ADMISSION_CASES — the kernel never reads the verdicts)."""
+    from sparkdoc.synth import url_admission_cases_df
+    from sparkdoc.urlops import url_admission
+
+    out = url_admission(url_admission_cases_df(spark), ips_col="resolved_ips")
+    return out.select(
+        "case_id",
+        F.col("admitted").cast("int").alias("admitted"),
+        F.coalesce("reject_reason", F.lit("")).alias("reject_reason"),
+    )
+
+
 def _warc_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC container ingest (beyond-reference: crawl corpora arrive as ISO
     28500 archives — Common Crawl ships per-record-gzip members): record
@@ -3424,6 +3443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_extract_pinned": _mixed_extract_pinned,
         "mixed_formats_pinned": _mixed_formats_pinned,
         "warc_extract_pinned": _warc_extract_pinned,
+        "url_admission": _url_admission,
         "doc_boilerplate": _doc_boilerplate,
         "doc_url_domain": _doc_url_domain,
         "doc_vocab_sketch": _doc_vocab_sketch,
@@ -4430,6 +4450,17 @@ def oracle_sql() -> dict[str, str]:
         'SELECT * FROM (VALUES '
         + ", ".join(_wrows)
         + ') AS t(doc_id, fmt, "offset", kind, text_md5, media_ref)'
+    )
+    # URL admission truth table (authored verdicts; kernel never reads them)
+    from sparkdoc.synth import URL_ADMISSION_CASES as _url_cases
+
+    _urows = []
+    for _i, (_u, _ips, _a, _r) in enumerate(_url_cases):
+        _urows.append(f"({_i}, {_a}, '{(_r or '')}')")
+    q["url_admission"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_urows)
+        + ') AS t(case_id, admitted, reject_reason)'
     )
     # Boilerpipe NumWordsRulesClassifier twin: identical derived node table
     # (per-doc word windows + deterministic n_links), identical published

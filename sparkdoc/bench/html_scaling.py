@@ -33,15 +33,17 @@ from sparkdoc.ingest import mixed_to_documents
 from sparkdoc.spans import extract_documents
 from sparkdoc.synth import (
     html_corpus_df, md_corpus_df, docx_corpus_df, pdf_corpus_df,
-    mixed_corpus_df,
+    mixed_corpus_df, warc_corpus_df,
 )
+from sparkdoc.warc import warc_extract
 
 cores = {cores}
 n_docs = {docs}
 fused = {fused}
 fmt = {fmt!r}
 CORPUS = dict(html=html_corpus_df, md=md_corpus_df, docx=docx_corpus_df,
-              pdf=pdf_corpus_df, mixed=mixed_corpus_df)[fmt]
+              pdf=pdf_corpus_df, mixed=mixed_corpus_df,
+              warc=warc_corpus_df)[fmt]
 FLAT = dict(html=flatten_html, md=flatten_markdown, docx=flatten_docx,
             pdf=flatten_pdf).get(fmt)
 FUSED = dict(html=html_to_documents_fused, md=md_to_documents,
@@ -50,6 +52,8 @@ if fused and FUSED is None:
     raise SystemExit("--fused: pdf has no fused path (multi-page geometry)")
 if fmt == "mixed":
     job = lambda df: mixed_to_documents(df)  # sniff+route is fused by design
+elif fmt == "warc":
+    job = lambda df: warc_extract(df)  # --docs counts FILES (7 docs each)
 elif fused:
     job = lambda df: FUSED(df)
 else:
@@ -96,7 +100,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="measure the zero-shuffle fused documents path")
-    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed"])
+    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed", "warc"])
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     lo = run_level(repo, args.low, args.docs, args.reps, args.fused, args.fmt)
@@ -105,7 +109,8 @@ def main() -> None:
     ratio = args.high / args.low
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
     print(json.dumps({
-        "job": ("mixed_sniff_route" if args.fmt == "mixed"
+        "job": ("warc_container_ingest" if args.fmt == "warc"
+                else "mixed_sniff_route" if args.fmt == "mixed"
                 else f"{args.fmt}_fused" if args.fused
                 else f"{args.fmt}_flatten_extract"),
         "docs": args.docs,

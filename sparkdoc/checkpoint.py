@@ -74,6 +74,7 @@ def commit_bucket_group(
                 int(m.get("n_chunks", 0)),
                 int(m["wall_ms"]),
                 int(m["commit_seq"]),
+                m.get("fmt_counts", ""),
             )
             for m in metrics_rows
         ],
@@ -182,6 +183,18 @@ def run_resumable(
             .agg(F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans"))
             .collect()
         }
+        fmt_by_bucket: dict[int, str] = {}
+        if "fmt" in docs_b.columns:
+            # per-format lineage for mixed/WARC ingests (docs is cached —
+            # this is a cheap second agg, sorted-JSON for determinism)
+            import json as _json
+
+            counts: dict[int, dict[str, int]] = {}
+            for r in docs_b.groupBy("bucket", "fmt").count().collect():
+                counts.setdefault(r["bucket"], {})[r["fmt"]] = r["count"]
+            fmt_by_bucket = {
+                b: _json.dumps(dict(sorted(c.items()))) for b, c in counts.items()
+            }
         n_chunks_by_bucket: dict[int, int] = {}
         if chunk:
             # mixed-format docs carry an extra fmt column; the chunker's
@@ -225,6 +238,7 @@ def run_resumable(
                     "n_chunks": n_chunks_by_bucket.get(b, 0),
                     "wall_ms": wall_ms,
                     "commit_seq": seq,
+                    "fmt_counts": fmt_by_bucket.get(b, ""),
                 }
             )
             totals["docs"] += rows[-1]["n_docs"]

@@ -39,9 +39,10 @@ Format vocabulary (sniff → handler):
             word/document.xml, empty blobs) — zero spans, fmt recorded so
             the job can account for skipped inputs instead of crashing
 
-Gzip transport compression (1f 8b magic) is stripped transparently before
-sniffing — crawl dumps gzip per document — with a decompression cap
-(MAX_INFLATE) so a gzip bomb routes to 'binary' instead of OOMing a worker.
+Transport compression (gzip 1f-8b, bzip2 BZh, xz fd-37-7a-58-5a magics) is
+stripped transparently before sniffing — crawl dumps compress per document —
+with a decompression cap (MAX_INFLATE) so a compression bomb routes to
+'binary' instead of OOMing a worker; truncated streams count as corrupt.
 """
 
 from __future__ import annotations
@@ -95,11 +96,39 @@ def gunzip(data: bytes, cap: int = MAX_INFLATE) -> bytes | None:
     try:
         d = zlib.decompressobj(wbits=31)
         out = d.decompress(data, cap)
-        if d.unconsumed_tail:  # would inflate past the cap
-            return None
+        if d.unconsumed_tail or not d.eof:
+            return None  # over the cap, or a truncated stream
         return out
     except zlib.error:
         return None
+
+
+def _decompress_transport(data: bytes, cap: int = MAX_INFLATE) -> bytes | None:
+    """Strip one layer of transport compression (gzip / bzip2 / xz magics);
+    None means corrupt, truncated, or over the bomb cap; the bytes unchanged
+    means no compression layer. All three decompressors are incremental with
+    max_length, so the cap bounds allocation, not just output."""
+    if data.startswith(_GZIP_MAGIC):
+        return gunzip(data, cap)
+    if data.startswith(b"BZh"):
+        import bz2
+
+        try:
+            d = bz2.BZ2Decompressor()
+            out = d.decompress(data, cap)
+            return out if d.eof else None
+        except OSError:
+            return None
+    if data.startswith(b"\xfd7zXZ\x00"):
+        import lzma
+
+        try:
+            d = lzma.LZMADecompressor()
+            out = d.decompress(data, cap)
+            return out if d.eof else None
+        except lzma.LZMAError:
+            return None
+    return data
 
 
 def sniff_format(data: bytes) -> str:
@@ -110,10 +139,10 @@ def sniff_format(data: bytes) -> str:
     END of the file; zipfile needs it to list member names)."""
     if not data:
         return "binary"
-    if data.startswith(_GZIP_MAGIC):
-        # transparent transport compression (crawl dumps gzip per document);
-        # sniff the inflated payload — corrupt/bomb gzip is binary
-        inner = gunzip(data)
+    if data.startswith((_GZIP_MAGIC, b"BZh", b"\xfd7zXZ\x00")):
+        # transparent transport compression (crawl dumps compress per
+        # document); sniff the decompressed payload — corrupt/bomb is binary
+        inner = _decompress_transport(data)
         return "binary" if inner is None else sniff_format(inner)
     if data.startswith(b"%PDF-"):
         return "pdf"
@@ -163,10 +192,11 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
     exports and unreadable inputs; a 10^12-row batch job records and moves
     on). Parser failures on a CORRECTLY sniffed format also degrade to zero
     spans rather than poisoning the batch — each first-mile parser already
-    guards its own nontermination/crash cases (fuzz-tested). Gzip transport
-    compression is stripped transparently (fmt reports the INNER format)."""
-    if data.startswith(_GZIP_MAGIC):
-        inner = gunzip(data)
+    guards its own nontermination/crash cases (fuzz-tested). Transport
+    compression (gzip/bzip2/xz) is stripped transparently — fmt reports the
+    INNER format."""
+    if data.startswith((_GZIP_MAGIC, b"BZh", b"\xfd7zXZ\x00")):
+        inner = _decompress_transport(data)
         if inner is None:
             return "binary", []
         data = inner

@@ -157,5 +157,9 @@ METRICS = StructType(
         StructField("n_chunks", LongType(), False),
         StructField("wall_ms", LongType(), False),
         StructField("commit_seq", LongType(), False),
+        # per-format doc counts as a sorted JSON object ('' for non-mixed
+        # runs) — the lineage a mixed/WARC ingest commit carries so a
+        # resumed/audited run can account for binary/json rejects per bucket
+        StructField("fmt_counts", StringType(), True),
     ]
 )

@@ -1826,3 +1826,60 @@ def expected_warc_spans(n_files: int, seed: int = 42) -> list[dict]:
             for r in by_inner.get(inner_id, []):
                 out.append({**r, "doc_id": out_id})
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL admission truth table (SSRF gate fodder): authored (url, resolved_ips,
+# verdict, reason) cases — the gate kernel under test never reads the
+# verdicts. Verdict parity target: the reference's URLValidator ladder
+# (validators.py:162-340) over the same stdlib ipaddress semantics.
+# ---------------------------------------------------------------------------
+
+URL_ADMISSION_CASES: list[tuple[str, list | None, int, str | None]] = [
+    ("http://example.com/x", None, 1, None),
+    ("https://example.com:8443/x", None, 1, None),
+    ("https://sub.host.example.co.uk/a?b=c#d", None, 1, None),
+    ("http://user:pw@example.com/x", None, 1, None),
+    ("http://100.64.0.1/x", None, 1, None),  # CGNAT: stdlib is_private=False
+    ("http://[2606:4700::1111]/x", None, 1, None),
+    ("ftp://example.com/x", None, 0, "bad_scheme"),
+    ("file:///etc/passwd", None, 0, "bad_scheme"),
+    ("", None, 0, "bad_scheme"),
+    ("not a url at all", None, 0, "bad_scheme"),
+    ("http:///nohost", None, 0, "no_host"),
+    ("http://", None, 0, "no_host"),
+    ("http://127.0.0.1/x", None, 0, "loopback"),
+    ("http://127.8.9.10/x", None, 0, "loopback"),
+    ("http://[::1]/x", None, 0, "loopback"),
+    ("http://169.254.169.254/latest/meta-data/", None, 0, "metadata_endpoint"),
+    ("http://169.254.1.1/x", None, 0, "link_local"),
+    ("http://[fe80::1]/x", None, 0, "link_local"),
+    ("http://224.0.0.1/x", None, 0, "multicast"),
+    ("http://[ff02::2]/x", None, 0, "multicast"),
+    ("http://240.0.0.1/x", None, 0, "reserved"),
+    ("http://10.0.0.5/x", None, 0, "private"),
+    ("http://192.168.1.1/x", None, 0, "private"),
+    ("http://172.16.0.1/x", None, 0, "private"),
+    ("http://[2001:db8::1]/x", None, 0, "private"),
+    ("http://0.0.0.0/x", None, 0, "private"),
+    ("http://example.com:99999/x", None, 0, "bad_url"),
+    ("http://[v1.fe]/x", None, 0, "bad_url"),
+    ("http://example.com/x", ["93.184.216.34"], 1, None),
+    ("http://example.com/x", ["93.184.216.34", "2606:4700::1111"], 1, None),
+    ("http://example.com/x", ["93.184.216.34", "10.0.0.1"], 0, "private"),
+    ("http://example.com/x", ["169.254.169.254"], 0, "metadata_endpoint"),
+    ("http://example.com/x", ["127.0.0.1"], 0, "loopback"),
+    ("http://example.com/x", ["fe80::1"], 0, "link_local"),
+    ("http://example.com/x", ["not-an-ip"], 0, "bad_url"),
+    ("http://safe.example/x", ["240.1.2.3"], 0, "reserved"),
+]
+
+
+def url_admission_cases_df(spark: SparkSession) -> DataFrame:
+    """(case_id, url, resolved_ips) — verdict columns deliberately absent."""
+    rows = [
+        (i, u, ips) for i, (u, ips, _a, _r) in enumerate(URL_ADMISSION_CASES)
+    ]
+    return spark.createDataFrame(
+        rows, "case_id int, url string, resolved_ips array<string>"
+    ).repartition(4)

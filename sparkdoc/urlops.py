@@ -35,6 +35,7 @@ window-free keep-min shape as dedup_text.exact_dedup).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,4 +142,121 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
             F.count("*").alias("n_rows"),
             F.count_distinct(url_col).alias("n_spellings"),
         )
+    )
+
+
+# --- URL admission (SSRF gate, static subset) --------------------------------
+#
+# Reference: URLValidator.validate + _validate_ip
+# (core/input/validators.py:162-340) and the fetch-time re-check
+# (core/input/handlers.py:212-260). The reference resolves EVERY A/AAAA
+# record and rejects if ANY lands in a protected network ("one safe record
+# must not vouch for an unsafe sibling"). A batch engine must not do DNS
+# inside the DAG, so this operator applies the IDENTICAL per-address ladder
+# to (a) IP-literal hostnames, and (b) an optional pre-resolved IP-list
+# column produced by an ingest-side resolver — the gate logic itself never
+# diverges from the reference's ordering:
+#   cloud metadata endpoint → loopback → link-local → multicast → reserved
+#   → private (checked LAST, exactly as the reference does — is_private is
+#   also true for loopback/link-local, so order decides the reason string).
+
+#: reject reasons, in the reference's check order
+URL_REJECT_REASONS = (
+    "bad_url", "bad_scheme", "no_host",
+    "metadata_endpoint", "loopback", "link_local", "multicast", "reserved",
+    "private",
+)
+
+
+def _ip_reason(ip_str: str):
+    """One resolved address through the reference's ladder; None if safe."""
+    import ipaddress
+
+    try:
+        ip = ipaddress.ip_address(ip_str)
+    except ValueError:
+        return "bad_url"
+    if ip_str == "169.254.169.254":
+        return "metadata_endpoint"
+    if ip.is_loopback:
+        return "loopback"
+    if ip.is_link_local:
+        return "link_local"
+    if ip.is_multicast:
+        return "multicast"
+    if ip.is_reserved:
+        return "reserved"
+    if ip.is_private:
+        return "private"
+    return None
+
+
+def admit_url(url: str, resolved_ips: list | None = None):
+    """(admitted, reason) for one URL. reason is None when admitted.
+
+    Checks, in reference order: parseable → scheme http/https → hostname
+    present → if the hostname is an IP literal, the address ladder → every
+    pre-resolved address (if given) through the same ladder."""
+    from urllib.parse import urlsplit
+
+    try:
+        parts = urlsplit(url or "")
+        host = parts.hostname
+        _ = parts.port  # raises ValueError on malformed/out-of-range ports
+    except ValueError:
+        return False, "bad_url"
+    if parts.scheme not in ("http", "https"):
+        return False, "bad_scheme"
+    if not parts.netloc or not host:
+        return False, "no_host"
+    # IP-literal hostname: the ladder applies with no resolver involved
+    import ipaddress
+
+    try:
+        ipaddress.ip_address(host)
+        is_literal = True
+    except ValueError:
+        is_literal = False
+    if "[" in parts.netloc and not is_literal:
+        # bracketed hosts must be IP literals (RFC 3986); the reference's
+        # resolver would fail on these
+        return False, "bad_url"
+    if is_literal:
+        r = _ip_reason(host)
+        if r:
+            return False, r
+    for ip in resolved_ips or []:
+        r = _ip_reason(str(ip))
+        if r:
+            return False, r
+    return True, None
+
+
+def url_admission(
+    df: DataFrame, url_col: str = "url", ips_col: str | None = None
+) -> DataFrame:
+    """Adds ``admitted`` (bool) + ``reject_reason`` (string, NULL when
+    admitted) — Arrow-batched pandas UDF (stdlib urllib/ipaddress per value;
+    no network, no DNS)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if ips_col is None:
+
+        @pandas_udf("string")
+        def _gate(urls: pd.Series) -> pd.Series:
+            return urls.map(lambda u: admit_url(u)[1] or "")
+        out = df.withColumn("_r", _gate(F.col(url_col)))
+    else:
+
+        @pandas_udf("string")
+        def _gate2(urls: pd.Series, ips: pd.Series) -> pd.Series:
+            return pd.Series(
+                [admit_url(u, list(i) if i is not None else None)[1] or ""
+                 for u, i in zip(urls, ips)]
+            )
+        out = df.withColumn("_r", _gate2(F.col(url_col), F.col(ips_col)))
+    return (
+        out.withColumn("admitted", F.col("_r") == "")
+        .withColumn("reject_reason", F.when(F.col("_r") != "", F.col("_r")))
+        .drop("_r")
     )

@@ -303,3 +303,26 @@ def test_gunzip_bomb_guard():
     bomb = gzip.compress(b"\x00" * (4 << 20))
     assert gunzip(bomb, cap=1 << 20) is None  # over cap -> rejected
     assert gunzip(bomb, cap=8 << 20) is not None
+
+
+def test_sniff_bz2_and_xz_transparent():
+    import bz2
+    import lzma
+
+    from sparkdoc.ingest import _decompress_transport
+
+    html = synth_html_doc(2, SEED)["html"].encode()
+    assert sniff_format(bz2.compress(html)) == "html"
+    assert sniff_format(lzma.compress(html)) == "html"
+    assert sniff_format(b"BZh garbage") == "binary"
+    assert sniff_format(b"\xfd7zXZ\x00garbage") == "binary"
+    # truncated streams are corrupt, not partial documents
+    assert sniff_format(bz2.compress(html)[:20]) == "binary"
+    # bomb guard bounds all three codecs
+    big = b"\x00" * (4 << 20)
+    assert _decompress_transport(bz2.compress(big), cap=1 << 20) is None
+    assert _decompress_transport(lzma.compress(big), cap=1 << 20) is None
+    # routing parity: compressed and plain land on identical spans
+    f1, s1 = mixed_spans_doc("d", bz2.compress(html))
+    f2, s2 = mixed_spans_doc("d", html)
+    assert f1 == f2 == "html" and s1 == s2

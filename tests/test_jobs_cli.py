@@ -406,3 +406,12 @@ def test_extract_cli_mixed_resume(tmp_path, spark):
     for r in expected_mixed_formats(24, 42):
         exp[r["fmt"]] = exp.get(r["fmt"], 0) + 1
     assert fmt_counts == exp
+    # ...and every bucket's manifest commit carries the per-format lineage
+    man = spark.read.parquet(os.path.join(out, "_manifest"))
+    rows = [r for r in man.collect() if r["n_docs"] > 0]
+    assert rows and all(r["fmt_counts"] for r in rows)
+    total: dict[str, int] = {}
+    for r in rows:
+        for k, v in json.loads(r["fmt_counts"]).items():
+            total[k] = total.get(k, 0) + v
+    assert total == exp

@@ -156,3 +156,50 @@ def test_with_canonical_keeps_rows(spark):
     )
     out = with_canonical_url(df).orderBy("doc_id").collect()
     assert [r["url_canon"] for r in out] == ["http://ex.com/x", None]
+
+
+# --- URL admission (SSRF gate, static subset) --------------------------------
+
+
+def test_admit_url_truth_table():
+    """Every authored case (synth.URL_ADMISSION_CASES) matches the kernel —
+    the ladder order (metadata → loopback → link-local → multicast →
+    reserved → private) decides the reason, exactly as the reference
+    checks it (validators.py:260-340)."""
+    from sparkdoc.synth import URL_ADMISSION_CASES
+    from sparkdoc.urlops import admit_url
+
+    for url, ips, want_admit, want_reason in URL_ADMISSION_CASES:
+        admitted, reason = admit_url(url, ips)
+        assert (int(admitted), reason) == (want_admit, want_reason), (url, ips)
+
+
+def test_admit_url_any_unsafe_sibling_rejects():
+    """One safe record must not vouch for an unsafe sibling
+    (handlers.py:238-241)."""
+    from sparkdoc.urlops import admit_url
+
+    safe = ["93.184.216.34", "2606:4700::1111"]
+    assert admit_url("http://x.example/", safe) == (True, None)
+    for bad, reason in [("10.1.2.3", "private"), ("127.0.0.1", "loopback"),
+                        ("169.254.169.254", "metadata_endpoint")]:
+        admitted, r = admit_url("http://x.example/", safe + [bad])
+        assert not admitted and r == reason
+
+
+def test_url_admission_dataframe(spark):
+    from sparkdoc.synth import URL_ADMISSION_CASES, url_admission_cases_df
+    from sparkdoc.urlops import url_admission
+
+    out = url_admission(url_admission_cases_df(spark), ips_col="resolved_ips")
+    got = {r.case_id: (r.admitted, r.reject_reason) for r in out.collect()}
+    for i, (_u, _ips, a, reason) in enumerate(URL_ADMISSION_CASES):
+        assert got[i] == (bool(a), reason), i
+    # url-only variant (no ips column)
+    out2 = url_admission(url_admission_cases_df(spark).drop("resolved_ips"))
+    got2 = {r.case_id: r.admitted for r in out2.collect()}
+    # cases whose verdict depends ONLY on the url agree; ip-list rejects
+    # become admits without the resolver column
+    for i, (u, ips, a, _r) in enumerate(URL_ADMISSION_CASES):
+        if not ips:
+            assert got2[i] == bool(a), i
