@@ -48,8 +48,8 @@ FLAT = dict(html=flatten_html, md=flatten_markdown, docx=flatten_docx,
             pdf=flatten_pdf).get(fmt)
 FUSED = dict(html=html_to_documents_fused, md=md_to_documents,
              docx=docx_to_documents, mixed=mixed_to_documents).get(fmt)
-if fused and FUSED is None:
-    raise SystemExit("--fused: pdf has no fused path (multi-page geometry)")
+if fused and FUSED is None and fmt not in ("mixed", "warc"):
+    raise SystemExit("--fused: %s has no fused path (multi-page geometry)" % fmt)
 if fmt == "mixed":
     job = lambda df: mixed_to_documents(df)  # sniff+route is fused by design
 elif fmt == "warc":

@@ -145,6 +145,7 @@ def run_resumable(
     job_id: str | None = None,
     chunk: bool = True,
     documents_input: bool = False,
+    documents_fn=None,
 ) -> dict:
     """Extract (+ chunk) with per-bucket-group commits; resumes automatically.
 
@@ -152,6 +153,13 @@ def run_resumable(
     documents-shaped table (doc_id, spans, extra columns pass through to the
     write — the mixed-format ingest adds ``fmt``) and the extract stage is
     skipped: bucketing, commits, and resume semantics are identical.
+
+    ``documents_fn`` defers an expensive blob parse to AFTER the bucket
+    filter: the first argument is then a (doc_id, blob, ...) table, bucketed
+    cheaply on doc_id, and ``documents_fn(group_blobs)`` produces the
+    documents per group — so each blob is parsed exactly once across all
+    groups instead of once per group (parsing upstream of the filter would
+    re-run the whole corpus parse every iteration).
 
     Returns a summary dict with buckets processed/skipped and totals.
     """
@@ -169,7 +177,9 @@ def run_resumable(
         group = todo[gi : gi + group_size]
         t0 = time.monotonic()
         part = bucketed.filter(F.col("bucket").isin(group))
-        if documents_input:
+        if documents_fn is not None:
+            docs = documents_fn(part.drop("bucket")).persist()
+        elif documents_input:
             docs = part.drop("bucket").persist()
         else:
             docs = extract_documents(part.drop("bucket")).persist()

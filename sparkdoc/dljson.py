@@ -66,13 +66,17 @@ _LINE_H = 20
 
 def _table_text(table: dict) -> str:
     """Row-major cell reconstruction: sort by (start_row, start_col), cells
-    joined ' | ', rows joined newline."""
+    joined ' | ', rows joined newline. Malformed cells are skipped, not
+    fatal (one corrupt blob must not kill a batch)."""
     cells = (table.get("data") or {}).get("table_cells") or []
     rows: dict[int, list[tuple[int, str]]] = {}
     for c in cells:
-        r = int(c.get("start_row_offset_idx") or 0)
-        k = int(c.get("start_col_offset_idx") or 0)
-        rows.setdefault(r, []).append((k, str(c.get("text") or "")))
+        try:
+            r = int(c.get("start_row_offset_idx") or 0)
+            k = int(c.get("start_col_offset_idx") or 0)
+            rows.setdefault(r, []).append((k, str(c.get("text") or "")))
+        except (TypeError, ValueError, AttributeError):
+            continue
     out = []
     for r in sorted(rows):
         out.append(" | ".join(t for _, t in sorted(rows[r])))
@@ -80,32 +84,48 @@ def _table_text(table: dict) -> str:
 
 
 def _prov_of(item: dict) -> dict | None:
-    prov = item.get("prov") or []
-    if not prov:
+    """First prov entry as (page_no, int bbox, origin); None when absent OR
+    malformed (non-numeric coords, wrong shapes — adversarial JSON must
+    degrade, not raise)."""
+    try:
+        prov = item.get("prov") or []
+        if not prov:
+            return None
+        p = prov[0]
+        bbox = p.get("bbox") or {}
+        if not all(k in bbox for k in ("l", "t", "r", "b")):
+            return None
+        return {
+            "page_no": int(p.get("page_no") or 1),
+            "bbox": [int(round(float(bbox[k]))) for k in ("l", "t", "r", "b")],
+            "coord_origin": str(bbox.get("coord_origin") or "TOPLEFT").upper(),
+        }
+    except (TypeError, ValueError, AttributeError):
         return None
-    p = prov[0]
-    bbox = p.get("bbox") or {}
-    if not all(k in bbox for k in ("l", "t", "r", "b")):
-        return None
-    return {
-        "page_no": int(p.get("page_no") or 1),
-        "bbox": [int(round(float(bbox[k]))) for k in ("l", "t", "r", "b")],
-        "coord_origin": str(bbox.get("coord_origin") or "TOPLEFT").upper(),
-    }
 
 
 def _walk_children(node: dict, doc: dict, out: list[str], seen: set) -> None:
-    for ch in node.get("children") or []:
+    """Iterative DFS over body/group children — a hostile 10^4-deep group
+    chain must not blow the recursion limit (the seen-set already stops
+    cycles)."""
+    stack: list = [iter(node.get("children") or [])]
+    while stack:
+        try:
+            ch = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
         ref = ch.get("$ref") if isinstance(ch, dict) else None
-        if not ref or ref in seen:
+        if not isinstance(ref, str) or ref in seen:
             continue
         seen.add(ref)
         if ref.startswith("#/groups/"):
             try:
                 grp = doc["groups"][int(ref.rsplit("/", 1)[1])]
-            except (KeyError, IndexError, ValueError):
+            except (KeyError, IndexError, ValueError, TypeError):
                 continue
-            _walk_children(grp, doc, out, seen)
+            if isinstance(grp, dict):
+                stack.append(iter(grp.get("children") or []))
         else:
             out.append(ref)
 
@@ -133,6 +153,16 @@ def docling_json_nodes_doc(doc_id: str, data: bytes) -> list[dict]:
         return []
     if not isinstance(doc, dict) or doc.get("schema_name") != "DoclingDocument":
         return []
+    try:
+        return _nodes_of(doc_id, doc)
+    except Exception:
+        # belt-and-braces: the targeted guards below cover the shapes we
+        # know about; anything novel in adversarial JSON still degrades to
+        # a reject instead of failing the Spark task
+        return []
+
+
+def _nodes_of(doc_id: str, doc: dict) -> list[dict]:
 
     page_sizes: dict[int, tuple[int, int]] = {}
     for k, pg in (doc.get("pages") or {}).items():
@@ -151,16 +181,19 @@ def docling_json_nodes_doc(doc_id: str, data: bytes) -> list[dict]:
     any_prov = False
     for ref in refs:
         hit = _resolve(doc, ref)
-        if hit is None:
-            continue
+        if hit is None or not isinstance(hit[1], dict):
+            continue  # a list entry that is not an object: skip, don't raise
         coll, item = hit
         prov = _prov_of(item)
         any_prov = any_prov or prov is not None
         if coll == "texts":
             label = str(item.get("label") or "text")
             if label == "section_header":
-                lvl = int(item.get("level") or 1)
-                tag = f"h{min(lvl + 1, 6)}"
+                try:
+                    lvl = int(item.get("level") or 1)
+                except (TypeError, ValueError):
+                    lvl = 1
+                tag = f"h{min(max(lvl, 1) + 1, 6)}"
             else:
                 tag = _LABEL_TAG.get(label, "p")
             items.append((tag, str(item.get("text") or ""), ref, prov))

@@ -35,6 +35,9 @@ Format vocabulary (sniff → handler):
   markdown  any other valid-UTF-8 text      → mdparse.md_spans_doc
             (the reference's catch-all: raw text normalizes to .md,
             handlers.py:44-105)
+  warc      a whole WARC container mis-fed as one document row — zero
+            spans, fmt recorded (route containers through
+            warc.warc_extract, which splits records first)
   binary    everything else (unknown magics, invalid UTF-8, zips without
             word/document.xml, empty blobs) — zero spans, fmt recorded so
             the job can account for skipped inputs instead of crashing
@@ -68,7 +71,8 @@ MIXED_DOCUMENTS = StructType(
 )
 
 FORMATS = (
-    "pdf", "docx", "html", "doclang", "docling_json", "json", "markdown", "binary"
+    "pdf", "docx", "html", "doclang", "docling_json", "json", "markdown",
+    "warc", "binary"
 )
 
 #: tags that mark text as HTML when they appear in the head window
@@ -88,47 +92,84 @@ _GZIP_MAGIC = b"\x1f\x8b"
 MAX_INFLATE = 512 * 1024 * 1024
 
 
+#: real bzip2 magic is 'BZh' + block-size digit — a 3-byte check would
+#: misroute plain text that merely starts with "BZh" (review finding)
+_BZ2_MAGICS = tuple(b"BZh%d" % d for d in range(1, 10))
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+#: nested transport layers allowed (double Content-Encoding happens in real
+#: crawls; beyond a few layers it's a compression quine, not a document)
+_MAX_TRANSPORT_LAYERS = 4
+
+
+def _is_compressed(data: bytes) -> bool:
+    return data.startswith((_GZIP_MAGIC, _XZ_MAGIC)) or data.startswith(_BZ2_MAGICS)
+
+
 def gunzip(data: bytes, cap: int = MAX_INFLATE) -> bytes | None:
-    """First gzip member of ``data`` inflated, or None (corrupt / over cap).
-    decompressobj + max_length keeps the bomb guard allocation-bounded."""
+    """ALL gzip members of ``data`` inflated and concatenated (bgzip /
+    block-gzipped documents arrive as concatenated members — returning only
+    the first silently truncates the document), or None (corrupt, truncated,
+    or over cap). decompressobj + max_length keeps the bomb guard
+    allocation-bounded; the cap applies to the TOTAL output."""
     import zlib
 
+    out = bytearray()
+    rest = data
     try:
-        d = zlib.decompressobj(wbits=31)
-        out = d.decompress(data, cap)
-        if d.unconsumed_tail or not d.eof:
-            return None  # over the cap, or a truncated stream
-        return out
+        while rest:
+            d = zlib.decompressobj(wbits=31)
+            out += d.decompress(rest, cap - len(out) + 1)
+            if len(out) > cap or not d.eof:
+                return None  # over the cap, or a truncated stream
+            rest = d.unused_data
     except zlib.error:
         return None
+    return bytes(out)
+
+
+def _multi_stream(decomp_cls, err, data: bytes, cap: int) -> bytes | None:
+    """bz2/lzma analog of gunzip's member loop (both decompressor classes
+    expose eof + unused_data per stream)."""
+    out = bytearray()
+    rest = data
+    try:
+        while rest:
+            d = decomp_cls()
+            out += d.decompress(rest, cap - len(out) + 1)
+            if len(out) > cap or not d.eof:
+                return None
+            rest = d.unused_data
+    except err:
+        return None
+    return bytes(out)
 
 
 def _decompress_transport(data: bytes, cap: int = MAX_INFLATE) -> bytes | None:
-    """Strip one layer of transport compression (gzip / bzip2 / xz magics);
-    None means corrupt, truncated, or over the bomb cap; the bytes unchanged
-    means no compression layer. All three decompressors are incremental with
-    max_length, so the cap bounds allocation, not just output."""
-    if data.startswith(_GZIP_MAGIC):
-        return gunzip(data, cap)
-    if data.startswith(b"BZh"):
-        import bz2
+    """Strip transport compression (gzip / bzip2 / xz magics), up to
+    ``_MAX_TRANSPORT_LAYERS`` nested layers (double Content-Encoding); None
+    means corrupt, truncated, over the bomb cap, or nested deeper than the
+    layer cap; the bytes unchanged means no compression layer. All three
+    decompressors are incremental with max_length, so the cap bounds
+    allocation, not just output — and concatenated multi-member/stream
+    blobs decompress WHOLE (no silent first-member truncation)."""
+    for _ in range(_MAX_TRANSPORT_LAYERS):
+        if data.startswith(_GZIP_MAGIC):
+            nxt = gunzip(data, cap)
+        elif data.startswith(_BZ2_MAGICS):
+            import bz2
 
-        try:
-            d = bz2.BZ2Decompressor()
-            out = d.decompress(data, cap)
-            return out if d.eof else None
-        except OSError:
-            return None
-    if data.startswith(b"\xfd7zXZ\x00"):
-        import lzma
+            nxt = _multi_stream(bz2.BZ2Decompressor, OSError, data, cap)
+        elif data.startswith(_XZ_MAGIC):
+            import lzma
 
-        try:
-            d = lzma.LZMADecompressor()
-            out = d.decompress(data, cap)
-            return out if d.eof else None
-        except lzma.LZMAError:
+            nxt = _multi_stream(lzma.LZMADecompressor, lzma.LZMAError, data, cap)
+        else:
+            return data
+        if nxt is None:
             return None
-    return data
+        data = nxt
+    return None if _is_compressed(data) else data
 
 
 def sniff_format(data: bytes) -> str:
@@ -139,13 +180,19 @@ def sniff_format(data: bytes) -> str:
     END of the file; zipfile needs it to list member names)."""
     if not data:
         return "binary"
-    if data.startswith((_GZIP_MAGIC, b"BZh", b"\xfd7zXZ\x00")):
+    if _is_compressed(data):
         # transparent transport compression (crawl dumps compress per
         # document); sniff the decompressed payload — corrupt/bomb is binary
         inner = _decompress_transport(data)
         return "binary" if inner is None else sniff_format(inner)
     if data.startswith(b"%PDF-"):
         return "pdf"
+    if data.startswith(b"WARC/"):
+        # a whole WARC container fed as one document row: many documents,
+        # not one — route through warc.warc_extract instead (recorded here
+        # so the accounting flags the mis-fed container instead of
+        # serializing its headers as markdown)
+        return "warc"
     if data.startswith(b"PK\x03\x04"):
         # OOXML packages are zips; Word documents carry word/document.xml
         # (docxparse's entry part). Other zips are opaque binaries.
@@ -193,9 +240,9 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
     on). Parser failures on a CORRECTLY sniffed format also degrade to zero
     spans rather than poisoning the batch — each first-mile parser already
     guards its own nontermination/crash cases (fuzz-tested). Transport
-    compression (gzip/bzip2/xz) is stripped transparently — fmt reports the
-    INNER format."""
-    if data.startswith((_GZIP_MAGIC, b"BZh", b"\xfd7zXZ\x00")):
+    compression (gzip/bzip2/xz, nested up to the layer cap) is stripped
+    transparently — fmt reports the INNER format."""
+    if _is_compressed(data):
         inner = _decompress_transport(data)
         if inner is None:
             return "binary", []

@@ -113,16 +113,13 @@ def main() -> None:
 
         raw = flatten_docx(spark.read.parquet(args.input.split(":", 1)[1]))
     elif args.input.startswith("mixed-synth:"):
-        from sparkdoc.ingest import mixed_to_documents
         from sparkdoc.synth import mixed_corpus_df
 
-        raw = mixed_to_documents(
-            mixed_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
+        # blobs carry doc_id, so bucketing happens BEFORE the parse — the
+        # sniff+route runs once per blob total, not once per bucket group
+        raw = mixed_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
     elif args.input.startswith("mixed:"):
-        from sparkdoc.ingest import mixed_to_documents
-
-        raw = mixed_to_documents(spark.read.parquet(args.input.split(":", 1)[1]))
+        raw = spark.read.parquet(args.input.split(":", 1)[1])
     elif args.input.startswith("dljson-synth:"):
         from sparkdoc.dljson import flatten_docling_json
         from sparkdoc.synth import docling_json_corpus_df
@@ -136,18 +133,25 @@ def main() -> None:
         raw = flatten_docling_json(spark.read.parquet(args.input.split(":", 1)[1]))
     elif args.input.startswith("warc-synth:"):
         from sparkdoc.synth import warc_corpus_df
-        from sparkdoc.warc import warc_extract
+        from sparkdoc.warc import warc_to_blobs
 
-        raw = warc_extract(
+        # record split first (cheap header scan) so the bucket filter lands
+        # between the container split and the expensive per-format parse
+        raw = warc_to_blobs(
             warc_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
         )
     elif args.input.startswith("warc:"):
-        from sparkdoc.warc import warc_extract
+        from sparkdoc.warc import warc_to_blobs
 
-        raw = warc_extract(spark.read.parquet(args.input.split(":", 1)[1]))
+        raw = warc_to_blobs(spark.read.parquet(args.input.split(":", 1)[1]))
     else:
         raw = spark.read.parquet(args.input)
 
+    documents_fn = None
+    if args.input.startswith(("mixed:", "mixed-synth:", "warc:", "warc-synth:")):
+        from sparkdoc.ingest import mixed_to_documents
+
+        documents_fn = mixed_to_documents
     summary = run_resumable(
         spark,
         raw,
@@ -155,9 +159,7 @@ def main() -> None:
         n_buckets=args.buckets,
         group_size=args.group_size,
         chunk=not args.no_chunk,
-        documents_input=args.input.startswith(
-            ("mixed:", "mixed-synth:", "warc:", "warc-synth:")
-        ),
+        documents_fn=documents_fn,
     )
     print(json.dumps(summary))
     spark.stop()

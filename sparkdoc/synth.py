@@ -1864,6 +1864,14 @@ URL_ADMISSION_CASES: list[tuple[str, list | None, int, str | None]] = [
     ("http://0.0.0.0/x", None, 0, "private"),
     ("http://example.com:99999/x", None, 0, "bad_url"),
     ("http://[v1.fe]/x", None, 0, "bad_url"),
+    # inet_aton spellings resolve WITHOUT DNS — the ladder must see them
+    ("http://0177.0.0.1/x", None, 0, "loopback"),
+    ("http://2130706433/x", None, 0, "loopback"),
+    ("http://127.1/x", None, 0, "loopback"),
+    ("http://0x7f.0.0.1/x", None, 0, "loopback"),
+    ("http://0xA9FEA9FE/x", None, 0, "metadata_endpoint"),  # = 169.254.169.254
+    ("http://192.168.1/x", None, 0, "private"),
+    ("http://01.02.03.04/x", None, 1, None),  # octal 1.2.3.4: public
     ("http://example.com/x", ["93.184.216.34"], 1, None),
     ("http://example.com/x", ["93.184.216.34", "2606:4700::1111"], 1, None),
     ("http://example.com/x", ["93.184.216.34", "10.0.0.1"], 0, "private"),

@@ -191,12 +191,52 @@ def _ip_reason(ip_str: str):
     return None
 
 
+def _inet_aton_canonical(host: str):
+    """Dotted-quad form of an inet_aton-style IPv4 literal, else None.
+
+    Standard socket semantics accept octal (0177.0.0.1), hex (0x7f.0.0.1),
+    plain-integer (2130706433) and short (127.1) spellings and connect with
+    NO DNS resolution — so the admission ladder must see them as the
+    addresses they are, or loopback/private targets slip through as
+    'hostnames' (classic SSRF filter bypass)."""
+    parts = host.split(".")
+    if not 1 <= len(parts) <= 4 or host != host.strip():
+        return None
+    vals = []
+    for p in parts:
+        if not p:
+            return None
+        try:
+            if p[:2].lower() == "0x":
+                v = int(p, 16) if len(p) > 2 else None
+            elif len(p) > 1 and p[0] == "0":
+                v = int(p, 8)
+            else:
+                v = int(p, 10) if p.isdigit() else None
+        except ValueError:
+            return None
+        if v is None:
+            return None
+        vals.append(v)
+    # last part fills the remaining bytes (inet_aton rule)
+    width = (5 - len(vals)) * 8
+    if any(v > 255 for v in vals[:-1]) or vals[-1] >= (1 << width):
+        return None
+    n = 0
+    for v in vals[:-1]:
+        n = (n << 8) | v
+    n = (n << width) | vals[-1]
+    return f"{(n >> 24) & 255}.{(n >> 16) & 255}.{(n >> 8) & 255}.{n & 255}"
+
+
 def admit_url(url: str, resolved_ips: list | None = None):
     """(admitted, reason) for one URL. reason is None when admitted.
 
     Checks, in reference order: parseable → scheme http/https → hostname
-    present → if the hostname is an IP literal, the address ladder → every
-    pre-resolved address (if given) through the same ladder."""
+    present → if the hostname is an IP literal (INCLUDING inet_aton octal/
+    hex/integer/short spellings, which fetchers resolve without DNS), the
+    address ladder → every pre-resolved address (if given) through the same
+    ladder."""
     from urllib.parse import urlsplit
 
     try:
@@ -212,17 +252,17 @@ def admit_url(url: str, resolved_ips: list | None = None):
     # IP-literal hostname: the ladder applies with no resolver involved
     import ipaddress
 
+    literal = host
     try:
         ipaddress.ip_address(host)
-        is_literal = True
     except ValueError:
-        is_literal = False
-    if "[" in parts.netloc and not is_literal:
+        literal = _inet_aton_canonical(host)
+    if "[" in parts.netloc and literal is None:
         # bracketed hosts must be IP literals (RFC 3986); the reference's
         # resolver would fail on these
         return False, "bad_url"
-    if is_literal:
-        r = _ip_reason(host)
+    if literal is not None:
+        r = _ip_reason(literal)
         if r:
             return False, r
     for ip in resolved_ips or []:

@@ -314,7 +314,10 @@ def test_sniff_bz2_and_xz_transparent():
     html = synth_html_doc(2, SEED)["html"].encode()
     assert sniff_format(bz2.compress(html)) == "html"
     assert sniff_format(lzma.compress(html)) == "html"
-    assert sniff_format(b"BZh garbage") == "binary"
+    # true magic (BZh + level digit) with a corrupt stream → binary;
+    # prose that merely starts with "BZh" is NOT compressed (see the
+    # bzh-prefixed-text regression below)
+    assert sniff_format(b"BZh9garbage") == "binary"
     assert sniff_format(b"\xfd7zXZ\x00garbage") == "binary"
     # truncated streams are corrupt, not partial documents
     assert sniff_format(bz2.compress(html)[:20]) == "binary"
@@ -326,3 +329,87 @@ def test_sniff_bz2_and_xz_transparent():
     f1, s1 = mixed_spans_doc("d", bz2.compress(html))
     f2, s2 = mixed_spans_doc("d", html)
     assert f1 == f2 == "html" and s1 == s2
+
+
+# --- review-fix regressions ---------------------------------------------------
+
+
+def test_nested_compression_routes_not_crashes():
+    """Double Content-Encoding (gzip(gzip(doc))) must parse like the plain
+    doc; exceeding the layer cap degrades to binary — one hostile blob must
+    never raise out of the routing kernel."""
+    import bz2
+    import gzip
+
+    html = synth_html_doc(1, SEED)["html"].encode()
+    _f0, plain = mixed_spans_doc("d", html)
+    for blob in (gzip.compress(gzip.compress(html)),
+                 bz2.compress(gzip.compress(html))):
+        fmt, spans = mixed_spans_doc("d", blob)
+        assert fmt == "html" and spans == plain
+    deep = html
+    for _ in range(5):
+        deep = gzip.compress(deep)
+    assert sniff_format(deep) == "binary"
+    assert mixed_spans_doc("d", deep) == ("binary", [])
+
+
+def test_multi_member_gzip_decompresses_whole():
+    """Concatenated gzip members (bgzip / block-gzipped docs) must yield the
+    WHOLE document — first-member-only truncation is silent corruption."""
+    import gzip
+
+    from sparkdoc.ingest import gunzip
+
+    html = synth_html_doc(1, SEED)["html"].encode()
+    multi = gzip.compress(html[: len(html) // 2]) + gzip.compress(html[len(html) // 2:])
+    assert gunzip(multi) == html
+    _f, plain = mixed_spans_doc("d", html)
+    fmt, spans = mixed_spans_doc("d", multi)
+    assert fmt == "html" and spans == plain
+
+
+def test_bzh_prefixed_text_is_markdown_not_binary():
+    """Real bzip2 magic is BZh + block-size digit; prose starting with 'BZh'
+    must fall through to the markdown catch-all."""
+    md = b"BZh compression notes\n\nThis markdown document explains bzip2."
+    assert sniff_format(md) == "markdown"
+    fmt, spans = mixed_spans_doc("d", md)
+    assert fmt == "markdown" and len(spans) > 0
+
+
+def test_warc_container_sniffed_not_garbled():
+    """A whole WARC file mis-fed as one document row is recorded as fmt
+    'warc' with zero spans (route containers through warc_extract)."""
+    from sparkdoc.synth import synth_warc_file
+
+    w = synth_warc_file(0, SEED)["content"]
+    assert sniff_format(w) == "warc"
+    assert mixed_spans_doc("d", w) == ("warc", [])
+
+
+def test_docling_json_adversarial_shapes():
+    """Malformed values inside a schema_name-marked JSON degrade to [] or
+    partial nodes — never exceptions (review finding repros)."""
+    import json
+
+    from sparkdoc.dljson import docling_json_nodes_doc
+
+    cases = [
+        b'{"schema_name": "DoclingDocument", "body": {"children": [{"$ref": "#/texts/0"}]}, "texts": [{"label": "text", "text": "x", "prov": [{"page_no": 1, "bbox": {"l": "x", "t": 1, "r": 2, "b": 3}}]}]}',
+        b'{"schema_name": "DoclingDocument", "body": {"children": [{"$ref": "#/texts/0"}]}, "texts": ["not a dict"]}',
+        b'{"schema_name": "DoclingDocument", "body": {"children": [{"$ref": "#/texts/0"}]}, "texts": [{"label": "section_header", "level": "two", "text": "h"}]}',
+        b'{"schema_name": "DoclingDocument", "body": "not a dict"}',
+    ]
+    for c in cases:
+        assert isinstance(docling_json_nodes_doc("d", c), list)
+    # a 3000-deep group chain must not blow the recursion limit
+    groups = [{"self_ref": f"#/groups/{i}", "children": [{"$ref": f"#/groups/{i + 1}"}]}
+              for i in range(3000)]
+    groups[-1]["children"] = [{"$ref": "#/texts/0"}]
+    doc = {"schema_name": "DoclingDocument",
+           "body": {"children": [{"$ref": "#/groups/0"}]},
+           "groups": groups,
+           "texts": [{"label": "text", "text": "deep", "prov": []}]}
+    rows = docling_json_nodes_doc("d", json.dumps(doc).encode())
+    assert len(rows) == 1 and rows[0]["text"] == "deep"

@@ -203,3 +203,20 @@ def test_url_admission_dataframe(spark):
     for i, (u, ips, a, _r) in enumerate(URL_ADMISSION_CASES):
         if not ips:
             assert got2[i] == bool(a), i
+
+
+def test_admit_url_inet_aton_spellings():
+    """Octal/hex/integer/short IPv4 spellings connect without DNS — the
+    ladder must see them as addresses (SSRF filter bypass, review fix)."""
+    from sparkdoc.urlops import admit_url
+
+    for u in ["http://0177.0.0.1/", "http://2130706433/", "http://127.1/",
+              "http://0x7f.0.0.1/"]:
+        admitted, reason = admit_url(u)
+        assert not admitted and reason == "loopback", u
+    assert admit_url("http://0xA9FEA9FE/") == (False, "metadata_endpoint")
+    assert admit_url("http://192.168.1/") == (False, "private")
+    # octal public address still admits; real hostnames unaffected
+    assert admit_url("http://01.02.03.04/") == (True, None)
+    assert admit_url("http://example.com/") == (True, None)
+    assert admit_url("http://1e2.example/") == (True, None)
