@@ -413,3 +413,57 @@ def test_docling_json_adversarial_shapes():
            "texts": [{"label": "text", "text": "deep", "prov": []}]}
     rows = docling_json_nodes_doc("d", json.dumps(doc).encode())
     assert len(rows) == 1 and rows[0]["text"] == "deep"
+
+
+def test_mixed_and_dljson_second_seed():
+    """The closed-form expectations hold at an independent seed (same
+    two-seed discipline as the golden corpus) — guards against the corpus
+    accidentally exercising only seed-42-specific branches."""
+    from sparkdoc.synth import (
+        expected_docling_json_spans,
+        expected_mixed_spans,
+        expected_warc_spans,
+        synth_docling_json_doc,
+        synth_mixed_doc,
+        synth_warc_file,
+    )
+    from sparkdoc.dljson import docling_json_spans_doc
+    from sparkdoc.warc import warc_doc_blobs
+
+    seed = 7
+    exp = expected_mixed_spans(14, seed)
+    by_doc: dict[str, list] = {}
+    for r in exp:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(14):
+        d = synth_mixed_doc(i, seed)
+        fmt, spans = mixed_spans_doc(d["doc_id"], d["blob"])
+        assert fmt == d["fmt"]
+        assert [(s["kind"], s["text"], s["offset"]) for s in spans] == [
+            (e["kind"], e["text"], e["offset"]) for e in by_doc.get(d["doc_id"], [])
+        ], d["doc_id"]
+
+    exp_j = expected_docling_json_spans(8, seed)
+    by_doc = {}
+    for r in exp_j:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(8):
+        d = synth_docling_json_doc(i, seed)
+        spans = docling_json_spans_doc(d["doc_id"], d["blob"])
+        assert [(s["kind"], s["text"]) for s in spans] == [
+            (e["kind"], e["text"]) for e in by_doc.get(d["doc_id"], [])
+        ], i
+
+    exp_w = expected_warc_spans(4, seed)
+    by_doc = {}
+    for r in exp_w:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(4):
+        f = synth_warc_file(i, seed)
+        for (rid, blob), (out_id, _inner) in zip(warc_doc_blobs(f["content"]), f["expected"]):
+            full_id = f"{f['warc_name']}#{rid}"
+            assert full_id == out_id
+            _fmt, spans = mixed_spans_doc(full_id, blob)
+            assert [(s["kind"], s["text"]) for s in spans] == [
+                (e["kind"], e["text"]) for e in by_doc.get(full_id, [])
+            ], full_id
