@@ -2919,11 +2919,51 @@ def _dljson_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xlsx_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw XLSX extends the Office first mile (reference: input-type
+    catch-all DOCUMENT → docling's MS-Excel backend, core/input/types.py):
+    real SpreadsheetML zip packages parsed by xlsxparse (shared + rich-text
+    + inline strings, numbers/booleans/errors verbatim, column gaps from
+    r= cell refs, blank-row skips, rels-resolved sheet order with
+    deliberately mismatched part numbering) through the fused zero-shuffle
+    spans path — oracle is a VALUES table from synth.expected_xlsx_spans
+    (closed-form authored plan)."""
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import xlsx_corpus_df
+    from sparkdoc.xlsxparse import xlsx_to_documents
+
+    docs = xlsx_to_documents(xlsx_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
+def _pptx_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PPTX completes the Office first mile (reference: input-type
+    catch-all DOCUMENT → docling's MS-PowerPoint backend). Slides carry
+    REAL geometry: the synth corpus SHUFFLES shape order in the XML, so the
+    pinned span order proves XY-cut recovers reading order from the EMU
+    boxes; page_breaks between slides, ftr/sldNum furniture placeholders,
+    and the repeated-text furniture rule (decoration boxes on >= 3 slides)
+    all come from the SAME assemble_spans kernel the PDF path runs. Oracle
+    is a VALUES table from synth.expected_pptx_spans (closed-form authored
+    plan, parser never consulted)."""
+    from sparkdoc.pptxparse import pptx_to_documents
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import pptx_corpus_df
+
+    docs = pptx_to_documents(pptx_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _mixed_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format ingest closes the input-routing first mile (reference
     InputTypeDetector.detect, core/input/types.py:44-233): ONE (doc_id,
-    blob) table interleaving real PDF/DOCX/HTML/Markdown/DocLang bytes plus
-    binary and graph-JSON rejects, sniffed and parsed per row inside one
+    blob) table interleaving real PDF/DOCX/XLSX/PPTX/HTML/Markdown/CSV/
+    DocLang bytes, standalone images, plus binary and graph-JSON rejects,
+    sniffed and parsed per row inside one
     zero-shuffle mapInPandas. The oracle is a VALUES table from
     synth.expected_mixed_spans — the same per-format closed-form
     restatements the per-format gates pin, composed (the router only ever
@@ -2931,7 +2971,7 @@ def _mixed_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.ingest import mixed_to_documents
     from sparkdoc.synth import mixed_corpus_df
 
-    out = mixed_to_documents(mixed_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    out = mixed_to_documents(mixed_corpus_df(spark, 44, SYNTH_SEED, partitions=8))
     s = out.select("doc_id", "fmt", F.explode("spans").alias("s"))
     return s.select(
         "doc_id", "fmt", F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
@@ -2947,7 +2987,7 @@ def _mixed_formats_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.ingest import mixed_to_documents
     from sparkdoc.synth import mixed_corpus_df
 
-    out = mixed_to_documents(mixed_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    out = mixed_to_documents(mixed_corpus_df(spark, 44, SYNTH_SEED, partitions=8))
     return out.select("doc_id", "fmt", F.size("spans").alias("n_spans"))
 
 
@@ -3440,6 +3480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_pinned": _pdf_extract_pinned,
         "docx_extract_pinned": _docx_extract_pinned,
         "dljson_extract_pinned": _dljson_extract_pinned,
+        "xlsx_extract_pinned": _xlsx_extract_pinned,
+        "pptx_extract_pinned": _pptx_extract_pinned,
         "mixed_extract_pinned": _mixed_extract_pinned,
         "mixed_formats_pinned": _mixed_formats_pinned,
         "warc_extract_pinned": _warc_extract_pinned,
@@ -4407,13 +4449,41 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_jrows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
+    # XLSX first mile, same construction
+    from sparkdoc.synth import expected_xlsx_spans as _xlsx_expected
+
+    _sxrows = []
+    for _s in _xlsx_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _sxrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["xlsx_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_sxrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # PPTX first mile, same construction
+    from sparkdoc.synth import expected_pptx_spans as _pptx_expected
+
+    _pxrows = []
+    for _s in _pptx_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _pxrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["pptx_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_pxrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
     # Mixed-format ingest, same construction: the VALUES plan composes the
     # SAME per-format closed-form restatements the per-format gates pin.
     from sparkdoc.synth import expected_mixed_formats as _mix_fmt_expected
     from sparkdoc.synth import expected_mixed_spans as _mix_expected
 
     _mixrows = []
-    for _s in _mix_expected(24, SYNTH_SEED):
+    for _s in _mix_expected(44, SYNTH_SEED):
         _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
         _d = _s["doc_id"].replace("'", "''")
         _mr = _s["media_ref"].replace("'", "''")
@@ -4426,7 +4496,7 @@ def oracle_sql() -> dict[str, str]:
         + ') AS t(doc_id, fmt, "offset", kind, text_md5, media_ref)'
     )
     _mfrows = []
-    for _s in _mix_fmt_expected(24, SYNTH_SEED):
+    for _s in _mix_fmt_expected(44, SYNTH_SEED):
         _d = _s["doc_id"].replace("'", "''")
         _mfrows.append(f"('{_d}', '{_s['fmt']}', {_s['n_spans']})")
     q["mixed_formats_pinned"] = (

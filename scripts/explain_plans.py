@@ -411,10 +411,16 @@ def main() -> int:
         docx_corpus_df, html_corpus_df as _hcd, md_corpus_df, pdf_corpus_df,
     )
 
+    from sparkdoc.pptxparse import pptx_to_documents
+    from sparkdoc.synth import pptx_corpus_df, xlsx_corpus_df
+    from sparkdoc.xlsxparse import xlsx_to_documents
+
     for label, df in (
         ("html_fused", html_to_documents_fused(_hcd(spark, 20, 42, partitions=4))),
         ("md_fused", md_to_documents(md_corpus_df(spark, 20, 42, partitions=4))),
         ("docx_fused", docx_to_documents(docx_corpus_df(spark, 12, 42, partitions=4))),
+        ("xlsx_fused", xlsx_to_documents(xlsx_corpus_df(spark, 12, 42, partitions=4))),
+        ("pptx_fused", pptx_to_documents(pptx_corpus_df(spark, 12, 42, partitions=4))),
     ):
         p = plan_of(df)
         sections.append((label, p))

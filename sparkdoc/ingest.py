@@ -23,6 +23,23 @@ Format vocabulary (sniff → handler):
 
   pdf       %PDF- magic                     → pdfparse.pdf_spans_doc
   docx      PK zip containing word/document.xml → docxparse.docx_spans_doc
+  xlsx      PK zip containing xl/workbook.xml → xlsxparse.xlsx_spans_doc
+  pptx      PK zip containing ppt/presentation.xml → pptxparse.pptx_spans_doc
+  image     PNG/JPEG/GIF/TIFF/WEBP/binary-PNM magic, or a BM header whose
+            size/offset fields are self-consistent → ONE picture span
+            (media_ref #/pictures/1, empty text): a standalone image IS an
+            interleaved document of one media item. The reference's
+            InputType.IMAGE routes these to docling OCR/VLM conversion —
+            explicitly out of scope here (SURVEY ∅); the payload stays an
+            opaque binary for the multimodal/codec operators downstream.
+  csv       delimiter-consistent text table (>= 2 rows x >= 2 columns of
+            comma/semicolon/tab-separated fields, quoted fields honored)
+            → ONE table span, rows newline-joined, cells " | " — the same
+            rendering docling's CSV backend feeds its table item. Detection
+            is heuristic BY DESIGN: with no filename, prose whose first
+            lines carry perfectly consistent delimiter counts reads as CSV
+            (the reference detects by .csv extension, which a crawl table
+            does not have).
   html      <!doctype html / <html / common HTML tags in the head
                                             → htmlparse.html_spans_doc
   doclang   <doc> root after BOM/whitespace → serialize.doclang_spans_doc
@@ -71,8 +88,8 @@ MIXED_DOCUMENTS = StructType(
 )
 
 FORMATS = (
-    "pdf", "docx", "html", "doclang", "docling_json", "json", "markdown",
-    "warc", "binary"
+    "pdf", "docx", "xlsx", "pptx", "image", "csv", "html", "doclang",
+    "docling_json", "json", "markdown", "warc", "binary"
 )
 
 #: tags that mark text as HTML when they appear in the head window
@@ -172,6 +189,89 @@ def _decompress_transport(data: bytes, cap: int = MAX_INFLATE) -> bytes | None:
     return None if _is_compressed(data) else data
 
 
+#: unambiguous image magics (BMP is handled separately — its 2-byte 'BM'
+#: magic needs header self-consistency checks to not claim text)
+_IMAGE_MAGICS = (
+    b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a", b"GIF89a",
+    b"II*\x00", b"MM\x00*", b"P4 ", b"P4\n", b"P4\t", b"P5 ", b"P5\n",
+    b"P5\t", b"P6 ", b"P6\n", b"P6\t",
+)
+
+_BMP_HEADER_SIZES = {12, 40, 52, 56, 64, 108, 124}
+
+
+def _is_image(data: bytes) -> bool:
+    if data.startswith(_IMAGE_MAGICS):
+        return True
+    if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        return True
+    if data.startswith(b"BM") and len(data) >= 26:
+        # BMP's magic is 2 ASCII bytes; require the DIB header size field
+        # to be a known value and the pixel-data offset to be in range
+        hdr = int.from_bytes(data[14:18], "little")
+        off = int.from_bytes(data[10:14], "little")
+        return hdr in _BMP_HEADER_SIZES and 26 <= off <= len(data)
+    return False
+
+
+#: CSV detection sample: leading lines only (a head sniff, like HTML's)
+_CSV_SAMPLE_CHARS = 4096
+_CSV_DELIMS = (",", ";", "\t")
+
+
+def looks_like_csv(text: str) -> bool:
+    """Delimiter-consistency head sniff: >= 2 sampled non-empty lines that
+    all parse (csv.reader, quotes honored) to the SAME field count >= 2
+    under the delimiter most frequent in the first line. Lines cut by the
+    sample window are dropped (never judge a partial line)."""
+    import csv as _csv
+
+    window = text[:_CSV_SAMPLE_CHARS]
+    complete = len(text) <= _CSV_SAMPLE_CHARS
+    lines = window.splitlines()
+    if not complete and len(lines) > 1:
+        lines = lines[:-1]
+    lines = [ln for ln in lines if ln.strip()][:16]
+    if len(lines) < 2:
+        return False
+    first = lines[0]
+    delim = max(_CSV_DELIMS, key=first.count)
+    if first.count(delim) == 0:
+        return False
+    try:
+        counts = {len(row) for row in _csv.reader(lines, delimiter=delim)}
+    except _csv.Error:
+        return False
+    return len(counts) == 1 and counts.pop() >= 2
+
+
+def csv_spans_doc(doc_id: str, text: str) -> list[dict]:
+    """CSV text → spans via the shared single-canvas reduction: ONE table
+    block (rows newline-joined, cells ' | ', quoted fields unescaped,
+    all-empty rows skipped) — the same shape docling's CSV backend emits."""
+    import csv as _csv
+
+    from sparkdoc.htmlparse import blocks_to_spans
+
+    # same delimiter choice as looks_like_csv: most frequent in the first
+    # NON-EMPTY sampled line
+    first = next(
+        (ln for ln in text[:_CSV_SAMPLE_CHARS].splitlines() if ln.strip()), ""
+    )
+    delim = max(_CSV_DELIMS, key=first.count)
+    try:
+        rows = [
+            " | ".join(row)
+            for row in _csv.reader(text.splitlines(), delimiter=delim)
+            if any(c.strip() for c in row)
+        ]
+    except _csv.Error:
+        return []
+    if not rows:
+        return []
+    return blocks_to_spans([{"tag": "table", "text": "\n".join(rows), "n_links": 0}])
+
+
 def sniff_format(data: bytes) -> str:
     """Classify a document blob by leading bytes (InputTypeDetector analog,
     core/input/types.py:44-233). Deterministic, pure, cheap: magic-number
@@ -187,6 +287,8 @@ def sniff_format(data: bytes) -> str:
         return "binary" if inner is None else sniff_format(inner)
     if data.startswith(b"%PDF-"):
         return "pdf"
+    if _is_image(data):
+        return "image"
     if data.startswith(b"WARC/"):
         # a whole WARC container fed as one document row: many documents,
         # not one — route through warc.warc_extract instead (recorded here
@@ -194,14 +296,21 @@ def sniff_format(data: bytes) -> str:
         # serializing its headers as markdown)
         return "warc"
     if data.startswith(b"PK\x03\x04"):
-        # OOXML packages are zips; Word documents carry word/document.xml
-        # (docxparse's entry part). Other zips are opaque binaries.
+        # OOXML packages are zips; the entry part names the application
+        # (word/xl/ppt — docx/xlsx/pptx parsers key off the same parts).
+        # Other zips are opaque binaries.
         try:
             with zipfile.ZipFile(io.BytesIO(data)) as zf:
                 names = set(zf.namelist())
         except Exception:
             return "binary"
-        return "docx" if "word/document.xml" in names else "binary"
+        if "word/document.xml" in names:
+            return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
+        return "binary"
     raw = data[3:] if data.startswith(_UTF8_BOM) else data
     try:
         text = raw.decode("utf-8")
@@ -229,6 +338,8 @@ def sniff_format(data: bytes) -> str:
     low = head.lower()
     if any(m in low for m in _HTML_MARKERS):
         return "html"
+    if looks_like_csv(text):
+        return "csv"
     return "markdown"
 
 
@@ -256,6 +367,21 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
         from sparkdoc.docxparse import docx_spans_doc
 
         return fmt, docx_spans_doc(doc_id, data)
+    if fmt == "xlsx":
+        from sparkdoc.xlsxparse import xlsx_spans_doc
+
+        return fmt, xlsx_spans_doc(doc_id, data)
+    if fmt == "pptx":
+        from sparkdoc.pptxparse import pptx_spans_doc
+
+        return fmt, pptx_spans_doc(doc_id, data)
+    if fmt == "image":
+        # one media item IS the document; decode stays downstream (codec /
+        # multimodal operators) — ingest only places it in the structure
+        return fmt, [
+            {"kind": "picture", "text": "", "media_ref": "#/pictures/1",
+             "offset": 0}
+        ]
     raw = data[3:] if data.startswith(_UTF8_BOM) else data
     if fmt == "html":
         from sparkdoc.htmlparse import html_spans_doc
@@ -274,6 +400,8 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
         from sparkdoc.dljson import docling_json_spans_doc
 
         return fmt, docling_json_spans_doc(doc_id, raw)
+    if fmt == "csv":
+        return fmt, csv_spans_doc(doc_id, raw.decode("utf-8"))
     if fmt == "markdown":
         from sparkdoc.mdparse import md_spans_doc
 

@@ -17,11 +17,14 @@
   * ``docx:<parquet path>`` — a (doc_id, docx binary) table of OOXML
     packages, or ``docx-synth:<n_docs>`` for the seeded generator,
   * ``mixed:<parquet path>`` — a (doc_id, blob binary) table of
-    format-heterogeneous documents (PDF/DOCX/HTML/Markdown/DocLang bytes
-    interleaved, as crawl dumps arrive); each row is sniffed and routed by
+    format-heterogeneous documents (PDF/DOCX/XLSX/PPTX/HTML/Markdown/CSV/
+    DocLang bytes and standalone images interleaved, as crawl dumps arrive); each row is sniffed and routed by
     ingest.mixed_to_documents in one zero-shuffle pass — the documents
     table gains a ``fmt`` column recording the detected format,
   * ``mixed-synth:<n_docs>`` for the seeded mixed-format generator,
+  * ``xlsx:<parquet>`` / ``xlsx-synth:<n>`` and ``pptx:<parquet>`` /
+    ``pptx-synth:<n>`` — homogeneous Office-format tables through the
+    generic flatten → XY-cut path,
   * ``dljson:<parquet path>`` — a (doc_id, blob binary) table of serialized
     DoclingDocument JSON dumps (the reference's conversion-skipping input),
     or ``dljson-synth:<n_docs>`` for the seeded generator,
@@ -49,7 +52,8 @@ def main() -> None:
         "--input", required=True,
         help="raw_nodes parquet | synth:<n> | html:<parquet> | html-synth:<n> "
              "| md:<parquet> | md-synth:<n> | pdf:<parquet> | pdf-synth:<n> "
-             "| docx:<parquet> | docx-synth:<n> | mixed:<parquet> "
+             "| docx:<parquet> | docx-synth:<n> | xlsx:<parquet> | xlsx-synth:<n> "
+             "| pptx:<parquet> | pptx-synth:<n> | mixed:<parquet> "
              "| mixed-synth:<n> | dljson:<parquet> | dljson-synth:<n> "
              "| warc:<parquet> | warc-synth:<n>",
     )
@@ -112,6 +116,28 @@ def main() -> None:
         from sparkdoc.docxparse import flatten_docx
 
         raw = flatten_docx(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("xlsx-synth:"):
+        from sparkdoc.synth import xlsx_corpus_df
+        from sparkdoc.xlsxparse import flatten_xlsx
+
+        raw = flatten_xlsx(
+            xlsx_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("xlsx:"):
+        from sparkdoc.xlsxparse import flatten_xlsx
+
+        raw = flatten_xlsx(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("pptx-synth:"):
+        from sparkdoc.pptxparse import flatten_pptx
+        from sparkdoc.synth import pptx_corpus_df
+
+        raw = flatten_pptx(
+            pptx_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("pptx:"):
+        from sparkdoc.pptxparse import flatten_pptx
+
+        raw = flatten_pptx(spark.read.parquet(args.input.split(":", 1)[1]))
     elif args.input.startswith("mixed-synth:"):
         from sparkdoc.synth import mixed_corpus_df
 

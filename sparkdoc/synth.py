@@ -1275,6 +1275,571 @@ def expected_docx_spans(n_docs: int, seed: int = 42) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic messy-XLSX corpus with closed-form block expectations
+# (xlsxparse gate fodder — same authoring pattern as the DOCX corpus: the
+# expected plan is written ALONGSIDE the rendering; the parser under test
+# only ever sees the zip bytes)
+# ---------------------------------------------------------------------------
+
+_XLSX_NS = (
+    'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+)
+
+
+def _col_letters(idx: int) -> str:
+    """0-based column index → spreadsheet letters (0→A, 26→AA)."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+def synth_xlsx_doc(doc_index: int, seed: int) -> dict:
+    """One real XLSX package + its closed-form block plan.
+
+    Returns {doc_id, xlsx: bytes, expected: [(tag, text, n_links), ...]}.
+    Messiness exercised: shared strings (plain + rich-text runs split
+    mid-word), inline strings, raw numbers / formula-string results /
+    booleans / error cells, column gaps via r= cell refs, cells without
+    refs, blank spacer rows (skipped), an occasional empty sheet (heading
+    only), sheet part NUMBERING deliberately mismatched against workbook
+    order (rels resolution is load-bearing), XML entities and unicode in
+    names and values, and every ~5th doc all-inline (no sharedStrings
+    part)."""
+    rng = random.Random(f"sparkdoc-xlsx:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-xlsx-{doc_index:08d}"
+    all_inline = doc_index % 5 == 4
+    shared: list[tuple[str, bool]] = []  # (text, rich?)
+
+    def shared_idx(text: str, rich: bool) -> int:
+        shared.append((text, rich))
+        return len(shared) - 1
+
+    n_sheets = rng.randint(1, 3)
+    sheet_specs: list[tuple[str, str]] = []  # (name, worksheet xml)
+    expected: list[tuple[str, str, int]] = []
+    name_pool = ["Summary", "Q1 Data", "naïve résumé", "R&D <plan>", "2024"]
+    for s in range(n_sheets):
+        name = f"{rng.choice(name_pool)} {s}"
+        expected.append(("h2", name, 0))
+        empty_sheet = rng.random() < 0.12
+        rows_xml: list[str] = []
+        row_texts: list[str] = []
+        rnum = 0
+        for _ in range(0 if empty_sheet else rng.randint(2, 6)):
+            rnum += 1
+            if rng.random() < 0.15:  # blank spacer row (parser skips it)
+                rows_xml.append(f'<row r="{rnum}"/>')
+                continue
+            cells: list[str] = []  # authored gap-filled rendering
+            cells_xml: list[str] = []
+            col = 0
+            for _c in range(rng.randint(2, 4)):
+                gap = rng.randint(1, 2) if rng.random() < 0.25 else 0
+                cells.extend([""] * gap)
+                col += gap
+                ref = f"{_col_letters(col)}{rnum}"
+                # the r= ref is the ONLY place a column gap is encoded, so
+                # it can be omitted (sequential placement) only when gap-free
+                ref_attr = "" if gap == 0 and rng.random() < 0.2 else f' r="{ref}"'
+                r = rng.random()
+                if r < 0.35:  # shared or inline string
+                    text = _sentence(rng, rng.randint(1, 4)).rstrip(".")
+                    if rng.random() < 0.2:
+                        text += " R&D <5%"
+                    if all_inline or rng.random() < 0.3:
+                        cells_xml.append(
+                            f'<c{ref_attr} t="inlineStr"><is><t>{_xesc(text)}</t></is></c>'
+                        )
+                    else:
+                        k = shared_idx(text, rng.random() < 0.4)
+                        cells_xml.append(f'<c{ref_attr} t="s"><v>{k}</v></c>')
+                    cells.append(text)
+                elif r < 0.6:  # number, stored string verbatim
+                    v = rng.choice([
+                        str(rng.randint(0, 99999)),
+                        f"{rng.uniform(0, 1000):.2f}",
+                        f"{rng.uniform(0, 1):.0e}".replace("e-0", "e-"),
+                    ])
+                    cells_xml.append(f"<c{ref_attr}><v>{v}</v></c>")
+                    cells.append(v)
+                elif r < 0.75:  # boolean
+                    b = rng.random() < 0.5
+                    cells_xml.append(f'<c{ref_attr} t="b"><v>{1 if b else 0}</v></c>')
+                    cells.append("TRUE" if b else "FALSE")
+                elif r < 0.9:  # formula string result
+                    text = rng.choice(_WORDS).upper()
+                    cells_xml.append(f'<c{ref_attr} t="str"><v>{_xesc(text)}</v></c>')
+                    cells.append(text)
+                else:  # error cell
+                    cells_xml.append(f'<c{ref_attr} t="e"><v>#DIV/0!</v></c>')
+                    cells.append("#DIV/0!")
+                col += 1
+            rows_xml.append(f'<row r="{rnum}">' + "".join(cells_xml) + "</row>")
+            row_texts.append(" | ".join(cells))
+        if row_texts:
+            expected.append(("table", "\n".join(row_texts), 0))
+        sheet_specs.append((
+            name,
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f"<worksheet {_XLSX_NS}><sheetData>" + "".join(rows_xml)
+            + "</sheetData></worksheet>",
+        ))
+
+    # part numbering mismatched against workbook order: sheet s is stored
+    # as sheetN.xml with N assigned in REVERSED order, so positional
+    # fallback would mis-order multi-sheet books — rels must resolve
+    part_of = {s: f"xl/worksheets/sheet{n_sheets - s}.xml" for s in range(n_sheets)}
+    sheets_xml = "".join(
+        f'<sheet name="{_xesc(nm)}" sheetId="{s + 1}" r:id="rId{s + 1}"/>'
+        for s, (nm, _x) in enumerate(sheet_specs)
+    )
+    rels_xml = "".join(
+        f'<Relationship Id="rId{s + 1}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        f'Target="{part_of[s][3:].lstrip("/")}"/>'
+        for s in range(n_sheets)
+    )
+    sst_items = []
+    for text, rich in shared:
+        if rich and " " in text:
+            a, b = text.split(" ", 1)
+            sst_items.append(
+                f'<si><r><t xml:space="preserve">{_xesc(a)} </t></r>'
+                f"<r><t>{_xesc(b)}</t></r></si>"
+            )
+        else:
+            sst_items.append(f"<si><t>{_xesc(text)}</t></si>")
+
+    import io as _io
+    import zipfile as _zipfile
+
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f"<workbook {_XLSX_NS}><sheets>{sheets_xml}</sheets></workbook>",
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + rels_xml + "</Relationships>",
+        )
+        if sst_items:
+            zf.writestr(
+                "xl/sharedStrings.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<sst {_XLSX_NS} count="{len(sst_items)}" uniqueCount="{len(sst_items)}">'
+                + "".join(sst_items) + "</sst>",
+            )
+        for s, (_nm, ws_xml) in enumerate(sheet_specs):
+            zf.writestr(part_of[s], ws_xml)
+    return {"doc_id": doc_id, "xlsx": buf.getvalue(), "expected": expected}
+
+
+def xlsx_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, xlsx binary) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_xlsx_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "xlsx": r["xlsx"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, xlsx binary"
+    )
+
+
+def expected_xlsx_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE xlsx→spans pipeline —
+    same classify restatement as expected_html_spans over the authored
+    sheet plans (never calls the parser)."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_xlsx_doc(i, seed)
+        out.extend(_expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic messy-PPTX corpus with closed-form expectations (pptxparse
+# gate fodder). Slides carry REAL geometry: shape order in the XML is
+# SHUFFLED against the authored reading order, so XY-cut must recover it
+# from the EMU bounding boxes — same trick as the DoclingDocument-JSON
+# corpus. The expected plan restates page_breaks, blank-drop, the kind map,
+# AND the repeated-text furniture rule (decoration boxes repeated on >= 3
+# slides), never calling the parser.
+# ---------------------------------------------------------------------------
+
+_PPTX_EMU = 12700  # EMU per point
+
+
+def _pptx_sp_xml(ph: str | None, band: tuple | None, paras_xml: list[str], nid: int) -> str:
+    ph_xml = f'<p:ph type="{ph}"/>' if ph else ""
+    xfrm = ""
+    if band is not None:
+        x0, y0, x1, y1 = band
+        xfrm = (
+            f'<a:xfrm><a:off x="{x0 * _PPTX_EMU}" y="{y0 * _PPTX_EMU}"/>'
+            f'<a:ext cx="{(x1 - x0) * _PPTX_EMU}" cy="{(y1 - y0) * _PPTX_EMU}"/></a:xfrm>'
+        )
+    return (
+        f'<p:sp><p:nvSpPr><p:cNvPr id="{nid}" name="Shape {nid}"/>'
+        f"<p:cNvSpPr/><p:nvPr>{ph_xml}</p:nvPr></p:nvSpPr>"
+        f"<p:spPr>{xfrm}</p:spPr><p:txBody><a:bodyPr/>"
+        + "".join(paras_xml) + "</p:txBody></p:sp>"
+    )
+
+
+def _pptx_para_xml(rng: random.Random, text: str, bullet: bool, field: bool = False) -> str:
+    pr = '<a:pPr><a:buChar char="•"/></a:pPr>' if bullet else ""
+    if not text:
+        return f"<a:p>{pr}</a:p>"
+    if field:
+        return (
+            f'<a:p>{pr}<a:fld id="{{12345678-1234-1234-1234-123456789012}}" '
+            f'type="slidenum"><a:t>{_xesc(text)}</a:t></a:fld></a:p>'
+        )
+    # split into 1-3 runs, occasionally joined by a:br (renders as a space)
+    words = text.split(" ")
+    if len(words) >= 4 and rng.random() < 0.25:
+        k = rng.randint(1, len(words) - 1)
+        return (
+            f"<a:p>{pr}<a:r><a:t>{_xesc(' '.join(words[:k]))}</a:t></a:r><a:br/>"
+            f"<a:r><a:t>{_xesc(' '.join(words[k:]))}</a:t></a:r></a:p>"
+        )
+    cut = rng.randint(1, max(1, len(text) - 1)) if len(text) > 2 and rng.random() < 0.4 else None
+    if cut:
+        return (
+            f'<a:p>{pr}<a:r><a:t xml:space="preserve">{_xesc(text[:cut])}</a:t></a:r>'
+            f'<a:r><a:t xml:space="preserve">{_xesc(text[cut:])}</a:t></a:r></a:p>'
+        )
+    return f"<a:p>{pr}<a:r><a:t>{_xesc(text)}</a:t></a:r></a:p>"
+
+
+def synth_pptx_doc(doc_index: int, seed: int) -> dict:
+    """One real PPTX package + its closed-form span plan.
+
+    Returns {doc_id, pptx: bytes, expected: [(page, tag, text, node_id),
+    ...]} with ``expected`` in authored READING order, post blank-drop,
+    node_id from a simulation of the parser's enumeration over the SHUFFLED
+    XML shape order. Messiness exercised: shuffled shape order (geometry is
+    load-bearing), ctrTitle/title placeholders, bullet vs plain body
+    paragraphs, empty paragraphs (blank-drop fodder), runs split mid-word
+    with xml:space, a:br as space, slide-number fields, tables with
+    multi-paragraph cells, pictures with/without alt text, ftr/sldNum
+    furniture placeholders, a decoration box repeated on every slide
+    (repeated-text furniture when the deck has >= 3 slides), an xfrm-less
+    shape routed through the parser's below-content fallback band, and
+    slide part NUMBERING mismatched against presentation order (rels
+    resolution is load-bearing)."""
+    rng = random.Random(f"sparkdoc-pptx:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-pptx-{doc_index:08d}"
+    n_slides = rng.randint(1, 4)
+    deco_text = f"Draft {doc_index} — internal"
+
+    slides: list[list[dict]] = []  # per slide: shape dicts in READING order
+    for page in range(1, n_slides + 1):
+        shapes: list[dict] = []
+        y = 20
+        title = _sentence(rng, rng.randint(3, 6)).rstrip(".")
+        ph = "ctrTitle" if page == 1 and rng.random() < 0.5 else "title"
+        shapes.append({
+            "kind": "sp", "ph": ph, "band": (40, y, 880, y + 40),
+            "paras": [{"tag": "h1" if page == 1 else "h2", "text": title,
+                       "bullet": False, "field": False}],
+        })
+        y += 50
+        for _ in range(rng.randint(1, 3)):
+            r = rng.random()
+            if r < 0.45:  # body shape, 2-4 paragraphs
+                paras = []
+                for _k in range(rng.randint(2, 4)):
+                    if rng.random() < 0.15:  # empty paragraph: blank-dropped
+                        paras.append({"tag": "p", "text": "", "bullet": False,
+                                      "field": False})
+                        continue
+                    bullet = rng.random() < 0.5
+                    text = _sentence(rng, rng.randint(3, 9))
+                    if rng.random() < 0.15:
+                        text += " R&D <5% naïve."
+                    paras.append({"tag": "li" if bullet else "p", "text": text,
+                                  "bullet": bullet, "field": False})
+                h = 18 * len(paras)
+                shapes.append({"kind": "sp", "ph": None,
+                               "band": (40, y, 880, y + h), "paras": paras})
+                y += h + 10
+            elif r < 0.7:  # table graphicFrame
+                n_rows = rng.randint(2, 3)
+                rows = []
+                for _r2 in range(n_rows):
+                    cells = []
+                    for _c in range(3):
+                        if rng.random() < 0.2:  # multi-paragraph cell
+                            t1, t2 = rng.choice(_WORDS), rng.choice(_WORDS)
+                            cells.append((f"{t1} {t2}", [t1, t2]))
+                        else:
+                            t = rng.choice(_WORDS)
+                            cells.append((t, [t]))
+                    rows.append(cells)
+                text = "\n".join(" | ".join(c[0] for c in cells) for cells in rows)
+                shapes.append({"kind": "tbl", "band": (60, y, 860, y + 60),
+                               "rows": rows, "text": text})
+                y += 70
+            else:  # picture, alt sometimes empty
+                alt = "" if rng.random() < 0.4 else (
+                    "Diagram " + _sentence(rng, rng.randint(2, 4)).rstrip(".")
+                )
+                shapes.append({"kind": "pic", "band": (300, y, 620, y + 80),
+                               "alt": alt})
+                y += 90
+        # furniture placeholders: deck footer + slide number field
+        shapes.append({
+            "kind": "sp", "ph": "ftr", "band": (40, 496, 400, 512),
+            "paras": [{"tag": "footer", "text": f"{domain} confidential",
+                       "bullet": False, "field": False}],
+        })
+        shapes.append({
+            "kind": "sp", "ph": "sldNum", "band": (800, 516, 920, 532),
+            "paras": [{"tag": "footer", "text": str(page), "bullet": False,
+                       "field": True}],
+        })
+        # decoration text box on EVERY slide: same text, kind 'text' → the
+        # repeated-furniture rule fires iff the deck has >= 3 slides; on
+        # some slides it has NO xfrm (parser fallback band below content)
+        deco_band = None if rng.random() < 0.3 else (500, 536, 900, 552)
+        shapes.append({
+            "kind": "sp", "ph": None, "band": deco_band,
+            "paras": [{"tag": "p", "text": deco_text, "bullet": False,
+                       "field": False}],
+        })
+        slides.append(shapes)
+
+    # simulate the parser's node enumeration over the SHUFFLED shape order
+    # (at most one xfrm-less shape per slide keeps the fallback band's
+    # tree-order placement deterministic in the authored reading order: the
+    # fallback band sits below every real band)
+    nid = 0
+    shuffled: list[list[dict]] = []
+    for shapes in slides:
+        order = shapes[:]
+        rng.shuffle(order)
+        shuffled.append(order)
+        for sh in order:
+            if sh["kind"] == "sp":
+                for p in sh["paras"]:
+                    nid += 1
+                    p["node_id"] = nid
+            else:
+                nid += 1
+                sh["node_id"] = nid
+
+    # authored reading order, post blank-drop: real bands by y, then the
+    # xfrm-less decoration (fallback band below content) last
+    expected: list[tuple[int, str, str, int]] = []
+    for page, shapes in enumerate(slides, start=1):
+        placed = [s for s in shapes if s.get("band") is not None]
+        fallback = [s for s in shapes if s.get("band") is None]
+        for sh in sorted(placed, key=lambda s: s["band"][1]) + fallback:
+            if sh["kind"] == "sp":
+                for p in sh["paras"]:
+                    if p["text"].strip():
+                        expected.append((page, p["tag"], p["text"], p["node_id"]))
+            elif sh["kind"] == "tbl":
+                expected.append((page, "table", sh["text"], sh["node_id"]))
+            else:
+                expected.append((page, "img", sh["alt"], sh["node_id"]))
+
+    # render the package; slide parts numbered in REVERSED presentation
+    # order so positional naming would mis-order the deck — rels resolve
+    part_of = {s: f"ppt/slides/slide{n_slides - s}.xml" for s in range(n_slides)}
+    ns = (
+        'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    )
+    slide_xmls: list[str] = []
+    for shapes in shuffled:
+        parts = []
+        for sh in shapes:
+            if sh["kind"] == "sp":
+                paras_xml = [
+                    _pptx_para_xml(rng, p["text"], p["bullet"], p["field"])
+                    for p in sh["paras"]
+                ]
+                parts.append(_pptx_sp_xml(sh["ph"], sh["band"], paras_xml,
+                                          sh["paras"][0]["node_id"]))
+            elif sh["kind"] == "tbl":
+                x0, y0, x1, y1 = sh["band"]
+                trs = []
+                for cells in sh["rows"]:
+                    tcs = []
+                    for _txt, paras in cells:
+                        ps = "".join(
+                            f"<a:p><a:r><a:t>{_xesc(t)}</a:t></a:r></a:p>"
+                            for t in paras
+                        )
+                        tcs.append(f"<a:tc><a:txBody><a:bodyPr/>{ps}</a:txBody></a:tc>")
+                    trs.append(f'<a:tr h="370840">' + "".join(tcs) + "</a:tr>")
+                parts.append(
+                    f'<p:graphicFrame><p:nvGraphicFramePr><p:cNvPr id="{sh["node_id"]}" '
+                    f'name="Table {sh["node_id"]}"/></p:nvGraphicFramePr>'
+                    f'<p:xfrm><a:off x="{x0 * _PPTX_EMU}" y="{y0 * _PPTX_EMU}"/>'
+                    f'<a:ext cx="{(x1 - x0) * _PPTX_EMU}" cy="{(y1 - y0) * _PPTX_EMU}"/></p:xfrm>'
+                    '<a:graphic><a:graphicData uri="http://schemas.openxmlformats.org/drawingml/2006/table">'
+                    "<a:tbl><a:tblGrid/>" + "".join(trs) + "</a:tbl>"
+                    "</a:graphicData></a:graphic></p:graphicFrame>"
+                )
+            else:
+                x0, y0, x1, y1 = sh["band"]
+                alt_attr = f' descr="{_xesc(sh["alt"])}"' if sh["alt"] else ""
+                parts.append(
+                    f'<p:pic><p:nvPicPr><p:cNvPr id="{sh["node_id"]}" '
+                    f'name="Picture {sh["node_id"]}"{alt_attr}/><p:cNvPicPr/><p:nvPr/></p:nvPicPr>'
+                    '<p:blipFill><a:blip r:embed="rId99"/></p:blipFill>'
+                    f'<p:spPr><a:xfrm><a:off x="{x0 * _PPTX_EMU}" y="{y0 * _PPTX_EMU}"/>'
+                    f'<a:ext cx="{(x1 - x0) * _PPTX_EMU}" cy="{(y1 - y0) * _PPTX_EMU}"/></a:xfrm></p:spPr></p:pic>'
+                )
+        slide_xmls.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f"<p:sld {ns}><p:cSld><p:spTree>" + "".join(parts)
+            + "</p:spTree></p:cSld></p:sld>"
+        )
+
+    sld_ids = "".join(
+        f'<p:sldId id="{256 + s}" r:id="rId{s + 2}"/>' for s in range(n_slides)
+    )
+    rels_xml = "".join(
+        f'<Relationship Id="rId{s + 2}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" '
+        f'Target="{part_of[s][4:]}"/>'
+        for s in range(n_slides)
+    )
+
+    import io as _io
+    import zipfile as _zipfile
+
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "ppt/presentation.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f"<p:presentation {ns}><p:sldIdLst>{sld_ids}</p:sldIdLst>"
+            '<p:sldSz cx="12192000" cy="6858000"/></p:presentation>',
+        )
+        zf.writestr(
+            "ppt/_rels/presentation.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + rels_xml + "</Relationships>",
+        )
+        for s, xml in enumerate(slide_xmls):
+            zf.writestr(part_of[s], xml)
+    return {"doc_id": doc_id, "pptx": buf.getvalue(), "expected": expected}
+
+
+def _expected_pptx_doc(d: dict) -> list[dict]:
+    """Per-doc pptx expectation: page_break spans between slides, kind map,
+    picture media_refs from the simulated parser enumeration, AND the
+    repeated-text furniture rule (kind-'text' content on >= 3 distinct
+    slides) — all restated from the authored plan."""
+    pages_by_text: dict[str, set] = {}
+    for page, tag, text, _nid in d["expected"]:
+        if _PDF_KIND.get(tag, "text") == "text":
+            pages_by_text.setdefault(text, set()).add(page)
+    repeated = {t for t, ps in pages_by_text.items() if len(ps) >= 3}
+
+    out: list[dict] = []
+    off = 0
+    prev_page = None
+    for page, tag, text, nid in d["expected"]:
+        if prev_page is not None and page != prev_page:
+            out.append({"doc_id": d["doc_id"], "offset": off,
+                        "kind": "page_break", "text": "", "media_ref": ""})
+            off += 1
+        prev_page = page
+        kind = _PDF_KIND.get(tag, "text")
+        if kind == "text" and text in repeated:
+            kind = "furniture"
+        out.append({
+            "doc_id": d["doc_id"],
+            "offset": off,
+            "kind": kind,
+            "text": text,
+            "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
+        })
+        off += 1
+    return out
+
+
+def expected_pptx_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE pptx→spans pipeline —
+    never calls the parser."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        out.extend(_expected_pptx_doc(synth_pptx_doc(i, seed)))
+    return out
+
+
+def pptx_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, pptx binary) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_pptx_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "pptx": r["pptx"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, pptx binary"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic MIXED-format corpus (ingest sniffer/router gate fodder):
 # one (doc_id, blob) table interleaving every first-mile format plus
 # non-document rejects, exactly as a real crawl dump arrives. The expected
@@ -1352,9 +1917,9 @@ def synth_binary_doc(doc_index: int, seed: int) -> dict:
     rng = random.Random(f"sparkdoc-bin:{seed}:{doc_index}")
     doc_id = f"bin-{doc_index:08d}"
     v = doc_index % 4
-    if v == 0:  # unknown magic (PNG) + noise
+    if v == 0:  # unknown magic (ELF) + noise — PNG would route to 'image'
         return {"doc_id": doc_id, "fmt": "binary",
-                "blob": b"\x89PNG\r\n\x1a\n" + bytes(rng.randrange(256) for _ in range(64))}
+                "blob": b"\x7fELF\x02\x01\x01\x00" + bytes(rng.randrange(256) for _ in range(64))}
     if v == 1:  # a zip that is NOT a Word package
         import io as _io
         import zipfile as _zf
@@ -1371,8 +1936,103 @@ def synth_binary_doc(doc_index: int, seed: int) -> dict:
             "blob": b"\xff\xfe" + bytes(rng.randrange(256) for _ in range(48))}
 
 
+_CSV_SYNTH_DELIMS = (",", ";", "\t")
+
+
+def synth_csv_doc(doc_index: int, seed: int) -> dict:
+    """One CSV document + its closed-form expected table text.
+
+    Returns {doc_id, csv: str, expected_text: str} — the rendered table
+    block (rows newline-joined, cells ' | '). Messiness exercised: all
+    three delimiters, quoted fields with embedded OTHER-delimiter chars and
+    doubled quotes, empty cells, blank spacer lines (skipped), a BOM on
+    every third doc (added by the mixed wrapper). Field counts are kept
+    consistent (that IS the sniffer's admission rule) and the first row
+    avoids foreign delimiter characters so the declared delimiter wins the
+    frequency vote."""
+    rng = random.Random(f"sparkdoc-csv:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-csv-{doc_index:08d}"
+    delim = _CSV_SYNTH_DELIMS[doc_index % len(_CSV_SYNTH_DELIMS)]
+    n_cols = rng.randint(2, 5)
+    n_rows = rng.randint(3, 8)
+
+    header = [f"col_{c}" for c in range(n_cols)]
+    lines: list[str] = [delim.join(header)]
+    expected_rows: list[str] = [" | ".join(header)]
+    for r in range(n_rows):
+        cells: list[str] = []
+        rendered: list[str] = []
+        for _c in range(n_cols):
+            x = rng.random()
+            if x < 0.15:
+                cells.append("")
+                rendered.append("")
+            elif x < 0.35:  # quoted: embedded foreign delim or doubled quote
+                word = rng.choice(_WORDS)
+                if rng.random() < 0.5:
+                    other = rng.choice([d for d in _CSV_SYNTH_DELIMS if d != delim])
+                    val = f"{word}{other}{rng.randint(0, 99)}"
+                else:
+                    val = f'{word} "q" {rng.randint(0, 99)}'
+                cells.append(val)
+                rendered.append('"' + val.replace('"', '""') + '"')
+            elif x < 0.6:
+                v = str(rng.randint(0, 99999))
+                cells.append(v)
+                rendered.append(v)
+            else:
+                v = rng.choice(_WORDS)
+                cells.append(v)
+                rendered.append(v)
+        lines.append(delim.join(rendered))
+        if any(c.strip() for c in cells):
+            expected_rows.append(" | ".join(cells))
+        # (an all-empty row keeps its delimiter-only line in the file but
+        # the parser skips it, same as a blank spacer line)
+        if rng.random() < 0.15:  # blank spacer line, skipped by the parser
+            lines.append("")
+    return {
+        "doc_id": doc_id,
+        "csv": "\n".join(lines) + ("\n" if rng.random() < 0.5 else ""),
+        "expected_text": "\n".join(expected_rows),
+    }
+
+
+def synth_image_doc(doc_index: int, seed: int) -> dict:
+    """One standalone-image blob (magic-correct header + deterministic
+    noise payload — ingest never decodes, it only places the media item).
+    Returns {doc_id, blob: bytes, subtype}. Cycles PNG/JPEG/GIF/TIFF/
+    BMP(self-consistent header)/binary-PPM/WEBP."""
+    rng = random.Random(f"sparkdoc-img:{seed}:{doc_index}")
+    doc_id = f"img-{doc_index:08d}"
+    noise = bytes(rng.randrange(256) for _ in range(rng.randint(24, 96)))
+    v = doc_index % 7
+    if v == 0:
+        return {"doc_id": doc_id, "subtype": "png",
+                "blob": b"\x89PNG\r\n\x1a\n" + noise}
+    if v == 1:
+        return {"doc_id": doc_id, "subtype": "jpeg",
+                "blob": b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + noise}
+    if v == 2:
+        return {"doc_id": doc_id, "subtype": "gif", "blob": b"GIF89a" + noise}
+    if v == 3:
+        return {"doc_id": doc_id, "subtype": "tiff", "blob": b"II*\x00" + noise}
+    if v == 4:
+        total = 26 + len(noise)
+        blob = (b"BM" + total.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+                + (26).to_bytes(4, "little") + (40).to_bytes(4, "little") + noise)
+        return {"doc_id": doc_id, "subtype": "bmp", "blob": blob}
+    if v == 5:
+        return {"doc_id": doc_id, "subtype": "ppm",
+                "blob": b"P6\n2 2\n255\n" + noise[:12]}
+    return {"doc_id": doc_id, "subtype": "webp",
+            "blob": b"RIFF" + len(noise).to_bytes(4, "little") + b"WEBP" + noise}
+
+
 _MIXED_FORMATS = (
-    "html", "markdown", "pdf", "docx", "doclang", "docling_json", "binary"
+    "html", "markdown", "pdf", "docx", "xlsx", "pptx", "csv", "image",
+    "doclang", "docling_json", "binary"
 )
 
 
@@ -1405,6 +2065,26 @@ def synth_mixed_doc(doc_index: int, seed: int) -> dict:
     if f == "docx":
         d = synth_docx_doc(j, seed)
         return {"doc_id": d["doc_id"], "blob": d["docx"], "fmt": "docx"}
+    if f == "xlsx":
+        d = synth_xlsx_doc(j, seed)
+        return {"doc_id": d["doc_id"], "blob": d["xlsx"], "fmt": "xlsx"}
+    if f == "pptx":
+        d = synth_pptx_doc(j, seed)
+        return {"doc_id": d["doc_id"], "blob": d["pptx"], "fmt": "pptx"}
+    if f == "csv":
+        d = synth_csv_doc(j, seed)
+        blob = d["csv"].encode("utf-8")
+        if j % 3 == 1:
+            blob = b"\xef\xbb\xbf" + blob
+        return {"doc_id": d["doc_id"], "blob": blob, "fmt": "csv"}
+    if f == "image":
+        d = synth_image_doc(j, seed)
+        blob = d["blob"]
+        if j % 4 == 2:
+            import gzip as _gz
+
+            blob = _gz.compress(blob, mtime=0)  # transport-compressed media
+        return {"doc_id": d["doc_id"], "blob": blob, "fmt": "image"}
     if f == "doclang":
         d = synth_doclang_doc(j, seed)
         return {"doc_id": d["doc_id"], "blob": d["dclg"].encode("utf-8"), "fmt": "doclang"}
@@ -1454,6 +2134,19 @@ def expected_mixed_spans(n_docs: int, seed: int = 42) -> list[dict]:
         elif f == "docx":
             d = synth_docx_doc(j, seed)
             rows = _expected_canvas_doc(d["doc_id"], d["expected"], _PDF_KIND)
+        elif f == "xlsx":
+            d = synth_xlsx_doc(j, seed)
+            rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
+        elif f == "pptx":
+            rows = _expected_pptx_doc(synth_pptx_doc(j, seed))
+        elif f == "csv":
+            d = synth_csv_doc(j, seed)
+            rows = [{"doc_id": d["doc_id"], "offset": 0, "kind": "table",
+                     "text": d["expected_text"], "media_ref": ""}]
+        elif f == "image":
+            d = synth_image_doc(j, seed)
+            rows = [{"doc_id": d["doc_id"], "offset": 0, "kind": "picture",
+                     "text": "", "media_ref": "#/pictures/1"}]
         elif f == "doclang":
             d = synth_doclang_doc(j, seed)
             rows = [

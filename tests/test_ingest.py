@@ -415,6 +415,63 @@ def test_docling_json_adversarial_shapes():
     assert len(rows) == 1 and rows[0]["text"] == "deep"
 
 
+def test_csv_sniff_and_kernel():
+    from sparkdoc.ingest import csv_spans_doc, looks_like_csv, sniff_format
+
+    csv_text = 'a,b,c\n1,"x,y",3\n4,5,"he said ""hi"""\n'
+    assert sniff_format(csv_text.encode()) == "csv"
+    spans = csv_spans_doc("d", csv_text)
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", 'a | b | c\n1 | x,y | 3\n4 | 5 | he said "hi"')
+    ]
+    # semicolon + tab delimiters
+    assert sniff_format(b"a;b\n1;2\n") == "csv"
+    assert sniff_format(b"a\tb\n1\t2\n") == "csv"
+    # inconsistent field counts / single column / prose are NOT csv
+    assert not looks_like_csv("a,b\n1,2,3\n")
+    assert not looks_like_csv("hello\nworld\n")
+    assert sniff_format(b"Plain prose, with commas.\nAnd more text here.\n") == "markdown"
+    # quoted field hides its delimiter from the naive count but the csv
+    # parse is what must stay consistent
+    assert looks_like_csv('a,b\n"x,y",2\n')
+
+
+def test_image_magics_route_to_single_picture_span():
+    from sparkdoc.ingest import mixed_spans_doc, sniff_format
+    from sparkdoc.synth import synth_image_doc
+
+    for i in range(14):  # two full subtype cycles
+        d = synth_image_doc(i, 42)
+        fmt, spans = mixed_spans_doc(d["doc_id"], d["blob"])
+        assert fmt == "image", d["subtype"]
+        assert spans == [
+            {"kind": "picture", "text": "", "media_ref": "#/pictures/1", "offset": 0}
+        ]
+    # 'BM' alone is NOT a BMP: header fields must be self-consistent
+    assert sniff_format(b"BMW sales grew 4% in 2024, beating every forecast.") == "markdown"
+    # RIFF without the WEBP fourcc is never an image (a real WAV's sample
+    # bytes fail UTF-8 and land in 'binary'; this ASCII-only header falls
+    # through to the text catch-all — the claim under test is only that
+    # the image sniff requires the WEBP fourcc)
+    assert sniff_format(b"RIFF\x04\x00\x00\x00WAVE") != "image"
+    assert sniff_format(b"RIFF\x10\x00\x00\x00WAVEfmt \xff\xfe" + bytes(32)) == "binary"
+
+
+def test_ooxml_zip_sniffing_by_entry_part():
+    import io
+    import zipfile
+
+    from sparkdoc.ingest import sniff_format
+    from sparkdoc.synth import synth_pptx_doc, synth_xlsx_doc
+
+    assert sniff_format(synth_xlsx_doc(0, 42)["xlsx"]) == "xlsx"
+    assert sniff_format(synth_pptx_doc(0, 42)["pptx"]) == "pptx"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("random.txt", "zip but not office")
+    assert sniff_format(buf.getvalue()) == "binary"
+
+
 def test_mixed_and_dljson_second_seed():
     """The closed-form expectations hold at an independent seed (same
     two-seed discipline as the golden corpus) — guards against the corpus
@@ -431,11 +488,11 @@ def test_mixed_and_dljson_second_seed():
     from sparkdoc.warc import warc_doc_blobs
 
     seed = 7
-    exp = expected_mixed_spans(14, seed)
+    exp = expected_mixed_spans(33, seed)
     by_doc: dict[str, list] = {}
     for r in exp:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    for i in range(14):
+    for i in range(33):
         d = synth_mixed_doc(i, seed)
         fmt, spans = mixed_spans_doc(d["doc_id"], d["blob"])
         assert fmt == d["fmt"]
