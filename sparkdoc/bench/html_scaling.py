@@ -33,8 +33,10 @@ from sparkdoc.ingest import mixed_to_documents
 from sparkdoc.spans import extract_documents
 from sparkdoc.synth import (
     html_corpus_df, md_corpus_df, docx_corpus_df, pdf_corpus_df,
-    mixed_corpus_df, warc_corpus_df,
+    mixed_corpus_df, warc_corpus_df, xlsx_corpus_df, pptx_corpus_df,
 )
+from sparkdoc.xlsxparse import flatten_xlsx, xlsx_to_documents
+from sparkdoc.pptxparse import flatten_pptx, pptx_to_documents
 from sparkdoc.warc import warc_extract
 
 cores = {cores}
@@ -43,11 +45,13 @@ fused = {fused}
 fmt = {fmt!r}
 CORPUS = dict(html=html_corpus_df, md=md_corpus_df, docx=docx_corpus_df,
               pdf=pdf_corpus_df, mixed=mixed_corpus_df,
-              warc=warc_corpus_df)[fmt]
+              warc=warc_corpus_df, xlsx=xlsx_corpus_df,
+              pptx=pptx_corpus_df)[fmt]
 FLAT = dict(html=flatten_html, md=flatten_markdown, docx=flatten_docx,
-            pdf=flatten_pdf).get(fmt)
+            pdf=flatten_pdf, xlsx=flatten_xlsx, pptx=flatten_pptx).get(fmt)
 FUSED = dict(html=html_to_documents_fused, md=md_to_documents,
-             docx=docx_to_documents, mixed=mixed_to_documents).get(fmt)
+             docx=docx_to_documents, mixed=mixed_to_documents,
+             xlsx=xlsx_to_documents, pptx=pptx_to_documents).get(fmt)
 if fused and FUSED is None and fmt not in ("mixed", "warc"):
     raise SystemExit("--fused: %s has no fused path (multi-page geometry)" % fmt)
 if fmt == "mixed":
@@ -100,7 +104,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="measure the zero-shuffle fused documents path")
-    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed", "warc"])
+    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed", "warc", "xlsx", "pptx"])
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     lo = run_level(repo, args.low, args.docs, args.reps, args.fused, args.fmt)
