@@ -2958,11 +2958,47 @@ def _pptx_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _adoc_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw AsciiDoc (the reference's generic handler runs a bare docling
+    DocumentConverter — core/input/handlers.py:560-563 — whose default
+    format matrix includes AsciiDoc): line-based subset parser (title /
+    section levels, bullets, |=== tables, image:: macros, literal fences,
+    link macros feeding link-density, attribute/comment skips) through the
+    fused zero-shuffle spans path — oracle is a VALUES table from
+    synth.expected_adoc_spans (closed-form authored plan)."""
+    from sparkdoc.adocparse import adoc_to_documents
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import adoc_corpus_df
+
+    docs = adoc_to_documents(adoc_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
+def _vtt_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT transcripts (docling's subtitle/audio-transcript route, in the
+    same DocumentConverter default matrix): cue parser — NOTE/STYLE skips,
+    optional identifiers, voice tags as 'Speaker:' turns, inline/timestamp
+    tags stripped, multi-line payloads — one p block per cue through the
+    fused zero-shuffle spans path. Oracle = VALUES from
+    synth.expected_vtt_spans (closed-form authored plan)."""
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import vtt_corpus_df
+    from sparkdoc.vttparse import vtt_to_documents
+
+    docs = vtt_to_documents(vtt_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _mixed_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format ingest closes the input-routing first mile (reference
     InputTypeDetector.detect, core/input/types.py:44-233): ONE (doc_id,
     blob) table interleaving real PDF/DOCX/XLSX/PPTX/HTML/Markdown/CSV/
-    DocLang bytes, standalone images, plus binary and graph-JSON rejects,
+    AsciiDoc/WebVTT/DocLang bytes, standalone images, plus binary and
+    graph-JSON rejects,
     sniffed and parsed per row inside one
     zero-shuffle mapInPandas. The oracle is a VALUES table from
     synth.expected_mixed_spans — the same per-format closed-form
@@ -2971,7 +3007,7 @@ def _mixed_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.ingest import mixed_to_documents
     from sparkdoc.synth import mixed_corpus_df
 
-    out = mixed_to_documents(mixed_corpus_df(spark, 44, SYNTH_SEED, partitions=8))
+    out = mixed_to_documents(mixed_corpus_df(spark, 52, SYNTH_SEED, partitions=8))
     s = out.select("doc_id", "fmt", F.explode("spans").alias("s"))
     return s.select(
         "doc_id", "fmt", F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
@@ -2987,7 +3023,7 @@ def _mixed_formats_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkdoc.ingest import mixed_to_documents
     from sparkdoc.synth import mixed_corpus_df
 
-    out = mixed_to_documents(mixed_corpus_df(spark, 44, SYNTH_SEED, partitions=8))
+    out = mixed_to_documents(mixed_corpus_df(spark, 52, SYNTH_SEED, partitions=8))
     return out.select("doc_id", "fmt", F.size("spans").alias("n_spans"))
 
 
@@ -3482,6 +3518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dljson_extract_pinned": _dljson_extract_pinned,
         "xlsx_extract_pinned": _xlsx_extract_pinned,
         "pptx_extract_pinned": _pptx_extract_pinned,
+        "adoc_extract_pinned": _adoc_extract_pinned,
+        "vtt_extract_pinned": _vtt_extract_pinned,
         "mixed_extract_pinned": _mixed_extract_pinned,
         "mixed_formats_pinned": _mixed_formats_pinned,
         "warc_extract_pinned": _warc_extract_pinned,
@@ -4477,13 +4515,41 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_pxrows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
+    # AsciiDoc first mile, same construction
+    from sparkdoc.synth import expected_adoc_spans as _adoc_expected
+
+    _adrows = []
+    for _s in _adoc_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _adrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["adoc_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_adrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # WebVTT first mile, same construction
+    from sparkdoc.synth import expected_vtt_spans as _vtt_expected
+
+    _vtrows = []
+    for _s in _vtt_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _vtrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["vtt_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_vtrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
     # Mixed-format ingest, same construction: the VALUES plan composes the
     # SAME per-format closed-form restatements the per-format gates pin.
     from sparkdoc.synth import expected_mixed_formats as _mix_fmt_expected
     from sparkdoc.synth import expected_mixed_spans as _mix_expected
 
     _mixrows = []
-    for _s in _mix_expected(44, SYNTH_SEED):
+    for _s in _mix_expected(52, SYNTH_SEED):
         _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
         _d = _s["doc_id"].replace("'", "''")
         _mr = _s["media_ref"].replace("'", "''")
@@ -4496,7 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         + ') AS t(doc_id, fmt, "offset", kind, text_md5, media_ref)'
     )
     _mfrows = []
-    for _s in _mix_fmt_expected(44, SYNTH_SEED):
+    for _s in _mix_fmt_expected(52, SYNTH_SEED):
         _d = _s["doc_id"].replace("'", "''")
         _mfrows.append(f"('{_d}', '{_s['fmt']}', {_s['n_spans']})")
     q["mixed_formats_pinned"] = (

@@ -411,8 +411,12 @@ def main() -> int:
         docx_corpus_df, html_corpus_df as _hcd, md_corpus_df, pdf_corpus_df,
     )
 
+    from sparkdoc.adocparse import adoc_to_documents
     from sparkdoc.pptxparse import pptx_to_documents
-    from sparkdoc.synth import pptx_corpus_df, xlsx_corpus_df
+    from sparkdoc.synth import (
+        adoc_corpus_df, pptx_corpus_df, vtt_corpus_df, xlsx_corpus_df,
+    )
+    from sparkdoc.vttparse import vtt_to_documents
     from sparkdoc.xlsxparse import xlsx_to_documents
 
     for label, df in (
@@ -421,6 +425,8 @@ def main() -> int:
         ("docx_fused", docx_to_documents(docx_corpus_df(spark, 12, 42, partitions=4))),
         ("xlsx_fused", xlsx_to_documents(xlsx_corpus_df(spark, 12, 42, partitions=4))),
         ("pptx_fused", pptx_to_documents(pptx_corpus_df(spark, 12, 42, partitions=4))),
+        ("adoc_fused", adoc_to_documents(adoc_corpus_df(spark, 12, 42, partitions=4))),
+        ("vtt_fused", vtt_to_documents(vtt_corpus_df(spark, 12, 42, partitions=4))),
     ):
         p = plan_of(df)
         sections.append((label, p))

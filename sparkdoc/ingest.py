@@ -42,6 +42,10 @@ Format vocabulary (sniff → handler):
             does not have).
   html      <!doctype html / <html / common HTML tags in the head
                                             → htmlparse.html_spans_doc
+  asciidoc  leading `= Title` / `== Section` marker line
+                                            → adocparse.adoc_spans_doc
+  vtt       WEBVTT file signature           → vttparse.vtt_spans_doc
+            (docling's transcript/subtitle route; one p block per cue)
   doclang   <doc> root after BOM/whitespace → serialize.doclang_spans_doc
   docling_json  JSON object with the DoclingDocument schema_name marker
             (reference accepts these WITHOUT docling conversion —
@@ -88,9 +92,16 @@ MIXED_DOCUMENTS = StructType(
 )
 
 FORMATS = (
-    "pdf", "docx", "xlsx", "pptx", "image", "csv", "html", "doclang",
-    "docling_json", "json", "markdown", "warc", "binary"
+    "pdf", "docx", "xlsx", "pptx", "image", "csv", "html", "asciidoc",
+    "vtt", "doclang", "docling_json", "json", "markdown", "warc", "binary"
 )
+
+import re as _re
+
+#: an AsciiDoc document leads with its title (= Title) or a section
+#: heading (== … ====== ) — the marker+space shape Markdown never uses at
+#: line start (Markdown's setext '=' underline FOLLOWS the title text)
+_ADOC_HEAD_RE = _re.compile(r"^={1,6} \S")
 
 #: tags that mark text as HTML when they appear in the head window
 #: (reference handlers send HTML to docling's HTML backend; the tag list is
@@ -335,9 +346,17 @@ def sniff_format(data: bytes) -> str:
         if '"schema_name"' in w and '"DoclingDocument"' in w:
             return "docling_json"
         return "json"
+    from sparkdoc.vttparse import is_vtt
+
+    if is_vtt(text):
+        # the WebVTT signature binds harder than the HTML tag sniff (cue
+        # payloads legally carry <i>/<b>/<c> tags)
+        return "vtt"
     low = head.lower()
     if any(m in low for m in _HTML_MARKERS):
         return "html"
+    if _ADOC_HEAD_RE.match(head):
+        return "asciidoc"
     if looks_like_csv(text):
         return "csv"
     return "markdown"
@@ -400,6 +419,14 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
         from sparkdoc.dljson import docling_json_spans_doc
 
         return fmt, docling_json_spans_doc(doc_id, raw)
+    if fmt == "vtt":
+        from sparkdoc.vttparse import vtt_spans_doc
+
+        return fmt, vtt_spans_doc(doc_id, raw.decode("utf-8"))
+    if fmt == "asciidoc":
+        from sparkdoc.adocparse import adoc_spans_doc
+
+        return fmt, adoc_spans_doc(doc_id, raw.decode("utf-8"))
     if fmt == "csv":
         return fmt, csv_spans_doc(doc_id, raw.decode("utf-8"))
     if fmt == "markdown":

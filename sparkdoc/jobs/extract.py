@@ -25,6 +25,8 @@
   * ``xlsx:<parquet>`` / ``xlsx-synth:<n>`` and ``pptx:<parquet>`` /
     ``pptx-synth:<n>`` — homogeneous Office-format tables through the
     generic flatten → XY-cut path,
+  * ``adoc:<parquet>`` / ``adoc-synth:<n>`` (AsciiDoc) and
+    ``vtt:<parquet>`` / ``vtt-synth:<n>`` (WebVTT transcripts) likewise,
   * ``dljson:<parquet path>`` — a (doc_id, blob binary) table of serialized
     DoclingDocument JSON dumps (the reference's conversion-skipping input),
     or ``dljson-synth:<n_docs>`` for the seeded generator,
@@ -53,7 +55,8 @@ def main() -> None:
         help="raw_nodes parquet | synth:<n> | html:<parquet> | html-synth:<n> "
              "| md:<parquet> | md-synth:<n> | pdf:<parquet> | pdf-synth:<n> "
              "| docx:<parquet> | docx-synth:<n> | xlsx:<parquet> | xlsx-synth:<n> "
-             "| pptx:<parquet> | pptx-synth:<n> | mixed:<parquet> "
+             "| pptx:<parquet> | pptx-synth:<n> | adoc:<parquet> | adoc-synth:<n> "
+             "| vtt:<parquet> | vtt-synth:<n> | mixed:<parquet> "
              "| mixed-synth:<n> | dljson:<parquet> | dljson-synth:<n> "
              "| warc:<parquet> | warc-synth:<n>",
     )
@@ -138,6 +141,28 @@ def main() -> None:
         from sparkdoc.pptxparse import flatten_pptx
 
         raw = flatten_pptx(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("adoc-synth:"):
+        from sparkdoc.adocparse import flatten_adoc
+        from sparkdoc.synth import adoc_corpus_df
+
+        raw = flatten_adoc(
+            adoc_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("adoc:"):
+        from sparkdoc.adocparse import flatten_adoc
+
+        raw = flatten_adoc(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("vtt-synth:"):
+        from sparkdoc.synth import vtt_corpus_df
+        from sparkdoc.vttparse import flatten_vtt
+
+        raw = flatten_vtt(
+            vtt_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("vtt:"):
+        from sparkdoc.vttparse import flatten_vtt
+
+        raw = flatten_vtt(spark.read.parquet(args.input.split(":", 1)[1]))
     elif args.input.startswith("mixed-synth:"):
         from sparkdoc.synth import mixed_corpus_df
 

@@ -1936,6 +1936,243 @@ def synth_binary_doc(doc_index: int, seed: int) -> dict:
             "blob": b"\xff\xfe" + bytes(rng.randrange(256) for _ in range(48))}
 
 
+def synth_adoc_doc(doc_index: int, seed: int) -> dict:
+    """One AsciiDoc document + its closed-form block plan.
+
+    Returns {doc_id, adoc: str, expected: [(tag, text, n_links), ...]}.
+    Messiness exercised: title + section levels, attribute entries and
+    comments (skipped), hard-wrapped paragraphs, *bold*/_em_/`mono` strips,
+    link macros (link:url[text] and https://url[text]) feeding n_links, an
+    all-link farm paragraph (link-density drop fodder), bare URLs kept
+    literal, |=== tables, image:: macros with/without alt, and literal
+    fences shielding heading-looking lines verbatim."""
+    rng = random.Random(f"sparkdoc-adoc:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-adoc-{doc_index:08d}"
+    expected: list[tuple[str, str, int]] = []
+    out: list[str] = []
+
+    title = _sentence(rng, rng.randint(3, 6)).rstrip(".")
+    out.append(f"= {title}")
+    expected.append(("h1", title, 0))
+    out.append(":toc: left")  # attribute entries are not content
+    out.append(f":author: {rng.choice(_WORDS)}")
+    out.append("")
+
+    def render_inline(text: str) -> str:
+        words = text.split(" ")
+        k = rng.randrange(len(words))
+        if len(words[k]) > 1 and words[k].isalpha():
+            mark = rng.choice(["*", "_", "`"])
+            words[k] = f"{mark}{words[k]}{mark}"
+        return " ".join(words)
+
+    # link farm (nav analog): every word a link macro — dropped downstream
+    farm = [rng.choice(_WORDS) for _ in range(rng.randint(4, 8))]
+    out.append(" ".join(f"https://{domain}/x{k}[{w}]" for k, w in enumerate(farm)))
+    out.append("")
+    expected.append(("p", " ".join(farm), sum(len(w) for w in farm)))
+
+    n_blocks = rng.randint(4, 9)
+    for _ in range(n_blocks):
+        r = rng.random()
+        if r < 0.22:  # hard-wrapped paragraph with inline markup
+            s1 = _sentence(rng, rng.randint(4, 9))
+            s2 = _sentence(rng, rng.randint(4, 9))
+            out.append(render_inline(s1))
+            out.append(s2)
+            out.append("")
+            expected.append(("p", f"{s1} {s2}", 0))
+        elif r < 0.36:  # paragraph with one link macro (or a bare URL)
+            pre = _sentence(rng, rng.randint(3, 7))
+            post = _sentence(rng, rng.randint(3, 7))
+            if rng.random() < 0.3:
+                url = f"https://{domain}/bare"
+                out.append(f"{pre} {url} {post}")
+                out.append("")
+                expected.append(("p", f"{pre} {url} {post}", 0))
+            else:
+                anchor = _sentence(rng, rng.randint(2, 4)).rstrip(".")
+                macro = ("link:/docs/a.html" if rng.random() < 0.5
+                         else f"https://{domain}/deep/page")
+                out.append(f"{pre} {macro}[{anchor}] {post}")
+                out.append("")
+                expected.append(("p", f"{pre} {anchor} {post}", len(anchor)))
+        elif r < 0.5:  # section heading, levels 2-4
+            lvl = rng.randint(2, 4)
+            text = _sentence(rng, rng.randint(2, 5)).rstrip(".")
+            out.append(f"{'=' * lvl} {text}")
+            out.append("")
+            expected.append((f"h{lvl}", text, 0))
+        elif r < 0.62:  # bullet / ordered list
+            marker = rng.choice(["*", "-", ".", "**"])
+            for _k in range(rng.randint(2, 4)):
+                item = _sentence(rng, rng.randint(3, 7))
+                out.append(f"{marker} {item}")
+                expected.append(("li", item, 0))
+            out.append("")
+        elif r < 0.74:  # table
+            n_rows = rng.randint(2, 4)
+            out.append("|===")
+            rows = []
+            for _r2 in range(n_rows):
+                cells = [rng.choice(_WORDS) for _ in range(3)]
+                out.append("|" + "|".join(cells))
+                rows.append(" | ".join(cells))
+            out.append("|===")
+            out.append("")
+            expected.append(("table", "\n".join(rows), 0))
+        elif r < 0.86:  # image macro, alt sometimes empty
+            alt = "" if rng.random() < 0.4 else (
+                "Figure " + _sentence(rng, rng.randint(2, 4)).rstrip(".")
+            )
+            out.append(f"image::img/{rng.randint(1, 99)}.png[{alt}]")
+            out.append("")
+            expected.append(("img", alt, 0))
+        else:  # literal fence shields markup-looking lines verbatim
+            fence = rng.choice(["----", "...."])
+            lit = [f"== {rng.choice(_WORDS)} is not a heading",
+                   f"* {rng.choice(_WORDS)} is not a bullet"]
+            out.append(fence)
+            out.extend(lit)
+            out.append(fence)
+            out.append("")
+            expected.append(("p", "\n".join(lit), 0))
+        if rng.random() < 0.2:
+            out.append(f"// comment {rng.choice(_WORDS)}")
+    return {"doc_id": doc_id, "adoc": "\n".join(out) + "\n", "expected": expected}
+
+
+def expected_adoc_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE adoc→spans pipeline —
+    same classify restatement as expected_html_spans (never calls the
+    parser)."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_adoc_doc(i, seed)
+        out.extend(_expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND))
+    return out
+
+
+def adoc_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, adoc string) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_adoc_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "adoc": r["adoc"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, adoc string"
+    )
+
+
+def _vtt_ts(rng: random.Random, t: float) -> str:
+    h, rem = divmod(int(t), 3600)
+    m, s = divmod(rem, 60)
+    ms = int((t - int(t)) * 1000)
+    if h or rng.random() < 0.5:
+        return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
+    return f"{m:02d}:{s:02d}.{ms:03d}"
+
+
+def synth_vtt_doc(doc_index: int, seed: int) -> dict:
+    """One WebVTT transcript + its closed-form cue plan.
+
+    Returns {doc_id, vtt: str, expected: [(tag, text, n_links), ...]}.
+    Messiness exercised: header metadata, NOTE/STYLE blocks (skipped), cue
+    identifiers present/absent, timing settings, voice tags → 'Speaker: '
+    turns, <i>/<b>/<c>/timestamp tags stripped, multi-line payloads joined
+    with spaces."""
+    rng = random.Random(f"sparkdoc-vtt:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-vtt-{doc_index:08d}"
+    out: list[str] = []
+    expected: list[tuple[str, str, int]] = []
+    out.append("WEBVTT" + (" - transcript" if rng.random() < 0.3 else ""))
+    if rng.random() < 0.3:
+        out.append("Kind: captions")
+        out.append("Language: en")
+    out.append("")
+    if rng.random() < 0.4:
+        out.append("NOTE")
+        out.append("machine transcript, not reviewed")
+        out.append("")
+    if rng.random() < 0.2:
+        out.append("STYLE")
+        out.append("::cue { color: white }")
+        out.append("")
+    t = 0.0
+    speakers = ["Ana", "Raj", "Mei"]
+    for k in range(rng.randint(3, 8)):
+        dur = rng.uniform(1.0, 6.0)
+        if rng.random() < 0.4:
+            out.append(str(k + 1))  # cue identifier
+        settings = " align:start position:10%" if rng.random() < 0.25 else ""
+        out.append(f"{_vtt_ts(rng, t)} --> {_vtt_ts(rng, t + dur)}{settings}")
+        t += dur + rng.uniform(0.0, 1.0)
+        r = rng.random()
+        if r < 0.35:  # voice turn
+            sp = rng.choice(speakers)
+            text = _sentence(rng, rng.randint(3, 9))
+            out.append(f"<v {sp}>{text}</v>")
+            expected.append(("p", f"{sp}: {text}", 0))
+        elif r < 0.55:  # inline tags stripped
+            a = _sentence(rng, rng.randint(2, 5))
+            b = _sentence(rng, rng.randint(2, 5))
+            tag = rng.choice(["i", "b", "c.yellow"])
+            out.append(f"<{tag}>{a}</{tag.split('.')[0]}> <00:00:0{rng.randint(1,9)}.000>{b}")
+            expected.append(("p", f"{a} {b}", 0))
+        elif r < 0.8:  # multi-line payload
+            a = _sentence(rng, rng.randint(3, 7))
+            b = _sentence(rng, rng.randint(3, 7))
+            out.append(a)
+            out.append(b)
+            expected.append(("p", f"{a} {b}", 0))
+        else:
+            text = _sentence(rng, rng.randint(4, 10))
+            out.append(text)
+            expected.append(("p", text, 0))
+        out.append("")
+    return {"doc_id": doc_id, "vtt": "\n".join(out), "expected": expected}
+
+
+def expected_vtt_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE vtt→spans pipeline."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_vtt_doc(i, seed)
+        out.extend(_expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND))
+    return out
+
+
+def vtt_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, vtt string) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_vtt_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "vtt": r["vtt"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, vtt string"
+    )
+
+
 _CSV_SYNTH_DELIMS = (",", ";", "\t")
 
 
@@ -2032,7 +2269,7 @@ def synth_image_doc(doc_index: int, seed: int) -> dict:
 
 _MIXED_FORMATS = (
     "html", "markdown", "pdf", "docx", "xlsx", "pptx", "csv", "image",
-    "doclang", "docling_json", "binary"
+    "asciidoc", "vtt", "doclang", "docling_json", "binary"
 )
 
 
@@ -2085,6 +2322,20 @@ def synth_mixed_doc(doc_index: int, seed: int) -> dict:
 
             blob = _gz.compress(blob, mtime=0)  # transport-compressed media
         return {"doc_id": d["doc_id"], "blob": blob, "fmt": "image"}
+    if f == "asciidoc":
+        d = synth_adoc_doc(j, seed)
+        blob = d["adoc"].encode("utf-8")
+        if j % 4 == 3:
+            import bz2 as _bz2
+
+            blob = _bz2.compress(blob)  # bzip2 transport layer
+        return {"doc_id": d["doc_id"], "blob": blob, "fmt": "asciidoc"}
+    if f == "vtt":
+        d = synth_vtt_doc(j, seed)
+        blob = d["vtt"].encode("utf-8")
+        if j % 3 == 2:
+            blob = b"\xef\xbb\xbf" + blob
+        return {"doc_id": d["doc_id"], "blob": blob, "fmt": "vtt"}
     if f == "doclang":
         d = synth_doclang_doc(j, seed)
         return {"doc_id": d["doc_id"], "blob": d["dclg"].encode("utf-8"), "fmt": "doclang"}
@@ -2147,6 +2398,12 @@ def expected_mixed_spans(n_docs: int, seed: int = 42) -> list[dict]:
             d = synth_image_doc(j, seed)
             rows = [{"doc_id": d["doc_id"], "offset": 0, "kind": "picture",
                      "text": "", "media_ref": "#/pictures/1"}]
+        elif f == "asciidoc":
+            d = synth_adoc_doc(j, seed)
+            rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
+        elif f == "vtt":
+            d = synth_vtt_doc(j, seed)
+            rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
         elif f == "doclang":
             d = synth_doclang_doc(j, seed)
             rows = [

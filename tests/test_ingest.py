@@ -488,11 +488,11 @@ def test_mixed_and_dljson_second_seed():
     from sparkdoc.warc import warc_doc_blobs
 
     seed = 7
-    exp = expected_mixed_spans(33, seed)
+    exp = expected_mixed_spans(39, seed)
     by_doc: dict[str, list] = {}
     for r in exp:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    for i in range(33):
+    for i in range(39):
         d = synth_mixed_doc(i, seed)
         fmt, spans = mixed_spans_doc(d["doc_id"], d["blob"])
         assert fmt == d["fmt"]
