@@ -2993,6 +2993,25 @@ def _vtt_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jats_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JATS XML scholarly articles (the NISO Z39.96 tag suite, in docling's
+    DocumentConverter default matrix like the other raw formats): stdlib
+    ElementTree walk over a documented subset — front/article-meta title +
+    contributors + abstracts, sec-depth headings, lists, figs as
+    figcaption+picture, table-wraps, preformat verbatim, ext-link anchors
+    feeding link density, back ack/ref-list — through the fused
+    zero-shuffle spans path. Oracle = VALUES from
+    synth.expected_jats_spans (closed-form authored plan)."""
+    from sparkdoc.jatsparse import jats_to_documents
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import jats_corpus_df
+
+    docs = jats_to_documents(jats_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _mixed_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format ingest closes the input-routing first mile (reference
     InputTypeDetector.detect, core/input/types.py:44-233): ONE (doc_id,
@@ -3520,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pptx_extract_pinned": _pptx_extract_pinned,
         "adoc_extract_pinned": _adoc_extract_pinned,
         "vtt_extract_pinned": _vtt_extract_pinned,
+        "jats_extract_pinned": _jats_extract_pinned,
         "mixed_extract_pinned": _mixed_extract_pinned,
         "mixed_formats_pinned": _mixed_formats_pinned,
         "warc_extract_pinned": _warc_extract_pinned,
@@ -4541,6 +4561,20 @@ def oracle_sql() -> dict[str, str]:
     q["vtt_extract_pinned"] = (
         'SELECT * FROM (VALUES '
         + ", ".join(_vtrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # JATS first mile, same construction
+    from sparkdoc.synth import expected_jats_spans as _jats_expected
+
+    _jarows = []
+    for _s in _jats_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _jarows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["jats_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_jarows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
     # Mixed-format ingest, same construction: the VALUES plan composes the

@@ -412,9 +412,11 @@ def main() -> int:
     )
 
     from sparkdoc.adocparse import adoc_to_documents
+    from sparkdoc.jatsparse import jats_to_documents
     from sparkdoc.pptxparse import pptx_to_documents
     from sparkdoc.synth import (
-        adoc_corpus_df, pptx_corpus_df, vtt_corpus_df, xlsx_corpus_df,
+        adoc_corpus_df, jats_corpus_df, pptx_corpus_df, vtt_corpus_df,
+        xlsx_corpus_df,
     )
     from sparkdoc.vttparse import vtt_to_documents
     from sparkdoc.xlsxparse import xlsx_to_documents
@@ -427,6 +429,7 @@ def main() -> int:
         ("pptx_fused", pptx_to_documents(pptx_corpus_df(spark, 12, 42, partitions=4))),
         ("adoc_fused", adoc_to_documents(adoc_corpus_df(spark, 12, 42, partitions=4))),
         ("vtt_fused", vtt_to_documents(vtt_corpus_df(spark, 12, 42, partitions=4))),
+        ("jats_fused", jats_to_documents(jats_corpus_df(spark, 12, 42, partitions=4))),
     ):
         p = plan_of(df)
         sections.append((label, p))

@@ -34,12 +34,13 @@ from sparkdoc.spans import extract_documents
 from sparkdoc.synth import (
     html_corpus_df, md_corpus_df, docx_corpus_df, pdf_corpus_df,
     mixed_corpus_df, warc_corpus_df, xlsx_corpus_df, pptx_corpus_df,
-    adoc_corpus_df, vtt_corpus_df,
+    adoc_corpus_df, vtt_corpus_df, jats_corpus_df,
 )
 from sparkdoc.xlsxparse import flatten_xlsx, xlsx_to_documents
 from sparkdoc.pptxparse import flatten_pptx, pptx_to_documents
 from sparkdoc.adocparse import flatten_adoc, adoc_to_documents
 from sparkdoc.vttparse import flatten_vtt, vtt_to_documents
+from sparkdoc.jatsparse import flatten_jats, jats_to_documents
 from sparkdoc.warc import warc_extract
 
 cores = {cores}
@@ -50,14 +51,15 @@ CORPUS = dict(html=html_corpus_df, md=md_corpus_df, docx=docx_corpus_df,
               pdf=pdf_corpus_df, mixed=mixed_corpus_df,
               warc=warc_corpus_df, xlsx=xlsx_corpus_df,
               pptx=pptx_corpus_df, adoc=adoc_corpus_df,
-              vtt=vtt_corpus_df)[fmt]
+              vtt=vtt_corpus_df, jats=jats_corpus_df)[fmt]
 FLAT = dict(html=flatten_html, md=flatten_markdown, docx=flatten_docx,
             pdf=flatten_pdf, xlsx=flatten_xlsx, pptx=flatten_pptx,
-            adoc=flatten_adoc, vtt=flatten_vtt).get(fmt)
+            adoc=flatten_adoc, vtt=flatten_vtt, jats=flatten_jats).get(fmt)
 FUSED = dict(html=html_to_documents_fused, md=md_to_documents,
              docx=docx_to_documents, mixed=mixed_to_documents,
              xlsx=xlsx_to_documents, pptx=pptx_to_documents,
-             adoc=adoc_to_documents, vtt=vtt_to_documents).get(fmt)
+             adoc=adoc_to_documents, vtt=vtt_to_documents,
+             jats=jats_to_documents).get(fmt)
 if fused and FUSED is None and fmt not in ("mixed", "warc"):
     raise SystemExit("--fused: %s has no fused path (multi-page geometry)" % fmt)
 if fmt == "mixed":
@@ -110,7 +112,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="measure the zero-shuffle fused documents path")
-    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed", "warc", "xlsx", "pptx", "adoc", "vtt"])
+    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed", "warc", "xlsx", "pptx", "adoc", "vtt", "jats"])
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     lo = run_level(repo, args.low, args.docs, args.reps, args.fused, args.fmt)

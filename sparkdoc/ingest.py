@@ -40,6 +40,11 @@ Format vocabulary (sniff → handler):
             lines carry perfectly consistent delimiter counts reads as CSV
             (the reference detects by .csv extension, which a crawl table
             does not have).
+  jats      XML whose root element is <article> (JATS doctype, or an XML
+            prolog / dtd-version= / xmlns attrs ahead of the start tag) —
+            binds BEFORE the HTML markers because <article is also an HTML
+            tag; a bare <article> fragment still reads as HTML
+                                            → jatsparse.jats_spans_doc
   html      <!doctype html / <html / common HTML tags in the head
                                             → htmlparse.html_spans_doc
   asciidoc  leading `= Title` / `== Section` marker line
@@ -92,8 +97,9 @@ MIXED_DOCUMENTS = StructType(
 )
 
 FORMATS = (
-    "pdf", "docx", "xlsx", "pptx", "image", "csv", "html", "asciidoc",
-    "vtt", "doclang", "docling_json", "json", "markdown", "warc", "binary"
+    "pdf", "docx", "xlsx", "pptx", "image", "csv", "jats", "html",
+    "asciidoc", "vtt", "doclang", "docling_json", "json", "markdown",
+    "warc", "binary"
 )
 
 import re as _re
@@ -352,6 +358,14 @@ def sniff_format(data: bytes) -> str:
         # the WebVTT signature binds harder than the HTML tag sniff (cue
         # payloads legally carry <i>/<b>/<c> tags)
         return "vtt"
+    from sparkdoc.jatsparse import is_jats
+
+    if is_jats(head):
+        # JATS binds before the HTML markers: <article is also an HTML tag,
+        # but JATS requires XML evidence (doctype naming article, or a
+        # prolog / dtd-version= / xmlns ahead of the start tag) that an
+        # HTML5 fragment never carries; XHTML's root is html, not article
+        return "jats"
     low = head.lower()
     if any(m in low for m in _HTML_MARKERS):
         return "html"
@@ -423,6 +437,10 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
         from sparkdoc.vttparse import vtt_spans_doc
 
         return fmt, vtt_spans_doc(doc_id, raw.decode("utf-8"))
+    if fmt == "jats":
+        from sparkdoc.jatsparse import jats_spans_doc
+
+        return fmt, jats_spans_doc(doc_id, raw.decode("utf-8"))
     if fmt == "asciidoc":
         from sparkdoc.adocparse import adoc_spans_doc
 

@@ -25,8 +25,9 @@
   * ``xlsx:<parquet>`` / ``xlsx-synth:<n>`` and ``pptx:<parquet>`` /
     ``pptx-synth:<n>`` — homogeneous Office-format tables through the
     generic flatten → XY-cut path,
-  * ``adoc:<parquet>`` / ``adoc-synth:<n>`` (AsciiDoc) and
-    ``vtt:<parquet>`` / ``vtt-synth:<n>`` (WebVTT transcripts) likewise,
+  * ``adoc:<parquet>`` / ``adoc-synth:<n>`` (AsciiDoc),
+    ``vtt:<parquet>`` / ``vtt-synth:<n>`` (WebVTT transcripts), and
+    ``jats:<parquet>`` / ``jats-synth:<n>`` (JATS XML articles) likewise,
   * ``dljson:<parquet path>`` — a (doc_id, blob binary) table of serialized
     DoclingDocument JSON dumps (the reference's conversion-skipping input),
     or ``dljson-synth:<n_docs>`` for the seeded generator,
@@ -56,7 +57,8 @@ def main() -> None:
              "| md:<parquet> | md-synth:<n> | pdf:<parquet> | pdf-synth:<n> "
              "| docx:<parquet> | docx-synth:<n> | xlsx:<parquet> | xlsx-synth:<n> "
              "| pptx:<parquet> | pptx-synth:<n> | adoc:<parquet> | adoc-synth:<n> "
-             "| vtt:<parquet> | vtt-synth:<n> | mixed:<parquet> "
+             "| vtt:<parquet> | vtt-synth:<n> | jats:<parquet> "
+             "| jats-synth:<n> | mixed:<parquet> "
              "| mixed-synth:<n> | dljson:<parquet> | dljson-synth:<n> "
              "| warc:<parquet> | warc-synth:<n>",
     )
@@ -163,6 +165,17 @@ def main() -> None:
         from sparkdoc.vttparse import flatten_vtt
 
         raw = flatten_vtt(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("jats-synth:"):
+        from sparkdoc.jatsparse import flatten_jats
+        from sparkdoc.synth import jats_corpus_df
+
+        raw = flatten_jats(
+            jats_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("jats:"):
+        from sparkdoc.jatsparse import flatten_jats
+
+        raw = flatten_jats(spark.read.parquet(args.input.split(":", 1)[1]))
     elif args.input.startswith("mixed-synth:"):
         from sparkdoc.synth import mixed_corpus_df
 

@@ -2173,6 +2173,269 @@ def vtt_corpus_df(
     )
 
 
+def synth_jats_doc(doc_index: int, seed: int) -> dict:
+    """One JATS XML article + its closed-form block plan.
+
+    Returns {doc_id, jats: str, expected: [(tag, text, n_links), ...]}.
+    Messiness exercised: prolog always, JATS doctype half the time, a
+    default namespace a quarter of the time (the parser is ns-insensitive),
+    journal-meta and supplementary-material junk (skipped whole), inline
+    italic/bold/monospace in titles and paragraphs, ext-link anchors
+    feeding n_links with a reference-farm paragraph (link-density drop
+    fodder), xref citation markers kept as content, entity escapes,
+    abstracts with/without titles, nested secs and nested lists, figs with
+    label/caption/alt-text in all presence combinations, table-wraps with
+    thead+tbody, verbatim preformat blocks, disp-quotes, XML comments, and
+    a ref-list with default or explicit title."""
+    rng = random.Random(f"sparkdoc-jats:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-jats-{doc_index:08d}"
+    expected: list[tuple[str, str, int]] = []
+    x: list[str] = ['<?xml version="1.0" encoding="UTF-8"?>']
+    if rng.random() < 0.5:
+        x.append(
+            '<!DOCTYPE article PUBLIC "-//NLM//DTD JATS (Z39.96) Journal '
+            'Archiving and Interchange DTD v1.2 20190208//EN" '
+            '"JATS-archivearticle1.dtd">'
+        )
+    ns = ' xmlns="https://jats.nlm.nih.gov"' if rng.random() < 0.25 else ""
+    x.append(
+        '<article article-type="research-article" dtd-version="1.2"'
+        f' xmlns:xlink="http://www.w3.org/1999/xlink"{ns}>'
+    )
+
+    def inline_mark(sentence: str) -> str:
+        words = sentence.split(" ")
+        k = rng.randrange(len(words))
+        if len(words[k]) > 1 and words[k].isalpha():
+            mark = rng.choice(["italic", "bold", "monospace"])
+            words[k] = f"<{mark}>{words[k]}</{mark}>"
+        return " ".join(words)
+
+    # --- front -----------------------------------------------------------
+    x.append("<front>")
+    x.append(
+        "<journal-meta><journal-title-group><journal-title>"
+        f"{rng.choice(_WORDS).capitalize()} Journal"
+        "</journal-title></journal-title-group></journal-meta>"
+    )
+    x.append("<article-meta>")
+    title = _sentence(rng, rng.randint(4, 8)).rstrip(".")
+    rendered = inline_mark(title) if rng.random() < 0.5 else title
+    x.append(f"<title-group><article-title>{rendered}</article-title></title-group>")
+    expected.append(("h1", title, 0))
+    names: list[str] = []
+    parts = ["<contrib-group>"]
+    for _ in range(rng.randint(1, 3)):
+        given = rng.choice(_WORDS).capitalize()
+        sur = rng.choice(_WORDS).capitalize()
+        parts.append(
+            '<contrib contrib-type="author"><name>'
+            f"<surname>{sur}</surname><given-names>{given}</given-names>"
+            "</name></contrib>"
+        )
+        names.append(f"{given} {sur}")
+    parts.append("</contrib-group>")
+    x.append("".join(parts))
+    expected.append(("p", "; ".join(names), 0))
+    if rng.random() < 0.75:
+        abs_title = "" if rng.random() < 0.5 else rng.choice(["Summary", "Overview"])
+        x.append("<abstract>" + (f"<title>{abs_title}</title>" if abs_title else ""))
+        expected.append(("h2", abs_title or "Abstract", 0))
+        for _ in range(rng.randint(1, 2)):
+            s = _sentence(rng, rng.randint(6, 12))
+            x.append(f"<p>{s}</p>")
+            expected.append(("p", s, 0))
+        x.append("</abstract>")
+    x.append("</article-meta></front>")
+
+    # --- body ------------------------------------------------------------
+    x.append("<body>")
+    # reference-farm paragraph: every word an ext-link — dropped downstream
+    farm = [rng.choice(_WORDS) for _ in range(rng.randint(4, 8))]
+    x.append(
+        "<p>"
+        + " ".join(
+            f'<ext-link ext-link-type="uri" xlink:href="https://{domain}/x{k}">{w}</ext-link>'
+            for k, w in enumerate(farm)
+        )
+        + "</p>"
+    )
+    expected.append(("p", " ".join(farm), sum(len(w) for w in farm)))
+    for s_i in range(rng.randint(2, 4)):
+        sec_title = _sentence(rng, rng.randint(2, 5)).rstrip(".")
+        x.append(f'<sec id="s{s_i}"><title>{sec_title}</title>')
+        expected.append(("h2", sec_title, 0))
+        for _ in range(rng.randint(1, 4)):
+            r = rng.random()
+            if r < 0.24:  # paragraph: entity escapes or inline markup
+                s1 = _sentence(rng, rng.randint(5, 10))
+                if rng.random() < 0.2:
+                    n = rng.randint(2, 9)
+                    x.append(f"<p>Fees &amp; charges apply when x &lt; {n}. {s1}</p>")
+                    expected.append(("p", f"Fees & charges apply when x < {n}. {s1}", 0))
+                else:
+                    x.append(f"<p>{inline_mark(s1)}</p>")
+                    expected.append(("p", s1, 0))
+            elif r < 0.38:  # paragraph with one ext-link and an xref marker
+                pre = _sentence(rng, rng.randint(3, 7))
+                anchor = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(1, 3)))
+                post = _sentence(rng, rng.randint(3, 7))
+                x.append(
+                    f'<p>{pre} <ext-link ext-link-type="uri" '
+                    f'xlink:href="https://{domain}/deep">{anchor}</ext-link> '
+                    f'{post} <xref ref-type="bibr" rid="r1">[1]</xref></p>'
+                )
+                expected.append(("p", f"{pre} {anchor} {post} [1]", len(anchor)))
+            elif r < 0.52:  # list, nested a fifth of the time
+                lt = rng.choice(["bullet", "order"])
+                x.append(f'<list list-type="{lt}">')
+                n_items = rng.randint(2, 4)
+                for k in range(n_items):
+                    item = _sentence(rng, rng.randint(3, 7))
+                    nest = k == n_items - 1 and rng.random() < 0.2
+                    if nest:
+                        sub = _sentence(rng, rng.randint(2, 5))
+                        x.append(
+                            f"<list-item><p>{item}</p>"
+                            '<list list-type="bullet"><list-item>'
+                            f"<p>{sub}</p></list-item></list></list-item>"
+                        )
+                        expected.append(("li", item, 0))
+                        expected.append(("li", sub, 0))
+                    else:
+                        x.append(f"<list-item><p>{item}</p></list-item>")
+                        expected.append(("li", item, 0))
+                x.append("</list>")
+            elif r < 0.66:  # fig: label/caption/alt-text combinations
+                fid = rng.randint(1, 99)
+                bare = rng.random() < 0.15
+                alt = (
+                    ""
+                    if rng.random() < 0.6
+                    else " ".join(rng.choice(_WORDS) for _ in range(3))
+                )
+                fig = [f'<fig id="f{fid}">']
+                if not bare:
+                    label = f"Figure {rng.randint(1, 9)}"
+                    cap = "" if rng.random() < 0.3 else _sentence(rng, rng.randint(3, 6))
+                    fig.append(f"<label>{label}</label>")
+                    if cap:
+                        fig.append(f"<caption><p>{cap}</p></caption>")
+                    expected.append(
+                        ("figcaption", f"{label} {cap}" if cap else label, 0)
+                    )
+                if alt:
+                    fig.append(f"<alt-text>{alt}</alt-text>")
+                fig.append(f'<graphic xlink:href="img/{fid}.jpg"/></fig>')
+                x.append("".join(fig))
+                expected.append(("img", alt, 0))
+            elif r < 0.8:  # table-wrap with thead + tbody
+                label = f"Table {rng.randint(1, 9)}"
+                cap = _sentence(rng, rng.randint(2, 5))
+                header = [rng.choice(_WORDS) for _ in range(3)]
+                rows = [
+                    [rng.choice(_WORDS) for _ in range(3)]
+                    for _ in range(rng.randint(2, 4))
+                ]
+                tx = [
+                    f'<table-wrap id="t{rng.randint(1, 99)}">',
+                    f"<label>{label}</label><caption><p>{cap}</p></caption><table>",
+                    "<thead><tr>" + "".join(f"<th>{h}</th>" for h in header) + "</tr></thead>",
+                    "<tbody>",
+                ]
+                for row in rows:
+                    tx.append("<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>")
+                tx.append("</tbody></table></table-wrap>")
+                x.append("".join(tx))
+                expected.append(("p", f"{label} {cap}", 0))
+                expected.append(
+                    ("table", "\n".join(" | ".join(r) for r in [header] + rows), 0)
+                )
+            elif r < 0.88:  # preformat shields heading-looking lines verbatim
+                lit = [
+                    f"def {rng.choice(_WORDS)}(x):",
+                    f"    return x + {rng.randint(1, 9)}",
+                ]
+                x.append("<preformat>\n" + "\n".join(lit) + "\n</preformat>")
+                expected.append(("p", "\n".join(lit), 0))
+            else:  # nested sec (h3) or a disp-quote at the same depth
+                if rng.random() < 0.5:
+                    sub_title = _sentence(rng, rng.randint(2, 4)).rstrip(".")
+                    sp = _sentence(rng, rng.randint(4, 8))
+                    x.append(f"<sec><title>{sub_title}</title><p>{sp}</p></sec>")
+                    expected.append(("h3", sub_title, 0))
+                    expected.append(("p", sp, 0))
+                else:
+                    q = _sentence(rng, rng.randint(4, 9))
+                    x.append(f"<disp-quote><p>{q}</p></disp-quote>")
+                    expected.append(("p", q, 0))
+        if rng.random() < 0.2:  # junk the walk must skip whole
+            x.append(
+                '<supplementary-material xlink:href="s1.zip">'
+                "<label>S1</label></supplementary-material>"
+            )
+        if rng.random() < 0.2:
+            x.append(f"<!-- production note {rng.choice(_WORDS)} -->")
+        x.append("</sec>")
+    x.append("</body>")
+
+    # --- back ------------------------------------------------------------
+    x.append("<back>")
+    if rng.random() < 0.4:
+        ack = _sentence(rng, rng.randint(5, 9))
+        x.append(f"<ack><title>Acknowledgments</title><p>{ack}</p></ack>")
+        expected.append(("h2", "Acknowledgments", 0))
+        expected.append(("p", ack, 0))
+    if rng.random() < 0.8:
+        rl_title = "" if rng.random() < 0.5 else "Bibliography"
+        x.append("<ref-list>" + (f"<title>{rl_title}</title>" if rl_title else ""))
+        expected.append(("h2", rl_title or "References", 0))
+        for r_i in range(rng.randint(2, 4)):
+            author = rng.choice(_WORDS).capitalize()
+            year = 2000 + rng.randint(0, 25)
+            cite = _sentence(rng, rng.randint(4, 8))
+            x.append(
+                f'<ref id="r{r_i}"><label>{r_i + 1}.</label> '
+                f"<mixed-citation>{author} ({year}). {cite}</mixed-citation></ref>"
+            )
+            expected.append(("li", f"{r_i + 1}. {author} ({year}). {cite}", 0))
+        x.append("</ref-list>")
+    x.append("</back></article>")
+    return {"doc_id": doc_id, "jats": "\n".join(x) + "\n", "expected": expected}
+
+
+def expected_jats_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE jats→spans pipeline —
+    same classify restatement as expected_html_spans (never calls the
+    parser)."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_jats_doc(i, seed)
+        out.extend(_expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND))
+    return out
+
+
+def jats_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, jats string) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_jats_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "jats": r["jats"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, jats string"
+    )
+
+
 _CSV_SYNTH_DELIMS = (",", ";", "\t")
 
 
@@ -2269,14 +2532,14 @@ def synth_image_doc(doc_index: int, seed: int) -> dict:
 
 _MIXED_FORMATS = (
     "html", "markdown", "pdf", "docx", "xlsx", "pptx", "csv", "image",
-    "asciidoc", "vtt", "doclang", "docling_json", "binary"
+    "asciidoc", "vtt", "jats", "doclang", "docling_json", "binary"
 )
 
 
 def synth_mixed_doc(doc_index: int, seed: int) -> dict:
     """Mixed-corpus row: format cycles with index; the per-format generator
-    sees sub-index doc_index // 6, so the mixed corpus reuses the SAME
-    authored documents the per-format gates pin. Returns
+    sees sub-index doc_index // len(_MIXED_FORMATS), so the mixed corpus
+    reuses the SAME authored documents the per-format gates pin. Returns
     {doc_id, blob: bytes, fmt}. Every third markdown doc gets a UTF-8 BOM
     and every fourth html doc arrives gzip-compressed (sniffer fodder —
     real dumps carry both)."""
@@ -2336,6 +2599,12 @@ def synth_mixed_doc(doc_index: int, seed: int) -> dict:
         if j % 3 == 2:
             blob = b"\xef\xbb\xbf" + blob
         return {"doc_id": d["doc_id"], "blob": blob, "fmt": "vtt"}
+    if f == "jats":
+        d = synth_jats_doc(j, seed)
+        blob = d["jats"].encode("utf-8")
+        if j % 4 == 1:
+            blob = _gz.compress(blob, mtime=0)  # compressed XML dumps
+        return {"doc_id": d["doc_id"], "blob": blob, "fmt": "jats"}
     if f == "doclang":
         d = synth_doclang_doc(j, seed)
         return {"doc_id": d["doc_id"], "blob": d["dclg"].encode("utf-8"), "fmt": "doclang"}
@@ -2403,6 +2672,9 @@ def expected_mixed_spans(n_docs: int, seed: int = 42) -> list[dict]:
             rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
         elif f == "vtt":
             d = synth_vtt_doc(j, seed)
+            rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
+        elif f == "jats":
+            d = synth_jats_doc(j, seed)
             rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
         elif f == "doclang":
             d = synth_doclang_doc(j, seed)
