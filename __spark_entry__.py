@@ -3012,6 +3012,43 @@ def _jats_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _uspto_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USPTO patent XML (grants + applications, in docling's
+    DocumentConverter default matrix): stdlib ElementTree walk over a
+    documented subset — invention-title, abstract, description heading/p
+    runs with CALS tables, drawings figures as pictures, claims with
+    nested claim-text and claim-ref markers — through the fused
+    zero-shuffle spans path. Oracle = VALUES from
+    synth.expected_uspto_spans (closed-form authored plan)."""
+    from sparkdoc.spans import explode_spans
+    from sparkdoc.synth import uspto_corpus_df
+    from sparkdoc.usptoparse import uspto_to_documents
+
+    docs = uspto_to_documents(uspto_corpus_df(spark, 24, SYNTH_SEED, partitions=8))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
+def _mets_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METS/ALTO scan bundles (docling's Google-Books route, same
+    DocumentConverter default matrix): tar.gz archives of one METS
+    manifest + per-page ALTO OCR, parsed with stdlib tarfile+ElementTree
+    into REAL multi-page geometry — reading order comes from the SAME
+    XY-cut/page-break/furniture pipeline as PDF (the generic extract path,
+    one doc_id exchange; blocks are deliberately file-order-shuffled so
+    XY-cut is doing real work). Oracle = VALUES from
+    synth.expected_mets_spans (closed-form authored plan)."""
+    from sparkdoc.metsparse import flatten_mets
+    from sparkdoc.spans import explode_spans, extract_documents
+    from sparkdoc.synth import mets_corpus_df
+
+    docs = extract_documents(flatten_mets(mets_corpus_df(spark, 24, SYNTH_SEED, partitions=8)))
+    return explode_spans(docs).select(
+        "doc_id", "offset", "kind", F.md5(F.col("text")).alias("text_md5"), "media_ref"
+    )
+
+
 def _mixed_extract_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format ingest closes the input-routing first mile (reference
     InputTypeDetector.detect, core/input/types.py:44-233): ONE (doc_id,
@@ -3540,6 +3577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adoc_extract_pinned": _adoc_extract_pinned,
         "vtt_extract_pinned": _vtt_extract_pinned,
         "jats_extract_pinned": _jats_extract_pinned,
+        "uspto_extract_pinned": _uspto_extract_pinned,
+        "mets_extract_pinned": _mets_extract_pinned,
         "mixed_extract_pinned": _mixed_extract_pinned,
         "mixed_formats_pinned": _mixed_formats_pinned,
         "warc_extract_pinned": _warc_extract_pinned,
@@ -4575,6 +4614,34 @@ def oracle_sql() -> dict[str, str]:
     q["jats_extract_pinned"] = (
         'SELECT * FROM (VALUES '
         + ", ".join(_jarows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # USPTO first mile, same construction
+    from sparkdoc.synth import expected_uspto_spans as _uspto_expected
+
+    _usrows = []
+    for _s in _uspto_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _usrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["uspto_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_usrows)
+        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    )
+    # METS/ALTO first mile, same construction
+    from sparkdoc.synth import expected_mets_spans as _mets_expected
+
+    _merows = []
+    for _s in _mets_expected(24, SYNTH_SEED):
+        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+        _d = _s["doc_id"].replace("'", "''")
+        _mr = _s["media_ref"].replace("'", "''")
+        _merows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
+    q["mets_extract_pinned"] = (
+        'SELECT * FROM (VALUES '
+        + ", ".join(_merows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
     # Mixed-format ingest, same construction: the VALUES plan composes the

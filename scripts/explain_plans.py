@@ -413,10 +413,11 @@ def main() -> int:
 
     from sparkdoc.adocparse import adoc_to_documents
     from sparkdoc.jatsparse import jats_to_documents
+    from sparkdoc.usptoparse import uspto_to_documents
     from sparkdoc.pptxparse import pptx_to_documents
     from sparkdoc.synth import (
-        adoc_corpus_df, jats_corpus_df, pptx_corpus_df, vtt_corpus_df,
-        xlsx_corpus_df,
+        adoc_corpus_df, jats_corpus_df, pptx_corpus_df, uspto_corpus_df,
+        vtt_corpus_df, xlsx_corpus_df,
     )
     from sparkdoc.vttparse import vtt_to_documents
     from sparkdoc.xlsxparse import xlsx_to_documents
@@ -430,6 +431,7 @@ def main() -> int:
         ("adoc_fused", adoc_to_documents(adoc_corpus_df(spark, 12, 42, partitions=4))),
         ("vtt_fused", vtt_to_documents(vtt_corpus_df(spark, 12, 42, partitions=4))),
         ("jats_fused", jats_to_documents(jats_corpus_df(spark, 12, 42, partitions=4))),
+        ("uspto_fused", uspto_to_documents(uspto_corpus_df(spark, 12, 42, partitions=4))),
     ):
         p = plan_of(df)
         sections.append((label, p))
@@ -439,6 +441,18 @@ def main() -> int:
              n_exchange == 0 and "MapInPandas" in p, p)
         )
     pdf_docs = extract_documents(flatten_pdf(pdf_corpus_df(spark, 8, 42, partitions=4)))
+    from sparkdoc.metsparse import flatten_mets
+    from sparkdoc.synth import mets_corpus_df
+
+    mets_docs = extract_documents(flatten_mets(mets_corpus_df(spark, 8, 42, partitions=4)))
+    p = plan_of(mets_docs)
+    sections.append(("mets_extract", p))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    checks.append(
+        ("mets parse+extract pays exactly the ONE doc_id exchange of the "
+         "generic XY-cut path (multi-page ALTO geometry)",
+         n_exchange == 1 and "hashpartitioning(doc_id" in p, p)
+    )
     p = plan_of(pdf_docs)
     sections.append(("pdf_extract", p))
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))

@@ -34,13 +34,16 @@ from sparkdoc.spans import extract_documents
 from sparkdoc.synth import (
     html_corpus_df, md_corpus_df, docx_corpus_df, pdf_corpus_df,
     mixed_corpus_df, warc_corpus_df, xlsx_corpus_df, pptx_corpus_df,
-    adoc_corpus_df, vtt_corpus_df, jats_corpus_df,
+    adoc_corpus_df, vtt_corpus_df, jats_corpus_df, uspto_corpus_df,
+    mets_corpus_df,
 )
 from sparkdoc.xlsxparse import flatten_xlsx, xlsx_to_documents
 from sparkdoc.pptxparse import flatten_pptx, pptx_to_documents
 from sparkdoc.adocparse import flatten_adoc, adoc_to_documents
 from sparkdoc.vttparse import flatten_vtt, vtt_to_documents
 from sparkdoc.jatsparse import flatten_jats, jats_to_documents
+from sparkdoc.usptoparse import flatten_uspto, uspto_to_documents
+from sparkdoc.metsparse import flatten_mets
 from sparkdoc.warc import warc_extract
 
 cores = {cores}
@@ -51,15 +54,17 @@ CORPUS = dict(html=html_corpus_df, md=md_corpus_df, docx=docx_corpus_df,
               pdf=pdf_corpus_df, mixed=mixed_corpus_df,
               warc=warc_corpus_df, xlsx=xlsx_corpus_df,
               pptx=pptx_corpus_df, adoc=adoc_corpus_df,
-              vtt=vtt_corpus_df, jats=jats_corpus_df)[fmt]
+              vtt=vtt_corpus_df, jats=jats_corpus_df,
+              uspto=uspto_corpus_df, mets=mets_corpus_df)[fmt]
 FLAT = dict(html=flatten_html, md=flatten_markdown, docx=flatten_docx,
             pdf=flatten_pdf, xlsx=flatten_xlsx, pptx=flatten_pptx,
-            adoc=flatten_adoc, vtt=flatten_vtt, jats=flatten_jats).get(fmt)
+            adoc=flatten_adoc, vtt=flatten_vtt, jats=flatten_jats,
+            uspto=flatten_uspto, mets=flatten_mets).get(fmt)
 FUSED = dict(html=html_to_documents_fused, md=md_to_documents,
              docx=docx_to_documents, mixed=mixed_to_documents,
              xlsx=xlsx_to_documents, pptx=pptx_to_documents,
              adoc=adoc_to_documents, vtt=vtt_to_documents,
-             jats=jats_to_documents).get(fmt)
+             jats=jats_to_documents, uspto=uspto_to_documents).get(fmt)
 if fused and FUSED is None and fmt not in ("mixed", "warc"):
     raise SystemExit("--fused: %s has no fused path (multi-page geometry)" % fmt)
 if fmt == "mixed":
@@ -112,7 +117,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="measure the zero-shuffle fused documents path")
-    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed", "warc", "xlsx", "pptx", "adoc", "vtt", "jats"])
+    ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed", "warc", "xlsx", "pptx", "adoc", "vtt", "jats", "uspto", "mets"])
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     lo = run_level(repo, args.low, args.docs, args.reps, args.fused, args.fmt)

@@ -45,6 +45,13 @@ Format vocabulary (sniff → handler):
             binds BEFORE the HTML markers because <article is also an HTML
             tag; a bare <article> fragment still reads as HTML
                                             → jatsparse.jats_spans_doc
+  uspto     XML whose root element (or doctype) is us-patent-grant /
+            us-patent-application / patent-application-publication
+                                            → usptoparse.uspto_spans_doc
+  mets      tar archive (ustar magic; transport gzip already stripped)
+            holding a METS manifest + ALTO OCR pages (Google-Books-style
+            scan bundle); other tars are opaque binaries
+                                            → metsparse.mets_spans_doc
   html      <!doctype html / <html / common HTML tags in the head
                                             → htmlparse.html_spans_doc
   asciidoc  leading `= Title` / `== Section` marker line
@@ -97,9 +104,9 @@ MIXED_DOCUMENTS = StructType(
 )
 
 FORMATS = (
-    "pdf", "docx", "xlsx", "pptx", "image", "csv", "jats", "html",
-    "asciidoc", "vtt", "doclang", "docling_json", "json", "markdown",
-    "warc", "binary"
+    "pdf", "docx", "xlsx", "pptx", "image", "csv", "jats", "uspto",
+    "mets", "html", "asciidoc", "vtt", "doclang", "docling_json", "json",
+    "markdown", "warc", "binary"
 )
 
 import re as _re
@@ -306,6 +313,12 @@ def sniff_format(data: bytes) -> str:
         return "pdf"
     if _is_image(data):
         return "image"
+    if len(data) > 262 and data[257:262] == b"ustar":
+        # tar archive: a METS/ALTO scan bundle routes to the metsparse
+        # kernel; any other tar is an opaque binary
+        from sparkdoc.metsparse import is_mets_archive
+
+        return "mets" if is_mets_archive(data) else "binary"
     if data.startswith(b"WARC/"):
         # a whole WARC container fed as one document row: many documents,
         # not one — route through warc.warc_extract instead (recorded here
@@ -358,6 +371,13 @@ def sniff_format(data: bytes) -> str:
         # the WebVTT signature binds harder than the HTML tag sniff (cue
         # payloads legally carry <i>/<b>/<c> tags)
         return "vtt"
+    from sparkdoc.usptoparse import is_uspto
+
+    if is_uspto(head):
+        # USPTO patent XML: root element (or doctype) names a grant/
+        # application — collides with nothing in HTML, checked here with
+        # the other XML-evidence sniffs
+        return "uspto"
     from sparkdoc.jatsparse import is_jats
 
     if is_jats(head):
@@ -441,6 +461,14 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
         from sparkdoc.jatsparse import jats_spans_doc
 
         return fmt, jats_spans_doc(doc_id, raw.decode("utf-8"))
+    if fmt == "uspto":
+        from sparkdoc.usptoparse import uspto_spans_doc
+
+        return fmt, uspto_spans_doc(doc_id, raw.decode("utf-8"))
+    if fmt == "mets":
+        from sparkdoc.metsparse import mets_spans_doc
+
+        return fmt, mets_spans_doc(doc_id, data)
     if fmt == "asciidoc":
         from sparkdoc.adocparse import adoc_spans_doc
 

@@ -27,7 +27,11 @@
     generic flatten → XY-cut path,
   * ``adoc:<parquet>`` / ``adoc-synth:<n>`` (AsciiDoc),
     ``vtt:<parquet>`` / ``vtt-synth:<n>`` (WebVTT transcripts), and
-    ``jats:<parquet>`` / ``jats-synth:<n>`` (JATS XML articles) likewise,
+    ``jats:<parquet>`` / ``jats-synth:<n>`` (JATS XML articles), and
+    ``uspto:<parquet>`` / ``uspto-synth:<n>`` (USPTO patent XML) likewise,
+  * ``mets:<parquet>`` / ``mets-synth:<n>`` — (doc_id, blob binary) tables
+    of METS/ALTO scan bundles (tar.gz: one METS manifest + per-page ALTO
+    OCR), real multi-page geometry through the generic XY-cut path,
   * ``dljson:<parquet path>`` — a (doc_id, blob binary) table of serialized
     DoclingDocument JSON dumps (the reference's conversion-skipping input),
     or ``dljson-synth:<n_docs>`` for the seeded generator,
@@ -58,7 +62,8 @@ def main() -> None:
              "| docx:<parquet> | docx-synth:<n> | xlsx:<parquet> | xlsx-synth:<n> "
              "| pptx:<parquet> | pptx-synth:<n> | adoc:<parquet> | adoc-synth:<n> "
              "| vtt:<parquet> | vtt-synth:<n> | jats:<parquet> "
-             "| jats-synth:<n> | mixed:<parquet> "
+             "| jats-synth:<n> | uspto:<parquet> | uspto-synth:<n> "
+             "| mets:<parquet> | mets-synth:<n> | mixed:<parquet> "
              "| mixed-synth:<n> | dljson:<parquet> | dljson-synth:<n> "
              "| warc:<parquet> | warc-synth:<n>",
     )
@@ -176,6 +181,28 @@ def main() -> None:
         from sparkdoc.jatsparse import flatten_jats
 
         raw = flatten_jats(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("uspto-synth:"):
+        from sparkdoc.synth import uspto_corpus_df
+        from sparkdoc.usptoparse import flatten_uspto
+
+        raw = flatten_uspto(
+            uspto_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("uspto:"):
+        from sparkdoc.usptoparse import flatten_uspto
+
+        raw = flatten_uspto(spark.read.parquet(args.input.split(":", 1)[1]))
+    elif args.input.startswith("mets-synth:"):
+        from sparkdoc.metsparse import flatten_mets
+        from sparkdoc.synth import mets_corpus_df
+
+        raw = flatten_mets(
+            mets_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
+        )
+    elif args.input.startswith("mets:"):
+        from sparkdoc.metsparse import flatten_mets
+
+        raw = flatten_mets(spark.read.parquet(args.input.split(":", 1)[1]))
     elif args.input.startswith("mixed-synth:"):
         from sparkdoc.synth import mixed_corpus_df
 

@@ -2436,6 +2436,395 @@ def jats_corpus_df(
     )
 
 
+def synth_uspto_doc(doc_index: int, seed: int) -> dict:
+    """One USPTO patent-XML document + its closed-form block plan.
+
+    Returns {doc_id, uspto: str, expected: [(tag, text, n_links), ...]}.
+    Messiness exercised: grant vs application roots, decisive doctype half
+    the time, bibliographic junk (publication-reference numbers) the walk
+    must skip, inline b/i in titles, abstracts present/absent, description
+    heading+paragraph runs, CALS tables (thead+tbody rows), maths blocks
+    (skipped whole), drawings figures as empty pictures, claims with
+    nested claim-text sub-items and claim-ref markers kept as content, XML
+    comments."""
+    rng = random.Random(f"sparkdoc-uspto:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-uspto-{doc_index:08d}"
+    expected: list[tuple[str, str, int]] = []
+    grant = rng.random() < 0.7
+    root = "us-patent-grant" if grant else "us-patent-application"
+    biblio = ("us-bibliographic-data-grant" if grant
+              else "us-bibliographic-data-application")
+    x: list[str] = ['<?xml version="1.0" encoding="UTF-8"?>']
+    if rng.random() < 0.5:
+        x.append(f'<!DOCTYPE {root} SYSTEM "{root}-v45-2014-04-03.dtd">')
+    x.append(f'<{root} lang="EN" dtd-version="v4.5" status="PRODUCTION">')
+
+    def inline_mark(sentence: str) -> str:
+        words = sentence.split(" ")
+        k = rng.randrange(len(words))
+        if len(words[k]) > 1 and words[k].isalpha():
+            mark = rng.choice(["b", "i"])
+            words[k] = f"<{mark}>{words[k]}</{mark}>"
+        return " ".join(words)
+
+    title = _sentence(rng, rng.randint(3, 7)).rstrip(".")
+    x.append(f"<{biblio}>")
+    x.append(
+        "<publication-reference><document-id><country>US</country>"
+        f"<doc-number>{rng.randint(7000000, 9999999)}</doc-number>"
+        "<kind>B2</kind></document-id></publication-reference>"
+    )
+    rendered = inline_mark(title) if rng.random() < 0.4 else title
+    x.append(f'<invention-title id="d0e43">{rendered}</invention-title>')
+    x.append(f"</{biblio}>")
+    expected.append(("h1", title, 0))
+
+    if rng.random() < 0.85:
+        x.append('<abstract id="abstract">')
+        expected.append(("h2", "Abstract", 0))
+        for _ in range(rng.randint(1, 2)):
+            s = _sentence(rng, rng.randint(6, 12))
+            x.append(f'<p id="p-a{rng.randint(1, 99)}">{s}</p>')
+            expected.append(("p", s, 0))
+        x.append("</abstract>")
+
+    x.append('<description id="description">')
+    for h_i in range(rng.randint(2, 4)):
+        htext = _sentence(rng, rng.randint(2, 4)).rstrip(".").upper()
+        x.append(f'<heading id="h-{h_i}" level="1">{htext}</heading>')
+        expected.append(("h2", htext, 0))
+        for _ in range(rng.randint(1, 3)):
+            s = _sentence(rng, rng.randint(6, 12))
+            x.append(f'<p id="p-{rng.randint(1, 999):04d}" num="{rng.randint(1, 999):04d}">{inline_mark(s)}</p>')
+            expected.append(("p", s, 0))
+        if rng.random() < 0.3:  # CALS table
+            header = [rng.choice(_WORDS) for _ in range(3)]
+            rows = [
+                [rng.choice(_WORDS) for _ in range(3)]
+                for _ in range(rng.randint(2, 4))
+            ]
+            tx = ['<tables id="TBL-1"><table colsep="0"><tgroup cols="3">',
+                  "<thead><row>"
+                  + "".join(f"<entry>{h}</entry>" for h in header)
+                  + "</row></thead><tbody>"]
+            for row in rows:
+                tx.append("<row>" + "".join(f"<entry>{c}</entry>" for c in row) + "</row>")
+            tx.append("</tbody></tgroup></table></tables>")
+            x.append("".join(tx))
+            expected.append(
+                ("table", "\n".join(" | ".join(r) for r in [header] + rows), 0)
+            )
+        if rng.random() < 0.2:  # maths junk the walk must skip
+            x.append(
+                '<maths id="MATH-1"><math display="block">'
+                f"<mi>x</mi><mo>+</mo><mn>{rng.randint(1, 9)}</mn></math></maths>"
+            )
+        if rng.random() < 0.15:
+            x.append(f"<!-- examiner note {rng.choice(_WORDS)} -->")
+    x.append("</description>")
+
+    if rng.random() < 0.6:
+        n_figs = rng.randint(1, 3)
+        x.append('<drawings id="DRAWINGS">')
+        for f_i in range(n_figs):
+            x.append(
+                f'<figure id="Fig-{f_i}" num="{f_i + 1:05d}">'
+                f'<img id="EMI-D{f_i:05d}" file="D{f_i:05d}.TIF" alt="drawing"/></figure>'
+            )
+            expected.append(("img", "", 0))
+        x.append("</drawings>")
+
+    x.append('<claims id="claims">')
+    expected.append(("h2", "Claims", 0))
+    n_claims = rng.randint(2, 5)
+    for c_i in range(n_claims):
+        if c_i == 0 or rng.random() < 0.4:  # independent claim
+            stem = _sentence(rng, rng.randint(5, 9)).rstrip(".")
+            if rng.random() < 0.3:  # nested claim-text sub-items
+                a = _sentence(rng, rng.randint(2, 4)).rstrip(".").lower()
+                b = _sentence(rng, rng.randint(2, 4)).rstrip(".").lower()
+                x.append(
+                    f'<claim id="CLM-{c_i:05d}" num="{c_i + 1:05d}">'
+                    f"<claim-text>{stem} comprising: "
+                    f"<claim-text>a {a};</claim-text> "
+                    f"<claim-text>a {b}.</claim-text></claim-text></claim>"
+                )
+                expected.append(("li", f"{stem} comprising: a {a}; a {b}.", 0))
+            else:
+                x.append(
+                    f'<claim id="CLM-{c_i:05d}" num="{c_i + 1:05d}">'
+                    f"<claim-text>{stem}.</claim-text></claim>"
+                )
+                expected.append(("li", f"{stem}.", 0))
+        else:  # dependent claim with a claim-ref marker
+            ref = rng.randint(1, c_i)
+            tail = _sentence(rng, rng.randint(4, 8)).lower()
+            x.append(
+                f'<claim id="CLM-{c_i:05d}" num="{c_i + 1:05d}">'
+                f"<claim-text>The device of "
+                f'<claim-ref idref="CLM-{ref - 1:05d}">claim {ref}</claim-ref>'
+                f", wherein {tail}</claim-text></claim>"
+            )
+            expected.append(("li", f"The device of claim {ref}, wherein {tail}", 0))
+    x.append("</claims>")
+    x.append(f"</{root}>")
+    return {"doc_id": doc_id, "uspto": "\n".join(x) + "\n", "expected": expected}
+
+
+def expected_uspto_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE uspto→spans pipeline —
+    same classify restatement as expected_html_spans (never calls the
+    parser)."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        d = synth_uspto_doc(i, seed)
+        out.extend(_expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND))
+    return out
+
+
+def uspto_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, uspto string) corpus — deterministic per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_uspto_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "uspto": r["uspto"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, uspto string"
+    )
+
+
+def synth_mets_doc(doc_index: int, seed: int) -> dict:
+    """One METS/ALTO (Google-Books-style) tar.gz bundle + closed-form plan.
+
+    Returns {doc_id, blob: bytes (deterministic tar.gz), expected:
+    [(page_seq, tag, text)], node_order: [(page_seq, tag, text)]}.
+    ``node_order`` is the parser's EMISSION order (ALTO file order — the
+    source of node ids / picture media_refs); ``expected`` is the XY-cut
+    READING order (VPOS-sorted; blocks are deliberately shuffled in the
+    file so the two differ). Messiness exercised: gzip'd tar with fixed
+    mtimes, ORDER-attributed page divs listed in reverse, image fptrs the
+    resolver must skip past, an OCR-less page div (skipped without
+    breaking the page sequence), a junk .jp2 member, running headers that
+    become furniture on ≥3-page books, per-page footers that stay text,
+    hyphenated line joins (HYP), XML-entity escapes, and ALTO with and
+    without a namespace."""
+    import gzip as _gz
+    import io as _io
+    import tarfile as _tarfile
+
+    rng = random.Random(f"sparkdoc-mets:{seed}:{doc_index}")
+    domain = _pick_domain(rng)
+    doc_id = f"{domain}-mets-{doc_index:08d}"
+    n_pages = rng.randint(2, 4)
+    skip_page = rng.randint(1, n_pages) if rng.random() < 0.25 else 0
+    use_ns = rng.random() < 0.5
+    use_order = rng.random() < 0.5
+    ns = ' xmlns="http://www.loc.gov/standards/alto/ns-v3#"' if use_ns else ""
+    header_text = f"{doc_id} — library scan"
+
+    node_order: list[tuple[int, str, str, str]] = []
+    expected: list[tuple[int, str, str, str]] = []
+    altos: list[bytes] = []  # one per page div (empty bytes = image-only div)
+
+    page_seq = 0
+    for p in range(1, n_pages + 1):
+        if p == skip_page:
+            altos.append(b"")
+            continue
+        page_seq += 1
+        # authored blocks in READING (VPOS) order: header, flow, footer;
+        # bid is the block's stable identity across the two orders
+        blocks: list[tuple[str, str, int, int, str]] = []  # (tag, text, vpos, h, bid)
+        blocks.append(("p", header_text, 10, 14, f"{p}-hdr"))
+        y = 80
+        for b_i in range(rng.randint(2, 4)):
+            bid = f"{p}-{b_i}"
+            r = rng.random()
+            if r < 0.2:
+                blocks.append(("img", "", y, rng.randint(120, 240), bid))
+            elif r < 0.35:  # hyphenated two-line paragraph
+                s = _sentence(rng, rng.randint(5, 9))
+                words = s.split(" ")
+                k = rng.randrange(len(words))
+                w = words[k]
+                cut = max(1, len(w) // 2)
+                words_a = words[:k] + [w[:cut]]
+                words_b = [w[cut:]] + words[k + 1:]
+                blocks.append(
+                    ("hyp:" + " ".join(words_a) + "|" + " ".join(words_b), s, y, 40, bid)
+                )
+            elif r < 0.45:  # entity escape
+                s = f"Pages {rng.randint(2, 9)} & onward, see notes."
+                blocks.append(("p", s, y, 22, bid))
+            else:
+                s = _sentence(rng, rng.randint(4, 10))
+                blocks.append(("p", s, y, 22, bid))
+            y += blocks[-1][3] + rng.randint(20, 40)
+        blocks.append(("p", f"Page {page_seq}", 1160, 12, f"{p}-ftr"))
+        for tag, text, _v, _h, bid in blocks:
+            t = "img" if tag == "img" else "p"
+            expected.append((page_seq, t, text, bid))
+        # EMISSION order: deterministic shuffle of the reading order
+        emit = blocks[:]
+        rng.shuffle(emit)
+        for tag, text, _v, _h, bid in emit:
+            t = "img" if tag == "img" else "p"
+            node_order.append((page_seq, t, text, bid))
+        # render ALTO
+        parts = ['<?xml version="1.0" encoding="UTF-8"?>',
+                 f"<alto{ns}><Layout>",
+                 f'<Page ID="PAGE{p}" PHYSICAL_IMG_NR="{p}" WIDTH="800" HEIGHT="1200">',
+                 '<PrintSpace HPOS="0" VPOS="0" WIDTH="800" HEIGHT="1200">']
+        for bi, (tag, text, v, hh, _bid) in enumerate(emit):
+            if tag == "img":
+                parts.append(
+                    f'<Illustration ID="IL{p}-{bi}" HPOS="120" VPOS="{v}"'
+                    f' WIDTH="560" HEIGHT="{hh}"/>'
+                )
+                continue
+            if tag.startswith("hyp:"):
+                la, lb = tag[4:].split("|", 1)
+                def _line(ws: str, vv: int, hyp: bool) -> str:
+                    strs = "".join(
+                        f'<String CONTENT="{w.replace("&", "&amp;")}"/><SP/>'
+                        for w in ws.split(" ")
+                    )
+                    return (f'<TextLine HPOS="60" VPOS="{vv}" WIDTH="680" HEIGHT="18">'
+                            + strs + ("<HYP/>" if hyp else "") + "</TextLine>")
+                parts.append(
+                    f'<TextBlock ID="TB{p}-{bi}" HPOS="60" VPOS="{v}" WIDTH="680" HEIGHT="{hh}">'
+                    + _line(la, v, True) + _line(lb, v + 20, False) + "</TextBlock>"
+                )
+                continue
+            strs = "".join(
+                f'<String CONTENT="{w.replace("&", "&amp;")}"/><SP/>'
+                for w in text.split(" ")
+            )
+            parts.append(
+                f'<TextBlock ID="TB{p}-{bi}" HPOS="60" VPOS="{v}" WIDTH="680" HEIGHT="{hh}">'
+                f'<TextLine HPOS="60" VPOS="{v}" WIDTH="680" HEIGHT="18">{strs}</TextLine>'
+                "</TextBlock>"
+            )
+        parts.append("</PrintSpace></Page></Layout></alto>")
+        altos.append("".join(parts).encode("utf-8"))
+
+    # METS manifest: files + reverse-listed page divs
+    m = ['<?xml version="1.0" encoding="UTF-8"?>',
+         '<mets xmlns="http://www.loc.gov/METS/"'
+         ' xmlns:xlink="http://www.w3.org/1999/xlink">',
+         "<fileSec>", '<fileGrp USE="ocr">']
+    for p in range(1, n_pages + 1):
+        if altos[p - 1]:
+            m.append(f'<file ID="OCR{p:05d}" MIMETYPE="text/xml">'
+                     f'<FLocat xlink:href="alto/{p:08d}.xml"/></file>')
+    m.append('</fileGrp><fileGrp USE="image">')
+    for p in range(1, n_pages + 1):
+        m.append(f'<file ID="IMG{p:05d}" MIMETYPE="image/jp2">'
+                 f'<FLocat xlink:href="images/{p:08d}.jp2"/></file>')
+    m.append('</fileGrp></fileSec><structMap TYPE="physical"><div TYPE="book">')
+    pages = list(range(1, n_pages + 1))
+    if use_order:
+        pages = pages[::-1]  # listed reversed; ORDER attr restores sequence
+    for p in pages:
+        order = f' ORDER="{p}"' if use_order else ""
+        fptrs = f'<fptr FILEID="IMG{p:05d}"/>'
+        if altos[p - 1]:
+            fptrs += f'<fptr FILEID="OCR{p:05d}"/>'
+        m.append(f'<div TYPE="page"{order}>{fptrs}</div>')
+    m.append("</div></structMap></mets>")
+    mets_xml = "".join(m).encode("utf-8")
+
+    # deterministic tar.gz
+    tbuf = _io.BytesIO()
+    with _tarfile.open(fileobj=tbuf, mode="w") as tf:
+        def addf(name: str, data: bytes) -> None:
+            ti = _tarfile.TarInfo(name=name)
+            ti.size = len(data)
+            ti.mtime = 0
+            tf.addfile(ti, _io.BytesIO(data))
+
+        addf(f"{doc_id}/{doc_id}.mets.xml", mets_xml)
+        for p in range(1, n_pages + 1):
+            if altos[p - 1]:
+                addf(f"{doc_id}/alto/{p:08d}.xml", altos[p - 1])
+        addf(f"{doc_id}/images/00000001.jp2", b"\x00\x00\x00\x0cjP  \r\n\x87\n junk")
+    blob = _gz.compress(tbuf.getvalue(), mtime=0)
+    return {"doc_id": doc_id, "blob": blob,
+            "expected": expected, "node_order": node_order}
+
+
+def _expected_mets_doc(d: dict) -> list[dict]:
+    """Per-doc METS expectation: page_break spans between contributing
+    pages, the repeated-text furniture rule (identical text on >= 3
+    pages), picture media_refs from the parser's emission-order node ids —
+    all restated from the authored plan."""
+    nid_by_bid = {bid: nid for nid, (_pg, _tg, _t, bid)
+                  in enumerate(d["node_order"], start=1)}
+    pages_by_text: dict[str, set] = {}
+    for page, tag, text, _bid in d["expected"]:
+        if tag == "p":
+            pages_by_text.setdefault(text, set()).add(page)
+    repeated = {t for t, ps in pages_by_text.items() if len(ps) >= 3}
+    out: list[dict] = []
+    off = 0
+    prev_page = None
+    for page, tag, text, bid in d["expected"]:
+        if prev_page is not None and page != prev_page:
+            out.append({"doc_id": d["doc_id"], "offset": off,
+                        "kind": "page_break", "text": "", "media_ref": ""})
+            off += 1
+        prev_page = page
+        if tag == "img":
+            kind, media_ref = "picture", f"#/pictures/{nid_by_bid[bid]}"
+        else:
+            kind = "furniture" if text in repeated else "text"
+            media_ref = ""
+        out.append({"doc_id": d["doc_id"], "offset": off, "kind": kind,
+                    "text": text, "media_ref": media_ref})
+        off += 1
+    return out
+
+
+def expected_mets_spans(n_docs: int, seed: int = 42) -> list[dict]:
+    """Closed-form span expectation for the WHOLE mets→spans pipeline —
+    restated from the authored plan, never calling the parser."""
+    out: list[dict] = []
+    for i in range(n_docs):
+        out.extend(_expected_mets_doc(synth_mets_doc(i, seed)))
+    return out
+
+
+def mets_corpus_df(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed (doc_id, blob binary) METS/ALTO corpus — deterministic
+    per index."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [synth_mets_doc(int(i), seed) for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(
+                    [{"doc_id": r["doc_id"], "blob": r["blob"]} for r in rows]
+                )
+
+    parts = partitions or max(4, n_docs // 128)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(
+        gen, schema="doc_id string, blob binary"
+    )
+
+
 _CSV_SYNTH_DELIMS = (",", ";", "\t")
 
 
@@ -2532,7 +2921,8 @@ def synth_image_doc(doc_index: int, seed: int) -> dict:
 
 _MIXED_FORMATS = (
     "html", "markdown", "pdf", "docx", "xlsx", "pptx", "csv", "image",
-    "asciidoc", "vtt", "jats", "doclang", "docling_json", "binary"
+    "asciidoc", "vtt", "jats", "uspto", "mets", "doclang", "docling_json",
+    "binary"
 )
 
 
@@ -2605,6 +2995,17 @@ def synth_mixed_doc(doc_index: int, seed: int) -> dict:
         if j % 4 == 1:
             blob = _gz.compress(blob, mtime=0)  # compressed XML dumps
         return {"doc_id": d["doc_id"], "blob": blob, "fmt": "jats"}
+    if f == "uspto":
+        d = synth_uspto_doc(j, seed)
+        blob = d["uspto"].encode("utf-8")
+        if j % 4 == 3:
+            blob = _gz.compress(blob, mtime=0)  # bulk dumps ship gzipped
+        return {"doc_id": d["doc_id"], "blob": blob, "fmt": "uspto"}
+    if f == "mets":
+        d = synth_mets_doc(j, seed)
+        # blob is already a tar.gz; the sniffer strips the transport layer
+        # and routes the inner tar by its ustar magic + METS member
+        return {"doc_id": d["doc_id"], "blob": d["blob"], "fmt": "mets"}
     if f == "doclang":
         d = synth_doclang_doc(j, seed)
         return {"doc_id": d["doc_id"], "blob": d["dclg"].encode("utf-8"), "fmt": "doclang"}
@@ -2676,6 +3077,11 @@ def expected_mixed_spans(n_docs: int, seed: int = 42) -> list[dict]:
         elif f == "jats":
             d = synth_jats_doc(j, seed)
             rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
+        elif f == "uspto":
+            d = synth_uspto_doc(j, seed)
+            rows = _expected_canvas_doc(d["doc_id"], d["expected"], _HTML_KIND)
+        elif f == "mets":
+            rows = _expected_mets_doc(synth_mets_doc(j, seed))
         elif f == "doclang":
             d = synth_doclang_doc(j, seed)
             rows = [
