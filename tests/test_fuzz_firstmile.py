@@ -133,3 +133,70 @@ def test_md_kernel_total(text):
 def test_html_kernel_total(text):
     check_raw_nodes(flatten_html_doc("d", text))
     check_spans(html_spans_doc("d", text))
+
+
+# --- round-3 XML/archive first miles: jats / uspto / mets --------------------
+
+from sparkdoc.jatsparse import flatten_jats_doc, jats_spans_doc
+from sparkdoc.metsparse import mets_nodes_doc, mets_spans_doc
+from sparkdoc.synth import synth_jats_doc, synth_mets_doc, synth_uspto_doc
+from sparkdoc.usptoparse import flatten_uspto_doc, uspto_spans_doc
+
+_JATS = synth_jats_doc(3, 42)["jats"]
+_USPTO = synth_uspto_doc(3, 42)["uspto"]
+_METS = synth_mets_doc(3, 42)["blob"]
+
+_xmlish = st.text(
+    alphabet="<>/?!&;#\"'= \n\tabcdefgxmlarticle-",
+    max_size=400,
+)
+
+
+def _mutate_text(text: str, cut: int, flips: list[tuple[int, int]]) -> str:
+    buf = list(text[: max(1, int(len(text) * cut / 1000))])
+    for pos, val in flips:
+        if buf:
+            buf[pos % len(buf)] = chr(32 + (val % 90))
+    return "".join(buf)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=1000), _flips)
+def test_jats_kernel_total_on_mutations(cut, flips):
+    text = _mutate_text(_JATS, cut, flips)
+    check_raw_nodes(flatten_jats_doc("d", text))
+    check_spans(jats_spans_doc("d", text))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(_hostile_text, _xmlish))
+def test_jats_kernel_total_on_random_text(text):
+    check_spans(jats_spans_doc("d", text))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=1000), _flips)
+def test_uspto_kernel_total_on_mutations(cut, flips):
+    text = _mutate_text(_USPTO, cut, flips)
+    check_raw_nodes(flatten_uspto_doc("d", text))
+    check_spans(uspto_spans_doc("d", text))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(_hostile_text, _xmlish))
+def test_uspto_kernel_total_on_random_text(text):
+    check_spans(uspto_spans_doc("d", text))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(min_value=1, max_value=1000), _flips)
+def test_mets_kernel_total_on_mutations(cut, flips):
+    blob = _mutate(_METS, cut, flips)
+    check_raw_nodes(mets_nodes_doc("d", blob))
+    check_spans(mets_spans_doc("d", blob))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_mets_kernel_total_on_random_bytes(blob):
+    check_spans(mets_spans_doc("d", blob))
