@@ -108,6 +108,29 @@ def test_geometry_reading_order_not_file_order():
     assert [n["text"] for n in nodes] == ["last", "first", "middle"]
 
 
+def test_two_column_page_reads_column_major():
+    # a dense two-column scan: full-width title band, then two columns of
+    # TALL blocks that overlap vertically (no whitespace band crosses both
+    # columns, as on a real magazine page) — XY-cut finds no horizontal
+    # cut, falls to the vertical gap between the columns, and reads the
+    # whole LEFT column top-to-bottom before the RIGHT column
+    def colblock(hpos: int, vpos: int, word: str) -> bytes:
+        return (
+            f'<TextBlock HPOS="{hpos}" VPOS="{vpos}" WIDTH="320" HEIGHT="200">'
+            f'<TextLine><String CONTENT="{word}"/></TextLine></TextBlock>'
+        ).encode()
+
+    a = alto(
+        block(10, "title")  # full-width (HPOS 60 WIDTH 680)
+        + colblock(420, 150, "R1") + colblock(60, 100, "L1")
+        + colblock(60, 310, "L2") + colblock(420, 360, "R2")
+        + colblock(60, 520, "L3")
+    )
+    blob = tar_of({"b/b.mets.xml": METS, "b/alto/1.xml": a})
+    texts = [s["text"] for s in mets_spans_doc("d", blob)]
+    assert texts == ["title", "L1", "L2", "L3", "R1", "R2"]
+
+
 def test_hyphenation_joins_without_space():
     a = alto(
         b'<TextBlock HPOS="60" VPOS="80" WIDTH="680" HEIGHT="40">'
