@@ -4602,48 +4602,32 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_vtrows)
         + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
     )
-    # JATS first mile, same construction
-    from sparkdoc.synth import expected_jats_spans as _jats_expected
-
-    _jarows = []
-    for _s in _jats_expected(24, SYNTH_SEED):
-        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
-        _d = _s["doc_id"].replace("'", "''")
-        _mr = _s["media_ref"].replace("'", "''")
-        _jarows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
-    q["jats_extract_pinned"] = (
-        'SELECT * FROM (VALUES '
-        + ", ".join(_jarows)
-        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+    # JATS / USPTO / METS first miles, same construction as the rows above
+    # (one loop so the row shape cannot drift between them)
+    from sparkdoc.synth import (
+        expected_jats_spans as _jats_expected,
+        expected_mets_spans as _mets_expected,
+        expected_uspto_spans as _uspto_expected,
     )
-    # USPTO first mile, same construction
-    from sparkdoc.synth import expected_uspto_spans as _uspto_expected
 
-    _usrows = []
-    for _s in _uspto_expected(24, SYNTH_SEED):
-        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
-        _d = _s["doc_id"].replace("'", "''")
-        _mr = _s["media_ref"].replace("'", "''")
-        _usrows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
-    q["uspto_extract_pinned"] = (
-        'SELECT * FROM (VALUES '
-        + ", ".join(_usrows)
-        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
-    )
-    # METS/ALTO first mile, same construction
-    from sparkdoc.synth import expected_mets_spans as _mets_expected
-
-    _merows = []
-    for _s in _mets_expected(24, SYNTH_SEED):
-        _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
-        _d = _s["doc_id"].replace("'", "''")
-        _mr = _s["media_ref"].replace("'", "''")
-        _merows.append(f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')")
-    q["mets_extract_pinned"] = (
-        'SELECT * FROM (VALUES '
-        + ", ".join(_merows)
-        + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
-    )
+    for _gate, _expected_fn in (
+        ("jats_extract_pinned", _jats_expected),
+        ("uspto_extract_pinned", _uspto_expected),
+        ("mets_extract_pinned", _mets_expected),
+    ):
+        _rows = []
+        for _s in _expected_fn(24, SYNTH_SEED):
+            _md5 = _hl.md5(_s["text"].encode("utf-8")).hexdigest()
+            _d = _s["doc_id"].replace("'", "''")
+            _mr = _s["media_ref"].replace("'", "''")
+            _rows.append(
+                f"('{_d}', {_s['offset']}, '{_s['kind']}', '{_md5}', '{_mr}')"
+            )
+        q[_gate] = (
+            'SELECT * FROM (VALUES '
+            + ", ".join(_rows)
+            + ') AS t(doc_id, "offset", kind, text_md5, media_ref)'
+        )
     # Mixed-format ingest, same construction: the VALUES plan composes the
     # SAME per-format closed-form restatements the per-format gates pin.
     from sparkdoc.synth import expected_mixed_formats as _mix_fmt_expected

@@ -299,9 +299,11 @@ def csv_spans_doc(doc_id: str, text: str) -> list[dict]:
 def sniff_format(data: bytes) -> str:
     """Classify a document blob by leading bytes (InputTypeDetector analog,
     core/input/types.py:44-233). Deterministic, pure, cheap: magic-number
-    checks plus a 1024-char head sniff for HTML/DocLang/JSON — only the
-    DOCX check reads past the head (the zip central directory lives at the
-    END of the file; zipfile needs it to list member names)."""
+    checks plus a 1024-char head sniff for HTML/DocLang/JSON. Two checks
+    read past the head: the OOXML one (the zip central directory lives at
+    the END of the file; zipfile needs it to list member names) and the
+    tar/METS one (member headers are interleaved through the archive; the
+    scan stops at the first .xml member head naming a <mets root)."""
     if not data:
         return "binary"
     if _is_compressed(data):
@@ -313,12 +315,6 @@ def sniff_format(data: bytes) -> str:
         return "pdf"
     if _is_image(data):
         return "image"
-    if len(data) > 262 and data[257:262] == b"ustar":
-        # tar archive: a METS/ALTO scan bundle routes to the metsparse
-        # kernel; any other tar is an opaque binary
-        from sparkdoc.metsparse import is_mets_archive
-
-        return "mets" if is_mets_archive(data) else "binary"
     if data.startswith(b"WARC/"):
         # a whole WARC container fed as one document row: many documents,
         # not one — route through warc.warc_extract instead (recorded here
@@ -341,6 +337,16 @@ def sniff_format(data: bytes) -> str:
         if "ppt/presentation.xml" in names:
             return "pptx"
         return "binary"
+    if len(data) > 262 and data[257:262] == b"ustar":
+        # tar archive: a METS/ALTO scan bundle routes to the metsparse
+        # kernel; any other tar is an opaque binary. Checked AFTER every
+        # unambiguous leading-magic format (PDF/image/WARC/zip): the ustar
+        # magic sits at offset 257 INSIDE the payload, so a WARC or zip
+        # whose content bytes happen to spell 'ustar' there must not be
+        # stolen (review finding)
+        from sparkdoc.metsparse import is_mets_archive
+
+        return "mets" if is_mets_archive(data) else "binary"
     raw = data[3:] if data.startswith(_UTF8_BOM) else data
     try:
         text = raw.decode("utf-8")

@@ -112,42 +112,60 @@ def _first(el: ET.Element | None, *names: str) -> ET.Element | None:
     return kids[0] if kids else None
 
 
-def is_jats(text: str) -> bool:
-    """JATS admission rule (see module docstring): XML whose root element
-    is ``article``, evidenced by a doctype naming ``article``, or a prolog
-    / ``dtd-version=`` / ``xmlns`` attribute ahead of ``<article``."""
+def skip_xml_preamble(
+    text: str, doctype_re: re.Pattern | None = None
+) -> tuple[bool, bool, str] | None:
+    """Scan past BOM/whitespace, XML prolog, comments, PIs, and doctype.
+
+    Returns ``(saw_prolog, doctype_matched, rest)`` where ``rest`` starts
+    at the first non-preamble construct, or ``None`` when the preamble is
+    truncated. ``doctype_matched`` is True when ``doctype_re`` matched a
+    ``<!DOCTYPE`` — treat it as decisive at the call site: matching
+    doctypes short-circuit here too (an internal DTD subset's ``[ ... ]>``
+    brackets defeat the cheap ``>`` scan, so the root element after a
+    matching doctype may be unreachable). Shared by the JATS and USPTO
+    admission rules so the two scanners cannot drift."""
     s = text.lstrip("﻿").lstrip()
     saw_prolog = False
     if s.startswith("<?xml"):
         end = s.find("?>")
         if end < 0:
-            return False
+            return None
         saw_prolog = True
         s = s[end + 2:].lstrip()
     while True:
         if s.startswith("<!--"):
             end = s.find("-->")
             if end < 0:
-                return False
+                return None
             s = s[end + 3:].lstrip()
         elif s.startswith("<?"):
             end = s.find("?>")
             if end < 0:
-                return False
+                return None
             s = s[end + 2:].lstrip()
         elif s.startswith("<!DOCTYPE"):
-            if _DOCTYPE_ARTICLE_RE.match(s):
-                # decisive: HTML never declares <!DOCTYPE article — and
-                # short-circuiting keeps an internal DTD subset ([ ... ]>,
-                # whose brackets defeat the cheap '>' scan) from hiding
-                # the root element
-                return True
+            if doctype_re is not None and doctype_re.match(s):
+                return saw_prolog, True, s
             end = s.find(">")
             if end < 0:
-                return False
+                return None
             s = s[end + 1:].lstrip()
         else:
-            break
+            return saw_prolog, False, s
+
+
+def is_jats(text: str) -> bool:
+    """JATS admission rule (see module docstring): XML whose root element
+    is ``article``, evidenced by a doctype naming ``article``, or a prolog
+    / ``dtd-version=`` / ``xmlns`` attribute ahead of ``<article``."""
+    pre = skip_xml_preamble(text, _DOCTYPE_ARTICLE_RE)
+    if pre is None:
+        return False
+    saw_prolog, doctype_article, s = pre
+    if doctype_article:
+        # decisive: HTML never declares <!DOCTYPE article
+        return True
     m = _FIRST_ELEMENT_RE.match(s)
     if m is None or m.group(1).rsplit(":", 1)[-1] != "article":
         return False

@@ -52,12 +52,11 @@ from sparkdoc.jatsparse import _children, _local
 from sparkdoc.schemas import RAW_NODES
 
 _TAR_MAGIC_OFFSET = 257
-_TAR_MAGICS = (b"ustar\x0000", b"ustar  \x00", b"ustar")
 
 
 def _looks_like_tar(data: bytes) -> bool:
-    head = data[_TAR_MAGIC_OFFSET:_TAR_MAGIC_OFFSET + 8]
-    return any(head.startswith(m[:5]) for m in _TAR_MAGICS)
+    # POSIX ('ustar\x00') and GNU ('ustar  ') magics share this prefix
+    return data[_TAR_MAGIC_OFFSET:_TAR_MAGIC_OFFSET + 5] == b"ustar"
 
 
 def _open_tar(data: bytes) -> tarfile.TarFile | None:
@@ -79,7 +78,12 @@ def _read_member(tf: tarfile.TarFile, name: str, cap: int = 64 * 1024 * 1024) ->
 
 def is_mets_archive(data: bytes) -> bool:
     """METS admission rule (see module docstring): a tar archive with an
-    ``.xml`` member whose head names a ``<mets`` root."""
+    ``.xml`` member whose head names a ``<mets`` root.
+
+    On the mixed path this runs once at sniff time and the kernel re-walks
+    the member headers when parsing — accepted duplication: transport gzip
+    is already stripped there, so the re-walk is a plain-tar header seek
+    (no decompression) and the ALTO XML parses dominate the kernel cost."""
     if not (_looks_like_tar(data) or data[:2] == b"\x1f\x8b"):
         return False
     tf = _open_tar(data)

@@ -62,33 +62,17 @@ _FIRST_ELEMENT_RE = re.compile(r"<([A-Za-z][\w.:-]*)")
 
 def is_uspto(text: str) -> bool:
     """USPTO admission rule (see module docstring): XML whose root element
-    (or doctype) names a US patent grant/application."""
-    s = text.lstrip("﻿").lstrip()
-    if s.startswith("<?xml"):
-        end = s.find("?>")
-        if end < 0:
-            return False
-        s = s[end + 2:].lstrip()
-    while True:
-        if s.startswith("<!--"):
-            end = s.find("-->")
-            if end < 0:
-                return False
-            s = s[end + 3:].lstrip()
-        elif s.startswith("<?"):
-            end = s.find("?>")
-            if end < 0:
-                return False
-            s = s[end + 2:].lstrip()
-        elif s.startswith("<!DOCTYPE"):
-            if _DOCTYPE_RE.match(s):
-                return True  # decisive, like the JATS article doctype
-            end = s.find(">")
-            if end < 0:
-                return False
-            s = s[end + 1:].lstrip()
-        else:
-            break
+    (or doctype, decisively) names a US patent grant/application. The
+    preamble scan is shared with the JATS rule (jatsparse.skip_xml_preamble)
+    so the two state machines cannot drift."""
+    from sparkdoc.jatsparse import skip_xml_preamble
+
+    pre = skip_xml_preamble(text, _DOCTYPE_RE)
+    if pre is None:
+        return False
+    _saw_prolog, doctype_patent, s = pre
+    if doctype_patent:
+        return True
     m = _FIRST_ELEMENT_RE.match(s)
     return m is not None and m.group(1).rsplit(":", 1)[-1] in _ROOTS
 

@@ -94,6 +94,19 @@ def test_sniffer_routes_mets_and_rejects_other_tars():
     assert sniff_format(other) == "binary"
 
 
+def test_leading_magics_beat_payload_ustar():
+    # formats identified by LEADING magic must win even when their payload
+    # happens to spell 'ustar' at the tar magic offset 257 (review finding)
+    from sparkdoc.ingest import sniff_format
+
+    warc = (b"WARC/1.0\r\nWARC-Type: resource\r\n" + b"x" * 226 + b"ustar" + b"y" * 64)
+    assert warc[257:262] == b"ustar"
+    assert sniff_format(warc) == "warc"
+    pdf = b"%PDF-1.4\n" + b"a" * 248 + b"ustar" + b"b" * 64
+    assert pdf[257:262] == b"ustar"
+    assert sniff_format(pdf) == "pdf"
+
+
 # --- manifest + ALTO semantics ------------------------------------------------
 
 
