@@ -117,6 +117,13 @@ def xy_cut_order(boxes: list[tuple[int, int, int, int]], min_gap: int = 4) -> li
                 for g in groups:
                     out.extend(rec(g, "y" if axis == "x" else "x"))
                 return out
-        return sorted(idx, key=lambda i: (boxes[i][1], boxes[i][0], i))
+        # full-geometry tiebreak BEFORE the index: two boxes sharing a
+        # top-left corner but differing in extent must order the same way
+        # regardless of emission order (distributed scans don't promise
+        # one); only exact duplicates fall through to the input index,
+        # where either order yields the same box sequence
+        return sorted(
+            idx, key=lambda i: (boxes[i][1], boxes[i][0], boxes[i][3], boxes[i][2], i)
+        )
 
     return rec(list(range(len(boxes))), "y")

@@ -150,3 +150,48 @@ def test_node_id_deterministic_and_class_scoped(a, b):
         assert node_id("C1", {"name": a}) != node_id("C1", {"name": b}) or True
     # different classes never share an id for the same identity
     assert node_id("C1", ids) != node_id("C2", ids)
+
+
+# --------------------------------------------------------------------------
+# XY-cut reading order (layout.xy_cut_order) — the north rule's operator
+# --------------------------------------------------------------------------
+
+from sparkdoc.layout import xy_cut_order
+
+_box = st.tuples(
+    st.integers(min_value=0, max_value=600),   # left
+    st.integers(min_value=0, max_value=900),   # top
+    st.integers(min_value=1, max_value=200),   # width
+    st.integers(min_value=1, max_value=120),   # height
+).map(lambda t: (t[0], t[1], t[0] + t[2], t[1] + t[3]))
+_boxes = st.lists(_box, max_size=24)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_boxes)
+def test_xy_cut_total_and_permutation(boxes):
+    order = xy_cut_order(boxes)
+    # a valid permutation of all indices, for ANY geometry incl. overlaps
+    assert sorted(order) == list(range(len(boxes)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(_boxes, st.randoms(use_true_random=False))
+def test_xy_cut_input_order_invariant(boxes, rnd):
+    """The docstring's determinism claim: reading order is a property of
+    the GEOMETRY, not of emission order — shuffling the input list yields
+    the same sequence of boxes."""
+    base = [boxes[i] for i in xy_cut_order(boxes)]
+    perm = boxes[:]
+    rnd.shuffle(perm)
+    assert [perm[i] for i in xy_cut_order(perm)] == base
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=80), max_size=15, unique=True))
+def test_xy_cut_single_column_reads_top_to_bottom(tops):
+    """Vertically separated full-width blocks always read by top edge."""
+    boxes = [(40, t * 40, 560, t * 40 + 20) for t in tops]
+    order = xy_cut_order(boxes)
+    read_tops = [boxes[i][1] for i in order]
+    assert read_tops == sorted(read_tops)
