@@ -345,7 +345,11 @@ def _content_runs(content: bytes):
             stack.append(("arr", arr))
         elif tok[:1] == b"/":
             stack.append(("name", tok[1:].decode("latin-1")))
-        elif re.fullmatch(rb"[-+]?(?:\d+\.\d*|\.\d+|\d+)", tok):
+        elif 48 <= tok[0] <= 57 or tok[0] in (43, 45, 46):
+            # starts with 0-9 + - . : the tokenizer's only alternative
+            # matching these first bytes is the number pattern, so float()
+            # cannot fail — the old per-token re.fullmatch was pure
+            # overhead in the hottest loop of the heaviest first mile
             stack.append(("num", float(tok)))
         else:
             op = tok
