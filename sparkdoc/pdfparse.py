@@ -59,6 +59,17 @@ from sparkdoc.schemas import RAW_NODES
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b", re.S)
 
 
+# precompiled value-parser tokens, matched with pos= against the ORIGINAL
+# buffer — the previous b[i:] slices copied the remaining buffer per call,
+# quadratic on large objects (review of the kernel profile)
+_PV_NAME = re.compile(rb"/([^\s/<>\[\]()]+)")
+_PV_NAME0 = re.compile(rb"/([^\s/<>\[\]()]*)")
+_PV_REF = re.compile(rb"(\d+)\s+0\s+R\b")
+_PV_NUM = re.compile(rb"[-+]?(?:\d+\.\d*|\.\d+|\d+)")
+_PV_KW = re.compile(rb"(true|false|null)")
+_PV_OCT = re.compile(rb"\\([0-7]{1,3})")
+
+
 class _Ref:
     __slots__ = ("num",)
 
@@ -85,12 +96,12 @@ def _parse_value(b: bytes, i: int):
             if b[i : i + 1] != b"/":
                 i += 1  # tolerate junk
                 continue
-            m = re.match(rb"/([^\s/<>\[\]()]+)", b[i:])
+            m = _PV_NAME.match(b, i)
             if not m:  # bare '/' before a delimiter: skip it, keep scanning
                 i += 1
                 continue
             key = m.group(1).decode("latin-1")
-            i += m.end()
+            i = m.end()
             val, j = _parse_value(b, i)
             i = j if j > i else i + 1  # recursion must consume ≥1 byte
             d[key] = val
@@ -110,21 +121,21 @@ def _parse_value(b: bytes, i: int):
             arr.append(val)
         return arr, i
     if c == b"/":
-        m = re.match(rb"/([^\s/<>\[\]()]*)", b[i:])
-        return "/" + m.group(1).decode("latin-1"), i + m.end()
+        m = _PV_NAME0.match(b, i)
+        return "/" + m.group(1).decode("latin-1"), m.end()
     if c == b"(":
         s, i = _parse_string(b, i)
         return s, i
-    m = re.match(rb"(\d+)\s+0\s+R\b", b[i:])
+    m = _PV_REF.match(b, i)
     if m:
-        return _Ref(int(m.group(1))), i + m.end()
-    m = re.match(rb"[-+]?(?:\d+\.\d*|\.\d+|\d+)", b[i:])
+        return _Ref(int(m.group(1))), m.end()
+    m = _PV_NUM.match(b, i)
     if m:
         tok = m.group(0)
-        return (float(tok) if b"." in tok else int(tok)), i + m.end()
-    m = re.match(rb"(true|false|null)", b[i:])
+        return (float(tok) if b"." in tok else int(tok)), m.end()
+    m = _PV_KW.match(b, i)
     if m:
-        return {b"true": True, b"false": False, b"null": None}[m.group(1)], i + m.end()
+        return {b"true": True, b"false": False, b"null": None}[m.group(1)], m.end()
     return None, i + 1  # unknown byte: skip
 
 
@@ -137,6 +148,14 @@ _STR_ESC = {
 def _parse_string(b: bytes, i: int) -> tuple[bytes, int]:
     """PDF literal string starting at '(' — returns (raw bytes, next_idx)."""
     assert b[i : i + 1] == b"("
+    # fast path: no escape and no nested paren before the first ')' means
+    # the string is exactly that slice — the overwhelmingly common case,
+    # skipping the per-byte loop below
+    j = b.find(b")", i + 1)
+    if j != -1:
+        seg = b[i + 1 : j]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, j + 1
     i += 1
     depth = 1
     out = bytearray()
@@ -149,10 +168,10 @@ def _parse_string(b: bytes, i: int) -> tuple[bytes, int]:
                 out += _STR_ESC[nxt]
                 i += 2
             elif nxt.isdigit():
-                m = re.match(rb"\\([0-7]{1,3})", b[i:])
+                m = _PV_OCT.match(b, i)
                 if m:  # \8 and \9 are not octal — PDF drops the backslash
                     out.append(int(m.group(1), 8) & 0xFF)
-                    i += m.end()
+                    i = m.end()
                 else:
                     out += nxt
                     i += 2
