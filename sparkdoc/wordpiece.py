@@ -166,7 +166,17 @@ class WordPiece:
         return c
 
     def count(self, text: str) -> int:
-        return sum(self.count_word(w) for w in TOKEN_RE.findall((text or "").lower()))
+        # hot path of the chunker: inline the memo-hit branch (a genexpr +
+        # method call per word measurably dominates the chunk kernel; the
+        # cache hits on nearly every word of natural text)
+        cache = self._count_cache
+        total = 0
+        for w in TOKEN_RE.findall((text or "").lower()):
+            c = cache.get(w)
+            if c is None:
+                c = self.count_word(w)
+            total += c
+        return total
 
 
 _DEFAULT: WordPiece | None = None
