@@ -243,7 +243,18 @@ def mets_nodes_doc(doc_id: str, data: bytes) -> list[dict]:
     """Pure per-document kernel: METS/ALTO tar bytes → RAW_NODES row dicts
     with real per-page TOPLEFT bounding boxes (XY-cut downstream derives
     reading order — nothing here depends on emission order)."""
-    tf = _open_tar(data or b"")
+    data = data or b""
+    if data[:2] == b"\x1f\x8b":
+        # direct-path tar.gz: inflate through the transport guard so a
+        # compression bomb routes to zero nodes instead of OOMing the
+        # worker (the mixed path already strips+caps before routing here)
+        from sparkdoc.ingest import _decompress_transport
+
+        inner = _decompress_transport(data)
+        if inner is None:
+            return []
+        data = inner
+    tf = _open_tar(data)
     if tf is None:
         return []
     try:
