@@ -415,3 +415,38 @@ def test_extract_cli_mixed_resume(tmp_path, spark):
         for k, v in json.loads(r["fmt_counts"]).items():
             total[k] = total.get(k, 0) + v
     assert total == exp
+
+
+def test_evaluate_cli_identity_and_cross_controls(tmp_path):
+    """jobs/evaluate.py: self-evaluation must score EXACTLY 1.0 at every
+    rung (identity control); a different-seed run must score near zero
+    (non-vacuity control). Reference analog: 16_extraction_evaluation.py +
+    17_benchmark_aggregate.py as one corpus job."""
+    import json as _json
+
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    ev1, ev2 = str(tmp_path / "ev1"), str(tmp_path / "ev2")
+    _run(["sparkdoc/jobs/convert.py", "--input", "synth:12", "--out", g1])
+    _run(["sparkdoc/jobs/convert.py", "--input", "synth:12", "--seed", "7",
+          "--out", g2])
+    tpl = str(tmp_path / "t.json")
+    from sparkdoc.catalog import DEMO_TEMPLATE
+
+    _json.dump(DEMO_TEMPLATE, open(tpl, "w"), default=str)
+
+    r = _run(["sparkdoc/jobs/evaluate.py", "--truth", g1, "--got", g1,
+              "--template", tpl, "--out", ev1])
+    for k in ("nodes_strict", "nodes_relaxed", "edges_strict", "edges_relaxed"):
+        assert r[k]["f1"] == 1.0 and r[k]["fp"] == 0 and r[k]["fn"] == 0, (k, r[k])
+    assert r["nodes_strict"]["tp"] > 0 and r["edges_strict"]["tp"] > 0
+    assert r["integrity"]["unkeyed_nodes"] == 0
+    assert os.path.isdir(os.path.join(ev1, "rollup"))
+
+    r2 = _run(["sparkdoc/jobs/evaluate.py", "--truth", g1, "--got", g2,
+               "--template", tpl, "--out", ev2])
+    assert r2["nodes_strict"]["f1"] < 0.2 and r2["edges_strict"]["tp"] == 0
+
+    # exactly one of --template/--id-fields
+    bad = _run(["sparkdoc/jobs/evaluate.py", "--truth", g1, "--got", g1,
+                "--out", str(tmp_path / "evx")], expect_ok=False)
+    assert bad.returncode != 0
