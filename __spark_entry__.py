@@ -2447,6 +2447,34 @@ def _doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+def _doc_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (sparkdoc/retrieval.py
+    rrf_fuse): BM25 top-10 over the documents table fused with exact dense
+    cosine top-10 over the embeddings table, on a shared query-id set
+    (doc_id == vec_id, every 100th id present in both tables). Fused score
+    is the integer nano-unit RRF sum (k=60), so ranks are engine-exact;
+    n_systems records how many retrievers surfaced each (query, doc)."""
+    from sparkdoc.retrieval import bm25_topk, rrf_fuse
+    from sparkdoc.similarity import brute_force_topk
+    from sparkdoc.textops import words
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    emb = _emb(spark, sf_dir)
+    dense = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    lex_q = (
+        docs.join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(words(F.col("text")), 1, 8), " ").alias("text"),
+        )
+    )
+    lex = bm25_topk(docs, lex_q, k=10).select("query_id", "doc_id", "rank")
+    return rrf_fuse([lex, dense], k_rrf=60, topk=10)
+
+
 def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (sparkdoc/graphalgo.py) over the symmetrized supplier <->
     customer trade graph (distinct pairs via lineitem x orders; custkeys
@@ -3551,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_rebalance": _doc_domain_rebalance,
         "doc_top_terms": _doc_top_terms,
         "doc_bm25": _doc_bm25,
+        "doc_rrf_hybrid": _doc_rrf_hybrid,
         "graph_pagerank": _graph_pagerank,
         "doc_cms_terms": _doc_cms_terms,
         "doc_nfc": _doc_nfc,
@@ -6624,6 +6653,73 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INT) AS rank
             FROM agg
         ) WHERE rank <= 5
+    """
+    # hybrid RRF: the full BM25 chain (k=10, queries restricted to ids that
+    # also carry an embedding) + the full dense-cosine chain (emb_knn's CTEs
+    # at k=10), fused with integer nano-unit 1/(60+rank) contributions —
+    # every stage order-independent, so the fused ranks are engine-exact
+    q["doc_rrf_hybrid"] = f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+        post AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(ws) AS term FROM w
+            ) GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM post GROUP BY term),
+        st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        qt AS (
+            SELECT doc_id AS query_id, unnest(list_distinct(list_slice(ws, 1, 8))) AS term
+            FROM w WHERE doc_id % 100 = 0 AND doc_id IN (SELECT vec_id FROM embeddings)
+        ),
+        contrib AS (
+            SELECT q.query_id, p.doc_id,
+                   CAST(round(1000000.0
+                        * ln(1.0 + (st.n_docs - f.df_docs + 0.5) / (f.df_docs + 0.5))
+                        * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+                   ) AS BIGINT) AS c_e6
+            FROM post p JOIN qt q USING (term)
+            JOIN dfq f USING (term)
+            JOIN dl d ON p.doc_id = d.doc_id
+            CROSS JOIN st
+        ),
+        bagg AS (SELECT query_id, doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY query_id, doc_id),
+        lex AS (
+            SELECT query_id, doc_id, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS rank
+                FROM bagg
+            ) WHERE rank <= 10
+        ),
+        e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
+        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw),
+        qa AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id % 100 = 0),
+        ca AS (SELECT vec_id AS neighbor_id, e FROM e),
+        dscored AS (
+            SELECT query_id, neighbor_id, {_cos} AS cos
+            FROM qa, ca WHERE query_id <> neighbor_id
+        ),
+        dense AS (
+            SELECT query_id, neighbor_id AS doc_id, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM dscored
+            ) WHERE rank <= 10
+        ),
+        uni AS (
+            SELECT query_id, doc_id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c_e9 FROM lex
+            UNION ALL
+            SELECT query_id, doc_id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) FROM dense
+        ),
+        fagg AS (
+            SELECT query_id, doc_id, sum(c_e9) AS rrf_e9, count(*) AS n_systems
+            FROM uni GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, rank, rrf_e9, n_systems FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY rrf_e9 DESC, doc_id ASC) AS INT) AS rank
+            FROM fagg
+        ) WHERE rank <= 10
     """
     q["graph_pagerank"] = """
         WITH pairs AS (

@@ -27,6 +27,8 @@ No counterpart in the reference repo; LLM-data-pipeline addition.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,6 +36,9 @@ from sparkdoc.textops import words
 
 #: micro-unit scale for the integer score quantization
 E6 = 1e6
+
+#: nano-unit scale for the RRF integer quantization
+E9 = 1e9
 
 
 def bm25_postings(
@@ -117,4 +122,54 @@ def bm25_topk(
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score_e6")
+    )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher SIGIR'09) of two or
+    more per-query rankings — the standard hybrid-retrieval combiner (BM25 +
+    dense ANN). Each input carries (query_id, <id_col>, rank); output is
+    (query_id, doc_id, rank, rrf_e9, n_systems) with
+    rrf_e9 = Σ_r round(1e9 / (k_rrf + rank_r)) summed as BIGINT — the
+    integer quantization makes the fused score order-independent, so ranks
+    are engine/partitioning-exact (same trick as bm25_topk). A (query, doc)
+    seen by only some rankers contributes only those terms (n_systems says
+    how many). Ties break on ascending doc_id.
+
+    Scale shape: the inputs are already top-k-per-query tables — tiny
+    relative to the corpus — so fusion is one union + one (query_id, doc_id)
+    groupBy + one per-query window; the corpus is never touched again. At
+    100 TB the heavy work lives in the retrievers (bucketed BM25 postings,
+    ANN index); this post-merge is O(queries · k · systems).
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse: need at least two rankings to fuse")
+    contrib = F.round(F.lit(E9) / (F.lit(k_rrf) + F.col("rank"))).cast("long")
+    parts = [
+        r.select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            contrib.alias("c_e9"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy("query_id", "doc_id").agg(
+        F.sum("c_e9").alias("rrf_e9"),
+        F.count("*").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rank", "rrf_e9", "n_systems")
     )

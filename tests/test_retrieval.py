@@ -9,7 +9,7 @@ import math
 import pytest
 from pyspark.sql import Row
 
-from sparkdoc.retrieval import E6, bm25_postings, bm25_topk
+from sparkdoc.retrieval import E6, bm25_postings, bm25_topk, rrf_fuse
 
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog"),
@@ -108,3 +108,75 @@ def test_deterministic_across_partitionings(spark, docs):
     a = sorted(map(tuple, bm25_topk(docs.repartition(1), q, k=10).collect()))
     b = sorted(map(tuple, bm25_topk(docs.repartition(8), q, k=10).collect()))
     assert a == b
+
+
+# --- reciprocal-rank fusion -------------------------------------------------
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(query_id=q, doc_id=d, rank=r) for q, d, r in rows]
+    )
+
+
+def _py_rrf(rankings, k_rrf=60):
+    """Driver twin: integer nano-unit RRF scores per (query, doc)."""
+    out: dict[tuple[int, int], list[int]] = {}
+    for rows in rankings:
+        for q, d, r in rows:
+            x = 1e9 / (k_rrf + r)
+            out.setdefault((q, d), []).append(int(math.floor(x + 0.5)))
+    return {k: (sum(v), len(v)) for k, v in out.items()}
+
+
+def test_rrf_matches_python_twin_exactly(spark):
+    a = [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)]
+    b = [(0, 11, 1), (0, 13, 2), (1, 21, 1), (1, 20, 2)]
+    fused = rrf_fuse([_rank_df(spark, a), _rank_df(spark, b)], topk=10).collect()
+    got = {(r["query_id"], r["doc_id"]): (r["rrf_e9"], r["n_systems"]) for r in fused}
+    assert got == _py_rrf([a, b])  # integer-exact, no tolerance
+
+
+def test_rrf_consensus_beats_single_system_top(spark):
+    # doc 11: rank 2 in both systems; docs 10/13: rank 1 in one system only.
+    # 2/(60+2) > 1/(60+1), so the consensus doc must fuse to rank 1.
+    a = [(0, 10, 1), (0, 11, 2)]
+    b = [(0, 13, 1), (0, 11, 2)]
+    fused = rrf_fuse([_rank_df(spark, a), _rank_df(spark, b)], topk=1).collect()
+    assert len(fused) == 1 and fused[0]["doc_id"] == 11
+
+
+def test_rrf_tie_breaks_on_doc_id(spark):
+    a = [(0, 5, 1), (0, 9, 2)]
+    b = [(0, 9, 1), (0, 5, 2)]  # symmetric: identical fused scores
+    fused = rrf_fuse([_rank_df(spark, a), _rank_df(spark, b)], topk=2).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in fused}
+    assert by_rank == {1: 5, 2: 9}
+
+
+def test_rrf_requires_two_rankings(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse([_rank_df(spark, [(0, 1, 1)])])
+
+
+def test_rrf_deterministic_across_partitionings(spark):
+    a = _rank_df(spark, [(q, d, r) for q in range(4) for r, d in enumerate(range(10 + q, 20 + q), 1)])
+    b = _rank_df(spark, [(q, d, r) for q in range(4) for r, d in enumerate(range(15 + q, 25 + q), 1)])
+    x = sorted(map(tuple, rrf_fuse([a.repartition(1), b.repartition(1)], topk=8).collect()))
+    y = sorted(map(tuple, rrf_fuse([a.repartition(8), b.repartition(3)], topk=8).collect()))
+    assert x == y
+
+
+def test_hybrid_bm25_plus_dense_end_to_end(spark, docs):
+    # lexical side: real BM25; dense side: a stand-in ANN ranking that
+    # prefers doc 3. The fused list must surface doc 3 even though the
+    # query's words never mention qubits (the point of hybrid retrieval).
+    q = spark.createDataFrame([Row(query_id=0, text="lazy dog")])
+    lex = bm25_topk(docs, q, k=5)
+    dense = _rank_df(spark, [(0, 3, 1), (0, 2, 2)])
+    fused = rrf_fuse([lex, dense], topk=10).collect()
+    got = {r["doc_id"] for r in fused}
+    assert 3 in got and 2 in got
+    # doc 2 ('lazy dog' twice) is in both systems -> must outrank doc 3
+    ranks = {r["doc_id"]: r["rank"] for r in fused}
+    assert ranks[2] < ranks[3]
