@@ -334,6 +334,24 @@ def main() -> int:
         )
     )
 
+    p = plan_of(entrymod._doc_rrf_hybrid(spark, sf_dir))
+    sections.append(("doc_rrf_hybrid", p))
+    checks.append(
+        (
+            "rrf hybrid fusion is Python-free: lexical side broadcast-joins"
+            " query terms, dense side is the broadcast exact scan, fusion is"
+            " union + one hash agg + one per-query window (no sort-merge"
+            " join, no cartesian, corpus never rescanned post-merge)",
+            "Python" not in p
+            and "BroadcastHashJoin" in p
+            and "Union" in p
+            and "Window" in p
+            and "CartesianProduct" not in p
+            and "SortMergeJoin" not in p,
+            p,
+        )
+    )
+
     p = plan_of(entrymod._graph_pagerank(spark, sf_dir))
     sections.append(("graph_pagerank", p))
     checks.append(
