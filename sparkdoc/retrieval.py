@@ -69,6 +69,8 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    postings: DataFrame | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k corpus documents per query by BM25, as (query_id, doc_id, rank,
     score_e6). score_e6 is the BIGINT micro-unit sum (divide by 1e6 for the
@@ -77,8 +79,24 @@ def bm25_topk(
     Plan shape: postings (corpus-side, precomputable) ⨝ broadcast(query
     terms) on term → integer-sum per (query, doc) → window top-k. The
     corpus statistics (N, avgdl) are single scalar aggregates; at 100 TB
-    they come from the index manifest, not a fresh scan."""
-    postings = bm25_postings(docs, text_col, id_col)
+    they come from the index manifest, not a fresh scan.
+
+    Pass ``postings`` (a persisted or bucketed-table read of
+    ``bm25_postings``) to score against a prebuilt index — the postings
+    branch feeds both the score join and the df aggregate, so without it
+    each ``bm25_topk`` call recomputes the explode+groupBy twice. Building
+    once and sharing is the production shape (multiple scoring variants /
+    query batches against one index).
+
+    ``max_df_frac`` prunes query terms whose document frequency exceeds
+    that fraction of the corpus BEFORE the postings join — classic
+    common-term (stopword) pruning. A term at df = 0.5·N contributes
+    idf = ln(1 + 1/3·…) ≈ 0.6 nats spread over half the corpus: nearly
+    rank-neutral, but it drags df·|queries| rows through the score join.
+    Default None keeps exact BM25 (the oracle-gated semantics); the pruned
+    variant is the production knob for high-volume query batches."""
+    if postings is None:
+        postings = bm25_postings(docs, text_col, id_col)
     # distinct doc lengths per doc ride the postings (tf row carries dl);
     # N and total length from the doc-level frame
     doclen = docs.select(
@@ -94,11 +112,15 @@ def bm25_topk(
             F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("term"),
         )
     )
-    scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-    )
+    # assemble the query side FIRST (terms ⨝ df ⨝ stats — all tiny, one
+    # broadcast build), so the corpus-sized postings stream pays exactly one
+    # join and pruned terms never emit a row from it
+    qside = qterms.join(dfreq, "term").crossJoin(stats)
+    if max_df_frac is not None:
+        qside = qside.filter(
+            F.col("df_docs") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        )
+    scored = postings.join(F.broadcast(qside), "term")
     # avgdl as one double divide of exact integers; contribution quantized
     # to BIGINT micro-units so the cross-term sum is order-independent
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")

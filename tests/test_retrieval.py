@@ -110,6 +110,27 @@ def test_deterministic_across_partitionings(spark, docs):
     assert a == b
 
 
+def test_max_df_frac_prunes_common_terms(spark, docs):
+    # 'the' has df 4/6 ≈ 0.67 — pruning at 0.5 must score exactly as if the
+    # query were only its rare term; default (None) keeps the full score
+    q = spark.createDataFrame([Row(query_id=0, text="the qubits")])
+    pruned = {
+        r["doc_id"]: r["score_e6"]
+        for r in bm25_topk(docs, q, k=10, max_df_frac=0.5).collect()
+    }
+    assert pruned == _py_bm25("qubits")
+    full = {r["doc_id"]: r["score_e6"] for r in bm25_topk(docs, q, k=10).collect()}
+    assert full == _py_bm25("the qubits") and full != pruned
+
+
+def test_prebuilt_postings_match_inline(spark, docs):
+    q = spark.createDataFrame([Row(query_id=0, text="lazy dog")])
+    p = bm25_postings(docs)
+    a = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, q, k=10, postings=p).collect()))
+    assert a == b
+
+
 # --- reciprocal-rank fusion -------------------------------------------------
 
 
