@@ -6,6 +6,7 @@ JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
 Headline set:
   q1/q3/q5       relational coverage on the TPC-H-ish tables
   knn            brute-force cosine top-k over embeddings
+  bm25_rrf       hybrid retrieval: BM25 ⊕ dense cosine, RRF-fused
   minhash_lsh    MinHash signatures + LSH candidate pairs over documents
   quality_lang   quality features + language ID over documents
   extract        synth interleaved corpus → ordered spans (the north-rule job)
@@ -77,6 +78,8 @@ def main() -> None:
     timed("q3", lambda: entrymod._q3_unshipped(spark, sf_dir).collect())
     timed("q5", lambda: entrymod._q5_local_supplier(spark, sf_dir).collect())
     timed("knn", lambda: entrymod._emb_knn(spark, sf_dir).count())
+    # hybrid retrieval: BM25 top-10 + dense cosine top-10, RRF-fused
+    timed("bm25_rrf", lambda: entrymod._doc_rrf_hybrid(spark, sf_dir).count())
 
     # small single-file parquet → 1 scan partition; repartition before the
     # CPU-heavy signature exprs (a real corpus has many files = natural

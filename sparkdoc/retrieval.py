@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkdoc.textops import words
@@ -124,6 +124,141 @@ def bm25_topk(
     # avgdl as one double divide of exact integers; contribution quantized
     # to BIGINT micro-units so the cross-term sum is order-independent
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    contrib = F.round(F.lit(E6) * idf * tf_part).cast("long")
+    agg = (
+        scored.select("query_id", "doc_id", contrib.alias("c_e6"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c_e6").alias("score_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score_e6")
+    )
+
+
+def _term_bucket_expr(term: Column, n_buckets: int) -> Column:
+    """md5-prefix bucket of a term — engine-portable (any engine/driver can
+    recompute it; same convention as the LSH plan-time md5 literals), stable
+    across Spark versions, uniform over [0, n_buckets)."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("bigint") % n_buckets
+    ).cast("int")
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`_term_bucket_expr` (byte-identical)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def bm25_write_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Build the durable inverted index: postings written PARTITIONED BY an
+    md5 term-bucket (``postings/bucket=K/``), corpus statistics (N, Σdl) in
+    ``manifest.json``. This is the 100 TB shape the bm25_topk docstring
+    promises: the corpus is tokenized and shuffled ONCE at build time; a
+    query batch computes its terms' buckets driver-side and reads ONLY those
+    partitions (partition pruning on the scan), and the scalar stats come
+    from the manifest — no corpus scan at query time, ever.
+
+    Bucketing by term HASH (not raw term) keeps the partition count fixed
+    and uniform regardless of vocabulary size; every posting row of one term
+    lands in one partition, so per-term df at query time is exact from the
+    pruned read alone. Returns the manifest dict."""
+    import json
+    import os
+
+    posts = bm25_postings(docs, text_col, id_col).withColumn(
+        "bucket", _term_bucket_expr(F.col("term"), n_buckets)
+    )
+    posts.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    stats = (
+        docs.select(F.size(words(F.col(text_col))).alias("dl"))
+        .agg(F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+        .collect()[0]
+    )
+    manifest = {
+        "format": "bm25_postings_v1",
+        "n_buckets": n_buckets,
+        "n_docs": int(stats["n_docs"]),
+        "sum_dl": int(stats["sum_dl"]),
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float | None = None,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Score a query batch against a :func:`bm25_write_index` directory,
+    bit-identical to ``bm25_topk`` over the same corpus (same integer
+    micro-unit quantization, same ties). The query batch is collected
+    driver-side to enumerate its term buckets — queries are small by
+    contract (the corpus never is); the postings scan then carries a
+    partition filter on exactly those buckets, df per probed term is exact
+    from the pruned read (a term's postings all live in one bucket), and
+    N / avgdl are manifest literals."""
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    n_buckets = int(manifest["n_buckets"])
+    n_docs = int(manifest["n_docs"])
+    sum_dl = int(manifest["sum_dl"])
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("term"),
+    )
+    # driver-side bucket enumeration from the DISTINCT probed terms (small)
+    probed = [r["term"] for r in qterms.select("term").distinct().collect()]
+    buckets = sorted({term_bucket(t, n_buckets) for t in probed})
+    if not buckets:
+        empty = "query_id bigint, doc_id bigint, rank int, score_e6 bigint"
+        return spark.createDataFrame([], empty)
+
+    posts = spark.read.parquet(os.path.join(path, "postings")).filter(
+        F.col("bucket").isin(buckets)
+    )
+    dfreq = posts.groupBy("term").agg(F.countDistinct("doc_id").alias("df_docs"))
+    qside = qterms.join(dfreq, "term").withColumn(
+        "n_docs", F.lit(n_docs).cast("long")
+    )
+    if max_df_frac is not None:
+        qside = qside.filter(
+            F.col("df_docs") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        )
+    scored = posts.join(F.broadcast(qside), "term")
+    avgdl = F.lit(float(sum_dl) / n_docs) if n_docs else F.lit(1.0)
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))

@@ -360,6 +360,54 @@ def test_ann_index_cli_build_query_recall(tmp_path, spark):
     assert top1 == want
 
 
+def test_search_index_cli_build_query_exact(tmp_path, spark):
+    """search_index.py end to end: build writes bucket-partitioned postings
+    + a manifest; query is bit-identical to the in-memory bm25_topk over
+    the same corpus (integer micro-unit scores, doc_id ties)."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.retrieval import bm25_topk
+    from sparkdoc.textops import words
+
+    corpus_path = str(tmp_path / "docs.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.parquet(corpus_path)
+    queries_path = str(tmp_path / "q.parquet")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 6), " ").alias("text"),
+    )
+    queries.write.parquet(queries_path)
+
+    idx = str(tmp_path / "bm25_idx")
+    rb = _run(
+        [
+            "sparkdoc/jobs/search_index.py", "--build", "--corpus", corpus_path,
+            "--index", idx, "--buckets", "16",
+        ]
+    )
+    assert rb["n_docs"] == docs.count() and rb["n_postings"] > 0
+    assert os.path.isfile(os.path.join(idx, "manifest.json"))
+    assert any(
+        d.startswith("bucket=") for d in os.listdir(os.path.join(idx, "postings"))
+    )
+
+    out = str(tmp_path / "hits")
+    rq = _run(
+        [
+            "sparkdoc/jobs/search_index.py", "--query", queries_path, "--index", idx,
+            "--out", out, "--k", "5",
+        ]
+    )
+    assert rq["n_results"] > 0 and rq["n_queries_with_hits"] > 0
+    cols = ["query_id", "doc_id", "rank", "score_e6"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple, bm25_topk(docs, queries, k=5).select(*cols).collect()))
+    assert got == want
+
+
 def test_extract_cli_html_inputs(tmp_path, spark):
     """--input html-synth:<n> and --input html:<parquet> both flatten raw
     HTML in-job and land on identical documents output (span counts equal

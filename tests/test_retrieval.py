@@ -8,6 +8,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql.functions import col as F_col
 
 from sparkdoc.retrieval import E6, bm25_postings, bm25_topk, rrf_fuse
 
@@ -129,6 +130,70 @@ def test_prebuilt_postings_match_inline(spark, docs):
     a = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
     b = sorted(map(tuple, bm25_topk(docs, q, k=10, postings=p).collect()))
     assert a == b
+
+
+# --- durable inverted index (build + partition-pruned query) ----------------
+
+
+def test_index_roundtrip_matches_inline_exactly(spark, docs, tmp_path):
+    from sparkdoc.retrieval import bm25_query_index, bm25_write_index
+
+    idx = str(tmp_path / "bm25_idx")
+    manifest = bm25_write_index(docs, idx, n_buckets=8)
+    assert manifest["n_docs"] == len(DOCS)
+    q = spark.createDataFrame(
+        [
+            Row(query_id=0, text="lazy dog"),
+            Row(query_id=1, text="quantum computing with superconducting qubits"),
+            Row(query_id=2, text="the quick brown fox"),
+            Row(query_id=3, text="nothing matches this zzz"),
+        ]
+    )
+    via_index = sorted(map(tuple, bm25_query_index(spark, idx, q, k=10).collect()))
+    inline = sorted(map(tuple, bm25_topk(docs, q, k=10).collect()))
+    assert via_index == inline  # bit-identical scores, ranks, ties
+
+
+def test_index_query_prunes_partitions(spark, docs, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from sparkdoc.retrieval import bm25_query_index, bm25_write_index, term_bucket
+
+    idx = str(tmp_path / "bm25_idx2")
+    bm25_write_index(docs, idx, n_buckets=16)
+    q = spark.createDataFrame([Row(query_id=0, text="qubits")])
+    res = bm25_query_index(spark, idx, q, k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    # the postings scan must carry a real partition filter on bucket
+    assert "PartitionFilters" in plan
+    b = term_bucket("qubits", 16)
+    assert f"bucket#" in plan and str(b) in plan
+    top = res.collect()
+    assert top and top[0]["doc_id"] == 3 and top[0]["rank"] == 1
+
+
+def test_index_bucket_expr_matches_driver_twin(spark):
+    from sparkdoc.retrieval import _term_bucket_expr, term_bucket
+
+    terms = ["the", "qubits", "dog", "zebra", "", "ünïcode", "a" * 100]
+    df = spark.createDataFrame([Row(term=t) for t in terms]).select(
+        "term", _term_bucket_expr(F_col("term"), 64).alias("b")
+    )
+    got = {r["term"]: r["b"] for r in df.collect()}
+    assert got == {t: term_bucket(t, 64) for t in terms}
+
+
+def test_index_query_empty_terms(spark, docs, tmp_path):
+    from sparkdoc.retrieval import bm25_query_index, bm25_write_index
+
+    idx = str(tmp_path / "bm25_idx3")
+    bm25_write_index(docs, idx, n_buckets=4)
+    q = spark.createDataFrame([Row(query_id=0, text="???!!!")])  # no words
+    assert bm25_query_index(spark, idx, q, k=5).count() == 0
 
 
 # --- reciprocal-rank fusion -------------------------------------------------
