@@ -187,6 +187,48 @@ def test_index_bucket_expr_matches_driver_twin(spark):
     assert got == {t: term_bucket(t, 64) for t in terms}
 
 
+_word = __import__("hypothesis").strategies.text(
+    alphabet="abcxyz012", min_size=1, max_size=6
+)
+_doc_text = __import__("hypothesis").strategies.lists(
+    _word, min_size=0, max_size=12
+).map(" ".join)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 16])
+def test_index_matches_inline_property(spark, tmp_path, n_buckets):
+    """Randomized corpora (hypothesis-generated, fixed seed via derandomize
+    profile of the suite): index-path scores must equal inline bm25_topk
+    bit-for-bit at any bucket count — including n_buckets=1 (no pruning
+    possible) and buckets ≫ vocab (most partitions empty)."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+
+    from sparkdoc.retrieval import bm25_query_index, bm25_write_index
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=__import__("hypothesis").strategies.lists(_doc_text, min_size=1, max_size=6))
+    def run(texts):
+        d = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        q = spark.createDataFrame(
+            [Row(query_id=i, text=" ".join(t.split()[:3])) for i, t in enumerate(texts)]
+        )
+        with tempfile.TemporaryDirectory(dir=str(tmp_path)) as idx:
+            bm25_write_index(d, idx, n_buckets=n_buckets)
+            via = sorted(map(tuple, bm25_query_index(spark, idx, q, k=5).collect()))
+        inline = sorted(map(tuple, bm25_topk(d, q, k=5).collect()))
+        assert via == inline
+
+    run()
+
+
 def test_index_query_empty_terms(spark, docs, tmp_path):
     from sparkdoc.retrieval import bm25_query_index, bm25_write_index
 
