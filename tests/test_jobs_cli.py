@@ -408,6 +408,82 @@ def test_search_index_cli_build_query_exact(tmp_path, spark):
     assert got == want
 
 
+def test_hybrid_search_cli_fuses_both_indexes(tmp_path, spark):
+    """hybrid_search.py end to end: build the BM25 and IVF-PQ indexes over a
+    shared id space (doc_id == vec_id), query with (query_id, text,
+    embedding) rows, and check the CLI's fused output equals the in-process
+    composition of the same index reads + rrf_fuse."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparkdoc.cluster import ivfpq_topk
+    from sparkdoc.retrieval import bm25_query_index, rrf_fuse
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus_docs = str(tmp_path / "docs.parquet")
+    corpus_emb = str(tmp_path / "emb.parquet")
+    docs.write.parquet(corpus_docs)
+    emb.write.parquet(corpus_emb)
+
+    queries_path = str(tmp_path / "q.parquet")
+    from sparkdoc.textops import words
+
+    q = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(words(F.col("text")), 1, 6), " ").alias("text"),
+            "embedding",
+        )
+    )
+    q.write.parquet(queries_path)
+    assert q.count() > 0
+
+    bidx, aidx = str(tmp_path / "bm25"), str(tmp_path / "ann")
+    _run(["sparkdoc/jobs/search_index.py", "--build", "--corpus", corpus_docs,
+          "--index", bidx, "--buckets", "8"])
+    _run(["sparkdoc/jobs/ann_index.py", "--build", "--corpus", corpus_emb,
+          "--index", aidx, "--cells", "4", "--m", "8", "--ksub", "4"])
+
+    out = str(tmp_path / "hits")
+    rh = _run([
+        "sparkdoc/jobs/hybrid_search.py", "--bm25-index", bidx, "--ann-index", aidx,
+        "--queries", queries_path, "--out", out, "--k", "5", "--nprobe", "4",
+        "--rescore-factor", "100",
+    ])
+    assert rh["n_results"] > 0 and rh["n_queries_with_hits"] > 0
+    # each query's own doc should be surfaced by BOTH retrievers
+    assert rh["n_consensus_hits"] > 0
+
+    # in-process twin over the same persisted indexes
+    lex = bm25_query_index(spark, bidx, q.select("query_id", "text"), k=5).select(
+        "query_id", "doc_id", "rank"
+    )
+    with open(os.path.join(aidx, "manifest.json")) as f:
+        man = _json.load(f)
+    dense = ivfpq_topk(
+        spark.read.parquet(os.path.join(aidx, "cells")),
+        spark.read.parquet(os.path.join(aidx, "codes")),
+        q.select(F.col("query_id").alias("vec_id"), "embedding"),
+        man["centroids"],
+        man["codebooks"],
+        k=5,
+        nprobe=4,
+        rescore_factor=100,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    want = sorted(map(tuple, rrf_fuse([lex, dense], topk=5).collect()))
+    cols = ["query_id", "doc_id", "rank", "rrf_e9", "n_systems"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    assert got == want
+
+
 def test_extract_cli_html_inputs(tmp_path, spark):
     """--input html-synth:<n> and --input html:<parquet> both flatten raw
     HTML in-job and land on identical documents output (span counts equal
