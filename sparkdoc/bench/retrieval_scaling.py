@@ -51,7 +51,11 @@ def probes(d, dfreq):
     # won't do: in this synthetic corpus every lead word sits at df ≈ 0.74
     # while the overall vocab is Zipf-ish (median df ~1e-5).
     from pyspark.sql import Window
-    qd = d.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 12800))
+    # probe window scales down with tiny corpora but the REPORTED n_queries
+    # makes any shrink visible; documented runs (48k/100k docs) always get
+    # the full 128
+    limit = 100 * min(128, max(1, n_docs // 100))
+    qd = d.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < limit))
     t = qd.select("doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("term"))
     j = t.join(F.broadcast(dfreq), "term")
     w_rare = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("term").asc())

@@ -361,3 +361,35 @@ def write_bucketed_table(
         writer = writer.sortBy(key)
     writer.saveAsTable(name)
     return name
+
+
+def hadoop_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file (manifest-sized) through the Hadoop
+    FileSystem API, so index/job layouts work on ANY Spark-reachable
+    filesystem (hdfs://, s3a://, file:) — a builtin ``open()`` would pin
+    the layout to the driver's local disk while the parquet parts beside it
+    happily land on the cluster store."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file via the Hadoop FileSystem API (twin of
+    :func:`hadoop_write_text`)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        # NB: a Python-side read-into-bytearray loop would NOT work here —
+        # py4j copies the buffer to a Java byte[], so Java-side writes never
+        # reach the Python bytearray. Let the JVM do the whole read.
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()

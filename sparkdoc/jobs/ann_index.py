@@ -101,9 +101,14 @@ def main() -> None:
             os.path.join(args.index, "codes")
         )
         n = assigned.count()
-        os.makedirs(args.index, exist_ok=True)
-        with open(manifest_path, "w") as f:
-            json.dump(
+        # manifest through the Hadoop FS API so the index dir can live on
+        # any Spark-reachable filesystem, like its parquet parts
+        from sparkdoc.io import hadoop_write_text
+
+        hadoop_write_text(
+            spark,
+            manifest_path,
+            json.dumps(
                 {
                     "n_vectors": n,
                     "cells": args.cells,
@@ -115,9 +120,9 @@ def main() -> None:
                     "train_mod": args.train_mod,
                     "centroids": cents,
                     "codebooks": cb,
-                },
-                f,
-            )
+                }
+            ),
+        )
         print(
             json.dumps(
                 {
@@ -134,8 +139,9 @@ def main() -> None:
 
     if not args.query or not args.out:
         raise SystemExit("query mode requires --query and --out")
-    with open(manifest_path) as f:
-        man = json.load(f)
+    from sparkdoc.io import hadoop_read_text
+
+    man = json.loads(hadoop_read_text(spark, manifest_path))
     cents = man["centroids"]
     cb = man["codebooks"]
 

@@ -62,18 +62,39 @@ def main() -> None:
     t0 = time.monotonic()
     queries = spark.read.parquet(args.queries)
 
+    # --exclude-self must bind on BOTH retrievers (the dense side drops
+    # neighbor_id == query_id inside ivfpq_topk; without the lexical twin
+    # the query's own document — whose lead terms dominate its BM25 score —
+    # would re-enter the fused list through lex). Fetch k+1 lexically, drop
+    # the self hit, re-rank by the original order so ranks stay 1..k dense.
     lex = bm25_query_index(
         spark,
         args.bm25_index,
         queries.select("query_id", "text"),
-        k=args.k,
+        k=args.k + (1 if args.exclude_self else 0),
         k1=args.k1,
         b=args.b,
         max_df_frac=args.max_df_frac,
     ).select("query_id", "doc_id", "rank")
+    if args.exclude_self:
+        from pyspark.sql import Window
 
-    with open(os.path.join(args.ann_index, "manifest.json")) as f:
-        man = json.load(f)
+        lex = (
+            lex.filter(F.col("query_id") != F.col("doc_id"))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+                ),
+            )
+            .filter(F.col("rank") <= args.k)
+        )
+
+    from sparkdoc.io import hadoop_read_text
+
+    man = json.loads(
+        hadoop_read_text(spark, os.path.join(args.ann_index, "manifest.json"))
+    )
     cells = spark.read.parquet(os.path.join(args.ann_index, "cells"))
     codes = spark.read.parquet(os.path.join(args.ann_index, "codes"))
     dense = ivfpq_topk(

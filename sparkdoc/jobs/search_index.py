@@ -73,6 +73,8 @@ def main() -> None:
     if args.build:
         docs = spark.read.parquet(args.corpus).select("doc_id", "text")
         manifest = bm25_write_index(docs, args.index, n_buckets=args.buckets)
+        # footer-metadata-only job (parquet count reads no data pages), not
+        # a second pass over the index
         n_posts = spark.read.parquet(os.path.join(args.index, "postings")).count()
         print(
             json.dumps(

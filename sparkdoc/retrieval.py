@@ -112,18 +112,32 @@ def bm25_topk(
             F.explode(F.array_distinct(words(F.col(query_text_col)))).alias("term"),
         )
     )
-    # assemble the query side FIRST (terms ⨝ df ⨝ stats — all tiny, one
-    # broadcast build), so the corpus-sized postings stream pays exactly one
-    # join and pruned terms never emit a row from it
-    qside = qterms.join(dfreq, "term").crossJoin(stats)
+    # assemble the query side FIRST, broadcasting the TINY frames into the
+    # bigger streams (qterms into the vocab-sized dfreq, the 1-row stats into
+    # the result): no vocab-wide broadcast, no vocab shuffle beyond the df
+    # agg itself, and the corpus-sized postings stream pays exactly one
+    # broadcast join — pruned terms never emit a row from it
+    qside = dfreq.join(F.broadcast(qterms), "term").crossJoin(F.broadcast(stats))
     if max_df_frac is not None:
         qside = qside.filter(
             F.col("df_docs") <= F.lit(float(max_df_frac)) * F.col("n_docs")
         )
     scored = postings.join(F.broadcast(qside), "term")
-    # avgdl as one double divide of exact integers; contribution quantized
-    # to BIGINT micro-units so the cross-term sum is order-independent
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    return _bm25_score_topk(scored, avgdl, k1, b, k)
+
+
+def _bm25_score_topk(
+    scored: DataFrame, avgdl: Column, k1: float, b: float, k: int
+) -> DataFrame:
+    """THE definition of the integer micro-unit BM25 scoring tail — shared
+    by :func:`bm25_topk` and :func:`bm25_query_index`, whose bit-identical
+    contract hangs on there being exactly one copy of this math. ``scored``
+    carries (query_id, doc_id, tf, dl, df_docs, n_docs); ``avgdl`` is a
+    double Column (column arithmetic or a manifest literal — IEEE-identical
+    either way). The per-(query, doc, term) contribution is quantized to
+    BIGINT micro-units so the cross-term sum is addition-order-independent;
+    ties break on ascending doc_id."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))
@@ -181,9 +195,15 @@ def bm25_write_index(
     Bucketing by term HASH (not raw term) keeps the partition count fixed
     and uniform regardless of vocabulary size; every posting row of one term
     lands in one partition, so per-term df at query time is exact from the
-    pruned read alone. Returns the manifest dict."""
+    pruned read alone. Returns the manifest dict.
+
+    ``path`` may live on any Spark-reachable filesystem (hdfs://, s3a://,
+    local) — the manifest goes through the Hadoop FS API like the parquet
+    parts, not the driver's local disk."""
     import json
     import os
+
+    from sparkdoc.io import hadoop_write_text
 
     posts = bm25_postings(docs, text_col, id_col).withColumn(
         "bucket", _term_bucket_expr(F.col("term"), n_buckets)
@@ -201,9 +221,16 @@ def bm25_write_index(
         "n_buckets": n_buckets,
         "n_docs": int(stats["n_docs"]),
         "sum_dl": int(stats["sum_dl"]),
+        # the postings schema rides the manifest so query-side reads never
+        # infer (faster, and an all-empty-docs corpus writes zero part
+        # files — inference would fail outright on it)
+        "schema": posts.schema.json(),
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, sort_keys=True)
+    hadoop_write_text(
+        docs.sparkSession,
+        os.path.join(path, "manifest.json"),
+        json.dumps(manifest, sort_keys=True),
+    )
     return manifest
 
 
@@ -217,6 +244,7 @@ def bm25_query_index(
     max_df_frac: float | None = None,
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    cache_pruned: bool = True,
 ) -> DataFrame:
     """Score a query batch against a :func:`bm25_write_index` directory,
     bit-identical to ``bm25_topk`` over the same corpus (same integer
@@ -225,12 +253,22 @@ def bm25_query_index(
     contract (the corpus never is); the postings scan then carries a
     partition filter on exactly those buckets, df per probed term is exact
     from the pruned read (a term's postings all live in one bucket), and
-    N / avgdl are manifest literals."""
+    N / avgdl are manifest literals.
+
+    ``cache_pruned`` persists the pruned postings read (default True): the
+    pruned rows feed both the df aggregate and the score join, and for a
+    one-shot query job caching them halves the bucket IO. Pass False when
+    composing into a long-lived session that manages its own caching. A
+    query batch with no tokenizable terms returns an empty frame with the
+    index-derived schema (no synthetic schema drift)."""
     import json
     import os
 
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
+    from sparkdoc.io import hadoop_read_text
+
+    manifest = json.loads(
+        hadoop_read_text(spark, os.path.join(path, "manifest.json"))
+    )
     n_buckets = int(manifest["n_buckets"])
     n_docs = int(manifest["n_docs"])
     sum_dl = int(manifest["sum_dl"])
@@ -242,15 +280,19 @@ def bm25_query_index(
     # driver-side bucket enumeration from the DISTINCT probed terms (small)
     probed = [r["term"] for r in qterms.select("term").distinct().collect()]
     buckets = sorted({term_bucket(t, n_buckets) for t in probed})
-    if not buckets:
-        empty = "query_id bigint, doc_id bigint, rank int, score_e6 bigint"
-        return spark.createDataFrame([], empty)
 
-    posts = spark.read.parquet(os.path.join(path, "postings")).filter(
-        F.col("bucket").isin(buckets)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    posts = (
+        spark.read.schema(schema)
+        .parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets) if buckets else F.lit(False))
     )
+    if cache_pruned and buckets:
+        posts = posts.persist()
     dfreq = posts.groupBy("term").agg(F.countDistinct("doc_id").alias("df_docs"))
-    qside = qterms.join(dfreq, "term").withColumn(
+    qside = dfreq.join(F.broadcast(qterms), "term").withColumn(
         "n_docs", F.lit(n_docs).cast("long")
     )
     if max_df_frac is not None:
@@ -259,27 +301,7 @@ def bm25_query_index(
         )
     scored = posts.join(F.broadcast(qside), "term")
     avgdl = F.lit(float(sum_dl) / n_docs) if n_docs else F.lit(1.0)
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5)) / (F.col("df_docs") + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
-    )
-    contrib = F.round(F.lit(E6) * idf * tf_part).cast("long")
-    agg = (
-        scored.select("query_id", "doc_id", contrib.alias("c_e6"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("c_e6").alias("score_e6"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_e6").desc(), F.col("doc_id").asc()
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "rank", "score_e6")
-    )
+    return _bm25_score_topk(scored, avgdl, k1, b, k)
 
 
 def rrf_fuse(

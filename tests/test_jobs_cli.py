@@ -483,6 +483,18 @@ def test_hybrid_search_cli_fuses_both_indexes(tmp_path, spark):
     got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
     assert got == want
 
+    # --exclude-self must bind on BOTH retrievers: no fused row may carry
+    # the query's own doc (previously BM25 re-admitted it)
+    out2 = str(tmp_path / "hits_noself")
+    _run([
+        "sparkdoc/jobs/hybrid_search.py", "--bm25-index", bidx, "--ann-index", aidx,
+        "--queries", queries_path, "--out", out2, "--k", "5", "--nprobe", "4",
+        "--rescore-factor", "100", "--exclude-self",
+    ])
+    noself = spark.read.parquet(out2)
+    assert noself.count() > 0
+    assert noself.filter(F.col("query_id") == F.col("doc_id")).count() == 0
+
 
 def test_extract_cli_html_inputs(tmp_path, spark):
     """--input html-synth:<n> and --input html:<parquet> both flatten raw

@@ -168,10 +168,20 @@ def test_index_query_prunes_partitions(spark, docs, tmp_path):
     with redirect_stdout(buf):
         res.explain("formatted")
     plan = buf.getvalue()
-    # the postings scan must carry a real partition filter on bucket
-    assert "PartitionFilters" in plan
+    # the postings scan must carry a real partition filter naming the ONE
+    # bucket 'qubits' hashes to — checked inside the PartitionFilters
+    # clause itself, not anywhere in the plan string (small ints appear
+    # everywhere in plans)
     b = term_bucket("qubits", 16)
-    assert f"bucket#" in plan and str(b) in plan
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, plan
+    import re
+
+    # single probed bucket renders as equality: "(bucket#39 = 3)"; multiple
+    # as "bucket#39 IN (3,7)" — accept either, but the value must be THE
+    # computed bucket, inside the partition-filter clause
+    pat = re.compile(rf"bucket#\d+ = {b}\)|bucket#\d+ IN \([^)]*\b{b}\b")
+    assert any(pat.search(ln) for ln in pf_lines), pf_lines
     top = res.collect()
     assert top and top[0]["doc_id"] == 3 and top[0]["rank"] == 1
 
