@@ -2447,6 +2447,23 @@ def _doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+def _doc_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the common-term pruning knob (max_df_frac=0.5): query terms
+    whose df exceeds half the corpus are dropped BEFORE the postings join —
+    the production latency knob for stopword-heavy query batches. The oracle
+    twin applies the identical df filter, so the pruned semantics (not just
+    the exact path) are gate-pinned."""
+    from sparkdoc.retrieval import bm25_topk
+    from sparkdoc.textops import words
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(words(F.col("text")), 1, 8), " ").alias("text"),
+    )
+    return bm25_topk(docs, queries, k=5, max_df_frac=0.5)
+
+
 def _doc_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (sparkdoc/retrieval.py
     rrf_fuse): BM25 top-10 over the documents table fused with exact dense
@@ -3579,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_rebalance": _doc_domain_rebalance,
         "doc_top_terms": _doc_top_terms,
         "doc_bm25": _doc_bm25,
+        "doc_bm25_pruned": _doc_bm25_pruned,
         "doc_rrf_hybrid": _doc_rrf_hybrid,
         "graph_pagerank": _graph_pagerank,
         "doc_cms_terms": _doc_cms_terms,
@@ -6646,6 +6664,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN dfq f USING (term)
             JOIN dl d ON p.doc_id = d.doc_id
             CROSS JOIN st
+        ),
+        agg AS (SELECT query_id, doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, rank, score_e6 FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INT) AS rank
+            FROM agg
+        ) WHERE rank <= 5
+    """
+    # pruned BM25: same chain as doc_bm25, with the max_df_frac=0.5 filter
+    # applied to query terms before the postings join — the SQL twin filters
+    # on the identical df/N predicate
+    q["doc_bm25_pruned"] = f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+        post AS (
+            SELECT doc_id, term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(ws) AS term FROM w
+            ) GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM post GROUP BY term),
+        st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        qt AS (
+            SELECT doc_id AS query_id, unnest(list_distinct(list_slice(ws, 1, 8))) AS term
+            FROM w WHERE doc_id % 100 = 0
+        ),
+        contrib AS (
+            SELECT q.query_id, p.doc_id,
+                   CAST(round(1000000.0
+                        * ln(1.0 + (st.n_docs - f.df_docs + 0.5) / (f.df_docs + 0.5))
+                        * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+                   ) AS BIGINT) AS c_e6
+            FROM post p JOIN qt q USING (term)
+            JOIN dfq f USING (term)
+            JOIN dl d ON p.doc_id = d.doc_id
+            CROSS JOIN st
+            WHERE f.df_docs <= 0.5 * st.n_docs
         ),
         agg AS (SELECT query_id, doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY query_id, doc_id)
         SELECT query_id, doc_id, rank, score_e6 FROM (

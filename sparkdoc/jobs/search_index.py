@@ -14,6 +14,11 @@ full-text twin of jobs/ann_index.py (sparkdoc/retrieval.py).
         --query /data/queries.parquet --index /data/bm25_index \
         --k 10 --out /data/search_results
 
+    # incremental ingest: append a delta corpus (disjoint doc_ids) into the
+    # same bucket partitions; manifest stats accumulate
+    spark-submit --py-files sparkdoc.zip sparkdoc/jobs/search_index.py \
+        --update --corpus /data/new_docs.parquet --index /data/bm25_index
+
 Index layout under --index:
   postings/bucket=K/  parquet (term, doc_id, tf, dl) — every posting of one
                       term lives in exactly one bucket, so per-term df at
@@ -43,6 +48,9 @@ def main() -> None:
     ap.add_argument("--corpus", default=None, help="documents parquet (doc_id, text)")
     ap.add_argument("--index", required=True, help="index directory")
     ap.add_argument("--build", action="store_true")
+    ap.add_argument("--update", action="store_true",
+                    help="append --corpus as a delta to an existing --index "
+                         "(doc_ids must be disjoint from the indexed corpus)")
     ap.add_argument("--query", default=None, help="queries parquet (query_id, text)")
     ap.add_argument("--out", default=None, help="results parquet dir (query mode)")
     ap.add_argument("--buckets", type=int, default=64)
@@ -54,14 +62,18 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    if args.build == bool(args.query):
-        ap.error("exactly one of --build / --query is required")
-    if args.build and not args.corpus:
-        ap.error("--build requires --corpus")
+    if sum([args.build, args.update, bool(args.query)]) != 1:
+        ap.error("exactly one of --build / --update / --query is required")
+    if (args.build or args.update) and not args.corpus:
+        ap.error("--build/--update require --corpus")
     if args.query and not args.out:
         ap.error("--query requires --out")
 
-    from sparkdoc.retrieval import bm25_query_index, bm25_write_index
+    from sparkdoc.retrieval import (
+        bm25_query_index,
+        bm25_update_index,
+        bm25_write_index,
+    )
     from sparkdoc.session import get_spark
 
     spark = get_spark(
@@ -70,6 +82,23 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     t0 = time.monotonic()
+    if args.update:
+        docs = spark.read.parquet(args.corpus).select("doc_id", "text")
+        manifest = bm25_update_index(docs, args.index)
+        print(
+            json.dumps(
+                {
+                    "job": "search_index_update",
+                    "index": args.index,
+                    "n_docs": manifest["n_docs"],
+                    "n_buckets": manifest["n_buckets"],
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                },
+                sort_keys=True,
+            )
+        )
+        spark.stop()
+        return
     if args.build:
         docs = spark.read.parquet(args.corpus).select("doc_id", "text")
         manifest = bm25_write_index(docs, args.index, n_buckets=args.buckets)

@@ -234,6 +234,60 @@ def bm25_write_index(
     return manifest
 
 
+def bm25_update_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Append a delta corpus to an existing :func:`bm25_write_index` dir —
+    the incremental-ingest path (same shape as jobs/dedup_delta.py's
+    persisted-index updates). The delta is tokenized once and its postings
+    APPENDED into the same bucket partitions (a term's rows stay in its one
+    bucket, old + new, so per-term df from a pruned read remains exact);
+    n_docs / Σdl accumulate in the manifest. Afterwards queries score
+    bit-identically to a fresh index over the union.
+
+    Caller contract: delta doc_ids are DISJOINT from the indexed corpus —
+    re-ingesting a doc would double-count its postings. Run the delta
+    through the incremental dedup first (sparkdoc/incremental.py) when that
+    isn't guaranteed. Returns the updated manifest."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from sparkdoc.io import hadoop_read_text, hadoop_write_text
+
+    spark = new_docs.sparkSession
+    mpath = os.path.join(path, "manifest.json")
+    manifest = json.loads(hadoop_read_text(spark, mpath))
+    n_buckets = int(manifest["n_buckets"])
+
+    posts = bm25_postings(new_docs, text_col, id_col).withColumn(
+        "bucket", _term_bucket_expr(F.col("term"), n_buckets)
+    )
+    want = StructType.fromJson(json.loads(manifest["schema"]))
+    if posts.schema != want:
+        raise ValueError(
+            "bm25_update_index: delta postings schema "
+            f"{posts.schema.simpleString()} != index schema "
+            f"{want.simpleString()} — doc_id type must match the indexed corpus"
+        )
+    posts.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    stats = (
+        new_docs.select(F.size(words(F.col(text_col))).alias("dl"))
+        .agg(F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+        .collect()[0]
+    )
+    manifest["n_docs"] = int(manifest["n_docs"]) + int(stats["n_docs"])
+    manifest["sum_dl"] = int(manifest["sum_dl"]) + int(stats["sum_dl"])
+    hadoop_write_text(spark, mpath, json.dumps(manifest, sort_keys=True))
+    return manifest
+
+
 def bm25_query_index(
     spark,
     path: str,

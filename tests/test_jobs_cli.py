@@ -407,6 +407,21 @@ def test_search_index_cli_build_query_exact(tmp_path, spark):
     want = sorted(map(tuple, bm25_topk(docs, queries, k=5).select(*cols).collect()))
     assert got == want
 
+    # incremental ingest: --update appends a disjoint delta and accumulates
+    # the manifest (union-exactness itself is unit-pinned in test_retrieval)
+    delta_path = str(tmp_path / "delta.parquet")
+    base_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    docs.limit(3).select(
+        (F.col("doc_id") + base_max + 1).alias("doc_id"), "text"
+    ).write.parquet(delta_path)
+    ru = _run(
+        [
+            "sparkdoc/jobs/search_index.py", "--update", "--corpus", delta_path,
+            "--index", idx,
+        ]
+    )
+    assert ru["n_docs"] == docs.count() + 3
+
 
 def test_hybrid_search_cli_fuses_both_indexes(tmp_path, spark):
     """hybrid_search.py end to end: build the BM25 and IVF-PQ indexes over a

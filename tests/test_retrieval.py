@@ -239,6 +239,43 @@ def test_index_matches_inline_property(spark, tmp_path, n_buckets):
     run()
 
 
+def test_index_incremental_update_equals_fresh_union(spark, docs, tmp_path):
+    """bm25_update_index: index(A) + update(B) must score bit-identically
+    to a fresh index over A ∪ B — df, N and avgdl all absorb the delta."""
+    from sparkdoc.retrieval import (
+        bm25_query_index,
+        bm25_update_index,
+        bm25_write_index,
+    )
+
+    a = spark.createDataFrame([Row(doc_id=d, text=t) for d, t in DOCS[:3]])
+    b_delta = spark.createDataFrame([Row(doc_id=d, text=t) for d, t in DOCS[3:]])
+    union = spark.createDataFrame([Row(doc_id=d, text=t) for d, t in DOCS])
+
+    inc, fresh = str(tmp_path / "inc"), str(tmp_path / "fresh")
+    bm25_write_index(a, inc, n_buckets=8)
+    m = bm25_update_index(b_delta, inc)
+    assert m["n_docs"] == len(DOCS)
+    bm25_write_index(union, fresh, n_buckets=8)
+
+    q = spark.createDataFrame(
+        [Row(query_id=0, text="lazy dog"), Row(query_id=1, text="the qubits")]
+    )
+    got = sorted(map(tuple, bm25_query_index(spark, inc, q, k=10).collect()))
+    want = sorted(map(tuple, bm25_query_index(spark, fresh, q, k=10).collect()))
+    assert got == want and got  # nonempty, bit-identical
+
+
+def test_index_update_rejects_schema_drift(spark, docs, tmp_path):
+    from sparkdoc.retrieval import bm25_update_index, bm25_write_index
+
+    idx = str(tmp_path / "idx")
+    bm25_write_index(docs, idx, n_buckets=4)
+    drift = spark.createDataFrame([Row(doc_id="str-id", text="hello world")])
+    with pytest.raises(ValueError, match="doc_id type"):
+        bm25_update_index(drift, idx)
+
+
 def test_index_query_empty_terms(spark, docs, tmp_path):
     from sparkdoc.retrieval import bm25_query_index, bm25_write_index
 
