@@ -294,14 +294,17 @@ def eval_edges(
     truth_edges: DataFrame,
     got_edges: DataFrame,
     id_fields: dict[str, list[str]],
+    match: tuple | None = None,
 ) -> DataFrame:
     """Per-(doc, label) edge P/R/F1, strict and relaxed (reference edge
     metrics :509-527). The relaxed rung folds the got-side alias of every
     relaxed node pair onto its truth identity before comparing endpoint keys
-    (alias_fold :505-506), so an edge into a relaxed-matched alias counts."""
+    (alias_fold :505-506), so an edge into a relaxed-matched alias counts.
+    Pass ``match`` (a :func:`_node_match` tuple) to share the identity-match
+    subtree with the other tables instead of recomputing it."""
     tk = node_identity_keys(truth_nodes, id_fields)
     gk = node_identity_keys(got_nodes, id_fields)
-    _, _, _, pairs = _node_match(truth_nodes, got_nodes, id_fields)
+    _, _, _, pairs = match or _node_match(truth_nodes, got_nodes, id_fields)
 
     te = _edge_keys(truth_edges, tk)
     ge = _edge_keys(got_edges, gk)
@@ -355,13 +358,17 @@ def eval_edges(
 
 
 def attribute_completeness(
-    truth_nodes: DataFrame, got_nodes: DataFrame, id_fields: dict[str, list[str]]
+    truth_nodes: DataFrame,
+    got_nodes: DataFrame,
+    id_fields: dict[str, list[str]],
+    match: tuple | None = None,
 ) -> DataFrame:
     """Fill-rate per (class, field) over strictly matched node pairs
     (reference completeness :539-551): for every filled truth attribute slot,
     is the got twin's same field filled? Winner node per key = min(node_id)
-    each side (the reference's first-wins, made order-free)."""
-    tkeys, gkeys, strict, _ = _node_match(truth_nodes, got_nodes, id_fields)
+    each side (the reference's first-wins, made order-free). ``match`` as in
+    :func:`eval_edges`."""
+    tkeys, gkeys, strict, _ = match or _node_match(truth_nodes, got_nodes, id_fields)
     t = strict.select("doc_id", "class", "key", "node_id").join(
         truth_nodes.select("doc_id", "node_id", F.col("attrs").alias("t_attrs")),
         ["doc_id", "node_id"],

@@ -21,6 +21,14 @@ boundary (post-dedup graphs are corpus-level), so this job re-attributes
 each edge to its SOURCE node's document (min doc_id when a cross-document
 deduped node merged several). Truth/got pairs produced per document — the
 reference's own granularity — round-trip exactly.
+
+``--granularity doc`` (default) keeps that per-document scoring. For
+merge.py outputs — or any graph where cross-document dedup means a node's
+row-document and an edge's source-document can disagree — pass
+``--granularity corpus``: doc_id collapses to one corpus-level group, so
+identity matching, edge keys and the orphan check are document-agnostic
+and a fully connected graph can never miscount orphans through
+attribution skew.
 """
 
 from __future__ import annotations
@@ -46,15 +54,21 @@ def _id_fields_from_template(path: str) -> dict[str, list[str]]:
     return out
 
 
-def _load_graph(spark, d: str):
+def _load_graph(spark, d: str, granularity: str = "doc"):
     """convert.py output dir → (nodes, edges) in evaluate's shape:
     nodes (doc_id, class, node_id, ids, attrs); edges (doc_id, src, dst,
-    label), doc re-attributed from the source node."""
+    label). Under ``doc`` granularity the edge doc is re-attributed from
+    the source node; under ``corpus`` every doc_id collapses to '' (one
+    corpus-level group — the right mode when cross-document dedup makes
+    per-node document attribution ambiguous)."""
     from pyspark.sql import functions as F
 
     raw = spark.read.parquet(os.path.join(d, "nodes"))
+    doc_col = (
+        F.lit("") if granularity == "corpus" else F.coalesce("doc_id", F.lit(""))
+    )
     nodes = raw.select(
-        F.coalesce("doc_id", F.lit("")).alias("doc_id"),
+        doc_col.alias("doc_id"),
         F.col("node_class").alias("class"),
         "node_id",
         # the attrs map carries id-field values with ids-first precedence
@@ -62,17 +76,18 @@ def _load_graph(spark, d: str):
         F.col("attrs").alias("ids"),
         "attrs",
     )
-    doc_of = (
-        nodes.groupBy("node_id").agg(F.min("doc_id").alias("src_doc"))
-    )
-    edges = (
-        spark.read.parquet(os.path.join(d, "edges"))
-        .join(doc_of, F.col("src") == F.col("node_id"), "left")
-        .select(
-            F.coalesce("src_doc", F.lit("")).alias("doc_id"),
-            "src", "dst", "label",
+    raw_edges = spark.read.parquet(os.path.join(d, "edges"))
+    if granularity == "corpus":
+        edges = raw_edges.select(F.lit("").alias("doc_id"), "src", "dst", "label")
+    else:
+        doc_of = nodes.groupBy("node_id").agg(F.min("doc_id").alias("src_doc"))
+        edges = (
+            raw_edges.join(doc_of, F.col("src") == F.col("node_id"), "left")
+            .select(
+                F.coalesce("src_doc", F.lit("")).alias("doc_id"),
+                "src", "dst", "label",
+            )
         )
-    )
     return nodes, edges
 
 
@@ -83,6 +98,13 @@ def main() -> None:
     ap.add_argument("--template", help="template JSON (id fields compiled via NodeCatalog)")
     ap.add_argument("--id-fields", help='inline JSON {"Class": ["field", ...]}')
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--granularity",
+        choices=["doc", "corpus"],
+        default="doc",
+        help="doc = per-document scoring (reference granularity); corpus = "
+        "document-agnostic (use for merge.py / cross-doc-deduped graphs)",
+    )
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     args = ap.parse_args()
 
@@ -95,8 +117,21 @@ def main() -> None:
     )
     if not isinstance(id_fields, dict) or not id_fields:
         ap.error("id_fields resolved empty — template declares no id-bearing class")
+    # a string value would iterate per CHARACTER downstream and silently
+    # score 0.0 everywhere — reject anything but non-empty lists of strings
+    for cls, fields in id_fields.items():
+        if (
+            not isinstance(fields, (list, tuple))
+            or not fields
+            or not all(isinstance(x, str) and x for x in fields)
+        ):
+            ap.error(
+                f"id_fields[{cls!r}] must be a non-empty list of field-name "
+                f"strings, got {fields!r}"
+            )
 
     from sparkdoc.evaluate import (
+        _node_match,
         attribute_completeness,
         edge_fanout,
         eval_edges,
@@ -107,22 +142,33 @@ def main() -> None:
     from sparkdoc.session import get_spark
 
     spark = get_spark("sparkdoc-evaluate", shuffle_partitions=args.shuffle_partitions)
-    truth_nodes, truth_edges = _load_graph(spark, args.truth)
-    got_nodes, got_edges = _load_graph(spark, args.got)
+    truth_nodes, truth_edges = _load_graph(spark, args.truth, args.granularity)
+    got_nodes, got_edges = _load_graph(spark, args.got, args.granularity)
 
-    node_metrics = eval_nodes(truth_nodes, got_nodes, id_fields)
+    # ONE identity-match subtree shared by nodes / edges / completeness —
+    # it is the dominant shuffle (key build + strict semi/anti + relaxed
+    # pairing over both graphs); recomputing it per table multiplied the
+    # job's cost ~3x. PERSISTED: each table write is its own Spark action,
+    # so plan-level sharing alone would still re-execute the subtree.
+    match = tuple(df.persist() for df in _node_match(truth_nodes, got_nodes, id_fields))
     tables = {
-        "node_metrics": node_metrics,
+        "node_metrics": eval_nodes(truth_nodes, got_nodes, id_fields, match=match),
         "edge_metrics": eval_edges(
-            truth_nodes, got_nodes, truth_edges, got_edges, id_fields
+            truth_nodes, got_nodes, truth_edges, got_edges, id_fields, match=match
         ),
-        "completeness": attribute_completeness(truth_nodes, got_nodes, id_fields),
+        "completeness": attribute_completeness(
+            truth_nodes, got_nodes, id_fields, match=match
+        ),
         "fanout": edge_fanout(got_edges, got_nodes, id_fields),
         "integrity": integrity_stats(got_nodes, got_edges, id_fields),
-        "rollup": eval_rollup(node_metrics),
     }
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(args.out, name))
+    # rollup from the WRITTEN node_metrics (repo convention: summarize the
+    # parquet, not the live DAG — see convert.py), not a 4th match re-run
+    eval_rollup(
+        spark.read.parquet(os.path.join(args.out, "node_metrics"))
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "rollup"))
 
     from pyspark.sql import functions as F
 

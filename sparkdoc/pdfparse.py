@@ -57,6 +57,7 @@ from sparkdoc.schemas import RAW_NODES
 # --------------------------------------------------------------------------
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b", re.S)
+_STREAM_RE = re.compile(rb"\s*stream\r?\n")
 
 
 # precompiled value-parser tokens, matched with pos= against the ORIGINAL
@@ -212,9 +213,12 @@ def _scan_objects(data: bytes) -> dict[int, tuple]:
             pos = m.end()
             continue
         stream = None
-        sm = re.match(rb"\s*stream\r?\n", data[j:])
+        # pos=-anchored match, same as the _PV_* parsers: re.match on
+        # data[j:] would copy the remaining buffer once per object
+        # (O(n_objects x file_size) on object-dense files)
+        sm = _STREAM_RE.match(data, j)
         if sm:
-            start = j + sm.end()
+            start = sm.end()
             length = val.get("Length") if isinstance(val, dict) else None
             if isinstance(length, int) and length >= 0:  # corrupt negative
                 # Length would move the cursor BACKWARDS (rescan loop)

@@ -597,7 +597,25 @@ def test_evaluate_cli_identity_and_cross_controls(tmp_path):
                "--template", tpl, "--out", ev2])
     assert r2["nodes_strict"]["f1"] < 0.2 and r2["edges_strict"]["tp"] == 0
 
+    # corpus granularity: document-agnostic identity self-eval is also
+    # exactly 1.0, and the orphan count can only DROP vs doc mode (doc-
+    # attribution skew adds false orphans, never removes true ones; any
+    # remaining orphan is a genuinely unreferenced node)
+    ev3 = str(tmp_path / "ev3")
+    r3 = _run(["sparkdoc/jobs/evaluate.py", "--truth", g1, "--got", g1,
+               "--template", tpl, "--out", ev3, "--granularity", "corpus"])
+    for k in ("nodes_strict", "edges_strict"):
+        assert r3[k]["f1"] == 1.0, (k, r3[k])
+    assert r3["integrity"]["orphan_nodes"] <= r["integrity"]["orphan_nodes"]
+
     # exactly one of --template/--id-fields
     bad = _run(["sparkdoc/jobs/evaluate.py", "--truth", g1, "--got", g1,
                 "--out", str(tmp_path / "evx")], expect_ok=False)
     assert bad.returncode != 0
+
+    # malformed --id-fields (string instead of list) must fail fast, not
+    # score 0.0 per-character
+    bad2 = _run(["sparkdoc/jobs/evaluate.py", "--truth", g1, "--got", g1,
+                 "--id-fields", '{"Person": "name"}',
+                 "--out", str(tmp_path / "evy")], expect_ok=False)
+    assert bad2.returncode != 0 and "non-empty list" in bad2.stderr
