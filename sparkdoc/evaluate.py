@@ -75,9 +75,13 @@ __all__ = [
 
 def _canon(col):
     """ASCII-fast canonical identity projection (reference
-    canonicalize_identity_for_dedup, entity_name_normalizer.py:58-74, applied
-    through the same lower+strip lens the doc_alias_pairs oracle pins)."""
-    return F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), "[^a-z0-9]", "")
+    canonicalize_identity_for_dedup, entity_name_normalizer.py:58-74) — the
+    SHARED clean.squash_anchor lens (the one the doc_alias_pairs oracle
+    pins), null-coalesced; delegating keeps the evaluation harness from
+    silently diverging if the shared projection ever changes."""
+    from sparkdoc.clean import squash_anchor
+
+    return squash_anchor(F.coalesce(col, F.lit("")))
 
 
 def _sig(col):
@@ -196,10 +200,17 @@ def _prf_cols(tp, fp, fn, suffix: str):
     ]
 
 
-def _node_match(truth_nodes, got_nodes, id_fields):
-    """Shared matching core → (tkeys, gkeys, strict, pairs) key-level frames."""
-    tkeys = _distinct_keys(node_identity_keys(truth_nodes, id_fields))
-    gkeys = _distinct_keys(node_identity_keys(got_nodes, id_fields))
+def _node_match(truth_nodes, got_nodes, id_fields, keyed=None):
+    """Shared matching core → (tkeys, gkeys, strict, pairs) key-level frames.
+    ``keyed`` optionally supplies the two node-level
+    :func:`node_identity_keys` frames (truth, got) — pass persisted copies
+    so one job's many write actions share the key-build shuffle."""
+    tkn, gkn = keyed or (
+        node_identity_keys(truth_nodes, id_fields),
+        node_identity_keys(got_nodes, id_fields),
+    )
+    tkeys = _distinct_keys(tkn)
+    gkeys = _distinct_keys(gkn)
     strict = tkeys.join(gkeys.select("doc_id", "class", "key"), ["doc_id", "class", "key"], "semi")
     trem = tkeys.join(strict.select("doc_id", "class", "key"), ["doc_id", "class", "key"], "anti")
     grem = gkeys.join(strict.select("doc_id", "class", "key"), ["doc_id", "class", "key"], "anti")
@@ -295,16 +306,22 @@ def eval_edges(
     got_edges: DataFrame,
     id_fields: dict[str, list[str]],
     match: tuple | None = None,
+    keyed: tuple | None = None,
 ) -> DataFrame:
     """Per-(doc, label) edge P/R/F1, strict and relaxed (reference edge
     metrics :509-527). The relaxed rung folds the got-side alias of every
     relaxed node pair onto its truth identity before comparing endpoint keys
     (alias_fold :505-506), so an edge into a relaxed-matched alias counts.
-    Pass ``match`` (a :func:`_node_match` tuple) to share the identity-match
-    subtree with the other tables instead of recomputing it."""
-    tk = node_identity_keys(truth_nodes, id_fields)
-    gk = node_identity_keys(got_nodes, id_fields)
-    _, _, _, pairs = match or _node_match(truth_nodes, got_nodes, id_fields)
+    Pass ``match`` (a :func:`_node_match` tuple) and ``keyed`` (the two
+    node-level key frames) to share the identity subtrees with the other
+    tables instead of recomputing them."""
+    tk, gk = keyed or (
+        node_identity_keys(truth_nodes, id_fields),
+        node_identity_keys(got_nodes, id_fields),
+    )
+    _, _, _, pairs = match or _node_match(
+        truth_nodes, got_nodes, id_fields, keyed=(tk, gk)
+    )
 
     te = _edge_keys(truth_edges, tk)
     ge = _edge_keys(got_edges, gk)
@@ -394,13 +411,19 @@ def attribute_completeness(
 
 
 def edge_fanout(
-    edges: DataFrame, nodes: DataFrame, id_fields: dict[str, list[str]]
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_fields: dict[str, list[str]],
+    node_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Per (doc, label): edge total, distinct sources, and the busiest
     source's share (reference edge_fanout :357-377 — flags dump-everything-
     on-one-parent). Unkeyed sources fall back to their raw node_id, still
-    counted (:363)."""
-    keyed = node_identity_keys(nodes, id_fields).select(
+    counted (:363). ``node_keys`` optionally shares a precomputed
+    :func:`node_identity_keys` frame for ``nodes``."""
+    if node_keys is None:
+        node_keys = node_identity_keys(nodes, id_fields)
+    keyed = node_keys.select(
         "doc_id", F.col("node_id").alias("src"),
         F.concat_ws(KEY_SEP, "class", "key").alias("skey"),
     )
@@ -418,12 +441,16 @@ def edge_fanout(
 
 
 def integrity_stats(
-    got_nodes: DataFrame, got_edges: DataFrame, id_fields: dict[str, list[str]]
+    got_nodes: DataFrame,
+    got_edges: DataFrame,
+    id_fields: dict[str, list[str]],
+    node_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document integrity findings (reference :572-580): nodes of an
     id-bearing class whose declared id fields are all unfilled (raw, pre-
     canonicalization — is_filled :248-254), orphan nodes referenced by no
-    edge, and unkeyed node count (no usable canonical identity)."""
+    edge, and unkeyed node count (no usable canonical identity).
+    ``node_keys`` as in :func:`edge_fanout`."""
     fdf = _id_fields_df(got_nodes.sparkSession, id_fields)
     raw = got_nodes.join(fdf, "class").select(
         "doc_id",
@@ -451,7 +478,7 @@ def integrity_stats(
         .agg(F.count(F.lit(1)).alias("orphan_n"))
     )
     keyed_n = (
-        node_identity_keys(got_nodes, id_fields)
+        (node_keys if node_keys is not None else node_identity_keys(got_nodes, id_fields))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("keyed_n"))
     )

@@ -138,6 +138,7 @@ def main() -> None:
         eval_nodes,
         eval_rollup,
         integrity_stats,
+        node_identity_keys,
     )
     from sparkdoc.session import get_spark
 
@@ -145,22 +146,29 @@ def main() -> None:
     truth_nodes, truth_edges = _load_graph(spark, args.truth, args.granularity)
     got_nodes, got_edges = _load_graph(spark, args.got, args.granularity)
 
-    # ONE identity-match subtree shared by nodes / edges / completeness —
-    # it is the dominant shuffle (key build + strict semi/anti + relaxed
-    # pairing over both graphs); recomputing it per table multiplied the
-    # job's cost ~3x. PERSISTED: each table write is its own Spark action,
-    # so plan-level sharing alone would still re-execute the subtree.
-    match = tuple(df.persist() for df in _node_match(truth_nodes, got_nodes, id_fields))
+    # ONE node-level key build per graph and ONE match subtree, shared by
+    # every table — these are the dominant shuffles (key build + strict
+    # semi/anti + relaxed pairing over both graphs); recomputing them per
+    # table multiplied the job's cost ~4x. PERSISTED: each table write is
+    # its own Spark action, so plan-level sharing alone would still
+    # re-execute the subtrees.
+    tkn = node_identity_keys(truth_nodes, id_fields).persist()
+    gkn = node_identity_keys(got_nodes, id_fields).persist()
+    match = tuple(
+        df.persist()
+        for df in _node_match(truth_nodes, got_nodes, id_fields, keyed=(tkn, gkn))
+    )
     tables = {
         "node_metrics": eval_nodes(truth_nodes, got_nodes, id_fields, match=match),
         "edge_metrics": eval_edges(
-            truth_nodes, got_nodes, truth_edges, got_edges, id_fields, match=match
+            truth_nodes, got_nodes, truth_edges, got_edges, id_fields,
+            match=match, keyed=(tkn, gkn),
         ),
         "completeness": attribute_completeness(
             truth_nodes, got_nodes, id_fields, match=match
         ),
-        "fanout": edge_fanout(got_edges, got_nodes, id_fields),
-        "integrity": integrity_stats(got_nodes, got_edges, id_fields),
+        "fanout": edge_fanout(got_edges, got_nodes, id_fields, node_keys=gkn),
+        "integrity": integrity_stats(got_nodes, got_edges, id_fields, node_keys=gkn),
     }
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(args.out, name))

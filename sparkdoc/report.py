@@ -47,13 +47,18 @@ def run_report_markdown(
     order, sorted keys — snapshot-testable."""
     lines: list[str] = [f"# Run report — {job}", ""]
 
+    def cell(v: Any) -> str:
+        # a '|' or newline inside a value would add phantom columns / split
+        # the row — escape them so the table structure survives any value
+        return str(v).replace("|", "\\|").replace("\n", " ")
+
     def table(title: str, rows: Iterable[tuple[str, Any]]) -> None:
         rows = list(rows)
         if not rows:
             return
         lines.extend([f"## {title}", "", "| key | value |", "|---|---|"])
         for k, v in rows:
-            lines.append(f"| {k} | {v} |")
+            lines.append(f"| {cell(k)} | {cell(v)} |")
         lines.append("")
 
     if counts:
@@ -73,7 +78,7 @@ def run_report_markdown(
     ws = list(warnings)
     if ws:
         lines.extend(["## Warnings", ""])
-        lines.extend(f"- {w}" for w in ws)
+        lines.extend(f"- {cell(w)}" for w in ws)
         lines.append("")
     if config:
         lines.extend(["## Effective config", "", "```json",

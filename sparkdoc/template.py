@@ -196,7 +196,18 @@ def compile_template(model_cls: type, rules: dict | None = None) -> dict:
             target = _model_of(payload)
             extra = _extra(finfo)
             if target is not None:
-                is_ref = bool(extra.get("graph_reference")) and bool(_id_fields(target))
+                wants_ref = bool(extra.get("graph_reference"))
+                if wants_ref and not _id_fields(target):
+                    # a reference is an id-only link, never discovered
+                    # (dense/catalog.py:58-74) — compiling it as a plain
+                    # discoverable child would silently invert the graph
+                    # topology the author declared, so fail loudly
+                    raise ValueError(
+                        f"{model.__name__}.{fname}: graph_reference=True but "
+                        f"target {target.__name__} declares no graph_id_fields "
+                        "— a reference target needs identity fields"
+                    )
+                is_ref = wants_ref
                 child_path = f"{path}.{fname}" if path else fname
                 if is_list:
                     child_path += "[]"

@@ -122,3 +122,23 @@ def test_report_from_convert_and_export(spark, tmp_path):
     assert "| Contract | 1 |" in md and "| mean_coverage | 0.75 |" in md
     html = open(paths["graph_html"]).read()
     assert "N1" in html and "contracts" not in ""  # html written with node data
+
+
+def test_report_escapes_pipes_and_newlines():
+    from sparkdoc.report import run_report_markdown
+
+    md = run_report_markdown(
+        "job",
+        counts={"a|b": 1},
+        validation={"pattern": "x|y\nz"},
+        warnings=["bad | value\nwith newline"],
+    )
+    import re
+
+    # one '|'-bearing value must not add phantom table columns: each row has
+    # exactly 3 UNESCAPED pipes (| key | value |)
+    for ln in md.splitlines():
+        if ln.startswith("|") and "---" not in ln:
+            assert len(re.findall(r"(?<!\\)\|", ln)) == 3, ln
+    assert "a\\|b" in md and "x\\|y z" in md
+    assert "- bad \\| value with newline" in md

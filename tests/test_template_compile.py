@@ -224,3 +224,27 @@ def test_pep604_union_equals_optional_twin():
     by_path = cat.spec_by_path()
     count_spec = next(f for f in by_path[""].fields if f.name == "count")
     assert count_spec.ftype == "int"
+
+
+def test_graph_reference_without_target_ids_fails_loudly():
+    """graph_reference=True pointing at a class with no graph_id_fields is a
+    template authoring error — it must raise, not silently compile the field
+    as a discoverable child (which would invert the declared topology)."""
+    import pytest
+    from pydantic import BaseModel, ConfigDict, Field
+
+    from sparkdoc.template import compile_template
+
+    class NoIds(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True})
+        name: str = ""
+
+    class Root(BaseModel):
+        model_config = ConfigDict(
+            json_schema_extra={"graph_id_fields": ["rid"], "is_entity": True}
+        )
+        rid: str = ""
+        item: NoIds | None = Field(default=None, json_schema_extra={"graph_reference": True})
+
+    with pytest.raises(ValueError, match="graph_id_fields"):
+        compile_template(Root)
