@@ -147,14 +147,27 @@ def delta_near_dups(
     verified = ngram_jaccard(cands, texts, text_col, id_col, n).filter(
         F.col("jaccard") >= threshold
     )
+    # best = max jaccard, then min b — min_by over (-jaccard, b) orders the
+    # DOUBLE negatively and the id ASCENDING natively, so string doc ids
+    # work too (arithmetic negation of the id column would throw
+    # CAST_INVALID_INPUT under ANSI for any non-numeric id)
     best = verified.groupBy("a").agg(
-        F.max(F.struct(F.col("jaccard").alias("j"), (-F.col("b")).alias("nb"))).alias("_m")
+        F.min_by(
+            F.struct(F.col("b"), F.col("jaccard")),
+            F.struct((-F.col("jaccard")).alias("nj"), F.col("b")),
+        ).alias("_m")
     )
-    return best.select(
+    out = best.select(
         F.col("a").alias(id_col),
-        (-F.col("_m.nb")).alias("dup_of"),
-        F.col("_m.j").alias("jaccard"),
+        F.col("_m.b").alias("dup_of"),
+        F.col("_m.jaccard").alias("jaccard"),
     )
+    # materialize the (small) result so the candidate cache can be released
+    # immediately — otherwise every delta ingest leaks the pinned pair frame
+    # for the session's lifetime
+    out = out.localCheckpoint(eager=True)
+    cands.unpersist()
+    return out
 
 
 # --- index maintenance -------------------------------------------------------------
@@ -170,11 +183,19 @@ def update_exact_index(
     keep their original keep_id (the corpus copy stays canonical); genuinely
     new fps enter with the min new id."""
     incoming = build_exact_index(kept_new_docs, text_col, id_col)
+    # min_by over (corpus-first flag, keep_id): the existing corpus copy
+    # stays canonical, ties break on the SMALLEST id — struct ordering
+    # compares string ids natively (negating the id column would throw
+    # CAST_INVALID_INPUT under ANSI for non-numeric ids)
     return (
-        exact_index.withColumn("_old", F.lit(1))
-        .unionByName(incoming.withColumn("_old", F.lit(0)))
+        exact_index.withColumn("_old", F.lit(0))
+        .unionByName(incoming.withColumn("_old", F.lit(1)))
         .groupBy("fp")
-        .agg(F.max_by("keep_id", F.struct(F.col("_old"), -F.col("keep_id"))).alias("keep_id"))
+        .agg(
+            F.min_by("keep_id", F.struct(F.col("_old"), F.col("keep_id"))).alias(
+                "keep_id"
+            )
+        )
     )
 
 

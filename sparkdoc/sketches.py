@@ -124,7 +124,12 @@ def heavy_hitters(
     """
     from pyspark.sql import Window
 
-    rows = df.select(F.col(col).alias("item")).filter(F.col("item").isNotNull())
+    # cast to string up front: the pass-1 summary schema is 'item string',
+    # and a long/int column (user ids, keys) would otherwise die at Arrow
+    # conversion when the per-partition counts are emitted
+    rows = df.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     cands = (
         rows.mapInPandas(_mg_partition(k, "item"), schema="item string, mg_count long")
         .groupBy("item")
@@ -264,17 +269,29 @@ def bloom_might_contain(df: DataFrame, col: str, bloom: BloomFilter, out: str = 
     bits, m, k = bloom.bits, bloom.m, bloom.k
 
     @pandas_udf("boolean")
-    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+    def _probe(h1: pd.Series, h2: pd.Series, isnull: pd.Series) -> pd.Series:
         bmp = np.frombuffer(bits, dtype="uint8")
         if not len(h1):
             return pd.Series([], dtype="object")
-        pos = _bloom_positions(h1.fillna(0), h2.fillna(0), m, k)
+        pos = _bloom_positions(h1, h2, m, k)
         hit = (bmp[pos >> 3] & (np.uint8(1) << (pos & 7).astype("uint8"))) != 0
         res = pd.Series(hit.all(axis=1))
-        return res.mask(h1.isna(), None)
+        return res.mask(isnull.astype("bool"), None)
 
+    # NULLs are coalesced to 0 JVM-SIDE with a separate null-mask column:
+    # a nullable int64 batch reaches pandas as float64, and float64 loses
+    # bits for |hash| > 2^53 — every row in that batch would then probe the
+    # WRONG positions, i.e. false negatives on the no-false-negative
+    # contract. Non-nullable hashes arrive as true int64.
     h1, h2 = _bloom_hash_cols(F.col(col))
-    return df.withColumn(out, _probe(h1, h2))
+    return df.withColumn(
+        out,
+        _probe(
+            F.coalesce(h1, F.lit(0)),
+            F.coalesce(h2, F.lit(0)),
+            F.col(col).isNull(),
+        ),
+    )
 
 
 # --- Count-Min sketch -----------------------------------------------------------

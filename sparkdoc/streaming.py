@@ -321,9 +321,20 @@ def stream_sessionize(
         cur = list(state.get) if state.exists else None  # [start, last, n]
         closed = []
         for t in ts_ms:
-            if cur is not None and t - cur[1] <= gap_ms:
-                cur[1] = t
+            if cur is not None and cur[0] - gap_ms <= t <= cur[1] + gap_ms:
+                # inside (or within gap of) the open session INTERVAL — a
+                # watermark-admitted out-of-order event can land BEFORE the
+                # session start, so both boundaries extend (a plain
+                # `t - cur[1] <= gap` test is vacuously true for any older
+                # event and would drag session_end backwards)
+                cur[0] = min(cur[0], t)
+                cur[1] = max(cur[1], t)
                 cur[2] += 1
+            elif cur is not None and t < cur[0] - gap_ms:
+                # admitted late event older than the open session by more
+                # than the gap: its own (already gap-closed) session — the
+                # open session is untouched
+                closed.append((key[0], t, t, 1, "gap"))
             else:
                 if cur is not None:
                     closed.append((key[0], cur[0], cur[1], cur[2], "gap"))

@@ -94,3 +94,36 @@ def test_delta_exact_dups_full_internal(spark):
     ])
     dups = {(r.doc_id, r.dup_of) for r in delta_exact_dups_full(new, idx).collect()}
     assert dups == {(10, 1), (11, 1), (13, 12)}
+
+
+def test_string_doc_ids_work_everywhere(spark):
+    """ANSI regression: the best-match and index-update tie-breaks must not
+    arithmetically negate the id column — string doc ids (the common real-
+    world shape) crashed with CAST_INVALID_INPUT before."""
+    from sparkdoc.incremental import (
+        build_band_index,
+        build_exact_index,
+        delta_near_dups,
+        update_exact_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [("acme-1", LONG_A), ("beta-2", LONG_A + " with two extra"), ("core-3", LONG_B)],
+        "doc_id string, text string",
+    )
+    idx = build_exact_index(corpus)
+    kept = spark.createDataFrame(
+        [("delta-9", "fresh never seen text body here")], "doc_id string, text string"
+    )
+    idx2 = update_exact_index(idx, kept)  # crashed before the fix
+    assert "delta-9" in {r.keep_id for r in idx2.collect()}
+    # existing fp keeps its corpus keeper (struct min: _old first)
+    assert {r.keep_id for r in idx2.collect()} >= {"acme-1", "core-3"}
+
+    bidx = build_band_index(corpus)
+    new = spark.createDataFrame(
+        [("zeta-7", LONG_A)], "doc_id string, text string"
+    )
+    got = delta_near_dups(new, corpus, bidx, threshold=0.6).collect()
+    # best match: max jaccard then MIN dup_of (string order)
+    assert len(got) == 1 and got[0]["dup_of"] == "acme-1" and got[0]["jaccard"] == 1.0

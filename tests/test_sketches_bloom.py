@@ -100,3 +100,31 @@ def test_delta_new_docs_bloom_prunes_join_traffic(spark):
     assert n_maybe <= 500 * 0.01 * 4  # ~fpp of a fully-fresh delta survives
     # and correctness is unaffected: everything is admitted
     assert delta_new_docs(delta, idx, bloom=bloom).count() == 500
+
+
+def test_bloom_null_in_batch_keeps_member_hits(spark):
+    """Precision regression: a NULL anywhere in a probe batch used to turn
+    the whole batch's int64 hashes into float64 (bits lost past 2^53 ->
+    wrong positions -> FALSE NEGATIVES). Members must still probe True in
+    a batch that contains NULLs."""
+    members = [f"member-{i}" for i in range(500)]
+    bf = bloom_build(_vals(spark, members), "v", n_expected=500, fpp=0.01)
+    rows = [(m,) for m in members] + [(None,)] * 5
+    probed = bloom_might_contain(
+        spark.createDataFrame(rows, "v string").coalesce(1), "v", bf
+    ).collect()
+    got = {r["v"]: r["might_contain"] for r in probed}
+    assert all(got[m] for m in members)  # no false negatives
+    assert got[None] is None
+
+
+def test_heavy_hitters_on_long_column(spark):
+    """Non-string columns (user ids) must work — pass 1 emits a string
+    summary schema, so the input is cast up front."""
+    from sparkdoc.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i % 3,) for i in range(300)] + [(99,)], "user_id long"
+    )
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "user_id", k=4).collect()}
+    assert got["0"] == 100 and got["1"] == 100 and got["2"] == 100

@@ -322,3 +322,50 @@ def test_stream_extract_mixed(spark, tmp_path):
     q3 = stream_extract_mixed(spark, in_dir, out_dir)
     q3.awaitTermination(120)
     assert spark.read.parquet(os.path.join(out_dir, "documents")).count() == 28
+
+
+def test_stream_sessionize_out_of_order_cross_batch(spark, tmp_path):
+    """A watermark-admitted event OLDER than the open session must extend
+    the session START (or close as its own earlier session) — it must never
+    drag session_end backwards or corrupt the boundary (the old
+    `t - last <= gap` test was vacuously true for any older event)."""
+    import datetime as dt
+
+    from sparkdoc.streaming import EVENTS_SCHEMA, stream_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, minutes, user):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, "view", 1.0, "{}")
+
+    # batch 1: open session for u1 at [12:00, 12:10]
+    spark.createDataFrame([ev(0, 0, 1), ev(1, 10, 1)], EVENTS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    # batch 2: u1 event 20 min BEFORE the session start (within gap=30 of
+    # the interval -> start extends back); plus a far-future u99 flush
+    spark.createDataFrame([ev(2, -20, 1), ev(3, 2880, 99)], EVENTS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    # batch 3: flush again so the timeout fires for u1
+    spark.createDataFrame([ev(4, 5760, 99)], EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    rows = spark.read.parquet(os.path.join(out_dir, "sessions")).filter(
+        "user_id = 1"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert r["session_start"] == t0 + dt.timedelta(minutes=-20)
+    assert r["session_end"] == t0 + dt.timedelta(minutes=10)
+    assert r["session_end"] >= r["session_start"]
