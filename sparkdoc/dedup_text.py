@@ -30,18 +30,38 @@ from sparkdoc.textops import doc_fingerprint, words
 # --- exact dedup ---------------------------------------------------------------
 
 
-def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 1000,
+) -> DataFrame:
     """Groups of exact duplicates (normalized md5): (fingerprint, n_docs,
     keep_id = min id, doc_ids). NULL-text docs are excluded — unknown
-    contents are not duplicates of each other."""
+    contents are not duplicates of each other.
+
+    ``doc_ids`` holds at most ``max_ids`` (smallest) members per group —
+    n_docs stays the TRUE count. A boilerplate fingerprint shared by 10^7
+    docs would otherwise materialize one aggregation row holding a
+    10^7-element id array (the single-row OOM curate_split's min+join-back
+    design explicitly avoids); this is the diagnostic API, so it keeps a
+    bounded sample instead."""
+    from pyspark.sql import Window
+
+    fpd = df.withColumn("fp", doc_fingerprint(F.col(text_col))).filter(
+        F.col("fp").isNotNull()
+    )
+    ranked = fpd.withColumn(
+        "_r", F.row_number().over(Window.partitionBy("fp").orderBy(id_col))
+    )
     return (
-        df.withColumn("fp", doc_fingerprint(F.col(text_col)))
-        .filter(F.col("fp").isNotNull())
-        .groupBy("fp")
+        ranked.groupBy("fp")
         .agg(
             F.count("*").alias("n_docs"),
             F.min(id_col).alias("keep_id"),
-            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_r") <= max_ids, F.col(id_col)))
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )
@@ -344,7 +364,12 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 
     one whole block (≤ max_hamming differing bits cannot touch all
     max_hamming+1 blocks). Candidates come from a self-equi-join on
     (block index, block key); exact hamming via xor+bit_count (JVM expr)
-    verifies. df must carry 'simhash'. max_hamming is clamped to [0, 63]."""
+    verifies. df must carry 'simhash'. max_hamming is clamped to [0, 63].
+
+    Contentless docs (NULL/empty/no-word text → sentinel simhash 0) are
+    EXCLUDED: they'd all agree on every block and pair all-with-all — the
+    O(m²) explosion band_keys' MINHASH_EMPTY guard prevents on the MinHash
+    path. Sharing no content, they are not near-duplicates of anything."""
     max_hamming = max(0, min(int(max_hamming), 63))
     n_blocks = max_hamming + 1
     # Variable-width blocks covering all 64 bits: floor widths + remainder
@@ -369,8 +394,15 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 
             for i, off, width in specs
         ]
     )
-    keyed = df.select(F.col(id_col).alias("_id"), F.col("simhash"), F.explode(blocks).alias("b")).select(
-        "_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key")
+    keyed = (
+        df.filter(F.col("simhash") != 0)
+        .select(F.col(id_col).alias("_id"), F.col("simhash"), F.explode(blocks).alias("b"))
+        .select("_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
+        # persisted: both self-join sides read this frame — without the
+        # cache the upstream simhash pandas UDF (the dominant cost) runs
+        # twice end-to-end, the same measured 2x minhash_lsh_candidates
+        # caches against
+        .persist()
     )
     a = keyed.select(F.col("_id").alias("a"), F.col("simhash").alias("ha"), "blk", "key")
     b = keyed.select(F.col("_id").alias("b"), F.col("simhash").alias("hb"), "blk", "key")
@@ -379,8 +411,13 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
         .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    # materialize the (bounded: verified pairs) result, then release the
+    # block cache — the delta_near_dups convention
+    out = pairs.localCheckpoint(eager=True)
+    keyed.unpersist()
+    return out
 
 
 # --- duplicate-group labeling (connected components) ---------------------------
@@ -428,7 +465,18 @@ def dup_group_labels(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence probe: ORDER-INDEPENDENT checksum of the label assignment.
+    # xxhash64 makes it type-agnostic — doc ids are STRINGS repo-wide
+    # (schemas.py), and sum("label") on strings throws under ANSI (or goes
+    # NULL and falsely "converges" after one round without it)
+    def _label_sum(lbl):
+        # decimal sum: long would ARITHMETIC_OVERFLOW under ANSI after a few
+        # rows of 64-bit hashes; decimal(30,0) headroom covers 10^10 rows
+        return lbl.agg(
+            F.sum(F.xxhash64("node", "label").cast("decimal(20,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         nb_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -453,7 +501,7 @@ def dup_group_labels(
             .select("node", F.least("label", F.coalesce("jumped", "label")).alias("label"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -549,13 +597,19 @@ def paragraph_dedup(
             ).alias("_text"),
         )
     )
-    # left join so docs whose every paragraph was blank still come back
+    # left join so docs whose every paragraph was blank still come back.
+    # NULL text stays NULL — it marks a failed extraction, and rewriting it
+    # to '' would let a later exact-dup pass collapse every failed doc into
+    # one fingerprint group and mass-delete them (the exact catastrophe
+    # drop_exact_dups' NULL-passthrough exists to prevent)
     return (
-        df.select(id_col)
+        df.select(id_col, F.col(text_col).isNull().alias("_tnull"))
         .join(kept, id_col, "left")
         .select(
             id_col,
-            F.coalesce("_text", F.lit("")).alias(text_col),
+            F.when(F.col("_tnull"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("_text", F.lit("")))
+            .alias(text_col),
             F.coalesce("n_paras", F.lit(0)).cast("int").alias("n_paras"),
             F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
         )
@@ -668,7 +722,9 @@ def substring_dedup(
         F.sum("n_words").alias("_ndup"),
     )
     ws = df.select(
-        id_col, F.coalesce(words(F.col(text_col)), F.array().cast("array<string>")).alias("_ws")
+        id_col,
+        F.coalesce(words(F.col(text_col)), F.array().cast("array<string>")).alias("_ws"),
+        F.col(text_col).isNull().alias("_tnull"),
     )
     joined = ws.join(per_doc, id_col, "left").withColumn(
         "_ivs", F.coalesce(F.col("_ivs"), F.array().cast("array<struct<span_start:int,span_end:int>>"))
@@ -682,7 +738,11 @@ def substring_dedup(
     )
     return joined.select(
         id_col,
-        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(text_col),
+        # NULL text stays NULL (failed-extraction marker — see
+        # paragraph_dedup's note on the exact-dup mass-delete hazard)
+        F.when(F.col("_tnull"), F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.transform(kept, lambda s: s["w"]), " "))
+        .alias(text_col),
         F.size("_ws").cast("int").alias("n_words"),
         F.coalesce(F.col("_ndup"), F.lit(0)).cast("int").alias("n_dup_words"),
         F.when(F.size("_ws") > 0, F.coalesce(F.col("_ndup"), F.lit(0)) / F.size("_ws"))

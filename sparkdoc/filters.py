@@ -468,15 +468,20 @@ def downweight_frequent_groups(
     domains are fine. The per-group keep threshold is floor(target·1e6 /
     count) ppm, integer-exact across engines.
     """
-    counts = df.groupBy(group_col).agg(F.count("*").alias("_grp_n"))
+    # NULL groups are one group like any other (cap_per_group semantics):
+    # a plain equi-join would never match NULL = NULL and silently DELETE
+    # every NULL-group row, so both sides key on a coalesced shadow column
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null-group>"))
+    with_gk = df.withColumn("_gk", gk)
+    counts = with_gk.groupBy("_gk").agg(F.count("*").alias("_grp_n"))
     thresh = F.least(
         F.lit(1_000_000).cast("bigint"),
         F.floor(F.lit(target) * 1_000_000.0 / F.col("_grp_n")).cast("bigint"),
     )
     return (
-        df.join(counts, group_col)
+        with_gk.join(counts, "_gk")
         .filter(_hash_bucket(key_col, salt) < thresh)
-        .drop("_grp_n")
+        .drop("_grp_n", "_gk")
     )
 
 

@@ -65,20 +65,7 @@ def ngram_feature_rows(
     Docs with no words contribute no rows (callers left-join + coalesce 0).
     """
     w = df.select(id_col, words(F.col(text_col)).alias("_w"))
-    uni = F.transform(F.col("_w"), lambda x: F.concat(F.lit("u:"), x))
-    bi = F.when(
-        F.size("_w") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_w") - 1),
-            lambda i: F.concat(
-                F.lit("b:"),
-                F.element_at("_w", i),
-                F.lit(" "),
-                F.element_at("_w", i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = w.select(id_col, F.explode(F.concat(uni, bi)).alias("_f"))
+    feats = w.select(id_col, F.explode(_tagged_ngrams()).alias("_f"))
     bucket = (_hash60(F.concat(F.col("_f"), F.lit(salt))) % n_buckets).alias("bucket")
     return (
         feats.select(id_col, bucket)
@@ -87,12 +74,11 @@ def ngram_feature_rows(
     )
 
 
-def _corpus_bucket_counts(
-    df: DataFrame, text_col: str, n_buckets: int, salt: str
-) -> DataFrame:
-    """(bucket, cnt) totals over a whole corpus — explode → md5 → one
-    map-side-combined count agg (no per-doc intermediate)."""
-    w = df.select(words(F.col(text_col)).alias("_w"))
+def _tagged_ngrams():
+    """THE DSIR feature definition (tagged unigrams + bigrams over a bound
+    ``_w`` word array) — one copy shared by the per-doc and corpus-total
+    paths, so the model can never be fit on one feature space and documents
+    scored on another."""
     uni = F.transform(F.col("_w"), lambda x: F.concat(F.lit("u:"), x))
     bi = F.when(
         F.size("_w") >= 2,
@@ -106,7 +92,16 @@ def _corpus_bucket_counts(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = w.select(F.explode(F.concat(uni, bi)).alias("_f"))
+    return F.concat(uni, bi)
+
+
+def _corpus_bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, salt: str
+) -> DataFrame:
+    """(bucket, cnt) totals over a whole corpus — explode → md5 → one
+    map-side-combined count agg (no per-doc intermediate)."""
+    w = df.select(words(F.col(text_col)).alias("_w"))
+    feats = w.select(F.explode(_tagged_ngrams()).alias("_f"))
     bucket = (_hash60(F.concat(F.col("_f"), F.lit(salt))) % n_buckets).alias("bucket")
     return feats.select(bucket).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
 

@@ -25,12 +25,18 @@ def words(col: Column) -> Column:
 
 
 def word_count(col: Column) -> Column:
-    return F.size(words(col))
+    """0 for NULL text — size(NULL) is -1/NULL depending on ANSI mode, and a
+    negative count silently poisons every downstream aggregate (avgdl,
+    quality features, histograms)."""
+    return F.when(col.isNull(), F.lit(0)).otherwise(F.size(words(col)))
 
 
 def token_count(col: Column) -> Column:
-    """BPE-ish token count (words + punctuation marks)."""
-    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0))
+    """BPE-ish token count (words + punctuation marks); 0 for NULL text
+    (same trap as word_count)."""
+    return F.when(col.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0))
+    )
 
 
 # --- language ID (n-gram/stopword heuristic) -----------------------------------

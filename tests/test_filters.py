@@ -211,3 +211,21 @@ def test_filters_null_text_safe(spark):
     bench = spark.createDataFrame([(9, "w1 w2 w3 w4 w5 w6 w7 w8")], "doc_id int, text string")
     dc = _rows(decontaminate(df, bench))
     assert dc[1]["n_contaminated"] == 0 and dc[1]["contaminated"] is False
+
+
+def test_downweight_keeps_null_group_rows(spark):
+    """NULL-group docs are a group like any other — the equi-join rewrite
+    must not silently delete them (plain NULL = NULL never matches)."""
+    from pyspark.sql import Row
+
+    from sparkdoc.filters import downweight_frequent_groups
+
+    rows = [Row(doc_id=i, source="a") for i in range(10)] + [
+        Row(doc_id=100 + i, source=None) for i in range(5)
+    ]
+    out = downweight_frequent_groups(
+        spark.createDataFrame(rows), "source", target=100
+    )
+    # both groups are under target -> EVERY row survives, including NULLs
+    assert out.count() == 15
+    assert out.filter("source IS NULL").count() == 5

@@ -357,9 +357,11 @@ def test_substring_dedup_trim_and_stats(spark):
     assert abs(out[1]["dup_frac"] - 19 / 24) < 1e-12
     # winner doc 0 untouched (token-normalized join of its own words)
     assert out[0]["n_dup_words"] == 0 and out[0]["text"].startswith("first doc holds")
-    # short + NULL docs come back whole with zero dup mass
+    # short + NULL docs come back whole with zero dup mass; NULL text STAYS
+    # NULL (failed-extraction marker — rewriting it to '' would let a later
+    # exact-dup pass mass-delete every failed doc as one fingerprint group)
     assert out[5]["text"] == "tiny" and out[5]["dup_frac"] == 0.0
-    assert out[6]["n_words"] == 0 and out[6]["text"] == ""
+    assert out[6]["n_words"] == 0 and out[6]["text"] is None
 
 
 def test_substring_dedup_adjacent_islands_merge(spark):
@@ -379,3 +381,58 @@ def test_substring_dedup_adjacent_islands_merge(spark):
         for r in substring_dup_spans(df, k=12).collect()
     ]
     assert rows == [(2, 0, 24)]  # one merged span, not [0,12) + [12,24)
+
+
+def test_dup_group_labels_string_ids(spark):
+    """ANSI regression: the convergence probe must not sum the (string) id
+    column — a 5-chain of string doc ids must collapse to ONE component."""
+    from pyspark.sql import Row
+
+    from sparkdoc.dedup_text import dup_group_labels
+
+    chain = [("d-a", "d-b"), ("d-b", "d-c"), ("d-c", "d-d"), ("d-d", "d-e")]
+    pairs = spark.createDataFrame([Row(a=a, b=b) for a, b in chain])
+    got = {r["doc_id"]: r["group_id"] for r in dup_group_labels(pairs).collect()}
+    assert set(got.values()) == {"d-a"}  # one component, min-id label
+    assert len(got) == 5
+
+
+def test_simhash_contentless_docs_never_pair(spark):
+    """Sentinel simhash 0 (NULL/empty/no-word text) is excluded from
+    blocking — contentless docs must not pair all-with-all at hamming 0."""
+    from pyspark.sql import Row
+
+    from sparkdoc.dedup_text import simhash64, simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=""), Row(doc_id=3, text="?!"),
+         Row(doc_id=4, text="real content words here"), Row(doc_id=5, text="real content words here")]
+    )
+    pairs = simhash_near_dups(simhash64(docs), max_hamming=3).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert got == {(4, 5)}  # only the real near-dup pair
+
+
+def test_paragraph_dedup_preserves_null_text(spark):
+    from pyspark.sql import Row
+
+    from sparkdoc.dedup_text import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="para one\n\npara two"), Row(doc_id=2, text=None)]
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert out[2] is None and out[1] is not None
+
+
+def test_exact_dup_groups_caps_id_list(spark):
+    from pyspark.sql import Row
+
+    from sparkdoc.dedup_text import exact_dup_groups
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same text body every time") for i in range(50)]
+    )
+    row = exact_dup_groups(docs, max_ids=10).collect()[0]
+    assert row["n_docs"] == 50  # TRUE count survives the cap
+    assert len(row["doc_ids"]) == 10 and row["keep_id"] == 0
