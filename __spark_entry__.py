@@ -490,6 +490,32 @@ def _emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, k=5)
 
 
+def _emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: benchmark = every 97th
+    vector, PERTURBED per dimension (×(1 + ((vec_id+i)%5)·0.01)) so its
+    corpus source scores ≈0.9998 — the ≥0.95 comparison runs on genuine
+    near-boundary float math, not an exact 1.0 — while unrelated docs top
+    out ≈0.47. The oracle replays the perturbation, unit-normalize,
+    sequential-fold dot and the row_number tie rule op-for-op."""
+    from sparkdoc.similarity import semantic_decontam
+
+    emb = _emb(spark, sf_dir)
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        * (
+            F.lit(1.0)
+            + ((F.col("vec_id") + i) % 5).cast("double") * F.lit(0.01)
+        ),
+    )
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bench_id"), pert.alias("embedding")
+    )
+    return semantic_decontam(
+        emb, bench, threshold=0.95, bench_id_col="bench_id"
+    ).orderBy("vec_id")
+
+
 def _emb_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority label among 5 NN — the eval-style similarity rollup."""
     from sparkdoc.similarity import brute_force_topk
@@ -2281,6 +2307,133 @@ def _doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_group_labels(pairs).orderBy("doc_id")
 
 
+def _doc_leak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: duplicate clusters (the doc_dup_groups
+    chain graphs over the hostile corpus) move to one side as a unit — the
+    split key is the cluster representative, singletons key on themselves.
+    The oracle recomputes components via the recursive transitive-closure
+    CTE, then replays the identical md5 ppm rule on the representative."""
+    from pyspark.sql import Window
+
+    from sparkdoc.dedup_text import dup_group_labels
+    from sparkdoc.filters import leakage_safe_split
+    from sparkdoc.textops import doc_fingerprint
+
+    d = _docs_hostile(spark, sf_dir).withColumn("fp", doc_fingerprint(F.col("text")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    pairs = (
+        d.select("fp", "doc_id", F.lead("doc_id").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("a"), F.col("nxt").alias("b"))
+    )
+    groups = dup_group_labels(pairs)
+    return leakage_safe_split(d.select("doc_id"), groups, 0.3, salt="gate").orderBy(
+        "doc_id"
+    )
+
+
+def _doc_temp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha=0.5) mixture rebalancing over skewed strata:
+    A≈60% / B≈30% / C≈10% of docs plus a singleton stratum D (doc_id=0)
+    whose keep fraction saturates the 1e6 ppm cap — both threshold branches
+    are exercised at every sf. The oracle replays the exact integer/IEEE
+    pipeline: s=floor(1e6·sqrt(n)), Z=Σs (BIGINT), ppm=floor(((t·s)/Z/n)·1e6)."""
+    from sparkdoc.filters import temperature_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, F.lit("D"))
+        .when(F.col("doc_id") % 10 < 6, F.lit("A"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("stratum"),
+    )
+    return temperature_sample(
+        d, "stratum", target_total=300, alpha=0.5, salt="temp"
+    ).orderBy("doc_id")
+
+
+# authored tokenizer probes (sf-independent, like url_admission's truth
+# table): casing, punctuation splits, digits, subword compositions, an
+# out-of-vocab character ([UNK]), empty and NULL text
+_TOKENIZE_PROBES: list[tuple[int, str | None]] = [
+    (1, "The quick brown fox jumps over the lazy dog."),
+    (2, "Hello, world! HELLO WORLD hello world"),
+    (3, "unbelievable preprocessing tokenization internationalization"),
+    (4, "order #4521 shipped 2026-08-20 at 14:30 (cost: $1,234.56)"),
+    (5, "naïve café résumé 日本語"),  # accented latin is trained; CJK → [UNK]
+    (6, "a b c d e f g h i j k"),
+    (7, "!!!???...;;;:::"),
+    (8, "supercalifragilisticexpialidocious antidisestablishmentarianism"),
+    (9, ""),
+    (10, None),
+    (11, "mixed12case34words56 CamelCaseRuns snake_case_names kebab-case-too"),
+]
+
+
+def _tokenize_twin(text: str | None) -> list[int]:
+    """INDEPENDENT WordPiece twin for the doc_token_ids oracle: maximal munch
+    via per-(continuation, first-char) piece lists sorted longest-first and
+    str.startswith — no shared code with sparkdoc.wordpiece's
+    decreasing-window scan (same greedy longest-match-first SPEC, separately
+    implemented, so a kernel bug cannot hide in its own oracle)."""
+    import gzip
+    import os
+    import re
+
+    import sparkdoc.wordpiece as wp
+
+    with gzip.open(
+        os.path.join(os.path.dirname(os.path.abspath(wp.__file__)), "data", wp.DEFAULT_VOCAB),
+        "rt",
+        encoding="utf-8",
+    ) as f:
+        ordered = f.read().splitlines()
+    ids = {p: i for i, p in enumerate(ordered)}
+    by_head: dict[tuple[bool, str], list[str]] = {}
+    for p in ordered:
+        cont = p.startswith("##")
+        body = p[2:] if cont else p
+        if not body:
+            continue
+        by_head.setdefault((cont, body[0]), []).append(body)
+    for lst in by_head.values():
+        lst.sort(key=len, reverse=True)
+
+    out: list[int] = []
+    for word in re.findall(r"\w+|[^\w\s]", (text or "").lower(), re.UNICODE):
+        word_ids: list[int] = []
+        i = 0
+        while i < len(word):
+            cont = i > 0
+            match = None
+            for body in by_head.get((cont, word[i]), ()):
+                if word.startswith(body, i):
+                    match = body
+                    break
+            if match is None:
+                word_ids = [-1]
+                break
+            word_ids.append(ids[("##" + match) if cont else match])
+            i += len(match)
+        out.extend(word_ids)
+    return out
+
+
+def _doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id emission (the training-shard path): the kernel tokenizes the
+    authored probes; the oracle is a VALUES table computed by the
+    independent maximal-munch twin over the same committed vocab."""
+    from sparkdoc.textops import tokenize_ids
+
+    df = spark.createDataFrame(_TOKENIZE_PROBES, "probe_id int, text string")
+    return (
+        tokenize_ids(df)
+        .select("probe_id", "token_ids", "n_tokens")
+        .orderBy("probe_id")
+    )
+
+
 def _doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified hash sampling: strata = doc_id % 3 with
     per-stratum keep fractions (1.0 / 0.5 / 0.1); membership is a pure
@@ -3587,6 +3740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_sig": _doc_simhash_sig,
         "doc_rolling_fp": _doc_rolling_fp,
         "doc_dup_groups": _doc_dup_groups,
+        "doc_leak_split": _doc_leak_split,
+        "doc_temp_sample": _doc_temp_sample,
+        "doc_token_ids": _doc_token_ids,
         "doc_sample": _doc_sample,
         "doc_para_dedup": _doc_para_dedup,
         "doc_substr_spans": _doc_substr_spans,
@@ -3677,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "emb_norms": _emb_norms,
         "emb_knn": _emb_knn,
+        "emb_decontam": _emb_decontam,
         "emb_label_knn": _emb_label_knn,
         "emb_lsh_knn": _emb_lsh_knn,
         "emb_ivf_knn": _emb_ivf_knn,
@@ -3986,6 +4143,96 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY src
         ORDER BY doc_id
     """
+    # leakage-safe split: components via the same recursive transitive-closure
+    # CTE as doc_dup_groups, representative = coalesce(group_id, doc_id), then
+    # the identical md5 ppm rule (hash_sample) on the representative string
+    q["doc_leak_split"] = f"""
+        WITH RECURSIVE documents_h AS ({_HOSTILE_SQL}),
+        fps AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents_h
+        ),
+        prs AS (
+            SELECT a, b FROM (
+                SELECT doc_id AS a,
+                       lead(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) AS b
+                FROM fps
+            ) WHERE b IS NOT NULL
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM prs
+            UNION
+            SELECT b AS src, a AS dst FROM prs
+        ),
+        reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS group_id
+            FROM reach
+            GROUP BY src
+        ),
+        rep AS (
+            SELECT f.doc_id,
+                   COALESCE(CAST(c.group_id AS VARCHAR),
+                            CAST(f.doc_id AS VARCHAR)) AS rep_id
+            FROM fps f LEFT JOIN comp c ON f.doc_id = c.doc_id
+        )
+        SELECT doc_id, rep_id,
+               CASE WHEN ('0x' || substr(md5(rep_id || 'gate'), 1, 15))::UBIGINT
+                         % 1000000 < 300000
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM rep
+        ORDER BY doc_id
+    """
+    # temperature sampling: the whole fit is replayed — BIGINT s/Z, the
+    # parenthesization-pinned IEEE threshold, and the md5 ppm membership
+    q["doc_temp_sample"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id = 0 THEN 'D'
+                        WHEN doc_id % 10 < 6 THEN 'A'
+                        WHEN doc_id % 10 < 9 THEN 'B'
+                        ELSE 'C' END AS stratum
+            FROM documents
+        ),
+        cnt AS (SELECT stratum, COUNT(*) AS n FROM s GROUP BY stratum),
+        sc AS (
+            SELECT stratum, n,
+                   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS sv
+            FROM cnt
+        ),
+        z AS (SELECT SUM(sv) AS zz FROM sc),
+        th AS (
+            SELECT stratum,
+                   least(CAST(1000000 AS BIGINT),
+                         CAST(floor((((300.0 * CAST(sv AS DOUBLE))
+                                      / CAST(zz AS DOUBLE))
+                                     / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   ) AS keep_ppm
+            FROM sc CROSS JOIN z
+        )
+        SELECT s.doc_id, s.stratum, th.keep_ppm
+        FROM s JOIN th ON s.stratum = th.stratum
+        WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || 'temp'), 1, 15))::UBIGINT
+              % 1000000 < th.keep_ppm
+        ORDER BY s.doc_id
+    """
+    # token ids: VALUES computed by the INDEPENDENT maximal-munch twin
+    # (_tokenize_twin) over the same committed vocab the kernel loads
+    _tok_rows = []
+    for _pid, _ptext in _TOKENIZE_PROBES:
+        _tids = _tokenize_twin(_ptext)
+        _lit = "CAST([" + ", ".join(map(str, _tids)) + "] AS INTEGER[])"
+        _tok_rows.append(f"(CAST({_pid} AS INTEGER), {_lit}, CAST({len(_tids)} AS INTEGER))")
+    q["doc_token_ids"] = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(_tok_rows)
+        + ") AS t(probe_id, token_ids, n_tokens) ORDER BY probe_id"
+    )
     q["doc_sample"] = """
         SELECT doc_id, CAST(doc_id % 3 AS INT) AS stratum
         FROM documents
@@ -6192,6 +6439,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """
+    # semantic decontamination: same unit-normalize + fold dot as emb_knn
+    # (self-pairs INCLUDED — the benchmark is a separate logical table), per-doc
+    # max via a window, ties to the smallest bench id (the min_by struct rule)
+    q["emb_decontam"] = f"""
+        WITH e_raw AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e0 FROM embeddings),
+        e AS (SELECT vec_id, {_unit_e} AS e FROM e_raw),
+        b_raw AS (
+            SELECT vec_id AS bid,
+                   list_transform(generate_series(1, len(embedding)), i ->
+                       CAST(embedding[i] AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE)
+                          + CAST((vec_id + (i - 1)) % 5 AS DOUBLE) * CAST(0.01 AS DOUBLE))) AS e0
+            FROM embeddings WHERE vec_id % 97 = 0
+        ),
+        ba AS (SELECT bid, {_unit_e} AS e FROM b_raw),
+        scored AS (
+            SELECT ca.vec_id, bid,
+                   list_reduce(list_transform(list_zip(ca.e, ba.e), p -> p[1] * p[2]), (x,y) -> x + y) AS cos
+            FROM e ca, ba
+        ),
+        sel AS (
+            SELECT vec_id, bid, cos,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS r,
+                   max(cos) OVER (PARTITION BY vec_id) AS mx
+            FROM scored
+        )
+        SELECT vec_id, round(mx, 6) AS max_cos, bid AS nearest_bench,
+               CAST(mx >= 0.95 AS INT) AS contaminated
+        FROM sel WHERE r = 1
+        ORDER BY vec_id
     """
     # SQ8: the codebook is exact per-dimension min/max (order-independent
     # aggregates), so the oracle rebuilds codes, bucket-center dequant and

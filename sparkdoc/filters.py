@@ -520,3 +520,142 @@ def pack_sequences(
         .withColumn("shard_seq", F.floor((run - F.col(tokens_col)) / F.lit(budget)).cast("int"))
         .withColumn("pack_group", F.col("pack_group").cast("int"))
     )
+
+
+# --- leakage-safe train/eval splitting ------------------------------------------
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    groups: DataFrame,
+    frac_eval: float,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/eval split that near-duplicate clusters can never straddle.
+
+    A plain hash split leaks: two near-duplicate documents land on opposite
+    sides and the eval set scores memorization (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §6 measures
+    exactly this). Here the split key is the document's duplicate-cluster
+    REPRESENTATIVE (``group_id`` from :func:`sparkdoc.dedup_text.
+    dup_group_labels` / ``near_dup_groups``), so every member of a cluster
+    moves together; singleton documents (no row in ``groups``) key on
+    themselves.
+
+    Returns ``df`` + ``rep_id`` (the split key used) + ``split``
+    ('eval' | 'train'). Membership is the same md5 ppm rule as
+    :func:`hash_sample` — a pure function of (rep_id, salt), stable across
+    runs, partitionings and engines.
+
+    Scale shape: ONE left equi-join on the doc id (groups is the dedup
+    output — orders of magnitude smaller than the corpus since it only
+    carries docs WITH duplicates) + a map-side hash filter. No window, no
+    skew: the join key is the unique doc id, never the (hot) group id.
+    """
+    g = groups.select(
+        F.col(id_col).alias("_lss_id"), F.col("group_id").alias("_lss_gid")
+    )
+    ppm = int(round(frac_eval * 1_000_000))
+    joined = df.join(g, F.col(id_col) == F.col("_lss_id"), "left").withColumn(
+        # both sides cast to string: group ids inherit the id column's type
+        # (bigint in the parquet tables, string in the doc pipeline), and an
+        # implicit bigint/string coalesce is an ANSI cast error
+        "rep_id",
+        F.coalesce(F.col("_lss_gid").cast("string"), F.col(id_col).cast("string")),
+    )
+    return (
+        joined.withColumn(
+            "split",
+            F.when(_hash_bucket("rep_id", salt) < F.lit(ppm), F.lit("eval")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .drop("_lss_id", "_lss_gid")
+    )
+
+
+# --- temperature-based mixture sampling ------------------------------------------
+
+
+def _quarter_power(n: Column, alpha: float) -> Column:
+    """n^alpha for alpha in {0.25, 0.5, 0.75, 1.0} via IEEE-exact sqrt chains.
+
+    sqrt is correctly rounded per IEEE-754 (unlike pow, which Java permits
+    1 ulp off), so sqrt compositions are BIT-IDENTICAL across Spark and
+    DuckDB — the whole sampling rule stays engine-exact. Multiplications are
+    single IEEE ops mirrored in the same order by the oracle SQL."""
+    d = n.cast("double")
+    if alpha == 1.0:
+        return d
+    if alpha == 0.5:
+        return F.sqrt(d)
+    if alpha == 0.25:
+        return F.sqrt(F.sqrt(d))
+    if alpha == 0.75:
+        return F.sqrt(d) * F.sqrt(F.sqrt(d))
+    raise ValueError(
+        f"temperature_sample: alpha={alpha} not in {{0.25, 0.5, 0.75, 1.0}} — "
+        "quarter powers compose from IEEE-exact sqrt; arbitrary pow() differs "
+        "by ulps across engines and would break the deterministic membership "
+        "contract (use stratified_hash_sample with precomputed fractions "
+        "if you need another exponent)"
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing: sample group g with
+    probability ∝ count(g)^alpha (the multilingual sampling rule of
+    mBERT/XLM-R, Conneau & Lample 2019 §3.1 — alpha < 1 upweights
+    low-resource groups relative to proportional sampling), scaled so the
+    expected total kept is ≈ ``target_total``.
+
+    Per group: keep_ppm = floor(1e6 · target_total · s_g / (Z · n_g)),
+    capped at 1e6, where s_g = floor(1e6 · n_g^alpha) and Z = Σ s_g (an
+    exact BIGINT sum — no float addition-order dependence). Membership is
+    the md5 ppm rule of :func:`hash_sample`: deterministic across runs,
+    partitionings and engines; alpha is restricted to quarter powers so
+    n^alpha is IEEE-exact (see :func:`_quarter_power`).
+
+    Scale shape: one map-side-combined groupBy for the counts (|groups|
+    rows), the tiny per-group threshold table broadcast-joined back, then a
+    map-side hash filter — the corpus is scanned once and never shuffled.
+
+    Returns kept rows + ``keep_ppm`` (the applied per-group threshold).
+    """
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null-group>"))
+    with_gk = df.withColumn("_tk", gk)
+    counts = with_gk.groupBy("_tk").agg(F.count("*").alias("_n"))
+    scaled = counts.withColumn(
+        "_s", F.floor(_quarter_power(F.col("_n"), alpha) * F.lit(1_000_000.0)).cast("bigint")
+    )
+    z = scaled.agg(F.sum("_s").alias("_z"))
+    # fixed parenthesization — the oracle mirrors ((((t*s)/z)/n)*1e6) op by op
+    thresh = scaled.crossJoin(F.broadcast(z)).withColumn(
+        "keep_ppm",
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.floor(
+                (
+                    (F.lit(float(target_total)) * F.col("_s").cast("double"))
+                    / F.col("_z").cast("double")
+                    / F.col("_n").cast("double")
+                )
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        ),
+    )
+    return (
+        with_gk.join(
+            F.broadcast(thresh.select("_tk", "keep_ppm")), "_tk"
+        )
+        .filter(_hash_bucket(key_col, salt) < F.col("keep_ppm"))
+        .drop("_tk", "_n", "_s", "_z")
+    )

@@ -577,3 +577,61 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+# --- semantic decontamination -------------------------------------------------------
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus document
+    whose embedding is near-identical (cosine >= ``threshold``) to ANY
+    benchmark/eval-set embedding.
+
+    The semantic complement of :func:`sparkdoc.filters.decontaminate`'s
+    n-gram rule — paraphrased or reformatted eval questions share no 8-gram
+    with the original but sit at cosine ~1 in embedding space (the
+    contamination audits of Yang et al. 2023, "Rethinking Benchmark and
+    Contamination", use exactly this embedding-similarity screen beside the
+    n-gram one).
+
+    Returns ONE row per (norm > 0) corpus doc: (doc id, ``max_cos`` rounded
+    to 6 dp, ``nearest_bench`` = the benchmark id attaining it — ties to the
+    smallest id, ``contaminated`` 0/1 on the UNROUNDED maximum). Keep the
+    clean rows with ``contaminated = 0``.
+
+    Scale shape: the benchmark side is eval sets — thousands of rows — so it
+    is unit-normalized once and BROADCAST; the corpus is scanned once, each
+    pair costs a single dot product (both sides pre-normalized), and the
+    per-doc max is a map-side-combinable aggregate. No shuffle touches
+    corpus-sized data beyond the final groupBy on the unique doc id.
+    """
+    b = F.broadcast(
+        _with_unit(benchmark, vec_col, "bv").select(
+            F.col(bench_id_col or id_col).alias("_bid"), "bv"
+        )
+    )
+    c = _with_unit(corpus, vec_col, "cv").select(F.col(id_col), "cv")
+    scored = c.crossJoin(b).select(
+        id_col, F.col("_bid"), dot(F.col("cv"), F.col("bv")).alias("_cos")
+    )
+    # max cos, ties to the smallest benchmark id: min_by over the struct
+    # (-cos, _bid) — cos is DOUBLE so arithmetic negation is exact/safe
+    per_doc = scored.groupBy(id_col).agg(
+        F.max("_cos").alias("_mx"),
+        F.min_by(
+            F.col("_bid"), F.struct((-F.col("_cos")).alias("nc"), F.col("_bid"))
+        ).alias("nearest_bench"),
+    )
+    return per_doc.select(
+        id_col,
+        F.round("_mx", 6).alias("max_cos"),
+        "nearest_bench",
+        (F.col("_mx") >= F.lit(threshold)).cast("int").alias("contaminated"),
+    )

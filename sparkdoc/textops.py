@@ -39,6 +39,35 @@ def token_count(col: Column) -> Column:
     )
 
 
+def tokenize_ids(
+    df: DataFrame, text_col: str = "text", out: str = "token_ids"
+) -> DataFrame:
+    """Emit WordPiece token ids per document — the step that turns a curated
+    corpus into ACTUAL training shards (ids, not counts): ``out`` is
+    ``array<int>`` in committed-vocab file order (id stability pinned by the
+    vocab hash in FIXTURES.md), plus ``n_tokens`` = its length (equals
+    :func:`sparkdoc.wordpiece.WordPiece.count` by construction — an
+    uncoverable word is one ``UNK_ID``); NULL text → empty array, n_tokens 0.
+
+    Scale shape: ONE Arrow-batched pandas UDF, zero shuffles — composes with
+    :func:`sparkdoc.filters.pack_sequences` (budget on ``n_tokens``, then
+    write shards carrying the ids). The tokenizer memoizes per-word id
+    sequences, loaded once per executor process.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _enc(s: pd.Series) -> pd.Series:
+        from sparkdoc.wordpiece import default_tokenizer
+
+        tok = default_tokenizer()
+        return s.map(lambda t: tok.encode(t) if t is not None else [])
+
+    return df.withColumn(out, _enc(F.col(text_col))).withColumn(
+        "n_tokens", F.size(F.col(out))
+    )
+
+
 # --- language ID (n-gram/stopword heuristic) -----------------------------------
 
 STOPWORDS = {

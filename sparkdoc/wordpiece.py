@@ -128,10 +128,18 @@ class WordPiece:
     memoization (the chunker only needs COUNTS; piece strings are exposed for
     tests/debugging)."""
 
+    #: id of a word no vocab path covers (standard [UNK]); the committed
+    #: vocab occupies ids 0..len-1 in FILE ORDER, so ids are stable under
+    #: the same vocab hash and never collide with UNK
+    UNK_ID = -1
+
     def __init__(self, vocab: Iterable[str]):
-        self.vocab = frozenset(vocab)
+        ordered = list(dict.fromkeys(vocab))  # file order, first occurrence wins
+        self.vocab = frozenset(ordered)
+        self.ids = {p: i for i, p in enumerate(ordered)}
         self.max_piece = max((len(v) for v in self.vocab), default=1)
         self._count_cache: dict[str, int] = {}
+        self._id_cache: dict[str, list[int]] = {}
         self.hash = vocab_hash(sorted(self.vocab))
 
     def pieces(self, word: str) -> list[str] | None:
@@ -164,6 +172,30 @@ class WordPiece:
             else:
                 return c
         return c
+
+    def word_ids(self, word: str) -> list[int]:
+        """Token ids for one (lowercased) word; an uncoverable word is ONE
+        ``UNK_ID`` — so ``len(word_ids(w)) == count_word(w)`` always."""
+        ids = self._id_cache.get(word)
+        if ids is None:
+            p = self.pieces(word)
+            ids = [self.UNK_ID] if p is None else [self.ids[x] for x in p]
+            if len(self._id_cache) < 1_000_000:  # bounded per-executor memo
+                self._id_cache[word] = ids
+        return ids
+
+    def encode(self, text: str) -> list[int]:
+        """Token ids for a text (the chunker's word/punct pre-split, each
+        word greedy-matched). Training-shard emission path — id order is the
+        committed vocab's FILE order, pinned by the vocab hash."""
+        cache = self._id_cache
+        out: list[int] = []
+        for w in TOKEN_RE.findall((text or "").lower()):
+            ids = cache.get(w)
+            if ids is None:
+                ids = self.word_ids(w)
+            out.extend(ids)
+        return out
 
     def count(self, text: str) -> int:
         # hot path of the chunker: inline the memo-hit branch (a genexpr +

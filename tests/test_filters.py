@@ -229,3 +229,172 @@ def test_downweight_keeps_null_group_rows(spark):
     # both groups are under target -> EVERY row survives, including NULLs
     assert out.count() == 15
     assert out.filter("source IS NULL").count() == 5
+
+
+# --- leakage-safe split ---------------------------------------------------------
+
+
+def test_leakage_safe_split_clusters_move_together(spark):
+    import hashlib
+
+    from sparkdoc.filters import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 21)], "doc_id int, text string"
+    )
+    # two clusters: {1,2,3} rep 1, {10,11} rep 10; rest singletons
+    groups = spark.createDataFrame(
+        [(1, "1"), (2, "1"), (3, "1"), (10, "10"), (11, "10")],
+        "doc_id int, group_id string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in leakage_safe_split(docs, groups, 0.5, salt="t").collect()
+    }
+    assert len(got) == 20
+    # cluster members share rep_id AND side — the no-leakage property
+    assert {got[i]["rep_id"] for i in (1, 2, 3)} == {"1"}
+    assert len({got[i]["split"] for i in (1, 2, 3)}) == 1
+    assert {got[i]["rep_id"] for i in (10, 11)} == {"10"}
+    assert len({got[i]["split"] for i in (10, 11)}) == 1
+    # singletons key on themselves
+    assert got[7]["rep_id"] == "7"
+    # membership matches the md5 ppm rule exactly (hashlib recompute)
+    for i, r in got.items():
+        b = int(hashlib.md5((r["rep_id"] + "t").encode()).hexdigest()[:15], 16) % 1_000_000
+        assert r["split"] == ("eval" if b < 500_000 else "train"), i
+
+
+def test_leakage_safe_split_no_groups_rows(spark):
+    from sparkdoc.filters import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id int")
+    groups = spark.createDataFrame([], "doc_id int, group_id string")
+    got = leakage_safe_split(docs, groups, 0.25, salt="x").collect()
+    assert len(got) == 50
+    assert all(r["rep_id"] == str(r["doc_id"]) for r in got)
+    # both sides populated at 50 docs with frac 0.25 (seeded rule, stable)
+    sides = {r["split"] for r in got}
+    assert sides == {"train", "eval"}
+
+
+# --- temperature sampling -------------------------------------------------------
+
+
+def test_temperature_sample_thresholds_exact(spark):
+    import hashlib
+    import math
+
+    from sparkdoc.filters import temperature_sample
+
+    # skewed groups: A=600, B=100, C=4
+    rows = (
+        [(i, "A") for i in range(600)]
+        + [(1000 + i, "B") for i in range(100)]
+        + [(2000 + i, "C") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, stratum string")
+    got = temperature_sample(df, "stratum", target_total=150, alpha=0.5, salt="s")
+    rs = got.collect()
+
+    # python twin of the exact integer/IEEE pipeline
+    ns = {"A": 600, "B": 100, "C": 4}
+    sv = {g: math.floor(math.sqrt(n) * 1_000_000.0) for g, n in ns.items()}
+    z = sum(sv.values())
+    ppm = {
+        g: min(
+            1_000_000,
+            math.floor((((150.0 * float(sv[g])) / float(z)) / float(ns[g])) * 1_000_000.0),
+        )
+        for g in ns
+    }
+    # alpha=0.5 upweights small groups: keep fraction ordering C > B > A
+    assert ppm["C"] > ppm["B"] > ppm["A"]
+    kept_expected = set()
+    for i, g in rows:
+        b = int(hashlib.md5((str(i) + "s").encode()).hexdigest()[:15], 16) % 1_000_000
+        if b < ppm[g]:
+            kept_expected.add(i)
+    assert {r["doc_id"] for r in rs} == kept_expected
+    assert all(r["keep_ppm"] == ppm[r["stratum"]] for r in rs)
+
+
+def test_temperature_sample_cap_and_alpha_one(spark):
+    from sparkdoc.filters import temperature_sample
+
+    # a singleton group with a huge target saturates the ppm cap → kept fully
+    df = spark.createDataFrame(
+        [(0, "tiny")] + [(i, "big") for i in range(1, 401)],
+        "doc_id int, stratum string",
+    )
+    got = {r["doc_id"]: r for r in temperature_sample(df, "stratum", 200, alpha=0.5).collect()}
+    assert 0 in got and got[0]["keep_ppm"] == 1_000_000
+    # alpha=1.0 is proportional sampling: every group keeps ~target/total
+    flat = temperature_sample(df, "stratum", 200, alpha=1.0).collect()
+    ppms = {r["stratum"]: r["keep_ppm"] for r in flat}
+    # with alpha=1: f = target/total for every group (s ∝ n cancels)
+    import math
+
+    expect = math.floor(200.0 / 401.0 * 1_000_000) 
+    for v in ppms.values():
+        assert abs(v - expect) <= 1  # integer floor of s introduces ≤1 ppm drift
+
+
+def test_temperature_sample_rejects_odd_alpha(spark):
+    import pytest
+
+    from sparkdoc.filters import temperature_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, stratum string")
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "stratum", 10, alpha=0.3)
+
+
+# --- semantic decontamination ----------------------------------------------------
+
+
+def test_semantic_decontam_hand_case(spark):
+    from sparkdoc.similarity import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),     # == bench 100 → cos 1.0
+            (2, [0.9, 0.1, 0.0]),     # near bench 100
+            (3, [0.0, 0.0, 1.0]),     # orthogonal to both
+            (4, [0.0, 2.0, 0.0]),     # == bench 200 direction (scale-invariant)
+            (5, [0.0, 0.0, 0.0]),     # zero norm → dropped
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "bench_id int, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_decontam(
+            corpus, bench, threshold=0.95, bench_id_col="bench_id"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # zero-norm doc 5 dropped
+    assert got[1]["contaminated"] == 1 and got[1]["nearest_bench"] == 100
+    assert got[1]["max_cos"] == 1.0
+    assert got[4]["contaminated"] == 1 and got[4]["nearest_bench"] == 200
+    assert got[3]["contaminated"] == 0 and got[3]["max_cos"] == 0.0
+    # doc 2: cos vs bench100 = 0.9/sqrt(0.82) ≈ 0.9939 → flagged at 0.95
+    assert got[2]["contaminated"] == 1 and got[2]["nearest_bench"] == 100
+
+
+def test_semantic_decontam_tie_breaks_to_smallest_bench(spark):
+    from sparkdoc.similarity import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        # two identical bench vectors → identical cosine → smallest id wins
+        [(9, [3.0, 3.0]), (5, [3.0, 3.0])],
+        "bench_id int, embedding array<double>",
+    )
+    got = semantic_decontam(corpus, bench, threshold=0.5, bench_id_col="bench_id").collect()
+    assert got[0]["nearest_bench"] == 5 and got[0]["contaminated"] == 1

@@ -123,3 +123,44 @@ def test_property_trained_vocab_covers_its_corpus(words):
     for w in words:
         p = tok.pieces(w)
         assert p is not None and rejoin(p) == w
+
+
+# --- token-id emission ---------------------------------------------------------
+
+
+def test_encode_ids_match_pieces_and_counts():
+    tok = default_tokenizer()
+    inv = {i: p for p, i in tok.ids.items()}
+    text = "The quick brown fox jumps; cost $12.50!"
+    ids = tok.encode(text)
+    # id sequence decodes back to the piece sequence of each word in order
+    pieces = []
+    for w in TOKEN_RE.findall(text.lower()):
+        pieces.extend(tok.pieces(w))
+    assert [inv[i] for i in ids] == pieces
+    assert len(ids) == tok.count(text)
+
+
+def test_encode_unk_and_empty():
+    tok = default_tokenizer()
+    # CJK is outside the trained+ASCII alphabet → the word is ONE UNK id
+    # (accented latin like 'naïve' IS covered — the vocab trained on the
+    # engine's mojibake corpora)
+    ids = tok.encode("日本語")
+    assert ids == [WordPiece.UNK_ID]
+    assert tok.encode("") == []
+    assert tok.count("日本語") == 1  # count/encode stay consistent
+
+
+def test_ids_are_file_order_stable():
+    tok = default_tokenizer()
+    # ids enumerate the committed vocab in file order: spot-pin bijectivity
+    assert sorted(tok.ids.values()) == list(range(len(tok.ids)))
+    assert all(tok.ids[p] >= 0 for p in tok.vocab)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=0, max_size=60))
+@settings(max_examples=150, deadline=None)
+def test_property_encode_length_equals_count(text):
+    tok = default_tokenizer()
+    assert len(tok.encode(text)) == tok.count(text)
