@@ -356,8 +356,10 @@ def main() -> int:
     sections.append(("graph_pagerank", p))
     checks.append(
         (
-            "pagerank iteration joins are hash equi-joins with broadcast"
-            " N/outdeg sides (no cartesian), aggs map-side combined",
+            "pagerank iterations are equi-joins only (no cartesian; outdeg is"
+            " never force-broadcast — it folds into the static edge table by"
+            " an equi-join, AQE free to pick the strategy), aggs map-side"
+            " combined",
             "CartesianProduct" not in p and "partial_" in p.lower(),
             p,
         )
@@ -524,6 +526,64 @@ def main() -> int:
         ("docling-json parse+extract pays exactly the ONE doc_id exchange "
          "of the generic XY-cut path",
          n_exchange == 1 and "hashpartitioning(doc_id" in p, p)
+    )
+
+    # part-15 training-mix finishers -------------------------------------------
+    # leakage-safe split: one left equi-join on the unique doc id (groups side
+    # is dedup output — tiny, so AQE/broadcast it), membership is a map-side
+    # md5 filter; no window, no cartesian, no python
+    p = plan_of(entrymod._doc_leak_split(spark, sf_dir))
+    sections.append(("doc_leak_split", p))
+    checks.append(
+        ("leakage-safe split is Python-free, window-free, and meets the dup-"
+         "group map in an equi-join (no cartesian)",
+         "Python" not in p
+         and len(re.findall(r"\(\d+\) Window", p)) == 0
+         and "CartesianProduct" not in p, p)
+    )
+
+    # temperature sampling: counts agg is map-side combined; the per-group
+    # threshold table comes back via broadcast; the kept-row filter is
+    # map-side (no second corpus shuffle)
+    p = plan_of(entrymod._doc_temp_sample(spark, sf_dir))
+    sections.append(("doc_temp_sample", p))
+    checks.append(
+        ("temperature sample combines group counts map-side and broadcasts "
+         "the per-group thresholds back (corpus filter pays no extra shuffle)",
+         "partial_count" in p.lower()
+         and len(re.findall(r"\(\d+\) Broadcast\w*Join", p)) >= 1
+         and "Python" not in p, p)
+    )
+
+    # semantic decontamination: benchmark side broadcast (crossJoin → BNLJ),
+    # per-doc max/min_by partially aggregated before the doc-id exchange
+    p = plan_of(entrymod._emb_decontam(spark, sf_dir))
+    sections.append(("emb_decontam", p))
+    checks.append(
+        ("semantic decontam broadcasts the benchmark set (BroadcastNestedLoop"
+         "Join) and combines the per-doc max map-side, Python-free",
+         "BroadcastNestedLoopJoin" in p
+         and "partial_" in p.lower()
+         and "Python" not in p, p)
+    )
+
+    # token-id emission: ONE Arrow-batched python stage, zero shuffles (the
+    # corpus path — the gate helper's orderBy is presentation only)
+    from sparkdoc.textops import tokenize_ids
+
+    p = plan_of(
+        tokenize_ids(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+                "doc_id", "text"
+            )
+        )
+    )
+    sections.append(("doc_token_ids", p))
+    checks.append(
+        ("token-id emission is one Arrow-batched python stage with zero "
+         "shuffles",
+         len(re.findall(r"\(\d+\) Exchange", p)) == 0
+         and "ArrowEvalPython" in p, p)
     )
 
     out = ["# PLANS — formatted physical plans of the headline operators\n"]

@@ -56,7 +56,14 @@ def pagerank(
         .distinct()
     )
     ncnt = nodes.agg(F.count("*").alias("n"))
+    # outdeg is NODE-sized — never broadcast it (at web scale that is a
+    # driver OOM). It is static across iterations, so it folds into the edge
+    # table ONCE via a src-keyed equi-join (window-free: a count over the
+    # same groupBy key Spark plans as partial+final agg, then one co-
+    # partitioned join); each iteration then pays exactly one equi-join of
+    # (edges+outdeg) with the current ranks on src.
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_deg = e.join(outdeg, "src")
     base_e9 = int(round((1.0 - damping) * E9))  # plan literal, python round
 
     ranks = nodes.join(F.broadcast(ncnt)).select(
@@ -64,8 +71,7 @@ def pagerank(
     )
     for i in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(F.broadcast(outdeg), "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("CAST(r_e9 DIV outdeg AS BIGINT)").alias("c_e9"),

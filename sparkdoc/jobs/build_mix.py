@@ -34,6 +34,100 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 
+def mix_documents(
+    spark,
+    raw,
+    out_dir: str,
+    *,
+    target_per_source: int | None = None,
+    budget: int = 4_194_304,
+    groups: int = 1024,
+    near_dup: bool = False,
+    min_words: int = 10,
+    sample: float | None = None,
+    sample_salt: str = "",
+    input_label: str = "<dataframe>",
+) -> dict:
+    """The mix pipeline over an in-memory documents frame (doc_id, text
+    [, source]): curate -> optional per-source rebalance -> token-count ->
+    pack into fixed-budget shards under ``out_dir``. Returns the summary
+    dict (also written as manifest.json). The CLI below and the
+    web_pipeline job both call this."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sparkdoc.filters import curate_split, downweight_frequent_groups, hash_sample, pack_sequences
+    from sparkdoc.io import write_text_file
+    from sparkdoc.textops import token_count
+
+    has_source = "source" in raw.columns
+    docs = raw.select("doc_id", "text")
+    if sample is not None:
+        docs = hash_sample(docs, sample, salt=sample_salt)
+
+    kept, rejected = curate_split(
+        docs, min_words=min_words, near_dup=near_dup
+    )
+    kept = kept.select("doc_id", "text", "lang_pred")
+    if has_source:
+        kept = kept.join(raw.select("doc_id", "source"), "doc_id")
+        if target_per_source is not None:
+            kept = downweight_frequent_groups(
+                kept, "source", target_per_source, salt="mix"
+            )
+    else:
+        kept = kept.withColumn("source", F.lit("unknown"))
+
+    sized = kept.withColumn("n_tokens", token_count(F.col("text")))
+    packed = sized.join(
+        pack_sequences(
+            sized.select("doc_id", "n_tokens"), budget, n_groups=groups
+        ).select("doc_id", "pack_group", "shard_seq"),
+        "doc_id",
+    )
+    packed.write.mode("overwrite").partitionBy("pack_group").parquet(
+        os.path.join(out_dir, "shards")
+    )
+    rejected.write.mode("overwrite").parquet(os.path.join(out_dir, "rejected"))
+
+    shards = spark.read.parquet(os.path.join(out_dir, "shards"))
+    by_source = {
+        r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
+        for r in shards.groupBy("source")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+        .collect()
+    }
+    by_lang = {
+        r["lang_pred"]: r["docs"]
+        for r in shards.groupBy("lang_pred").agg(F.count("*").alias("docs")).collect()
+    }
+    n_shards = shards.select("pack_group", "shard_seq").distinct().count()
+    summary = {
+        "job": "build_mix",
+        "input": input_label,
+        "n_kept": shards.count(),
+        "n_rejected": spark.read.parquet(os.path.join(out_dir, "rejected")).count(),
+        "n_shards": n_shards,
+        "total_tokens": shards.agg(F.sum("n_tokens")).collect()[0][0],
+        "by_source": dict(sorted(by_source.items())),
+        "by_lang": dict(sorted(by_lang.items())),
+        "knobs": {
+            "target_per_source": target_per_source,
+            "budget": budget,
+            "groups": groups,
+            "near_dup": bool(near_dup),
+            "min_words": min_words,
+            "sample": sample,
+        },
+    }
+    write_text_file(
+        spark, os.path.join(out_dir, "manifest.json"),
+        _json.dumps(summary, indent=2, sort_keys=True),
+    )
+    return summary
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -61,70 +155,18 @@ def main() -> None:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
-    raw = spark.read.parquet(args.input)
-    has_source = "source" in raw.columns
-    docs = raw.select("doc_id", "text")
-    if args.sample is not None:
-        docs = hash_sample(docs, args.sample, salt=args.sample_salt)
-
-    kept, rejected = curate_split(
-        docs, min_words=args.min_words, near_dup=args.near_dup
-    )
-    kept = kept.select("doc_id", "text", "lang_pred")
-    if has_source:
-        kept = kept.join(raw.select("doc_id", "source"), "doc_id")
-        if args.target_per_source is not None:
-            kept = downweight_frequent_groups(
-                kept, "source", args.target_per_source, salt="mix"
-            )
-    else:
-        kept = kept.withColumn("source", F.lit("unknown"))
-
-    sized = kept.withColumn("n_tokens", token_count(F.col("text")))
-    packed = sized.join(
-        pack_sequences(
-            sized.select("doc_id", "n_tokens"), args.budget, n_groups=args.groups
-        ).select("doc_id", "pack_group", "shard_seq"),
-        "doc_id",
-    )
-    packed.write.mode("overwrite").partitionBy("pack_group").parquet(
-        os.path.join(args.out, "shards")
-    )
-    rejected.write.mode("overwrite").parquet(os.path.join(args.out, "rejected"))
-
-    shards = spark.read.parquet(os.path.join(args.out, "shards"))
-    by_source = {
-        r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
-        for r in shards.groupBy("source")
-        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
-        .collect()
-    }
-    by_lang = {
-        r["lang_pred"]: r["docs"]
-        for r in shards.groupBy("lang_pred").agg(F.count("*").alias("docs")).collect()
-    }
-    n_shards = shards.select("pack_group", "shard_seq").distinct().count()
-    summary = {
-        "job": "build_mix",
-        "input": args.input,
-        "n_kept": shards.count(),
-        "n_rejected": spark.read.parquet(os.path.join(args.out, "rejected")).count(),
-        "n_shards": n_shards,
-        "total_tokens": shards.agg(F.sum("n_tokens")).collect()[0][0],
-        "by_source": dict(sorted(by_source.items())),
-        "by_lang": dict(sorted(by_lang.items())),
-        "knobs": {
-            "target_per_source": args.target_per_source,
-            "budget": args.budget,
-            "groups": args.groups,
-            "near_dup": bool(args.near_dup),
-            "min_words": args.min_words,
-            "sample": args.sample,
-        },
-    }
-    write_text_file(
-        spark, os.path.join(args.out, "manifest.json"),
-        json.dumps(summary, indent=2, sort_keys=True),
+    summary = mix_documents(
+        spark,
+        spark.read.parquet(args.input),
+        args.out,
+        target_per_source=args.target_per_source,
+        budget=args.budget,
+        groups=args.groups,
+        near_dup=args.near_dup,
+        min_words=args.min_words,
+        sample=args.sample,
+        sample_salt=args.sample_salt,
+        input_label=args.input,
     )
     print(json.dumps(summary, sort_keys=True))
     spark.stop()

@@ -53,6 +53,179 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 
+def resolve_input(spark, spec: str, seed: int = 42):
+    """Resolve an --input spec (see module docstring) to (raw, documents_fn):
+    ``raw`` is the frame run_resumable buckets, ``documents_fn`` is the
+    deferred per-group blob parse for mixed/WARC inputs (None otherwise).
+    Shared by the extract job and the end-to-end web pipeline."""
+    from sparkdoc.synth import raw_nodes_df
+
+    documents_fn = None
+    if spec.startswith("synth:"):
+        raw = raw_nodes_df(spark, int(spec.split(":", 1)[1]), seed)
+    elif spec.startswith("html-synth:"):
+        from sparkdoc.htmlparse import flatten_html
+        from sparkdoc.synth import html_corpus_df
+
+        raw = flatten_html(
+            html_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("html:"):
+        from sparkdoc.htmlparse import flatten_html
+
+        raw = flatten_html(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("md-synth:"):
+        from sparkdoc.mdparse import flatten_markdown
+        from sparkdoc.synth import md_corpus_df
+
+        raw = flatten_markdown(
+            md_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("md:"):
+        from sparkdoc.mdparse import flatten_markdown
+
+        raw = flatten_markdown(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("pdf-synth:"):
+        from sparkdoc.pdfparse import flatten_pdf
+        from sparkdoc.synth import pdf_corpus_df
+
+        raw = flatten_pdf(
+            pdf_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("pdf:"):
+        from sparkdoc.pdfparse import flatten_pdf
+
+        raw = flatten_pdf(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("docx-synth:"):
+        from sparkdoc.docxparse import flatten_docx
+        from sparkdoc.synth import docx_corpus_df
+
+        raw = flatten_docx(
+            docx_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("docx:"):
+        from sparkdoc.docxparse import flatten_docx
+
+        raw = flatten_docx(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("xlsx-synth:"):
+        from sparkdoc.synth import xlsx_corpus_df
+        from sparkdoc.xlsxparse import flatten_xlsx
+
+        raw = flatten_xlsx(
+            xlsx_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("xlsx:"):
+        from sparkdoc.xlsxparse import flatten_xlsx
+
+        raw = flatten_xlsx(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("pptx-synth:"):
+        from sparkdoc.pptxparse import flatten_pptx
+        from sparkdoc.synth import pptx_corpus_df
+
+        raw = flatten_pptx(
+            pptx_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("pptx:"):
+        from sparkdoc.pptxparse import flatten_pptx
+
+        raw = flatten_pptx(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("adoc-synth:"):
+        from sparkdoc.adocparse import flatten_adoc
+        from sparkdoc.synth import adoc_corpus_df
+
+        raw = flatten_adoc(
+            adoc_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("adoc:"):
+        from sparkdoc.adocparse import flatten_adoc
+
+        raw = flatten_adoc(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("vtt-synth:"):
+        from sparkdoc.synth import vtt_corpus_df
+        from sparkdoc.vttparse import flatten_vtt
+
+        raw = flatten_vtt(
+            vtt_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("vtt:"):
+        from sparkdoc.vttparse import flatten_vtt
+
+        raw = flatten_vtt(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("jats-synth:"):
+        from sparkdoc.jatsparse import flatten_jats
+        from sparkdoc.synth import jats_corpus_df
+
+        raw = flatten_jats(
+            jats_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("jats:"):
+        from sparkdoc.jatsparse import flatten_jats
+
+        raw = flatten_jats(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("uspto-synth:"):
+        from sparkdoc.synth import uspto_corpus_df
+        from sparkdoc.usptoparse import flatten_uspto
+
+        raw = flatten_uspto(
+            uspto_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("uspto:"):
+        from sparkdoc.usptoparse import flatten_uspto
+
+        raw = flatten_uspto(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("mets-synth:"):
+        from sparkdoc.metsparse import flatten_mets
+        from sparkdoc.synth import mets_corpus_df
+
+        raw = flatten_mets(
+            mets_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("mets:"):
+        from sparkdoc.metsparse import flatten_mets
+
+        raw = flatten_mets(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("mixed-synth:"):
+        from sparkdoc.synth import mixed_corpus_df
+
+        # blobs carry doc_id, so bucketing happens BEFORE the parse — the
+        # sniff+route runs once per blob total, not once per bucket group
+        raw = mixed_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+    elif spec.startswith("mixed:"):
+        raw = spark.read.parquet(spec.split(":", 1)[1])
+    elif spec.startswith("dljson-synth:"):
+        from sparkdoc.dljson import flatten_docling_json
+        from sparkdoc.synth import docling_json_corpus_df
+
+        raw = flatten_docling_json(
+            docling_json_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("dljson:"):
+        from sparkdoc.dljson import flatten_docling_json
+
+        raw = flatten_docling_json(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("warc-synth:"):
+        from sparkdoc.synth import warc_corpus_df
+        from sparkdoc.warc import warc_to_blobs
+
+        # record split first (cheap header scan) so the bucket filter lands
+        # between the container split and the expensive per-format parse
+        raw = warc_to_blobs(
+            warc_corpus_df(spark, int(spec.split(":", 1)[1]), seed)
+        )
+    elif spec.startswith("warc:"):
+        from sparkdoc.warc import warc_to_blobs
+
+        raw = warc_to_blobs(spark.read.parquet(spec.split(":", 1)[1]))
+    else:
+        raw = spark.read.parquet(spec)
+
+    if spec.startswith(("mixed:", "mixed-synth:", "warc:", "warc-synth:")):
+        from sparkdoc.ingest import mixed_to_documents
+
+        documents_fn = mixed_to_documents
+    return raw, documents_fn
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -77,172 +250,9 @@ def main() -> None:
 
     from sparkdoc.checkpoint import run_resumable
     from sparkdoc.session import get_spark
-    from sparkdoc.synth import raw_nodes_df
 
     spark = get_spark("sparkdoc-extract", master=args.master)
-    if args.input.startswith("synth:"):
-        raw = raw_nodes_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-    elif args.input.startswith("html-synth:"):
-        from sparkdoc.htmlparse import flatten_html
-        from sparkdoc.synth import html_corpus_df
-
-        raw = flatten_html(
-            html_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("html:"):
-        from sparkdoc.htmlparse import flatten_html
-
-        raw = flatten_html(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("md-synth:"):
-        from sparkdoc.mdparse import flatten_markdown
-        from sparkdoc.synth import md_corpus_df
-
-        raw = flatten_markdown(
-            md_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("md:"):
-        from sparkdoc.mdparse import flatten_markdown
-
-        raw = flatten_markdown(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("pdf-synth:"):
-        from sparkdoc.pdfparse import flatten_pdf
-        from sparkdoc.synth import pdf_corpus_df
-
-        raw = flatten_pdf(
-            pdf_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("pdf:"):
-        from sparkdoc.pdfparse import flatten_pdf
-
-        raw = flatten_pdf(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("docx-synth:"):
-        from sparkdoc.docxparse import flatten_docx
-        from sparkdoc.synth import docx_corpus_df
-
-        raw = flatten_docx(
-            docx_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("docx:"):
-        from sparkdoc.docxparse import flatten_docx
-
-        raw = flatten_docx(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("xlsx-synth:"):
-        from sparkdoc.synth import xlsx_corpus_df
-        from sparkdoc.xlsxparse import flatten_xlsx
-
-        raw = flatten_xlsx(
-            xlsx_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("xlsx:"):
-        from sparkdoc.xlsxparse import flatten_xlsx
-
-        raw = flatten_xlsx(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("pptx-synth:"):
-        from sparkdoc.pptxparse import flatten_pptx
-        from sparkdoc.synth import pptx_corpus_df
-
-        raw = flatten_pptx(
-            pptx_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("pptx:"):
-        from sparkdoc.pptxparse import flatten_pptx
-
-        raw = flatten_pptx(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("adoc-synth:"):
-        from sparkdoc.adocparse import flatten_adoc
-        from sparkdoc.synth import adoc_corpus_df
-
-        raw = flatten_adoc(
-            adoc_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("adoc:"):
-        from sparkdoc.adocparse import flatten_adoc
-
-        raw = flatten_adoc(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("vtt-synth:"):
-        from sparkdoc.synth import vtt_corpus_df
-        from sparkdoc.vttparse import flatten_vtt
-
-        raw = flatten_vtt(
-            vtt_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("vtt:"):
-        from sparkdoc.vttparse import flatten_vtt
-
-        raw = flatten_vtt(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("jats-synth:"):
-        from sparkdoc.jatsparse import flatten_jats
-        from sparkdoc.synth import jats_corpus_df
-
-        raw = flatten_jats(
-            jats_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("jats:"):
-        from sparkdoc.jatsparse import flatten_jats
-
-        raw = flatten_jats(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("uspto-synth:"):
-        from sparkdoc.synth import uspto_corpus_df
-        from sparkdoc.usptoparse import flatten_uspto
-
-        raw = flatten_uspto(
-            uspto_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("uspto:"):
-        from sparkdoc.usptoparse import flatten_uspto
-
-        raw = flatten_uspto(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("mets-synth:"):
-        from sparkdoc.metsparse import flatten_mets
-        from sparkdoc.synth import mets_corpus_df
-
-        raw = flatten_mets(
-            mets_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("mets:"):
-        from sparkdoc.metsparse import flatten_mets
-
-        raw = flatten_mets(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("mixed-synth:"):
-        from sparkdoc.synth import mixed_corpus_df
-
-        # blobs carry doc_id, so bucketing happens BEFORE the parse — the
-        # sniff+route runs once per blob total, not once per bucket group
-        raw = mixed_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-    elif args.input.startswith("mixed:"):
-        raw = spark.read.parquet(args.input.split(":", 1)[1])
-    elif args.input.startswith("dljson-synth:"):
-        from sparkdoc.dljson import flatten_docling_json
-        from sparkdoc.synth import docling_json_corpus_df
-
-        raw = flatten_docling_json(
-            docling_json_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("dljson:"):
-        from sparkdoc.dljson import flatten_docling_json
-
-        raw = flatten_docling_json(spark.read.parquet(args.input.split(":", 1)[1]))
-    elif args.input.startswith("warc-synth:"):
-        from sparkdoc.synth import warc_corpus_df
-        from sparkdoc.warc import warc_to_blobs
-
-        # record split first (cheap header scan) so the bucket filter lands
-        # between the container split and the expensive per-format parse
-        raw = warc_to_blobs(
-            warc_corpus_df(spark, int(args.input.split(":", 1)[1]), args.seed)
-        )
-    elif args.input.startswith("warc:"):
-        from sparkdoc.warc import warc_to_blobs
-
-        raw = warc_to_blobs(spark.read.parquet(args.input.split(":", 1)[1]))
-    else:
-        raw = spark.read.parquet(args.input)
-
-    documents_fn = None
-    if args.input.startswith(("mixed:", "mixed-synth:", "warc:", "warc-synth:")):
-        from sparkdoc.ingest import mixed_to_documents
-
-        documents_fn = mixed_to_documents
+    raw, documents_fn = resolve_input(spark, args.input, args.seed)
     summary = run_resumable(
         spark,
         raw,

@@ -68,6 +68,37 @@ def document_markdown(span_rows: DataFrame) -> DataFrame:
     )
 
 
+def documents_markdown(
+    documents: DataFrame, spans_col: str = "spans", out_col: str = "markdown"
+) -> DataFrame:
+    """Full-document serialization directly over a documents table — the
+    ZERO-SHUFFLE twin of :func:`document_markdown` (which serves exploded
+    span ROWS and must groupBy to reassemble). A documents row already
+    co-locates its whole spans array, so rendering is pure expressions:
+    filter furniture/page_break, struct-sort by offset (the same
+    (offset, md) struct ordering document_markdown's collect_list path
+    sorts, so output is identical byte-for-byte), join with blank lines.
+
+    At 100 TB this is the serialization to reach for: scan → project, no
+    Exchange — the groupBy twin exists only for pipelines that already
+    operate on exploded spans."""
+    spans = F.col(spans_col)
+    content = F.filter(
+        spans, lambda s: ~s["kind"].isin("page_break", "furniture")
+    )
+    with_md = F.transform(
+        content,
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            render_span_md(s["kind"], s["text"], s["media_ref"]).alias("md"),
+        ),
+    )
+    text = F.array_join(
+        F.transform(F.array_sort(with_md), lambda x: x["md"]), "\n\n"
+    )
+    return documents.withColumn(out_col, text)
+
+
 def batch_markdown(chunks: DataFrame) -> DataFrame:
     """(doc_id, batch_index, batch_md): '--- CHUNK N ---' concatenation with
     1-based ids, order-preserving (dense/prompts.py:12-17)."""

@@ -619,3 +619,41 @@ def test_evaluate_cli_identity_and_cross_controls(tmp_path):
                  "--id-fields", '{"Person": "name"}',
                  "--out", str(tmp_path / "evy")], expect_ok=False)
     assert bad2.returncode != 0 and "non-empty list" in bad2.stderr
+
+
+def test_web_pipeline_e2e_and_stage_guard(tmp_path):
+    """jobs/web_pipeline.py: WARC containers → resumable extract →
+    curated token-packed shards in one command. Rerun must skip every
+    committed extract bucket AND the whole mix stage (manifest guard),
+    and the shard table must be byte-stable across the rerun."""
+    out = str(tmp_path / "run")
+    cmd = ["sparkdoc/jobs/web_pipeline.py", "--input", "mixed-synth:24",
+           "--out", out, "--buckets", "4", "--group-size", "2",
+           "--budget", "2000", "--groups", "8", "--min-words", "3",
+           "--shuffle-partitions", "8"]
+    r1 = _run(cmd)
+    assert r1["extract"]["docs"] == 24
+    assert r1["mix"]["n_kept"] > 0 and r1["mix"]["n_shards"] > 0
+    assert r1["mix_skipped"] is False
+    assert os.path.isdir(os.path.join(out, "extract", "documents"))
+    assert os.path.isdir(os.path.join(out, "mix", "shards"))
+    # per-format lineage flows through: mixed ingest fmt → mix source dim
+    assert len(r1["mix"]["by_source"]) > 1
+
+    import duckdb
+
+    shard_rows = duckdb.sql(
+        f"select doc_id, pack_group, shard_seq, n_tokens from "
+        f"'{out}/mix/shards/**/*.parquet' order by doc_id"
+    ).fetchall()
+
+    r2 = _run(cmd)
+    assert r2["extract"]["buckets_processed"] == []
+    assert len(r2["extract"]["buckets_skipped"]) == 4
+    assert r2["mix_skipped"] is True
+    assert r2["mix"]["n_kept"] == r1["mix"]["n_kept"]
+    shard_rows2 = duckdb.sql(
+        f"select doc_id, pack_group, shard_seq, n_tokens from "
+        f"'{out}/mix/shards/**/*.parquet' order by doc_id"
+    ).fetchall()
+    assert shard_rows2 == shard_rows

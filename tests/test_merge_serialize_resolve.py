@@ -126,6 +126,56 @@ def test_page_and_document_markdown(spark):
     assert doc == "# Title\n\npara one.\n\npara two.\n\n![#/pictures/9]"
 
 
+def test_documents_markdown_matches_grouped_twin(spark):
+    """The zero-shuffle documents-table serializer must be byte-identical to
+    the exploded-rows groupBy twin — same struct sort, same rendering, same
+    furniture/page_break exclusion — on shuffled span order and a synth
+    corpus slice."""
+    from sparkdoc.serialize import document_markdown, documents_markdown
+    from sparkdoc.spans import extract_documents
+    from sparkdoc.synth import raw_nodes_df
+
+    rows = [
+        ("d1", "heading", "# Title", "", 0),
+        ("d1", "text", "para one.", "", 1),
+        ("d1", "page_break", "", "", 2),
+        ("d1", "furniture", "PAGE 2", "", 3),
+        ("d1", "caption", "fig cap", "", 4),
+        ("d1", "picture", "", "#/pictures/9", 5),
+        ("d2", "text", "solo", "", 0),
+    ]
+    # deliberately out-of-offset-order arrays
+    import random
+
+    rng = random.Random(5)
+    by_doc: dict[str, list] = {}
+    for r in rng.sample(rows, len(rows)):
+        by_doc.setdefault(r[0], []).append((r[1], r[2], r[3], r[4]))
+    docs = spark.createDataFrame(
+        [(d, s) for d, s in sorted(by_doc.items())],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r["doc_id"]: r["markdown"] for r in documents_markdown(docs).collect()}
+    spans = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, media_ref string, offset int"
+    )
+    want = {r["doc_id"]: r["markdown"] for r in document_markdown(spans).collect()}
+    assert got == want
+
+    synth_docs = extract_documents(raw_nodes_df(spark, 30, 11))
+    got2 = {
+        r["doc_id"]: r["markdown"]
+        for r in documents_markdown(synth_docs).collect()
+    }
+    exploded = synth_docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.*")
+    want2 = {
+        r["doc_id"]: r["markdown"] for r in document_markdown(exploded).collect()
+    }
+    assert got2 == want2 and len(got2) == 30
+
+
 def test_batch_markdown(spark):
     from sparkdoc.serialize import batch_markdown
 
