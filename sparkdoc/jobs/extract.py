@@ -38,7 +38,11 @@
   * ``warc:<parquet path>`` — a (warc_name, content binary) table of WARC
     container files (plain or per-record-gzip): records split, HTTP
     payloads extracted, every document sniffed + routed like ``mixed:``,
-  * ``warc-synth:<n_files>`` for the seeded WARC generator.
+  * ``warc-synth:<n_files>`` for the seeded WARC generator,
+  * ``warcdir:<path>`` — real ``.warc``/``.warc.gz`` container FILES on the
+    filesystem (a file, directory, or glob) via the warc Python Data Source
+    (sparkdoc/warcsource.py): one input partition per container, records
+    streamed off disk, no parquet staging step.
 The job commits per-bucket-group manifests (lineage + metrics) and resumes
 from them — kill it mid-run and rerun the same command to continue.
 """
@@ -216,10 +220,22 @@ def resolve_input(spark, spec: str, seed: int = 42):
         from sparkdoc.warc import warc_to_blobs
 
         raw = warc_to_blobs(spark.read.parquet(spec.split(":", 1)[1]))
+    elif spec.startswith("warcdir:"):
+        # container FILES straight off the filesystem via the warc Python
+        # Data Source: one input partition per file, records streamed —
+        # no parquet staging step at all
+        from sparkdoc.warcsource import register_warc_source
+
+        register_warc_source(spark)
+        raw = (
+            spark.read.format("warc")
+            .load(spec.split(":", 1)[1])
+            .select("doc_id", "blob")
+        )
     else:
         raw = spark.read.parquet(spec)
 
-    if spec.startswith(("mixed:", "mixed-synth:", "warc:", "warc-synth:")):
+    if spec.startswith(("mixed:", "mixed-synth:", "warc:", "warc-synth:", "warcdir:")):
         from sparkdoc.ingest import mixed_to_documents
 
         documents_fn = mixed_to_documents
@@ -238,7 +254,7 @@ def main() -> None:
              "| jats-synth:<n> | uspto:<parquet> | uspto-synth:<n> "
              "| mets:<parquet> | mets-synth:<n> | mixed:<parquet> "
              "| mixed-synth:<n> | dljson:<parquet> | dljson-synth:<n> "
-             "| warc:<parquet> | warc-synth:<n>",
+             "| warc:<parquet> | warc-synth:<n> | warcdir:<path>",
     )
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)

@@ -46,6 +46,21 @@ _PAGE_W, _PAGE_H = 612, 792
 _MARGIN = 36
 
 
+def _zip_writestr(zf, name: str, data) -> None:
+    """writestr with a PINNED entry timestamp (1980-01-01, the DOS epoch)
+    and fixed attrs: zipfile's default stamps wall-clock localtime into
+    every local header, which made Office/zip blobs differ byte-for-byte
+    between two runs of the "deterministic" generator (spans were stable,
+    raw container bytes were not — the warc source's byte-parity test
+    caught it)."""
+    import zipfile as _zipfile
+
+    zi = _zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+    zi.compress_type = zf.compression
+    zi.external_attr = 0o600 << 16
+    zf.writestr(zi, data)
+
+
 def _pick_domain(rng: random.Random) -> str:
     return rng.choices(DOMAINS, weights=DOMAIN_WEIGHTS, k=1)[0]
 
@@ -1218,25 +1233,25 @@ def synth_docx_doc(doc_index: int, seed: int) -> dict:
 
     buf = _io.BytesIO()
     with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr(
+        _zip_writestr(zf, 
             "[Content_Types].xml",
             '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
             '<Default Extension="xml" ContentType="application/xml"/>'
             '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
             "</Types>",
         )
-        zf.writestr(
+        _zip_writestr(zf, 
             "_rels/.rels",
             '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
             "</Relationships>",
         )
-        zf.writestr("word/document.xml", document)
-        zf.writestr(
+        _zip_writestr(zf, "word/document.xml", document)
+        _zip_writestr(zf, 
             "word/header1.xml",
             furn.format(tag="hdr", ns=_DOCX_NS, text=_xesc(header_text)),
         )
-        zf.writestr(
+        _zip_writestr(zf, 
             "word/footer1.xml",
             furn.format(tag="ftr", ns=_DOCX_NS, text=_xesc(footer_text)),
         )
@@ -1420,38 +1435,38 @@ def synth_xlsx_doc(doc_index: int, seed: int) -> dict:
 
     buf = _io.BytesIO()
     with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr(
+        _zip_writestr(zf, 
             "[Content_Types].xml",
             '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
             '<Default Extension="xml" ContentType="application/xml"/>'
             '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
             "</Types>",
         )
-        zf.writestr(
+        _zip_writestr(zf, 
             "_rels/.rels",
             '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
             "</Relationships>",
         )
-        zf.writestr(
+        _zip_writestr(zf, 
             "xl/workbook.xml",
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             f"<workbook {_XLSX_NS}><sheets>{sheets_xml}</sheets></workbook>",
         )
-        zf.writestr(
+        _zip_writestr(zf, 
             "xl/_rels/workbook.xml.rels",
             '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             + rels_xml + "</Relationships>",
         )
         if sst_items:
-            zf.writestr(
+            _zip_writestr(zf, 
                 "xl/sharedStrings.xml",
                 '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 f'<sst {_XLSX_NS} count="{len(sst_items)}" uniqueCount="{len(sst_items)}">'
                 + "".join(sst_items) + "</sst>",
             )
         for s, (_nm, ws_xml) in enumerate(sheet_specs):
-            zf.writestr(part_of[s], ws_xml)
+            _zip_writestr(zf, part_of[s], ws_xml)
     return {"doc_id": doc_id, "xlsx": buf.getvalue(), "expected": expected}
 
 
@@ -1747,32 +1762,32 @@ def synth_pptx_doc(doc_index: int, seed: int) -> dict:
 
     buf = _io.BytesIO()
     with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr(
+        _zip_writestr(zf, 
             "[Content_Types].xml",
             '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
             '<Default Extension="xml" ContentType="application/xml"/>'
             '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
             "</Types>",
         )
-        zf.writestr(
+        _zip_writestr(zf, 
             "_rels/.rels",
             '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>'
             "</Relationships>",
         )
-        zf.writestr(
+        _zip_writestr(zf, 
             "ppt/presentation.xml",
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             f"<p:presentation {ns}><p:sldIdLst>{sld_ids}</p:sldIdLst>"
             '<p:sldSz cx="12192000" cy="6858000"/></p:presentation>',
         )
-        zf.writestr(
+        _zip_writestr(zf, 
             "ppt/_rels/presentation.xml.rels",
             '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
             + rels_xml + "</Relationships>",
         )
         for s, xml in enumerate(slide_xmls):
-            zf.writestr(part_of[s], xml)
+            _zip_writestr(zf, part_of[s], xml)
     return {"doc_id": doc_id, "pptx": buf.getvalue(), "expected": expected}
 
 
@@ -1926,7 +1941,7 @@ def synth_binary_doc(doc_index: int, seed: int) -> dict:
 
         buf = _io.BytesIO()
         with _zf.ZipFile(buf, "w") as z:
-            z.writestr("data.bin", bytes(rng.randrange(256) for _ in range(32)))
+            _zip_writestr(z, "data.bin", bytes(rng.randrange(256) for _ in range(32)))
         return {"doc_id": doc_id, "fmt": "binary", "blob": buf.getvalue()}
     if v == 2:  # graph-export JSON: rejected as a document
         return {"doc_id": doc_id, "fmt": "json",

@@ -169,21 +169,31 @@ def warc_records(data: bytes) -> Iterator[dict]:
         yield from _records_from_plain(data)
 
 
+def doc_of_record(idx: int, rec: dict) -> tuple[str, bytes] | None:
+    """One parsed WARC record → (record-scoped doc id, document blob), or
+    None for non-document records (warcinfo/request/metadata/...). Shared by
+    the blob-table kernel below and the warc Python Data Source
+    (sparkdoc/warcsource.py) so both paths derive identical rows."""
+    h = rec["headers"]
+    wtype = h.get("warc-type", "").lower()
+    if wtype not in _DOC_TYPES:
+        return None
+    doc_id = h.get("warc-target-uri") or h.get("warc-record-id") or f"rec-{idx}"
+    block = rec["block"]
+    ctype = h.get("content-type", "").lower()
+    if wtype == "response" and "application/http" in ctype:
+        block = _http_payload(block)
+    return f"{idx:06d}:{doc_id}", block
+
+
 def warc_doc_blobs(data: bytes) -> list[tuple[str, bytes]]:
     """Per-file kernel: WARC bytes → [(doc_id, document blob)] for every
     document-bearing record (responses get HTTP headers stripped)."""
     out: list[tuple[str, bytes]] = []
     for idx, rec in enumerate(warc_records(data)):
-        h = rec["headers"]
-        wtype = h.get("warc-type", "").lower()
-        if wtype not in _DOC_TYPES:
-            continue
-        doc_id = h.get("warc-target-uri") or h.get("warc-record-id") or f"rec-{idx}"
-        block = rec["block"]
-        ctype = h.get("content-type", "").lower()
-        if wtype == "response" and "application/http" in ctype:
-            block = _http_payload(block)
-        out.append((f"{idx:06d}:{doc_id}", block))
+        d = doc_of_record(idx, rec)
+        if d is not None:
+            out.append(d)
     return out
 
 

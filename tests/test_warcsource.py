@@ -1,0 +1,112 @@
+"""The ``warc`` Python Data Source: container FILES on disk →
+(warc_name, doc_id, blob) rows, byte-identical to the blob-table kernel
+(warc.warc_to_blobs) over the same containers, one input partition per
+file, corruption-tolerant."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sparkdoc.synth import synth_warc_file, warc_corpus_df
+from sparkdoc.warc import warc_to_blobs
+from sparkdoc.warcsource import (
+    WarcFilePartition,
+    _WarcReader,
+    _list_warc_files,
+    register_warc_source,
+)
+
+N_FILES = 6
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for i in range(N_FILES):
+        f = synth_warc_file(i, 42)
+        (d / f["warc_name"]).write_bytes(f["content"])
+    return str(d)
+
+
+def test_source_matches_blob_kernel(spark, warc_dir):
+    """Every (doc_id, blob) the source emits must be byte-identical to
+    warc_to_blobs over the same containers as a parquet blob table —
+    plain AND per-record-gzip files (synth alternates)."""
+    register_warc_source(spark)
+    got = {
+        r["doc_id"]: bytes(r["blob"])
+        for r in spark.read.format("warc").load(warc_dir).collect()
+    }
+    want = {
+        r["doc_id"]: bytes(r["blob"])
+        for r in warc_to_blobs(warc_corpus_df(spark, N_FILES, 42)).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_one_partition_per_file(spark, warc_dir):
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(warc_dir)
+    assert df.rdd.getNumPartitions() == N_FILES
+    # warc_name is the container basename — per-file lineage
+    names = {r["warc_name"] for r in df.select("warc_name").distinct().collect()}
+    assert names == {synth_warc_file(i, 42)["warc_name"] for i in range(N_FILES)}
+
+
+def test_corrupt_tail_keeps_valid_prefix(tmp_path):
+    """A container whose tail is garbage yields its valid-prefix records
+    (stop-at-corruption, never a crash) — checked on the reader kernel
+    directly, plain and gzip variants."""
+    plain = synth_warc_file(0, 42)  # even index → plain .warc
+    gz = synth_warc_file(1, 42)  # odd index → per-record gzip
+    for f, cut in ((plain, 200), (gz, 120)):
+        p = tmp_path / ("cut_" + f["warc_name"])
+        p.write_bytes(f["content"][: len(f["content"]) - cut] + b"\x00garbage")
+        rows = list(
+            _WarcReader({"path": str(p)}).read(WarcFilePartition(str(p)))
+        )
+        full = tmp_path / ("full_" + f["warc_name"])
+        full.write_bytes(f["content"])
+        all_rows = list(
+            _WarcReader({"path": str(full)}).read(WarcFilePartition(str(full)))
+        )
+        assert len(rows) <= len(all_rows)
+        # whatever survived is a prefix with identical payloads
+        for got, want in zip(rows, all_rows):
+            assert got[1].split("#", 1)[1] == want[1].split("#", 1)[1]
+            assert got[2] == want[2]
+
+
+def test_listing_rules(tmp_path):
+    d = tmp_path / "c"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.warc").write_bytes(b"")
+    (d / "sub" / "b.warc.gz").write_bytes(b"")
+    (d / "notes.txt").write_bytes(b"")
+    got = _list_warc_files(str(d))
+    assert [os.path.basename(p) for p in got] == ["a.warc", "b.warc.gz"]
+    # explicit single file is trusted regardless of extension
+    assert _list_warc_files(str(d / "notes.txt")) == [str(d / "notes.txt")]
+    with pytest.raises(FileNotFoundError):
+        _list_warc_files(str(tmp_path / "nope"))
+
+
+def test_warcdir_feeds_documents(spark, warc_dir):
+    """source → mixed_to_documents produces the same documents table as the
+    blob-table route (the extract job's warcdir: spec)."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.ingest import mixed_to_documents
+    from sparkdoc.warc import warc_extract
+
+    register_warc_source(spark)
+    via_source = mixed_to_documents(
+        spark.read.format("warc").load(warc_dir).select("doc_id", "blob")
+    )
+    via_blobs = warc_extract(warc_corpus_df(spark, N_FILES, 42))
+    a = {(r["doc_id"], str(r["spans"]), r["fmt"]) for r in via_source.collect()}
+    b = {(r["doc_id"], str(r["spans"]), r["fmt"]) for r in via_blobs.collect()}
+    assert a == b and len(a) > 0
