@@ -92,24 +92,36 @@ def mix_documents(
     rejected.write.mode("overwrite").parquet(os.path.join(out_dir, "rejected"))
 
     shards = spark.read.parquet(os.path.join(out_dir, "shards"))
-    by_source = {
-        r["source"]: {"docs": r["docs"], "tokens": r["tokens"]}
-        for r in shards.groupBy("source")
-        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+    # ONE pass for every accounting dimension: the (source, lang) cube rows
+    # carry count/tokens/distinct-shards, and by_source / by_lang / totals
+    # fold from them driver-side — this used to be five separate jobs
+    # re-scanning the shard table (count, sum, two groupBys, a distinct
+    # count), a measurable chunk of the mix stage's fixed latency floor
+    cube = (
+        shards.groupBy("source", "lang_pred")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
         .collect()
-    }
-    by_lang = {
-        r["lang_pred"]: r["docs"]
-        for r in shards.groupBy("lang_pred").agg(F.count("*").alias("docs")).collect()
-    }
+    )
+    by_source: dict[str, dict[str, int]] = {}
+    by_lang: dict[str, int] = {}
+    for r in cube:
+        s = by_source.setdefault(r["source"], {"docs": 0, "tokens": 0})
+        s["docs"] += r["docs"]
+        s["tokens"] += r["tokens"]
+        by_lang[r["lang_pred"]] = by_lang.get(r["lang_pred"], 0) + r["docs"]
+    # distinct shards must dedup ACROSS cube cells (a shard packs docs of
+    # several sources/langs) — one tiny second job over the cell count only
     n_shards = shards.select("pack_group", "shard_seq").distinct().count()
     summary = {
         "job": "build_mix",
         "input": input_label,
-        "n_kept": shards.count(),
+        "n_kept": sum(r["docs"] for r in cube),
         "n_rejected": spark.read.parquet(os.path.join(out_dir, "rejected")).count(),
         "n_shards": n_shards,
-        "total_tokens": shards.agg(F.sum("n_tokens")).collect()[0][0],
+        "total_tokens": sum(r["tokens"] for r in cube),
         "by_source": dict(sorted(by_source.items())),
         "by_lang": dict(sorted(by_lang.items())),
         "knobs": {

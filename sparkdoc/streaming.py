@@ -119,6 +119,56 @@ def stream_extract_mixed(
     return writer.start()
 
 
+def stream_warc_extract(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    chunk: bool = True,
+    available_now: bool = True,
+):
+    """Continuous crawl ingestion: watch a drop-point of ``.warc``/
+    ``.warc.gz`` container FILES through the warc streaming Data Source
+    (sparkdoc/warcsource.py — one InputPartition per new container, O(1)
+    offsets on the append-only-name contract) and route every record's
+    document through the mixed sniffer, landing each micro-batch in its own
+    idempotent ``batch_id=N`` partition exactly like stream_extract_mixed.
+
+    A container is atomic within a micro-batch (the source plans whole
+    files), so no document ever straddles two batches; a query restart on
+    the same checkpoint resumes after the last committed container.
+
+    Note: Python stream sources don't implement Trigger.AvailableNow yet —
+    Spark logs a warning and falls back to single-batch execution (one
+    batch up to latestOffset, then terminate), which is exactly the
+    drain-the-backlog semantics this helper wants; a continuous deployment
+    passes ``available_now=False`` and gets normal micro-batching."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.ingest import mixed_to_documents
+    from sparkdoc.warcsource import register_warc_source
+
+    register_warc_source(spark)
+    blobs = spark.readStream.format("warc").load(warc_dir).select("doc_id", "blob")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = mixed_to_documents(batch_df).persist()
+        docs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents", f"batch_id={batch_id}")
+        )
+        if chunk:
+            chunk_documents(docs.select("doc_id", "spans")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "chunks", f"batch_id={batch_id}"))
+        docs.unpersist()
+
+    writer = (
+        blobs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"

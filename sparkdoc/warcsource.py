@@ -45,7 +45,12 @@ import io
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _EXTS = (".warc", ".warc.gz")
 
@@ -174,21 +179,88 @@ class _WarcReader(DataSourceReader):
         return [WarcFilePartition(p) for p in self._files]
 
     def read(self, partition: WarcFilePartition):
-        from sparkdoc.warc import doc_of_record
+        yield from _read_warc_file(partition.path)
 
-        name = os.path.basename(partition.path)
-        stream = _open_stream(partition.path)
+
+def _list_or_empty(path: str) -> list[str]:
+    """Sorted container listing that treats a missing/empty directory as
+    'no files yet' — the streaming reader polls a crawl drop-point that may
+    not exist at query start."""
+    try:
+        return _list_warc_files(path)
+    except FileNotFoundError:
+        return []
+
+
+class _WarcStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("warc").load(dir)`` — watch a crawl
+    drop-point and ingest NEW container files incrementally, exactly once
+    per file across restarts (offsets live in the query checkpoint).
+
+    Offset model: ``{"upto": <last ingested file path>}`` — O(1) however
+    long the stream runs (Spark's own file source keeps an ever-growing
+    seen-file log instead). It leans on the append-only naming CONTRACT of
+    crawl layouts (Common Crawl segments embed their timestamp, so names
+    are lexicographically increasing): a batch is the files with
+    ``start.upto < path <= end.upto``; a file that arrives named BELOW an
+    already-committed offset is ignored — by design, never silently
+    half-read. Replays of a committed range re-list the same names, so a
+    range is reproducible as long as files are immutable (the same
+    assumption every file-based source makes).
+
+    Each file is one InputPartition; records stream exactly as in the batch
+    reader. A container is therefore atomic within a micro-batch — no
+    document ever straddles two batches.
+    """
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc stream source: .load(<path>) is required")
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"upto": ""}
+
+    def latestOffset(self) -> dict:
+        files = _list_or_empty(self._path)
+        return {"upto": files[-1]} if files else {"upto": ""}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("upto", ""), end.get("upto", "")
+        return [
+            WarcFilePartition(p)
+            for p in _list_or_empty(self._path)
+            if lo < p <= hi
+        ]
+
+    def read(self, partition: WarcFilePartition):
+        yield from _read_warc_file(partition.path)
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+def _read_warc_file(path: str):
+    """Shared per-file row generator (batch + streaming readers)."""
+    from sparkdoc.warc import doc_of_record
+
+    name = os.path.basename(path)
+    stream = _open_stream(path)
+    try:
+        for idx, rec in enumerate(_stream_records(stream)):
+            d = doc_of_record(idx, rec)
+            if d is not None:
+                rid, blob = d
+                yield (name, f"{name}#{rid}", blob)
+    finally:
         try:
-            for idx, rec in enumerate(_stream_records(stream)):
-                d = doc_of_record(idx, rec)
-                if d is not None:
-                    rid, blob = d
-                    yield (name, f"{name}#{rid}", blob)
-        finally:
-            try:
-                stream.close()
-            except Exception:
-                pass
+            stream.close()
+        except Exception:
+            pass
 
 
 class WarcDataSource(DataSource):
@@ -203,6 +275,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> _WarcReader:
         return _WarcReader(self.options)
+
+    def streamReader(self, schema) -> _WarcStreamReader:
+        return _WarcStreamReader(self.options)
 
 
 def register_warc_source(spark) -> None:

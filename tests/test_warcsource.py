@@ -110,3 +110,59 @@ def test_warcdir_feeds_documents(spark, warc_dir):
     a = {(r["doc_id"], str(r["spans"]), r["fmt"]) for r in via_source.collect()}
     b = {(r["doc_id"], str(r["spans"]), r["fmt"]) for r in via_blobs.collect()}
     assert a == b and len(a) > 0
+
+
+def test_stream_warc_extract_incremental(spark, tmp_path):
+    """Streaming crawl ingestion: containers dropped into a watched dir are
+    ingested exactly once across query restarts (offset = last file name in
+    the checkpoint); a restart with no new files emits nothing."""
+    import glob as _glob
+
+    from sparkdoc.streaming import stream_warc_extract
+    from sparkdoc.warc import warc_extract
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "sout")
+
+    def _write(i: int) -> None:
+        f = synth_warc_file(i, 42)
+        (drop / f["warc_name"]).write_bytes(f["content"])
+
+    def _docs() -> dict[str, int]:
+        paths = _glob.glob(os.path.join(out, "documents", "batch_id=*"))
+        if not paths:
+            return {}
+        df = spark.read.parquet(*paths)
+        return {r["doc_id"]: 1 for r in df.select("doc_id").collect()}
+
+    # expectation = the batch route over the same four containers
+    exp_ids = {
+        r["doc_id"]
+        for r in warc_extract(warc_corpus_df(spark, 4, 42)).select("doc_id").collect()
+    }
+
+    _write(0)
+    _write(1)
+    q = stream_warc_extract(spark, str(drop), out, chunk=False)
+    q.awaitTermination(120)
+    got1 = _docs()
+    assert got1 and set(got1) < exp_ids
+
+    # restart with two NEW containers (names sort after the first two):
+    # only their documents are added, nothing is re-ingested
+    _write(2)
+    _write(3)
+    q2 = stream_warc_extract(spark, str(drop), out, chunk=False)
+    q2.awaitTermination(120)
+    got2 = _docs()
+    assert set(got2) == exp_ids
+    # exactly once: no doc_id appears in two batch partitions
+    df = spark.read.parquet(*_glob.glob(os.path.join(out, "documents", "batch_id=*")))
+    assert df.count() == df.select("doc_id").distinct().count() == len(exp_ids)
+
+    # restart with nothing new: no additional batch dirs with rows
+    q3 = stream_warc_extract(spark, str(drop), out, chunk=False)
+    q3.awaitTermination(120)
+    df3 = spark.read.parquet(*_glob.glob(os.path.join(out, "documents", "batch_id=*")))
+    assert df3.count() == len(exp_ids)
