@@ -166,3 +166,52 @@ def test_stream_warc_extract_incremental(spark, tmp_path):
     q3.awaitTermination(120)
     df3 = spark.read.parquet(*_glob.glob(os.path.join(out, "documents", "batch_id=*")))
     assert df3.count() == len(exp_ids)
+
+
+def test_stream_parser_equals_bytes_parser_property():
+    """Property: over arbitrary byte soup AND structured near-WARC inputs,
+    the streaming record parser (_stream_records over a file-like) yields
+    EXACTLY the records of the bytes kernel (warc._records_from_plain) —
+    same headers, same blocks, same stop-at-malformed point."""
+    import io
+
+    from hypothesis import given, settings, strategies as st
+
+    from sparkdoc.warc import _records_from_plain
+    from sparkdoc.warcsource import _stream_records
+
+    header_name = st.sampled_from(
+        ["WARC-Type", "WARC-Target-URI", "Content-Length", "Content-Type", "X-Odd"]
+    )
+    header_val = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=20
+    )
+
+    @st.composite
+    def near_warc(draw):
+        out = bytearray()
+        for _ in range(draw(st.integers(0, 4))):
+            out += draw(st.sampled_from([b"", b"\r\n", b"\n", b"\r"]))
+            version = draw(st.sampled_from([b"WARC/1.0", b"WARC/0.9", b"HTTP/1.1", b"WARC"]))
+            out += version + b"\r\n"
+            body = draw(st.binary(max_size=40))
+            declared = draw(st.one_of(st.just(len(body)), st.integers(-5, 60)))
+            headers = draw(st.lists(st.tuples(header_name, header_val), max_size=3))
+            for k, v in headers:
+                out += f"{k}: {v}\r\n".encode()
+            if draw(st.booleans()):
+                out += f"Content-Length: {declared}\r\n".encode()
+            if draw(st.booleans()):
+                out += b"\r\n"
+            out += body
+        out += draw(st.binary(max_size=30))
+        return bytes(out)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(st.binary(max_size=200), near_warc()))
+    def check(data: bytes) -> None:
+        want = list(_records_from_plain(data))
+        got = list(_stream_records(io.BufferedReader(io.BytesIO(data))))
+        assert got == want
+
+    check()
