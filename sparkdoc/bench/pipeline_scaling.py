@@ -37,7 +37,7 @@ spark.stop()
 
 
 def run_level(repo: str, corpus: str, cores: int, reps: int) -> dict:
-    walls, summary = [], None
+    walls, best = [], None
     for _ in range(reps):
         out_dir = tempfile.mkdtemp(prefix=f"webpipe_{cores}_")
         try:
@@ -55,17 +55,21 @@ def run_level(repo: str, corpus: str, cores: int, reps: int) -> dict:
                 raise RuntimeError(f"web_pipeline CLI failed:\n{r.stderr[-2000:]}")
             summary = json.loads(r.stdout.strip().splitlines()[-1])
             walls.append(summary["wall_s"])
+            # stage walls must come from the SAME rep as the reported best
+            # wall, or per-stage numbers can disagree with (even exceed) it
+            if best is None or summary["wall_s"] < best["wall_s"]:
+                best = summary
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
     return {
         "cores": cores,
         "wall_sec": min(walls),
         "walls": walls,
-        "extract_wall_best": summary["extract_wall_s"],
-        "mix_wall_best": summary["mix_wall_s"],
-        "n_docs": summary["extract"]["docs"],
-        "n_kept": summary["mix"]["n_kept"],
-        "n_shards": summary["mix"]["n_shards"],
+        "extract_wall_best": best["extract_wall_s"],
+        "mix_wall_best": best["mix_wall_s"],
+        "n_docs": best["extract"]["docs"],
+        "n_kept": best["mix"]["n_kept"],
+        "n_shards": best["mix"]["n_shards"],
     }
 
 

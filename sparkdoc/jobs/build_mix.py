@@ -53,8 +53,6 @@ def mix_documents(
     pack into fixed-budget shards under ``out_dir``. Returns the summary
     dict (also written as manifest.json). The CLI below and the
     web_pipeline job both call this."""
-    import json as _json
-
     from pyspark.sql import functions as F
 
     from sparkdoc.filters import curate_split, downweight_frequent_groups, hash_sample, pack_sequences
@@ -135,7 +133,7 @@ def mix_documents(
     }
     write_text_file(
         spark, os.path.join(out_dir, "manifest.json"),
-        _json.dumps(summary, indent=2, sort_keys=True),
+        json.dumps(summary, indent=2, sort_keys=True),
     )
     return summary
 
@@ -155,12 +153,7 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from sparkdoc.filters import curate_split, downweight_frequent_groups, hash_sample, pack_sequences
-    from sparkdoc.io import write_text_file
     from sparkdoc.session import get_spark
-    from sparkdoc.textops import token_count
 
     spark = get_spark(
         "sparkdoc-build-mix",

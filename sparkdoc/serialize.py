@@ -77,7 +77,13 @@ def documents_markdown(
     co-locates its whole spans array, so rendering is pure expressions:
     filter furniture/page_break, struct-sort by offset (the same
     (offset, md) struct ordering document_markdown's collect_list path
-    sorts, so output is identical byte-for-byte), join with blank lines.
+    sorts, so output is identical byte-for-byte for every document WITH
+    content spans). Row-set semantics differ on content-less documents,
+    deliberately: the grouped twin silently loses a doc whose spans are all
+    furniture/page_break (no group rows survive the filter), while this
+    path keeps the row with ``markdown = ""`` (NULL spans → NULL) — so a
+    downstream curation gate rejects it WITH attribution instead of the
+    document vanishing between pipeline stages.
 
     At 100 TB this is the serialization to reach for: scan → project, no
     Exchange — the groupBy twin exists only for pipelines that already

@@ -7,8 +7,10 @@ crawls arrive as millions of container files, not as a parquet of blobs.
     register_warc_source(spark)
     docs = spark.read.format("warc").load("/crawl/segments/")
     # → (warc_name string, doc_id string, blob binary), one row per
-    #   document-bearing record, doc_id = "<file>#<idx>:<target-uri>" —
+    #   document-bearing record, doc_id = "<name>#<idx>:<target-uri>" —
     #   byte-identical to warc.warc_to_blobs over the same containers.
+    #   <name> is the path RELATIVE to the load root (segments/part-0.warc),
+    #   so same-basename files in different segment dirs never collide.
 
 Scale shape
 -----------
@@ -17,19 +19,28 @@ Scale shape
   non-splittable formats: a 10^12-doc crawl is millions of ~1 GB files →
   millions of partitions the scheduler balances across executors. No
   driver-side file reads at planning time — only a listing.
-* **Records stream off disk incrementally.** The reader walks the file
-  with a buffered streaming parser (gzip members decoded through one
-  streaming ``GzipFile`` — Python's gzip transparently concatenates the
-  per-record members of the Common Crawl layout); peak memory is one
-  RECORD, never the whole container — the advantage over the
-  (warc_name, content) blob table, which materializes each file as a row.
+* **Records stream off disk incrementally.** Plain containers go through a
+  buffered line parser whose grammar is the EXACT twin of
+  warc._records_from_plain (a hypothesis property test drives both on the
+  same byte soup); gzip containers decompress member-by-member with a
+  chunked decompressobj and each member's plain bytes feed
+  _records_from_plain itself — the same member independence as
+  warc._gzip_members, so a record overrunning its member or a malformed
+  record inside one member affects ONLY that member. Peak memory is one
+  decompressed member (= one record in the Common Crawl per-record-gzip
+  layout), never the container — the advantage over the blob table, which
+  materializes each file as a row.
 * **Malformed tails degrade, never crash**: parsing stops at the first
-  corrupt record/member (the same stop-at-corruption contract as
-  warc.warc_records) and the file's valid prefix is kept.
+  corrupt point with the valid prefix kept — per member for gzip, per file
+  for plain — mirroring warc.warc_records decision-for-decision.
 
 The emitted rows feed ``ingest.mixed_to_documents`` unchanged (the extract
 job's ``warcdir:<path>`` input spec wires this up), so the whole
 containers-on-disk → documents path stays zero-shuffle.
+
+A STREAMING variant (``spark.readStream.format("warc")``) watches a crawl
+drop-point and ingests new containers exactly once across restarts — see
+_WarcStreamReader.
 
 Reference basis: the reference engine reads local files one document at a
 time (core/input/handlers.py); the container-file mile has no reference
@@ -40,7 +51,6 @@ PySpark DataSource API (pyspark.sql.datasource).
 from __future__ import annotations
 
 import glob
-import gzip
 import io
 import os
 from typing import Iterator
@@ -53,11 +63,13 @@ from pyspark.sql.datasource import (
 )
 
 _EXTS = (".warc", ".warc.gz")
+_CHUNK = 1 << 20
 
 
 class WarcFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, name: str | None = None):
         self.path = path
+        self.name = name or os.path.basename(path)
 
 
 def _list_warc_files(path: str) -> list[str]:
@@ -81,30 +93,45 @@ def _list_warc_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _name_of(path: str, root: str) -> str:
+    """Container name for lineage/doc ids: the path RELATIVE to the load
+    root (posix separators) when the root is a directory — two
+    ``segX/part-0.warc.gz`` files must not collide — else the basename."""
+    if os.path.isdir(root):
+        return os.path.relpath(path, root).replace(os.sep, "/")
+    return os.path.basename(path)
+
+
 def _stream_records(fobj) -> Iterator[dict]:
     """Streaming twin of warc._records_from_plain over a binary file-like:
-    identical record grammar (skip inter-record CR/LFs, WARC/ version line,
-    headers to the blank line, exactly content-length body bytes) and the
-    identical stop-at-malformed contract — peak memory is one record."""
+    identical record grammar — any run of CR/LF bytes skipped between
+    records (including CR-runs like b'\\r\\r\\n'), a WARC/ version line,
+    header lines to the first line that is empty after stripping CRs,
+    exactly content-length body bytes — and the identical
+    stop-at-malformed contract (a line without a terminating newline at
+    EOF is malformed, as is a headerless/lengthless record). Peak memory is
+    one record. Equivalence is pinned by a hypothesis property test."""
     readline = fobj.readline
     while True:
         line = readline()
-        while line in (b"\r\n", b"\n"):
+        # skip any run of CR/LF bytes between records
+        while line and line.strip(b"\r\n") == b"":
             line = readline()
         if not line:
             return
-        # lone CRs glued to the version line mirror the bytes-kernel's
-        # "skip any CR/LF run between records" loop
+        if not line.endswith(b"\n"):
+            return  # EOF inside the version line: malformed
+        # leading CRs fold into the skip-run, exactly like the bytes kernel
         if not line.rstrip(b"\r\n").lstrip(b"\r").startswith(b"WARC/"):
             return
         headers: dict[str, str] = {}
         while True:
             h = readline()
-            if not h:
+            if not h or not h.endswith(b"\n"):
                 return  # EOF inside headers: malformed
-            if h in (b"\r\n", b"\n"):
-                break
-            body = h.rstrip(b"\r\n")
+            body = h[:-1].rstrip(b"\r")
+            if body == b"":
+                break  # blank line (any number of CRs before the LF)
             if b":" not in body:
                 return
             name, _, value = body.partition(b":")
@@ -126,45 +153,61 @@ def _stream_records(fobj) -> Iterator[dict]:
         yield {"headers": headers, "block": block}
 
 
-def _open_stream(path: str):
-    """Binary stream of the file's PLAIN warc bytes. Gzip containers decode
-    through one streaming GzipFile: Python's gzip walks concatenated
-    members (the per-record-gzip Common Crawl layout) transparently, and a
-    corrupt member surfaces as an error the record loop treats as EOF."""
-    raw = open(path, "rb")
-    head = raw.read(2)
-    raw.seek(0)
-    if head == b"\x1f\x8b":
-        return _StopOnErrorStream(gzip.GzipFile(fileobj=raw), raw)
-    return io.BufferedReader(raw)
+def _gzip_member_records(raw) -> Iterator[dict]:
+    """Member-by-member gzip decode with chunked input — the streaming twin
+    of warc._gzip_members + _records_from_plain per member. Each member
+    decompresses fully (one member = one record in the Common Crawl
+    layout, so memory is bounded by record size, not file size) and its
+    plain bytes go through _records_from_plain ITSELF, so member
+    independence, truncated-final-member salvage, and stop-at-corruption
+    are the bytes kernel's own decisions."""
+    import zlib
 
+    from sparkdoc.warc import _records_from_plain
 
-class _StopOnErrorStream:
-    """readline/read that turn mid-stream gzip corruption into EOF — the
-    stop-at-first-corrupt-member contract of warc._gzip_members."""
-
-    def __init__(self, inner, raw):
-        self._inner = inner
-        self._raw = raw
-
-    def readline(self) -> bytes:
+    buf = raw.read(_CHUNK)
+    while buf:
+        if len(buf) < 2:  # unused_data can end mid-magic; top it up
+            buf += raw.read(_CHUNK)
+        if buf[:2] != b"\x1f\x8b":
+            return  # trailing garbage: stop at the first corrupt member
+        d = zlib.decompressobj(wbits=31)
+        out = bytearray()
         try:
-            return self._inner.readline()
-        except (OSError, EOFError):
-            return b""
+            out += d.decompress(buf)
+            while not d.eof:
+                chunk = raw.read(_CHUNK)
+                if not chunk:
+                    break  # truncated final member: parse what decompressed
+                out += d.decompress(chunk)
+        except zlib.error:
+            return
+        yield from _records_from_plain(bytes(out))
+        if not d.eof:
+            return
+        buf = d.unused_data or raw.read(_CHUNK)
 
-    def read(self, n: int) -> bytes:
-        try:
-            return self._inner.read(n)
-        except (OSError, EOFError):
-            return b""
 
-    def close(self) -> None:
-        for f in (self._inner, self._raw):
-            try:
-                f.close()
-            except Exception:
-                pass
+def _file_records(path: str) -> Iterator[dict]:
+    """All records of one container file, streamed (plain or gzip)."""
+    with open(path, "rb") as raw:
+        head = raw.read(2)
+        raw.seek(0)
+        if head == b"\x1f\x8b":
+            yield from _gzip_member_records(raw)
+        else:
+            yield from _stream_records(io.BufferedReader(raw))
+
+
+def _read_warc_file(path: str, name: str):
+    """Shared per-file row generator (batch + streaming readers)."""
+    from sparkdoc.warc import doc_of_record
+
+    for idx, rec in enumerate(_file_records(path)):
+        d = doc_of_record(idx, rec)
+        if d is not None:
+            rid, blob = d
+            yield (name, f"{name}#{rid}", blob)
 
 
 class _WarcReader(DataSourceReader):
@@ -173,13 +216,15 @@ class _WarcReader(DataSourceReader):
         if not path:
             raise ValueError("warc source: .load(<path>) is required")
         # planning-time work is a LISTING only — no file is opened here
-        self._files = _list_warc_files(path)
+        self._parts = [
+            WarcFilePartition(p, _name_of(p, path)) for p in _list_warc_files(path)
+        ]
 
     def partitions(self):
-        return [WarcFilePartition(p) for p in self._files]
+        return self._parts
 
     def read(self, partition: WarcFilePartition):
-        yield from _read_warc_file(partition.path)
+        yield from _read_warc_file(partition.path, partition.name)
 
 
 def _list_or_empty(path: str) -> list[str]:
@@ -229,38 +274,19 @@ class _WarcStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("upto", ""), end.get("upto", "")
         return [
-            WarcFilePartition(p)
+            WarcFilePartition(p, _name_of(p, self._path))
             for p in _list_or_empty(self._path)
             if lo < p <= hi
         ]
 
     def read(self, partition: WarcFilePartition):
-        yield from _read_warc_file(partition.path)
+        yield from _read_warc_file(partition.path, partition.name)
 
     def commit(self, end: dict) -> None:  # offsets live in the checkpoint
         pass
 
     def stop(self) -> None:
         pass
-
-
-def _read_warc_file(path: str):
-    """Shared per-file row generator (batch + streaming readers)."""
-    from sparkdoc.warc import doc_of_record
-
-    name = os.path.basename(path)
-    stream = _open_stream(path)
-    try:
-        for idx, rec in enumerate(_stream_records(stream)):
-            d = doc_of_record(idx, rec)
-            if d is not None:
-                rid, blob = d
-                yield (name, f"{name}#{rid}", blob)
-    finally:
-        try:
-            stream.close()
-        except Exception:
-            pass
 
 
 class WarcDataSource(DataSource):

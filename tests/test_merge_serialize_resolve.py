@@ -143,6 +143,10 @@ def test_documents_markdown_matches_grouped_twin(spark):
         ("d1", "caption", "fig cap", "", 4),
         ("d1", "picture", "", "#/pictures/9", 5),
         ("d2", "text", "solo", "", 0),
+        # all-furniture doc: the grouped twin DROPS it, the documents-table
+        # path keeps it as markdown="" (pinned divergence — see docstring)
+        ("d3", "furniture", "PAGE 1", "", 0),
+        ("d3", "page_break", "", "", 1),
     ]
     # deliberately out-of-offset-order arrays
     import random
@@ -160,6 +164,8 @@ def test_documents_markdown_matches_grouped_twin(spark):
         rows, "doc_id string, kind string, text string, media_ref string, offset int"
     )
     want = {r["doc_id"]: r["markdown"] for r in document_markdown(spans).collect()}
+    # content-less d3: grouped twin loses the doc, documents path keeps ""
+    assert "d3" not in want and got.pop("d3") == ""
     assert got == want
 
     synth_docs = extract_documents(raw_nodes_df(spark, 30, 11))

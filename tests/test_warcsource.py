@@ -201,8 +201,9 @@ def test_stream_parser_equals_bytes_parser_property():
                 out += f"{k}: {v}\r\n".encode()
             if draw(st.booleans()):
                 out += f"Content-Length: {declared}\r\n".encode()
-            if draw(st.booleans()):
-                out += b"\r\n"
+            # blank-line variants include CR-runs (b"\r\r\n") — both parsers
+            # must agree that any run of CRs before the LF is still blank
+            out += draw(st.sampled_from([b"", b"\r\n", b"\n", b"\r\r\n"]))
             out += body
         out += draw(st.binary(max_size=30))
         return bytes(out)
@@ -215,3 +216,90 @@ def test_stream_parser_equals_bytes_parser_property():
         assert got == want
 
     check()
+
+
+def _rec(body: bytes, declared: int | None = None) -> bytes:
+    ln = len(body) if declared is None else declared
+    return (
+        f"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: u\r\n"
+        f"Content-Length: {ln}\r\n\r\n"
+    ).encode() + body
+
+
+def test_gzip_member_isolation(tmp_path):
+    """Per-member independence parity with the bytes kernel: a record that
+    overruns its gzip member is dropped WITHOUT bleeding into the next
+    member, and a malformed record inside one member doesn't halt later
+    members — both of which a naive concatenated-GzipFile read gets wrong."""
+    import gzip
+
+    from sparkdoc.warc import warc_records
+    from sparkdoc.warcsource import _file_records
+
+    # member 1 declares 10 body bytes but holds 3 → dropped; member 2 intact
+    data = gzip.compress(_rec(b"hel", declared=10), mtime=0) + gzip.compress(
+        _rec(b"next-record"), mtime=0
+    )
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(data)
+    want = [r["block"] for r in warc_records(data)]
+    got = [r["block"] for r in _file_records(str(p))]
+    assert got == want == [b"next-record"]
+
+    # malformed member in the middle: only ITS records are lost
+    data2 = (
+        gzip.compress(_rec(b"aaa"), mtime=0)
+        + gzip.compress(b"NOTWARC\r\n\r\n", mtime=0)
+        + gzip.compress(_rec(b"bbb"), mtime=0)
+    )
+    p2 = tmp_path / "b.warc.gz"
+    p2.write_bytes(data2)
+    want2 = [r["block"] for r in warc_records(data2)]
+    got2 = [r["block"] for r in _file_records(str(p2))]
+    assert got2 == want2 == [b"aaa", b"bbb"]
+
+    # truncated FINAL member: its decompressed prefix still parses
+    full = gzip.compress(_rec(b"tail-rec"), mtime=0)
+    data3 = gzip.compress(_rec(b"head"), mtime=0) + full[:-6]
+    p3 = tmp_path / "c.warc.gz"
+    p3.write_bytes(data3)
+    assert [r["block"] for r in _file_records(str(p3))] == [
+        r["block"] for r in warc_records(data3)
+    ]
+
+
+def test_cr_run_parity():
+    """CR-runs (b'\\r\\r\\n') as blank-line terminator and inter-record
+    separator parse identically in both kernels — the bytes parser strips
+    any run of CRs, and the streaming parser must too."""
+    import io
+
+    from sparkdoc.warc import _records_from_plain
+    from sparkdoc.warcsource import _stream_records
+
+    blank_cr = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 3\r\n\r\r\nabc"
+    )
+    sep_cr = _rec(b"one") + b"\r\r\n" + _rec(b"two")
+    for data in (blank_cr, sep_cr, b"\r\r" + _rec(b"x")):
+        want = list(_records_from_plain(data))
+        got = list(_stream_records(io.BufferedReader(io.BytesIO(data))))
+        assert got == want and len(want) >= 1
+
+
+def test_nested_same_basename_no_collision(spark, tmp_path):
+    """Containers with equal basenames in different segment dirs must not
+    collide: warc_name/doc_id carry the load-root-relative path."""
+    d = tmp_path / "crawl"
+    (d / "seg1").mkdir(parents=True)
+    (d / "seg2").mkdir()
+    content = synth_warc_file(0, 42)["content"]
+    (d / "seg1" / "part-0.warc").write_bytes(content)
+    (d / "seg2" / "part-0.warc").write_bytes(content)
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(str(d))
+    rows = df.collect()
+    names = {r["warc_name"] for r in rows}
+    assert names == {"seg1/part-0.warc", "seg2/part-0.warc"}
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) and len(ids) > 0
