@@ -91,6 +91,62 @@ def _hash_rank(id_col: str, seed: int) -> Column:
     return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
 
 
+def _train_sample(c: DataFrame, id_col: str, seed: int, train_mod: int | None) -> DataFrame:
+    """Deterministic training sample: md5(id:seed) hash % train_mod == 0 —
+    shared by kmeans_fit and pq_fit so the sampling rule can never drift
+    between the two trainers."""
+    if train_mod is None or train_mod <= 1:
+        return c
+    return c.filter(
+        F.conv(F.substring(_hash_rank(id_col, seed), 1, 15), 16, 10).cast("bigint")
+        % train_mod
+        == 0
+    )
+
+
+def _lut_expr(cb: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup table from the unit query vector ``qv``:
+    LUT[sub][cell] = dot(q_slice_sub, codebook[sub][cell]). ONE definition
+    for pq_topk and ivfpq_topk — the build/query hash-agreement contract
+    depends on these never drifting."""
+    m = len(cb)
+    dsub = len(cb[0][0])
+    return F.array(
+        *[
+            F.array(
+                *[dot(F.slice(F.col("qv"), s * dsub + 1, dsub), _lit_vec(c)) for c in cb[s]]
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def _adc_sum(m: int) -> Column:
+    """Σ_sub LUT[sub][code_sub] in FIXED ascending-sub order (static
+    expression, not a data-dependent fold) — deterministic, twin-
+    reproducible; shared by pq_topk and ivfpq_topk."""
+    score = None
+    for s in range(m):
+        term = F.element_at(F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1)
+        score = term if score is None else score + term
+    return score
+
+
+def _probe_scores_expr(cents: list[list[float]]) -> Column:
+    """(cell, score) struct array for centroid probing: score =
+    dot(qv, c) - |c|²/2 (the L2-argmin rewrite over a unit query); shared
+    by ivf_topk_trained and ivfpq_topk."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                (dot(F.col("qv"), _lit_vec(c)) - F.lit(_half_sq(c))).alias("score"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
 def _seed_rows(
     corpus_u: DataFrame, k: int, id_col: str, seed: int
 ) -> list[tuple[object, list[float]]]:
@@ -162,14 +218,9 @@ def kmeans_fit(
     md5(id:seed) % train_mod == 0 — at 100 TB the fit touches a fixed-size
     sample and only the final assignment (kmeans_assign / ivf_topk_trained)
     scans the full corpus."""
-    c = _with_unit(corpus, vec_col, "_e").select(id_col, "_e")
-    if train_mod is not None and train_mod > 1:
-        c = c.filter(
-            F.conv(F.substring(_hash_rank(id_col, seed), 1, 15), 16, 10).cast("bigint")
-            % train_mod
-            == 0
-        )
-    c = c.persist()
+    c = _train_sample(
+        _with_unit(corpus, vec_col, "_e").select(id_col, "_e"), id_col, seed, train_mod
+    ).persist()
     try:
         cents = [v for _, v in _seed_rows(c, k, id_col, seed)]
         df = c.select(F.lit(0).alias("sub"), F.col("_e").alias("sv"), _quantize(F.col("_e")).alias("sq"))
@@ -242,15 +293,7 @@ def ivf_topk_trained(
     distribution, so probe cost is balanced instead of hash-lucky."""
     assigned = kmeans_assign(corpus, cents, id_col, vec_col)
     q = _with_unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
-    probe_scores = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                (dot(F.col("qv"), _lit_vec(c)) - F.lit(_half_sq(c))).alias("score"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    probe_scores = _probe_scores_expr(cents)
     probes = (
         q.select("query_id", "qv", F.explode(probe_scores).alias("ps"))
         .select("query_id", "qv", F.col("ps.cell").alias("cell"), F.col("ps.score").alias("score"))
@@ -300,14 +343,9 @@ def pq_fit(
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim={dim} not divisible by m={m}")
     dsub = dim // m
-    c = _with_unit(corpus, vec_col, "_e").select(id_col, "_e")
-    if train_mod is not None and train_mod > 1:
-        c = c.filter(
-            F.conv(F.substring(_hash_rank(id_col, seed), 1, 15), 16, 10).cast("bigint")
-            % train_mod
-            == 0
-        )
-    c = c.persist()
+    c = _train_sample(
+        _with_unit(corpus, vec_col, "_e").select(id_col, "_e"), id_col, seed, train_mod
+    ).persist()
     try:
         seeds = _seed_rows(c, ksub, id_col, seed)
         cents: dict[int, list[list[float]]] = {
@@ -375,25 +413,8 @@ def pq_topk(
     m = len(codebooks)
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
     q = _with_unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
-    dsub = len(codebooks[0][0])
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    dot(F.slice(F.col("qv"), s * dsub + 1, dsub), _lit_vec(c))
-                    for c in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    q = q.select("query_id", lut.alias("lut"))
-    score = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1
-        )
-        score = term if score is None else score + term
+    q = q.select("query_id", _lut_expr(codebooks).alias("lut"))
+    score = _adc_sum(m)
     scored = (
         F.broadcast(q)
         .crossJoin(codes.withColumnRenamed(id_col, "neighbor_id"))
@@ -444,24 +465,8 @@ def ivfpq_topk(
     dsub = len(cb[0][0])
 
     q = _with_unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
-    lut = F.array(
-        *[
-            F.array(
-                *[dot(F.slice(F.col("qv"), s * dsub + 1, dsub), _lit_vec(c)) for c in cb[s]]
-            )
-            for s in range(m)
-        ]
-    )
-    q = q.withColumn("lut", lut)
-    probe_scores = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                (dot(F.col("qv"), _lit_vec(c)) - F.lit(_half_sq(c))).alias("score"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    q = q.withColumn("lut", _lut_expr(cb))
+    probe_scores = _probe_scores_expr(cents)
     wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell").asc())
     probes = (
         q.select("query_id", "qv", "lut", F.explode(probe_scores).alias("ps"))
@@ -473,21 +478,33 @@ def ivfpq_topk(
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "qv", "lut", "cell")
     )
-    cand = probes.join(cells.select(id_col, "cell", "v"), "cell").join(codes, id_col)
+    cand = probes.join(cells.select(id_col, "cell"), "cell").join(codes, id_col)
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col(id_col))
-    adc_score = None
-    for s in range(m):
-        term = F.element_at(F.element_at("lut", s + 1), F.element_at("codes", s + 1) + 1)
-        adc_score = term if adc_score is None else adc_score + term
+    adc_score = _adc_sum(m)
+    # the ADC rank shuffle carries ONLY (query_id, neighbor_id, adc): the
+    # LUT/qv are consumed map-side in the projection above, and the float
+    # vectors v/qv re-enter AFTER the rf·k head cut via broadcast joins —
+    # shuffling 64 doubles of v (+64 of qv) per CANDIDATE row was the
+    # scan-advantage-negating cost this stage used to pay
     adc = cand.select(
-        "query_id", "qv", F.col(id_col).alias("neighbor_id"), "v", adc_score.alias("adc")
+        "query_id", F.col(id_col).alias("neighbor_id"), adc_score.alias("adc")
     )
     wa = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
-    head = adc.withColumn("_ar", F.row_number().over(wa)).filter(
-        F.col("_ar") <= rescore_factor * k
+    head = (
+        adc.withColumn("_ar", F.row_number().over(wa))
+        .filter(F.col("_ar") <= rescore_factor * k)
+        .select("query_id", "neighbor_id")
     )
-    rescored = head.select("query_id", "neighbor_id", dot(F.col("qv"), F.col("v")).alias("cos"))
+    # exact rescore: head is rf·k rows/query — broadcast it against the
+    # column-pruned (vec_id, v) scan (no corpus shuffle), then broadcast the
+    # query batch back on for the true cosine
+    head_v = cells.select(F.col(id_col).alias("neighbor_id"), "v").join(
+        F.broadcast(head), "neighbor_id"
+    )
+    rescored = head_v.join(
+        F.broadcast(q.select("query_id", "qv")), "query_id"
+    ).select("query_id", "neighbor_id", dot(F.col("qv"), F.col("v")).alias("cos"))
     wf = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         rescored.withColumn("rank", F.row_number().over(wf))

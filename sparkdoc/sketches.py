@@ -250,9 +250,28 @@ def bloom_build(df: DataFrame, col: str, n_expected: int, fpp: float = 0.01) -> 
         if seen:
             yield pd.DataFrame({"bmp": [bmp.tobytes()]})
 
-    parts = hashes.mapInPandas(set_bits, schema="bmp binary").collect()
+    def or_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros(m // 8, dtype="uint8")
+        seen = False
+        for b in batches:
+            for blob in b["bmp"]:
+                acc |= np.frombuffer(blob, dtype="uint8")
+                seen = True
+        if seen:
+            yield pd.DataFrame({"bmp": [acc.tobytes()]})
+
+    # executor-side tree merge (fan-in 16): the driver never holds more
+    # than a handful of m/8-byte bitmaps — with one bitmap PER PARTITION a
+    # plain collect() at n_expected=1e9 (m/8 ≈ 1.2 GB) would blow
+    # spark.driver.maxResultSize on the first partition
+    bmps = hashes.mapInPandas(set_bits, schema="bmp binary")
+    n_parts = bmps.rdd.getNumPartitions()
+    while n_parts > 16:
+        n_parts = max(16, n_parts // 16)
+        bmps = bmps.repartition(n_parts).mapInPandas(or_merge, schema="bmp binary")
+    parts = bmps.collect()
     acc = np.zeros(m // 8, dtype="uint8")
-    for r in parts:  # ≤ one bitmap per partition; production: treeReduce
+    for r in parts:
         acc |= np.frombuffer(r["bmp"], dtype="uint8")
     return BloomFilter(acc.tobytes(), m, k)
 

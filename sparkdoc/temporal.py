@@ -67,11 +67,35 @@ def asof_join(
     struct rides the sort; left columns pass through untouched.
     """
     tb = tiebreak or right_ts
+    # the tiebreak rides the sort as a double: a non-numeric column would
+    # cast to NULL and silently void the "greatest tiebreak wins" guarantee
+    # (every equal-(key, ts) row would tie on NULL and the winner would be
+    # partition-order luck) — fail fast instead. Integer tiebreaks beyond
+    # 2^53 would likewise collapse; spot it here, not in the output.
+    from pyspark.sql.types import (
+        DateType, NumericType, TimestampNTZType, TimestampType,
+    )
+
+    tb_type = right.schema[tb].dataType
+    if not isinstance(tb_type, (NumericType, DateType, TimestampType, TimestampNTZType)):
+        raise ValueError(
+            f"asof_join: tiebreak column {tb!r} has non-orderable-as-double "
+            f"type {tb_type.simpleString()} — pass a numeric/timestamp "
+            "column (string ids would tie on NULL and pick a nondeterministic "
+            "winner)"
+        )
     payload = F.struct(
         _us(right_ts).alias("_ts_us"),
         *[F.col(c).alias(c) for c in right_vals],
     )
-    r = right.select(
+    # equality-join semantics for NULL keys (the DuckDB ASOF twin's): a
+    # NULL-keyed right row can never match, so it is dropped; NULL-keyed
+    # left rows pass through unmatched (the window would otherwise group
+    # all NULLs together and hand them each other's payloads)
+    r = right
+    for c in key_cols:
+        r = r.filter(F.col(c).isNotNull())
+    r = r.select(
         *[F.col(c) for c in key_cols],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
@@ -130,8 +154,16 @@ def interval_join(
     broadcast-nested-loop: candidates are bounded by rows per time bucket,
     and AQE's skew split applies because the join IS an equi-join."""
     gap_us = int(round(max_gap_s * 1_000_000))
-    lc = left_cols or [c for c in left.columns if c not in key_cols]
-    rc = right_cols or [c for c in right.columns if c not in key_cols]
+    if gap_us <= 0:
+        raise ValueError(
+            f"interval_join: max_gap_s={max_gap_s} rounds to a {gap_us} µs "
+            "bucket — `us % 0` is NULL (silently empty result) or a "
+            "DIVIDE_BY_ZERO under ANSI; for exact-timestamp pairs use an "
+            "equi-join on the timestamp instead"
+        )
+    # explicit [] means "no payload columns" — only None selects the default
+    lc = [c for c in left.columns if c not in key_cols] if left_cols is None else left_cols
+    rc = [c for c in right.columns if c not in key_cols] if right_cols is None else right_cols
     # exact BIGINT floor-division ((us - us % gap) / gap on exact multiples,
     # all < 2^53 so the double divide is exact) — the bucket id must be
     # bit-identical to the twin's `//` on epoch_us (timestamps are positive,

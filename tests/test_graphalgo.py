@@ -88,3 +88,23 @@ def test_checkpoint_every_preserves_result(spark):
     a = _run(spark, edges, iters=5, checkpoint_every=2)
     b = _run(spark, edges, iters=5, checkpoint_every=0)
     assert a == b
+
+
+def test_pagerank_mass_unit_guard_and_scaling(spark):
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    # more nodes than units → fail fast, never silent all-zero ranks
+    with pytest.raises(Exception) as ei:
+        pagerank(df, iters=1, mass_units=2).collect()
+    assert "mass_units" in str(ei.value)
+    # > 2^53 breaks the exact damping multiply → python-side refusal
+    with pytest.raises(ValueError):
+        pagerank(df, iters=1, mass_units=1 << 54)
+    # a larger legal unit scale still yields exact, deterministic ranks
+    r = {x["node"]: x["r_e9"] for x in pagerank(df, iters=2, mass_units=10**12).collect()}
+    assert set(r) == {1, 2, 3} and all(v > 0 for v in r.values())
+    # 3-cycle symmetry: all ranks equal at every scale
+    assert len(set(r.values())) == 1

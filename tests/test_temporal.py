@@ -141,3 +141,31 @@ def test_interval_join_no_duplicate_pairs_from_bucket_explosion(spark):
         if abs(ls - rs) <= 15
     }
     assert set(pairs) == want
+
+
+def test_asof_rejects_string_tiebreak_and_skips_null_keys(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10), (None, 10)], "k int, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, "a", 7.0), (None, 5, "b", 8.0)], "k int, ts long, tag string, v double"
+    )
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, ["k"], ["v"], tiebreak="tag")
+    out = {r["k"]: r for r in asof_join(left, right, ["k"], ["v"]).collect()}
+    assert out[1]["asof_v"] == 7.0
+    # NULL-keyed left row is unmatched (equality semantics), never handed
+    # the NULL-keyed right row's payload by the window partition
+    assert out[None]["asof_v"] is None
+
+
+def test_interval_join_gap_zero_and_empty_cols(spark):
+    import pytest
+
+    l = spark.createDataFrame([(1, 100)], "k int, ts long")
+    r = spark.createDataFrame([(1, 100, 5.0)], "k int, ts long, v double")
+    with pytest.raises(ValueError, match="max_gap_s"):
+        interval_join(l, r, ["k"], 0.0)
+    # explicit [] = no payload columns from that side
+    rows = interval_join(l, r, ["k"], 60.0, left_cols=[], right_cols=["v"]).collect()
+    assert rows and set(rows[0].asDict()) == {"k", "r_v", "gap_us"}
