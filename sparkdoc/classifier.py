@@ -157,6 +157,11 @@ def score_quantized(
     """
     spark = df.sparkSession
     if weights_df is None:
+        if weights is None:
+            raise ValueError(
+                "score_quantized: pass either weights (literal list) or "
+                "weights_df (+ n_buckets)"
+            )
         weights_df = spark.createDataFrame(
             [(i, int(x)) for i, x in enumerate(weights)], "bucket bigint, w bigint"
         )

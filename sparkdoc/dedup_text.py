@@ -283,9 +283,15 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text", 
     joined = df_pairs.join(a, "a").join(b, "b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return joined.select(
+    out = joined.select(
         "a", "b", F.when(union > 0, inter / union).otherwise(0.0).alias("jaccard")
     )
+    # hand the cached shingle frame to callers that MATERIALIZE the result
+    # (delta ingest does) so they can release it — otherwise one pinned
+    # shingle cache leaks per call for the session's lifetime. Lazy callers
+    # (near_dup_pairs) must leave it cached while their plan is live.
+    out._sparkdoc_caches = [sh]  # type: ignore[attr-defined]
+    return out
 
 
 def near_dup_pairs(

@@ -144,9 +144,8 @@ def delta_near_dups(
         new_docs.select(id_col, text_col).join(a_ids, id_col, "left_semi")
         .unionByName(corpus.select(id_col, text_col).join(b_ids, id_col, "left_semi"))
     )
-    verified = ngram_jaccard(cands, texts, text_col, id_col, n).filter(
-        F.col("jaccard") >= threshold
-    )
+    jac = ngram_jaccard(cands, texts, text_col, id_col, n)
+    verified = jac.filter(F.col("jaccard") >= threshold)
     # best = max jaccard, then min b — min_by over (-jaccard, b) orders the
     # DOUBLE negatively and the id ASCENDING natively, so string doc ids
     # work too (arithmetic negation of the id column would throw
@@ -162,11 +161,13 @@ def delta_near_dups(
         F.col("_m.b").alias("dup_of"),
         F.col("_m.jaccard").alias("jaccard"),
     )
-    # materialize the (small) result so the candidate cache can be released
-    # immediately — otherwise every delta ingest leaks the pinned pair frame
-    # for the session's lifetime
+    # materialize the (small) result so the candidate AND shingle caches can
+    # be released immediately — otherwise every delta ingest leaks pinned
+    # frames for the session's lifetime
     out = out.localCheckpoint(eager=True)
     cands.unpersist()
+    for c in getattr(jac, "_sparkdoc_caches", []):
+        c.unpersist()
     return out
 
 

@@ -379,6 +379,23 @@ def hadoop_write_text(spark: SparkSession, path: str, content: str) -> None:
         out.close()
 
 
+def hadoop_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe via the Hadoop FileSystem API (twin of
+    :func:`hadoop_write_text` — works on any Spark-reachable filesystem)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Delete a file via the Hadoop FileSystem API (non-recursive)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, False)
+
+
 def hadoop_read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file via the Hadoop FileSystem API (twin of
     :func:`hadoop_write_text`)."""

@@ -67,7 +67,7 @@ def main() -> None:
     # the query's own document — whose lead terms dominate its BM25 score —
     # would re-enter the fused list through lex). Fetch k+1 lexically, drop
     # the self hit, re-rank by the original order so ranks stay 1..k dense.
-    lex = bm25_query_index(
+    lex_res = bm25_query_index(
         spark,
         args.bm25_index,
         queries.select("query_id", "text"),
@@ -75,7 +75,8 @@ def main() -> None:
         k1=args.k1,
         b=args.b,
         max_df_frac=args.max_df_frac,
-    ).select("query_id", "doc_id", "rank")
+    )
+    lex = lex_res.select("query_id", "doc_id", "rank")
     if args.exclude_self:
         from pyspark.sql import Window
 
@@ -111,6 +112,8 @@ def main() -> None:
 
     fused = rrf_fuse([lex, dense], k_rrf=args.k_rrf, topk=args.k)
     fused.write.mode("overwrite").parquet(args.out)
+    for c in getattr(lex_res, "_sparkdoc_caches", []):
+        c.unpersist()
     got = spark.read.parquet(args.out)
     n_res = got.count()
     n_q = got.select("query_id").distinct().count()

@@ -130,6 +130,8 @@ def main() -> None:
             max_df_frac=args.max_df_frac,
         )
         res.write.mode("overwrite").parquet(args.out)
+        for c in getattr(res, "_sparkdoc_caches", []):
+            c.unpersist()
         got = spark.read.parquet(args.out)
         n_res = got.count()
         n_q = got.select("query_id").distinct().count()

@@ -32,7 +32,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sparkdoc.textops import words
+from sparkdoc.textops import word_count, words
 
 #: micro-unit scale for the integer score quantization
 E6 = 1e6
@@ -71,6 +71,8 @@ def bm25_topk(
     query_text_col: str = "text",
     postings: DataFrame | None = None,
     max_df_frac: float | None = None,
+    n_docs: int | None = None,
+    sum_dl: int | None = None,
 ) -> DataFrame:
     """Top-k corpus documents per query by BM25, as (query_id, doc_id, rank,
     score_e6). score_e6 is the BIGINT micro-unit sum (divide by 1e6 for the
@@ -97,14 +99,24 @@ def bm25_topk(
     variant is the production knob for high-volume query batches."""
     if postings is None:
         postings = bm25_postings(docs, text_col, id_col)
-    # distinct doc lengths per doc ride the postings (tf row carries dl);
-    # N and total length from the doc-level frame
-    doclen = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(words(F.col(text_col))).alias("dl")
-    )
-    stats = doclen.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
+    if (n_docs is None) != (sum_dl is None):
+        raise ValueError("bm25_topk: pass n_docs and sum_dl together (manifest stats)")
+    if n_docs is not None:
+        # manifest literals: with a prebuilt postings frame this skips the
+        # ONLY remaining full-corpus pass (re-tokenizing every doc for two
+        # scalars) — at 100 TB these numbers come from the index manifest
+        stats = docs.sparkSession.range(1).select(
+            F.lit(int(n_docs)).alias("n_docs"), F.lit(int(sum_dl)).alias("sum_dl")
+        )
+    else:
+        # word_count, not size(words()): size(NULL) is -1/NULL by ANSI mode
+        # and silently poisons n_docs/sum_dl/avgdl for NULL-text docs
+        doclen = docs.select(
+            F.col(id_col).alias("doc_id"), word_count(F.col(text_col)).alias("dl")
+        )
+        stats = doclen.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
     dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df_docs"))
     qterms = (
         queries.select(
@@ -212,7 +224,7 @@ def bm25_write_index(
         os.path.join(path, "postings")
     )
     stats = (
-        docs.select(F.size(words(F.col(text_col))).alias("dl"))
+        docs.select(word_count(F.col(text_col)).alias("dl"))
         .agg(F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
         .collect()[0]
     )
@@ -261,6 +273,20 @@ def bm25_update_index(
 
     spark = new_docs.sparkSession
     mpath = os.path.join(path, "manifest.json")
+    pending = os.path.join(path, "update_pending.json")
+    # append + manifest rewrite cannot be atomic on a bare parquet dir (an
+    # Iceberg table would make this transactional); a pending marker turns
+    # a mid-update crash from SILENT corruption (postings appended, stats
+    # not) into a detected, refusing state
+    from sparkdoc.io import hadoop_delete, hadoop_exists
+
+    if hadoop_exists(spark, pending):
+        raise RuntimeError(
+            f"bm25_update_index: {pending} exists — a previous update died "
+            "between the postings append and the manifest rewrite; the index "
+            "may hold uncounted postings. Rebuild it (bm25_write_index) or "
+            "restore from backup, then delete the marker."
+        )
     manifest = json.loads(hadoop_read_text(spark, mpath))
     n_buckets = int(manifest["n_buckets"])
 
@@ -268,23 +294,36 @@ def bm25_update_index(
         "bucket", _term_bucket_expr(F.col("term"), n_buckets)
     )
     want = StructType.fromJson(json.loads(manifest["schema"]))
-    if posts.schema != want:
+    # compare (name, type) only: StructType equality includes NULLABILITY,
+    # which differs by construction path (parquet reads are nullable,
+    # range-derived frames are not) and rejects type-identical deltas with
+    # two identical-looking simpleStrings in the message
+    got_sig = [(f.name, f.dataType.simpleString()) for f in posts.schema.fields]
+    want_sig = [(f.name, f.dataType.simpleString()) for f in want.fields]
+    if got_sig != want_sig:
         raise ValueError(
             "bm25_update_index: delta postings schema "
-            f"{posts.schema.simpleString()} != index schema "
-            f"{want.simpleString()} — doc_id type must match the indexed corpus"
+            f"{got_sig} != index schema {want_sig} — "
+            "doc_id type must match the indexed corpus"
         )
-    posts.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(path, "postings")
-    )
+    # delta stats FIRST (pure function of new_docs) so the only crash window
+    # is append→manifest, which the marker brackets
     stats = (
-        new_docs.select(F.size(words(F.col(text_col))).alias("dl"))
+        new_docs.select(word_count(F.col(text_col)).alias("dl"))
         .agg(F.count("*").alias("n_docs"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
         .collect()[0]
+    )
+    hadoop_write_text(
+        spark, pending,
+        json.dumps({"n_docs": int(stats["n_docs"]), "sum_dl": int(stats["sum_dl"])}),
+    )
+    posts.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "postings")
     )
     manifest["n_docs"] = int(manifest["n_docs"]) + int(stats["n_docs"])
     manifest["sum_dl"] = int(manifest["sum_dl"]) + int(stats["sum_dl"])
     hadoop_write_text(spark, mpath, json.dumps(manifest, sort_keys=True))
+    hadoop_delete(spark, pending)
     return manifest
 
 
@@ -355,7 +394,18 @@ def bm25_query_index(
         )
     scored = posts.join(F.broadcast(qside), "term")
     avgdl = F.lit(float(sum_dl) / n_docs) if n_docs else F.lit(1.0)
-    return _bm25_score_topk(scored, avgdl, k1, b, k)
+    out = _bm25_score_topk(scored, avgdl, k1, b, k)
+    if cache_pruned and buckets:
+        # hand the pinned pruned-postings frame to the caller via the
+        # package's cache-handle convention (ngram_jaccard does the same):
+        # after materializing the result, release it with
+        #   for c in getattr(result, "_sparkdoc_caches", []): c.unpersist()
+        # — without the handle a long-lived session leaked one cached frame
+        # per query batch (the CLI jobs release it; an eager checkpoint here
+        # would truncate the plan and hide the partition-filter shape the
+        # pruning test asserts)
+        out._sparkdoc_caches = [posts]  # type: ignore[attr-defined]
+    return out
 
 
 def rrf_fuse(

@@ -122,7 +122,9 @@ def fit_dsir_model(
     ``n_buckets`` rows — tiny; persist/broadcast it. All buckets are emitted
     (dense spine via spark.range) so the join side never misses a key.
     """
-    spark = SparkSession.getActiveSession()
+    # derive the session from an input frame — getActiveSession() is None on
+    # non-creating threads (e.g. a ThreadPoolExecutor fanning out fits)
+    spark = target.sparkSession
     tc = _corpus_bucket_counts(target, text_col, n_buckets, salt)
     rc = _corpus_bucket_counts(raw, text_col, n_buckets, salt)
     spine = spark.range(n_buckets).select(F.col("id").alias("bucket"))

@@ -355,3 +355,100 @@ def test_hybrid_bm25_plus_dense_end_to_end(spark, docs):
     # doc 2 ('lazy dog' twice) is in both systems -> must outrank doc 3
     ranks = {r["doc_id"]: r["rank"] for r in fused}
     assert ranks[2] < ranks[3]
+
+
+def test_null_text_docs_do_not_poison_stats(spark, tmp_path):
+    """NULL-text docs contribute dl=0 (not size(NULL)=-1) to n_docs/sum_dl:
+    the manifest must record the exact word totals, and in-process scoring
+    must match the index path on the same corpus."""
+    import json
+
+    from sparkdoc.io import hadoop_read_text
+    from sparkdoc.retrieval import bm25_query_index, bm25_topk, bm25_write_index
+
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="cat dog"), Row(doc_id=2, text="dog fish bird cat"),
+         Row(doc_id=3, text=None)]
+    )
+    idx = str(tmp_path / "nidx")
+    man = bm25_write_index(d, idx, n_buckets=4)
+    assert man["n_docs"] == 3 and man["sum_dl"] == 6
+    assert json.loads(hadoop_read_text(spark, idx + "/manifest.json"))["sum_dl"] == 6
+    q = spark.createDataFrame([Row(query_id=0, text="cat")])
+    got = sorted(map(tuple, bm25_query_index(spark, idx, q, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(d, q, k=5).collect()))
+    assert got == want and got
+
+
+def test_index_update_accepts_nullability_drift(spark, tmp_path):
+    """A type-identical delta whose columns differ only in NULLABILITY (e.g.
+    range-derived vs parquet-read ids) must be accepted — StructType
+    equality used to reject it with two identical-looking schema strings."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.retrieval import bm25_query_index, bm25_update_index, bm25_write_index
+
+    base = spark.range(2).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta").alias("text")
+    )
+    idx = str(tmp_path / "nbidx")
+    bm25_write_index(base, idx, n_buckets=4)
+    # parquet round-trip flips nullability; the range-derived delta is non-null
+    delta = spark.range(10, 12).select(
+        F.col("id").alias("doc_id"), F.lit("beta gamma").alias("text")
+    )
+    man = bm25_update_index(delta, idx)
+    assert man["n_docs"] == 4 and man["sum_dl"] == 8
+    q = spark.createDataFrame([Row(query_id=0, text="gamma")])
+    hits = bm25_query_index(spark, idx, q, k=5).collect()
+    assert {r["doc_id"] for r in hits} == {10, 11}
+
+
+def test_index_update_pending_marker_refuses(spark, tmp_path):
+    """A leftover update_pending.json marks a mid-update crash: the next
+    update must refuse instead of silently double-appending."""
+    from sparkdoc.io import hadoop_write_text
+    from sparkdoc.retrieval import bm25_update_index, bm25_write_index
+
+    d = spark.createDataFrame([Row(doc_id=1, text="cat dog")])
+    idx = str(tmp_path / "pidx")
+    bm25_write_index(d, idx, n_buckets=4)
+    hadoop_write_text(spark, idx + "/update_pending.json", "{}")
+    with pytest.raises(RuntimeError, match="update_pending"):
+        bm25_update_index(spark.createDataFrame([Row(doc_id=2, text="x y")]), idx)
+
+
+def test_bm25_topk_manifest_stats_skip_corpus_scan(spark, docs):
+    """Passing (n_docs, sum_dl) manifest literals with a prebuilt postings
+    frame must score bit-identically to the self-computed stats path."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.retrieval import bm25_postings, bm25_topk
+    from sparkdoc.textops import word_count
+
+    q = spark.createDataFrame([Row(query_id=0, text="lazy dog")])
+    posts = bm25_postings(docs)
+    stats = docs.select(word_count(F.col("text")).alias("dl")).agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    want = sorted(map(tuple, bm25_topk(docs, q, k=5).collect()))
+    got = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                docs, q, k=5, postings=posts,
+                n_docs=int(stats["n"]), sum_dl=int(stats["s"]),
+            ).collect(),
+        )
+    )
+    assert got == want and got
+    with pytest.raises(ValueError, match="together"):
+        bm25_topk(docs, q, k=5, n_docs=10)
+
+
+def test_score_quantized_requires_some_weights(spark):
+    from sparkdoc.classifier import score_quantized
+
+    d = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError, match="weights"):
+        score_quantized(d, None, 0)
