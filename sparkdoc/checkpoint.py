@@ -35,11 +35,17 @@ def manifest_path(out_dir: str) -> str:
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    """Bucket numbers with committed manifest rows. Absence of the manifest
+    means a fresh run (empty set); a manifest that EXISTS but cannot be read
+    raises — treating a transient storage error as "nothing committed" would
+    re-process committed buckets (and, worse, let _check_or_record_params
+    overwrite the recorded partitioning params)."""
+    from sparkdoc.io import fs_exists
+
     path = manifest_path(out_dir)
-    try:
-        rows = spark.read.schema(METRICS).parquet(path).select("bucket").distinct().collect()
-    except Exception:
+    if not fs_exists(spark, path):
         return set()
+    rows = spark.read.schema(METRICS).parquet(path).select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
 
 
@@ -114,10 +120,23 @@ def _check_or_record_params(spark: SparkSession, out_dir: str, **params) -> None
     them)."""
     import json as _json
 
-    try:
+    from sparkdoc.io import fs_exists
+
+    # absence = first run; an EXISTING-but-unreadable params file must
+    # raise, not silently disable this guard and overwrite the recorded
+    # params (a bare except here turned a corrupt file into exactly the
+    # n_buckets-renumbering data loss the guard exists to prevent)
+    if fs_exists(spark, _params_path(out_dir)):
         rows = spark.read.json(_params_path(out_dir)).collect()
         prior = rows[0].asDict() if rows else None
-    except Exception:
+        if prior is not None and "_corrupt_record" in prior:
+            raise ValueError(
+                f"run_resumable: {_params_path(out_dir)} is unreadable "
+                f"({prior['_corrupt_record']!r}) — refusing to resume with "
+                "unverifiable partitioning params; restore the file or use "
+                "a fresh out_dir"
+            )
+    else:
         prior = None
     if prior is None:
         spark.createDataFrame([(_json.dumps(params),)], "v string").selectExpr(

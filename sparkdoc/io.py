@@ -363,50 +363,37 @@ def write_bucketed_table(
     return name
 
 
+# The hadoop_* text helpers below are thin delegates over the
+# write_text_file family above — ONE implementation (with the _text_fs
+# checksum-sidecar bypass for editable artifacts) behind both names. They
+# existed as a parallel re-implementation WITHOUT the bypass, which left
+# stale .manifest.json.crc sidecars on local filesystems whenever another
+# tool later edited the artifact — the exact hazard _text_fs documents.
+
+
 def hadoop_write_text(spark: SparkSession, path: str, content: str) -> None:
-    """Write a small text file (manifest-sized) through the Hadoop
-    FileSystem API, so index/job layouts work on ANY Spark-reachable
-    filesystem (hdfs://, s3a://, file:) — a builtin ``open()`` would pin
-    the layout to the driver's local disk while the parquet parts beside it
-    happily land on the cluster store."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(content.encode("utf-8")))
-    finally:
-        out.close()
+    """Write a small text file on any Spark-reachable filesystem
+    (delegates to :func:`write_text_file`)."""
+    write_text_file(spark, path, content)
 
 
 def hadoop_exists(spark: SparkSession, path: str) -> bool:
-    """Existence probe via the Hadoop FileSystem API (twin of
-    :func:`hadoop_write_text` — works on any Spark-reachable filesystem)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    """Existence probe (delegates to :func:`fs_exists`)."""
+    return fs_exists(spark, path)
 
 
 def hadoop_delete(spark: SparkSession, path: str) -> None:
-    """Delete a file via the Hadoop FileSystem API (non-recursive)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, False)
+    """Delete a file (non-recursive; raw-fs so the checksum sidecar, if one
+    was ever created, goes with it)."""
+    fs, p = hadoop_fs(spark, path)
+    _text_fs(fs).delete(p, False)
 
 
 def hadoop_read_text(spark: SparkSession, path: str) -> str:
-    """Read a small text file via the Hadoop FileSystem API (twin of
-    :func:`hadoop_write_text`)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    try:
-        # NB: a Python-side read-into-bytearray loop would NOT work here —
-        # py4j copies the buffer to a Java byte[], so Java-side writes never
-        # reach the Python bytearray. Let the JVM do the whole read.
-        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
+    """Read a small text file; raises FileNotFoundError when absent (unlike
+    :func:`read_text_file`'s None — index manifests are REQUIRED files and
+    a clear error beats a downstream json.loads(None))."""
+    out = read_text_file(spark, path)
+    if out is None:
+        raise FileNotFoundError(f"required text artifact missing: {path}")
+    return out

@@ -26,6 +26,35 @@ from pyspark.sql import DataFrame, SparkSession
 from sparkdoc.schemas import RAW_NODES
 
 
+def _start_doc_stream(stream_df, out_dir: str, docs_of_batch, chunk: bool, available_now: bool):
+    """The ONE idempotent document sink behind every extract-flavored stream:
+    each micro-batch OWNS its ``batch_id=N`` directory and overwrites it, so
+    a post-write/pre-commit crash that replays the batch cannot duplicate
+    rows (readers scan documents/batch_id=*/). Shared by stream_extract /
+    stream_extract_mixed / stream_warc_extract — the three copies it
+    replaces had already drifted on the chunker's column selection."""
+    from sparkdoc.chunker import chunk_documents
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = docs_of_batch(batch_df).persist()
+        docs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents", f"batch_id={batch_id}")
+        )
+        if chunk:
+            chunk_documents(docs.select("doc_id", "spans")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "chunks", f"batch_id={batch_id}"))
+        docs.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_extract(
     spark: SparkSession,
     in_dir: str,
@@ -37,7 +66,6 @@ def stream_extract(
 
     Caller awaits ``q.awaitTermination()`` (AvailableNow terminates when the
     backlog drains)."""
-    from sparkdoc.chunker import chunk_documents
     from sparkdoc.spans import extract_documents
 
     # INPUT CONTRACT: a file is the unit of atomicity — every raw_nodes file
@@ -51,28 +79,7 @@ def stream_extract(
         .option("maxFilesPerTrigger", 64)
         .parquet(in_dir)
     )
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        # Idempotent sink: each batch owns its batch_id=N directory and
-        # OVERWRITES it, so a post-write/pre-commit crash that replays the
-        # batch cannot duplicate rows. Readers scan documents/batch_id=*/.
-        docs = extract_documents(batch_df).persist()
-        docs.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "documents", f"batch_id={batch_id}")
-        )
-        if chunk:
-            chunk_documents(docs).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "chunks", f"batch_id={batch_id}")
-            )
-        docs.unpersist()
-
-    writer = (
-        raw.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_doc_stream(raw, out_dir, extract_documents, chunk, available_now)
 
 
 def stream_extract_mixed(
@@ -90,7 +97,6 @@ def stream_extract_mixed(
 
     Unlike stream_extract there is NO file-atomicity caveat: one blob row
     IS one whole document, so any file split across batches is safe."""
-    from sparkdoc.chunker import chunk_documents
     from sparkdoc.ingest import mixed_to_documents
 
     blobs = (
@@ -98,25 +104,7 @@ def stream_extract_mixed(
         .option("maxFilesPerTrigger", 64)
         .parquet(in_dir)
     )
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = mixed_to_documents(batch_df).persist()
-        docs.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "documents", f"batch_id={batch_id}")
-        )
-        if chunk:
-            chunk_documents(docs.select("doc_id", "spans")).write.mode("overwrite").parquet(
-                os.path.join(out_dir, "chunks", f"batch_id={batch_id}")
-            )
-        docs.unpersist()
-
-    writer = (
-        blobs.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_doc_stream(blobs, out_dir, mixed_to_documents, chunk, available_now)
 
 
 def stream_warc_extract(
@@ -142,31 +130,12 @@ def stream_warc_extract(
     batch up to latestOffset, then terminate), which is exactly the
     drain-the-backlog semantics this helper wants; a continuous deployment
     passes ``available_now=False`` and gets normal micro-batching."""
-    from sparkdoc.chunker import chunk_documents
     from sparkdoc.ingest import mixed_to_documents
     from sparkdoc.warcsource import register_warc_source
 
     register_warc_source(spark)
     blobs = spark.readStream.format("warc").load(warc_dir).select("doc_id", "blob")
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = mixed_to_documents(batch_df).persist()
-        docs.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "documents", f"batch_id={batch_id}")
-        )
-        if chunk:
-            chunk_documents(docs.select("doc_id", "spans")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out_dir, "chunks", f"batch_id={batch_id}"))
-        docs.unpersist()
-
-    writer = (
-        blobs.writeStream.foreachBatch(process)
-        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_doc_stream(blobs, out_dir, mixed_to_documents, chunk, available_now)
 
 
 EVENTS_SCHEMA = (
@@ -369,6 +338,7 @@ def stream_sessionize(
         pdf = pd.concat(batch).sort_values(["ts", "event_id"])
         ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
         cur = list(state.get) if state.exists else None  # [start, last, n]
+        late = None  # open session among admitted-LATE events (see below)
         closed = []
         for t in ts_ms:
             if cur is not None and cur[0] - gap_ms <= t <= cur[1] + gap_ms:
@@ -377,18 +347,44 @@ def stream_sessionize(
                 # session start, so both boundaries extend (a plain
                 # `t - cur[1] <= gap` test is vacuously true for any older
                 # event and would drag session_end backwards)
+                if late is not None:
+                    if t - late[1] <= gap_ms:
+                        # the late chain bridges into the open session: one
+                        # session under the batch gap rule
+                        cur[0] = min(cur[0], late[0])
+                        cur[2] += late[2]
+                    else:
+                        closed.append((key[0], late[0], late[1], late[2], "gap"))
+                    late = None
                 cur[0] = min(cur[0], t)
                 cur[1] = max(cur[1], t)
                 cur[2] += 1
             elif cur is not None and t < cur[0] - gap_ms:
-                # admitted late event older than the open session by more
-                # than the gap: its own (already gap-closed) session — the
-                # open session is untouched
-                closed.append((key[0], t, t, 1, "gap"))
+                # admitted late events older than the open session by more
+                # than the gap sessionize AMONG THEMSELVES under the same
+                # gap rule (emitting each as a singleton diverged from the
+                # batch counterpart whenever a batch held >1 late event);
+                # rows are time-sorted, so the late chain only extends right
+                if late is None:
+                    late = [t, t, 1]
+                elif t - late[1] <= gap_ms:
+                    late[1] = t
+                    late[2] += 1
+                else:
+                    closed.append((key[0], late[0], late[1], late[2], "gap"))
+                    late = [t, t, 1]
             else:
+                if late is not None:
+                    closed.append((key[0], late[0], late[1], late[2], "gap"))
+                    late = None
                 if cur is not None:
                     closed.append((key[0], cur[0], cur[1], cur[2], "gap"))
                 cur = [t, t, 1]
+        if late is not None:
+            # still older than the open session by > gap: gap-closed now
+            # (a LATER batch's admitted late event can no longer extend an
+            # emitted session — the documented append-mode approximation)
+            closed.append((key[0], late[0], late[1], late[2], "gap"))
         state.update(tuple(cur))
         # fires once the event-time watermark passes the gap horizon; the
         # input rows above are never behind the watermark, so this timestamp

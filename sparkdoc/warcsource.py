@@ -93,12 +93,33 @@ def _list_warc_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _glob_static_prefix(pattern: str) -> str:
+    """The directory part of a glob before its first wildcard —
+    '/crawl/**/*.warc.gz' → '/crawl'."""
+    parts = pattern.split(os.sep)
+    static = []
+    for seg in parts:
+        if any(ch in seg for ch in "*?["):
+            break
+        static.append(seg)
+    return os.sep.join(static) or os.sep
+
+
 def _name_of(path: str, root: str) -> str:
     """Container name for lineage/doc ids: the path RELATIVE to the load
-    root (posix separators) when the root is a directory — two
-    ``segX/part-0.warc.gz`` files must not collide — else the basename."""
+    root (posix separators) — two ``segX/part-0.warc.gz`` files must not
+    collide. For a glob root the base is the glob's static prefix
+    ('/crawl/**/*.warc.gz' → names like 'seg1/part-0.warc.gz'); a plain
+    basename there would collide same-named files across segment dirs,
+    the exact hazard the directory branch exists to prevent. Single-file
+    loads keep the basename."""
     if os.path.isdir(root):
         return os.path.relpath(path, root).replace(os.sep, "/")
+    if os.path.isfile(root):
+        return os.path.basename(path)
+    base = _glob_static_prefix(root)
+    if os.path.isdir(base):
+        return os.path.relpath(path, base).replace(os.sep, "/")
     return os.path.basename(path)
 
 
@@ -265,17 +286,38 @@ class _WarcStreamReader(DataSourceStreamReader):
         self._path = path
 
     def initialOffset(self) -> dict:
-        return {"upto": ""}
+        return {"upto": "", "n_below": 0}
 
     def latestOffset(self) -> dict:
         files = _list_or_empty(self._path)
-        return {"upto": files[-1]} if files else {"upto": ""}
+        if not files:
+            return {"upto": "", "n_below": 0}
+        # n_below = files at-or-below the offset AT COMMIT TIME: the next
+        # batch compares it against the live listing, so a file that lands
+        # named BELOW an already-committed offset (an unpadded segment dir,
+        # a backfill drop) fails the batch LOUDLY instead of vanishing from
+        # the corpus with nothing logged
+        return {"upto": files[-1], "n_below": len(files)}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("upto", ""), end.get("upto", "")
+        files = _list_or_empty(self._path)
+        below = [p for p in files if p <= lo]
+        expect = start.get("n_below")
+        if expect is not None and len(below) > int(expect):
+            extra = [p for p in below[-(len(below) - int(expect)) :]]
+            raise RuntimeError(
+                "warc stream source: %d container(s) arrived NAMED BELOW the "
+                "committed offset %r (e.g. %s) — the append-only naming "
+                "contract is violated and these files would be silently "
+                "skipped. Zero-pad segment names, or ingest the stragglers "
+                "with the batch reader (warcdir:)." % (
+                    len(below) - int(expect), lo, ", ".join(extra[:3])
+                )
+            )
         return [
             WarcFilePartition(p, _name_of(p, self._path))
-            for p in _list_or_empty(self._path)
+            for p in files
             if lo < p <= hi
         ]
 

@@ -249,3 +249,28 @@ def test_driver_artifact_io_scheme_aware(spark, tmp_path):
     with open(path, "w", encoding="utf-8") as f:
         f.write("edited outside the engine")
     assert read_text_file(spark, path) == "edited outside the engine"
+
+
+def test_corrupt_run_params_refuses_resume(spark, tmp_path):
+    """An EXISTING-but-unreadable _run_params must raise, not silently
+    disable the partitioning-params guard and get overwritten."""
+    import os
+
+    import pytest
+
+    from sparkdoc.checkpoint import _check_or_record_params, _params_path
+
+    out = str(tmp_path / "run")
+    _check_or_record_params(spark, out, n_buckets=8, chunk=True)
+    # matching params resume fine
+    _check_or_record_params(spark, out, n_buckets=8, chunk=True)
+    with pytest.raises(ValueError, match="differ"):
+        _check_or_record_params(spark, out, n_buckets=16, chunk=True)
+    # corrupt the params file → hard refusal, never overwrite
+    pdir = _params_path(out)
+    for f in os.listdir(pdir):
+        if f.endswith(".json"):
+            with open(os.path.join(pdir, f), "w") as fh:
+                fh.write("{ not json")
+    with pytest.raises(Exception, match="unreadable|corrupt|_corrupt"):
+        _check_or_record_params(spark, out, n_buckets=8, chunk=True)

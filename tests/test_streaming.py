@@ -369,3 +369,95 @@ def test_stream_sessionize_out_of_order_cross_batch(spark, tmp_path):
     assert r["session_start"] == t0 + dt.timedelta(minutes=-20)
     assert r["session_end"] == t0 + dt.timedelta(minutes=10)
     assert r["session_end"] >= r["session_start"]
+
+
+def test_stream_sessionize_multiple_late_events_form_one_session(spark, tmp_path):
+    """Two admitted-late events within one gap of EACH OTHER (but > gap
+    older than the open session) must come out as ONE late session under
+    the batch gap rule — not one singleton per event; a late chain within
+    gap of the open interval must bridge-merge into it."""
+    import datetime as dt
+
+    from sparkdoc.streaming import EVENTS_SCHEMA, stream_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, minutes, user):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, "view", 1.0, "{}")
+
+    # batch 1: open session for u1 at [12:00, 12:10] (gap = 30 min)
+    spark.createDataFrame([ev(0, 0, 1), ev(1, 10, 1)], EVENTS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    # batch 2: two late u1 events at -55 and -50 min — 5 min apart (one
+    # session together), both > 30 min older than the open start, and the
+    # chain does NOT bridge (-50 -> 0 is 50 > 30). Watermark stays behind
+    # (no newer u1 rows in this batch beyond the flusher).
+    spark.createDataFrame(
+        [ev(2, -55, 1), ev(3, -50, 1), ev(4, 2880, 99)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    # batch 3: flush so u1's open session times out
+    spark.createDataFrame([ev(5, 5760, 99)], EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    rows = sorted(
+        spark.read.parquet(os.path.join(out_dir, "sessions"))
+        .filter("user_id = 1")
+        .collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [(r["n_events"], r["closed_by"]) for r in rows] == [(2, "gap"), (2, "timeout")]
+    assert rows[0]["session_start"] == t0 + dt.timedelta(minutes=-55)
+    assert rows[0]["session_end"] == t0 + dt.timedelta(minutes=-50)
+    assert rows[1]["session_start"] == t0
+
+
+def test_stream_sessionize_late_chain_bridges_into_open_session(spark, tmp_path):
+    """Late events that chain up to within one gap of the open interval
+    merge into it: [-40, -25] with gap 30 bridges -25 → 0, so everything is
+    ONE session starting at -40."""
+    import datetime as dt
+
+    from sparkdoc.streaming import EVENTS_SCHEMA, stream_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, minutes, user):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, "view", 1.0, "{}")
+
+    spark.createDataFrame([ev(0, 0, 1), ev(1, 10, 1)], EVENTS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    # -40 is > gap older than start 0; -25 chains to -40 (15 <= 30) AND is
+    # within gap of the interval start (25 <= 30) → bridge: one session
+    spark.createDataFrame(
+        [ev(2, -40, 1), ev(3, -25, 1), ev(4, 2880, 99)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    spark.createDataFrame([ev(5, 5760, 99)], EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir).awaitTermination()
+
+    rows = spark.read.parquet(os.path.join(out_dir, "sessions")).filter(
+        "user_id = 1"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 4
+    import datetime as dt2
+    assert rows[0]["session_start"] == t0 + dt2.timedelta(minutes=-40)

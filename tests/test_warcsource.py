@@ -303,3 +303,40 @@ def test_nested_same_basename_no_collision(spark, tmp_path):
     assert names == {"seg1/part-0.warc", "seg2/part-0.warc"}
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids)) and len(ids) > 0
+
+
+def test_glob_root_names_do_not_collide(tmp_path):
+    """A recursive glob over segment dirs names containers relative to the
+    glob's static prefix — same-basename files must not collide."""
+    from sparkdoc.warcsource import _list_warc_files, _name_of
+
+    d = tmp_path / "crawl"
+    (d / "seg1").mkdir(parents=True)
+    (d / "seg2").mkdir()
+    (d / "seg1" / "part-0.warc").write_bytes(b"")
+    (d / "seg2" / "part-0.warc").write_bytes(b"")
+    pat = str(d / "**" / "*.warc")
+    files = _list_warc_files(pat)
+    names = [_name_of(p, pat) for p in files]
+    assert names == ["seg1/part-0.warc", "seg2/part-0.warc"]
+
+
+def test_stream_offset_detects_below_offset_arrivals(tmp_path):
+    """A container landing NAMED BELOW a committed offset violates the
+    append-only contract and must fail the batch loudly, not vanish."""
+    from sparkdoc.warcsource import _WarcStreamReader
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "seg9-part.warc").write_bytes(b"")
+    r = _WarcStreamReader({"path": str(d)})
+    start = {"upto": "", "n_below": 0}
+    end = r.latestOffset()
+    assert end["n_below"] == 1
+    parts = r.partitions(start, end)
+    assert len(parts) == 1
+    # commit point = end; now an UNPADDED name arrives that sorts below it
+    (d / "seg10-part.warc").write_bytes(b"")  # "seg10..." < "seg9..."
+    end2 = r.latestOffset()
+    with pytest.raises(RuntimeError, match="BELOW the committed offset"):
+        r.partitions(end, end2)
