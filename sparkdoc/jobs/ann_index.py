@@ -76,6 +76,18 @@ def main() -> None:
         if not args.corpus:
             raise SystemExit("--build requires --corpus")
         corpus = spark.read.parquet(args.corpus)
+        from pyspark.sql import functions as F
+
+        # fail fast on a --dim / corpus mismatch: a wider corpus would be
+        # silently TRUNCATED by the PQ subspace slices, a narrower one
+        # null-poisons the zip_with dot products
+        bad = corpus.filter(F.size("embedding") != args.dim).limit(1).collect()
+        if bad:
+            raise SystemExit(
+                f"--dim {args.dim} does not match the corpus embedding width "
+                f"(e.g. vec_id={bad[0]['vec_id']} has "
+                f"{len(bad[0]['embedding'])} dims)"
+            )
         cents = kmeans_fit(
             corpus,
             k=args.cells,
@@ -100,7 +112,10 @@ def main() -> None:
         pq_encode(corpus, cb).write.mode("overwrite").parquet(
             os.path.join(args.index, "codes")
         )
-        n = assigned.count()
+        # count the WRITTEN parquet (metadata-only), not `assigned` — that
+        # would re-run the full-corpus normalize + argmin assignment
+        # (checkpoint.py documents the same pattern for chunks)
+        n = spark.read.parquet(os.path.join(args.index, "cells")).count()
         # manifest through the Hadoop FS API so the index dir can live on
         # any Spark-reachable filesystem, like its parquet parts
         from sparkdoc.io import hadoop_write_text
@@ -148,6 +163,19 @@ def main() -> None:
     cells = spark.read.parquet(os.path.join(args.index, "cells"))
     codes = spark.read.parquet(os.path.join(args.index, "codes"))
     queries = spark.read.parquet(args.query)
+    from pyspark.sql import functions as F
+
+    # query embeddings must match the index dim: zip_with pads the shorter
+    # side with NULLs, so a mismatch degenerates every probe score and
+    # cosine to NULL and the job would "succeed" over garbage rankings
+    dim = len(cents[0])
+    badq = queries.filter(F.size("embedding") != dim).limit(1).collect()
+    if badq:
+        raise SystemExit(
+            f"query embedding width {len(badq[0]['embedding'])} != index dim "
+            f"{dim} (e.g. vec_id={badq[0]['vec_id']}) — re-embed the queries "
+            "with the index's model"
+        )
 
     from sparkdoc.cluster import ivfpq_topk
 

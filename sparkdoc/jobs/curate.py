@@ -43,6 +43,14 @@ Outputs under --out (all on the data filesystem, hdfs/s3a-safe):
 Prints ONE JSON summary line. Deterministic end-to-end: every gate is a
 pure function of the input table, so re-running the job reproduces the
 same split bit-for-bit (idempotent overwrite writes).
+
+Accounting contract: ``n_input`` is the document count ENTERING the gate
+chain, derived from the written outputs (kept + every reject reason except
+``url_dup``), so ``n_kept + Σ gate rejects == n_input`` balances by
+construction. ``url_dup`` rejects are attributed in ``rejected/`` but
+happen BEFORE the gate input (their denominator is the raw table);
+``--max-per-source`` caps and ``--sample`` are subsampling, not rejects —
+dropped docs appear in neither table.
 """
 
 from __future__ import annotations
@@ -134,17 +142,21 @@ def main() -> None:
         shuffle_partitions=args.shuffle_partitions,
     )
     t_start = time.monotonic()  # post-session: pipeline wall, not JVM boot
+    _release: list = []  # frames persisted for multi-consumer stages
     raw = spark.read.parquet(args.input)
     url_rejected = None
     if args.url_dedup:
         # cheapest dedup first: pure string canonicalization + one keep-min
         # shuffle on the canonical key, before any text-heavy stage (and
         # before the per-source cap, which drops the url column)
-        from sparkdoc.urlops import with_canonical_url
+        from sparkdoc.urlops import url_dedup, with_canonical_url
 
         wc = with_canonical_url(raw)
-        keepers = wc.filter(F.col("url_canon").isNotNull()).groupBy("url_canon").agg(
-            F.min("doc_id").alias("_keep")
+        # ONE implementation of the canonicalize/keep-min rule (urlops.
+        # url_dedup) — an inline copy here could drift on tie-break or
+        # NULL handling
+        keepers = url_dedup(raw).select(
+            "url_canon", F.col("keep_id").alias("_keep")
         )
         wc = wc.join(keepers, "url_canon", "left")
         # NULL-url docs never reject: unknown URLs are not duplicates of
@@ -191,9 +203,12 @@ def main() -> None:
         # trained-model gate, last: only survivors of every cheaper gate pay
         # for scoring, and the reject attribution stays first-fault
         from sparkdoc.classifier import score_quantized
-        from sparkdoc.io import read_text_file
+        from sparkdoc.io import hadoop_read_text
 
-        manifest = json.loads(read_text_file(spark, os.path.join(args.classifier, "manifest.json")))
+        # hadoop_read_text raises FileNotFoundError on a missing/typo'd
+        # --classifier path (read_text_file's None would die later as an
+        # opaque json.loads(None) TypeError)
+        manifest = json.loads(hadoop_read_text(spark, os.path.join(args.classifier, "manifest.json")))
         wdf = spark.read.parquet(os.path.join(args.classifier, "weights"))
         scored = score_quantized(
             kept,
@@ -203,7 +218,12 @@ def main() -> None:
             weights_df=wdf,
             n_buckets=manifest["n_buckets"],
         ).withColumnRenamed("label", "_clf")
-        kept_s = kept.join(scored.select("doc_id", "_clf"), "doc_id")
+        # persisted: the scored frame feeds BOTH the reject attribution and
+        # the surviving-kept branch — without the cache the whole feature-
+        # hash + dot runs once per consumer (curate_split's own drop lists
+        # persist for exactly this reason)
+        kept_s = kept.join(scored.select("doc_id", "_clf"), "doc_id").persist()
+        _release.append(kept_s)
         rejected = rejected.unionByName(
             kept_s.filter(F.col("_clf") == 0).select(
                 "doc_id", F.lit("classifier").alias("reject_reason")
@@ -221,10 +241,13 @@ def main() -> None:
 
         target = spark.read.parquet(args.dsir_target).select("doc_id", "text")
         model = fit_dsir_model(target, kept, n_buckets=args.dsir_buckets)
+        # persisted: sel_ids (k rows) feeds the anti-join AND the keep join;
+        # uncached, each consumer re-runs the model fit's corpus scans
         sel_ids = dsir_select(
             kept, model, k=args.dsir_k, seed=args.dsir_seed,
             n_buckets=args.dsir_buckets, temperature=args.dsir_temperature,
-        ).select("doc_id")
+        ).select("doc_id").persist()
+        _release.append(sel_ids)
         # k rows vs the corpus: AQE broadcasts the small side at runtime
         rejected = rejected.unionByName(
             kept.join(sel_ids, "doc_id", "left_anti").select(
@@ -245,12 +268,23 @@ def main() -> None:
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    for f in _release:
+        f.unpersist()
+    n_kept = spark.read.parquet(os.path.join(args.out, "kept")).count()
+    # n_input is DERIVED from the written outputs (kept + every gate reject
+    # except the pre-pipeline url_dup pass), so the accounting balances by
+    # construction — a docs.count() here would replay the whole pre-gate
+    # chain (mojibake repair, paragraph + substring dedup) for one integer,
+    # and double-counted url_dup rows against a denominator they never
+    # entered. Cap/sample-dropped docs are subsampling, not rejects: they
+    # appear in neither table by design (documented in the module docstring).
+    n_input = n_kept + sum(v for k, v in by_reason.items() if k != "url_dup")
     summary = {
         "job": "curate",
         "input": args.input,
         "wall_s": round(time.monotonic() - t_start, 3),
-        "n_input": docs.count(),
-        "n_kept": spark.read.parquet(os.path.join(args.out, "kept")).count(),
+        "n_input": n_input,
+        "n_kept": n_kept,
         "rejected_by_reason": dict(sorted(by_reason.items())),
         "knobs": {
             "min_words": args.min_words,
