@@ -174,7 +174,9 @@ def main() -> None:
         "r1 0.818/0.921); first miles pdf 0.927 @ 48k post-opt, mixed 0.908 @ 72k, "
         "warc 0.831 @ 6k files, xlsx 0.908 @ 144k, pptx 0.83 @ 72k, "
         "jats 0.849 @ 72k, uspto 0.922 @ 144k, mets 0.82 @ 72k; "
-        "1M-doc kill/resume proven r3"
+        "1M-doc kill/resume proven r3; e2e web_pipeline CLI walls + "
+        "fixed-latency-floor decomposition recorded (mix stage flat in "
+        "cores AND size — compute kernels own the >=0.8 figures)"
     )
     docs.unpersist()
     raw.unpersist()
