@@ -4000,7 +4000,7 @@ def oracle_sql() -> dict[str, str]:
         WITH documents_h AS ({_HOSTILE_SQL})
         SELECT doc_id,
                length(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS clean_len,
-               length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS content_len,
+               length(regexp_replace(regexp_replace(text, '(?s)<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS content_len,
                length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS squash_len
         FROM documents_h
     """
@@ -5227,7 +5227,7 @@ def oracle_sql() -> dict[str, str]:
         WITH documents_s AS ({_SIZED_SQL}),
         c AS (
             SELECT doc_id,
-                   length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS cc
+                   length(regexp_replace(regexp_replace(text, '(?s)<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS cc
             FROM documents_s
         )
         SELECT doc_id,
@@ -5240,7 +5240,7 @@ def oracle_sql() -> dict[str, str]:
         WITH documents_s AS ({_SIZED_SQL}),
         c AS (
             SELECT doc_id,
-                   length(regexp_replace(regexp_replace(text, '<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS cc
+                   length(regexp_replace(regexp_replace(text, '(?s)<!\[CDATA\[(.*?)\]\]>', '\1', 'g'), '<[^>]+>', '', 'g')) AS cc
             FROM documents_s
         )
         SELECT doc_id,
@@ -7128,7 +7128,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
         SELECT doc_id,
-               nfc_normalize(text) <> text AS nfc_changed,
+               coalesce(nfc_normalize(text) <> text, false) AS nfc_changed,
                md5(nfc_normalize(text)) AS nfc_md5
         FROM seeded
     """

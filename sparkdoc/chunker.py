@@ -5,7 +5,15 @@ Semantics modeled on the reference's HybridChunker usage
 (core/extractors/document_processor.py:375-458):
 
   * heading-trail contextualization: every chunk's enriched text is prefixed
-    with the active heading trail; heading level = count of leading '#'
+    with the active heading trail; heading level = count of leading '#'.
+    KNOWN LIMITATION: the html/md/office first miles emit heading TEXT with
+    the level stripped (mdparse drops ATX hashes, htmlparse flattens h1-h6
+    to plain text), so those paths see every heading as level 1 — the trail
+    replaces instead of nesting. The spans schema (kind/text/media_ref/
+    offset) is pinned by the north rule, so carrying the level means
+    prefixing '#'*level onto first-mile heading text, which moves every
+    pinned fixture/oracle of those paths — deferred as a coordinated
+    change, recorded here rather than silently.
   * merge peers: consecutive content spans under an unchanged trail are
     greedily merged while enriched size stays <= max_tokens
   * tables are atomic: never split across chunks, emitted whole even if over
@@ -91,18 +99,20 @@ def strip_heading(text: str) -> str:
 def _split_sentences_fit(text: str, budget: int) -> list[str]:
     """Sentence split → greedy pack → word pack → binary char split."""
     sentences = [s for s in SENTENCE_RE.split(text) if s and s.strip()]
-    pieces: list[str] = []
+    # carry each piece's count alongside it — tokenizing once for the fit
+    # check and AGAIN in the greedy pack doubled the hot-loop tokenizer work
+    pieces: list[tuple[str, int]] = []
     for s in sentences:
-        if count_tokens(s) <= budget:
-            pieces.append(s)
+        t = count_tokens(s)
+        if t <= budget:
+            pieces.append((s, t))
         else:
-            pieces.extend(_split_words_fit(s, budget))
+            pieces.extend((w, count_tokens(w)) for w in _split_words_fit(s, budget))
     # greedy pack pieces into segments <= budget
     segments: list[str] = []
     cur: list[str] = []
     cur_tok = 0
-    for p in pieces:
-        t = count_tokens(p)
+    for p, t in pieces:
         if cur and cur_tok + t > budget:
             segments.append(" ".join(cur))
             cur, cur_tok = [], 0
@@ -174,6 +184,7 @@ def chunk_spans(
     page = 1
     acc: list[dict] = []  # pending content units {text, tokens, ref, page}
     acc_refs: list[tuple[str, int]] = []  # picture refs pending (ref, page)
+    acc_tok = 0  # running token total of acc (flush resets)
 
     def trail_texts() -> list[str]:
         return [h for _, h in trail]
@@ -213,10 +224,10 @@ def chunk_spans(
         )
 
     def flush():
-        nonlocal acc, acc_refs
+        nonlocal acc, acc_refs, acc_tok
         if acc:
             emit(acc, acc_refs)
-            acc, acc_refs = [], []
+            acc, acc_refs, acc_tok = [], [], 0
 
     for s in sorted(spans, key=lambda x: x["offset"]):
         kind = s["kind"]
@@ -268,10 +279,12 @@ def chunk_spans(
                     resplit_of=None if j == 0 else parent_id,
                 )
             continue
-        acc_tok = sum(u["tokens"] for u in acc)
+        # running total — a per-span re-sum over acc is quadratic in
+        # spans-per-chunk inside the per-document hot loop
         if acc and acc_tok + tokens > budget:
             flush()
         acc.append(unit)
+        acc_tok += tokens
     flush()
     if acc_refs:
         # trailing pictures (no content span after them): attach to the last
@@ -321,14 +334,17 @@ def chunk_documents(
     return documents.mapInPandas(gen, schema=CHUNKS)
 
 
-def extract_and_chunk(raw_nodes, max_tokens: int = DEFAULT_MAX_TOKENS, max_batch_tokens: int = DEFAULT_MAX_BATCH_TOKENS):
+def extract_and_chunk(raw_nodes, max_tokens: int = DEFAULT_MAX_TOKENS, max_batch_tokens: int = DEFAULT_MAX_BATCH_TOKENS, serializer=None):
     """Fused raw_nodes → chunks: one shuffle, ONE python stage.
 
     Identical semantics to chunk_documents(extract_documents(raw)) — pinned
     by a parity test — but assembles spans and chunks in the same
     mapInPandas pass, halving Arrow JVM↔Python hops. This is the production
     job shape for chunk-only consumers; keep the two-stage path when the
-    spans table itself is a required output.
+    spans table itself is a required output. ``serializer`` is the same
+    extension slot chunk_documents takes (extensions.chunk_serializer) —
+    without the pass-through the fused path silently rendered tables
+    verbatim while claiming parity with the two-stage path.
     """
     import numpy as np
     import pandas as pd
@@ -351,7 +367,7 @@ def extract_and_chunk(raw_nodes, max_tokens: int = DEFAULT_MAX_TOKENS, max_batch
         rows: list[dict] = []
         for s, e in zip(starts, ends):
             spans = _assemble_doc(kind[s:e], text[s:e], media[s:e], page[s:e], bbox[s:e])
-            for c in chunk_spans(spans, max_tokens, max_batch_tokens):
+            for c in chunk_spans(spans, max_tokens, max_batch_tokens, serializer):
                 c["doc_id"] = ids[s]
                 rows.append(c)
         cols = [f.name for f in CHUNKS.fields]

@@ -30,7 +30,7 @@ CONTROL_CHAR_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
 
 #: DocLang-style markup (CDATA unwrap + tag strip) — reference
 #: doclang_format.py:58-71
-_CDATA_RE = r"<!\[CDATA\[(.*?)\]\]>"
+_CDATA_RE = r"(?s)<!\[CDATA\[(.*?)\]\]>"  # (?s): CDATA content spans lines
 _TAG_RE = r"<[^>]+>"
 
 
@@ -135,7 +135,9 @@ def nfc_normalize_text(
     combining sequences compose, singletons map — mojibake repair's
     complement for text that is VALID but decomposed, e.g. NFD output from
     macOS pipelines or OCR). Writes ``out`` (default: replaces
-    ``text_col``) plus boolean ``nfc_changed``; NULL passes through NULL.
+    ``text_col``) plus boolean ``nfc_changed``; NULL text passes through
+    NULL, but the flag is False (never NULL — a NULL flag silently drops
+    the row from boolean filters).
 
     Spark has no NFC builtin, so this is a vectorized Arrow-batched pandas
     UDF over CPython's unicodedata — which agrees byte-for-byte with
@@ -154,7 +156,12 @@ def nfc_normalize_text(
     target = out or text_col
     return (
         df.withColumn("_nfc_out", _nfc(F.col(text_col)))
-        .withColumn("nfc_changed", F.col("_nfc_out") != F.col(text_col))
+        # coalesce: NULL != NULL is NULL and would silently drop NULL-text
+        # rows from any boolean filter on this flag
+        .withColumn(
+            "nfc_changed",
+            F.coalesce(F.col("_nfc_out") != F.col(text_col), F.lit(False)),
+        )
         .withColumn(target, F.col("_nfc_out"))
         .drop("_nfc_out")
     )

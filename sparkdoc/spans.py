@@ -241,8 +241,11 @@ def extract_span_rows_geo(raw_nodes: DataFrame) -> DataFrame:
                                 "media_ref": cols["media_ref"][i],
                                 "page_no": page,
                                 "bbox": list(cols["bbox"][i]),
-                                "page_width": int(cols["page_width"][i]) if cols["page_width"][i] is not None else 0,
-                                "page_height": int(cols["page_height"][i]) if cols["page_height"][i] is not None else 0,
+                                # pd.notna, not `is not None`: nullable int
+                                # columns arrive in pandas as float64 with
+                                # NaN for NULL, and int(nan) raises
+                                "page_width": int(cols["page_width"][i]) if pd.notna(cols["page_width"][i]) else 0,
+                                "page_height": int(cols["page_height"][i]) if pd.notna(cols["page_height"][i]) else 0,
                             }
                         )
                         offset += 1

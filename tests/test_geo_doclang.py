@@ -143,3 +143,25 @@ def test_parse_doclang_page_break_page_no_matches_engine_convention(spark):
         0: ("text", 1), 1: ("page_break", 2), 2: ("text", 2),
         3: ("page_break", 3), 4: ("text", 3),
     }
+
+
+def test_geo_rows_survive_null_page_dims(spark):
+    """TOPLEFT rows with NULL page_width/page_height (legitimately kept by
+    classify_raw_nodes) must not crash the Arrow kernel: nullable int
+    columns arrive as float64 NaN, and the old `is not None` guard passed
+    NaN into int() — the guard must be pd.notna."""
+    from sparkdoc.spans import extract_span_rows_geo
+    from sparkdoc.synth import raw_nodes_df
+
+    base = raw_nodes_df(spark, 4, 42)
+    import pyspark.sql.functions as F
+
+    nulled = base.withColumn(
+        "page_width",
+        F.when(F.col("doc_id") == base.select("doc_id").first()[0], F.lit(None)).otherwise(
+            F.col("page_width")
+        ),
+    )
+    rows = extract_span_rows_geo(nulled).collect()
+    assert rows  # no task crash; nulled dims fall back to 0
+    assert any(r["page_width"] == 0 for r in rows)

@@ -107,7 +107,7 @@ def test_nfc_composes_decomposed_sequences(spark):
     out = {r["doc_id"]: (r["text"], r["nfc_changed"]) for r in nfc_normalize_text(df).collect()}
     assert out[0] == ("café", True)
     assert out[1] == ("plain ascii", False)
-    assert out[2] == (None, None)
+    assert out[2] == (None, False)  # text NULL passes through; flag never NULL
     assert out[3] == ("Ångström", True)
 
 
@@ -126,3 +126,35 @@ def test_nfc_is_idempotent_and_supports_out_column(spark):
     twice = nfc_normalize_text(once.select("doc_id", F.col("norm").alias("text")))
     r2 = twice.collect()[0]
     assert r2["nfc_changed"] is False and r2["text"] == row["norm"]
+
+
+def test_nfc_changed_false_for_null_text(spark):
+    """NULL text → nfc_changed must be False, not NULL (NULL != NULL is
+    NULL and silently drops the row from boolean filters)."""
+    from sparkdoc.clean import nfc_normalize_text
+
+    df = spark.createDataFrame([(1, None), (2, "abc")], "doc_id int, text string")
+    out = {r["doc_id"]: r["nfc_changed"] for r in nfc_normalize_text(df).collect()}
+    assert out[1] is False and out[2] is False
+
+
+def test_multiline_cdata_content_survives_markup_strip(spark):
+    """CDATA spanning lines must unwrap (the (?s) flag) — without it the
+    tag-strip regex deleted the whole block including its content."""
+    from pyspark.sql import functions as F
+
+    from sparkdoc.clean import content_chars, strip_markup
+
+    df = spark.createDataFrame(
+        [(1, "<![CDATA[line1\nline2]]>"), (2, "<b>x</b>")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["s"], r["n"])
+        for r in df.select(
+            "doc_id",
+            strip_markup(F.col("text")).alias("s"),
+            content_chars(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("line1\nline2", 11)
+    assert got[2] == ("x", 1)
