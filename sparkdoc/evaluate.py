@@ -117,12 +117,20 @@ def node_identity_keys(nodes: DataFrame, id_fields: dict[str, list[str]]) -> Dat
     mapped to []) are likewise unkeyed. One shuffle on (doc, class, node).
     """
     fdf = _id_fields_df(nodes.sparkSession, id_fields)
-    vals = nodes.join(fdf, "class").select(
-        "doc_id",
-        "class",
-        "node_id",
-        "pos",
-        _canon(F.element_at(F.col("ids"), F.col("field"))).alias("canon"),
+    vals = (
+        nodes.join(fdf, "class")
+        .select(
+            "doc_id",
+            "class",
+            "node_id",
+            "pos",
+            _canon(F.element_at(F.col("ids"), F.col("field"))).alias("canon"),
+        )
+        # defensive distinct: a duplicated input node row (e.g. a truth
+        # parquet assembled from unioned annotation exports) would double
+        # every collect_list value and CORRUPT the key ('acme\x01acme') —
+        # silently zeroing that node's matches — instead of deduplicating
+        .dropDuplicates(["doc_id", "class", "node_id", "pos"])
     )
     ordered = F.array_sort(F.collect_list(F.struct("pos", "canon")))
     return (

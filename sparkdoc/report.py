@@ -262,11 +262,25 @@ def export_report_and_html(out: dict, out_dir: str, counts: dict | None = None) 
 
     spark = out["nodes"].sparkSession
     report_path = os.path.join(out_dir, "report.md")
+    # compute the two totals ONCE and hand them to report_from_convert too —
+    # letting both paths self-count doubled the Spark actions over the
+    # many-stage extraction plan (the cost the counts parameter exists to
+    # avoid)
+    if counts is None:
+        # build the FULL counts dict report_from_convert would otherwise
+        # build internally, so every table is counted exactly once here
+        counts = {
+            name: out[name].count()
+            for name in ("nodes", "edges", "entities", "invalid_entities", "ledger", "alias_audit")
+            if name in out
+        }
+    else:
+        counts = dict(counts)
+        counts.setdefault("nodes", out["nodes"].count())
+        counts.setdefault("edges", out["edges"].count())
     write_text_file(spark, report_path, report_from_convert(out, counts=counts))
-    total_nodes = counts.get("nodes") if counts else None
-    total_nodes = out["nodes"].count() if total_nodes is None else total_nodes
-    total_edges = counts.get("edges") if counts else None
-    total_edges = out["edges"].count() if total_edges is None else total_edges
+    total_nodes = counts["nodes"]
+    total_edges = counts["edges"]
     # orderBy before limit: an unordered limit() samples whichever partitions
     # answer first — two runs of the same corpus would render different HTML
     nodes = [r.asDict() for r in out["nodes"].select("node_id", "node_class", "label").orderBy("node_id").limit(MAX_HTML_NODES + 1).collect()]

@@ -90,6 +90,20 @@ def _model_of(annotation: Any):
     ann = _strip_optional(annotation)
     if isinstance(ann, type) and BaseModel is not None and issubclass(ann, BaseModel):
         return ann
+    # a NON-Optional Union containing entity models (e.g. a discriminated
+    # union child) has no engine mapping — falling through to the scalar
+    # branch would silently compile the whole declared subtree to a string
+    # field (fail-loudly policy, same as the graph_reference misdeclaration)
+    origin = get_origin(ann)
+    if origin is Union or origin is _types.UnionType:
+        models = [a for a in get_args(ann) if _model_of(a) is not None]
+        if models:
+            names = ", ".join(m.__name__ for m in models)
+            raise ValueError(
+                f"unsupported Union over entity models ({names}): the engine "
+                "has no discriminated-union children — declare separate "
+                "Optional fields per variant (or a common base class)"
+            )
     return None
 
 
@@ -331,33 +345,54 @@ def pydantic_validators(model_cls: type) -> dict[str, Callable[[dict], list[str]
             for fname, finfo in model.model_fields.items()
             if _model_of(_unwrap_field(finfo.annotation)[0]) is None
         }
+        # Field(alias=...) support: the salvage payload is keyed by PYTHON
+        # field names, but an un-aliased model_validate expects (and reports
+        # error locs by) the alias — without the two maps below, an aliased
+        # field's missing/coercion errors were filtered out as "not a scalar"
+        # and the whole gate silently no-opped for that field
+        to_alias = {
+            fname: (finfo.alias or fname)
+            for fname, finfo in model.model_fields.items()
+            if fname in scalar_fields
+        }
+        from_alias = {a: f for f, a in to_alias.items()}
 
-        def make(m: type, scalars: frozenset) -> Callable[[dict], list[str]]:
+        def make(
+            m: type, scalars: frozenset, to_a: dict, from_a: dict
+        ) -> Callable[[dict], list[str]]:
             def validate(entity: dict) -> list[str]:
                 payload: dict[str, Any] = {}
                 for k, v in (entity or {}).items():
                     if k in scalars and v not in (None, ""):
-                        payload[k] = v
+                        payload[to_a.get(k, k)] = v
                 try:
                     m.model_validate(payload)
                     return []
                 except Exception as e:  # pydantic.ValidationError shape
                     errors = getattr(e, "errors", None)
                     if callable(errors):
-                        return [
-                            f"template:{err.get('type', 'invalid')}@"
-                            + ".".join(str(x) for x in err.get("loc", ()))
-                            for err in errors()
+                        out_errs = []
+                        for err in errors():
+                            loc = err.get("loc", ())
+                            loc0 = from_a.get(str(loc[0]), str(loc[0])) if loc else None
                             # errors rooted on a model-typed field (required
                             # child "missing", nested shape) are the engine's
                             # structural checks' territory, not this gate's
-                            if not err.get("loc") or str(err["loc"][0]) in scalars
-                        ]
+                            if loc and loc0 not in scalars:
+                                continue
+                            shown = (loc0,) + tuple(str(x) for x in loc[1:]) if loc else ()
+                            out_errs.append(
+                                f"template:{err.get('type', 'invalid')}@"
+                                + ".".join(str(x) for x in shown)
+                            )
+                        return out_errs
                     return [f"template:{type(e).__name__}"]
 
             return validate
 
-        out[model.__name__] = make(model, frozenset(scalar_fields))
+        out[model.__name__] = make(
+            model, frozenset(scalar_fields), to_alias, from_alias
+        )
     return out
 
 

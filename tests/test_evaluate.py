@@ -317,3 +317,24 @@ def test_eval_rollup_micro_across_docs(spark):
     assert (ent["tp_strict"], ent["fp_strict"], ent["fn_strict"]) == (2, 6, 6)
     # micro == per-doc here (identical docs), mean per-doc f1 matches micro f1.
     assert abs(ent["mean_f1_strict"] - ent["f1_strict"]) < 1e-12
+
+
+def test_duplicate_node_rows_do_not_corrupt_identity_keys(spark):
+    """A duplicated (doc_id, class, node_id) input row (e.g. a truth table
+    unioned from two annotation exports) must not double the collected id
+    values into a corrupted key that zeroes the node's matches."""
+    from sparkdoc.evaluate import node_identity_keys
+
+    nodes = spark.createDataFrame(
+        [
+            ("d1", "Party", "n1", {"name": "acme"}),
+            ("d1", "Party", "n1", {"name": "acme"}),  # exact duplicate row
+            ("d1", "Party", "n2", {"name": "beta"}),
+        ],
+        "doc_id string, class string, node_id string, ids map<string,string>",
+    )
+    keys = {
+        r["node_id"]: r["key"]
+        for r in node_identity_keys(nodes, {"Party": ["name"]}).collect()
+    }
+    assert keys["n1"] == "acme" and keys["n2"] == "beta"

