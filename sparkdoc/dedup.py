@@ -158,10 +158,26 @@ def content_hash_dedup(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, D
     scope = ["node_class", "_chash"] if "node_class" in nodes.columns else ["_chash"]
     w = Window.partitionBy(*scope)
     canon = hashed.withColumn("_canon", F.min("node_id").over(w))
-    mapping = canon.select(F.col("node_id").alias("_from"), F.col("_canon").alias("_to")).filter(
-        F.col("_from") != F.col("_to")
+    # the nodes table legitimately carries one row per (doc_id, path) for a
+    # node_id, and those rows can hash into DIFFERENT groups — a node_id is
+    # a redirect source only when NONE of its rows is its own canonical;
+    # otherwise it could be survivor and redirect source at once (its edges
+    # move away while it keeps existing, orphaned). The groupBy also
+    # guarantees ONE deterministic target per source (duplicate mapping
+    # rows would multiply edges through the join below).
+    gone = (
+        canon.groupBy("node_id")
+        .agg(F.max((F.col("node_id") == F.col("_canon")).cast("int")).alias("_s"))
+        .filter(F.col("_s") == 0)
+        .select("node_id")
     )
-    survivors = canon.filter(F.col("node_id") == F.col("_canon")).drop("_chash", "_canon")
+    mapping = (
+        canon.join(gone, "node_id")
+        .select(F.col("node_id").alias("_from"), F.col("_canon").alias("_to"))
+        .groupBy("_from")
+        .agg(F.min("_to").alias("_to"))
+    )
+    survivors = hashed.join(gone, "node_id", "left_anti").drop("_chash")
     # redirect both endpoints via broadcast-able mapping (dup sets are small)
     e = (
         edges.join(F.broadcast(mapping).withColumnRenamed("_from", "src_from"), edges.src == F.col("src_from"), "left")
@@ -274,7 +290,13 @@ def co_occurrence_veto(pairs: DataFrame, nodes: DataFrame) -> DataFrame:
         .join(ch.withColumnRenamed("node_id", "superset_id").withColumnRenamed("chunk_ids", "_sup_chunks"), "superset_id")
     )
     return joined.filter(
-        ~F.arrays_overlap(F.col("_base_chunks"), F.col("_sup_chunks"))
+        # coalesce: a NULL chunk array makes arrays_overlap NULL and ~NULL
+        # drops the pair — the doc_id branch KEEPS such pairs (no evidence
+        # of co-occurrence), so the global fallback must too
+        ~F.coalesce(
+            F.arrays_overlap(F.col("_base_chunks"), F.col("_sup_chunks")),
+            F.lit(False),
+        )
     ).drop("_base_chunks", "_sup_chunks")
 
 

@@ -123,6 +123,9 @@ def _merge_entity_lists(
     id_map: dict[str, dict] = {}
     seen_hashes: dict[str, dict] = {}
     for entity in target_list:
+        if not isinstance(entity, dict):  # defensive: pass through verbatim
+            merged.append(entity)
+            continue
         eid = entity.get("id")
         if eid:
             id_map[eid] = entity
@@ -146,7 +149,9 @@ def _merge_entity_lists(
             src_fp = _child_fingerprints(src)
             best, best_score = None, 0.0
             for existing in merged:
-                if existing.get("id") and existing["id"] != src.get("id"):
+                # src has no id in this branch (truthy sid continued above),
+                # so id-bearing targets can never "match by id" — skip them
+                if existing.get("id"):
                     continue
                 score = _jaccard(src_fp, _child_fingerprints(existing))
                 if score > best_score:
@@ -182,7 +187,15 @@ def _deep_merge_into(
         elif isinstance(cur, dict) and isinstance(v, dict):
             _deep_merge_into(cur, v, child_path, identity_fields_map, similarity_fallback, description_fields)
         elif isinstance(cur, list) and isinstance(v, list):
-            if cur and isinstance(cur[0], dict):
+            # entity-list merge only when BOTH sides hold dicts — a mixed
+            # source list (e.g. {'tags': ['x']} into {'tags': [{...}]}) used
+            # to crash on src.get() inside the entity merge; the scalar
+            # set-union path below serializes dicts gracefully instead
+            if (
+                cur
+                and isinstance(cur[0], dict)
+                and all(isinstance(x, dict) for x in v)
+            ):
                 target[k] = _merge_entity_lists(
                     cur, v, child_path, identity_fields_map, similarity_fallback, description_fields
                 )
@@ -267,7 +280,6 @@ def _skolemize_root_collisions(
     ``<id>__doc_<hash8>`` and gain a content-bearing ``skolem_document_id``
     attr so content-hash dedup cannot re-fuse them. Content-derived
     identities are never touched. Returns (nodes, edges, skolemized audit)."""
-    spark = tagged_nodes[0].sparkSession
     roots = []
     for n, e in zip(tagged_nodes, tagged_edges):
         r = n.join(e.select(F.col("dst").alias("node_id")).distinct(), "node_id", "left_anti")

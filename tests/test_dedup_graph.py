@@ -439,3 +439,27 @@ def test_cap_keywords_custom_sep(spark):
     )
     got = cap_keywords(nodes, sep=",").collect()[0]["attrs"]["keywords"]
     assert got == "a,b,c,d,e"
+
+
+def test_content_dedup_node_never_survivor_and_redirect(spark):
+    """A node_id whose rows hash into DIFFERENT groups must not be both a
+    survivor and a redirect source (review-confirmed: its edges moved away
+    while it kept existing, orphaned)."""
+    from sparkdoc.dedup import content_hash_dedup
+
+    nodes = spark.createDataFrame(
+        [
+            ("d1", "N0", {"name": "x"}),
+            ("d1", "N1", {"name": "x"}),  # groups with N0 → maps N1→N0...
+            ("d2", "N1", {"name": "x", "extra": "y"}),  # ...but N1 survives here
+        ],
+        "doc_id string, node_id string, attrs map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("A", "N1", "ref")], "src string, dst string, label string"
+    )
+    out_nodes, out_edges = content_hash_dedup(nodes, edges)
+    ids = {r["node_id"] for r in out_nodes.collect()}
+    e = [(r["src"], r["dst"]) for r in out_edges.collect()]
+    # N1 has a surviving row → it is a survivor, so its edge must NOT move
+    assert "N1" in ids and ("A", "N1") in e and ("A", "N0") not in e
