@@ -2423,13 +2423,20 @@ def _tokenize_twin(text: str | None) -> list[int]:
 def _doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id emission (the training-shard path): the kernel tokenizes the
     authored probes; the oracle is a VALUES table computed by the
-    independent maximal-munch twin over the same committed vocab."""
+    independent maximal-munch twin over the same committed vocab. The id
+    array is emitted JSON-encoded (``to_json``) because the driver's pandas
+    canonicalizer cannot sort/hash a raw list column (r3 driver err:
+    ``unhashable type: 'list'``); the JSON string pins the same bytes."""
     from sparkdoc.textops import tokenize_ids
 
     df = spark.createDataFrame(_TOKENIZE_PROBES, "probe_id int, text string")
     return (
         tokenize_ids(df)
-        .select("probe_id", "token_ids", "n_tokens")
+        .select(
+            "probe_id",
+            F.to_json(F.col("token_ids")).alias("token_ids_json"),
+            "n_tokens",
+        )
         .orderBy("probe_id")
     )
 
@@ -2603,17 +2610,62 @@ def _doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with the common-term pruning knob (max_df_frac=0.5): query terms
     whose df exceeds half the corpus are dropped BEFORE the postings join —
-    the production latency knob for stopword-heavy query batches. The oracle
-    twin applies the identical df filter, so the pruned semantics (not just
-    the exact path) are gate-pinned."""
+    the production latency knob for stopword-heavy query batches. Probes mix
+    each query doc's 4 RAREST + 4 most COMMON distinct terms (the realistic
+    query shape, same recipe as bench/retrieval_scaling.py) — lead-of-doc
+    words alone all sit at df ≈ 0.74·N in this synth corpus and would ALL be
+    pruned, making the gate vacuous (r3 finding: 0 rows == 0 rows). With
+    rare terms present, pruning drops only the common half and the gate
+    compares non-empty ranked output. The synth corpus's ENTIRE vocab is
+    common (min df ≈ 0.75·N — no real rare terms exist), so the corpus is
+    deterministically augmented with per-doc group tags g<id%50> / h<id%97>
+    (df ≈ 0.02·N / 0.01·N): real rare vocabulary that survives pruning and
+    retrieves each query's group cohort. The oracle twin replays the
+    identical augmentation, probe construction AND df filter, so the pruned
+    semantics (not just the exact path) are gate-pinned."""
+    from pyspark.sql import Window
+
     from sparkdoc.retrieval import bm25_topk
     from sparkdoc.textops import words
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.array_join(F.slice(words(F.col("text")), 1, 8), " ").alias("text"),
+    docs = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" g"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(" h"),
+                (F.col("doc_id") % 97).cast("string"),
+            ).alias("text"),
+        )
     )
+    dfreq = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    qterms = docs.filter(F.col("doc_id") % 100 == 0).select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text")))).alias("term")
+    )
+    j = qterms.join(F.broadcast(dfreq), "term")
+    w_rare = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("term").asc()
+    )
+    w_comm = Window.partitionBy("doc_id").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    picked = (
+        j.withColumn("rr", F.row_number().over(w_rare))
+        .withColumn("rc", F.row_number().over(w_comm))
+        .filter((F.col("rr") <= 4) | (F.col("rc") <= 4))
+    )
+    queries = picked.groupBy("doc_id").agg(
+        F.array_join(F.sort_array(F.collect_set("term")), " ").alias("text")
+    ).select(F.col("doc_id").alias("query_id"), "text")
     return bm25_topk(docs, queries, k=5, max_df_frac=0.5)
 
 
@@ -4226,12 +4278,14 @@ def oracle_sql() -> dict[str, str]:
     _tok_rows = []
     for _pid, _ptext in _TOKENIZE_PROBES:
         _tids = _tokenize_twin(_ptext)
-        _lit = "CAST([" + ", ".join(map(str, _tids)) + "] AS INTEGER[])"
-        _tok_rows.append(f"(CAST({_pid} AS INTEGER), {_lit}, CAST({len(_tids)} AS INTEGER))")
+        _json = "[" + ",".join(map(str, _tids)) + "]"  # matches Spark to_json bytes
+        _tok_rows.append(
+            f"(CAST({_pid} AS INTEGER), '{_json}', CAST({len(_tids)} AS INTEGER))"
+        )
     q["doc_token_ids"] = (
         "SELECT * FROM (VALUES "
         + ", ".join(_tok_rows)
-        + ") AS t(probe_id, token_ids, n_tokens) ORDER BY probe_id"
+        + ") AS t(probe_id, token_ids_json, n_tokens) ORDER BY probe_id"
     )
     q["doc_sample"] = """
         SELECT doc_id, CAST(doc_id % 3 AS INT) AS stratum
@@ -6943,18 +6997,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN dl d ON p.doc_id = d.doc_id
             CROSS JOIN st
         ),
-        agg AS (SELECT query_id, doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY query_id, doc_id)
+        agg AS (SELECT query_id, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM contrib GROUP BY query_id, doc_id)
         SELECT query_id, doc_id, rank, score_e6 FROM (
             SELECT *, CAST(row_number() OVER (
                 PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INT) AS rank
             FROM agg
         ) WHERE rank <= 5
     """
-    # pruned BM25: same chain as doc_bm25, with the max_df_frac=0.5 filter
-    # applied to query terms before the postings join — the SQL twin filters
-    # on the identical df/N predicate
+    # pruned BM25: same scoring chain as doc_bm25, with (a) the corpus
+    # augmented with per-doc rare group tags (the synth vocab is uniformly
+    # common — min df ≈ 0.75·N — so without injected rare terms EVERY query
+    # term would be pruned and the gate would compare 0 rows to 0 rows), (b)
+    # the probe set rebuilt as each query doc's 4 rarest + 4 most common
+    # distinct terms (identical windows + tie-breaks as the Spark gate), and
+    # (c) the max_df_frac=0.5 filter applied to query terms before the
+    # postings join — the SQL twin filters on the identical df/N predicate
     q["doc_bm25_pruned"] = f"""
-        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' g' || CAST(doc_id % 50 AS VARCHAR)
+                        || ' h' || CAST(doc_id % 97 AS VARCHAR) AS text
+            FROM documents
+        ),
+        w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM aug),
         dl AS (SELECT doc_id, len(ws) AS dl FROM w),
         post AS (
             SELECT doc_id, term, count(*) AS tf FROM (
@@ -6963,9 +7028,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         dfq AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM post GROUP BY term),
         st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
-        qt AS (
-            SELECT doc_id AS query_id, unnest(list_distinct(list_slice(ws, 1, 8))) AS term
+        qt0 AS (
+            SELECT doc_id, unnest(list_distinct(ws)) AS term
             FROM w WHERE doc_id % 100 = 0
+        ),
+        qdf AS (SELECT t.doc_id, t.term, f.df_docs FROM qt0 t JOIN dfq f USING (term)),
+        qt AS (
+            SELECT doc_id AS query_id, term FROM (
+                SELECT doc_id, term,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY df_docs ASC, term ASC) AS rr,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY df_docs DESC, term ASC) AS rc
+                FROM qdf
+            ) WHERE rr <= 4 OR rc <= 4
         ),
         contrib AS (
             SELECT q.query_id, p.doc_id,
@@ -6979,7 +7053,7 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN st
             WHERE f.df_docs <= 0.5 * st.n_docs
         ),
-        agg AS (SELECT query_id, doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY query_id, doc_id)
+        agg AS (SELECT query_id, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM contrib GROUP BY query_id, doc_id)
         SELECT query_id, doc_id, rank, score_e6 FROM (
             SELECT *, CAST(row_number() OVER (
                 PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC) AS INT) AS rank
@@ -7015,7 +7089,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN dl d ON p.doc_id = d.doc_id
             CROSS JOIN st
         ),
-        bagg AS (SELECT query_id, doc_id, sum(c_e6) AS score_e6 FROM contrib GROUP BY query_id, doc_id),
+        bagg AS (SELECT query_id, doc_id, CAST(sum(c_e6) AS BIGINT) AS score_e6 FROM contrib GROUP BY query_id, doc_id),
         lex AS (
             SELECT query_id, doc_id, rank FROM (
                 SELECT *, row_number() OVER (
@@ -7044,7 +7118,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) FROM dense
         ),
         fagg AS (
-            SELECT query_id, doc_id, sum(c_e9) AS rrf_e9, count(*) AS n_systems
+            SELECT query_id, doc_id, CAST(sum(c_e9) AS BIGINT) AS rrf_e9, count(*) AS n_systems
             FROM uni GROUP BY query_id, doc_id
         )
         SELECT query_id, doc_id, rank, rrf_e9, n_systems FROM (

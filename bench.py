@@ -55,18 +55,24 @@ def main() -> None:
 
     spark = get_spark("sparkdoc-bench")
     timings: dict[str, float] = {}
+    worsts: dict[str, float] = {}
     extras: dict | None = {}
+    loadavg_start = os.getloadavg()
 
     def timed(name: str, fn, reps: int = 2):
         # best-of-N: the sandbox host is noisy-neighbor throttled (identical
-        # configs vary up to 2.7x wall; see BENCH/BASELINE.md control)
-        best, out = None, None
+        # configs vary up to 2.7x wall; see BENCH/BASELINE.md control).
+        # worst rep is kept too so a loaded window is machine-readable in
+        # the output (large best/worst spread == noisy host, not regression)
+        best, worst, out = None, None, None
         for _ in range(reps):
             t0 = time.monotonic()
             out = fn()
             w = time.monotonic() - t0
             best = w if best is None or w < best else best
+            worst = w if worst is None or w > worst else worst
         timings[name] = round(best, 3)
+        worsts[name] = round(worst, 3)
         return out
 
     # warm the JVM + python workers + table scans
@@ -182,6 +188,20 @@ def main() -> None:
     raw.unpersist()
 
     total = round(sum(timings.values()), 3)
+    loadavg_end = os.getloadavg()
+    # host-load self-description: the r3 driver window ran at heavy external
+    # load and recorded ~4.6x the quiet-window wall on identical code; these
+    # fields let a reader separate host noise from regression without access
+    # to the machine (VERDICT r3 "Next" #9)
+    extras["host_load"] = {
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in loadavg_end],
+        "ncpus": os.cpu_count(),
+    }
+    extras["rep_worst"] = worsts
+    extras["rep_spread_max"] = round(
+        max(worsts[k] - timings[k] for k in timings), 3
+    )
     print(
         json.dumps(
             {

@@ -165,6 +165,7 @@ def run_resumable(
     chunk: bool = True,
     documents_input: bool = False,
     documents_fn=None,
+    raw_for_group=None,
 ) -> dict:
     """Extract (+ chunk) with per-bucket-group commits; resumes automatically.
 
@@ -180,6 +181,18 @@ def run_resumable(
     groups instead of once per group (parsing upstream of the filter would
     re-run the whole corpus parse every iteration).
 
+    ``raw_for_group(group: list[int]) -> DataFrame`` goes one step further
+    for CONTAINER-file inputs (warcdir), where the doc-level bucket filter
+    still sits downstream of the container split and the whole crawl would
+    be re-listed, re-read and re-record-split once per group. The factory
+    must return ONLY the group's rows, carrying a ``bucket`` column that is
+    a pure function of each row (the warc source buckets by
+    ``file_bucket(warc_name)`` at partition-PLANNING time, so excluded
+    containers are never opened — each container is read exactly once per
+    run). ``documents_fn`` is then required to pass ``bucket`` through the
+    parse (``mixed_to_documents(..., passthrough=["bucket"])``); commits,
+    resume, and the partitioned writes key on that column unchanged.
+
     Returns a summary dict with buckets processed/skipped and totals.
     """
     from sparkdoc.chunker import chunk_documents
@@ -188,21 +201,33 @@ def run_resumable(
     job_id = job_id or uuid.uuid4().hex[:12]
     _check_or_record_params(spark, out_dir, n_buckets=n_buckets, chunk=chunk)
     done = completed_buckets(spark, out_dir)
-    bucketed = with_bucket(raw_nodes, n_buckets)
+    bucketed = None if raw_for_group is not None else with_bucket(raw_nodes, n_buckets)
     todo = [b for b in range(n_buckets) if b not in done]
     seq = len(done)
     totals = {"docs": 0, "spans": 0, "chunks": 0}
     for gi in range(0, len(todo), group_size):
         group = todo[gi : gi + group_size]
         t0 = time.monotonic()
-        part = bucketed.filter(F.col("bucket").isin(group))
-        if documents_fn is not None:
-            docs = documents_fn(part.drop("bucket")).persist()
-        elif documents_input:
-            docs = part.drop("bucket").persist()
+        if raw_for_group is not None:
+            if documents_fn is None:
+                raise ValueError("raw_for_group requires documents_fn")
+            part = raw_for_group(group)
+            if "bucket" not in part.columns:
+                raise ValueError("raw_for_group must return a bucket column")
+            # the factory's bucket column IS the commit key — the parse
+            # passes it through, no re-hash of doc_id (doc-hash buckets
+            # would scatter one container's docs across all groups)
+            docs = documents_fn(part).persist()
+            docs_b = docs
         else:
-            docs = extract_documents(part.drop("bucket")).persist()
-        docs_b = with_bucket(docs, n_buckets)
+            part = bucketed.filter(F.col("bucket").isin(group))
+            if documents_fn is not None:
+                docs = documents_fn(part.drop("bucket")).persist()
+            elif documents_input:
+                docs = part.drop("bucket").persist()
+            else:
+                docs = extract_documents(part.drop("bucket")).persist()
+            docs_b = with_bucket(docs, n_buckets)
         docs_b.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
             os.path.join(out_dir, "documents")
         )
@@ -228,7 +253,17 @@ def run_resumable(
         if chunk:
             # mixed-format docs carry an extra fmt column; the chunker's
             # Arrow stage needs exactly (doc_id, spans)
-            ch = with_bucket(chunk_documents(docs.select("doc_id", "spans")), n_buckets)
+            if raw_for_group is not None:
+                # container-bucketed runs: a doc's bucket is its CONTAINER's
+                # bucket, not hash(doc_id) — rejoin it from the (cached)
+                # docs frame so chunk partitions land in the committed dirs
+                ch = chunk_documents(docs.select("doc_id", "spans")).join(
+                    docs.select("doc_id", "bucket"), "doc_id"
+                )
+            else:
+                ch = with_bucket(
+                    chunk_documents(docs.select("doc_id", "spans")), n_buckets
+                )
             ch_path = os.path.join(out_dir, "chunks")
             ch.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
                 ch_path

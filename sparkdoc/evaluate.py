@@ -129,8 +129,14 @@ def node_identity_keys(nodes: DataFrame, id_fields: dict[str, list[str]]) -> Dat
         # defensive distinct: a duplicated input node row (e.g. a truth
         # parquet assembled from unioned annotation exports) would double
         # every collect_list value and CORRUPT the key ('acme\x01acme') —
-        # silently zeroing that node's matches — instead of deduplicating
-        .dropDuplicates(["doc_id", "class", "node_id", "pos"])
+        # silently zeroing that node's matches — instead of deduplicating.
+        # min(canon), not dropDuplicates: when duplicate rows CONFLICT on
+        # the canonical value (two exports disagree on the same node/pos),
+        # dropDuplicates keeps a partition-order-dependent survivor and the
+        # identity key becomes nondeterministic; min always resolves the
+        # conflict to the same key. Identical duplicates are unaffected.
+        .groupBy("doc_id", "class", "node_id", "pos")
+        .agg(F.min("canon").alias("canon"))
     )
     ordered = F.array_sort(F.collect_list(F.struct("pos", "canon")))
     return (

@@ -489,7 +489,10 @@ def mixed_spans_doc(doc_id: str, data: bytes) -> tuple[str, list[dict]]:
 
 
 def mixed_to_documents(
-    docs: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    docs: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Mixed-format corpus (doc_id, blob binary) → (doc_id, fmt, spans) in
     ONE python stage with ZERO shuffles: scan → mapInPandas, nothing else.
@@ -498,21 +501,38 @@ def mixed_to_documents(
     front or be homogeneous within a partition. The fused per-doc kernels
     are parity-pinned against their generic distributed paths, so routing
     through this operator or through the per-format jobs yields identical
-    spans."""
-    src = docs.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+    spans.
+
+    ``passthrough`` carries the named input columns onto each output row
+    unchanged (one output row per input row, so this is a pure copy) — the
+    file-bucketed resumable warcdir path uses it to keep the container-level
+    ``bucket`` without a re-hash or join after the parse."""
+    pt = list(passthrough or [])
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"), *pt
+    )
+    out_cols = ["doc_id", "fmt", "spans"] + pt
+    schema_struct = StructType(
+        list(MIXED_DOCUMENTS.fields)
+        + [docs.schema[c] for c in pt]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+            for row in pdf.itertuples(index=False):
+                did, blob = row.doc_id, row.blob
                 fmt, spans = mixed_spans_doc(
                     did, bytes(blob) if blob is not None else b""
                 )
-                out.append({"doc_id": did, "fmt": fmt, "spans": spans})
-            yield (pd.DataFrame(out, columns=["doc_id", "fmt", "spans"]) if out
-                   else pd.DataFrame({"doc_id": [], "fmt": [], "spans": []}))
+                rec = {"doc_id": did, "fmt": fmt, "spans": spans}
+                for c in pt:
+                    rec[c] = getattr(row, c)
+                out.append(rec)
+            yield (pd.DataFrame(out, columns=out_cols) if out
+                   else pd.DataFrame({c: [] for c in out_cols}))
 
-    return src.mapInPandas(gen, schema=MIXED_DOCUMENTS)
+    return src.mapInPandas(gen, schema=schema_struct)
 
 
 def format_counts(mixed: DataFrame) -> DataFrame:

@@ -42,7 +42,12 @@
   * ``warcdir:<path>`` — real ``.warc``/``.warc.gz`` container FILES on the
     filesystem (a file, directory, or glob) via the warc Python Data Source
     (sparkdoc/warcsource.py): one input partition per container, records
-    streamed off disk, no parquet staging step.
+    streamed off disk, no parquet staging step. Resumable runs bucket by
+    CONTAINER (bucket = crc32 of the container name, applied as a
+    planning-time listing filter in the source), so each container is
+    opened exactly once per run — a doc-hash bucket filter would sit
+    downstream of the container split and stream the whole crawl through
+    IO+gzip once per bucket group.
 The job commits per-bucket-group manifests (lineage + metrics) and resumes
 from them — kill it mid-run and rerun the same command to continue.
 """
@@ -57,14 +62,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 
-def resolve_input(spark, spec: str, seed: int = 42):
-    """Resolve an --input spec (see module docstring) to (raw, documents_fn):
-    ``raw`` is the frame run_resumable buckets, ``documents_fn`` is the
-    deferred per-group blob parse for mixed/WARC inputs (None otherwise).
+def resolve_input(spark, spec: str, seed: int = 42, n_buckets: int | None = None):
+    """Resolve an --input spec (see module docstring) to
+    (raw, documents_fn, raw_for_group): ``raw`` is the frame run_resumable
+    buckets, ``documents_fn`` is the deferred per-group blob parse for
+    mixed/WARC inputs (None otherwise), and ``raw_for_group`` is the
+    container-bucketed group factory for ``warcdir:`` inputs when
+    ``n_buckets`` is given (None otherwise) — it makes the warc source list
+    and read ONLY the group's container files (planning-time bucket filter
+    on file_bucket(warc_name)), so each container is opened exactly once
+    per run instead of once per bucket group (the doc-hash bucket filter
+    sits downstream of the container split and cannot prune it).
     Shared by the extract job and the end-to-end web pipeline."""
     from sparkdoc.synth import raw_nodes_df
 
     documents_fn = None
+    raw_for_group = None
     if spec.startswith("synth:"):
         raw = raw_nodes_df(spark, int(spec.split(":", 1)[1]), seed)
     elif spec.startswith("html-synth:"):
@@ -227,19 +240,51 @@ def resolve_input(spark, spec: str, seed: int = 42):
         from sparkdoc.warcsource import register_warc_source
 
         register_warc_source(spark)
+        wpath = spec.split(":", 1)[1]
         raw = (
             spark.read.format("warc")
-            .load(spec.split(":", 1)[1])
+            .load(wpath)
             .select("doc_id", "blob")
         )
+        if n_buckets is not None:
+            from pyspark.sql import functions as F
+
+            from sparkdoc.ingest import mixed_to_documents
+
+            nb = int(n_buckets)
+
+            def raw_for_group(group, _path=wpath, _nb=nb):
+                # bucket column = F.crc32 twin of warcsource.file_bucket —
+                # the SAME hash the source's planning filter applied, so the
+                # column is consistent with which files were listed
+                return (
+                    spark.read.format("warc")
+                    .option("buckets", str(_nb))
+                    .option("bucketGroup", ",".join(str(b) for b in group))
+                    .load(_path)
+                    .select(
+                        "doc_id",
+                        "blob",
+                        F.pmod(
+                            F.crc32(F.encode(F.col("warc_name"), "utf-8")),
+                            F.lit(_nb),
+                        ).cast("int").alias("bucket"),
+                    )
+                )
+
+            documents_fn = lambda part: mixed_to_documents(  # noqa: E731
+                part, passthrough=["bucket"]
+            )
     else:
         raw = spark.read.parquet(spec)
 
-    if spec.startswith(("mixed:", "mixed-synth:", "warc:", "warc-synth:", "warcdir:")):
+    if documents_fn is None and spec.startswith(
+        ("mixed:", "mixed-synth:", "warc:", "warc-synth:", "warcdir:")
+    ):
         from sparkdoc.ingest import mixed_to_documents
 
         documents_fn = mixed_to_documents
-    return raw, documents_fn
+    return raw, documents_fn, raw_for_group
 
 
 def main() -> None:
@@ -268,7 +313,9 @@ def main() -> None:
     from sparkdoc.session import get_spark
 
     spark = get_spark("sparkdoc-extract", master=args.master)
-    raw, documents_fn = resolve_input(spark, args.input, args.seed)
+    raw, documents_fn, raw_for_group = resolve_input(
+        spark, args.input, args.seed, n_buckets=args.buckets
+    )
     summary = run_resumable(
         spark,
         raw,
@@ -277,6 +324,7 @@ def main() -> None:
         group_size=args.group_size,
         chunk=not args.no_chunk,
         documents_fn=documents_fn,
+        raw_for_group=raw_for_group,
     )
     print(json.dumps(summary))
     spark.stop()

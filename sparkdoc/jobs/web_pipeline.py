@@ -81,7 +81,9 @@ def main() -> None:
     t0 = time.monotonic()
 
     extract_dir = os.path.join(args.out, "extract")
-    raw, documents_fn = resolve_input(spark, args.input, args.seed)
+    raw, documents_fn, raw_for_group = resolve_input(
+        spark, args.input, args.seed, n_buckets=args.buckets
+    )
     s1 = run_resumable(
         spark,
         raw,
@@ -90,6 +92,7 @@ def main() -> None:
         group_size=args.group_size,
         chunk=args.chunk,
         documents_fn=documents_fn,
+        raw_for_group=raw_for_group,
     )
     t1 = time.monotonic()
 

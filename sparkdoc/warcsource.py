@@ -231,15 +231,46 @@ def _read_warc_file(path: str, name: str):
             yield (name, f"{name}#{rid}", blob)
 
 
+def file_bucket(name: str, n_buckets: int) -> int:
+    """Deterministic bucket of a container file from its lineage NAME (the
+    load-root-relative path — stable across hosts and roots). crc32 so the
+    Spark-side twin is the built-in ``F.crc32(encode(name,'utf-8'))`` —
+    bucket columns computed in SQL agree bit-for-bit with this planner-side
+    filter."""
+    import zlib
+
+    return (zlib.crc32(name.encode("utf-8")) & 0xFFFFFFFF) % n_buckets
+
+
 class _WarcReader(DataSourceReader):
+    """Options:
+
+    * ``buckets`` + ``bucketGroup`` (csv of ints): plan only the container
+      files whose ``file_bucket(name, buckets)`` is in the group — a
+      PLANNING-TIME listing filter, so a resumable job that processes bucket
+      groups one at a time opens each container exactly once per run
+      instead of streaming the whole crawl through a downstream doc-level
+      filter once per group (the r3 warcdir shape multiplied IO+gzip cost
+      by the group count).
+    """
+
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
             raise ValueError("warc source: .load(<path>) is required")
         # planning-time work is a LISTING only — no file is opened here
-        self._parts = [
+        parts = [
             WarcFilePartition(p, _name_of(p, path)) for p in _list_warc_files(path)
         ]
+        n_buckets = options.get("buckets")
+        group = options.get("bucketgroup", options.get("bucketGroup"))
+        if (n_buckets is None) != (group is None):
+            raise ValueError("warc source: pass buckets and bucketGroup together")
+        if n_buckets is not None:
+            n = int(n_buckets)
+            want = {int(x) for x in str(group).split(",") if x != ""}
+            parts = [q for q in parts if file_bucket(q.name, n) in want]
+        self._parts = parts
 
     def partitions(self):
         return self._parts
@@ -277,6 +308,27 @@ class _WarcStreamReader(DataSourceStreamReader):
     Each file is one InputPartition; records stream exactly as in the batch
     reader. A container is therefore atomic within a micro-batch — no
     document ever straddles two batches.
+
+    Offset monotonicity: ``latestOffset`` NEVER moves below the last offset
+    this instance returned — an empty/regressed listing (retention sweep
+    emptying the drop-point, a transient FileNotFoundError) re-returns the
+    cached offset instead of ``{"upto": ""}``. Without the cache, a
+    regressed offset gets committed and every still-present ingested
+    container is re-ingested when files become visible again, breaking the
+    exactly-once-per-file contract. ``partitions`` also refuses an
+    ``end < start`` range outright (an already-regressed checkpoint from a
+    pre-fix run fails loudly instead of planning a silent empty batch).
+
+    Append-only-contract guard, race-tolerant: each offset carries
+    ``prev``/``prev_n`` — the previous offset's ``upto`` and the count of
+    files at-or-below it in THIS listing. A batch's plan-time listing runs
+    AFTER the previous batch's, so any growth below ``prev`` is a file that
+    can no longer be ingested by any batch → hard error. Growth in
+    ``(prev, upto]`` is ambiguous — the committed batch's own plan-time
+    listing may have ingested it (partitions re-lists live) — so it only
+    logs a warning naming the files, with reconciliation = compare their
+    ``warc_name``s against ingested output. (The r3 guard hard-failed on
+    exactly that race and permanently wedged a healthy stream.)
     """
 
     def __init__(self, options: dict):
@@ -284,36 +336,89 @@ class _WarcStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("warc stream source: .load(<path>) is required")
         self._path = path
+        # last offset returned by latestOffset or committed — the
+        # monotonicity floor. None until the first non-empty listing (or
+        # first commit after a restart).
+        self._last: dict | None = None
 
     def initialOffset(self) -> dict:
-        return {"upto": "", "n_below": 0}
+        return {"upto": "", "n_below": 0, "prev": "", "prev_n": 0}
 
     def latestOffset(self) -> dict:
         files = _list_or_empty(self._path)
-        if not files:
-            return {"upto": "", "n_below": 0}
-        # n_below = files at-or-below the offset AT COMMIT TIME: the next
-        # batch compares it against the live listing, so a file that lands
-        # named BELOW an already-committed offset (an unpadded segment dir,
-        # a backfill drop) fails the batch LOUDLY instead of vanishing from
-        # the corpus with nothing logged
-        return {"upto": files[-1], "n_below": len(files)}
+        last_upto = self._last.get("upto", "") if self._last else ""
+        if not files or files[-1] < last_upto:
+            # empty or regressed listing: hold position — never move the
+            # offset backwards (see class docstring)
+            if self._last is not None:
+                return self._last
+            return {"upto": "", "n_below": 0, "prev": "", "prev_n": 0}
+        off = {"upto": files[-1], "n_below": len(files)}
+        if self._last is not None:
+            # prev_n counted in THIS listing (which postdates the previous
+            # batch's plan-time listing) — the next batch's hard guard
+            # baseline. After a restart self._last is unknown for the first
+            # minted offset; prev is omitted and that one batch's guard is
+            # warn-only (partitions below).
+            off["prev"] = last_upto
+            off["prev_n"] = sum(1 for p in files if p <= last_upto)
+        self._last = off
+        return off
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the checkpoint; keep the monotonicity floor warm
+        # (after a restart the first commit re-seeds it)
+        if self._last is None or end.get("upto", "") >= self._last.get("upto", ""):
+            self._last = end
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("upto", ""), end.get("upto", "")
+        if hi < lo:
+            raise RuntimeError(
+                "warc stream source: batch range end %r is below start %r — "
+                "the offset log regressed (pre-fix checkpoint written during "
+                "an empty-listing window?). Refusing to plan: committing "
+                "this batch would re-ingest every file above %r." % (hi, lo, hi)
+            )
         files = _list_or_empty(self._path)
         below = [p for p in files if p <= lo]
+        # hard guard: growth strictly below the PREVIOUS batch's upper bound
+        # can never be ingested by any batch — fail loudly (zero-pad segment
+        # names, or ingest the stragglers with the batch reader warcdir:)
+        prev = start.get("prev")
+        prev_n = start.get("prev_n")
+        if prev is not None and prev_n is not None:
+            hard = [p for p in below if p <= prev]
+            if len(hard) > int(prev_n):
+                extra = hard[-(len(hard) - int(prev_n)):]
+                raise RuntimeError(
+                    "warc stream source: %d container(s) arrived NAMED BELOW "
+                    "the already-planned offset %r (e.g. %s) — the "
+                    "append-only naming contract is violated and these files "
+                    "can no longer be ingested by any batch. Zero-pad "
+                    "segment names, or ingest the stragglers with the batch "
+                    "reader (warcdir:)." % (
+                        len(hard) - int(prev_n), prev, ", ".join(extra[:3])
+                    )
+                )
+        # soft guard: growth in (prev, lo] is ambiguous — the committed
+        # batch's live plan-time listing may have ingested it. Warn with the
+        # reconciliation path instead of wedging the stream.
         expect = start.get("n_below")
         if expect is not None and len(below) > int(expect):
-            extra = [p for p in below[-(len(below) - int(expect)) :]]
-            raise RuntimeError(
-                "warc stream source: %d container(s) arrived NAMED BELOW the "
-                "committed offset %r (e.g. %s) — the append-only naming "
-                "contract is violated and these files would be silently "
-                "skipped. Zero-pad segment names, or ingest the stragglers "
+            extra = below[-(len(below) - int(expect)):]
+            import warnings
+
+            warnings.warn(
+                "warc stream source: %d container(s) appeared at-or-below "
+                "the committed offset %r (e.g. %s). They were ingested IF "
+                "they were visible when that batch planned its partitions; "
+                "otherwise they are skipped. Reconcile by checking their "
+                "warc_name against the ingested output; re-ingest stragglers "
                 "with the batch reader (warcdir:)." % (
                     len(below) - int(expect), lo, ", ".join(extra[:3])
-                )
+                ),
+                stacklevel=2,
             )
         return [
             WarcFilePartition(p, _name_of(p, self._path))
@@ -323,9 +428,6 @@ class _WarcStreamReader(DataSourceStreamReader):
 
     def read(self, partition: WarcFilePartition):
         yield from _read_warc_file(partition.path, partition.name)
-
-    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
-        pass
 
     def stop(self) -> None:
         pass

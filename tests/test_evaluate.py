@@ -338,3 +338,30 @@ def test_duplicate_node_rows_do_not_corrupt_identity_keys(spark):
         for r in node_identity_keys(nodes, {"Party": ["name"]}).collect()
     }
     assert keys["n1"] == "acme" and keys["n2"] == "beta"
+
+
+def test_conflicting_duplicate_rows_resolve_deterministically(spark):
+    """Duplicate input rows that CONFLICT on the id value (two annotation
+    exports disagreeing about the same node) must resolve to the SAME key
+    on every run/partitioning — min(canon), not an arbitrary survivor."""
+    from sparkdoc.evaluate import node_identity_keys
+
+    rows = [
+        ("d1", "Party", "n1", {"name": "acme corp"}),
+        ("d1", "Party", "n1", {"name": "ACME"}),  # conflicting export
+    ]
+    expected = None
+    for nparts in (1, 2, 7):
+        nodes = spark.createDataFrame(
+            rows,
+            "doc_id string, class string, node_id string, ids map<string,string>",
+        ).repartition(nparts)
+        got = {
+            r["node_id"]: r["key"]
+            for r in node_identity_keys(nodes, {"Party": ["name"]}).collect()
+        }
+        if expected is None:
+            expected = got
+        assert got == expected
+    # min over the CANONICALIZED values, so the winner is order-free
+    assert expected["n1"] == min(expected["n1"], "acme corp")

@@ -322,21 +322,152 @@ def test_glob_root_names_do_not_collide(tmp_path):
 
 
 def test_stream_offset_detects_below_offset_arrivals(tmp_path):
-    """A container landing NAMED BELOW a committed offset violates the
-    append-only contract and must fail the batch loudly, not vanish."""
+    """Append-only-contract guard, two tiers: a container landing below the
+    PREVIOUS batch's bound (can never be ingested by any batch) hard-fails;
+    one landing within the just-committed range (the ingestion race — the
+    committed batch's live plan-time listing may have taken it) only
+    warns, naming the reconciliation path."""
+    import warnings as _warnings
+
     from sparkdoc.warcsource import _WarcStreamReader
 
     d = tmp_path / "drop"
     d.mkdir()
-    (d / "seg9-part.warc").write_bytes(b"")
+    (d / "seg5-a.warc").write_bytes(b"")
     r = _WarcStreamReader({"path": str(d)})
-    start = {"upto": "", "n_below": 0}
-    end = r.latestOffset()
-    assert end["n_below"] == 1
-    parts = r.partitions(start, end)
-    assert len(parts) == 1
-    # commit point = end; now an UNPADDED name arrives that sorts below it
-    (d / "seg10-part.warc").write_bytes(b"")  # "seg10..." < "seg9..."
-    end2 = r.latestOffset()
-    with pytest.raises(RuntimeError, match="BELOW the committed offset"):
-        r.partitions(end, end2)
+    o1 = r.latestOffset()
+    assert o1["n_below"] == 1
+    assert len(r.partitions(r.initialOffset(), o1)) == 1
+    # batch 2: a properly-named successor
+    (d / "seg5-b.warc").write_bytes(b"")
+    o2 = r.latestOffset()
+    assert o2["prev"] == o1["upto"] and o2["prev_n"] == 1
+    assert len(r.partitions(o1, o2)) == 1
+    # AMBIGUOUS tier: an unpadded name that sorts within the committed
+    # range ("seg10..." < "seg5..." is false — use one inside ("", o1])
+    # → warn, don't wedge the stream
+    (d / "seg4-z.warc").write_bytes(b"")  # < seg5-a = within batch-1 range? no: below o1
+    # seg4-z sorts below o1.upto (seg5-a) AND below o2.prev (seg5-a) →
+    # that is the HARD tier at partitions(o2, ·): it can never be ingested
+    o3 = r.latestOffset()
+    with pytest.raises(RuntimeError, match="NAMED BELOW the already-planned"):
+        r.partitions(o2, o3)
+
+    # ambiguous tier for real: fresh stream, straggler inside the FIRST
+    # committed range (prev="" so nothing is hard-below), must only warn
+    d2 = tmp_path / "drop2"
+    d2.mkdir()
+    (d2 / "seg9-part.warc").write_bytes(b"")
+    r2 = _WarcStreamReader({"path": str(d2)})
+    e1 = r2.latestOffset()
+    assert len(r2.partitions(r2.initialOffset(), e1)) == 1
+    (d2 / "seg10-part.warc").write_bytes(b"")  # "seg10..." < "seg9..."
+    e2 = r2.latestOffset()
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        r2.partitions(e1, e2)
+    assert any("at-or-below the committed offset" in str(x.message) for x in w)
+
+
+def test_stream_offset_never_regresses(tmp_path):
+    """An empty or regressed listing (retention sweep, transient
+    FileNotFoundError) must NOT move the offset backwards: latestOffset
+    re-returns the cached offset, so Spark plans no batch and the committed
+    position survives; when files reappear, already-ingested names are not
+    re-planned. A checkpoint that DID regress (pre-fix) fails loudly at
+    partitions instead of planning a silent empty batch."""
+    from sparkdoc.warcsource import _WarcStreamReader
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.warc").write_bytes(b"")
+    (d / "b.warc").write_bytes(b"")
+    r = _WarcStreamReader({"path": str(d)})
+    o1 = r.latestOffset()
+    assert o1["upto"].endswith("b.warc")
+    # retention sweep empties the dir → offset holds, does not regress
+    (d / "a.warc").unlink()
+    (d / "b.warc").unlink()
+    assert r.latestOffset() == o1
+    # dir vanishes entirely (transient) → still holds
+    d.rmdir()
+    assert r.latestOffset() == o1
+    # files reappear partially (a only): tail regressed → still holds
+    d.mkdir()
+    (d / "a.warc").write_bytes(b"")
+    assert r.latestOffset() == o1
+    # a pre-fix regressed range (end < start) is refused loudly
+    with pytest.raises(RuntimeError, match="offset log regressed"):
+        r.partitions(o1, {"upto": "", "n_below": 0})
+
+
+def test_file_bucket_planning_filter_partitions_exactly_once(warc_dir):
+    """The buckets/bucketGroup options prune the PLANNED partitions (no
+    excluded file is ever opened): groups partition the file set — disjoint,
+    and their union is every container exactly once. The crc32 bucket is
+    reproducible from the name alone (the Spark-side F.crc32 twin)."""
+    from sparkdoc.warcsource import file_bucket
+
+    nb = 4
+    all_parts = _WarcReader({"path": warc_dir}).partitions()
+    seen: dict[str, int] = {}
+    for g in ([0, 1], [2], [3]):
+        r = _WarcReader(
+            {"path": warc_dir, "buckets": str(nb), "bucketgroup": ",".join(map(str, g))}
+        )
+        for p in r.partitions():
+            assert file_bucket(p.name, nb) in g
+            assert p.name not in seen
+            seen[p.name] = 1
+    assert set(seen) == {p.name for p in all_parts} and len(seen) == N_FILES
+    with pytest.raises(ValueError, match="together"):
+        _WarcReader({"path": warc_dir, "buckets": "4"})
+
+
+def test_warcdir_file_bucketed_resumable_run(spark, warc_dir, tmp_path):
+    """End-to-end: the extract job's container-bucketed warcdir path (each
+    file listed+read once per run, bucket = file_bucket(warc_name)) produces
+    the SAME documents and chunks as the doc-hash route, commits per group,
+    and resumes: a second invocation processes nothing."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from sparkdoc.checkpoint import run_resumable
+    from sparkdoc.jobs.extract import resolve_input
+    from sparkdoc.warc import warc_extract
+    from sparkdoc.warcsource import file_bucket
+
+    nb = 4
+    raw, documents_fn, raw_for_group = resolve_input(
+        spark, f"warcdir:{warc_dir}", 42, n_buckets=nb
+    )
+    assert raw_for_group is not None
+    out = str(tmp_path / "out")
+    s1 = run_resumable(
+        spark, raw, out, n_buckets=nb, group_size=2,
+        documents_fn=documents_fn, raw_for_group=raw_for_group,
+    )
+    assert s1["buckets_processed"] == list(range(nb))
+    docs = spark.read.parquet(os.path.join(out, "documents"))
+    want = {
+        (r["doc_id"], str(r["spans"]))
+        for r in warc_extract(warc_corpus_df(spark, N_FILES, 42)).collect()
+    }
+    got = {(r["doc_id"], str(r["spans"])) for r in docs.collect()}
+    assert got == want and len(got) > 0
+    # the committed bucket of every doc is its CONTAINER's file_bucket, and
+    # chunks landed in the same partitions as their documents
+    for r in docs.select("doc_id", "bucket").collect():
+        assert r["bucket"] == file_bucket(r["doc_id"].split("#", 1)[0], nb)
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    cb = {r["doc_id"]: r["bucket"] for r in chunks.select("doc_id", "bucket").collect()}
+    db = {r["doc_id"]: r["bucket"] for r in docs.collect()}
+    assert all(db[d] == b for d, b in cb.items())
+    # resume: nothing left to do, outputs unchanged
+    s2 = run_resumable(
+        spark, raw, out, n_buckets=nb, group_size=2,
+        documents_fn=documents_fn, raw_for_group=raw_for_group,
+    )
+    assert s2["buckets_processed"] == [] and sorted(s2["buckets_skipped"]) == list(range(nb))
+    assert docs.count() == spark.read.parquet(os.path.join(out, "documents")).count()
