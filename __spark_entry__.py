@@ -1229,7 +1229,8 @@ def _doc_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_alias_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 alias reconciliation over derived nodes: containment alias
     groups (canonical containment + equal digit signatures + min base len 4
-    + unique-base-per-superset) then the co-occurrence veto (shared
+    + unique-base-per-superset + unique-superset-per-base — ambiguous on
+    EITHER side proposes nothing) then the co-occurrence veto (shared
     first-emission chunk ⇒ siblings, not aliases). Per-doc scoped via
     scope_cols — every guard is SQL-mirrorable, so the DuckDB twin must
     reproduce surviving pairs exactly."""
@@ -6039,8 +6040,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(b.c) >= 4
         ),
         uniq AS (
-            SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY superset_id) AS n FROM pairs)
-            WHERE n = 1
+            SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY superset_id) AS n,
+                       count(*) OVER (PARTITION BY base_id) AS nb
+                FROM pairs)
+            WHERE n = 1 AND nb = 1
         )
         SELECT doc_id, base_id, base_canon, superset_id, superset_canon
         FROM uniq WHERE bchunk <> schunk

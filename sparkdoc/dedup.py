@@ -203,7 +203,13 @@ def containment_alias_groups(
     """alias_reconciler.py:59-84: propose (base ⊂ superset) merge pairs.
 
     Guards: equal digit signatures; base canonical length >= min_base_len;
-    base != superset; UNIQUE base per superset (ambiguous supersets vetoed).
+    base != superset; UNIQUE base per superset (ambiguous supersets vetoed)
+    AND unique superset per base (ambiguous bases vetoed — "ACME" contained
+    in both "ACME Corp" and "ACME Holdings" proposes nothing; without the
+    symmetric veto, apply_alias_merges would fan the base's edges and
+    attributes into EVERY superset, duplicating edges and merging wrong.
+    The reference requires the former (:59-84); the latter extends the same
+    ambiguity principle to the other side).
     Scoped per class (and any extra scope cols) — the self-join keys on the
     scope so Catalyst shuffles once per side; the containment predicate runs
     post-join JVM-side (`contains`).
@@ -253,11 +259,13 @@ def containment_alias_groups(
             "superset_id", "superset_canon", "superset_label",
         )
     )
-    uniq = Window.partitionBy("superset_id")
+    uniq_sup = Window.partitionBy("superset_id")
+    uniq_base = Window.partitionBy("base_id")
     return (
-        pairs.withColumn("_n", F.count("*").over(uniq))
-        .filter(F.col("_n") == 1)
-        .drop("_n")
+        pairs.withColumn("_n", F.count("*").over(uniq_sup))
+        .withColumn("_nb", F.count("*").over(uniq_base))
+        .filter((F.col("_n") == 1) & (F.col("_nb") == 1))
+        .drop("_n", "_nb")
     )
 
 

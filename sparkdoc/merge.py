@@ -122,6 +122,25 @@ def _merge_entity_lists(
     merged: list[dict] = []
     id_map: dict[str, dict] = {}
     seen_hashes: dict[str, dict] = {}
+    # memoized child fingerprints for the similarity fallback, keyed by
+    # object identity (entities stay referenced in `merged` for the whole
+    # call, so ids are stable) and invalidated when a merge mutates the
+    # entity — without this every unmatched source re-fingerprinted EVERY
+    # candidate: quadratic JSON+hash work at 1000+ entries per doc
+    _fp_cache: dict[int, set[str]] = {}
+
+    def _fp_of(e: dict) -> set[str]:
+        got = _fp_cache.get(id(e))
+        if got is None:
+            got = _fp_cache[id(e)] = _child_fingerprints(e)
+        return got
+
+    def _merge_into(tgt: dict, src_: dict) -> None:
+        _fp_cache.pop(id(tgt), None)
+        _deep_merge_into(
+            tgt, src_, list_path, identity_fields_map, similarity_fallback,
+            description_fields,
+        )
     for entity in target_list:
         if not isinstance(entity, dict):  # defensive: pass through verbatim
             merged.append(entity)
@@ -135,7 +154,7 @@ def _merge_entity_lists(
     for src in source_list:
         sid = src.get("id")
         if sid and sid in id_map:
-            _deep_merge_into(id_map[sid], src, list_path, identity_fields_map, similarity_fallback, description_fields)
+            _merge_into(id_map[sid], src)
             continue
         if sid:
             merged.append(src)
@@ -143,7 +162,7 @@ def _merge_entity_lists(
             continue
         h = _entity_hash(src, identity_fields)
         if h in seen_hashes:
-            _deep_merge_into(seen_hashes[h], src, list_path, identity_fields_map, similarity_fallback, description_fields)
+            _merge_into(seen_hashes[h], src)
             continue
         if similarity_fallback:
             src_fp = _child_fingerprints(src)
@@ -153,11 +172,11 @@ def _merge_entity_lists(
                 # so id-bearing targets can never "match by id" — skip them
                 if existing.get("id"):
                     continue
-                score = _jaccard(src_fp, _child_fingerprints(existing))
+                score = _jaccard(src_fp, _fp_of(existing))
                 if score > best_score:
                     best, best_score = existing, score
             if best is not None and best_score >= _MERGE_SIMILARITY_THRESHOLD:
-                _deep_merge_into(best, src, list_path, identity_fields_map, similarity_fallback, description_fields)
+                _merge_into(best, src)
                 continue
         merged.append(src)
         seen_hashes[h] = src
@@ -504,11 +523,38 @@ def merge_graphs_policy(
         vsrc = suppressed.join(
             nodes.select("node_id", F.col("node_class").alias("_bc"), "doc_id"), "node_id"
         ).filter(F.col("_bc") != VARIANT_TYPE)
+        # sorted entries drive BOTH the attrs map and the id's content-hash
+        # suffix: a bare <base>__variant_<src> id can collide with a
+        # pre-existing variant node minted by a PRIOR merge of a merged
+        # graph (same base, same source index, different values) and
+        # silently fold two distinct variants. hash8(src, sorted values)
+        # makes an id collision imply identical content — folding is then a
+        # no-op, and re-merging a merged graph is idempotent.
+        _entries = F.array_sort(
+            F.collect_list(F.struct(F.col("attr"), F.col("suppressed_value")))
+        )
         variant_nodes = (
             vsrc.groupBy("node_id", "_src", "_bc", "doc_id")
-            .agg(F.map_from_entries(F.collect_list(F.struct(F.col("attr"), F.col("suppressed_value")))).alias("attrs"))
+            .agg(
+                F.map_from_entries(_entries).alias("attrs"),
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", F.col("_src").cast("string"), F.to_json(_entries)
+                        )
+                    ),
+                    1,
+                    8,
+                ).alias("_vhash"),
+            )
             .select(
-                F.concat(F.col("node_id"), F.lit("__variant_"), F.col("_src")).alias("node_id"),
+                F.concat(
+                    F.col("node_id"),
+                    F.lit("__variant_"),
+                    F.col("_src"),
+                    F.lit("_"),
+                    F.col("_vhash"),
+                ).alias("node_id"),
                 "doc_id",
                 F.lit(VARIANT_TYPE).alias("node_class"),
                 F.concat(F.lit("variant of "), F.col("node_id")).alias("label"),

@@ -463,3 +463,28 @@ def test_content_dedup_node_never_survivor_and_redirect(spark):
     e = [(r["src"], r["dst"]) for r in out_edges.collect()]
     # N1 has a surviving row → it is a survivor, so its edge must NOT move
     assert "N1" in ids and ("A", "N1") in e and ("A", "N0") not in e
+
+
+def test_ambiguous_base_vetoed_symmetrically(spark):
+    """A base contained in 2+ supersets proposes NOTHING: without the
+    symmetric veto, apply_alias_merges fans the base's edges/attrs into
+    every superset (duplicated edges, wrong merge). "ACME" ⊂ {"ACME Corp",
+    "ACME Holdings"} → no pair; an unambiguous pair in the same frame still
+    survives."""
+    from sparkdoc.dedup import containment_alias_groups
+
+    nodes = spark.createDataFrame(
+        [
+            ("N1", "d1", "C", "ACME", [0]),
+            ("N2", "d1", "C", "ACME Corp", [1]),
+            ("N3", "d1", "C", "ACME Holdings", [2]),
+            ("N4", "d1", "C", "Globex", [3]),
+            ("N5", "d1", "C", "Globex International", [4]),
+        ],
+        "node_id string, doc_id string, node_class string, label string, chunk_ids array<int>",
+    )
+    got = {
+        (p["base_id"], p["superset_id"])
+        for p in containment_alias_groups(nodes).collect()
+    }
+    assert got == {("N4", "N5")}

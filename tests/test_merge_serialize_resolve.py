@@ -392,3 +392,94 @@ def test_deep_merge_entity_lists_identity_and_jaccard():
     # without the fallback the near-dup instance appends instead
     plain = deep_merge_dicts(a, b)
     assert len(plain["items"]) == 2
+
+
+def test_variant_ids_collision_proof_on_remerge(spark):
+    """Re-merging a merged graph (conflicts='variants') must not fold a
+    pre-existing variant node into a NEW variant with different content:
+    ids carry a content-hash suffix, so an id collision implies identical
+    content and any fold is a no-op (idempotence)."""
+    from sparkdoc.merge import VARIANT_TYPE, MergePolicy, merge_graphs_policy
+    from sparkdoc.schemas import EDGES, NODES
+
+    pol = MergePolicy(conflicts="variants")
+    m1 = merge_graphs_policy(_mk_inputs(spark), pol, skolemize=False)
+    v1 = {
+        r["node_id"]: r["attrs"]
+        for r in m1["nodes"].filter(f"node_class='{VARIANT_TYPE}'").collect()
+    }
+    assert v1  # the fixture conflicts on C.x and R.a/b
+
+    # a third graph re-merged WITH the merged graph, conflicting on the
+    # same base from the same source INDEX (1) but with different values —
+    # the pre-fix bare "<base>__variant_1" id would collide with m1's
+    g3n = spark.createDataFrame(
+        [("C", "d3", "T", "c", {"x": "3"}, None)], NODES
+    )
+    g3e = spark.createDataFrame([], EDGES)
+    m2 = merge_graphs_policy(
+        [(m1["nodes"], m1["edges"]), (g3n, g3e)], pol, skolemize=False
+    )
+    nodes2 = m2["nodes"].collect()
+    ids = [r["node_id"] for r in nodes2]
+    assert len(ids) == len(set(ids)), "duplicate node ids after re-merge"
+    v2 = {
+        r["node_id"]: r["attrs"]
+        for r in nodes2
+        if r["node_class"] == VARIANT_TYPE
+    }
+    # every original variant survives with ITS content; the new conflict
+    # minted a distinct id (x=3 never overwrites the x=2 variant)
+    for vid, attrs in v1.items():
+        assert v2.get(vid) == attrs
+    assert any(a.get("x") == "3" for a in v2.values())
+    assert any(a.get("x") == "2" for a in v2.values())
+
+    # idempotence: merging the merged graph alone changes nothing
+    m3 = merge_graphs_policy([(m2["nodes"], m2["edges"])], pol, skolemize=False)
+    assert m3["nodes"].count() == len(nodes2)
+    ids3 = [r["node_id"] for r in m3["nodes"].collect()]
+    assert sorted(ids3) == sorted(ids)
+
+
+def test_entity_list_merge_fingerprints_linear(monkeypatch):
+    """The similarity fallback memoizes child fingerprints per entity
+    (invalidated on mutation): merging n unmatched sources into n targets
+    must fingerprint O(n) times, not O(n^2) — the pre-fix shape recomputed
+    every candidate's fingerprints for every source."""
+    import sparkdoc.merge as m
+
+    calls = {"n": 0}
+    real = m._child_fingerprints
+
+    def counting(entity):
+        calls["n"] += 1
+        return real(entity)
+
+    monkeypatch.setattr(m, "_child_fingerprints", counting)
+    n = 300
+    targets = [
+        {"name": f"t{i}", "kids": [{"v": f"t{i}k"}]} for i in range(n)
+    ]
+    sources = [
+        {"name": f"s{i}", "kids": [{"v": f"s{i}k"}]} for i in range(n)
+    ]
+    out = m._merge_entity_lists(
+        targets, sources, "p", None, True, ("description",)
+    )
+    assert len(out) == 2 * n  # nothing matched; all appended
+    # each existing entity fingerprinted at most once (cache) + one
+    # fingerprint per source: well under the quadratic ~n^2/2 = 45000
+    assert calls["n"] <= 4 * n, calls["n"]
+
+    # cache invalidation: a mutated target's NEW fingerprint must be used
+    # for the next source IN THE SAME CALL. s1 merges into t (j=2/3) and
+    # grows it to {a,b,c}; s2={b,c} then matches the FRESH fingerprint
+    # (j=2/3) but would miss the stale one (j({b,c},{a,b})=1/3 < 0.5).
+    t = [{"kids": [{"v": "a"}, {"v": "b"}]}]
+    s1 = {"kids": [{"v": "a"}, {"v": "b"}, {"v": "c"}]}
+    s2 = {"kids": [{"v": "b"}, {"v": "c"}]}
+    out2 = m._merge_entity_lists(t, [s1, s2], "p", None, True, ("description",))
+    assert len(out2) == 1
+    vals = {k["v"] for k in out2[0]["kids"]}
+    assert vals == {"a", "b", "c"}
