@@ -39,6 +39,7 @@ oracle replay both fit and encode bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,10 +121,39 @@ def fit_bpe(words: DataFrame, n_merges: int = 8) -> list[tuple[str, str]]:
     return merges
 
 
-def encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
-    """Apply learned merges to every distinct word — a pure-JVM chain of
-    ``len(merges) * FIX_PASSES`` replace expressions, zero UDFs, zero
-    shuffles. Output: (word, cnt?, tokens array<string>, n_tokens)."""
+#: above this merge count the expr chain is no longer the right plan: the
+#: chain is len(merges)*FIX_PASSES nested replace nodes — fine at gate size
+#: (8 merges = 56 nodes), but a real 30k-merge vocab would hand Catalyst an
+#: expression tree of ~2*10^5 nodes and analysis/codegen chokes long before
+#: data does. The pandas encoder (merge-rank maximal munch, Arrow-batched,
+#: per-word memoized) is O(len(word) * merges_applied) per DISTINCT word and
+#: is pinned bit-equal to the chain at small vocab.
+EXPR_MERGE_LIMIT = 64
+
+
+def encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], impl: str = "auto"
+) -> DataFrame:
+    """Apply learned merges to every distinct word. Output: (word, cnt?,
+    tokens array<string>, n_tokens).
+
+    ``impl='expr'``: a pure-JVM chain of ``len(merges) * FIX_PASSES``
+    replace expressions, zero UDFs, zero shuffles — the fastest plan at
+    small vocab and the oracle-replayable one (the DuckDB twin runs the
+    identical chain). ``impl='pandas'``: one Arrow-batched stage driven by
+    the merge-rank table — the scale path for real vocab sizes, where the
+    expr chain's expression-tree size would choke Catalyst.
+    ``impl='auto'`` picks expr at <= EXPR_MERGE_LIMIT merges, pandas above.
+    The two are bit-equal (parity-pinned): sequentially fusing merges in
+    rank order equals iteratively fusing the lowest-rank adjacent pair,
+    because a merge's symbols always predate it in the learned order, so
+    applying merge k can never create an occurrence of a merge < k."""
+    if impl == "auto":
+        impl = "expr" if len(merges) <= EXPR_MERGE_LIMIT else "pandas"
+    if impl == "pandas":
+        return _encode_words_pandas(words, merges)
+    if impl != "expr":
+        raise ValueError(f"encode_words: unknown impl {impl!r}")
     col = F.concat(F.lit(" "), init_symbols(F.col("word")), F.lit(" "))
     for a, b in merges:
         col = _apply_merge(col, a, b)
@@ -131,6 +161,83 @@ def encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     return out.withColumn("tokens", F.split(F.col("_syms"), " ")).withColumn(
         "n_tokens", F.size("tokens")
     ).drop("_syms")
+
+
+def _fuse_fixpoint(syms: list[str], a: str, b: str) -> list[str]:
+    """List twin of the pinned ``' a b ' -> ' ab '`` replace-to-fixpoint:
+    within one pass a match CONSUMES its trailing space, so the symbol right
+    after a fuse can never open a match in the same pass (str.replace
+    resumes scanning after the replaced text) — ``a a a a a`` fuses to
+    ``[aa, a, aa]``, NOT ``[aa, aa, a]``. Passes repeat until unchanged,
+    exactly like FIX_PASSES reaching the no-``' a b '``-remains fixpoint."""
+    while True:
+        out: list[str] = []
+        i = 0
+        changed = False
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                changed = True
+                if i + 2 < len(syms):  # skip-one: its leading space is gone
+                    out.append(syms[i + 2])
+                i += 3
+            else:
+                out.append(syms[i])
+                i += 1
+        if not changed:
+            return syms
+        syms = out
+
+
+def encode_word_ranked(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Min-rank iterative BPE encode of one word (the pandas kernel; plain
+    Python so tests drive it directly). Each round finds the lowest-rank
+    adjacent pair present and fuses it to fixpoint with the EXACT pinned
+    replace semantics (_fuse_fixpoint); rounds repeat until no learned pair
+    remains. Bit-equal to applying the merges sequentially in rank order:
+    fusing merge k can only create pairs involving its new symbol, and any
+    merge containing that symbol was learned later, so no occurrence of a
+    merge < k ever (re)appears."""
+    syms = list(word) + [END]
+    while len(syms) >= 2:
+        best_rank = None
+        best_pair = None
+        for x, y in zip(syms, syms[1:]):
+            r = ranks.get((x, y))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (x, y)
+        if best_pair is None:
+            break
+        syms = _fuse_fixpoint(syms, best_pair[0], best_pair[1])
+    return syms
+
+
+def _encode_words_pandas(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Arrow-batched encoder: the merge-rank dict ships once per executor
+    via the UDF closure (a 30k-merge table is ~1 MB — broadcast-class);
+    per-word results memoized within each worker. Zero shuffles."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf(ArrayType(StringType()))
+    def _enc(s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = encode_word_ranked(w, ranks)
+            return got
+
+        return s.map(enc)
+
+    return words.withColumn("tokens", _enc(F.col("word"))).withColumn(
+        "n_tokens", F.size("tokens")
+    )
 
 
 def bpe_token_counts(

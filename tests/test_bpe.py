@@ -126,3 +126,84 @@ class TestSparkParity:
         words = spark.createDataFrame([("hello",)], "word string")
         plan = encode_words(words, [("l", "l")])._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestScaleEncoder:
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=12), min_size=1, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def test_ranked_kernel_matches_sequential_twin(self, words):
+        """Property: min-rank iterative encode (the pandas kernel) is
+        bit-equal to the sequential merge-order twin (== the expr chain),
+        over merges actually LEARNED from the words (so the
+        symbols-predate-merge invariant holds, as it always does for a
+        real fit)."""
+        from sparkdoc.bpe import encode_word_py, encode_word_ranked, fit_bpe_py
+
+        cnt: dict[str, int] = {}
+        for w in words:
+            cnt[w] = cnt.get(w, 0) + 1
+        merges = fit_bpe_py(cnt, n_merges=12)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w in cnt:
+            assert encode_word_ranked(w, ranks) == encode_word_py(w, merges)
+
+    def test_pandas_impl_parity_with_expr(self, spark):
+        """encode_words(impl='pandas') is bit-equal to impl='expr' on a
+        real fit — the pin that lets the scale path substitute for the
+        oracle-replayable chain."""
+        from sparkdoc.bpe import encode_words, fit_bpe, word_counts
+
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox ababab banana bandana the the fox")
+             for i in range(4)],
+            "doc_id int, text string",
+        )
+        wc = word_counts(docs).persist()
+        merges = fit_bpe(wc, n_merges=10)
+        a = {r["word"]: (r["tokens"], r["n_tokens"])
+             for r in encode_words(wc, merges, impl="expr").collect()}
+        b = {r["word"]: (r["tokens"], r["n_tokens"])
+             for r in encode_words(wc, merges, impl="pandas").collect()}
+        assert a == b and len(a) > 0
+        wc.unpersist()
+
+    def test_auto_selects_pandas_above_limit(self, spark):
+        from sparkdoc.bpe import EXPR_MERGE_LIMIT, encode_words
+
+        words = spark.createDataFrame([("abc",)], "word string")
+        merges = [(chr(97 + i % 26), chr(97 + (i // 26) % 26))
+                  for i in range(EXPR_MERGE_LIMIT + 1)]
+        # must not raise building the plan; result well-formed
+        out = encode_words(words, merges).collect()
+        assert out and out[0]["n_tokens"] == len(out[0]["tokens"])
+
+    def test_30k_merge_encode_completes(self, spark):
+        """A real-vocab-scale merge table (30k merges, structurally
+        consistent: every merge's symbols predate it) encodes the synth
+        corpus' distinct words in one Arrow stage — the plan the expr
+        chain cannot build (its tree would be ~2*10^5 nodes)."""
+        from sparkdoc.bpe import END, encode_words, word_counts
+        from sparkdoc.synth import synth_text_documents
+
+        # deterministic consistent merge table: symbol pool seeded with
+        # a-z + END; merge i combines two pool symbols picked by a fixed
+        # LCG, appending the result to the pool
+        pool = [chr(c) for c in range(97, 123)] + [END]
+        merges = []
+        x = 123456789
+        for _ in range(30000):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            a = pool[x % (len(pool) - 1)]  # END never on the left
+            x = (1103515245 * x + 12345) % (1 << 31)
+            b = pool[x % len(pool)]
+            merges.append((a, b))
+            pool.append(a + b)
+        docs = synth_text_documents(spark, 2000, 42).select("doc_id", "text")
+        wc = word_counts(docs)
+        enc = encode_words(wc, merges)  # auto -> pandas
+        rows = enc.collect()
+        assert len(rows) > 0
+        for r in rows[:200]:
+            toks = r["tokens"]
+            joined = "".join(toks).replace(END, "")
+            assert joined == r["word"]
