@@ -1786,6 +1786,52 @@ def _doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_stats(chunks, ledger)
 
 
+#: coverage-threshold probes: (doc_id, chunk_id, n_words) with chunk text =
+#: n_words x "the" (single WordPiece piece — counts are exact); chunks 0/1
+#: covered, chunk 2 uncovered. Doc A sits at EXACTLY the 10% share boundary
+#: (10/100 -> triggers, the rule is >=), doc B one token below (10/101 ->
+#: no trigger), doc C far above (50/100).
+_COVERAGE_PROBES = [
+    ("A", 0, 45), ("A", 1, 45), ("A", 2, 10),
+    ("B", 0, 46), ("B", 1, 45), ("B", 2, 10),
+    ("C", 0, 20), ("C", 1, 30), ("C", 2, 50),
+]
+
+
+def _doc_coverage_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-true coverage trigger (extractor.coverage_candidates): the
+    >= 10%-token-share rule of the coverage pass, measured in REAL
+    tokenizer tokens (the chunker's count), exercised exactly AT the
+    boundary — doc A's uncovered chunk holds exactly 10% of its WordPiece
+    tokens and must trigger; doc B is one token below and must not. The
+    oracle twin recomputes every chunk's count with the independent
+    maximal-munch tokenizer (_tokenize_twin) and replays the share
+    arithmetic, so the tokenizer swap's downstream threshold semantics are
+    driver-gated (reference: orchestrator.py:74-90)."""
+    from sparkdoc.extractor import coverage_candidates
+    from sparkdoc.textops import tokenize_ids
+
+    rows = [
+        (d, c, " ".join(["the"] * n)) for d, c, n in _COVERAGE_PROBES
+    ]
+    chunks = tokenize_ids(
+        spark.createDataFrame(rows, "doc_id string, chunk_id int, text string")
+    ).select("doc_id", "chunk_id", F.col("n_tokens").alias("token_count"))
+    skeleton = spark.createDataFrame(
+        [(d, [0, 1]) for d in ("A", "B", "C")], "doc_id string, chunk_ids array<int>"
+    )
+    return (
+        coverage_candidates(chunks, skeleton)
+        .select(
+            "doc_id",
+            F.col("uncovered_tokens").cast("bigint").alias("uncovered_tokens"),
+            F.col("doc_tokens").cast("bigint").alias("doc_tokens"),
+            "triggered",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _extract_spans_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE north-rule invariant, oracle-checked by the driver gate: the Spark
     extraction pipeline's span sequences (kind, text, media_ref, order) over
@@ -3875,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_name_norm": _doc_name_norm,
         "doc_graph_hygiene": _doc_graph_hygiene,
         "doc_coverage": _doc_coverage,
+        "doc_coverage_threshold": _doc_coverage_threshold,
         "extract_spans_pinned": _extract_spans_pinned,
         "doclang_roundtrip": _doclang_roundtrip,
         "chunks_pinned": _chunks_pinned,
@@ -5739,6 +5786,30 @@ def oracle_sql() -> dict[str, str]:
                least(2, n_chunks) * 1.0 / n_chunks AS coverage
         FROM n
     """
+    # coverage-threshold twin: per-chunk WordPiece counts recomputed by the
+    # INDEPENDENT maximal-munch tokenizer at oracle-build time (a VALUES
+    # table), then the >= 10%-share trigger arithmetic replayed in SQL —
+    # doc A sits exactly AT the boundary and must trigger, doc B one token
+    # below must not
+    _cov_rows = []
+    for _d, _c, _n in _COVERAGE_PROBES:
+        _cnt = len(_tokenize_twin(" ".join(["the"] * _n)))
+        _cov_rows.append(f"('{_d}', CAST({_c} AS INTEGER), CAST({_cnt} AS BIGINT))")
+    q["doc_coverage_threshold"] = (
+        "WITH ch AS (SELECT * FROM (VALUES "
+        + ", ".join(_cov_rows)
+        + """) AS t(doc_id, chunk_id, tokens)),
+        tot AS (SELECT doc_id, CAST(sum(tokens) AS BIGINT) AS doc_tokens FROM ch GROUP BY doc_id),
+        unc AS (
+            SELECT doc_id, CAST(sum(tokens) AS BIGINT) AS uncovered_tokens
+            FROM ch WHERE chunk_id NOT IN (0, 1) GROUP BY doc_id
+        )
+        SELECT u.doc_id, u.uncovered_tokens, t.doc_tokens,
+               u.uncovered_tokens >= 0.10 * t.doc_tokens AS triggered
+        FROM unc u JOIN tot t USING (doc_id)
+        ORDER BY doc_id
+    """
+    )
     # graph-hygiene twin: phantom drop (no meaningful non-meta attr), edge
     # pruning + audit, keywords capped at 5 of 7.
     q["doc_graph_hygiene"] = """

@@ -123,6 +123,33 @@ def skeleton_phase(chunks: DataFrame, catalog: NodeCatalog | None = None) -> Dat
     return dedup_entities(with_node_ids(normalized, catalog.doc_scoped_classes()))
 
 
+def coverage_candidates(chunks: DataFrame, skeleton: DataFrame) -> DataFrame:
+    """The coverage pass's trigger accounting, exposed for gating: per doc,
+    the uncovered-chunk token sum, the document token total, and whether the
+    >= 10%-share rule fires (orchestrator.py:74-90). ``token_count`` is the
+    chunker's WordPiece-true count, so the threshold is measured in REAL
+    tokenizer tokens — a doc whose uncovered chunk sits at exactly 10%
+    triggers; one token below does not."""
+    covered = skeleton.select("doc_id", F.explode("chunk_ids").alias("chunk_id")).distinct()
+    doc_tokens = chunks.groupBy("doc_id").agg(F.sum("token_count").alias("_doc_tokens"))
+    uncovered = (
+        chunks.join(covered, ["doc_id", "chunk_id"], "left_anti")
+        .join(doc_tokens, "doc_id")
+    )
+    return (
+        uncovered.groupBy("doc_id")
+        .agg(
+            F.sum("token_count").alias("uncovered_tokens"),
+            F.first("_doc_tokens").alias("doc_tokens"),
+        )
+        .withColumn(
+            "triggered",
+            F.col("uncovered_tokens")
+            >= COVERAGE_TOKEN_SHARE * F.col("doc_tokens"),
+        )
+    )
+
+
 def coverage_pass(chunks: DataFrame, skeleton: DataFrame, catalog: NodeCatalog | None = None) -> DataFrame:
     """Re-examine zero-yield chunks iff they hold >= 10% of the document's
     tokens; cap per-path growth at 2x pre-count (missed paths exempt)."""
@@ -136,9 +163,8 @@ def coverage_pass(chunks: DataFrame, skeleton: DataFrame, catalog: NodeCatalog |
         .join(doc_tokens, "doc_id")
     )
     share = (
-        uncovered.groupBy("doc_id")
-        .agg(F.sum("token_count").alias("_unc"), F.first("_doc_tokens").alias("_tot"))
-        .filter(F.col("_unc") >= COVERAGE_TOKEN_SHARE * F.col("_tot"))
+        coverage_candidates(chunks, skeleton)
+        .filter(F.col("triggered"))
         .select("doc_id")
     )
     second = discover_entities(

@@ -223,3 +223,31 @@ def test_one_to_one_hostile_doc_ids(spark):
     for r in roots:
         assert r["ids"]["name"] == r["doc_id"]
         assert ":" not in r["node_id"] or r["doc_id"].count(":") > 0
+
+
+def test_coverage_threshold_boundary_wordpiece_true(spark):
+    """The coverage trigger measures the 10% share in WordPiece-true token
+    counts and fires AT the boundary: a doc whose uncovered chunk holds
+    exactly 10% of its tokens triggers (the rule is >=); one token below
+    does not (orchestrator.py:74-90 analog)."""
+    from sparkdoc.extractor import coverage_candidates
+    from sparkdoc.chunker import count_tokens
+
+    # "the" is a single WordPiece piece — counts are exact words
+    assert count_tokens(" ".join(["the"] * 7)) == 7
+    rows = [
+        ("A", 0, 45), ("A", 1, 45), ("A", 2, 10),  # 10/100 == 10% -> fires
+        ("B", 0, 46), ("B", 1, 45), ("B", 2, 10),  # 10/101 < 10% -> no
+    ]
+    chunks = spark.createDataFrame(
+        [(d, c, count_tokens(" ".join(["the"] * n))) for d, c, n in rows],
+        "doc_id string, chunk_id int, token_count int",
+    )
+    skeleton = spark.createDataFrame(
+        [("A", [0, 1]), ("B", [0, 1])], "doc_id string, chunk_ids array<int>"
+    )
+    got = {r["doc_id"]: r for r in coverage_candidates(chunks, skeleton).collect()}
+    assert got["A"]["triggered"] is True
+    assert got["A"]["uncovered_tokens"] == 10 and got["A"]["doc_tokens"] == 100
+    assert got["B"]["triggered"] is False
+    assert got["B"]["doc_tokens"] == 101
