@@ -6,14 +6,13 @@ Semantics modeled on the reference's HybridChunker usage
 
   * heading-trail contextualization: every chunk's enriched text is prefixed
     with the active heading trail; heading level = count of leading '#'.
-    KNOWN LIMITATION: the html/md/office first miles emit heading TEXT with
-    the level stripped (mdparse drops ATX hashes, htmlparse flattens h1-h6
-    to plain text), so those paths see every heading as level 1 — the trail
-    replaces instead of nesting. The spans schema (kind/text/media_ref/
-    offset) is pinned by the north rule, so carrying the level means
-    prefixing '#'*level onto first-mile heading text, which moves every
-    pinned fixture/oracle of those paths — deferred as a coordinated
-    change, recorded here rather than silently.
+    EVERY first mile carries the level: html/md/docx/adoc/pdf/pptx/dljson
+    heading spans arrive as ``'#'*level + ' ' + title`` (the engine-wide
+    convention — clean.heading_text_py, applied in classify_raw_nodes and
+    each fused kernel; the r3-deferred coordinated change, closed in r4 with
+    all pinned oracles regenerated in lockstep), so trails NEST across
+    levels exactly like the reference HybridChunker's hierarchy
+    contextualization (document_chunker.py:50-154).
   * merge peers: consecutive content spans under an unchanged trail are
     greedily merged while enriched size stays <= max_tokens
   * tables are atomic: never split across chunks, emitted whole even if over

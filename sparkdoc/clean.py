@@ -98,6 +98,35 @@ def kind_for_tag(tag: Column) -> Column:
     return expr.otherwise("text")
 
 
+def heading_text_py(tag: str, text: str) -> str:
+    """Heading-span text convention: ``'#'*level + ' ' + title`` — the level
+    the source carried (h1..h6) is preserved IN the span text, since the
+    north-rule span schema (kind/text/media_ref/offset) has no level column.
+    The chunker reads it back (heading_level counts leading '#'s) so heading
+    trails NEST across levels instead of replacing (reference HybridChunker
+    contextualizes with the full hierarchy, document_chunker.py:50-154; the
+    DocLang serializer carries <heading level>, doclang_format.py:32-40).
+    Idempotent: text already carrying its exact level prefix (the layout
+    corpus authors titles that way) passes through unchanged."""
+    if len(tag) == 2 and tag[0] == "h" and tag[1].isdigit() and tag[1] != "0":
+        prefix = "#" * int(tag[1]) + " "
+        if not text.startswith(prefix):
+            return prefix + text
+    return text
+
+
+def heading_prefixed(tag: Column, text: Column) -> Column:
+    """Expr twin of :func:`heading_text_py` (generic classify path)."""
+    expr = text
+    for lvl in range(1, 7):
+        prefix = "#" * lvl + " "
+        expr = F.when(
+            (tag == f"h{lvl}") & ~text.startswith(prefix),
+            F.concat(F.lit(prefix), text),
+        ).otherwise(expr)
+    return expr
+
+
 def classify_raw_nodes(raw: DataFrame) -> DataFrame:
     """Sanitize + filter + classify the flattened node table (exprs only).
 
@@ -118,6 +147,9 @@ def classify_raw_nodes(raw: DataFrame) -> DataFrame:
     # un-renderable geometry: no bbox at all (golden drops these too)
     df = df.filter(F.col("bbox").isNotNull())
     df = df.withColumn("kind", kind_for_tag(F.col("tag")))
+    # carry the heading LEVEL into the span text ('#'*level prefix) — after
+    # the boilerplate/blank filters so feature word counts see clean text
+    df = df.withColumn("text", heading_prefixed(F.col("tag"), F.col("text")))
     df = df.withColumn(
         "media_ref",
         F.when(

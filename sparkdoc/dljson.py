@@ -258,7 +258,7 @@ def docling_json_spans_doc(doc_id: str, data: bytes) -> list[dict]:
     classify mirror here must carry the BOTTOMLEFT flip and the
     unknown-page-height drop — DoclingDocument prov is bottom-left-origin
     for PDF/OCR sources (document_processor.py:87-94)."""
-    from sparkdoc.clean import KIND_BY_TAG
+    from sparkdoc.clean import KIND_BY_TAG, heading_text_py
     from sparkdoc.htmlparse import _CTRL_RE
     from sparkdoc.layout import normalize_bbox_py
     from sparkdoc.spans import assemble_spans
@@ -272,6 +272,9 @@ def docling_json_spans_doc(doc_id: str, data: bytes) -> list[dict]:
             continue
         bbox = normalize_bbox_py(n["bbox"], n["coord_origin"], n["page_height"])
         kind = KIND_BY_TAG.get(n["tag"], "text")
+        if kind == "heading":
+            # level carried in span text ('#'*level) — clean.heading_text_py
+            text = heading_text_py(n["tag"], text)
         rows.append({
             "node_id": n["node_id"],
             "kind": kind,

@@ -56,6 +56,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparkdoc.clean import heading_text_py
 from sparkdoc.schemas import RAW_NODES
 
 # tags that emit one node each, capturing their whole inline subtree
@@ -518,6 +519,10 @@ def blocks_to_spans(blocks: list[dict]) -> list[dict]:
         if tag != "img" and not text.strip():
             continue
         kind = _KIND_BY_TAG.get(tag, "text")
+        if kind == "heading":
+            # span text carries the level ('#'*level prefix) — twin of the
+            # generic path's clean.heading_prefixed; trails then NEST
+            text = heading_text_py(tag, text)
         spans.append({
             "kind": kind,
             "text": text,

@@ -77,6 +77,18 @@ def mix_documents(
     else:
         kept = kept.withColumn("source", F.lit("unknown"))
 
+    import time
+
+    from pyspark.sql import Observation
+
+    walls: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        walls[name] = round(time.monotonic() - t0, 3)
+        return out
+
     sized = kept.withColumn("n_tokens", token_count(F.col("text")))
     packed = sized.join(
         pack_sequences(
@@ -84,44 +96,53 @@ def mix_documents(
         ).select("doc_id", "pack_group", "shard_seq"),
         "doc_id",
     )
-    packed.write.mode("overwrite").partitionBy("pack_group").parquet(
-        os.path.join(out_dir, "shards")
-    )
-    rejected.write.mode("overwrite").parquet(os.path.join(out_dir, "rejected"))
+    timed("shards_write", lambda: packed.write.mode("overwrite")
+          .partitionBy("pack_group").parquet(os.path.join(out_dir, "shards")))
+    # n_rejected rides the write itself (Observation metrics are collected
+    # during the job) — the old shape re-read the written parquet in a
+    # separate count job, one more rung of the pipeline's serial floor
+    obs = Observation("rejected")
+    timed("rejected_write", lambda: rejected.observe(obs, F.count(F.lit(1)).alias("n"))
+          .write.mode("overwrite").parquet(os.path.join(out_dir, "rejected")))
+    n_rejected = int(obs.get["n"])
 
     shards = spark.read.parquet(os.path.join(out_dir, "shards"))
     # ONE pass for every accounting dimension: the (source, lang) cube rows
-    # carry count/tokens/distinct-shards, and by_source / by_lang / totals
-    # fold from them driver-side — this used to be five separate jobs
-    # re-scanning the shard table (count, sum, two groupBys, a distinct
-    # count), a measurable chunk of the mix stage's fixed latency floor
-    cube = (
+    # carry count/tokens AND the cell's distinct shard set, and by_source /
+    # by_lang / totals / n_shards all fold from them driver-side — this
+    # used to be five separate jobs re-scanning the shard table, then two
+    # (cube + a distinct count); now it is one. The per-cell shard sets are
+    # bounded by shard count (thousands), not doc count — driver-safe.
+    cube = timed("accounting_cube", lambda: (
         shards.groupBy("source", "lang_pred")
         .agg(
             F.count("*").alias("docs"),
             F.sum("n_tokens").alias("tokens"),
+            F.collect_set(F.struct("pack_group", "shard_seq")).alias("cell_shards"),
         )
         .collect()
-    )
+    ))
     by_source: dict[str, dict[str, int]] = {}
     by_lang: dict[str, int] = {}
+    all_shards: set = set()
     for r in cube:
         s = by_source.setdefault(r["source"], {"docs": 0, "tokens": 0})
         s["docs"] += r["docs"]
         s["tokens"] += r["tokens"]
         by_lang[r["lang_pred"]] = by_lang.get(r["lang_pred"], 0) + r["docs"]
-    # distinct shards must dedup ACROSS cube cells (a shard packs docs of
-    # several sources/langs) — one tiny second job over the cell count only
-    n_shards = shards.select("pack_group", "shard_seq").distinct().count()
+        # shards dedup ACROSS cells (a shard packs docs of several
+        # sources/langs) — exact, merged driver-side
+        all_shards.update((x["pack_group"], x["shard_seq"]) for x in r["cell_shards"])
     summary = {
         "job": "build_mix",
         "input": input_label,
         "n_kept": sum(r["docs"] for r in cube),
-        "n_rejected": spark.read.parquet(os.path.join(out_dir, "rejected")).count(),
-        "n_shards": n_shards,
+        "n_rejected": n_rejected,
+        "n_shards": len(all_shards),
         "total_tokens": sum(r["tokens"] for r in cube),
         "by_source": dict(sorted(by_source.items())),
         "by_lang": dict(sorted(by_lang.items())),
+        "action_walls_s": walls,
         "knobs": {
             "target_per_source": target_per_source,
             "budget": budget,

@@ -258,7 +258,16 @@ def main() -> None:
 
     if url_rejected is not None:
         rejected = rejected.unionByName(url_rejected)
-    kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
+    # n_kept rides the kept write itself (Observation metrics collect
+    # during the job) instead of a separate re-read count — one less rung
+    # of the serial accounting floor (same trick as build_mix)
+    from pyspark.sql import Observation
+
+    obs_kept = Observation("kept")
+    kept.observe(obs_kept, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.out, "kept"))
+    n_kept = int(obs_kept.get["n"])
     rejected.write.mode("overwrite").parquet(os.path.join(args.out, "rejected"))
 
     by_reason = {
@@ -270,7 +279,6 @@ def main() -> None:
     }
     for f in _release:
         f.unpersist()
-    n_kept = spark.read.parquet(os.path.join(args.out, "kept")).count()
     # n_input is DERIVED from the written outputs (kept + every gate reject
     # except the pre-pipeline url_dup pass), so the accounting balances by
     # construction — a docs.count() here would replay the whole pre-gate

@@ -317,7 +317,7 @@ def mets_spans_doc(doc_id: str, data: bytes) -> list[dict]:
     Same classify reduction as pdf_spans_doc: n_links always 0, TOPLEFT
     only, bbox always present — sanitize → blank drop → kind map →
     assemble (XY-cut + page breaks + repeated-text furniture)."""
-    from sparkdoc.clean import KIND_BY_TAG
+    from sparkdoc.clean import KIND_BY_TAG, heading_text_py
     from sparkdoc.htmlparse import _CTRL_RE
     from sparkdoc.spans import assemble_spans
 
@@ -327,6 +327,9 @@ def mets_spans_doc(doc_id: str, data: bytes) -> list[dict]:
         if n["tag"] != "img" and not text.strip():
             continue
         kind = KIND_BY_TAG.get(n["tag"], "text")
+        if kind == "heading":
+            # level carried in span text ('#'*level) — clean.heading_text_py
+            text = heading_text_py(n["tag"], text)
         rows.append({
             "node_id": n["node_id"],
             "kind": kind,

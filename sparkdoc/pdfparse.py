@@ -637,7 +637,7 @@ def pdf_spans_doc(doc_id: str, data: bytes) -> list[dict]:
     sanitize → blank drop → kind map → media_ref. XY-cut reading order,
     repeated-text furniture, and page breaks come from the SAME
     spans.assemble_spans kernel the distributed path runs."""
-    from sparkdoc.clean import KIND_BY_TAG
+    from sparkdoc.clean import KIND_BY_TAG, heading_text_py
     from sparkdoc.htmlparse import _CTRL_RE
     from sparkdoc.spans import assemble_spans
 
@@ -647,6 +647,9 @@ def pdf_spans_doc(doc_id: str, data: bytes) -> list[dict]:
         if n["tag"] != "img" and not text.strip():
             continue
         kind = KIND_BY_TAG.get(n["tag"], "text")
+        if kind == "heading":
+            # level carried in span text ('#'*level) — clean.heading_text_py
+            text = heading_text_py(n["tag"], text)
         rows.append({
             "node_id": n["node_id"],
             "kind": kind,

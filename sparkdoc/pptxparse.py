@@ -277,7 +277,7 @@ def pptx_spans_doc(doc_id: str, data: bytes) -> list[dict]:
     TOPLEFT, so classify reduces to sanitize → blank drop → kind map; XY-cut
     reading order, page_breaks between slides, and repeated-text furniture
     come from the SAME spans.assemble_spans kernel."""
-    from sparkdoc.clean import KIND_BY_TAG
+    from sparkdoc.clean import KIND_BY_TAG, heading_text_py
     from sparkdoc.htmlparse import _CTRL_RE
     from sparkdoc.spans import assemble_spans
 
@@ -287,6 +287,9 @@ def pptx_spans_doc(doc_id: str, data: bytes) -> list[dict]:
         if n["tag"] != "img" and not text.strip():
             continue
         kind = KIND_BY_TAG.get(n["tag"], "text")
+        if kind == "heading":
+            # level carried in span text ('#'*level) — clean.heading_text_py
+            text = heading_text_py(n["tag"], text)
         rows.append({
             "node_id": n["node_id"],
             "kind": kind,

@@ -27,6 +27,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sparkdoc.clean import heading_text_py as _heading_text
 from sparkdoc.schemas import RAW_NODES
 
 # zipf-ish domain skew: first domain dominates (north-rule salting fodder)
@@ -587,11 +588,14 @@ def _expected_canvas_doc(doc_id: str, expected: list, kind_map: dict) -> list[di
             continue
         if tag != "img" and not text.strip():
             continue
+        kind = kind_map.get(tag, "text")
         out.append({
             "doc_id": doc_id,
             "offset": off,
-            "kind": kind_map.get(tag, "text"),
-            "text": text,
+            "kind": kind,
+            # heading spans carry their level as a '#'*level prefix (the
+            # engine-wide convention the chunker's nesting trails read)
+            "text": _heading_text(tag, text) if kind == "heading" else text,
             "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
         })
         off += 1
@@ -1023,11 +1027,12 @@ def _expected_pdf_doc(d: dict) -> list[dict]:
             media_ref = f"#/pictures/{nid}"
         else:
             media_ref = ""
+        k = _PDF_KIND.get(tag, "text")
         out.append({
             "doc_id": d["doc_id"],
             "offset": off,
-            "kind": _PDF_KIND.get(tag, "text"),
-            "text": text,
+            "kind": k,
+            "text": _heading_text(tag, text) if k == "heading" else text,
             "media_ref": media_ref,
         })
         off += 1
@@ -1818,7 +1823,7 @@ def _expected_pptx_doc(d: dict) -> list[dict]:
             "doc_id": d["doc_id"],
             "offset": off,
             "kind": kind,
-            "text": text,
+            "text": _heading_text(tag, text) if kind == "heading" else text,
             "media_ref": f"#/pictures/{nid}" if tag == "img" else "",
         })
         off += 1
@@ -3323,7 +3328,9 @@ def synth_docling_json_doc(doc_index: int, seed: int) -> dict:
             if e["tag"] == "img":
                 expected.append(("picture", "", f"#/pictures/{emit_nid[i]}"))
             else:
-                expected.append((kind_map.get(e["tag"], "text"), e["text"], ""))
+                k = kind_map.get(e["tag"], "text")
+                t = _heading_text(e["tag"], e["text"]) if k == "heading" else e["text"]
+                expected.append((k, t, ""))
 
     return {"doc_id": doc_id,
             "blob": json.dumps(doc, ensure_ascii=False).encode("utf-8"),

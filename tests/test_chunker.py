@@ -252,3 +252,37 @@ def test_pictures_never_dropped_from_refs():
     # picture-only document: one chunk, ref present
     chunks = chunk_spans(spans("picture"))
     assert len(chunks) == 1 and chunks[0]["doc_item_refs"] == ["#/spans/0"]
+
+
+def test_first_mile_heading_levels_nest_end_to_end(spark):
+    """The r3-deferred coordinated change, proven end to end: an HTML doc
+    with h1 > h2 > h3 structure chunks with a NESTED heading trail (the
+    first miles now carry the level as a '#'*level span-text prefix; before,
+    every heading arrived level-1 and the trail replaced instead of
+    nesting). Reference: HybridChunker contextualizes with the full
+    hierarchy (document_chunker.py:50-154)."""
+    from sparkdoc.chunker import chunk_documents
+    from sparkdoc.htmlparse import html_to_documents_fused
+
+    html = (
+        "<html><body>"
+        "<h1>Title</h1><p>Intro paragraph text.</p>"
+        "<h2>Section</h2><p>Section body text.</p>"
+        "<h3>Subsection</h3><p>Deep body text.</p>"
+        "<h2>Next</h2><p>Sibling section text.</p>"
+        "</body></html>"
+    )
+    docs = spark.createDataFrame([("d1", html)], "doc_id string, html string")
+    chunks = sorted(
+        chunk_documents(html_to_documents_fused(docs)).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    trails = [list(c["headings"]) for c in chunks]
+    assert trails == [
+        ["Title"],
+        ["Title", "Section"],
+        ["Title", "Section", "Subsection"],
+        ["Title", "Next"],
+    ]
+    # enriched text leads with the full nested trail
+    assert chunks[2]["text"].startswith("Title\nSection\nSubsection")

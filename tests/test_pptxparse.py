@@ -87,11 +87,13 @@ def test_xy_cut_recovers_reading_order_from_shuffled_shapes():
 
 
 def test_title_is_h1_on_slide_one_h2_after_and_page_breaks():
+    # span text carries the heading LEVEL as a '#'*level prefix (slide-1
+    # title = h1, later slide titles = h2) so chunk trails nest
     s1 = sp("Deck title", 40, 20, ph="ctrTitle")
     s2 = sp("Section", 40, 20, ph="title")
     got = kinds_texts(make_pptx([s1, s2]))
     assert got == [
-        ("heading", "Deck title"), ("page_break", ""), ("heading", "Section"),
+        ("heading", "# Deck title"), ("page_break", ""), ("heading", "## Section"),
     ]
 
 
