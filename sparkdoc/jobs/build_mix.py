@@ -60,6 +60,12 @@ def mix_documents(
     from sparkdoc.textops import token_count
 
     has_source = "source" in raw.columns
+    if has_source:
+        # the frame is consumed TWICE (the curate chain and the kept->source
+        # join); without the cache the whole upstream lineage — for the web
+        # pipeline that is the parquet scan + the markdown-serialization
+        # Arrow stage — executes once per consumer
+        raw = raw.persist()
     docs = raw.select("doc_id", "text")
     if sample is not None:
         docs = hash_sample(docs, sample, salt=sample_salt)
@@ -96,7 +102,13 @@ def mix_documents(
         ).select("doc_id", "pack_group", "shard_seq"),
         "doc_id",
     )
-    timed("shards_write", lambda: packed.write.mode("overwrite")
+    # repartition on the partition column first: without it every shuffle
+    # partition holds rows of ~every pack_group and the dynamic-partition
+    # write emits (shuffle_partitions x n_groups) tiny files — measured 8.1k
+    # files / 43 s at 48k docs vs 1 file per group / a fraction of the wall
+    # after. Same table content, sane file layout at any scale.
+    timed("shards_write", lambda: packed.repartition("pack_group")
+          .write.mode("overwrite")
           .partitionBy("pack_group").parquet(os.path.join(out_dir, "shards")))
     # n_rejected rides the write itself (Observation metrics are collected
     # during the job) — the old shape re-read the written parquet in a
@@ -156,6 +168,8 @@ def mix_documents(
         spark, os.path.join(out_dir, "manifest.json"),
         json.dumps(summary, indent=2, sort_keys=True),
     )
+    if has_source:
+        raw.unpersist()
     return summary
 
 
