@@ -180,9 +180,10 @@ def main() -> None:
         "r1 0.818/0.921); first miles pdf 0.927 @ 48k post-opt, mixed 0.908 @ 72k, "
         "warc 0.831 @ 6k files, xlsx 0.908 @ 144k, pptx 0.83 @ 72k, "
         "jats 0.849 @ 72k, uspto 0.922 @ 144k, mets 0.82 @ 72k; "
-        "1M-doc kill/resume proven r3; e2e web_pipeline CLI walls + "
-        "fixed-latency-floor decomposition recorded (mix stage flat in "
-        "cores AND size — compute kernels own the >=0.8 figures)"
+        "1M-doc kill/resume proven r3; r4: e2e web_pipeline floor fixed "
+        "(shard write emitted 8.1k tiny files -> 1/group): mix stage "
+        "63->23 s @ 48k/8c and now scales in cores, e2e eff 0.26->0.53, "
+        "1253 docs/s @ 8c — compute kernels own the >=0.8 figures"
     )
     docs.unpersist()
     raw.unpersist()
