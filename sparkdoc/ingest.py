@@ -520,14 +520,14 @@ def mixed_to_documents(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for row in pdf.itertuples(index=False):
-                did, blob = row.doc_id, row.blob
+            extras = [pdf[c] for c in pt]
+            for i, (did, blob) in enumerate(zip(pdf["doc_id"], pdf["blob"])):
                 fmt, spans = mixed_spans_doc(
                     did, bytes(blob) if blob is not None else b""
                 )
                 rec = {"doc_id": did, "fmt": fmt, "spans": spans}
-                for c in pt:
-                    rec[c] = getattr(row, c)
+                for c, col in zip(pt, extras):
+                    rec[c] = col.iloc[i]
                 out.append(rec)
             yield (pd.DataFrame(out, columns=out_cols) if out
                    else pd.DataFrame({c: [] for c in out_cols}))
