@@ -958,6 +958,23 @@ def _media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _media_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (sparkdoc.imagecodec: II/MM IFD parse, multi-strip
+    reassembly, PackBits, TIFF-LZW with the early-change code-width rule,
+    horizontal predictor 2, WhiteIsZero inversion) pinned against a
+    closed-form oracle: formula pixels, so DuckDB recomputes channel sums
+    and the position-weighted luma sum WITHOUT decoding — an endianness
+    slip, a strip-boundary error, an LZW width desync, a predictor
+    off-by-one, or a missed gray inversion breaks the match."""
+    from sparkdoc.multimodal import image_pixel_stats, synth_tiff_media_df
+
+    media = synth_tiff_media_df(spark, 42)
+    return image_pixel_stats(media).select(
+        "doc_id", "media_ref", "decoded", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum_luma",
+    ).orderBy("doc_id")
+
+
 def _media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling (sparkdoc.videocodec: Y4M with
     C420/C444/Cmono chroma layouts) pinned against a closed-form oracle:
@@ -3976,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": _media_png_decode,
         "media_gif_decode": _media_gif_decode,
         "media_jpeg_decode": _media_jpeg_decode,
+        "media_tiff_decode": _media_tiff_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
         "doc_table_cells": _doc_table_cells,
@@ -5709,6 +5727,44 @@ def oracle_sql() -> dict[str, str]:
                    (11 * ((x + 2 * y + i) % 64) + 3 * i) % 241 AS b
             FROM px)
         SELECT 'gif' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
+               '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
+               1 AS decoded, w AS width, h AS height,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum((y * w + x) * ((77 * r + 150 * g + 29 * b) // 256)) AS BIGINT) AS wsum_luma
+        FROM vals GROUP BY i, w, h
+        ORDER BY doc_id
+    """
+    # Closed-form twin of the REAL TIFF decoder (IFD both byte orders,
+    # strips, PackBits, LZW early-change, predictor 2, WhiteIsZero): same
+    # formula-pixel trick — gray container shapes (i%6 in (3,4)) collapse
+    # all channels to the r-formula; the other four carry full RGB. The
+    # WhiteIsZero kind stores INVERTED samples, so a decoder that skips the
+    # re-inversion (or applies it to BlackIsZero) breaks every sum.
+    q["media_tiff_decode"] = """
+        WITH imgs AS (
+            SELECT CAST(i AS INT) AS i,
+                   CAST(5 + i % 6 AS INT) AS w,
+                   CAST(4 + i % 7 AS INT) AS h
+            FROM range(0, 42) t(i)),
+        px1 AS (
+            SELECT i, w, h,
+                   unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+            FROM imgs),
+        px AS (
+            SELECT i, w, h, x,
+                   unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y
+            FROM px1),
+        vals AS (
+            SELECT i, w, h, x, y,
+                   (7 * x + 13 * y + i) % 256 AS r,
+                   CASE WHEN i % 6 IN (3, 4) THEN (7 * x + 13 * y + i) % 256
+                        ELSE (3 * x + 5 * y + 2 * i) % 251 END AS g,
+                   CASE WHEN i % 6 IN (3, 4) THEN (7 * x + 13 * y + i) % 256
+                        ELSE (11 * x + 17 * y + 3 * i) % 241 END AS b
+            FROM px)
+        SELECT 'tif' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
                '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
                1 AS decoded, w AS width, h AS height,
                CAST(sum(r) AS BIGINT) AS sum_r,

@@ -39,6 +39,7 @@ __all__ = [
     "encode_pgm",
     "encode_png",
     "encode_gif",
+    "encode_tiff",
     "luma_int",
     "gray_grid_embedding",
 ]
@@ -53,6 +54,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(payload) >= 4 and payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if len(payload) >= 2:
         if payload[:2] == b"BM":
             return "bmp"
@@ -236,8 +239,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from sparkdoc.jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt == "tiff":
+        return _decode_tiff(payload)
     raise ValueError(
-        "decode_image: unsupported container (BMP/PPM/PGM/PNG/GIF/JPEG only)"
+        "decode_image: unsupported container (BMP/PPM/PGM/PNG/GIF/JPEG/TIFF only)"
     )
 
 
@@ -808,4 +813,383 @@ def encode_gif(
         out += chunk
     out.append(0)  # image-data terminator
     out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# TIFF (TIFF 6.0 baseline subset, from scratch off the public spec)
+#
+# Decoder coverage: both byte orders (II little / MM big), 8-bit samples,
+# PhotometricInterpretation 0 (WhiteIsZero, inverted gray), 1 (BlackIsZero
+# gray), 2 (RGB); Compression 1 (none), 5 (LZW with the spec's EARLY-CHANGE
+# code-width rule and optional horizontal Predictor 2), 32773 (PackBits);
+# multi-strip images (RowsPerStrip + StripOffsets/StripByteCounts arrays).
+# Unsupported features (tiles, 16-bit, palettes, planar config 2) raise
+# ValueError — corrupt payloads never crash callers, they fall back to the
+# documented stub path exactly like the other codecs.
+# --------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_read_values(payload: bytes, endian: str, vtype: int, count: int, field: bytes) -> list[int]:
+    size = _TIFF_TYPE_SIZE.get(vtype)
+    if size is None:
+        raise ValueError("tiff: unsupported IFD value type")
+    total = size * count
+    if total <= 4:
+        raw = field[:total]  # value left-justified in the 4-byte field
+    else:
+        off = int.from_bytes(field, endian)
+        raw = payload[off : off + total]
+        if len(raw) < total:
+            raise ValueError("tiff: IFD value overruns file")
+    return [
+        int.from_bytes(raw[k * size : (k + 1) * size], endian)
+        for k in range(count)
+    ]
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                break
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: noop
+    if len(out) < expect:
+        raise ValueError("tiff: PackBits strip shorter than expected")
+    return bytes(out[:expect])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple spec-valid PackBits: repeat runs >= 3 as replicate runs,
+    everything else as literal runs (max 128 either way)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            while lit_start < i:  # flush pending literals
+                take = min(128, i - lit_start)
+                out.append(take - 1)
+                out += data[lit_start : lit_start + take]
+                lit_start += take
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        take = min(128, i - lit_start)
+        out.append(take - 1)
+        out += data[lit_start : lit_start + take]
+        lit_start += take
+    return bytes(out)
+
+
+_TIFF_CLEAR, _TIFF_EOI = 256, 257
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-flavor LZW: MSB-first bit packing, 9->12 bit codes with the
+    spec's EARLY CHANGE (width bumps when the NEXT code to be assigned is
+    2^w - 1 — one code earlier than GIF)."""
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def reset():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = reset()
+    width = 9
+    prev: bytes | None = None
+    while bitpos + width <= nbits and len(out) < expect:
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0 : b0 + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _TIFF_CLEAR:
+            table = reset()
+            width = 9
+            prev = None
+            continue
+        if code == _TIFF_EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("tiff: LZW first code out of range")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("tiff: LZW code out of range")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # EARLY CHANGE, decoder side: the decoder's table lags the
+        # encoder's by one entry (the encoder adds buf+c right after
+        # emitting buf; the decoder can only append on the NEXT read), so
+        # it must widen one entry early — at 2^w - 2 — to stay bit-synced
+        # with an encoder that widens when its next free code is 2^w - 1
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise ValueError("tiff: LZW strip shorter than expected")
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258
+
+    table, next_code = fresh()
+    emit(_TIFF_CLEAR)
+    buf = b""
+    for k in range(len(data)):
+        c = data[k : k + 1]
+        if buf + c in table:
+            buf += c
+            continue
+        emit(table[buf])
+        table[buf + c] = next_code
+        next_code += 1
+        # early change: the DECODER bumps width when its table length
+        # reaches 2^w - 1; mirror exactly so bit boundaries stay in sync
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        buf = c
+        if next_code == 4094:  # reset before the table can overflow 12 bits
+            emit(table[buf])
+            emit(_TIFF_CLEAR)
+            width = 9
+            table, next_code = fresh()
+            buf = b""
+    if buf:
+        emit(table[buf])
+    emit(_TIFF_EOI)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _predictor2_undo(rows: np.ndarray) -> np.ndarray:
+    """Horizontal differencing undo: per row, cumulative sum per sample
+    channel mod 256 (rows shaped (h, w, spp))."""
+    return np.cumsum(rows.astype(np.int64), axis=1).astype(np.uint8)
+
+
+def _predictor2_apply(rows: np.ndarray) -> np.ndarray:
+    d = rows.astype(np.int64)
+    d[:, 1:, :] = d[:, 1:, :] - rows.astype(np.int64)[:, :-1, :]
+    return (d % 256).astype(np.uint8)
+
+
+def _decode_tiff(payload: bytes) -> np.ndarray:
+    if len(payload) < 8:
+        raise ValueError("tiff: truncated header")
+    if payload[:4] == b"II*\x00":
+        endian = "little"
+    elif payload[:4] == b"MM\x00*":
+        endian = "big"
+    else:
+        raise ValueError("tiff: bad magic")
+    ifd_off = int.from_bytes(payload[4:8], endian)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("tiff: IFD offset out of range")
+    n_entries = int.from_bytes(payload[ifd_off : ifd_off + 2], endian)
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        base = ifd_off + 2 + 12 * e
+        ent = payload[base : base + 12]
+        if len(ent) < 12:
+            raise ValueError("tiff: truncated IFD")
+        tag = int.from_bytes(ent[0:2], endian)
+        vtype = int.from_bytes(ent[2:4], endian)
+        count = int.from_bytes(ent[4:8], endian)
+        tags[tag] = _tiff_read_values(payload, endian, vtype, count, ent[8:12])
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"tiff: missing required tag {tag}")
+        return default
+
+    w = one(256)
+    h = one(257)
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("tiff: unreasonable dimensions")
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise ValueError("tiff: only 8-bit gray/RGB supported")
+    photo = one(262)
+    if photo not in (0, 1, 2):
+        raise ValueError("tiff: unsupported photometric interpretation")
+    if (photo == 2) != (spp == 3):
+        raise ValueError("tiff: photometric/samples mismatch")
+    if one(284, 1) != 1:
+        raise ValueError("tiff: planar configuration 2 unsupported")
+    comp = one(259, 1)
+    if comp not in (1, 5, 32773):
+        raise ValueError("tiff: unsupported compression")
+    predictor = one(317, 1)
+    if predictor not in (1, 2) or (predictor == 2 and comp == 1):
+        raise ValueError("tiff: unsupported predictor")
+    rps = one(278, h) or h
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("tiff: missing strip layout")
+    n_strips = (h + rps - 1) // rps
+    if len(offsets) != n_strips:
+        raise ValueError("tiff: strip count mismatch")
+
+    rows_out = []
+    for s in range(n_strips):
+        strip_rows = min(rps, h - s * rps)
+        expect = strip_rows * w * spp
+        raw = payload[offsets[s] : offsets[s] + counts[s]]
+        if len(raw) < counts[s]:
+            raise ValueError("tiff: strip overruns file")
+        if comp == 1:
+            if len(raw) < expect:
+                raise ValueError("tiff: uncompressed strip short")
+            data = raw[:expect]
+        elif comp == 32773:
+            data = _packbits_decode(raw, expect)
+        else:
+            data = _tiff_lzw_decode(raw, expect)
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(strip_rows, w, spp)
+        if predictor == 2:
+            arr = _predictor2_undo(arr)
+        rows_out.append(arr)
+    img = np.concatenate(rows_out, axis=0)
+    if photo == 0:
+        img = 255 - img
+    if spp == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    *,
+    photometric: int = 2,
+    compression: int = 1,
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """Encode (H,W,3) RGB (photometric 2) or (H,W) gray (photometric 0/1;
+    0 stores inverted WhiteIsZero samples) as a real TIFF. Compression 1 /
+    5 (LZW, optional predictor 2) / 32773 (PackBits); layout: header,
+    strips, out-of-line value arrays, IFD."""
+    endian = "little" if byte_order == "II" else "big"
+    if photometric == 2:
+        if arr.ndim != 3 or arr.shape[2] != 3:
+            raise ValueError("encode_tiff: RGB needs (H,W,3)")
+        samples = arr.astype(np.uint8)
+        spp = 3
+    else:
+        if arr.ndim != 2:
+            raise ValueError("encode_tiff: gray needs (H,W)")
+        g = arr.astype(np.uint8)
+        samples = (255 - g if photometric == 0 else g)[:, :, None]
+        spp = 1
+    h, w = samples.shape[:2]
+    rps = rows_per_strip or h
+    strips: list[bytes] = []
+    for s in range(0, h, rps):
+        block = samples[s : s + rps]
+        if predictor == 2:
+            block = _predictor2_apply(block)
+        data = block.tobytes()
+        if compression == 32773:
+            data = _packbits_encode(data)
+        elif compression == 5:
+            data = _tiff_lzw_encode(data)
+        strips.append(data)
+
+    def u16(v: int) -> bytes:
+        return int(v).to_bytes(2, endian)
+
+    def u32(v: int) -> bytes:
+        return int(v).to_bytes(4, endian)
+
+    out = bytearray()
+    out += (b"II*\x00" if endian == "little" else b"MM\x00*")
+    out += u32(0)  # IFD offset patched below
+    strip_offsets = []
+    for data in strips:
+        strip_offsets.append(len(out))
+        out += data
+    if len(out) % 2:
+        out += b"\x00"
+
+    # out-of-line value arrays (when they exceed the 4-byte inline field)
+    def values_field(vals: list[int], vtype: int) -> bytes:
+        size = _TIFF_TYPE_SIZE[vtype]
+        raw = b"".join(int(v).to_bytes(size, endian) for v in vals)
+        if len(raw) <= 4:
+            return raw.ljust(4, b"\x00")
+        off = len(out)
+        out.extend(raw)
+        if len(out) % 2:
+            out.extend(b"\x00")
+        return u32(off)
+
+    entries: list[tuple[int, int, int, bytes]] = []
+
+    def add(tag: int, vtype: int, vals: list[int]) -> None:
+        entries.append((tag, vtype, len(vals), values_field(vals, vtype)))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [compression])
+    add(262, 3, [photometric])
+    add(273, 4, strip_offsets)
+    add(277, 3, [spp])
+    add(278, 4, [rps])
+    add(279, 4, [len(d) for d in strips])
+    if predictor != 1:
+        add(317, 3, [predictor])
+    entries.sort(key=lambda t: t[0])  # spec: ascending tag order
+    ifd_off = len(out)
+    out += u16(len(entries))
+    for tag, vtype, count, field in entries:
+        out += u16(tag) + u16(vtype) + u32(count) + field
+    out += u32(0)  # no next IFD
+    out[4:8] = u32(ifd_off)
     return bytes(out)

@@ -6,13 +6,16 @@ resize / frame-sample are Arrow-batched pandas UDFs over mapInPandas.
 
 Decode status: payloads in BMP 24/32-bit, binary PPM/PGM, PNG (bit depth 8,
 all color types, all scanline filters — DEFLATE via stdlib zlib), GIF
-(87a/89a LZW, interlace, first frame), and baseline JPEG (SOF0 Huffman +
-IDCT, 4:4:4/4:2:0, restart intervals) decode FOR REAL via the pure-numpy
-``sparkdoc.imagecodec``/``jpegcodec`` kernels — true dimensions, pixel
-statistics, and a content embedding come from actual pixels (gates
-``media_decode`` / ``media_png_decode`` / ``media_gif_decode`` /
-``media_jpeg_decode`` pin the decoded stats against closed-form SQL twins).
-Containers beyond those (WebP, TIFF, progressive JPEG) still need a codec
+(87a/89a LZW, interlace, first frame), baseline JPEG (SOF0 Huffman +
+IDCT, 4:4:4/4:2:0, restart intervals), and TIFF (II/MM byte orders, 8-bit
+gray incl. WhiteIsZero + RGB, none/PackBits/LZW-with-early-change
+compression, horizontal predictor, multi-strip) decode FOR REAL via the
+pure-numpy ``sparkdoc.imagecodec``/``jpegcodec`` kernels — true
+dimensions, pixel statistics, and a content embedding come from actual
+pixels (gates ``media_decode`` / ``media_png_decode`` /
+``media_gif_decode`` / ``media_jpeg_decode`` / ``media_tiff_decode`` pin
+the decoded stats against closed-form SQL twins).
+Containers beyond those (WebP, AVIF, progressive JPEG) still need a codec
 library the sandbox lacks and keep the documented stub path behind
 ``SPARKDOC_FAKE_CODECS`` (deterministic fake embedding) /
 ``_decode_image_real`` (NotImplementedError when fakes are disabled).
@@ -91,8 +94,8 @@ EMBED_DIM = 16
 
 def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs in sandbox
     raise NotImplementedError(
-        "decode for containers beyond BMP/PPM/PGM/PNG/GIF/baseline-JPEG "
-        "(e.g. WebP, TIFF, AVIF, progressive JPEG) needs PIL/opencv — not "
+        "decode for containers beyond BMP/PPM/PGM/PNG/GIF/baseline-JPEG/"
+        "TIFF (e.g. WebP, AVIF, progressive JPEG) needs PIL/opencv — not "
         "available in this container; the supported formats decode natively "
         "via sparkdoc.imagecodec/jpegcodec, and SPARKDOC_FAKE_CODECS=1 "
         "(default) stubs the rest deterministically"
@@ -463,6 +466,77 @@ def synth_gif_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
                         "doc_id": f"gif{i:04d}",
                         "media_type": "image",
                         "mime": "image/gif",
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                        "meta_sample_rate": None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
+
+
+def synth_tiff_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
+    """Deterministic REAL-TIFF media corpus: the same formula pixels as the
+    PNG corpus —
+
+        r = (7x + 13y + i) mod 256
+        g = (3x + 5y + 2i) mod 251     (gray kinds: r = g = b = r-formula)
+        b = (11x + 17y + 3i) mod 241
+
+    while i mod 6 rotates the CONTAINER shape across both byte orders and
+    every supported compression:
+
+        0 RGB, uncompressed, II, 2-row strips
+        1 RGB, PackBits, MM, 3-row strips
+        2 RGB, LZW, II, single strip
+        3 gray BlackIsZero, LZW + horizontal predictor 2, MM, 2-row strips
+        4 gray WhiteIsZero (samples stored INVERTED), PackBits, II
+        5 RGB, LZW + predictor 2, MM, 2-row strips
+
+    All six decode to identical formula pixels, so one closed-form oracle
+    (``media_tiff_decode``) pins IFD parsing in both endiannesses, strip
+    reassembly, PackBits runs, TIFF-LZW early-change code widths, the
+    differencing predictor, and the WhiteIsZero inversion at once.
+    Dimensions w = 5 + i mod 6, h = 4 + i mod 7."""
+    from sparkdoc.imagecodec import encode_tiff
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r = ((7 * x + 13 * y + i) % 256).astype(np.uint8)
+                g = ((3 * x + 5 * y + 2 * i) % 251).astype(np.uint8)
+                b = ((11 * x + 17 * y + 3 * i) % 241).astype(np.uint8)
+                rgb = np.stack([r, g, b], axis=2)
+                kind = i % 6
+                if kind == 0:
+                    payload = encode_tiff(rgb, compression=1, byte_order="II", rows_per_strip=2)
+                elif kind == 1:
+                    payload = encode_tiff(rgb, compression=32773, byte_order="MM", rows_per_strip=3)
+                elif kind == 2:
+                    payload = encode_tiff(rgb, compression=5, byte_order="II")
+                elif kind == 3:
+                    payload = encode_tiff(r, photometric=1, compression=5, byte_order="MM", rows_per_strip=2, predictor=2)
+                elif kind == 4:
+                    payload = encode_tiff(r, photometric=0, compression=32773, byte_order="II")
+                else:
+                    payload = encode_tiff(rgb, compression=5, byte_order="MM", rows_per_strip=2, predictor=2)
+                rows.append(
+                    {
+                        "media_ref": f"#/pictures/{i}",
+                        "doc_id": f"tif{i:04d}",
+                        "media_type": "image",
+                        "mime": "image/tiff",
                         "payload": payload,
                         "meta_width": w,
                         "meta_height": h,

@@ -501,3 +501,88 @@ class TestJpeg:
             assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
                 int(er.sum()), int(eg.sum()), int(eb.sum()),
             ), i
+
+
+class TestTiff:
+    """TIFF 6.0 baseline subset: II/MM, gray (both photometrics) + RGB,
+    none/PackBits/LZW(+early change, +predictor 2), multi-strip."""
+
+    def test_roundtrip_matrix(self):
+        import numpy as np
+
+        from sparkdoc.imagecodec import decode_image, encode_tiff, sniff_format
+
+        rng = np.random.RandomState(11)
+        for h, w in [(1, 1), (4, 5), (9, 7), (17, 23)]:
+            rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            gray = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            for comp in (1, 32773, 5):
+                for bo in ("II", "MM"):
+                    for rps in (None, 2):
+                        p = encode_tiff(rgb, compression=comp, byte_order=bo,
+                                        rows_per_strip=rps)
+                        assert sniff_format(p) == "tiff"
+                        assert np.array_equal(decode_image(p), rgb)
+                        for photo in (0, 1):
+                            p = encode_tiff(gray, photometric=photo,
+                                            compression=comp, byte_order=bo,
+                                            rows_per_strip=rps)
+                            assert np.array_equal(
+                                decode_image(p),
+                                np.repeat(gray[:, :, None], 3, axis=2),
+                            ), (h, w, comp, bo, rps, photo)
+
+    def test_predictor2_and_deep_lzw_growth(self):
+        import numpy as np
+
+        from sparkdoc.imagecodec import decode_image, encode_tiff
+
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, (9, 13, 3), dtype=np.uint8)
+        for comp in (5, 32773):
+            p = encode_tiff(rgb, compression=comp, byte_order="MM",
+                            rows_per_strip=4, predictor=2)
+            assert np.array_equal(decode_image(p), rgb)
+        # enough low-entropy data to push LZW through 10/11/12-bit widths
+        # and a table reset — an early-change off-by-one desyncs here
+        noise = rng.randint(0, 8, (200, 400, 3), dtype=np.uint8) * 16
+        p = encode_tiff(noise, compression=5)
+        assert np.array_equal(decode_image(p), noise)
+
+    def test_packbits_edge_runs(self):
+        from sparkdoc.imagecodec import _packbits_decode, _packbits_encode
+
+        for data in (
+            b"", b"a", b"ab", b"aaa", b"aab", b"abb" * 3,
+            b"x" * 128, b"x" * 129, b"x" * 300,
+            bytes(range(200)) + b"q" * 5 + bytes(range(50)),
+        ):
+            assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+    def test_white_is_zero_actually_inverted_on_disk(self):
+        import numpy as np
+
+        from sparkdoc.imagecodec import decode_image, encode_tiff
+
+        gray = np.full((4, 4), 10, dtype=np.uint8)
+        p0 = encode_tiff(gray, photometric=0, compression=1)
+        p1 = encode_tiff(gray, photometric=1, compression=1)
+        # same decoded pixels, different stored sample bytes
+        assert np.array_equal(decode_image(p0), decode_image(p1))
+        assert p0 != p1 and b"\xf5" in p0  # 255-10 stored for WhiteIsZero
+
+    def test_corrupt_rejected_not_crashed(self):
+        import numpy as np
+        import pytest
+
+        from sparkdoc.imagecodec import decode_image, encode_tiff
+
+        p = encode_tiff(np.zeros((6, 6, 3), dtype=np.uint8), compression=5)
+        for bad in (
+            p[:10],                        # truncated IFD
+            p[:4] + b"\xff\xff\xff\xff" + p[8:],  # IFD offset out of range
+            b"II*\x00" + b"\x00" * 20,     # empty IFD region
+            p[:-20],                       # strip/IFD overrun
+        ):
+            with pytest.raises(ValueError):
+                decode_image(bad)
