@@ -958,6 +958,22 @@ def _media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _media_jpeg_prog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode (sparkdoc.jpegcodec SOF2: multi-scan
+    coefficient accumulation — spectral selection, successive-approximation
+    DC and AC refinement, EOB runs) pinned against the SAME closed-form
+    oracle as the sequential gate: identical formula images coded
+    progressively must decode to identical pixels. A scan-assembly slip, a
+    refinement-bit desync, or an EOB-run miscount breaks the match."""
+    from sparkdoc.multimodal import image_pixel_stats, synth_jpeg_prog_media_df
+
+    media = synth_jpeg_prog_media_df(spark, 40)
+    return image_pixel_stats(media).select(
+        "doc_id", "media_ref", "decoded", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum_luma",
+    ).orderBy("doc_id")
+
+
 def _media_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF decode (sparkdoc.imagecodec: II/MM IFD parse, multi-strip
     reassembly, PackBits, TIFF-LZW with the early-change code-width rule,
@@ -3994,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_decode": _media_gif_decode,
         "media_jpeg_decode": _media_jpeg_decode,
         "media_tiff_decode": _media_tiff_decode,
+        "media_jpeg_prog_decode": _media_jpeg_prog_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
         "doc_table_cells": _doc_table_cells,
@@ -5828,6 +5845,11 @@ def oracle_sql() -> dict[str, str]:
         FROM vals GROUP BY i, w, h
         ORDER BY doc_id
     """
+    # progressive-JPEG twin: the SAME images coded as SOF2 multi-scan must
+    # decode to the SAME closed-form pixels — only the doc_id prefix
+    # differs (the sequential corpus's i%4==3 DRI rotation codes as plain
+    # 4:4:4 progressive; restart framing never changes pixels)
+    q["media_jpeg_prog_decode"] = q["media_jpeg_decode"].replace("'jpg'", "'jpp'")
     # coverage twin: distinct covered chunks (duplicate anchors collapse),
     # retention = covered / total windows.
     q["doc_coverage"] = """

@@ -1,12 +1,16 @@
-"""Pure-numpy baseline JPEG codec (ITU T.81 sequential DCT, Huffman).
+"""Pure-numpy JPEG codec (ITU T.81): baseline sequential AND progressive.
 
-JPEG needs no external library either: baseline decode is Huffman entropy
-coding + dequantization + 8x8 IDCT + chroma upsampling + YCbCr->RGB, all
-expressible in numpy. Supported: SOF0 (baseline sequential), 8-bit
+JPEG needs no external library either: decode is Huffman entropy coding +
+dequantization + 8x8 IDCT + chroma upsampling + YCbCr->RGB, all
+expressible in numpy. Supported: SOF0 (baseline sequential) and SOF2
+(progressive: spectral selection, successive approximation with DC and AC
+refinement scans, EOB runs — T.81 Annex G decode procedures), 8-bit
 precision, 1 or 3 components, 4:4:4 and 4:2:0 chroma subsampling, restart
-intervals (DRI/RSTn), APPn/COM skipped. Progressive (SOF2), arithmetic
-coding, and 12-bit precision are rejected with ValueError (the callers'
-decoded=0 fallback).
+intervals (DRI/RSTn), APPn/COM skipped. Arithmetic coding and 12-bit
+precision are rejected with ValueError (the callers' decoded=0 fallback).
+Progressive scans accumulate quantized coefficients and reconstruct
+through the SAME dequant/IDCT/color tail as baseline, so the two codings
+of one image decode bit-identically (the parity the tests pin).
 
 Determinism contract (what the ``media_jpeg_decode`` gate pins): all float
 color math rounds via floor(x + 0.5) — NOT banker's rounding — so the
@@ -242,7 +246,12 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale replicated)."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG -> (H, W, 3) uint8 RGB
+    (grayscale replicated). Progressive decode accumulates per-component
+    coefficient arrays across scans (spectral selection + successive
+    approximation, DC and AC refinement, EOB runs) and reconstructs at EOI
+    through the SAME dequant + IDCT + upsample + color-convert tail as
+    baseline — identical quantized coefficients give bit-identical pixels."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     pos = 2
@@ -251,16 +260,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None
     restart_interval = 0
+    prog_state: dict | None = None  # progressive coefficient accumulators
 
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
         marker = payload[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if prog_state is not None and prog_state["any_scan"]:
+                return _finish_progressive(frame, prog_state, qtables)
             raise ValueError("jpeg: no scan data")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated segment header")
         (seg_len,) = struct.unpack_from(">H", payload, pos)
         seg_end = pos + seg_len
         if seg_end > n:
@@ -289,7 +303,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("jpeg: truncated DHT")
                 htables[(tc, th)] = _build_decoder_table(counts, syms)
                 i += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"jpeg: precision {prec} not supported")
@@ -301,16 +315,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+            if marker == 0xC2:
+                prog_state = _init_prog_state(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(f"jpeg: SOF{marker - 0xC0} not supported (baseline only)")
+            raise ValueError(
+                f"jpeg: SOF{marker - 0xC0} not supported (baseline/progressive only)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
+            if frame.get("prog"):
+                scomps = []
+                for c in range(ns):
+                    cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
+                    scomps.append((cs, tdta >> 4, tdta & 0x0F))
+                ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+                pos = _decode_prog_scan(
+                    payload, seg_end, frame, scomps, ss, se,
+                    ahal >> 4, ahal & 0x0F, htables, restart_interval,
+                    prog_state,
+                )
+                prog_state["any_scan"] = True
+                continue
             if ns != len(frame["comps"]):
                 raise ValueError("jpeg: partial scans not supported")
             sel = {}
@@ -386,7 +417,16 @@ def _decode_scan(payload, data_pos, frame, sel, qtables, htables, restart_interv
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
 
-    # upsample to full resolution, crop, level shift
+    return _assemble_planes(frame, planes)
+
+
+def _assemble_planes(frame, planes) -> np.ndarray:
+    """Shared decode tail: upsample to full resolution, crop, level shift,
+    color-convert — baseline and progressive land here with identical
+    plane contents for identical quantized coefficients."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -403,6 +443,247 @@ def _decode_scan(payload, data_pos, frame, sel, qtables, htables, restart_interv
     b = _round_half_up(y + 1.772 * (cb - 128.0))
     out = np.stack([r, g, b], axis=2)
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode: per-scan coefficient accumulation
+# ---------------------------------------------------------------------------
+
+def _init_prog_state(frame) -> dict:
+    """Per-component zigzag coefficient accumulators on the MCU-padded
+    block grid, plus the frame geometry the scans need."""
+    comps = frame["comps"]
+    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
+        raise ValueError("jpeg: only 1x1/2x2 sampling factors supported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = []
+    nblocks = []
+    for c in comps:
+        bw_full, bh_full = mcus_x * c["h"], mcus_y * c["v"]
+        coefs.append(np.zeros((bh_full, bw_full, 64), dtype=np.int64))
+        # non-interleaved scans cover the component's TRUE block grid
+        # (ceil of its scaled dims), not the MCU-padded one (T.81 A.2.2)
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        nblocks.append(((ch + 7) // 8, (cw + 7) // 8))
+    return {
+        "coefs": coefs,
+        "nblocks": nblocks,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "any_scan": False,
+    }
+
+
+def _scan_end_pos(payload: bytes, reader: "_BitReader") -> int:
+    """Position of the next non-RST marker after a fully-decoded scan."""
+    p = reader.pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+            0xD0 <= payload[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise ValueError("jpeg: missing marker after scan")
+
+
+def _decode_prog_scan(
+    payload, pos, frame, scomps, ss, se, ah, al, htables, restart_interval, state
+):
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    reader = _BitReader(payload, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: DC scan must have Se = 0")
+        _prog_dc_scan(reader, frame, scomps, ah, al, htables, restart_interval, state)
+    else:
+        if len(scomps) != 1:
+            raise ValueError("jpeg: AC scans are single-component")
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("jpeg: bad spectral band")
+        cid, _, act = scomps[0]
+        ci = by_id[cid]
+        table = htables.get((1, act))
+        if table is None:
+            raise ValueError("jpeg: missing Huffman table")
+        if ah == 0:
+            _prog_ac_first(reader, state, ci, ss, se, al, table, restart_interval)
+        else:
+            if al != ah - 1:
+                raise ValueError("jpeg: successive approximation must refine one bit")
+            _prog_ac_refine(reader, state, ci, ss, se, al, table, restart_interval)
+    return _scan_end_pos(payload, reader)
+
+
+def _prog_dc_scan(reader, frame, scomps, ah, al, htables, restart_interval, state):
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    coefs = state["coefs"]
+    sel = [(by_id[cid], dct) for cid, dct, _ in scomps]
+    pred = {ci: 0 for ci, _ in sel}
+    tables = {}
+    if ah == 0:
+        for ci, dct in sel:
+            t = htables.get((0, dct))
+            if t is None:
+                raise ValueError("jpeg: missing Huffman table")
+            tables[ci] = t
+
+    def block(ci, by, bx):
+        zz = coefs[ci]
+        if ah == 0:
+            s = reader.decode_huff(tables[ci])
+            diff = _extend(reader.receive(s), s)
+            pred[ci] += diff
+            zz[by, bx, 0] = pred[ci] << al
+        else:
+            if reader.read_bit():
+                zz[by, bx, 0] |= 1 << al
+
+    unit = 0
+    if len(sel) > 1:
+        for my in range(state["mcus_y"]):
+            for mx in range(state["mcus_x"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_to_rst()
+                    for ci in pred:
+                        pred[ci] = 0
+                for ci, _ in sel:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block(ci, my * c["v"] + by, mx * c["h"] + bx)
+                unit += 1
+    else:
+        ci = sel[0][0]
+        bh, bw = state["nblocks"][ci]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.align_to_rst()
+                    pred[ci] = 0
+                block(ci, by, bx)
+                unit += 1
+
+
+def _prog_ac_first(reader, state, ci, ss, se, al, table, restart_interval):
+    coefs = state["coefs"][ci]
+    bh, bw = state["nblocks"][ci]
+    eobrun = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_to_rst()
+                eobrun = 0
+            unit += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            zz = coefs[by, bx]
+            k = ss
+            while k <= se:
+                rs = reader.decode_huff(table)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("jpeg: AC run past band end")
+                zz[k] = _extend(reader.receive(s), s) << al
+                k += 1
+
+
+def _prog_ac_refine(reader, state, ci, ss, se, al, table, restart_interval):
+    """Successive-approximation AC refinement (T.81 G.1.2.3 / the libjpeg
+    decode_mcu_AC_refine shape): newly-nonzero coefficients arrive as
+    run/size=1 symbols whose run counts ZERO-HISTORY positions only, and
+    every already-nonzero coefficient traversed — including those inside an
+    EOB run — consumes one correction bit."""
+    coefs = state["coefs"][ci]
+    bh, bw = state["nblocks"][ci]
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_to_rst()
+                eobrun = 0
+            unit += 1
+            zz = coefs[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_huff(table)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break  # rest of band handled by the EOB branch
+                        # ZRL: advance past 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("jpeg: refine size must be 1")
+                        newval = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        cur = int(zz[k])
+                        if cur != 0:
+                            if reader.read_bit() and (abs(cur) & p1) == 0:
+                                zz[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("jpeg: refine position past band")
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    cur = int(zz[k])
+                    if cur != 0 and reader.read_bit() and (abs(cur) & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _finish_progressive(frame, state, qtables) -> np.ndarray:
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qtables:
+            raise ValueError("jpeg: missing quant table")
+        q = qtables[c["tq"]]
+        zzc = state["coefs"][ci]
+        bh, bw = zzc.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[ZIGZAG] = (zzc[by, bx] * q).astype(np.float64)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct(
+                    coef.reshape(8, 8)
+                )
+        planes.append(plane)
+    return _assemble_planes(frame, planes)
 
 
 # ---------------------------------------------------------------------------
@@ -492,15 +773,28 @@ def encode_jpeg(
     ycbcr: np.ndarray | None = None,
     gray: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JPEG encoder for tests and synthetic corpora.
+    """Baseline (or progressive) JPEG encoder for tests and synthetic
+    corpora.
 
     ``arr``: (H, W, 3) uint8 RGB (converted to YCbCr with floor(x+0.5)
     rounding), or pass ``ycbcr`` (H, W, 3) float64 directly to skip the
     color conversion (the oracle corpus does this so decode output is
     closed-form). ``gray=True`` encodes a single-component image from
     arr's (H, W) plane. ``subsampling``: '444' or '420'. ``quant``: 64
-    zigzag-order steps (default near-lossless all-8s)."""
+    zigzag-order steps (default near-lossless all-8s).
+
+    ``progressive=True`` emits SOF2 with a 6/8-scan script — interleaved
+    DC first at Al=1, per-component full-band AC first at Al=1, DC
+    refinement, per-component AC refinement to Al=0 — so spectral
+    selection, BOTH successive-approximation refinement paths, and EOB
+    runs (a custom AC Huffman table carries the r>0 EOB-run symbols Annex
+    K lacks) are all exercised. The scans reconstruct the exact quantized
+    coefficients, so progressive and baseline encodes of the same input
+    decode bit-identically (the parity the tests pin)."""
+    if progressive and restart_interval:
+        raise ValueError("encode_jpeg: restart intervals unsupported with progressive")
     q = (quant if quant is not None else STD_QUANT_NEAR_LOSSLESS).astype(np.int64)
     if np.any(q < 1) or np.any(q > 255) or q.shape != (64,):
         raise ValueError("encode_jpeg: quant must be 64 values in 1..255")
@@ -566,23 +860,30 @@ def encode_jpeg(
     segment(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
     if not gray:
         segment(0xDB, bytes([0x01]) + bytes(int(v) for v in q))
-    # SOF0
+    # SOF0 / SOF2
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for c in comps:
         sof += struct.pack(">BBB", c["id"], (c["h"] << 4) | c["v"], c["tq"])
-    segment(0xC0, sof)
-    # DHT (Annex K tables)
-    for tc, th, (counts, syms) in (
-        (0, 0, _DC_LUMA),
-        (1, 0, _AC_LUMA),
-        (0, 1, _DC_CHROMA),
-        (1, 1, _AC_CHROMA),
-    ):
+    segment(0xC2 if progressive else 0xC0, sof)
+    # DHT: Annex K for baseline; progressive swaps the AC tables for a
+    # flat custom table carrying every (run<<4)|size symbol INCLUDING the
+    # r>0 EOB-run symbols (0x10..0xE0) Annex K has no codes for
+    if progressive:
+        tables = [(0, 0, _DC_LUMA), (1, 0, _PROG_AC), (0, 1, _DC_CHROMA), (1, 1, _PROG_AC)]
+    else:
+        tables = [(0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)]
+    for tc, th, (counts, syms) in tables:
         if gray and th == 1:
             continue
         segment(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms))
     if restart_interval:
         segment(0xDD, struct.pack(">H", restart_interval))
+
+    if progressive:
+        _emit_progressive_scans(out, segment, comps, planes, q, h, w)
+        out.extend(b"\xff\xd9")  # EOI
+        return bytes(out)
+
     # SOS
     sos = bytes([len(comps)])
     for c in comps:
@@ -594,28 +895,7 @@ def encode_jpeg(
     dc_encs = [_build_encoder_table(*_DC_LUMA), _build_encoder_table(*_DC_CHROMA)]
     ac_encs = [_build_encoder_table(*_AC_LUMA), _build_encoder_table(*_AC_CHROMA)]
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # pre-compute per-component zigzag blocks in raster order
-    comp_blocks = []
-    for ci, c in enumerate(comps):
-        # pad the plane so block grid covers mcus * sampling exactly
-        p = planes[ci]
-        need_h, need_w = mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
-        ph, pw = p.shape
-        if ph < need_h or pw < need_w:
-            pp = np.empty((need_h, need_w), dtype=np.float64)
-            pp[:ph, :pw] = p
-            if need_w > pw:
-                pp[:ph, pw:] = p[:, -1:]
-            if need_h > ph:
-                pp[ph:, :] = pp[ph - 1 : ph, :]
-            p = pp
-        blocks = list(_plane_blocks(p, q))
-        comp_blocks.append((blocks, need_w // 8))
+    comp_blocks, mcus_x, mcus_y = _component_blocks(comps, planes, q, h, w)
 
     zw = _BitWriter()
     pred = [0] * len(comps)
@@ -642,3 +922,242 @@ def encode_jpeg(
     out.extend(zw.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+def _component_blocks(comps, planes, q, h, w):
+    """Per-component zigzag coefficient blocks in raster order on the
+    MCU-padded grid (edge-replicated padding), shared by the baseline and
+    progressive scan writers. Returns ([(blocks, blocks_wide)], mcus_x,
+    mcus_y)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_blocks = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        need_h, need_w = mcus_y * c["v"] * 8, mcus_x * c["h"] * 8
+        ph, pw = p.shape
+        if ph < need_h or pw < need_w:
+            pp = np.empty((need_h, need_w), dtype=np.float64)
+            pp[:ph, :pw] = p
+            if need_w > pw:
+                pp[:ph, pw:] = p[:, -1:]
+            if need_h > ph:
+                pp[ph:, :] = pp[ph - 1 : ph, :]
+            p = pp
+        blocks = list(_plane_blocks(p, q))
+        comp_blocks.append((blocks, need_w // 8))
+    return comp_blocks, mcus_x, mcus_y
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan writers
+# ---------------------------------------------------------------------------
+
+#: flat Huffman table for progressive AC scans: every symbol 0x00..0xFE —
+#: run/size codes, ZRL, and ALL EOB-run symbols (r<<4, r = 0..14) — 254
+#: codes at 8 bits + one at 9 (the all-ones code of each length stays
+#: unassigned, as the spec requires)
+_PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 254, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(0xFF)),
+)
+
+
+def _emit_mag_bits(zw: _BitWriter, v: int, s: int) -> None:
+    bits = v if v >= 0 else v + (1 << s) - 1
+    zw.write(bits & ((1 << s) - 1), s)
+
+
+def _emit_progressive_scans(out, segment, comps, planes, q, h, w) -> None:
+    comp_blocks, mcus_x, mcus_y = _component_blocks(comps, planes, q, h, w)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    dc_encs = [_build_encoder_table(*_DC_LUMA), _build_encoder_table(*_DC_CHROMA)]
+    ac_enc = _build_encoder_table(*_PROG_AC)
+
+    # non-interleaved scans cover the component's TRUE block grid
+    true_grid = []
+    for c in comps:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        true_grid.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    def sos(scomps, ss, se, ah, al):
+        body = bytes([len(scomps)])
+        for cid, dct, act in scomps:
+            body += bytes([cid, (dct << 4) | act])
+        body += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, body)
+
+    all_sel = [
+        (c["id"], 0 if c["id"] == 1 else 1, 0 if c["id"] == 1 else 1)
+        for c in comps
+    ]
+
+    # scan 1: interleaved DC first, Al = 1 (arithmetic-shift point transform)
+    sos(all_sel, 0, 0, 0, 1)
+    zw = _BitWriter()
+    pred = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                blocks, bw = comp_blocks[ci]
+                enc = dc_encs[0 if c["id"] == 1 else 1]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = blocks[(my * c["v"] + by) * bw + (mx * c["h"] + bx)]
+                        v = int(zz[0]) >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = _category(diff)
+                        code, length = enc[s]
+                        zw.write(code, length)
+                        if s:
+                            _emit_mag_bits(zw, diff, s)
+    zw.flush()
+    out.extend(zw.out)
+
+    # scans 2..: per-component full-band AC first, Al = 1
+    for ci, c in enumerate(comps):
+        sos([all_sel[ci]], 1, 63, 0, 1)
+        zw = _BitWriter()
+        _write_ac_first(zw, comp_blocks[ci], true_grid[ci], ac_enc, 1, 63, 1)
+        zw.flush()
+        out.extend(zw.out)
+
+    # DC refinement: one bit per block, no Huffman
+    sos(all_sel, 0, 0, 1, 0)
+    zw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                blocks, bw = comp_blocks[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = blocks[(my * c["v"] + by) * bw + (mx * c["h"] + bx)]
+                        zw.write(int(zz[0]) & 1, 1)
+    zw.flush()
+    out.extend(zw.out)
+
+    # AC refinement per component, Ah = 1 -> Al = 0
+    for ci, c in enumerate(comps):
+        sos([all_sel[ci]], 1, 63, 1, 0)
+        zw = _BitWriter()
+        _write_ac_refine(zw, comp_blocks[ci], true_grid[ci], ac_enc, 1, 63, 0)
+        zw.flush()
+        out.extend(zw.out)
+
+
+def _iter_true_blocks(comp_block_entry, grid):
+    blocks, bw = comp_block_entry
+    bh_t, bw_t = grid
+    for by in range(bh_t):
+        for bx in range(bw_t):
+            yield blocks[by * bw + bx]
+
+
+def _write_ac_first(zw, comp_entry, grid, ac_enc, ss, se, al):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_enc[r << 4]
+            zw.write(code, length)
+            if r:
+                zw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in _iter_true_blocks(comp_entry, grid):
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = abs(v) >> al  # AC point transform divides the MAGNITUDE
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, length = ac_enc[0xF0]
+                zw.write(code, length)
+                r -= 16
+            s = _category(t)
+            st = t if v > 0 else -t
+            code, length = ac_enc[(r << 4) | s]
+            zw.write(code, length)
+            _emit_mag_bits(zw, st, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _write_ac_refine(zw, comp_entry, grid, ac_enc, ss, se, al):
+    """Successive-approximation AC refinement writer (the libjpeg
+    encode_mcu_AC_refine shape): correction bits for already-nonzero
+    coefficients buffer up and flush in positional order right after the
+    next emitted symbol (or with the EOB-run flush); ZRLs are emitted the
+    moment ANY nonzero is reached with run > 15, which keeps every
+    buffered correction inside the span the decoder traverses for that
+    symbol."""
+    p1 = 1 << al
+    eobrun = 0
+    pending: list[int] = []  # correction bits owned by the open EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, length = ac_enc[r << 4]
+            zw.write(code, length)
+            if r:
+                zw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            zw.write(b, 1)
+        pending = []
+
+    for zz in _iter_true_blocks(comp_entry, grid):
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in vals]
+        eob_rel = -1
+        for idx, t in enumerate(absv):
+            if t == 1:
+                eob_rel = idx
+        r = 0
+        br: list[int] = []
+        for idx, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob_rel:
+                flush_eob()
+                code, length = ac_enc[0xF0]
+                zw.write(code, length)
+                r -= 16
+                for b in br:
+                    zw.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            # newly-nonzero coefficient: emit run/1 + sign + buffered bits
+            flush_eob()
+            code, length = ac_enc[(r << 4) | 1]
+            zw.write(code, length)
+            zw.write(1 if vals[idx] > 0 else 0, 1)
+            for b in br:
+                zw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()

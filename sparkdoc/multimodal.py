@@ -622,6 +622,74 @@ def synth_jpeg_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
     return base.mapInPandas(gen, schema=MEDIA)
 
 
+def synth_jpeg_prog_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
+    """PROGRESSIVE (SOF2) twin of ``synth_jpeg_media_df``: the IDENTICAL
+    flat-block formula images, coded with the multi-scan progressive
+    script (interleaved DC first at Al=1, per-component full-band AC
+    first, DC refinement, AC refinement) instead of one sequential scan.
+    The decoded pixels are the same closed forms, so the
+    ``media_jpeg_prog_decode`` oracle is the sequential gate's SQL with
+    only the doc_id prefix changed — pinning scan accumulation,
+    successive-approximation refinement, and EOB-run handling against the
+    same ground truth. i%4==3 (the DRI rotation in the sequential corpus)
+    codes as plain 4:4:4 progressive: restart framing doesn't change
+    pixels, and the progressive encoder doesn't emit DRI."""
+    from sparkdoc.jpegcodec import encode_jpeg
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                kind = i % 4
+                if kind == 2:
+                    s = 16
+                    w, h = 16 * (1 + i % 2), 16 * (1 + (i // 4) % 2)
+                else:
+                    s = 8
+                    w, h = 8 * (1 + i % 4), 8 * (1 + i % 3)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                bx, by = x // s, y // s
+                yv = ((37 * bx + 53 * by + 11 + i) % 256).astype(np.float64)
+                yv = yv + np.zeros((h, w))
+                if kind == 0:
+                    payload = encode_jpeg(
+                        yv.astype(np.uint8), gray=True, progressive=True
+                    )
+                else:
+                    cb = ((29 * bx + 71 * by + 5 + 2 * i) % 256).astype(np.float64)
+                    cr = ((41 * bx + 13 * by + 101 + 3 * i) % 256).astype(np.float64)
+                    ycc = np.stack(
+                        [yv, cb + np.zeros((h, w)), cr + np.zeros((h, w))], axis=2
+                    )
+                    payload = encode_jpeg(
+                        None,
+                        subsampling="420" if kind == 2 else "444",
+                        ycbcr=ycc,
+                        progressive=True,
+                    )
+                rows.append(
+                    {
+                        "media_ref": f"#/pictures/{i}",
+                        "doc_id": f"jpp{i:04d}",
+                        "media_type": "image",
+                        "mime": "image/jpeg",
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                        "meta_sample_rate": None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
+
+
 def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
     """Typed resize plan (target dims preserving aspect) — pure exprs; the
     pixel work would ride the same mapInPandas as image_features. Image rows

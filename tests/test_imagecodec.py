@@ -463,8 +463,14 @@ class TestJpeg:
         assert (decode_image(p) == 99).all()  # routed through the dispatcher
         with pytest.raises(ValueError):
             decode_jpeg(p[:30])  # truncated
-        with pytest.raises(ValueError, match="SOF2"):
-            decode_jpeg(p.replace(b"\xff\xc0", b"\xff\xc2", 1))  # progressive
+        # SOF2 is now SUPPORTED — but a baseline stream with only the SOF
+        # marker patched is malformed as progressive (its single scan
+        # declares the full 0..63 band on a DC-style header) and must fail
+        # loudly, not silently misdecode
+        with pytest.raises(ValueError):
+            decode_jpeg(p.replace(b"\xff\xc0", b"\xff\xc2", 1))
+        with pytest.raises(ValueError, match="SOF9"):
+            decode_jpeg(p.replace(b"\xff\xc0", b"\xff\xc9", 1))  # arithmetic
         with pytest.raises(ValueError, match="missing SOS|no scan"):
             decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, nothing else
 
@@ -586,3 +592,70 @@ class TestTiff:
         ):
             with pytest.raises(ValueError):
                 decode_image(bad)
+
+
+class TestProgressiveJpeg:
+    """SOF2 progressive: spectral selection + successive approximation (DC
+    and AC refinement) + EOB runs, pinned bit-equal to the baseline path —
+    both codings of one image share the dequant/IDCT/color tail, and the
+    scan script reconstructs the exact quantized coefficients."""
+
+    def test_parity_with_baseline_matrix(self):
+        import numpy as np
+
+        from sparkdoc.jpegcodec import decode_jpeg, encode_jpeg
+
+        rng = np.random.RandomState(5)
+        for h, w in [(8, 8), (16, 24), (17, 23), (40, 33)]:
+            rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            gray = rng.randint(0, 256, (h, w), dtype=np.uint8)
+            for sub in ("444", "420"):
+                b = decode_jpeg(encode_jpeg(rgb, subsampling=sub))
+                p = decode_jpeg(encode_jpeg(rgb, subsampling=sub, progressive=True))
+                assert np.array_equal(b, p), (h, w, sub)
+            b = decode_jpeg(encode_jpeg(gray, gray=True))
+            p = decode_jpeg(encode_jpeg(gray, gray=True, progressive=True))
+            assert np.array_equal(b, p), (h, w, "gray")
+
+    def test_eob_runs_zrl_and_large_categories(self):
+        import numpy as np
+
+        from sparkdoc.jpegcodec import decode_jpeg, encode_jpeg
+
+        # flat image: every AC block empty -> multi-block EOB runs
+        flat = np.full((128, 160, 3), 130, dtype=np.uint8)
+        for sub in ("444", "420"):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(flat, subsampling=sub)),
+                decode_jpeg(encode_jpeg(flat, subsampling=sub, progressive=True)),
+            )
+        # sparse spikes: ZRL runs + refinement corrections interleaved
+        img = np.full((96, 96, 3), 100, dtype=np.uint8)
+        img[::17, ::13] = 250
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img)),
+            decode_jpeg(encode_jpeg(img, progressive=True)),
+        )
+        # quant=1: large coefficient magnitudes (categories up to 11)
+        q = np.ones(64, dtype=np.int64)
+        rng = np.random.RandomState(9)
+        hi = rng.randint(0, 256, (32, 40, 3), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(hi, quant=q)),
+            decode_jpeg(encode_jpeg(hi, quant=q, progressive=True)),
+        )
+
+    def test_progressive_marker_and_guards(self):
+        import numpy as np
+        import pytest
+
+        from sparkdoc.jpegcodec import decode_jpeg, encode_jpeg
+
+        img = np.zeros((8, 8, 3), dtype=np.uint8)
+        p = encode_jpeg(img, progressive=True)
+        assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+        with pytest.raises(ValueError, match="restart"):
+            encode_jpeg(img, progressive=True, restart_interval=2)
+        # truncated progressive stream fails loudly, never hangs
+        with pytest.raises(ValueError):
+            decode_jpeg(p[: len(p) // 2])
