@@ -176,7 +176,7 @@ def main() -> None:
     # two-cluster-size evidence lives in BENCH/BASELINE.md (python -m
     # sparkdoc.bench.run); pointer only — not measured in this process
     extras["scaling_evidence"] = (
-        "BENCH/BASELINE.md: eff 0.951 @ 2->8 cores, 72k docs (r3; r2 0.899; "
+        "BENCH/BASELINE.md: eff 0.902 @ 2->8 cores, 72k docs (r4 post-heading-carry; r3 0.951; r2 0.899; "
         "r1 0.818/0.921); first miles pdf 0.927 @ 48k post-opt, mixed 0.908 @ 72k, "
         "warc 0.831 @ 6k files, xlsx 0.908 @ 144k, pptx 0.83 @ 72k, "
         "jats 0.849 @ 72k, uspto 0.922 @ 144k, mets 0.82 @ 72k; "
