@@ -74,14 +74,28 @@ def _apply_merge(col: F.Column, a: str, b: str) -> F.Column:
     return col
 
 
-def fit_bpe(words: DataFrame, n_merges: int = 8) -> list[tuple[str, str]]:
+def fit_bpe(
+    words: DataFrame, n_merges: int = 8, max_words: int | None = None
+) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merges from a (word, cnt) frame.
 
     Driver loop with one single-row collect per merge over the cached
     vocabulary-sized frame — documented and intentional (the argmax of each
     iteration feeds the next iteration's plan as a literal; there is no
     data-parallel formulation of sequential greedy selection). Ties break
-    (count desc, a asc, b asc)."""
+    (count desc, a asc, b asc).
+
+    SAMPLING CONTRACT for real vocab sizes: greedy BPE is inherently one
+    tiny Spark job per merge, so a 30k-merge fit must not iterate over the
+    full distinct-word frame of a 100 TB corpus. ``max_words`` caps the
+    fit to the TOP-``max_words`` words by corpus frequency (ties broken on
+    the word — deterministic): the head of a Zipf-ish vocabulary carries
+    almost all token mass, so pair statistics over it are the statistics
+    that matter, and the learned merges still ENCODE every word (encoding
+    never consults the fit corpus, only the merge table). Default None
+    fits on everything — the oracle-gated exact semantics."""
+    if max_words is not None:
+        words = words.orderBy(F.desc("cnt"), F.asc("word")).limit(int(max_words))
     state = words.select(
         (F.concat(F.lit(" "), init_symbols(F.col("word")), F.lit(" "))).alias("syms"),
         "cnt",

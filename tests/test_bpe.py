@@ -207,3 +207,35 @@ class TestScaleEncoder:
             toks = r["tokens"]
             joined = "".join(toks).replace(END, "")
             assert joined == r["word"]
+
+
+class TestFitSampling:
+    def test_max_words_caps_the_fit_deterministically(self, spark):
+        """The documented sampling contract: fitting on the top-N words by
+        frequency equals the python twin fit on exactly that capped set,
+        and the learned merges still encode EVERY word (including ones
+        outside the fit sample)."""
+        from pyspark.sql import functions as F
+
+        from sparkdoc.bpe import (
+            encode_word_ranked, encode_words, fit_bpe, fit_bpe_py, word_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "aaa aaa aaa aaa bbb bbb ccc zzz"),
+             (1, "aaa aaa bbb ccc ddd qqq"),
+             (2, "aaa bbb ccc xyz")],
+            "doc_id int, text string",
+        )
+        wc = word_counts(docs).persist()
+        merges = fit_bpe(wc, n_merges=6, max_words=3)
+        top3 = {r["word"]: r["cnt"] for r in
+                wc.orderBy(F.desc("cnt"), F.asc("word")).limit(3).collect()}
+        assert merges == fit_bpe_py(top3, n_merges=6)
+        # out-of-sample words still encode through the merge table
+        out = {r["word"]: r["tokens"]
+               for r in encode_words(wc.select("word"), merges).collect()}
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w, toks in out.items():
+            assert toks == encode_word_ranked(w, ranks)
+        wc.unpersist()
