@@ -114,7 +114,10 @@ def node_identity_keys(nodes: DataFrame, id_fields: dict[str, list[str]]) -> Dat
 
     Nodes whose canonical values are ALL empty are unkeyed → omitted
     (reference returns None :178-179). Classes absent from ``id_fields`` (or
-    mapped to []) are likewise unkeyed. One shuffle on (doc, class, node).
+    mapped to []) are likewise unkeyed. Two aggregations on prefixes of
+    (doc, class, node, pos) — the first is the deterministic
+    conflicting-duplicate resolution (min canon), the second collects the
+    ordered values.
     """
     fdf = _id_fields_df(nodes.sparkSession, id_fields)
     vals = (
