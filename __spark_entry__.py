@@ -1534,7 +1534,7 @@ def _doc_doclang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_deep_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep model merge (merge.deep_merge_dicts, dict_merger.py semantics)
     as a DuckDB-checkable truth table: per doc, a base/extra model pair built
-    from words 1-3 exercises first-wins scalars, empty-incoming skip,
+    from words 1-3 exercises the empty-incoming skip (empty never overwrites),
     path-scoped identity-hash entity-list merge (w2==w3 collapses the list),
     and sentence-dedup description merge. Runs vectorized in one pandas UDF;
     outcomes are deterministic so the oracle states them exactly."""
@@ -6000,15 +6000,18 @@ def oracle_sql() -> dict[str, str]:
         FROM canon WHERE node_id = cid
         UNION ALL SELECT 'edge', src, dst, label FROM clean
     """
-    # deep-merge truth table: first-wins name, id-hash entity-list merge
-    # (w2==w3 collapses to one item), first-wins within the merged item,
+    # deep-merge truth table: empty incoming name never overwrites, id-hash
+    # entity-list merge (w2==w3 collapses to one item), NON-EMPTY SCALARS
+    # OVERWRITE within the merged item (dict_merger.py:152-168, r5 parity
+    # fix: the collapsed item's val ends 'z', not first-wins 'x'),
     # sentence-dedup description.
     q["doc_deep_merge"] = """
         SELECT doc_id,
                split_part(text, ' ', 1) AS name_out,
                CASE WHEN split_part(text, ' ', 3) = split_part(text, ' ', 2)
                     THEN 1 ELSE 2 END AS n_items,
-               'x' AS w2_val,
+               CASE WHEN split_part(text, ' ', 3) = split_part(text, ' ', 2)
+                    THEN 'z' ELSE 'x' END AS w2_val,
                'y' AS w2_extra,
                'A. B. C.' AS desc_out
         FROM documents

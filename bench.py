@@ -173,18 +173,13 @@ def main() -> None:
     extras["mixed_extract_n_spans"] = int(n_mspans)
     mixed.unpersist()
 
-    # two-cluster-size evidence lives in BENCH/BASELINE.md (python -m
-    # sparkdoc.bench.run); pointer only — not measured in this process
-    extras["scaling_evidence"] = (
-        "BENCH/BASELINE.md: eff 0.902 @ 2->8 cores, 72k docs (r4 post-heading-carry; r3 0.951; r2 0.899; "
-        "r1 0.818/0.921); first miles pdf 0.927 @ 48k post-opt, mixed 0.908 @ 72k, "
-        "warc 0.831 @ 6k files, xlsx 0.908 @ 144k, pptx 0.83 @ 72k, "
-        "jats 0.849 @ 72k, uspto 0.922 @ 144k, mets 0.82 @ 72k; "
-        "1M-doc kill/resume proven r3; r4: e2e web_pipeline floor fixed "
-        "(shard write emitted 8.1k tiny files -> 1/group): mix stage "
-        "63->23 s @ 48k/8c and now scales in cores, e2e eff 0.26->0.53, "
-        "1253 docs/s @ 8c — compute kernels own the >=0.8 figures"
-    )
+    # two-cluster-size evidence is measured out-of-process (python -m
+    # sparkdoc.bench.run etc.) and recorded machine-readably in
+    # BENCH/scaling.json by the harnesses themselves; emit that registry
+    # verbatim — never hand-maintained prose (r4 verdict What's-wrong #2)
+    from sparkdoc.bench.record import load_scaling
+
+    extras["scaling_evidence"] = load_scaling() or "BENCH/scaling.json missing"
     docs.unpersist()
     raw.unpersist()
 

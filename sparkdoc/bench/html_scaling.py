@@ -117,6 +117,8 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--fused", action="store_true",
                     help="measure the zero-shuffle fused documents path")
+    ap.add_argument("--record", action="store_true",
+                    help="write the result into BENCH/scaling.json")
     ap.add_argument("--fmt", default="html", choices=["html", "md", "docx", "pdf", "mixed", "warc", "xlsx", "pptx", "adoc", "vtt", "jats", "uspto", "mets"])
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -125,16 +127,32 @@ def main() -> None:
     assert lo["n_spans"] == hi["n_spans"], "span counts must match across levels"
     ratio = args.high / args.low
     eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
+    job = ("warc_container_ingest" if args.fmt == "warc"
+           else "mixed_sniff_route" if args.fmt == "mixed"
+           else f"{args.fmt}_fused" if args.fused
+           else f"{args.fmt}_flatten_extract")
     print(json.dumps({
-        "job": ("warc_container_ingest" if args.fmt == "warc"
-                else "mixed_sniff_route" if args.fmt == "mixed"
-                else f"{args.fmt}_fused" if args.fused
-                else f"{args.fmt}_flatten_extract"),
+        "job": job,
         "docs": args.docs,
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
     }))
+    if args.record:
+        from sparkdoc.bench.record import record_scaling
+
+        record_scaling(
+            job,
+            {
+                "eff": round(eff, 3),
+                "low_cores": args.low,
+                "high_cores": args.high,
+                "n_docs": args.docs,
+                "docs_per_sec_high": hi["docs_per_sec"],
+                "harness": "python -m sparkdoc.bench.html_scaling --fmt %s --docs %d --low %d --high %d%s"
+                % (args.fmt, args.docs, args.low, args.high, " --fused" if args.fused else ""),
+            },
+        )
 
 
 if __name__ == "__main__":

@@ -79,6 +79,8 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--record", action="store_true",
+                    help="write the result into BENCH/scaling.json")
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -116,6 +118,21 @@ def main() -> None:
             indent=2,
         )
     )
+    if args.record:
+        from sparkdoc.bench.record import record_scaling
+
+        record_scaling(
+            "web_pipeline_e2e",
+            {
+                "eff": round(eff, 3),
+                "low_cores": args.low,
+                "high_cores": args.high,
+                "n_docs": args.docs,
+                "docs_per_sec_high": round(tput_hi, 1),
+                "harness": "python -m sparkdoc.bench.pipeline_scaling --docs %d --low %d --high %d --reps %d"
+                % (args.docs, args.low, args.high, args.reps),
+            },
+        )
 
 
 if __name__ == "__main__":

@@ -107,7 +107,20 @@ def heading_text_py(tag: str, text: str) -> str:
     contextualizes with the full hierarchy, document_chunker.py:50-154; the
     DocLang serializer carries <heading level>, doclang_format.py:32-40).
     Idempotent: text already carrying its exact level prefix (the layout
-    corpus authors titles that way) passes through unchanged."""
+    corpus authors titles that way) passes through unchanged.
+
+    DOCUMENTED CORRUPTION CASE (accepted trade-off, r4 ADVICE): the
+    idempotency check cannot distinguish authored text from markup — an h2
+    whose genuine title literally begins ``"## "`` passes through
+    unprefixed, and the chunker later strips those author hashes as level
+    markers, silently dropping them from trails/enriched text. An hN title
+    beginning with a *different* level's prefix (h1 titled ``"## x"``)
+    double-prefixes instead (``"# ## x"``) and keeps the author hashes.
+    Always-prefixing would flip the damage onto every pre-marked corpus
+    (the layout goldens author titles prefixed); carrying the level
+    out-of-band needs a schema column the north rule does not grant. A
+    literal-``'#'``-leading title at its own exact level is the rarest of
+    those shapes, so idempotency wins."""
     if len(tag) == 2 and tag[0] == "h" and tag[1].isdigit() and tag[1] != "0":
         prefix = "#" * int(tag[1]) + " "
         if not text.startswith(prefix):

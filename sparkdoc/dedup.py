@@ -207,9 +207,24 @@ def containment_alias_groups(
     AND unique superset per base (ambiguous bases vetoed — "ACME" contained
     in both "ACME Corp" and "ACME Holdings" proposes nothing; without the
     symmetric veto, apply_alias_merges would fan the base's edges and
-    attributes into EVERY superset, duplicating edges and merging wrong.
-    The reference requires the former (:59-84); the latter extends the same
-    ambiguity principle to the other side).
+    attributes into EVERY superset, duplicating edges and merging wrong).
+
+    KNOWN PARITY DIVERGENCE vs alias_reconciler.containment_groups:59-84:
+    the reference applies only the first veto and CONSOLIDATES multiple
+    supersets per base into one keep-the-base merge group ("widget" keeps;
+    "blue widget"/"premium widget" both fold in). This repo merges in the
+    opposite direction (base → superset: the longer name is the richer
+    survivor by construction), which makes a multi-superset base genuinely
+    ambiguous, hence the second veto and deliberate under-merge on that
+    shape. The reference's actual multi-superset behavior is also not a
+    clean consolidation: each (keep, merge_j) pair is LLM-confirmed and
+    survivor-picked by attribute richness at merge time, and when the base
+    loses the first richness contest the remaining supersets are SKIPPED
+    (reconcile_graph_aliases: `node_a in removed → continue`) — an
+    LLM-gated, order-contingent path that is out of scope by the north
+    rule. Recorded in COVERAGE.md; pinned by
+    test_ambiguous_base_proposes_nothing and (reference side)
+    test_containment_groups_consolidate_multiple_supersets_per_base.
     Scoped per class (and any extra scope cols) — the self-join keys on the
     scope so Catalyst shuffles once per side; the containment predicate runs
     post-join JVM-side (`contains`).
@@ -432,7 +447,13 @@ def rekey_graph(nodes: DataFrame, edges: DataFrame, id_fields_map: dict[str, lis
             attrs = _json.loads(j) if j else {}
             fields = id_fields_map.get(c, [])
             ids = {k: attrs.get(k) for k in fields if attrs.get(k) not in (None, "")}
-            out.append(_node_id(c, ids) if ids else None)
+            # skolem stamp rides the fingerprint RAW (merge/identity.py:
+            # 128-137): without it, re-keying a merged graph would recompute
+            # a skolemized root back to its colliding base id and re-fuse
+            # two distinct documents
+            out.append(
+                _node_id(c, ids, attrs.get("skolem_document_id")) if ids else None
+            )
         return pd.Series(out)
 
     rekeyed = nodes.withColumn(

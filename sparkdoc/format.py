@@ -13,9 +13,11 @@ MAX_DISPLAY_LEN = 120
 
 
 def truncate_display(col: Column, max_len: int = MAX_DISPLAY_LEN) -> Column:
-    """Ellipsis truncation for display strings."""
+    """Ellipsis truncation for display strings — string_formatter.py:13-33
+    exact: cut at max_len-3 and append ASCII "..." (parity-fuzzed in
+    tests/test_reference_parity.py; the pre-r5 "…" suffix diverged)."""
     return F.when(
-        F.length(col) > max_len, F.concat(F.substring(col, 1, max_len - 1), F.lit("…"))
+        F.length(col) > max_len, F.concat(F.substring(col, 1, max_len - 3), F.lit("..."))
     ).otherwise(col)
 
 

@@ -120,13 +120,19 @@ def _normalize_temporal(value):
     return value
 
 
-def node_fingerprint(node_class: str, id_fields: dict) -> str:
+def node_fingerprint(node_class: str, id_fields: dict, skolem_document_id=None) -> str:
     """Byte-parity with NodeIDRegistry._generate_fingerprint
     (node_id_registry.py:58-112) / recompute_node_id (merge/identity.py:86-148):
     every present id field is included (empties canonicalize to ''), list
     values become sorted deduped canonical tuples, default json.dumps
     (ensure_ascii, ', '/': ' separators, sort_keys, default=str), and the
-    fingerprint is the first 16 hex chars of a default-size blake2b."""
+    fingerprint is the first 16 hex chars of a default-size blake2b.
+
+    ``skolem_document_id``: the content-bearing stamp merge skolemization
+    writes onto filename-stem-colliding roots — mixed in RAW (str, not
+    canonicalized), exactly like recompute_node_id (merge/identity.py:
+    128-137), so re-keying a merged graph cannot recompute a skolemized
+    root back to its colliding base id and silently re-fuse two documents."""
     data: dict = {}
     for k, v in id_fields.items():
         if isinstance(v, (list, tuple, set)):
@@ -134,15 +140,17 @@ def node_fingerprint(node_class: str, id_fields: dict) -> str:
             data[k] = tuple(sorted(canon))
         else:
             data[k] = canonicalize_identity(_normalize_temporal(v), k)
+    if skolem_document_id:
+        data["skolem_document_id"] = str(skolem_document_id)
     data["__class__"] = node_class
     blob = json.dumps(data, sort_keys=True, default=str)
     return hashlib.blake2b(blob.encode()).hexdigest()[:16]
 
 
-def node_id(node_class: str, id_fields: dict) -> str:
+def node_id(node_class: str, id_fields: dict, skolem_document_id=None) -> str:
     """Class_<16hex> — identical to reference node ids, so rekey/merge of
     reference-produced graph exports collapses onto the same nodes."""
-    return f"{node_class}_{node_fingerprint(node_class, id_fields)}"
+    return f"{node_class}_{node_fingerprint(node_class, id_fields, skolem_document_id)}"
 
 
 def content_hash(attrs: dict, meta_prefix: str = "__") -> str:

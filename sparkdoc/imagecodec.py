@@ -1,17 +1,21 @@
 """Pure-numpy image codecs: BMP (24/32-bit BI_RGB, bottom-up and top-down),
 binary PPM (P6), PGM (P5), PNG (bit depth 8, color types 0/2/3/4/6, all
 five scanline filters — DEFLATE via stdlib zlib), GIF (87a/89a LZW,
-global/local color tables, interlace; first frame of animations), and
-baseline JPEG (``sparkdoc.jpegcodec``: SOF0 Huffman + IDCT, 4:4:4/4:2:0,
-restart intervals).
+global/local color tables, interlace; first frame of animations), TIFF
+(6.0 baseline subset in this module: II/MM byte orders, gray/inverted-
+gray/RGB, none/LZW-with-early-change/PackBits compression, predictor 2,
+multi-strip), and JPEG (``sparkdoc.jpegcodec``: baseline SOF0 Huffman +
+IDCT with 4:4:4/4:2:0 and restart intervals, AND progressive SOF2 with
+spectral selection, successive approximation, EOB runs, per-scan
+restarts).
 
 This is the REAL decode kernel behind ``multimodal.image_features`` — no
 external image libraries exist in this environment, but these formats are
-fully decodable from their public specifications (PNG/GIF bit-exactly;
+fully decodable from their public specifications (PNG/GIF/TIFF bit-exactly;
 JPEG exactly up to its own quantization loss), so the media pipeline runs
 end-to-end on real pixel data instead of the deterministic stub whenever
 payloads arrive in one of these containers. Genuinely out-of-scope
-containers (WebP, TIFF, AVIF, progressive JPEG) keep the documented
+containers (WebP, AVIF — video-codec intra frames) keep the documented
 stub/NotImplementedError path (multimodal._decode_image_real).
 
 Reference parity note: the reference engine delegates image handling to
@@ -824,12 +828,19 @@ def encode_gif(
 # gray), 2 (RGB); Compression 1 (none), 5 (LZW with the spec's EARLY-CHANGE
 # code-width rule and optional horizontal Predictor 2), 32773 (PackBits);
 # multi-strip images (RowsPerStrip + StripOffsets/StripByteCounts arrays).
-# Unsupported features (tiles, 16-bit, palettes, planar config 2) raise
-# ValueError — corrupt payloads never crash callers, they fall back to the
-# documented stub path exactly like the other codecs.
+# Metadata-only IFD entries with value types outside the pixel-path subset
+# (RATIONAL resolutions, ASCII Software/DateTime, …) are SKIPPED per the
+# spec's unknown-field rule — real-world writers emit them on virtually
+# every file. Unsupported pixel features (tiles, 16-bit, palettes, planar
+# config 2, or a required tag with an exotic type) raise ValueError —
+# corrupt payloads never crash callers, they fall back to the documented
+# stub path exactly like the other codecs.
 # --------------------------------------------------------------------------
 
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+# tags a decoder cannot proceed without: ImageWidth, ImageLength,
+# PhotometricInterpretation, StripOffsets, StripByteCounts
+_TIFF_REQUIRED_TAGS = {256, 257, 262, 273, 279}
 
 
 def _tiff_read_values(payload: bytes, endian: str, vtype: int, count: int, field: bytes) -> list[int]:
@@ -1036,6 +1047,20 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         tag = int.from_bytes(ent[0:2], endian)
         vtype = int.from_bytes(ent[2:4], endian)
         count = int.from_bytes(ent[4:8], endian)
+        if vtype not in _TIFF_TYPE_SIZE:
+            # RATIONAL (XResolution/YResolution), ASCII (Software/DateTime),
+            # UNDEFINED, SRATIONAL etc. are metadata-only — never among the
+            # tags required to decode pixels, and the spec requires readers
+            # to skip unknown fields. Rejecting them would turn away almost
+            # every externally-produced baseline TIFF. Decode-required tags
+            # (dims/photometric/strip layout) are SHORT/LONG by spec; if one
+            # somehow carries an exotic type the required-tag check below
+            # raises with a clear message.
+            if tag in _TIFF_REQUIRED_TAGS:
+                raise ValueError(
+                    f"tiff: required tag {tag} has unsupported value type {vtype}"
+                )
+            continue
         tags[tag] = _tiff_read_values(payload, endian, vtype, count, ent[8:12])
 
     def one(tag: int, default: int | None = None) -> int:
@@ -1110,11 +1135,16 @@ def encode_tiff(
     byte_order: str = "II",
     rows_per_strip: int | None = None,
     predictor: int = 1,
+    metadata: bool = False,
 ) -> bytes:
     """Encode (H,W,3) RGB (photometric 2) or (H,W) gray (photometric 0/1;
     0 stores inverted WhiteIsZero samples) as a real TIFF. Compression 1 /
     5 (LZW, optional predictor 2) / 32773 (PackBits); layout: header,
-    strips, out-of-line value arrays, IFD."""
+    strips, out-of-line value arrays, IFD. ``metadata=True`` adds the
+    RATIONAL resolution tags and ASCII Software/DateTime tags virtually
+    every real-world writer emits — the decoder must skip these (they are
+    value types outside its pixel-path subset), so fixtures use this flag
+    to pin that tolerance."""
     endian = "little" if byte_order == "II" else "big"
     if photometric == 2:
         if arr.ndim != 3 or arr.shape[2] != 3:
@@ -1185,6 +1215,28 @@ def encode_tiff(
     add(279, 4, [len(d) for d in strips])
     if predictor != 1:
         add(317, 3, [predictor])
+    if metadata:
+        # raw-typed metadata entries (RATIONAL=5, ASCII=2) — types the
+        # decoder does NOT parse and must skip
+        def add_raw(tag: int, vtype: int, count: int, raw: bytes) -> None:
+            if len(raw) <= 4:
+                field = raw.ljust(4, b"\x00")
+            else:
+                off = len(out)
+                out.extend(raw)
+                if len(out) % 2:
+                    out.extend(b"\x00")
+                field = u32(off)
+            entries.append((tag, vtype, count, field))
+
+        res = u32(72) + u32(1)  # 72/1 dpi as a RATIONAL numerator/denominator
+        add_raw(282, 5, 1, res)  # XResolution
+        add_raw(283, 5, 1, res)  # YResolution
+        add(296, 3, [2])  # ResolutionUnit = inch
+        sw = b"sparkdoc tiff writer\x00"
+        add_raw(305, 2, len(sw), sw)  # Software
+        dt = b"2020:01:01 00:00:00\x00"
+        add_raw(306, 2, len(dt), dt)  # DateTime
     entries.sort(key=lambda t: t[0])  # spec: ascending tag order
     ifd_off = len(out)
     out += u16(len(entries))

@@ -29,19 +29,52 @@ _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 
 
 def truncate_at_sentence_boundary(text: str, max_length: int) -> str:
-    """Cut at last .!? before max_length (description_merger.py:20-42)."""
+    """Cut at the LAST .!? before max_length (description_merger.py:20-42,
+    branch-exact: empty text or non-positive budget yields ''; a boundary at
+    position 0 still counts — parity-fuzzed in test_reference_parity.py)."""
+    if not text or max_length <= 0:
+        return ""
     if len(text) <= max_length:
         return text
-    head = text[:max_length]
-    best = max(head.rfind("."), head.rfind("!"), head.rfind("?"))
-    return head[: best + 1] if best > 0 else head
+    end = max_length
+    for i, c in enumerate(text[:max_length]):
+        if c in ".!?":
+            end = i + 1
+    return text[:end]
+
+
+def _merge_description_pair(existing: str, new: str, max_length: int) -> str:
+    """description_merger.py:45-105 exact: keep ``existing`` verbatim, append
+    only the sentences of ``new`` that are not CASE-SENSITIVE substrings of
+    it. (The pre-r5 kernel re-split both sides and deduped by casefolded
+    sentence key — the reference-parity fuzz caught the divergence: it
+    rewrote existing whitespace and dropped case-variant sentences the
+    reference keeps.)"""
+    if not existing or not existing.strip():
+        return truncate_at_sentence_boundary((new or "").strip(), max_length)
+    existing = existing.strip()
+    if not new or not new.strip():
+        return truncate_at_sentence_boundary(existing, max_length)
+    new = new.strip()
+    if existing.find(new) != -1:
+        return truncate_at_sentence_boundary(existing, max_length)
+    additions = []
+    for s in _SENT_RE.split(new):
+        s = s.strip()
+        if s and s not in existing:
+            additions.append(s)
+    if not additions:
+        return truncate_at_sentence_boundary(existing, max_length)
+    return truncate_at_sentence_boundary(existing + " " + " ".join(additions), max_length)
 
 
 def merge_descriptions(parts: list[str], max_length: int = 1000, summarizer=None) -> str:
-    """Sentence-split dedup merge, order-preserving, boundary-truncated
-    (description_merger.py:45-105). ``summarizer`` is the user callable slot
-    (description_merger.py:49-67 / SURVEY §2.11): when given, it replaces the
-    deterministic merge; a summarizer failure falls back deterministically."""
+    """Left fold of the reference's pairwise sentence-dedup merge
+    (description_merger.py:45-105 — the reference only ever merges two at a
+    time, truncating each step; the fold replays exactly that chain).
+    ``summarizer`` is the user callable slot (description_merger.py:49-67 /
+    SURVEY §2.11): when given, it replaces the deterministic merge; a
+    summarizer failure falls back deterministically."""
     if summarizer is not None:
         try:
             out = summarizer([p for p in parts if p], max_length)
@@ -49,17 +82,19 @@ def merge_descriptions(parts: list[str], max_length: int = 1000, summarizer=None
                 return truncate_at_sentence_boundary(out, max_length)
         except Exception:
             pass  # the slot must never break a merge
-    seen: set[str] = set()
-    out: list[str] = []
-    for part in parts:
-        if not part:
-            continue
-        for sent in _SENT_RE.split(part.strip()):
-            key = re.sub(r"\s+", " ", sent.strip().lower())
-            if key and key not in seen:
-                seen.add(key)
-                out.append(sent.strip())
-    return truncate_at_sentence_boundary(" ".join(out), max_length)
+    items = list(parts)
+    if not items:
+        return ""
+    # the FIRST element is the reference's ``existing`` and enters the pair
+    # merge untruncated (truncation is applied on each pair's way out);
+    # folding from "" would pre-truncate it and change which sentences the
+    # later substring checks see
+    out = items[0] or ""
+    if len(items) == 1:
+        return truncate_at_sentence_boundary(out.strip(), max_length)
+    for part in items[1:]:
+        out = _merge_description_pair(out, part or "", max_length)
+    return out
 
 
 _MERGE_SIMILARITY_THRESHOLD = 0.5  # dict_merger.py Jaccard fallback bar
@@ -192,24 +227,29 @@ def _deep_merge_into(
     description_fields: tuple[str, ...],
 ) -> dict:
     """In-place recursive merge (the reference mutates its target)."""
-    import json
-
     import copy
 
+    # control flow mirrors dict_merger.py:97-168 branch for branch (the r5
+    # reference-parity fuzz caught three divergences in the old shape: scalar
+    # conflicts kept base instead of overwriting, an EMPTY-but-present target
+    # list skipped the simple-list dedup, and simple-list dedup by JSON text
+    # instead of Python equality)
     for k, v in source.items():
         if v in (None, "", [], {}):
             continue
         child_path = f"{parent_path}.{k}" if parent_path else k
-        cur = target.get(k)
-        if cur in (None, "", [], {}) or k not in target:
+        if k not in target:
             target[k] = copy.deepcopy(v)
-        elif isinstance(cur, dict) and isinstance(v, dict):
+            continue
+        cur = target[k]
+        if isinstance(cur, dict) and isinstance(v, dict):
             _deep_merge_into(cur, v, child_path, identity_fields_map, similarity_fallback, description_fields)
         elif isinstance(cur, list) and isinstance(v, list):
-            # entity-list merge only when BOTH sides hold dicts — a mixed
-            # source list (e.g. {'tags': ['x']} into {'tags': [{...}]}) used
-            # to crash on src.get() inside the entity merge; the scalar
-            # set-union path below serializes dicts gracefully instead
+            # entity-list merge only when the target holds dicts AND every
+            # source member is one — a mixed source list (e.g. {'tags':
+            # ['x']} into {'tags': [{...}]}) would crash on src.get() inside
+            # the entity merge (the reference raises there; out-of-domain),
+            # so it falls to the graceful dedup-append path instead
             if (
                 cur
                 and isinstance(cur[0], dict)
@@ -219,15 +259,22 @@ def _deep_merge_into(
                     cur, v, child_path, identity_fields_map, similarity_fallback, description_fields
                 )
             else:
-                seen = {json.dumps(x, sort_keys=True, default=str) for x in cur}
+                # simple list: append-if-absent by PYTHON EQUALITY against
+                # the growing target (dict_merger.py:147-150) — this also
+                # dedups source-internal duplicates, and runs even when the
+                # target list is present-but-empty
                 for x in v:
-                    key = json.dumps(x, sort_keys=True, default=str)
-                    if key not in seen:
-                        seen.add(key)
+                    if x not in cur:
                         cur.append(x)
         elif k in description_fields and isinstance(cur, str) and isinstance(v, str):
-            target[k] = merge_descriptions([cur, v])
-        # else scalar conflict: first wins
+            # 4096 = the reference deep-merge path's description budget
+            # (dict_merger.py description_merge_max_length default)
+            target[k] = merge_descriptions([cur, v], max_length=4096)
+        else:
+            # scalar (or type-mismatched) conflict: NON-EMPTY SOURCE
+            # OVERWRITES — dict_merger.py:152-168. First-wins precedence
+            # lives one level up in the merge POLICY, not in this kernel.
+            target[k] = copy.deepcopy(v)
     return target
 
 
@@ -238,12 +285,13 @@ def deep_merge_dicts(
     identity_fields_map: dict[str, list[str]] | None = None,
     merge_similarity_fallback: bool = False,
 ) -> dict:
-    """Recursive first-wins merge (dict_merger.py:17-321): skip empty incoming
-    values; dicts recurse; entity-dict lists merge by path-scoped identity
-    hash (``identity_fields_map``, e.g. {"studies": ["name"]}) with an
-    optional child-overlap Jaccard >= 0.5 fallback; simple lists union by
-    content; description fields merge by sentence dedup; scalars keep base.
-    Returns a NEW dict (inputs untouched)."""
+    """Recursive merge (dict_merger.py:17-321): skip empty incoming values;
+    dicts recurse; entity-dict lists merge by path-scoped identity hash
+    (``identity_fields_map``, e.g. {"studies": ["name"]}) with an optional
+    child-overlap Jaccard >= 0.5 fallback; simple lists union by content;
+    description fields merge by sentence dedup; non-empty scalar conflicts
+    OVERWRITE (last wins, the reference's rule — parity-fuzzed in
+    tests/test_reference_parity.py). Returns a NEW dict (inputs untouched)."""
     import copy
 
     out = copy.deepcopy(base)

@@ -94,11 +94,11 @@ EMBED_DIM = 16
 
 def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs in sandbox
     raise NotImplementedError(
-        "decode for containers beyond BMP/PPM/PGM/PNG/GIF/baseline-JPEG/"
-        "TIFF (e.g. WebP, AVIF, progressive JPEG) needs PIL/opencv — not "
-        "available in this container; the supported formats decode natively "
-        "via sparkdoc.imagecodec/jpegcodec, and SPARKDOC_FAKE_CODECS=1 "
-        "(default) stubs the rest deterministically"
+        "decode for containers beyond BMP/PPM/PGM/PNG/GIF/TIFF/"
+        "baseline+progressive-JPEG (e.g. lossy WebP, AVIF) needs PIL/opencv "
+        "— not available in this container; the supported formats decode "
+        "natively via sparkdoc.imagecodec/jpegcodec, and "
+        "SPARKDOC_FAKE_CODECS=1 (default) stubs the rest deterministically"
     )
 
 

@@ -84,29 +84,57 @@ def anchor_scan(entities: DataFrame, chunks: DataFrame) -> DataFrame:
     # which would shift every span offset right of the fold point — offsets
     # into _lt must stay valid against the ORIGINAL text, so chunks where the
     # fold is not length-preserving fall back to case-sensitive scanning
-    # (fewer matches, never a wrong span)
+    # (fewer matches, never a wrong span; the reference's exact-match
+    # fallback inside _first_occurrence, anchor_scan.py:44-47)
     _low = F.lower("text")
     ch = chunks.select(
         "doc_id",
         "chunk_id",
         F.when(F.length(_low) == F.length("text"), _low).otherwise(F.col("text")).alias("_lt"),
+        (F.length(_low) == F.length("text")).alias("_folded"),
     )
+    dv = dv.withColumn("_resc", _xml_escape(F.col("_rv")))
     j = dv.join(ch, "doc_id")  # per-doc theta join on distinct values; AQE splits skew
     pos_raw = F.expr("locate(_lv, _lt)")
     pos_esc = F.expr("locate(_le, _lt)")
-    pos_rv = F.expr("locate(_rv, _lt)")  # exact-case needle: hits on fallback chunks
+    pos_rv = F.expr("locate(_rv, _lt)")  # exact-case needles: fallback chunks
+    pos_resc = F.expr("locate(_resc, _lt)")
+    esc_differs = F.col("_le") != F.col("_lv")
+    # raw and escaped hits tagged SEPARATELY: the reference retries the
+    # escaped form GLOBALLY per value — only when the raw scan finds nothing
+    # (or overflows the distinctiveness cap) across ALL the doc's chunks
+    # (anchor_scan.py:74-80) — never chunk-by-chunk; a per-chunk cascade
+    # would anchor the escaped spelling alongside raw hits in corpora mixing
+    # escaped and unescaped chunk text (caught by the r5 reference-parity
+    # fuzz)
+    j = j.withColumn(
+        "_hit_raw",
+        F.when(F.col("_folded") & (pos_raw > 0),
+               F.struct(pos_raw.alias("pos"), F.length("_lv").alias("len")))
+        .when(~F.col("_folded") & (pos_rv > 0),
+              F.struct(pos_rv.alias("pos"), F.length("_rv").alias("len"))),
+    ).withColumn(
+        "_hit_esc",
+        F.when(esc_differs & F.col("_folded") & (pos_esc > 0),
+               F.struct(pos_esc.alias("pos"), F.length("_le").alias("len")))
+        .when(esc_differs & ~F.col("_folded") & (pos_resc > 0),
+              F.struct(pos_resc.alias("pos"), F.length("_resc").alias("len"))),
+    ).filter(F.col("_hit_raw").isNotNull() | F.col("_hit_esc").isNotNull())
+    wv2 = Window.partitionBy("doc_id", "_lv")
+    n_raw = F.count("_hit_raw").over(wv2)
+    n_esc = F.count("_hit_esc").over(wv2)
+    # distinctiveness cap applies per scan pass, exactly as the reference:
+    # raw hits win when 1..MAX of them exist; otherwise (none, or too many)
+    # the escaped retry's hits apply under the same cap
+    use_raw = (n_raw >= 1) & (n_raw <= MAX_VERBATIM_CHUNKS)
+    use_esc = ~use_raw & (n_esc >= 1) & (n_esc <= MAX_VERBATIM_CHUNKS)
     j = j.withColumn(
         "_hit",
-        F.when(pos_raw > 0, F.struct(pos_raw.alias("pos"), F.length("_lv").alias("len")))
-        .when(pos_esc > 0, F.struct(pos_esc.alias("pos"), F.length("_le").alias("len")))
-        .when(pos_rv > 0, F.struct(pos_rv.alias("pos"), F.length("_rv").alias("len"))),
+        F.when(use_raw, F.col("_hit_raw")).when(use_esc, F.col("_hit_esc")),
     ).filter(F.col("_hit").isNotNull())
     hits = j.select("doc_id", "_lv", "chunk_id", "_hit")
     # phase 2: hits fan back out to (node, field) rows via an equi join
     j2 = values.join(hits, ["doc_id", "_lv"])
-    # distinctiveness: a value matching > MAX_VERBATIM_CHUNKS chunks anchors nothing
-    w = Window.partitionBy("doc_id", "node_id", "field")
-    j2 = j2.withColumn("_n", F.count("*").over(w)).filter(F.col("_n") <= MAX_VERBATIM_CHUNKS)
     return j2.select(
         "doc_id",
         "node_id",

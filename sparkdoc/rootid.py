@@ -25,11 +25,14 @@ SPARSE_MIN_LEAVES = 10
 OVER_DISCOVERY_FACTOR = 5  # orchestrator.py:1983-2008
 
 
-def is_class_name_echo(value: str, class_name: str) -> bool:
+def is_class_name_echo(value, class_name: str) -> bool:
     """True when an id value merely echoes its class name
-    (root_identity.py:47-52)."""
-    v = re.sub(r"[^a-z0-9]", "", (value or "").lower())
-    c = re.sub(r"[^a-z0-9]", "", (class_name or "").lower())
+    (root_identity.py:47-52): non-string values are never echoes, and the
+    comparison casefolds (parity-fuzzed in tests/test_reference_parity.py)."""
+    if not isinstance(value, str) or not value.strip():
+        return False
+    v = re.sub(r"[^a-z0-9]", "", value.casefold())
+    c = re.sub(r"[^a-z0-9]", "", (class_name or "").casefold())
     return bool(v) and (v == c)
 
 

@@ -315,9 +315,16 @@ class _WarcStreamReader(DataSourceStreamReader):
     cached offset instead of ``{"upto": ""}``. Without the cache, a
     regressed offset gets committed and every still-present ingested
     container is re-ingested when files become visible again, breaking the
-    exactly-once-per-file contract. ``partitions`` also refuses an
-    ``end < start`` range outright (an already-regressed checkpoint from a
-    pre-fix run fails loudly instead of planning a silent empty batch).
+    exactly-once-per-file contract. The cache is instance-local, so
+    ``partitions`` seeds it from the checkpointed start (covering the
+    restart window before the first listing), and an ``end < start`` range
+    whose end IS the initial offset — the one shape a transient empty
+    listing can still mint, on the very first ``latestOffset`` after a
+    restart — plans an EMPTY batch with a warning while remembering the
+    real position as a floor, so the following batch (whose start is the
+    regressed initial offset) is clamped and nothing is re-ingested. Any
+    other ``end < start`` range is refused outright (a corrupt or pre-fix
+    checkpoint fails loudly instead of planning a silent empty batch).
 
     Append-only-contract guard, race-tolerant: each offset carries
     ``prev``/``prev_n`` — the previous offset's ``upto`` and the count of
@@ -337,9 +344,14 @@ class _WarcStreamReader(DataSourceStreamReader):
             raise ValueError("warc stream source: .load(<path>) is required")
         self._path = path
         # last offset returned by latestOffset or committed — the
-        # monotonicity floor. None until the first non-empty listing (or
-        # first commit after a restart).
+        # monotonicity floor. None until the first non-empty listing, the
+        # first commit, or the first partitions() call (which seeds it from
+        # the checkpointed start after a restart).
         self._last: dict | None = None
+        # highest ingestion position this instance has planned or learned
+        # from a checkpointed start — the re-ingest clamp for the batch
+        # that follows a transient-empty-after-restart episode (below).
+        self._floor: str = ""
 
     def initialOffset(self) -> dict:
         return {"upto": "", "n_below": 0, "prev": "", "prev_n": 0}
@@ -373,13 +385,53 @@ class _WarcStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("upto", ""), end.get("upto", "")
+        # Restart seeding: the checkpointed start is authoritative — adopt
+        # it as the monotonicity floor so this instance's latestOffset
+        # never mints an offset below it (the r4 cache was instance-local
+        # and empty right after a restart).
+        if self._last is None or self._last.get("upto", "") < lo:
+            self._last = dict(start)
+        if lo > self._floor:
+            self._floor = lo
         if hi < lo:
+            if hi == "":
+                # end IS the initial offset: a transient empty/vanished
+                # listing hit the first latestOffset after a restart,
+                # before this instance could learn the checkpointed
+                # position, and Spark already wrote that offset to its
+                # log. Plan an empty batch (raising would wedge a healthy
+                # stream on replay); self._floor keeps the NEXT batch —
+                # whose start will be this "" — from re-ingesting the
+                # files below the real position.
+                import warnings
+
+                warnings.warn(
+                    "warc stream source: planning an empty batch for range "
+                    "(%r, ''] — the first post-restart listing was "
+                    "transiently empty. Position held at %r." % (lo, lo),
+                    stacklevel=2,
+                )
+                return []
             raise RuntimeError(
                 "warc stream source: batch range end %r is below start %r — "
                 "the offset log regressed (pre-fix checkpoint written during "
                 "an empty-listing window?). Refusing to plan: committing "
                 "this batch would re-ingest every file above %r." % (hi, lo, hi)
             )
+        # Clamp to the floor: after the empty-batch episode above, the
+        # following batch's start is the regressed "" — without the clamp
+        # it would re-ingest every file at-or-below the real position.
+        # In normal operation floor == lo and this is a no-op. The
+        # below-offset guards further down keep using the ORIGINAL lo —
+        # their n_below/prev counts were recorded against it. (If the
+        # process dies between the two batches the floor re-seeds from the
+        # replayed WAL range; only a second crash landing exactly between
+        # the empty batch's commit and the next plan loses it, degrading
+        # to a re-read absorbed by the idempotent first-seen sink — never
+        # data loss, never a wedge.)
+        lo_eff = max(lo, self._floor)
+        if hi > self._floor:
+            self._floor = hi
         files = _list_or_empty(self._path)
         below = [p for p in files if p <= lo]
         # hard guard: growth strictly below the PREVIOUS batch's upper bound
@@ -423,7 +475,7 @@ class _WarcStreamReader(DataSourceStreamReader):
         return [
             WarcFilePartition(p, _name_of(p, self._path))
             for p in files
-            if lo < p <= hi
+            if lo_eff < p <= hi
         ]
 
     def read(self, partition: WarcFilePartition):

@@ -120,7 +120,7 @@ def test_format_exprs(spark):
         truncate_display(F.lit("short"), 20).alias("t"),
     ).collect()[0]
     assert r["disp"].startswith("Total Amount: xxx")
-    assert r["disp"].endswith("…")
+    assert r["disp"].endswith("...")  # ASCII suffix, string_formatter.py:33
     assert r["fn"] == "My_Doc_v2_final"
     assert r["t"] == "short"
 

@@ -577,6 +577,48 @@ class TestTiff:
         assert np.array_equal(decode_image(p0), decode_image(p1))
         assert p0 != p1 and b"\xf5" in p0  # 255-10 stored for WhiteIsZero
 
+    def test_metadata_tags_skipped_not_rejected(self):
+        """Real-world baseline TIFFs almost always carry RATIONAL
+        (XResolution/YResolution) and ASCII (Software/DateTime) entries;
+        the decoder must skip value types outside its pixel-path subset
+        per the spec's unknown-field rule, not reject the file."""
+        import numpy as np
+
+        from sparkdoc.imagecodec import decode_image, encode_tiff
+
+        rng = np.random.RandomState(7)
+        rgb = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+        gray = rng.randint(0, 256, (6, 9), dtype=np.uint8)
+        for comp in (1, 32773, 5):
+            for bo in ("II", "MM"):
+                p = encode_tiff(rgb, compression=comp, byte_order=bo,
+                                metadata=True)
+                assert np.array_equal(decode_image(p), rgb), (comp, bo)
+                p = encode_tiff(gray, photometric=1, compression=comp,
+                                byte_order=bo, metadata=True)
+                assert np.array_equal(
+                    decode_image(p), np.repeat(gray[:, :, None], 3, axis=2)
+                ), (comp, bo)
+
+    def test_required_tag_with_exotic_type_rejected(self):
+        """A required tag (ImageWidth) carrying a RATIONAL value type is a
+        malformed file — clear rejection, not a silent skip that would then
+        report the tag missing."""
+        import numpy as np
+        import pytest
+
+        from sparkdoc.imagecodec import encode_tiff, _decode_tiff
+
+        p = bytearray(encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8)))
+        ifd_off = int.from_bytes(p[4:8], "little")
+        n = int.from_bytes(p[ifd_off:ifd_off + 2], "little")
+        for e in range(n):
+            base = ifd_off + 2 + 12 * e
+            if int.from_bytes(p[base:base + 2], "little") == 256:
+                p[base + 2:base + 4] = (5).to_bytes(2, "little")  # RATIONAL
+        with pytest.raises(ValueError, match="required tag 256"):
+            _decode_tiff(bytes(p))
+
     def test_corrupt_rejected_not_crashed(self):
         import numpy as np
         import pytest

@@ -25,17 +25,25 @@ def test_truncate_sentence_boundary():
 
 
 def test_merge_descriptions_dedup():
+    # dedup is CASE-SENSITIVE substring, existing text verbatim — the
+    # reference's rule (description_merger.py:90-104; r5 parity fix): the
+    # case-variant "gamma delta." is NOT a substring of the existing text,
+    # so it is kept
     out = merge_descriptions(["Alpha beta. Gamma delta.", "gamma delta. Epsilon zeta."])
+    assert out == "Alpha beta. Gamma delta. gamma delta. Epsilon zeta."
+    out = merge_descriptions(["Alpha beta. Gamma delta.", "Gamma delta. Epsilon zeta."])
     assert out == "Alpha beta. Gamma delta. Epsilon zeta."
 
 
-def test_deep_merge_first_wins_and_lists():
+def test_deep_merge_scalar_overwrite_and_lists():
     base = {"a": "x", "nested": {"k": "1"}, "tags": ["p"], "description": "First part."}
     extra = {"a": "y", "b": "new", "nested": {"k": "2", "m": "3"}, "tags": ["p", "q"], "description": "Second part."}
     out = deep_merge_dicts(base, extra)
-    assert out["a"] == "x"  # scalar first wins
+    # non-empty scalar conflicts overwrite — dict_merger.py:152-168 (the
+    # r5 reference-parity fuzz caught the old first-wins divergence)
+    assert out["a"] == "y"
     assert out["b"] == "new"
-    assert out["nested"] == {"k": "1", "m": "3"}
+    assert out["nested"] == {"k": "2", "m": "3"}
     assert out["tags"] == ["p", "q"]
     assert out["description"] == "First part. Second part."
 

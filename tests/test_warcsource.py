@@ -396,9 +396,57 @@ def test_stream_offset_never_regresses(tmp_path):
     d.mkdir()
     (d / "a.warc").write_bytes(b"")
     assert r.latestOffset() == o1
-    # a pre-fix regressed range (end < start) is refused loudly
+    # a corrupt/pre-fix regressed range with a NON-initial end is refused
+    # loudly (the end=="" shape is the recoverable restart case, tested in
+    # test_stream_restart_transient_empty_recovers)
     with pytest.raises(RuntimeError, match="offset log regressed"):
-        r.partitions(o1, {"upto": "", "n_below": 0})
+        r.partitions(o1, {"upto": str(d / "0.warc"), "n_below": 1})
+
+
+def test_stream_restart_transient_empty_recovers(tmp_path):
+    """The one regression shape a transient empty listing can still mint —
+    the FIRST latestOffset after a restart, before the fresh instance has
+    learned the checkpointed position — must not wedge the stream OR
+    re-ingest: partitions plans an empty batch with a warning, seeds the
+    monotonicity cache from the checkpointed start, and clamps the NEXT
+    batch (whose start is the regressed initial offset) back to the real
+    position."""
+    import warnings as _warnings
+
+    from sparkdoc.warcsource import _WarcStreamReader
+
+    d = tmp_path / "drop"
+    d.mkdir()
+    (d / "a.warc").write_bytes(b"")
+    (d / "b.warc").write_bytes(b"")
+    r1 = _WarcStreamReader({"path": str(d)})
+    o1 = r1.latestOffset()
+    assert len(r1.partitions(r1.initialOffset(), o1)) == 2
+    r1.commit(o1)
+
+    # restart: fresh instance, and the drop-point is transiently invisible
+    (d / "a.warc").unlink()
+    (d / "b.warc").unlink()
+    r2 = _WarcStreamReader({"path": str(d)})
+    init = r2.latestOffset()  # the instance-local cache is empty → initial
+    assert init["upto"] == ""
+    # Spark already wrote that offset; it plans batch (o1, ""] → empty + warn
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert r2.partitions(o1, init) == []
+    assert any("transiently empty" in str(x.message) for x in w)
+    # the cache is now seeded: a second transient empty holds at o1
+    assert r2.latestOffset() == o1
+    # files reappear plus one genuinely new container
+    (d / "a.warc").write_bytes(b"")
+    (d / "b.warc").write_bytes(b"")
+    (d / "c.warc").write_bytes(b"")
+    o3 = r2.latestOffset()
+    assert o3["upto"].endswith("c.warc")
+    # next batch starts at the regressed "" offset — the clamp must keep
+    # the already-ingested a/b out and plan exactly c
+    parts = r2.partitions(init, o3)
+    assert [p.name for p in parts] == ["c.warc"]
 
 
 def test_file_bucket_planning_filter_partitions_exactly_once(warc_dir):
