@@ -991,6 +991,23 @@ def _media_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _media_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless decode (sparkdoc.webpcodec: VP8L prefix codes,
+    LZ77 with the 2D distance map, color cache, and the four inverse
+    transforms — predictor/color/subtract-green/palette) pinned against the
+    same closed-form formula-pixel oracle as the TIFF gate: DuckDB
+    recomputes channel sums and the position-weighted luma sum WITHOUT
+    decoding — a prefix-code desync, a wrong distance mapping, a cache-hash
+    slip, or an inverse-transform error breaks the match."""
+    from sparkdoc.multimodal import image_pixel_stats, synth_webp_media_df
+
+    media = synth_webp_media_df(spark, 42)
+    return image_pixel_stats(media).select(
+        "doc_id", "media_ref", "decoded", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum_luma",
+    ).orderBy("doc_id")
+
+
 def _media_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling (sparkdoc.videocodec: Y4M with
     C420/C444/Cmono chroma layouts) pinned against a closed-form oracle:
@@ -4010,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_decode": _media_gif_decode,
         "media_jpeg_decode": _media_jpeg_decode,
         "media_tiff_decode": _media_tiff_decode,
+        "media_webp_decode": _media_webp_decode,
         "media_jpeg_prog_decode": _media_jpeg_prog_decode,
         "media_audio_decode": _media_audio_decode,
         "media_video_decode": _media_video_decode,
@@ -5782,6 +5800,39 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (11 * x + 17 * y + 3 * i) % 241 END AS b
             FROM px)
         SELECT 'tif' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
+               '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
+               1 AS decoded, w AS width, h AS height,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum((y * w + x) * ((77 * r + 150 * g + 29 * b) // 256)) AS BIGINT) AS wsum_luma
+        FROM vals GROUP BY i, w, h
+        ORDER BY doc_id
+    """
+    # WebP-lossless twin: the formula-pixel corpus is shared with the TIFF
+    # gate, so the oracle is the same closed-form recomputation (the six
+    # rotated VP8L feature shapes must all decode to identical pixels).
+    q["media_webp_decode"] = """
+        WITH imgs AS (
+            SELECT CAST(i AS INT) AS i,
+                   CAST(5 + i % 6 AS INT) AS w,
+                   CAST(4 + i % 7 AS INT) AS h
+            FROM range(0, 42) t(i)),
+        px1 AS (
+            SELECT i, w, h,
+                   unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x
+            FROM imgs),
+        px AS (
+            SELECT i, w, h, x,
+                   unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y
+            FROM px1),
+        vals AS (
+            SELECT i, w, h, x, y,
+                   (7 * x + 13 * y + i) % 256 AS r,
+                   (3 * x + 5 * y + 2 * i) % 251 AS g,
+                   (11 * x + 17 * y + 3 * i) % 241 AS b
+            FROM px)
+        SELECT 'wbp' || lpad(CAST(i AS VARCHAR), 4, '0') AS doc_id,
                '#/pictures/' || CAST(i AS VARCHAR) AS media_ref,
                1 AS decoded, w AS width, h AS height,
                CAST(sum(r) AS BIGINT) AS sum_r,

@@ -14,8 +14,10 @@ external image libraries exist in this environment, but these formats are
 fully decodable from their public specifications (PNG/GIF/TIFF bit-exactly;
 JPEG exactly up to its own quantization loss), so the media pipeline runs
 end-to-end on real pixel data instead of the deterministic stub whenever
-payloads arrive in one of these containers. Genuinely out-of-scope
-containers (WebP, AVIF — video-codec intra frames) keep the documented
+payloads arrive in one of these containers. WebP-LOSSLESS (VP8L: LZ77 +
+canonical prefix codes + the four reversible transforms) decodes natively
+via ``sparkdoc.webpcodec``; the genuinely out-of-scope containers (lossy
+WebP, AVIF — video-codec intra frames) keep the documented
 stub/NotImplementedError path (multimodal._decode_image_real).
 
 Reference parity note: the reference engine delegates image handling to
@@ -50,8 +52,8 @@ __all__ = [
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Container sniff by magic bytes:
-    'bmp' | 'ppm' | 'pgm' | 'png' | 'gif' | None."""
+    """Container sniff by magic bytes: 'bmp' | 'ppm' | 'pgm' | 'png' |
+    'gif' | 'jpeg' | 'tiff' | 'webp' | None."""
     if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     if len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -60,6 +62,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if len(payload) >= 4 and payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if len(payload) >= 2:
         if payload[:2] == b"BM":
             return "bmp"
@@ -245,8 +249,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if fmt == "tiff":
         return _decode_tiff(payload)
+    if fmt == "webp":
+        from sparkdoc.webpcodec import decode_webp
+
+        return decode_webp(payload)  # VP8L only; lossy raises -> stub path
     raise ValueError(
-        "decode_image: unsupported container (BMP/PPM/PGM/PNG/GIF/JPEG/TIFF only)"
+        "decode_image: unsupported container "
+        "(BMP/PPM/PGM/PNG/GIF/JPEG/TIFF/lossless-WebP only)"
     )
 
 

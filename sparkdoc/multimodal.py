@@ -95,10 +95,11 @@ EMBED_DIM = 16
 def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs in sandbox
     raise NotImplementedError(
         "decode for containers beyond BMP/PPM/PGM/PNG/GIF/TIFF/"
-        "baseline+progressive-JPEG (e.g. lossy WebP, AVIF) needs PIL/opencv "
-        "— not available in this container; the supported formats decode "
-        "natively via sparkdoc.imagecodec/jpegcodec, and "
-        "SPARKDOC_FAKE_CODECS=1 (default) stubs the rest deterministically"
+        "baseline+progressive-JPEG/lossless-WebP (e.g. lossy WebP, AVIF) "
+        "needs PIL/opencv — not available in this container; the supported "
+        "formats decode natively via sparkdoc.imagecodec/jpegcodec/"
+        "webpcodec, and SPARKDOC_FAKE_CODECS=1 (default) stubs the rest "
+        "deterministically"
     )
 
 
@@ -537,6 +538,76 @@ def synth_tiff_media_df(spark: SparkSession, n: int = 40) -> DataFrame:
                         "doc_id": f"tif{i:04d}",
                         "media_type": "image",
                         "mime": "image/tiff",
+                        "payload": payload,
+                        "meta_width": w,
+                        "meta_height": h,
+                        "meta_duration_ms": None,
+                        "meta_sample_rate": None,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema=MEDIA)
+
+
+def synth_webp_media_df(spark: SparkSession, n: int = 42) -> DataFrame:
+    """Deterministic REAL WebP-lossless (VP8L) media corpus: the same
+    formula pixels as the TIFF corpus —
+
+        r = (7x + 13y + i) mod 256
+        g = (3x + 5y + 2i) mod 251
+        b = (11x + 17y + 3i) mod 241
+
+    while i mod 6 rotates the VP8L feature shape:
+
+        0 literal-only
+        1 LZ77 backward references (incl. the 2D window distance codes)
+        2 color cache (6 bits)
+        3 subtract-green transform
+        4 predictor transform (mode 7, averages) + LZ77
+        5 color-indexing (palette) — w*h <= 100 distinct colors, so the
+          delta-coded palette and (for tiny palettes) pixel bundling run
+
+    All six decode to identical formula pixels, so one closed-form oracle
+    (``media_webp_decode``) pins the prefix-code reader, LZ77 + distance
+    map, cache hashing, and every inverse transform at once. Dimensions
+    w = 5 + i mod 6, h = 4 + i mod 7 (as the TIFF corpus)."""
+    from sparkdoc.webpcodec import encode_webp_lossless
+
+    base = spark.range(n).select(F.col("id").cast("int").alias("i"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                w, h = 5 + i % 6, 4 + i % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                r = ((7 * x + 13 * y + i) % 256).astype(np.uint8)
+                g = ((3 * x + 5 * y + 2 * i) % 251).astype(np.uint8)
+                b = ((11 * x + 17 * y + 3 * i) % 241).astype(np.uint8)
+                rgb = np.stack([r, g, b], axis=2)
+                kind = i % 6
+                if kind == 0:
+                    payload = encode_webp_lossless(rgb)
+                elif kind == 1:
+                    payload = encode_webp_lossless(rgb, use_lz77=True)
+                elif kind == 2:
+                    payload = encode_webp_lossless(rgb, cache_bits=6)
+                elif kind == 3:
+                    payload = encode_webp_lossless(rgb, subtract_green=True)
+                elif kind == 4:
+                    payload = encode_webp_lossless(rgb, predictor_mode=7, use_lz77=True)
+                else:
+                    payload = encode_webp_lossless(rgb, palette=True)
+                rows.append(
+                    {
+                        "media_ref": f"#/pictures/{i}",
+                        "doc_id": f"wbp{i:04d}",
+                        "media_type": "image",
+                        "mime": "image/webp",
                         "payload": payload,
                         "meta_width": w,
                         "meta_height": h,
