@@ -8,6 +8,9 @@ run deliberately after a chunking/tokenizer/pipeline spec change:
   golden_fill_seed42_n64     fill-phase pin (fill_pinned)
   golden_onetoone_seed42_n64 one-to-one pin (one_to_one_pinned)
   golden_invoice_seed42_n12  Pydantic-template pin (template_graph_pinned)
+  golden_chunks_main_*       full-corpus chunker pin (chunk_documents gate)
+  golden_ledger_main_*       full-corpus ledger pin (provenance_ledger gate)
+  golden_chunk_owner_main_*  full-corpus owner pin (chunk_owner gate)
 
 Span-level fixtures (golden_spans_*) do not depend on token budgets and are
 regenerated separately via sparkdoc.golden if the SPAN spec changes."""
@@ -119,6 +122,22 @@ def main() -> None:
     iedges = sorted((r["src"], r["dst"], r["label"]) for r in iout["edges"].collect())
     _write("golden_invoice_seed42_n12.json.gz",
            {"nodes": [list(n) for n in inodes], "edges": [list(e) for e in iedges]})
+
+    # ---- r5 main-gate drift pins over the FULL SYNTH_DOCS gate corpus ----
+    # (the gate query functions ARE the encoding; fixtures feed the VALUES
+    # oracles that make chunk_documents / provenance_ledger / chunk_owner
+    # oracle-exact in the driver gate)
+    for gate, fixture in [
+        ("chunk_documents",
+         f"golden_chunks_main_seed{entry.SYNTH_SEED}_n{entry.SYNTH_DOCS}.json.gz"),
+        ("provenance_ledger",
+         f"golden_ledger_main_seed{entry.SYNTH_SEED}_n{entry.SYNTH_DOCS}.json.gz"),
+        ("chunk_owner",
+         f"golden_chunk_owner_main_seed{entry.SYNTH_SEED}_n{entry.SYNTH_DOCS}.json.gz"),
+    ]:
+        df = entry.queries()[gate](spark, "")
+        rows = sorted(tuple(r) for r in df.collect())
+        _write(fixture, [list(r) for r in rows])
 
     from sparkdoc.wordpiece import default_tokenizer
 

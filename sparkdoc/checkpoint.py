@@ -205,9 +205,16 @@ def run_resumable(
     todo = [b for b in range(n_buckets) if b not in done]
     seq = len(done)
     totals = {"docs": 0, "spans": 0, "chunks": 0}
-    for gi in range(0, len(todo), group_size):
-        group = todo[gi : gi + group_size]
-        t0 = time.monotonic()
+
+    def _prepare(group: list[int]):
+        """Build + CACHE one group's documents (the expensive parse runs at
+        the .count()). Runs on the prefetch thread for group N+1 while the
+        main thread writes/commits group N — compute overlaps commit
+        latency, while all WRITES stay on the main thread in manifest order
+        (two concurrent writes into one parquet root would race in the
+        shared _temporary staging dir, and out-of-order manifests would
+        weaken the resume story; kill/resume semantics are unchanged — a
+        prefetched-but-uncommitted group is simply recomputed)."""
         if raw_for_group is not None:
             if documents_fn is None:
                 raise ValueError("raw_for_group requires documents_fn")
@@ -228,88 +235,105 @@ def run_resumable(
             else:
                 docs = extract_documents(part.drop("bucket")).persist()
             docs_b = with_bucket(docs, n_buckets)
-        docs_b.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
-            os.path.join(out_dir, "documents")
-        )
-        per_bucket = {
-            r["bucket"]: r
-            for r in docs_b.groupBy("bucket")
-            .agg(F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans"))
-            .collect()
-        }
-        fmt_by_bucket: dict[int, str] = {}
-        if "fmt" in docs_b.columns:
-            # per-format lineage for mixed/WARC ingests (docs is cached —
-            # this is a cheap second agg, sorted-JSON for determinism)
-            import json as _json
+        docs.count()  # materialize the cache NOW, on this thread
+        return docs, docs_b
 
-            counts: dict[int, dict[str, int]] = {}
-            for r in docs_b.groupBy("bucket", "fmt").count().collect():
-                counts.setdefault(r["bucket"], {})[r["fmt"]] = r["count"]
-            fmt_by_bucket = {
-                b: _json.dumps(dict(sorted(c.items()))) for b, c in counts.items()
-            }
-        n_chunks_by_bucket: dict[int, int] = {}
-        if chunk:
-            # mixed-format docs carry an extra fmt column; the chunker's
-            # Arrow stage needs exactly (doc_id, spans)
-            if raw_for_group is not None:
-                # container-bucketed runs: a doc's bucket is its CONTAINER's
-                # bucket, not hash(doc_id) — rejoin it from the (cached)
-                # docs frame so chunk partitions land in the committed dirs
-                ch = chunk_documents(docs.select("doc_id", "spans")).join(
-                    docs.select("doc_id", "bucket"), "doc_id"
-                )
-            else:
-                ch = with_bucket(
-                    chunk_documents(docs.select("doc_id", "spans")), n_buckets
-                )
-            ch_path = os.path.join(out_dir, "chunks")
-            ch.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
-                ch_path
+    from concurrent.futures import ThreadPoolExecutor
+
+    groups = [todo[gi : gi + group_size] for gi in range(0, len(todo), group_size)]
+    pool = ThreadPoolExecutor(max_workers=1) if len(groups) > 1 else None
+    try:
+        fut = pool.submit(_prepare, groups[0]) if pool else None
+        for idx, group in enumerate(groups):
+            t0 = time.monotonic()
+            docs, docs_b = fut.result() if fut is not None else _prepare(group)
+            if pool and idx + 1 < len(groups):
+                fut = pool.submit(_prepare, groups[idx + 1])
+            docs_b.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
+                os.path.join(out_dir, "documents")
             )
-            # count from the WRITTEN parquet: a count on `ch` would re-run
-            # the whole chunking mapInPandas stage (docs is cached but the
-            # chunk stage itself is not) — the scan of what was just written
-            # is the same numbers for a fraction of the cost. Explicit
-            # schema: a group with ZERO chunks (fewer docs than buckets)
-            # leaves the dir without parquet footers and a schema-inferring
-            # read would die with UNABLE_TO_INFER_SCHEMA before any commit
-            from pyspark.sql.types import IntegerType, StructField, StructType
-
-            from sparkdoc.schemas import CHUNKS
-
-            # copy, don't CHUNKS.add(...): StructType.add mutates in place
-            ch_schema = StructType(list(CHUNKS.fields) + [StructField("bucket", IntegerType())])
-            n_chunks_by_bucket = {
-                r["bucket"]: r["n"]
-                for r in spark.read.schema(ch_schema).parquet(ch_path)
-                .filter(F.col("bucket").isin(group))
-                .groupBy("bucket")
-                .agg(F.count("*").alias("n"))
+            per_bucket = {
+                r["bucket"]: r
+                for r in docs_b.groupBy("bucket")
+                .agg(F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans"))
                 .collect()
             }
-        docs.unpersist()
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        rows = []
-        for b in group:
-            stat = per_bucket.get(b)
-            rows.append(
-                {
-                    "bucket": b,
-                    "n_docs": stat["n_docs"] if stat else 0,
-                    "n_spans": stat["n_spans"] if stat else 0,
-                    "n_chunks": n_chunks_by_bucket.get(b, 0),
-                    "wall_ms": wall_ms,
-                    "commit_seq": seq,
-                    "fmt_counts": fmt_by_bucket.get(b, ""),
+            fmt_by_bucket: dict[int, str] = {}
+            if "fmt" in docs_b.columns:
+                # per-format lineage for mixed/WARC ingests (docs is cached —
+                # this is a cheap second agg, sorted-JSON for determinism)
+                import json as _json
+
+                counts: dict[int, dict[str, int]] = {}
+                for r in docs_b.groupBy("bucket", "fmt").count().collect():
+                    counts.setdefault(r["bucket"], {})[r["fmt"]] = r["count"]
+                fmt_by_bucket = {
+                    b: _json.dumps(dict(sorted(c.items()))) for b, c in counts.items()
                 }
-            )
-            totals["docs"] += rows[-1]["n_docs"]
-            totals["spans"] += rows[-1]["n_spans"]
-            totals["chunks"] += rows[-1]["n_chunks"]
-        commit_bucket_group(spark, out_dir, job_id, rows)
-        seq += 1
+            n_chunks_by_bucket: dict[int, int] = {}
+            if chunk:
+                # mixed-format docs carry an extra fmt column; the chunker's
+                # Arrow stage needs exactly (doc_id, spans)
+                if raw_for_group is not None:
+                    # container-bucketed runs: a doc's bucket is its CONTAINER's
+                    # bucket, not hash(doc_id) — rejoin it from the (cached)
+                    # docs frame so chunk partitions land in the committed dirs
+                    ch = chunk_documents(docs.select("doc_id", "spans")).join(
+                        docs.select("doc_id", "bucket"), "doc_id"
+                    )
+                else:
+                    ch = with_bucket(
+                        chunk_documents(docs.select("doc_id", "spans")), n_buckets
+                    )
+                ch_path = os.path.join(out_dir, "chunks")
+                ch.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
+                    ch_path
+                )
+                # count from the WRITTEN parquet: a count on `ch` would re-run
+                # the whole chunking mapInPandas stage (docs is cached but the
+                # chunk stage itself is not) — the scan of what was just written
+                # is the same numbers for a fraction of the cost. Explicit
+                # schema: a group with ZERO chunks (fewer docs than buckets)
+                # leaves the dir without parquet footers and a schema-inferring
+                # read would die with UNABLE_TO_INFER_SCHEMA before any commit
+                from pyspark.sql.types import IntegerType, StructField, StructType
+
+                from sparkdoc.schemas import CHUNKS
+
+                # copy, don't CHUNKS.add(...): StructType.add mutates in place
+                ch_schema = StructType(list(CHUNKS.fields) + [StructField("bucket", IntegerType())])
+                n_chunks_by_bucket = {
+                    r["bucket"]: r["n"]
+                    for r in spark.read.schema(ch_schema).parquet(ch_path)
+                    .filter(F.col("bucket").isin(group))
+                    .groupBy("bucket")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            docs.unpersist()
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            rows = []
+            for b in group:
+                stat = per_bucket.get(b)
+                rows.append(
+                    {
+                        "bucket": b,
+                        "n_docs": stat["n_docs"] if stat else 0,
+                        "n_spans": stat["n_spans"] if stat else 0,
+                        "n_chunks": n_chunks_by_bucket.get(b, 0),
+                        "wall_ms": wall_ms,
+                        "commit_seq": seq,
+                        "fmt_counts": fmt_by_bucket.get(b, ""),
+                    }
+                )
+                totals["docs"] += rows[-1]["n_docs"]
+                totals["spans"] += rows[-1]["n_spans"]
+                totals["chunks"] += rows[-1]["n_chunks"]
+            commit_bucket_group(spark, out_dir, job_id, rows)
+            seq += 1
+    finally:
+        if pool:
+            pool.shutdown(wait=False, cancel_futures=True)
     return {
         "job_id": job_id,
         "buckets_skipped": sorted(done),
