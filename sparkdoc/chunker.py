@@ -188,17 +188,19 @@ def chunk_spans(
     def trail_texts() -> list[str]:
         return [h for _, h in trail]
 
-    _trail_tok: dict = {"key": None, "val": 0}
+    # trail memo keyed on a VERSION COUNTER bumped only in the heading
+    # branch — the r4 shape rebuilt a key tuple of the whole trail on every
+    # content span (O(spans × trail) tuple construction in the hot loop;
+    # the nested-trail carry made trails deeper and surfaced it as the
+    # ~11% chunk-kernel uptick the r4 verdict flagged)
+    _trail_tok: dict = {"ver": -1, "val": 0}
+    _trail_ver = [0]
 
     def trail_tokens() -> int:
-        # the trail only changes at headings; re-tokenizing it per content
-        # span is O(spans × trail) wasted in the hot loop — memoize on the
-        # trail tuple
         if not trail:
             return 0
-        key = tuple(t for _, t in trail)
-        if _trail_tok["key"] != key:
-            _trail_tok["key"] = key
+        if _trail_tok["ver"] != _trail_ver[0]:
+            _trail_tok["ver"] = _trail_ver[0]
             _trail_tok["val"] = count_tokens("\n".join(trail_texts()))
         return _trail_tok["val"]
 
@@ -244,6 +246,7 @@ def chunk_spans(
             while trail and trail[-1][0] >= lvl:
                 trail.pop()
             trail.append((lvl, strip_heading(s["text"])))
+            _trail_ver[0] += 1
             continue
         if kind not in CONTENT_KINDS:
             continue

@@ -295,6 +295,15 @@ def curate_split(
         F.col("redacted").alias("text"),
         "n_email", "n_ipv4", "n_ssn", "n_phone",
     )
+    # materialization barrier: every downstream gate consumes the REDACTED
+    # text, and without the cache Catalyst inlines the whole
+    # regexp_replace chain into each consumer expression — the redaction
+    # re-executed several times per row (measured at 240k docs: the fused
+    # gate chain dropped 24.2 s -> 13.0 s at 8 cores with this barrier;
+    # 2-core wall unchanged). The cache is the same order of size as the
+    # `raw` frame mix_documents already persists; MEMORY_AND_DISK spills
+    # gracefully at scale.
+    pii = pii.persist()
     feats = repetition_flags(
         with_repetition_stats(with_language(quality_filter(pii, min_words=min_words)))
     )
@@ -310,7 +319,14 @@ def curate_split(
     # exact dedup: min-per-fingerprint + join back (never collect_list — a
     # pathological fingerprint with millions of members is a single-row OOM)
     fp = doc_fingerprint(F.col("text"))
-    fp_docs = alive.filter(fp.isNotNull()).select("doc_id", fp.alias("fp"))
+    # persisted: fp_docs feeds BOTH the min-per-fingerprint agg and the
+    # join-back side, and the fingerprint itself is a full-text
+    # lower+regexp_replace+md5 pass — without the cache that pass runs
+    # twice (the two consumers' plans don't share an exchange). The frame
+    # is only (doc_id, fp).
+    fp_docs = (
+        alive.filter(fp.isNotNull()).select("doc_id", fp.alias("fp")).persist()
+    )
     keep_min = fp_docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     # each drop list is persisted: it feeds BOTH outputs (the kept branch's
     # left_anti and the rejected union), and without the cache the rejected

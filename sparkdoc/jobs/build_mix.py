@@ -60,6 +60,18 @@ def mix_documents(
     from sparkdoc.textops import token_count
 
     has_source = "source" in raw.columns
+    # Arrow-stage granularity guard: the curate chain is Python-heavy
+    # (PII/quality/lang/tokenize pandas kernels), and a compact parquet
+    # input can coalesce to as few partitions as there are cores — zero
+    # wave slack, so ONE straggler partition owns the wall (measured at
+    # 240k docs / 8 cores: 8 input partitions, token_total 47.5 s at 8c vs
+    # ~80 s at 2c — a 1.7x on 4x cores). Widen to 4 waves per core; the
+    # shuffle moves only (doc_id, text, source) once and is noise next to
+    # the per-row Python. At real scale file splitting already yields
+    # thousands of partitions and this branch never fires.
+    target_part = spark.sparkContext.defaultParallelism * 4
+    if raw.rdd.getNumPartitions() < target_part:
+        raw = raw.repartition(target_part)
     if has_source:
         # the frame is consumed TWICE (the curate chain and the kept->source
         # join); without the cache the whole upstream lineage — for the web
@@ -95,10 +107,26 @@ def mix_documents(
         walls[name] = round(time.monotonic() - t0, 3)
         return out
 
-    sized = kept.withColumn("n_tokens", token_count(F.col("text")))
+    # persisted: the token_total agg below materializes this frame anyway,
+    # and WITHOUT the cache the whole curation tail (dedup anti-joins +
+    # source join + token count) re-executes for each of the pack join's
+    # two branches and again for the shard write
+    sized = kept.withColumn("n_tokens", token_count(F.col("text"))).persist()
+    # Adaptive pack-group cap: a group emits at least one shard FILE and one
+    # partition-dir commit, so more groups than the token budget can fill
+    # with shards is pure metadata waste — at 48k docs / 5.4M tokens /
+    # budget 65536 the default 1024 groups paid a 1024-dir commit for ~83
+    # natural shards (19.2 s of the 24 s mix wall at 8 cores). One scalar
+    # JVM-expr agg over the persisted kept frame buys the right layout at
+    # every scale; at the 10^12-doc design point the cap is a no-op and the
+    # configured group count stands.
+    total_tokens_est = int(
+        timed("token_total", lambda: sized.agg(F.sum("n_tokens")).collect()[0][0]) or 0
+    )
+    groups_eff = max(1, min(groups, -(-total_tokens_est // budget)))
     packed = sized.join(
         pack_sequences(
-            sized.select("doc_id", "n_tokens"), budget, n_groups=groups
+            sized.select("doc_id", "n_tokens"), budget, n_groups=groups_eff
         ).select("doc_id", "pack_group", "shard_seq"),
         "doc_id",
     )
@@ -159,6 +187,7 @@ def mix_documents(
             "target_per_source": target_per_source,
             "budget": budget,
             "groups": groups,
+            "groups_effective": groups_eff,
             "near_dup": bool(near_dup),
             "min_words": min_words,
             "sample": sample,
