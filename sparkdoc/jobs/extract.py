@@ -80,6 +80,10 @@ def resolve_input(spark, spec: str, seed: int = 42, n_buckets: int | None = None
     raw_for_group = None
     if spec.startswith("synth:"):
         raw = raw_nodes_df(spark, int(spec.split(":", 1)[1]), seed)
+    elif spec.startswith("synth-skew:"):
+        from sparkdoc.synth import skewed_raw_nodes_df
+
+        raw = skewed_raw_nodes_df(spark, int(spec.split(":", 1)[1]), seed)
     elif spec.startswith("html-synth:"):
         from sparkdoc.htmlparse import flatten_html
         from sparkdoc.synth import html_corpus_df

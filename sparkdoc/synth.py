@@ -325,6 +325,63 @@ def invoice_nodes_df(
     return spark.range(0, n_docs, 1, parts).mapInPandas(gen, schema=RAW_NODES)
 
 
+def skewed_raw_nodes_df(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    n_giants: int = 5,
+    giant_factor: int = 100,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Long-haul skew corpus (``synth-skew:<n>`` input spec): the layout
+    corpus with two deliberate pathologies —
+
+    * ``n_giants`` GIANT documents (indexes 0..n_giants-1), each carrying
+      ``giant_factor``× the normal span mass (100 sub-documents rebranded
+      into one doc_id, node ids and pages shifted per chapter): the
+      task-skew and Arrow-batch stressors the r4 verdict's 10M rehearsal
+      asks for — each giant is generated, extracted and chunked inside ONE
+      task/row.
+    * every even doc index rebranded into the single ``acme`` domain
+      (``acme-skew-…``), putting ~50% of the corpus mass in one domain on
+      top of the generator's zipf head.
+
+    Deterministic per (index, seed); giant sub-docs reuse indexes
+    n_docs..n_docs+n_giants*giant_factor so they never collide with the
+    base corpus ids."""
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n_giants:
+                    gid = f"giant-{i:04d}"
+                    for sub in range(giant_factor):
+                        for r in synth_doc_nodes(n_docs + i * giant_factor + sub, seed):
+                            r = dict(r)
+                            r["doc_id"] = gid
+                            r["node_id"] = r["node_id"] + sub * 100_000
+                            if r.get("parent_id") is not None:
+                                r["parent_id"] = r["parent_id"] + sub * 100_000
+                            r["page_no"] = r["page_no"] + sub * 1_000
+                            rows.append(r)
+                elif i % 2 == 0:
+                    did = f"acme-skew-{i:09d}"
+                    for r in synth_doc_nodes(i, seed):
+                        r = dict(r)
+                        r["doc_id"] = did
+                        rows.append(r)
+                else:
+                    rows.extend(synth_doc_nodes(i, seed))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    parts = partitions or max(8, n_docs // 256)
+    return spark.range(0, n_docs, 1, parts).mapInPandas(gen, schema=RAW_NODES)
+
+
 def raw_nodes_df(
     spark: SparkSession,
     n_docs: int,
