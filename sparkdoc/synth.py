@@ -378,7 +378,11 @@ def skewed_raw_nodes_df(
             if rows:
                 yield pd.DataFrame(rows)
 
-    parts = partitions or max(8, n_docs // 256)
+    # coarser default than raw_nodes_df: the long-haul sizes (10^7 docs)
+    # would otherwise schedule tens of thousands of generation tasks —
+    # ~4k docs per partition keeps task count in the low thousands while
+    # the giant docs still dominate their own tasks (the intended skew)
+    parts = partitions or max(8, n_docs // 4096)
     return spark.range(0, n_docs, 1, parts).mapInPandas(gen, schema=RAW_NODES)
 
 
