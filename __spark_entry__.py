@@ -186,12 +186,21 @@ def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    # Join order (same inner-join predicate set as the textbook ladder, so
+    # the result multiset is identical): the region/nation filter reaches
+    # the supplier dim FIRST, and lineitem is pruned by the broadcast
+    # supplier join BEFORE the only large-table shuffle (li ⨝ orders) —
+    # at sf where orders exceeds the broadcast threshold, the sort-merge
+    # join then shuffles ~1/|regions| of lineitem instead of all of it
+    # (guide §3.2: reduce the big side before shuffling it).
+    supp_asia = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        li.join(F.broadcast(supp_asia), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(
             F.sum(

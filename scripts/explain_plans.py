@@ -88,7 +88,21 @@ def main() -> int:
 
     p = plan_of(entrymod._emb_knn(spark, sf_dir))
     sections.append(("emb_knn", p))
-    checks.append(("knn broadcasts queries", "BroadcastNestedLoopJoin" in p, p))
+    # round 6: the interpreted HOF pair loop became ONE Arrow numpy kernel
+    # (queries ride collected — same smallness contract as the old
+    # broadcast); each task emits its partial top-k, so the only data the
+    # window shuffles is P·Q·k rows, pre-pruned by a partial WindowGroupLimit
+    checks.append(("knn scores pairs in one Arrow kernel", "MapInArrow" in p, p))
+    checks.append(
+        (
+            "knn corpus is never hash-shuffled (kernel emits partial top-k;"
+            " only the final per-query window exchange remains)",
+            len(re.findall(r"hashpartitioning\(query_id", p)) == 1
+            and len(re.findall(r"hashpartitioning\((?!query_id)", p)) == 0,
+            p,
+        )
+    )
+    checks.append(("knn window is group-limit pruned", "WindowGroupLimit" in p, p))
 
     p = plan_of(entrymod._events_batch_handles(spark, sf_dir))
     sections.append(("events_batch_handles", p))
@@ -333,17 +347,33 @@ def main() -> int:
             p,
         )
     )
+    # round 6: the postings stream is doc_id-clustered BEFORE the broadcast
+    # score join, so the per-(query, doc) score aggregation collapses
+    # map-side with NO exchange — the old plan shuffled the joined
+    # (query, doc, term) explosion (~q·|terms|·df rows) uncollapsed
+    checks.append(
+        (
+            "bm25 score agg is exchange-free (no (query_id, doc_id) or"
+            " term-keyed shuffle after the scored join; postings"
+            " repartitioned by doc_id once)",
+            len(re.findall(r"hashpartitioning\(query_id", p)) == 1  # window only
+            and "REPARTITION_BY_COL" in p,
+            p,
+        )
+    )
+    checks.append(("bm25 top-k window is group-limit pruned", "WindowGroupLimit" in p, p))
 
     p = plan_of(entrymod._doc_rrf_hybrid(spark, sf_dir))
     sections.append(("doc_rrf_hybrid", p))
     checks.append(
         (
-            "rrf hybrid fusion is Python-free: lexical side broadcast-joins"
-            " query terms, dense side is the broadcast exact scan, fusion is"
-            " union + one hash agg + one per-query window (no sort-merge"
-            " join, no cartesian, corpus never rescanned post-merge)",
-            "Python" not in p
-            and "BroadcastHashJoin" in p
+            "rrf hybrid fusion: lexical side broadcast-joins query terms"
+            " (JVM codegen), dense side is the round-6 Arrow top-k kernel,"
+            " fusion is union + one hash agg + one per-query window (no"
+            " sort-merge join, no cartesian, corpus never rescanned"
+            " post-merge)",
+            "BroadcastHashJoin" in p
+            and "MapInArrow" in p
             and "Union" in p
             and "Window" in p
             and "CartesianProduct" not in p

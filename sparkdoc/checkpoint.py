@@ -235,8 +235,9 @@ def run_resumable(
             else:
                 docs = extract_documents(part.drop("bucket")).persist()
             docs_b = with_bucket(docs, n_buckets)
+        t_prep = time.monotonic()
         docs.count()  # materialize the cache NOW, on this thread
-        return docs, docs_b
+        return docs, docs_b, int((time.monotonic() - t_prep) * 1000)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -246,7 +247,10 @@ def run_resumable(
         fut = pool.submit(_prepare, groups[0]) if pool else None
         for idx, group in enumerate(groups):
             t0 = time.monotonic()
-            docs, docs_b = fut.result() if fut is not None else _prepare(group)
+            docs, docs_b, prep_ms = (
+                fut.result() if fut is not None else _prepare(group)
+            )
+            fut = None
             if pool and idx + 1 < len(groups):
                 fut = pool.submit(_prepare, groups[idx + 1])
             docs_b.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
@@ -311,7 +315,11 @@ def run_resumable(
                     .collect()
                 }
             docs.unpersist()
-            wall_ms = int((time.monotonic() - t0) * 1000)
+            # wall_ms = the group's own parse (timed INSIDE _prepare — for
+            # prefetched groups it overlaps the previous group's commit
+            # wall-clock, so the loop timer alone under-reported it as
+            # write-only) + this loop pass's write/commit time
+            wall_ms = prep_ms + int((time.monotonic() - t0) * 1000)
             rows = []
             for b in group:
                 stat = per_bucket.get(b)
@@ -333,6 +341,15 @@ def run_resumable(
             seq += 1
     finally:
         if pool:
+            # an exception mid-loop can leave an in-flight _prepare whose
+            # persisted frame would never be unpersisted (and whose count
+            # job would keep running); consume it and release the cache
+            if fut is not None:
+                try:
+                    docs_left, _, _ = fut.result()
+                    docs_left.unpersist()
+                except Exception:
+                    pass
             pool.shutdown(wait=False, cancel_futures=True)
     return {
         "job_id": job_id,

@@ -366,6 +366,13 @@ def curate_split(
     )
     for d in drops:
         rejected = rejected.unionByName(d)
+    # cache-handle convention (same as bm25_query_index): the persisted
+    # intermediates feed BOTH outputs, so neither output can safely own
+    # them — after materializing both, callers release with
+    #   for c in getattr(kept, "_sparkdoc_caches", []): c.unpersist()
+    # (repeated mix runs in one session otherwise accumulate cached
+    # frames until eviction)
+    kept._sparkdoc_caches = [pii, flagged, fp_docs] + drops  # type: ignore[attr-defined]
     return kept, rejected
 
 

@@ -85,6 +85,9 @@ def mix_documents(
     kept, rejected = curate_split(
         docs, min_words=min_words, near_dup=near_dup
     )
+    # grab the cache handles BEFORE the select below re-derives `kept`
+    # (DataFrame attributes don't survive reassignment)
+    curate_caches = getattr(kept, "_sparkdoc_caches", [])
     kept = kept.select("doc_id", "text", "lang_pred")
     if has_source:
         kept = kept.join(raw.select("doc_id", "source"), "doc_id")
@@ -199,6 +202,12 @@ def mix_documents(
     )
     if has_source:
         raw.unpersist()
+    # both outputs are materialized (shards + rejected written): release the
+    # run's caches — `sized` and the curate_split intermediates (ADVICE r5:
+    # repeated mix runs in one session accumulated cached frames)
+    sized.unpersist()
+    for c in curate_caches:
+        c.unpersist()
     return summary
 
 

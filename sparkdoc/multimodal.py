@@ -112,7 +112,12 @@ def _try_decode(payload: bytes):
         return None
     try:
         return imagecodec.decode_image(payload)
-    except ValueError:
+    except (ValueError, TypeError, IndexError, KeyError):
+        # the codecs normalize most malformed-payload failures to
+        # ValueError, but a truncated/adversarial bitstream can surface as
+        # an index/type error from deep inside the entropy decoders — the
+        # 'corrupt payloads never crash callers' contract means ANY decode
+        # failure falls back to the stub path, never up through the task
         return None
 
 

@@ -81,9 +81,64 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query. queries is small → broadcast; ranking is
-    a per-query window top-k. Both sides are unit-normalized once up front so
-    the per-pair work is a single dot product."""
+    """Exact cosine top-k per query. queries is small → broadcast/collect
+    (same size contract either way); ranking is a per-query window top-k.
+
+    Execution: the per-pair dot is an Arrow-batched numpy kernel over the
+    corpus (queries ride along collected, like the package's k-sized
+    model/centroid fetches) that emits a per-task partial top-k; a final
+    window merges the partials. Bit-exact with the interpreted HOF-fold
+    formulation (``_brute_force_topk_hof``): float→double casts, sequential
+    left-fold accumulation over dimensions (vectorized across rows,
+    sequential across dims — numpy ``+=`` per dimension is the same IEEE
+    add chain as ``aggregate(zip_with(...))``), Spark's NaN-greatest
+    ordering, and zip_with's null-on-length-mismatch semantics are all
+    replicated; ``tests/test_similarity_kernel.py`` pins kernel == HOF on
+    hostile inputs (zero vectors, NaN/null elements, ragged dims, ties).
+    Non-integer id columns fall back to the HOF path (the numpy tie-break
+    mirrors Spark's ordering only for integral ids)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    int_types = (ByteType, ShortType, IntegerType, LongType)
+    cid = {f.name: f.dataType for f in corpus.schema.fields}.get(id_col)
+    qid = {f.name: f.dataType for f in queries.schema.fields}.get(id_col)
+    if not (isinstance(cid, int_types) and isinstance(qid, int_types)):
+        return _brute_force_topk_hof(corpus, queries, k, id_col, vec_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids, qmat_rows = _normalized_query_rows(qrows)
+    spark = corpus.sparkSession
+    out_schema = (
+        f"query_id {qid.simpleString()}, neighbor_id {cid.simpleString()}, cos double"
+    )
+    if not qids:
+        return (
+            spark.createDataFrame([], out_schema)
+            .select("query_id", "neighbor_id", F.lit(0).alias("rank"), "cos")
+        )
+
+    kernel = _make_topk_kernel(qids, qmat_rows, k)
+    partial = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).mapInArrow(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _brute_force_topk_hof(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The original all-JVM formulation (broadcast nested-loop + interpreted
+    HOF dot) — the semantic reference the Arrow kernel is pinned against,
+    and the fallback for id types the kernel's tie-break doesn't cover."""
     q = F.broadcast(
         _with_unit(queries, vec_col, "qv").select(F.col(id_col).alias("query_id"), "qv")
     )
@@ -99,6 +154,198 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def _seq_fold_norms(mat):
+    """||v|| per row with the HOF fold's exact add chain: acc = acc + v_j²,
+    j ascending, float64 — vectorized across rows, sequential across dims."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    return np.sqrt(acc)
+
+
+def _normalized_query_rows(qrows):
+    """Driver-side twin of ``_with_unit`` over collected (id, vec) rows:
+    float64 cast, sequential-fold norm, keep ``norm > 0 OR isnan(norm)``
+    (Spark's NaN-greatest `>` keeps NaN norms), drop null arrays/elements
+    (null propagates to a null norm, and ``null > 0`` filters false).
+    Returns (ids, unit-vector rows as float64 ndarrays)."""
+    import numpy as np
+
+    ids: list = []
+    vecs: list = []
+    for row in qrows:
+        vid, vec = row[0], row[1]
+        if vid is None or vec is None or any(x is None for x in vec):
+            continue
+        v = np.asarray(vec, dtype=np.float64)
+        n = _seq_fold_norms(v.reshape(1, -1))[0]
+        if not (n > 0 or np.isnan(n)):
+            continue
+        ids.append(vid)
+        vecs.append(v / n)
+    return ids, vecs
+
+
+def _topk_select(key2, nan_mask, ids, k):
+    """Indices of the top-k under Spark's (cos DESC NaN-greatest, id ASC)
+    ordering. ``key2`` is cos with NaN replaced by +inf (a coarsening that
+    over-selects at the boundary); the exact lexsort then refines NaN vs
+    +inf and ties."""
+    import numpy as np
+
+    n = len(key2)
+    kk = min(k, n)
+    if n > kk:
+        thresh = np.partition(key2, n - kk)[n - kk]
+        sel = np.nonzero(key2 >= thresh)[0]
+    else:
+        sel = np.arange(n)
+    # lexsort: primary -key2 asc (== cos desc, NaN/+inf first), secondary
+    # ~nan (NaN strictly above +inf, as Spark orders doubles), tertiary id
+    order = np.lexsort(
+        (ids[sel], (~nan_mask[sel]).astype(np.int8), -key2[sel])
+    )
+    return sel[order[:kk]]
+
+
+def _make_topk_kernel(qids, qvecs, k):
+    """Arrow kernel: per corpus batch, cosine vs every query with the exact
+    fold-chain math, emit the per-batch top-k per query (the final window
+    merges partials exactly — partial top-k is a superset filter)."""
+    import numpy as np
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        qid_arr = np.asarray(qids, dtype=np.int64)
+        # group queries by dimension: zip_with yields NULL cos on length
+        # mismatch, and null cos sorts below every real cosine (desc
+        # nulls-last) — mismatched-dim pairs can only surface when a query
+        # has fewer than k same-dim candidates, so emit up to k smallest-id
+        # null-cos rows per (batch, query) too
+        qdims: dict[int, list[int]] = {}
+        for i, v in enumerate(qvecs):
+            qdims.setdefault(len(v), []).append(i)
+        qmats = {
+            d: np.stack([qvecs[i] for i in idxs])
+            for d, idxs in qdims.items()
+        }
+        for batch in batches:
+            ids_np, rows, row_dims = _corpus_rows(batch)
+            if len(ids_np) == 0:
+                continue
+            out_q: list[int] = []
+            out_n: list[int] = []
+            out_c: list[float] = []
+            for d, cidx in row_dims.items():
+                V = rows[d]
+                nrm = _seq_fold_norms(V)
+                keep = (nrm > 0) | np.isnan(nrm)
+                cidx = cidx[keep]
+                if len(cidx) == 0:
+                    continue
+                U = V[keep] / nrm[keep][:, None]
+                cids = ids_np[cidx]
+                for qd, qidxs in qdims.items():
+                    qsub = np.asarray(qidxs, dtype=np.int64)
+                    if qd == d:
+                        Q = qmats[qd]
+                        C = np.zeros((len(cids), len(qsub)), dtype=np.float64)
+                        for j in range(d):
+                            # qv_j * cv_j, accumulated j-ascending: the HOF
+                            # fold's exact IEEE add/mul chain per pair
+                            C = C + U[:, j][:, None] * Q[:, j][None, :]
+                        nanm = np.isnan(C)
+                        key2 = np.where(nanm, np.inf, C)
+                        for m in range(len(qsub)):
+                            qv_id = qid_arr[qsub[m]]
+                            mask = cids != qv_id
+                            if not mask.any():
+                                continue
+                            idx = np.nonzero(mask)[0]
+                            top = _topk_select(
+                                key2[idx, m], nanm[idx, m], cids[idx], k
+                            )
+                            for t in idx[top]:
+                                out_q.append(int(qv_id))
+                                out_n.append(int(cids[t]))
+                                out_c.append(float(C[t, m]))
+                    else:
+                        # dim mismatch: null cos; k smallest ids suffice
+                        for m in range(len(qsub)):
+                            qv_id = qid_arr[qsub[m]]
+                            cand = cids[cids != qv_id]
+                            for t in np.sort(cand)[:k]:
+                                out_q.append(int(qv_id))
+                                out_n.append(int(t))
+                                out_c.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=pa.int64()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos"],
+            )
+
+    return kernel
+
+
+def _corpus_rows(batch):
+    """Decode one Arrow batch of (neighbor_id, cv) into float64 matrices
+    grouped by vector dimension, dropping rows Spark's filter would drop
+    (null id, null array, null element). Returns (ids ndarray,
+    {dim: matrix}, {dim: row-index array})."""
+    import numpy as np
+
+    ids = batch.column(0)
+    arr = batch.column(1)
+    n = len(ids)
+    if ids.null_count:
+        # fill nulls BEFORE to_numpy: nulls would force a float64 array and
+        # ids above 2^53 would round; the valid mask drops the filled rows
+        valid = np.asarray(ids.is_valid())
+        ids_np = ids.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        valid = np.ones(n, bool)
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    if arr.null_count == 0 and arr.values.null_count == 0:
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        if valid.all() and len(set(lens.tolist())) == 1:
+            d = int(lens[0])
+            if d == 0:
+                return np.empty(0, np.int64), {}, {}
+            mat = vals[offs[0] : offs[-1]].reshape(n, d)
+            return ids_np, {d: mat}, {d: np.arange(n)}
+        rows_by_dim: dict[int, list] = {}
+        idx_by_dim: dict[int, list] = {}
+        for i in range(n):
+            if not valid[i] or lens[i] == 0:
+                continue
+            rows_by_dim.setdefault(int(lens[i]), []).append(
+                vals[offs[i] : offs[i + 1]]
+            )
+            idx_by_dim.setdefault(int(lens[i]), []).append(i)
+    else:
+        pylists = arr.to_pylist()
+        rows_by_dim, idx_by_dim = {}, {}
+        for i in range(n):
+            v = pylists[i]
+            if not valid[i] or v is None or any(x is None for x in v) or len(v) == 0:
+                continue
+            rows_by_dim.setdefault(len(v), []).append(
+                np.asarray(v, dtype=np.float64)
+            )
+            idx_by_dim.setdefault(len(v), []).append(i)
+    mats = {d: np.stack(rs) for d, rs in rows_by_dim.items()}
+    idxs = {d: np.asarray(ix, dtype=np.int64) for d, ix in idx_by_dim.items()}
+    return ids_np, mats, idxs
 
 
 def ann_recall(exact: DataFrame, approx: dict[str, DataFrame]) -> DataFrame:

@@ -368,11 +368,17 @@ def _decode_image_stream(br: BitReader, xsize: int, ysize: int, is_level0: bool)
     meta = None
     meta_bits = 0
     num_groups = 1
+    meta_w = 0
     if is_level0 and br.read_bit():
         meta_bits = br.read(3) + 2
         mw, mh = _subsample_size(xsize, meta_bits), _subsample_size(ysize, meta_bits)
         meta_img, _ = _decode_image_stream(br, mw, mh, False)
-        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        # _decode_image_stream returns (ysize, xsize)-shaped pixels; flatten
+        # ONCE so the row-major flat index below addresses a scalar — 2-D
+        # flat-indexing returned a whole ROW for any meta image wider than
+        # one column (every real-world entropy-image file)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64).reshape(-1)
+        meta_w = mw
         num_groups = int(meta.max()) + 1
     green_alpha = 256 + _NUM_LENGTH_CODES + (1 << cache_bits if cache_bits else 0)
     groups = []
@@ -390,7 +396,7 @@ def _decode_image_stream(br: BitReader, xsize: int, ysize: int, is_level0: bool)
     while pos < n:
         x, y = pos % xsize, pos // xsize
         if meta is not None:
-            gi = int(meta[(y >> meta_bits) * _subsample_size(xsize, meta_bits) + (x >> meta_bits)])
+            gi = int(meta[(y >> meta_bits) * meta_w + (x >> meta_bits)])
             if gi >= num_groups:
                 raise ValueError("vp8l: meta prefix index out of range")
             gt, rt, bt, at, dt = groups[gi]

@@ -208,6 +208,68 @@ class TestHandBuiltStreams:
         assert len(p_lz) < len(p_lit) // 3
 
 
+class TestMetaPrefix:
+    """Multi-group entropy-image streams — the real-world libwebp shape the
+    encoder never emits (it writes single-group streams), hand-built so the
+    2-D meta indexing fix (round 6, ADVICE #1) stays pinned: a meta image
+    WIDER than one column must select the per-tile prefix group."""
+
+    def _stream(self, w, h, body_bits):
+        bw = BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        for v, n in body_bits:
+            bw.write(v, n)
+        return bw.getvalue()
+
+    @staticmethod
+    def _simple1(value, bits8=True):
+        # 1-symbol simple prefix code
+        if bits8:
+            return [(1, 1), (0, 1), (1, 1), (value, 8)]
+        return [(1, 1), (0, 1), (0, 1), (value, 1)]
+
+    def test_meta_prefix_multi_column_stream(self):
+        """8×2 image, meta_bits=2 → 2×1 entropy image (TWO columns): left
+        tile uses group 0 (green 10 / red 3 / blue 4), right tile group 1
+        (green 20 / red 5 / blue 6). All five trees per group are 1-symbol
+        codes, so after the headers there are ZERO pixel data bits — any
+        wrong group indexing changes the output colors."""
+        from sparkdoc.webpcodec import decode_vp8l
+
+        body = [(0, 1), (0, 1)]  # no transforms, no color cache
+        body += [(1, 1), (0, 3)]  # meta prefix present, meta_bits = 2
+        # --- entropy image stream (2×1, is_level0=False): cache bit, then
+        # 5 trees, then 2 pixels. green carries the group index {0, 1}.
+        body += [(0, 1)]  # no color cache in the entropy image
+        body += [(1, 1), (1, 1), (0, 1), (0, 1), (1, 8)]  # green {0,1}
+        body += self._simple1(0, bits8=False)  # red solid 0
+        body += self._simple1(0, bits8=False)  # blue solid 0
+        body += self._simple1(0, bits8=False)  # alpha solid 0
+        body += self._simple1(0, bits8=False)  # distance solid 0
+        body += [(0, 1), (1, 1)]  # meta pixels: tile0 → 0, tile1 → 1
+        # --- group 0 trees (left tile)
+        body += self._simple1(10)   # green
+        body += self._simple1(3)    # red
+        body += self._simple1(4)    # blue
+        body += self._simple1(255)  # alpha
+        body += self._simple1(0, bits8=False)  # distance
+        # --- group 1 trees (right tile)
+        body += self._simple1(20)   # green
+        body += self._simple1(5)    # red
+        body += self._simple1(6)    # blue
+        body += self._simple1(255)  # alpha
+        body += self._simple1(0, bits8=False)  # distance
+        out = decode_vp8l(self._stream(8, 2, body))
+        want = np.zeros((2, 8, 4), dtype=np.uint8)
+        want[:, :4] = (3, 10, 4, 255)
+        want[:, 4:] = (5, 20, 6, 255)
+        assert np.array_equal(out, want)
+
+
 class TestRejection:
     def test_corrupt_rejected_not_crashed(self):
         img = np.zeros((4, 4, 3), dtype=np.uint8)
