@@ -338,26 +338,28 @@ def main() -> int:
     checks.append(
         (
             "bm25 meets query terms / df / stats via broadcast joins only"
-            " and is Python-free (corpus never reshuffles at query time"
-            " beyond the postings build)",
-            "Python" not in p
-            and "BroadcastHashJoin" in p
+            " (no cartesian, no sort-merge; the only Python stage is the"
+            " round-6 int64-matmul scoring kernel)",
+            "BroadcastHashJoin" in p
+            and "MapInArrow" in p
             and "CartesianProduct" not in p
             and "SortMergeJoin" not in p,
             p,
         )
     )
     # round 6: the postings stream is doc_id-clustered BEFORE the broadcast
-    # score join, so the per-(query, doc) score aggregation collapses
-    # map-side with NO exchange — the old plan shuffled the joined
-    # (query, doc, term) explosion (~q·|terms|·df rows) uncollapsed
+    # score join and the per-(set, doc) scores come out of the Arrow kernel
+    # as per-task partial top-k — no exchange ever carries the joined
+    # (query, doc, term) explosion (~q·|terms|·df rows in the old plan);
+    # the only post-scoring shuffle is the per-set window over k·P rows
     checks.append(
         (
-            "bm25 score agg is exchange-free (no (query_id, doc_id) or"
-            " term-keyed shuffle after the scored join; postings"
-            " repartitioned by doc_id once)",
-            len(re.findall(r"hashpartitioning\(query_id", p)) == 1  # window only
-            and "REPARTITION_BY_COL" in p,
+            "bm25 scoring is explosion-shuffle-free (postings repartitioned"
+            " by doc_id once; no per-query hash shuffle; one per-set window"
+            " exchange)",
+            "REPARTITION_BY_COL" in p
+            and len(re.findall(r"hashpartitioning\(query_id", p)) == 0
+            and len(re.findall(r"hashpartitioning\(set_id", p)) == 1,
             p,
         )
     )

@@ -256,23 +256,35 @@ def run_resumable(
             docs_b.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy("bucket").parquet(
                 os.path.join(out_dir, "documents")
             )
-            per_bucket = {
-                r["bucket"]: r
-                for r in docs_b.groupBy("bucket")
+            # ONE aggregation pass serves both the per-bucket doc/span
+            # totals and (for mixed/WARC ingests) the per-format lineage:
+            # grouping by (bucket, fmt) and folding driver-side replaces the
+            # former two separate scans of the cached group (round 6 — each
+            # scan of a 240k-doc group with span arrays cost ~1-2 s)
+            has_fmt = "fmt" in docs_b.columns
+            gcols = ["bucket", "fmt"] if has_fmt else ["bucket"]
+            cells = (
+                docs_b.groupBy(*gcols)
                 .agg(F.count("*").alias("n_docs"), F.sum(F.size("spans")).alias("n_spans"))
                 .collect()
-            }
+            )
+            per_bucket: dict[int, dict] = {}
+            fmt_counts_by_bucket: dict[int, dict[str, int]] = {}
+            for r in cells:
+                s = per_bucket.setdefault(
+                    r["bucket"], {"n_docs": 0, "n_spans": 0}
+                )
+                s["n_docs"] += r["n_docs"]
+                s["n_spans"] += r["n_spans"] or 0
+                if has_fmt:
+                    fmt_counts_by_bucket.setdefault(r["bucket"], {})[r["fmt"]] = r["n_docs"]
             fmt_by_bucket: dict[int, str] = {}
-            if "fmt" in docs_b.columns:
-                # per-format lineage for mixed/WARC ingests (docs is cached —
-                # this is a cheap second agg, sorted-JSON for determinism)
+            if has_fmt:
                 import json as _json
 
-                counts: dict[int, dict[str, int]] = {}
-                for r in docs_b.groupBy("bucket", "fmt").count().collect():
-                    counts.setdefault(r["bucket"], {})[r["fmt"]] = r["count"]
                 fmt_by_bucket = {
-                    b: _json.dumps(dict(sorted(c.items()))) for b, c in counts.items()
+                    b: _json.dumps(dict(sorted(c.items())))
+                    for b, c in fmt_counts_by_bucket.items()
                 }
             n_chunks_by_bucket: dict[int, int] = {}
             if chunk:

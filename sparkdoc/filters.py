@@ -34,9 +34,17 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from sparkdoc.textops import words
+from sparkdoc.textops import STOPWORDS, words
 
 # --- Gopher-style repetition statistics --------------------------------------
 
@@ -96,32 +104,37 @@ def _py_words(text: str) -> list[str]:
     return [w for w in _WORD_SPLIT.split(text.lower()) if w]
 
 
+def _ngram_stats_py(ws: list[str]) -> tuple:
+    """THE per-document n-gram counter pass (Gopher 'top n-gram char
+    fraction' n=2 and 'duplicated n-gram char fraction' n=3) — one O(words)
+    Counter pass. Character length of an n-gram is the sum of its word
+    lengths (the joining space is presentation, not content). Tie-break for
+    the top bigram: lexicographically smallest among max-count. Shared by
+    `_ngram_stats_udf` and the fused gate kernel so the semantics have one
+    definition."""
+    total_word_chars = sum(len(w) for w in ws)
+    bi = Counter(zip(ws, ws[1:]))
+    if bi:
+        top, cnt = min(bi.items(), key=lambda kv: (-kv[1], kv[0]))
+        top_s = " ".join(top)
+        top_chars = cnt * (len(top[0]) + len(top[1]))
+    else:
+        top_s, cnt, top_chars = None, 0, 0
+    tri = Counter(zip(ws, ws[1:], ws[2:]))
+    tri_total = tri_dup = 0
+    for gram, c in tri.items():
+        chars = c * sum(len(w) for w in gram)
+        tri_total += chars
+        if c >= 2:
+            tri_dup += chars
+    return (top_s, cnt, top_chars, tri_dup, tri_total, total_word_chars)
+
+
 @pandas_udf(_NGRAM_SCHEMA)
 def _ngram_stats_udf(texts: pd.Series) -> pd.DataFrame:
-    """Per-document n-gram repetition counters (Gopher 'top n-gram char
-    fraction' n=2 and 'duplicated n-gram char fraction' n=3), one O(words)
-    Counter pass per doc. Character length of an n-gram is the sum of its
-    word lengths (the joining space is presentation, not content). Tie-break
-    for the top bigram: lexicographically smallest among max-count."""
-    rows = []
-    for text in texts:
-        ws = _py_words(text or "")
-        total_word_chars = sum(len(w) for w in ws)
-        bi = Counter(zip(ws, ws[1:]))
-        if bi:
-            top, cnt = min(bi.items(), key=lambda kv: (-kv[1], kv[0]))
-            top_s = " ".join(top)
-            top_chars = cnt * (len(top[0]) + len(top[1]))
-        else:
-            top_s, cnt, top_chars = None, 0, 0
-        tri = Counter(zip(ws, ws[1:], ws[2:]))
-        tri_total = tri_dup = 0
-        for gram, c in tri.items():
-            chars = c * sum(len(w) for w in gram)
-            tri_total += chars
-            if c >= 2:
-                tri_dup += chars
-        rows.append((top_s, cnt, top_chars, tri_dup, tri_total, total_word_chars))
+    """Arrow wrapper for :func:`_ngram_stats_py` (the public per-gate
+    operator's kernel)."""
+    rows = [_ngram_stats_py(_py_words(text or "")) for text in texts]
     return pd.DataFrame(rows, columns=[f.name for f in _NGRAM_SCHEMA.fields])
 
 
@@ -165,6 +178,207 @@ def repetition_flags(
     )
 
 
+# --- fused per-document gate kernel (round 6) --------------------------------
+
+#: output schema of the fused gate pass — field names/types/order match the
+#: chained quality_filter → with_language → with_repetition_stats →
+#: repetition_flags column additions exactly, plus n_tokens (token_count)
+_GATE_SCHEMA = StructType(
+    [
+        StructField("n_words", IntegerType()),
+        StructField("n_chars_obs", IntegerType()),
+        StructField("mean_word_len", DoubleType()),
+        StructField("symbol_ratio", DoubleType()),
+        StructField("stop_fraction", DoubleType()),
+        StructField("distinct_word_fraction", DoubleType()),
+        StructField("ends_with_punct", IntegerType()),
+        StructField("quality_keep", IntegerType()),
+        StructField("lang_pred", StringType()),
+        StructField("n_lines", LongType()),
+        StructField("n_dup_lines", LongType()),
+        StructField("total_line_chars", LongType()),
+        StructField("dup_line_chars", LongType()),
+        StructField("top_bigram", StringType()),
+        StructField("top_bigram_cnt", LongType()),
+        StructField("top_bigram_chars", LongType()),
+        StructField("dup_trigram_chars", LongType()),
+        StructField("total_trigram_chars", LongType()),
+        StructField("total_word_chars", LongType()),
+        StructField("repetition_ok", BooleanType()),
+        StructField("n_tokens", IntegerType()),
+    ]
+)
+
+#: Java-regex-compatible compilations (re.ASCII pins \s/\b/\d to the same
+#: ASCII classes Java uses by default; the alnum classes are explicit)
+_ENDS_PUNCT_RE = re.compile(r"[.!?]\s*$", re.ASCII)
+_TOKEN_RE = re.compile(r"[a-z0-9]+|[^a-z0-9\s]", re.ASCII)
+
+
+def _pii_row_py(text):
+    """(n_email, n_ipv4, n_ssn, n_phone, redacted) — the Python twin of
+    with_pii_stats for one document. Counts are over the (coalesced)
+    original text; redaction applies the patterns in PII_ORDER so earlier
+    placeholders can't re-match later patterns; NULL text keeps a NULL
+    redaction. The patterns are restricted to syntax Java regex, RE2 and
+    Python re agree on (with re.ASCII pinning \\b/\\d/\\s)."""
+    t = text or ""
+    counts = [len(p.findall(t)) for p, _ in _PII_RES]
+    if text is None:
+        return counts + [None]
+    red = text
+    for p, repl in _PII_RES:
+        red = p.sub(repl, red)
+    return counts + [red]
+
+
+def _gate_row_py(text, min_words: int, max_symbol_ratio: float, stopsets) -> tuple:
+    """One document through every per-doc gate — the Python twin of the
+    chained JVM operators, pinned bit-equal (kept/rejected and every
+    surfaced column) by tests/test_filters_fused.py. Fractions are computed
+    as int/int double divisions in the same shape as the SQL exprs, so the
+    doubles are IEEE-identical."""
+    ws = _py_words(text) if text else []
+    # NULL text propagates NULL through size(words(t)) and length(t) in the
+    # chained exprs (the when-guards then route every derived column to its
+    # otherwise-branch); n_words/n_chars stay None to match, and the local
+    # integers drive the guards identically (None > 0 is false in SQL)
+    n_words = len(ws) if text is not None else None
+    n_chars = len(text) if text is not None else None
+    nw = n_words or 0
+    nc = n_chars or 0
+    sum_wlen = sum(len(w) for w in ws)
+    mean_word_len = (sum_wlen / nw) if nw > 0 else 0.0
+    if nc > 0:
+        # alnum chars of the LOWERED text == the characters of the word
+        # array (words are exactly the [a-z0-9] runs of the lowered text),
+        # so the count is the word-length sum already in hand
+        low = text.lower()
+        symbol_ratio = (nc - sum_wlen) / nc
+    else:
+        low = ""
+        symbol_ratio = 0.0
+    en, fr, de, es = stopsets
+    stop_hits = sum(1 for w in ws if w in en)
+    stop_fraction = (stop_hits / nw) if nw > 0 else 0.0
+    distinct_frac = (len(set(ws)) / nw) if nw > 0 else 0.0
+    ends_punct = 1 if (text is not None and _ENDS_PUNCT_RE.search(text)) else 0
+    quality_keep = int(
+        nw >= min_words
+        and symbol_ratio <= max_symbol_ratio
+        and distinct_frac >= 0.2
+    )
+    # language: argmax over stopword hits, fixed precedence (en,fr,de,es):
+    # strict > against earlier-precedence langs, >= against later
+    hits = [
+        stop_hits,
+        sum(1 for w in ws if w in fr),
+        sum(1 for w in ws if w in de),
+        sum(1 for w in ws if w in es),
+    ]
+    lang_pred = "und"
+    for i, lang in enumerate(("en", "fr", "de", "es")):
+        if hits[i] > 0 and all(
+            (hits[i] > hits[j]) if j < i else (hits[i] >= hits[j])
+            for j in range(4)
+            if j != i
+        ):
+            lang_pred = lang
+            break
+    # line stats (nonempty '\n' segments)
+    lines = [l for l in text.split("\n") if l != ""] if text else []
+    n_lines = len(lines)
+    total_line_chars = sum(len(l) for l in lines)
+    seen = dict.fromkeys(lines)  # first-occurrence-ordered distinct
+    n_dup_lines = n_lines - len(seen)
+    dup_line_chars = total_line_chars - sum(len(l) for l in seen)
+    # n-gram repetition (shared kernel)
+    top_s, bi_cnt, bi_chars, tri_dup, tri_total, total_word_chars = _ngram_stats_py(ws)
+    def _frac(num, den):
+        return (num / den) if den > 0 else 0.0
+    repetition_ok = (
+        _frac(n_dup_lines, n_lines) <= 0.3
+        and _frac(dup_line_chars, total_line_chars) <= 0.2
+        and (bi_cnt < 2 or _frac(bi_chars, total_word_chars) <= 0.2)
+        and _frac(tri_dup, tri_total) <= 0.3
+    )
+    n_tokens = len(_TOKEN_RE.findall(low)) if text else 0
+    return (
+        n_words, n_chars, mean_word_len, symbol_ratio, stop_fraction,
+        distinct_frac, ends_punct, quality_keep, lang_pred,
+        n_lines, n_dup_lines, total_line_chars, dup_line_chars,
+        top_s, bi_cnt, bi_chars, tri_dup, tri_total, total_word_chars,
+        repetition_ok, n_tokens,
+    )
+
+
+#: with_pii=True prefix of the fused output (before the _GATE_SCHEMA fields)
+_PII_SCHEMA_FIELDS = [
+    StructField("n_email", LongType()),
+    StructField("n_ipv4", LongType()),
+    StructField("n_ssn", LongType()),
+    StructField("n_phone", LongType()),
+    StructField("redacted", StringType()),
+]
+
+
+def fused_gate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_symbol_ratio: float = 0.6,
+    with_pii: bool = False,
+) -> DataFrame:
+    """ONE Arrow pass computing every per-document gate column — the same
+    columns (names, types, values) the chained public operators produce via
+    repetition_flags(with_repetition_stats(with_language(quality_filter(df))))
+    plus ``n_tokens`` (token_count). The public per-gate operators are
+    unchanged and keep their oracles; this kernel exists because the chain
+    costs ~10 separate full-text JVM regex/array passes plus a dedicated
+    Python stage for the n-gram counters — fused, the text crosses the
+    Python boundary once and every per-doc statistic comes out of the words
+    list that pass already built (measured: the 240k-doc gate stage drops
+    ~2x, see OPTIMIZATION_r06.md). Equality with the chain is pinned by
+    tests/test_filters_fused.py on hostile corpora (null/empty/unicode/
+    CRLF/PII/repetitive docs)."""
+    stopsets = tuple(frozenset(STOPWORDS[lang]) for lang in ("en", "fr", "de", "es"))
+    mw, msr = int(min_words), float(max_symbol_ratio)
+    # mapInPandas, not a struct pandas_udf: a physical map node takes the
+    # child's rows however they were computed, while a UDF EXPRESSION must
+    # be extracted by the planner — and a caller whose text column is itself
+    # a complex derived expression (e.g. curate.py's substring_dedup trim)
+    # can leave the UDF in a projection the extractor never rewrites
+    # ("Cannot generate code for expression: _gates(...)", hit in round 6).
+    # Callers should project to the columns they need first — every column
+    # of `df` crosses the Python boundary and back.
+    extra_fields = (
+        list(_PII_SCHEMA_FIELDS) if with_pii else []
+    ) + list(_GATE_SCHEMA.fields)
+    out_schema = StructType(list(df.schema.fields) + extra_fields)
+    extra_names = [f.name for f in extra_fields]
+
+    def _gates(batches):
+        for pdf in batches:
+            texts = pdf[text_col]
+            if with_pii:
+                rows = []
+                for t in texts:
+                    t = t if isinstance(t, str) else None
+                    pii = _pii_row_py(t)
+                    rows.append(tuple(pii) + _gate_row_py(pii[4], mw, msr, stopsets))
+            else:
+                rows = [
+                    _gate_row_py(t if isinstance(t, str) else None, mw, msr, stopsets)
+                    for t in texts
+                ]
+            gates = pd.DataFrame(rows, columns=extra_names)
+            yield pd.concat(
+                [pdf.reset_index(drop=True), gates], axis=1
+            )
+
+    return df.mapInPandas(_gates, out_schema)
+
+
 # --- PII detection / redaction -----------------------------------------------
 
 #: patterns restricted to syntax Java regex and RE2 (DuckDB) agree on:
@@ -177,6 +391,13 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
 }
 PII_ORDER = ("email", "ipv4", "ssn", "phone")
+
+#: Python compilations of PII_PATTERNS in PII_ORDER for the fused kernel —
+#: re.ASCII pins \b/\d to the ASCII classes Java regex uses by default
+_PII_RES = [
+    (re.compile(PII_PATTERNS[k][0], re.ASCII), PII_PATTERNS[k][1])
+    for k in PII_ORDER
+]
 
 
 def with_pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -278,6 +499,7 @@ def curate_split(
     jaccard: float = 0.85,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
+    with_tokens: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The full curation pipeline over (doc_id, text): PII redaction →
     quality → repetition → exact dedup → optional near-dup → optional
@@ -290,22 +512,21 @@ def curate_split(
     from sparkdoc.dedup_text import near_dup_pairs
     from sparkdoc.textops import doc_fingerprint, quality_filter, with_language
 
-    pii = with_pii_stats(docs).select(
+    # round 6: PII redaction AND the chained per-gate operators
+    # (quality_filter → with_language → with_repetition_stats →
+    # repetition_flags, ~10 full-text JVM passes + a separate Arrow n-gram
+    # stage + a redaction materialization barrier) are computed by ONE
+    # fused Arrow pass — same columns, same values
+    # (tests/test_filters_fused.py pins fused == chained); the public
+    # per-gate operators and their oracles are untouched. The old pii
+    # persist existed so Catalyst wouldn't re-inline the regexp_replace
+    # chain into every consumer; the kernel computes the redaction exactly
+    # once by construction, so the barrier (and its cache) is gone.
+    feats = fused_gate_stats(docs, min_words=min_words, with_pii=True).select(
         "doc_id",
         F.col("redacted").alias("text"),
         "n_email", "n_ipv4", "n_ssn", "n_phone",
-    )
-    # materialization barrier: every downstream gate consumes the REDACTED
-    # text, and without the cache Catalyst inlines the whole
-    # regexp_replace chain into each consumer expression — the redaction
-    # re-executed several times per row (measured at 240k docs: the fused
-    # gate chain dropped 24.2 s -> 13.0 s at 8 cores with this barrier;
-    # 2-core wall unchanged). The cache is the same order of size as the
-    # `raw` frame mix_documents already persists; MEMORY_AND_DISK spills
-    # gracefully at scale.
-    pii = pii.persist()
-    feats = repetition_flags(
-        with_repetition_stats(with_language(quality_filter(pii, min_words=min_words)))
+        *[f.name for f in _GATE_SCHEMA.fields],
     )
     flagged = feats.withColumn(
         "reject_reason",
@@ -341,7 +562,14 @@ def curate_split(
     alive2 = alive.join(exact_drops.select("doc_id"), "doc_id", "left_anti")
     drops = [exact_drops]
 
+    extra_caches = []
     if near_dup:
+        # the MinHash candidate/verify subtree references its input several
+        # times (signatures, candidate pairs, both verify sides) — without a
+        # cache each reference re-runs the anti-join lineage (measured 4x
+        # the persisted-input wall at 40k docs)
+        alive2 = alive2.persist()
+        extra_caches.append(alive2)
         near_drops = (
             near_dup_pairs(alive2, threshold=jaccard)
             .select(F.col("b").alias("doc_id"))
@@ -360,7 +588,7 @@ def curate_split(
         alive2 = alive2.join(contam.select("doc_id"), "doc_id", "left_anti")
         drops.append(contam)
 
-    kept = alive2.select(*KEPT_COLS)
+    kept = alive2.select(*(KEPT_COLS + (["n_tokens"] if with_tokens else [])))
     rejected = flagged.filter(F.col("reject_reason").isNotNull()).select(
         "doc_id", "reject_reason"
     )
@@ -372,7 +600,7 @@ def curate_split(
     #   for c in getattr(kept, "_sparkdoc_caches", []): c.unpersist()
     # (repeated mix runs in one session otherwise accumulate cached
     # frames until eviction)
-    kept._sparkdoc_caches = [pii, flagged, fp_docs] + drops  # type: ignore[attr-defined]
+    kept._sparkdoc_caches = [flagged, fp_docs] + drops + extra_caches  # type: ignore[attr-defined]
     return kept, rejected
 
 

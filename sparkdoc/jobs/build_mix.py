@@ -57,7 +57,6 @@ def mix_documents(
 
     from sparkdoc.filters import curate_split, downweight_frequent_groups, hash_sample, pack_sequences
     from sparkdoc.io import write_text_file
-    from sparkdoc.textops import token_count
 
     has_source = "source" in raw.columns
     # Arrow-stage granularity guard: the curate chain is Python-heavy
@@ -83,12 +82,12 @@ def mix_documents(
         docs = hash_sample(docs, sample, salt=sample_salt)
 
     kept, rejected = curate_split(
-        docs, min_words=min_words, near_dup=near_dup
+        docs, min_words=min_words, near_dup=near_dup, with_tokens=True
     )
     # grab the cache handles BEFORE the select below re-derives `kept`
     # (DataFrame attributes don't survive reassignment)
     curate_caches = getattr(kept, "_sparkdoc_caches", [])
-    kept = kept.select("doc_id", "text", "lang_pred")
+    kept = kept.select("doc_id", "text", "lang_pred", "n_tokens")
     if has_source:
         kept = kept.join(raw.select("doc_id", "source"), "doc_id")
         if target_per_source is not None:
@@ -112,9 +111,11 @@ def mix_documents(
 
     # persisted: the token_total agg below materializes this frame anyway,
     # and WITHOUT the cache the whole curation tail (dedup anti-joins +
-    # source join + token count) re-executes for each of the pack join's
-    # two branches and again for the shard write
-    sized = kept.withColumn("n_tokens", token_count(F.col("text"))).persist()
+    # source join) re-executes for each of the pack join's two branches and
+    # again for the shard write. n_tokens comes from the fused gate pass
+    # (curate_split with_tokens=True — value-identical to token_count,
+    # pinned by the fused-parity suite), so no extra full-text regex pass
+    sized = kept.persist()
     # Adaptive pack-group cap: a group emits at least one shard FILE and one
     # partition-dir commit, so more groups than the token budget can fill
     # with shards is pure metadata waste — at 48k docs / 5.4M tokens /

@@ -103,6 +103,18 @@ def main() -> None:
         mix_skipped = True
     else:
         docs = spark.read.parquet(os.path.join(extract_dir, "documents"))
+        # the bucket-committed documents dir holds many small part files
+        # (one+ per bucket per group); scanned as-is the markdown Arrow
+        # stage runs one MICRO-task per file and pays the per-task Python
+        # turnaround (~73 ms/task measured, OPTIMIZATION_r06.md) — a narrow
+        # coalesce to the core count keeps the stage's task count at one
+        # wave with no shuffle. mix_documents' granularity guard then
+        # repartitions the (already serialized) markdown rows for the
+        # Python-heavy gate chain
+        n_parts = docs.rdd.getNumPartitions()
+        cores = spark.sparkContext.defaultParallelism
+        if n_parts > cores * 2:
+            docs = docs.coalesce(cores)
         text = documents_markdown(docs, out_col="_md").select(
             "doc_id",
             F.col("_md").alias("text"),

@@ -95,14 +95,14 @@ def brute_force_topk(
     ordering, and zip_with's null-on-length-mismatch semantics are all
     replicated; ``tests/test_similarity_kernel.py`` pins kernel == HOF on
     hostile inputs (zero vectors, NaN/null elements, ragged dims, ties).
-    Non-integer id columns fall back to the HOF path (the numpy tie-break
-    mirrors Spark's ordering only for integral ids)."""
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    Non-bigint id columns fall back to the HOF path (the kernel emits
+    int64 Arrow arrays and its numpy tie-break mirrors Spark's ordering
+    only for integral ids)."""
+    from pyspark.sql.types import LongType
 
-    int_types = (ByteType, ShortType, IntegerType, LongType)
     cid = {f.name: f.dataType for f in corpus.schema.fields}.get(id_col)
     qid = {f.name: f.dataType for f in queries.schema.fields}.get(id_col)
-    if not (isinstance(cid, int_types) and isinstance(qid, int_types)):
+    if not (isinstance(cid, LongType) and isinstance(qid, LongType)):
         return _brute_force_topk_hof(corpus, queries, k, id_col, vec_col)
 
     qrows = queries.select(id_col, vec_col).collect()

@@ -88,6 +88,20 @@ def test_kernel_empty_queries(spark):
     assert out.count() == 0
 
 
+def test_int32_ids_fall_back_to_hof(spark):
+    # the kernel emits int64 Arrow arrays — narrower integral id types must
+    # take the HOF path (the r6 suite caught an int32 corpus crashing with
+    # an ArrowColumnVector accessor mismatch)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = brute_force_topk(df, df, k=2).collect()
+    want = _brute_force_topk_hof(df, df, k=2).collect()
+    assert _canon(out) == _canon(want)
+    assert len(out) == 6
+
+
 def test_non_integer_ids_fall_back_to_hof(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
